@@ -1,0 +1,237 @@
+package graft.expr
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * govaluate-expression → Spark SQL translator.
+ *
+ * The reference evaluates govaluate v3 expressions per record for the
+ * pipeline `filter` (/root/reference/internal/app/app.go:151-163) and
+ * for `branch` transform conditions (internal/transform/
+ * transform.go:288-298). We translate the expression ONCE at playbook
+ * compile time into a Spark SQL string for `expr(...)`, so the
+ * predicate stays inside Catalyst (pushdown + codegen) instead of a
+ * per-row interpreter.
+ *
+ * Grammar per the public govaluate spec: ternary `?:` / `??`, `|| &&`,
+ * comparisons `== != < > <= >= =~ !~ IN`, bitwise `| ^ & << >>`,
+ * additive, multiplicative, `**`, prefix `- ! ~`; single/double-quoted
+ * strings; parenthesized lists for IN.
+ */
+object Goval {
+
+  sealed trait Tok
+  case class Num(v: String)   extends Tok
+  case class Str(v: String)   extends Tok
+  case class Ident(v: String) extends Tok
+  case class Op(v: String)    extends Tok
+
+  case class TranslationResult(sql: String, identifiers: Set[String])
+
+  def tokenize(s: String): List[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    var i = 0
+    val n = s.length
+    val twoCharOps = Set("==", "!=", "<=", ">=", "&&", "||", "=~", "!~", "**", "<<", ">>", "??")
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val q = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i >= n) throw new IllegalArgumentException(s"unterminated string in expression: $s")
+        i += 1
+        out += Str(sb.toString)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+          s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+          ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > start &&
+            (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')) ||
+          s.charAt(i) == 'x' || (s.charAt(i) >= 'a' && s.charAt(i) <= 'f' && s.substring(start).startsWith("0x")) ||
+          (s.charAt(i) >= 'A' && s.charAt(i) <= 'F' && s.substring(start).startsWith("0x")))) i += 1
+        out += Num(s.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+        out += Ident(s.substring(start, i))
+      } else if (c == '[') {
+        // govaluate escaped identifier: [field name with spaces]
+        val end = s.indexOf(']', i)
+        if (end == -1) throw new IllegalArgumentException(s"unterminated [identifier] in: $s")
+        out += Ident(s.substring(i + 1, end).trim)
+        i = end + 1
+      } else if (i + 1 < n && twoCharOps.contains(s.substring(i, i + 2))) {
+        out += Op(s.substring(i, i + 2)); i += 2
+      } else {
+        out += Op(c.toString); i += 1
+      }
+    }
+    out.toList
+  }
+
+  /**
+   * Translate to a Spark SQL expression string.
+   *
+   * @param stringTyped identifier → true when the column is known to be
+   *   a string (so `+` renders as CONCAT, matching govaluate's
+   *   string-concat `+`); unknown identifiers assumed non-string.
+   * @param rename identifier rewriting (e.g. branch's `inputValue` →
+   *   the source column).
+   */
+  def translate(expression: String,
+                stringTyped: String => Boolean = _ => false,
+                rename: String => String = identity): TranslationResult = {
+    val toks = tokenize(expression)
+    val idents = scala.collection.mutable.Set[String]()
+    var pos = 0
+
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expect(op: String): Unit = next() match {
+      case Op(`op`) => ()
+      case t => throw new IllegalArgumentException(s"expected '$op', got $t in: $expression")
+    }
+
+    // Rendered SQL + a flag: is this subexpression string-typed?
+    case class R(sql: String, isString: Boolean)
+
+    def sqlStr(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def primary(): R = next() match {
+      case Num(v)   => R(v, isString = false)
+      case Str(v)   => R(sqlStr(v), isString = true)
+      case Ident("true")  => R("true", isString = false)
+      case Ident("false") => R("false", isString = false)
+      case Ident(name) =>
+        val renamed = rename(name)
+        idents += renamed
+        val quoted = renamed.split('.').map(p => s"`$p`").mkString(".")
+        R(quoted, stringTyped(renamed))
+      case Op("(") =>
+        val e = ternary()
+        peek match {
+          case Some(Op(",")) =>
+            // list literal (IN right-hand side)
+            val items = ArrayBuffer(e.sql)
+            while (peek.contains(Op(","))) { next(); items += ternary().sql }
+            expect(")")
+            R(items.mkString("(", ", ", ")"), isString = false)
+          case _ => expect(")"); R(s"(${e.sql})", e.isString)
+        }
+      case Op("-") => val e = unary(); R(s"(- ${e.sql})", isString = false)
+      case Op("!") => val e = unary(); R(s"(NOT ${e.sql})", isString = false)
+      case Op("~") => val e = unary(); R(s"(~ ${e.sql})", isString = false)
+      case t => throw new IllegalArgumentException(s"unexpected token $t in: $expression")
+    }
+
+    def unary(): R = peek match {
+      case Some(Op("-")) | Some(Op("!")) | Some(Op("~")) => primary()
+      case _ => primary()
+    }
+
+    def power(): R = {
+      var l = unary()
+      while (peek.contains(Op("**"))) { next(); val r = unary(); l = R(s"POWER(${l.sql}, ${r.sql})", isString = false) }
+      l
+    }
+
+    def mul(): R = {
+      var l = power()
+      var go = true
+      while (go) peek match {
+        case Some(Op(o @ ("*" | "/" | "%"))) => next(); val r = power(); l = R(s"(${l.sql} $o ${r.sql})", isString = false)
+        case _ => go = false
+      }
+      l
+    }
+
+    def add(): R = {
+      var l = mul()
+      var go = true
+      while (go) peek match {
+        case Some(Op("+")) =>
+          next(); val r = mul()
+          l = if (l.isString || r.isString) R(s"CONCAT(${l.sql}, ${r.sql})", isString = true)
+              else R(s"(${l.sql} + ${r.sql})", isString = false)
+        case Some(Op("-")) => next(); val r = mul(); l = R(s"(${l.sql} - ${r.sql})", isString = false)
+        case _ => go = false
+      }
+      l
+    }
+
+    def shift(): R = {
+      var l = add()
+      var go = true
+      while (go) peek match {
+        case Some(Op("<<")) => next(); val r = add(); l = R(s"SHIFTLEFT(${l.sql}, ${r.sql})", isString = false)
+        case Some(Op(">>")) => next(); val r = add(); l = R(s"SHIFTRIGHT(${l.sql}, ${r.sql})", isString = false)
+        case _ => go = false
+      }
+      l
+    }
+
+    def bitwise(): R = {
+      var l = shift()
+      var go = true
+      while (go) peek match {
+        case Some(Op(o @ ("&" | "|" | "^"))) => next(); val r = shift(); l = R(s"(${l.sql} $o ${r.sql})", isString = false)
+        case _ => go = false
+      }
+      l
+    }
+
+    def comparison(): R = {
+      var l = bitwise()
+      var go = true
+      while (go) peek match {
+        case Some(Op("==")) => next(); val r = bitwise(); l = R(s"(${l.sql} = ${r.sql})", isString = false)
+        case Some(Op("!=")) => next(); val r = bitwise(); l = R(s"(${l.sql} <> ${r.sql})", isString = false)
+        case Some(Op(o @ ("<" | ">" | "<=" | ">="))) => next(); val r = bitwise(); l = R(s"(${l.sql} $o ${r.sql})", isString = false)
+        case Some(Op("=~")) => next(); val r = bitwise(); l = R(s"(${l.sql} RLIKE ${r.sql})", isString = false)
+        case Some(Op("!~")) => next(); val r = bitwise(); l = R(s"(NOT (${l.sql} RLIKE ${r.sql}))", isString = false)
+        case Some(Ident(kw)) if kw.equalsIgnoreCase("in") =>
+          next(); val r = bitwise(); l = R(s"(${l.sql} IN ${r.sql})", isString = false)
+        case _ => go = false
+      }
+      l
+    }
+
+    def and(): R = {
+      var l = comparison()
+      while (peek.contains(Op("&&"))) { next(); val r = comparison(); l = R(s"(${l.sql} AND ${r.sql})", isString = false) }
+      l
+    }
+
+    def or(): R = {
+      var l = and()
+      while (peek.contains(Op("||"))) { next(); val r = and(); l = R(s"(${l.sql} OR ${r.sql})", isString = false) }
+      l
+    }
+
+    def ternary(): R = {
+      val c = or()
+      peek match {
+        case Some(Op("?")) =>
+          next(); val a = ternary()
+          expect(":")
+          val b = ternary()
+          R(s"IF(${c.sql}, ${a.sql}, ${b.sql})", a.isString || b.isString)
+        case Some(Op("??")) =>
+          next(); val b = ternary()
+          R(s"COALESCE(${c.sql}, ${b.sql})", c.isString || b.isString)
+        case _ => c
+      }
+    }
+
+    val result = ternary()
+    if (pos != toks.length)
+      throw new IllegalArgumentException(s"trailing tokens after position $pos in: $expression")
+    TranslationResult(result.sql, idents.toSet)
+  }
+}

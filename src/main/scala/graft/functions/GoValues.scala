@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Go-semantics value coercion, re-expressed as Catalyst `Column`
+ * expressions (codegen-friendly builtins — no UDFs on the hot path).
+ *
+ * Reference semantics (cited from /root/reference):
+ *  - parseValueAsInt64  internal/transform/transform.go:945-1002 —
+ *    ints pass; floats convert ONLY if integral; strings parse as int,
+ *    else float-then-integral-check; never truncates.
+ *  - parseValueAsFloat64 transform.go:1005-1030 — numerics widen;
+ *    strings ParseFloat after trim; empty string fails.
+ *  - toBool              transform.go:426-463 — nil→false; bool id;
+ *    string sets; numeric != 0.
+ *  - ValueToStringForHash transform.go:574-604 — canonical strings.
+ */
+object GoValues {
+
+  private val intRe = "^[+-]?[0-9]+$"
+
+  /** Go parseValueAsInt64 as a Column: result is LongType or null. */
+  def goToInt(c: Column, dt: DataType): Column = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+      c.cast(LongType)
+    case _: FloatType | _: DoubleType | _: DecimalType =>
+      // integral floats only (transform.go:979: float64(int64(v)) == v)
+      val d = c.cast(DoubleType)
+      when(d.isNotNull && d === floor(d) && d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble),
+        d.cast(LongType))
+    case _: StringType =>
+      val t = trim(c)
+      val asLong = when(t.rlike(intRe), t.cast(LongType))
+      val d = t.cast(DoubleType)
+      val viaFloat = when(d.isNotNull && d === floor(d) && d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble),
+        d.cast(LongType))
+      coalesce(asLong, viaFloat)
+    case _: BooleanType => lit(null).cast(LongType) // Go: bool not accepted (transform.go:999)
+    case _ => lit(null).cast(LongType)
+  }
+
+  /** Go parseValueAsFloat64 as a Column: DoubleType or null. */
+  def goToFloat(c: Column, dt: DataType): Column = dt match {
+    case _: NumericType => c.cast(DoubleType)
+    case _: StringType  =>
+      // Go strconv.ParseFloat after TrimSpace (transform.go:1018);
+      // Spark cast(string as double) accepts "Infinity"/"NaN" like Go.
+      trim(c).cast(DoubleType)
+    case _: BooleanType => lit(null).cast(DoubleType)
+    case _ => lit(null).cast(DoubleType)
+  }
+
+  /** Go toBool (transform.go:426-463): nil→false, permissive string sets. */
+  def goToBool(c: Column, dt: DataType): Column = dt match {
+    case _: BooleanType => coalesce(c, lit(false))
+    case _: NumericType =>
+      when(c.isNull, lit(false)).otherwise(c.cast(DoubleType) =!= 0.0)
+    case _: StringType =>
+      val s = lower(trim(c))
+      when(c.isNull, lit(false))
+        .when(s.isin("true", "1", "yes", "t", "y"), lit(true))
+        .when(s.isin("false", "0", "no", "f", "n", ""), lit(false))
+        .otherwise({
+          // numeric-string branch (transform.go:452-457): parses → != 0
+          val d = s.cast(DoubleType)
+          when(d.isNotNull, d =!= 0.0) // else null (Go: error→nil value)
+        })
+    case _ => when(c.isNull, lit(false)) // nil→false; other types → nil
+  }
+
+  /**
+   * Go mustToBool (transform.go:694-727): unlike toBool, nil and ""
+   * are ERRORS, not false. Returns the value column; pair with
+   * [[mustToBoolError]] for the error predicate.
+   */
+  def mustToBool(c: Column, dt: DataType): Column = dt match {
+    case _: BooleanType => c
+    case _: NumericType => c.cast(DoubleType) =!= 0.0
+    case _: StringType =>
+      val s = lower(trim(c))
+      when(s.isin("true", "1", "yes", "t", "y"), lit(true))
+        .when(s =!= "" && s.isin("false", "0", "no", "f", "n"), lit(false))
+        .otherwise({
+          val d = s.cast(DoubleType)
+          when(d.isNotNull, d =!= 0.0)
+        })
+    case _ => lit(null).cast(BooleanType)
+  }
+
+  /**
+   * Canonical stringification for hashing / dedup composite keys.
+   * Go ValueToStringForHash (transform.go:574-604):
+   *   nil → "<NIL>", floats strconv.FormatFloat('g',-1,64),
+   *   time → RFC3339Nano UTC, ints base-10, strings identity.
+   */
+  def goCanonicalString(c: Column, dt: DataType): Column = {
+    val s = dt match {
+      case _: StringType => c
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => c.cast(StringType)
+      case _: BooleanType => when(c, lit("true")).otherwise(lit("false"))
+      case _: FloatType | _: DoubleType => goFormatFloat(c.cast(DoubleType))
+      case _: TimestampType | _: DateType =>
+        // RFC3339Nano UTC: "2006-01-02T15:04:05.999999999Z" — Go drops
+        // trailing zeros in the fraction and the '.' when zero.
+        rfc3339Nano(c.cast(TimestampType))
+      case _ => c.cast(StringType)
+    }
+    when(c.isNull, lit("<NIL>")).otherwise(coalesce(s, lit("<NIL>")))
+  }
+
+  /**
+   * Go `strconv.FormatFloat(v,'g',-1,64)` (used by %v and hashing),
+   * built from Spark string ops on Java's shortest-round-trip repr.
+   * Java emits `1.0`/`1.0E6`/`1.23E-7`; Go emits `1`/`1e+06`/`1.23e-07`.
+   * Go switches to exponent form when exp < -4 or exp >= 21.
+   */
+  def goFormatFloat(d: Column): Column = GoFloatFormat.goFormat(d)
+
+  /** RFC3339Nano in UTC with Go's trailing-zero trimming. */
+  def rfc3339Nano(ts: Column): Column = {
+    val base = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    // microsecond precision is all Spark timestamps carry
+    val frac = date_format(ts, "SSSSSS")
+    val trimmed = regexp_replace(frac, "0+$", "")
+    when(ts.isNull, lit(null).cast(StringType))
+      .when(trimmed === "", concat(base, lit("Z")))
+      .otherwise(concat(base, lit("."), trimmed, lit("Z")))
+  }
+}

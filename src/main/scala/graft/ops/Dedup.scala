@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GoValues
+
+/**
+ * Deduplication operators.
+ *
+ * Reference semantics (SURVEY §2.5): composite key = canonical strings
+ * of SORTED key fields joined "||", nil/missing → sentinel
+ * (/root/reference/internal/processor/processor.go:277-314); strategies
+ * first/last/min/max (internal/config/types.go:24-27).
+ *
+ * Scale design: dedup is one shuffle on the key columns. We partition
+ * by the RAW key columns (not the canonical string) so the shuffle can
+ * use native binary comparators and AQE skew handling; the canonical
+ * string only exists where Go-parity output is required.
+ */
+object Dedup {
+
+  /**
+   * Deterministic ingest-order key for `first`/`last` strategies.
+   * `monotonically_increasing_id` alone is partition-index-dependent
+   * and Spark packs file splits by size (not path order) — so we order
+   * by (file_path, block_start, within-partition id), which is total
+   * and stable for file-based scans regardless of split packing.
+   */
+  def withIngestSeq(df: DataFrame, col_name: String = "_seq"): DataFrame = {
+    val hasMeta = scala.util.Try(df("_metadata")).isSuccess
+    if (hasMeta)
+      df.withColumn(col_name,
+        struct(col("_metadata.file_path").as("f"),
+               col("_metadata.file_block_start").as("b"),
+               monotonically_increasing_id().as("i")))
+    else
+      df.withColumn(col_name, struct(lit("").as("f"), lit(0L).as("b"),
+        monotonically_increasing_id().as("i")))
+  }
+
+  /** Keep the first/last record per key in ingest order. */
+  def byIngestOrder(df: DataFrame, keys: Seq[String], keepFirst: Boolean): DataFrame = {
+    val seqd = if (df.columns.contains("_seq")) df else withIngestSeq(df)
+    val ord = if (keepFirst) col("_seq").asc else col("_seq").desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    seqd.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+  }
+
+  /**
+   * Keep the record with min/max `strategyField` per key
+   * (CompareValues ordering: numeric cross-type compare, nulls lose —
+   * reference keeps the stored record when incomparable).
+   */
+  def byExtreme(df: DataFrame, keys: Seq[String], strategyField: String,
+                max: Boolean): DataFrame = {
+    val seqd = if (df.columns.contains("_seq")) df else withIngestSeq(df)
+    val sf = seqd(strategyField)
+    val primary = if (max) sf.desc_nulls_last else sf.asc_nulls_last
+    // tie / incomparable → earliest ingested wins (reference keeps stored)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(primary, col("_seq").asc)
+    seqd.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+  }
+
+  /** Exact duplicate removal on a set of columns (hash-shuffle distinct). */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys)
+
+  /** Go-parity composite dedup key string (processor.go:283-291). */
+  def compositeKey(df: DataFrame, keys: Seq[String]): Column = {
+    val parts = keys.sorted.map { k =>
+      val c = df(k)
+      val dt = df.schema.fields.find(_.name == k).map(_.dataType).getOrElse(StringType)
+      coalesce(GoValues.goCanonicalString(c, dt), lit("<ETL_NIL_OR_MISSING>"))
+    }
+    concat_ws("||", parts: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Near-duplicate detection (LLM-pipeline operators)
+  // ------------------------------------------------------------------
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /**
+   * Character shingles (n-grams) of the normalized text, distinct.
+   * Produces an array<string>; at 100 TB each shingle is immediately
+   * hashed (below) so the wide strings never shuffle.
+   */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = lower(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(lit(1), length(s) - (n - 1))),
+        i => s.substr(i, lit(n))))
+  }
+
+  /**
+   * MinHash signature: for each of `numHashes` hash functions, the min
+   * over the shingle set of a keyed hash. Uses xxhash64 (codegen'd,
+   * 64-bit) with per-function seeds — the scale path. A portable
+   * md5-based variant (same shape) backs the DuckDB-oracle query in
+   * `graft.Queries`.
+   */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /**
+   * MinHash/LSH near-duplicate PAIRS.
+   * shingle → signature → band buckets → self-join within bucket →
+   * signature-agreement estimate ≥ threshold.
+   *
+   * Scale: the only wide operation is the groupBy on band key (one
+   * shuffle of (bandKey, id, signature)); candidate verification is
+   * per-bucket. Skewed buckets (boilerplate docs) are bounded by
+   * `maxBucketSize`.
+   */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 5, numHashes: Int = 16,
+                          bands: Int = 4, threshold: Double = 0.7,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(charShingles(col(textCol), shingleSize), numHashes).as("sig"))
+    // band key: hash of the band's slice of the signature
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bucket")))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val pairs = buckets.select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+    pairs.filter(col("est_jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash (64-bit): per token, a 64-bit hash; bit j contributes +1/-1
+   * to accumulator j; simhash bit j = sign. Near-dups = hamming
+   * distance ≤ k on the signature. Scale path: one explode + one
+   * groupBy(id) — token strings never shuffle (hashed first).
+   */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Token n-gram Jaccard similarity pairs ≥ threshold, blocked by a
+   * shared-ngram inverted index (never a full cross join).
+   * Scale: explode → groupBy ngram (inverted index) → pair counts →
+   * jaccard via |A∩B| / (|A|+|B|-|A∩B|). Frequent-ngram skew bounded
+   * by `maxPostings`.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxPostings: Int = 5000): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(
+        transform(sequence(lit(0), greatest(lit(0), size(col("toks")) - n)),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
+    val posting = grams.select(col("id"), explode(col("grams")).as("g"))
+    // inverted index, bounded postings per gram (stop-gram removal)
+    val index = posting.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPostings))
+    val interCounts = index
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    interCounts
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
