@@ -33,8 +33,8 @@ object GoValues {
         d.cast(LongType))
     case _: StringType =>
       val t = trim(c)
-      val asLong = when(t.rlike(intRe), t.cast(LongType))
-      val d = t.cast(DoubleType)
+      val asLong = when(t.rlike(intRe), t.try_cast(LongType))
+      val d = t.try_cast(DoubleType)
       val viaFloat = when(d.isNotNull && d === floor(d) && d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble),
         d.cast(LongType))
       coalesce(asLong, viaFloat)
@@ -47,8 +47,9 @@ object GoValues {
     case _: NumericType => c.cast(DoubleType)
     case _: StringType  =>
       // Go strconv.ParseFloat after TrimSpace (transform.go:1018);
-      // Spark cast(string as double) accepts "Infinity"/"NaN" like Go.
-      trim(c).cast(DoubleType)
+      // try_cast: malformed -> null (never throws, ANSI-mode safe);
+      // accepts "Infinity"/"NaN" like Go.
+      trim(c).try_cast(DoubleType)
     case _: BooleanType => lit(null).cast(DoubleType)
     case _ => lit(null).cast(DoubleType)
   }
@@ -65,7 +66,7 @@ object GoValues {
         .when(s.isin("false", "0", "no", "f", "n", ""), lit(false))
         .otherwise({
           // numeric-string branch (transform.go:452-457): parses → != 0
-          val d = s.cast(DoubleType)
+          val d = s.try_cast(DoubleType)
           when(d.isNotNull, d =!= 0.0) // else null (Go: error→nil value)
         })
     case _ => when(c.isNull, lit(false)) // nil→false; other types → nil
@@ -84,7 +85,7 @@ object GoValues {
       when(s.isin("true", "1", "yes", "t", "y"), lit(true))
         .when(s =!= "" && s.isin("false", "0", "no", "f", "n"), lit(false))
         .otherwise({
-          val d = s.cast(DoubleType)
+          val d = s.try_cast(DoubleType)
           when(d.isNotNull, d =!= 0.0)
         })
     case _ => lit(null).cast(BooleanType)

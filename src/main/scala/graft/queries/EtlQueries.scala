@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.expr.Goval
+import graft.ops.Dedup
+import graft.queries.Queries.t
+
+/**
+ * Pipeline-stage operator variants: filter (govaluate translation),
+ * flatten (explode semantics incl. includeParent=false and conditional
+ * pass-through — /root/reference/internal/processor/processor.go:170-230),
+ * dedup strategies first/last/min/max (processor.go:277-314).
+ */
+object EtlQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // govaluate IN-list + ternary + nested arithmetic.
+    Q("q_filter_in_ternary",
+      (s, dir) => {
+        val pred = Goval.translate(
+          "p_size IN (1, 5, 10, 23) && (p_retailprice > (p_size > 9 ? 1500.0 : 900.0))").sql
+        t(s, dir, "part").filter(expr(pred))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part
+        WHERE p_size IN (1, 5, 10, 23)
+          AND p_retailprice > (CASE WHEN p_size > 9 THEN 1500.0 ELSE 900.0 END)""")),
+
+    // govaluate arithmetic + modulo + regex in one predicate.
+    Q("q_filter_arith_regex",
+      (s, dir) => {
+        val pred = Goval.translate(
+          "(l_extendedprice * (1 - l_discount) > 90000) || (l_returnflag =~ 'A' && l_quantity % 7 == 0)",
+          stringTyped = Set("l_returnflag")).sql
+        t(s, dir, "lineitem").filter(expr(pred))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE (l_extendedprice * (1 - l_discount) > 90000)
+           OR (regexp_matches(l_returnflag, 'A') AND l_quantity % 7 = 0)""")),
+
+    // flatten with includeParent=false: output holds ONLY the element.
+    Q("q_flatten_noparent",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token")),
+      Some("SELECT unnest(string_split(text, ' ')) AS token FROM documents")),
+
+    // conditional flatten: condition not met -> record passes UNflattened.
+    Q("q_flatten_conditional",
+      (s, dir) => {
+        val df = t(s, dir, "documents")
+        val flat = df.filter(col("lang") === "en")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+        val pass = df.filter(col("lang") =!= "en")
+          .select(col("doc_id"), col("lang"), lit(null).cast("string").as("token"))
+        flat.unionAll(pass)
+      },
+      Some("""SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT doc_id, lang, NULL AS token FROM documents WHERE lang <> 'en'""")),
+
+    // dedup strategy=last (ingest order, multi-key).
+    Q("q_dedup_last",
+      (s, dir) => Dedup.byIngestOrder(t(s, dir, "events"),
+          Seq("user_id", "event_type"), keepFirst = false)
+        .select(col("user_id"), col("event_type"), col("event_id")),
+      Some("""SELECT user_id, event_type, event_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1""")),
+
+    // dedup strategy=min on strategyField (ties -> earliest ingested).
+    Q("q_dedup_min",
+      (s, dir) => Dedup.byExtreme(t(s, dir, "events"), Seq("user_id"), "value", max = false)
+        .select(col("user_id"), col("event_id"), col("value")),
+      Some("""SELECT user_id, event_id, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) = 1""")),
+
+    // dedup strategy=max on strategyField.
+    Q("q_dedup_max",
+      (s, dir) => Dedup.byExtreme(t(s, dir, "events"), Seq("user_id"), "value", max = true)
+        .select(col("user_id"), col("event_id"), col("value")),
+      Some("""SELECT user_id, event_id, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) = 1""")),
+  )
+}

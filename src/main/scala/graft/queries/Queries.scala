@@ -107,11 +107,11 @@ object Queries {
       Some("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents")),
   )
 
-  val all: Seq[Q] = core
+  val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.replaceAll("\\s+", " ").trim)).toMap
+    all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
 }

@@ -278,8 +278,8 @@ object Transforms {
     case _: StringType =>
       val t = trim(ctx.source)
       coalesce(
-        when(t.rlike("^[+-]?[0-9]+$"), t.cast(LongType)),
-        t.cast(DoubleType).cast(LongType))
+        when(t.rlike("^[+-]?[0-9]+$"), t.try_cast(LongType)),
+        t.try_cast(DoubleType).try_cast(LongType))
     case _ => lit(null).cast(LongType)
   }
 
@@ -288,8 +288,34 @@ object Transforms {
     // in session TZ, so this is UTC calendar math as the reference does.
     to_timestamp(from_unixtime(epochSecs))
 
+  /**
+   * try_to_timestamp with a Go-layout pattern, working around Spark's
+   * parse-side pattern limits: 'E' (day-of-week) is format-only, so
+   * RFC1123/RFC822-style layouts strip the "Mon, " prefix from the
+   * input instead; zone-NAME parsing ('zzz') is unreliable, and Go
+   * itself binds a bare abbreviation to offset 0 unless it matches the
+   * local zone — so a trailing zone name is stripped and the timestamp
+   * read as UTC (Go-parity for non-local abbreviations).
+   */
+  private def tryToTimestampGo(s0: Column, javaPattern: String): Column = {
+    var pat = javaPattern
+    var s = s0
+    if (pat.startsWith("EEE, ")) {
+      pat = pat.substring(5)
+      s = regexp_replace(s, "^[A-Za-z]{3}, ", "")
+    } else if (pat.startsWith("EEE ")) {
+      pat = pat.substring(4)
+      s = regexp_replace(s, "^[A-Za-z]{3} ", "")
+    }
+    if (pat.endsWith(" zzz")) {
+      pat = pat.substring(0, pat.length - 4)
+      s = regexp_replace(s, " [A-Za-z]{2,5}$", "")
+    }
+    try_to_timestamp(s, lit(pat))
+  }
+
   private def tryToTimestamp(s: Column, javaPattern: String): Column =
-    try_to_timestamp(s, lit(javaPattern))
+    tryToTimestampGo(s, javaPattern)
 
   /** dateConvert input parse: string via layout(s) or fallback list;
     * time.Time input passes straight through (transform.go:311-362). */
