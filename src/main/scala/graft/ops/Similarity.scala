@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search.
+ *
+ * Scale design: brute-force top-k is the correctness baseline (a
+ * broadcast-able query side against a partitioned corpus — no shuffle
+ * of the corpus, one window per query partition). The LSH-bucketed
+ * variant is the 100 TB path: corpus shuffles ONCE on a 16-bit
+ * random-hyperplane bucket key, candidates are generated only within
+ * buckets (multi-probe on neighboring signs can be added by unioning
+ * probe keys), so the cross product never materializes.
+ */
+object Similarity {
+
+  /** Dot product of two array<double> columns (left-to-right fold —
+    * deterministic, reproducible across runs and engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for each row of `queries`, the k nearest
+   * corpus rows (excluding self-id matches). Queries side should be
+   * small (it is broadcast into the join).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane sign for (plane j, dim i):
+   * ±1.0 derived from xxhash64 of the two literals — constant-folded
+   * at plan time, identical on every executor with no broadcast state.
+   */
+  private def planeSign(j: Int, i: Int): Column =
+    when(pmod(xxhash64(lit(j), lit(i)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** 16-bit random-hyperplane LSH bucket key for an array<double> vec. */
+  def lshBucket(vec: Column, dims: Int, planes: Int = 16): Column =
+    (0 until planes).map { j =>
+      val d = (0 until dims).map(i => element_at(vec, i + 1) * planeSign(j, i))
+        .reduce(_ + _)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * LSH-bucketed approximate nearest neighbors: one shuffle on the
+   * bucket key; exact cosine re-ranking inside each bucket.
+   */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              dims: Int, k: Int, planes: Int = 16,
+              maxBucketSize: Int = 10000): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dims, planes))
+    val buckets = v.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis columns for training-data pipelines: token counting,
+ * quality scoring, language ID (stopword heuristic), fingerprinting.
+ * All pure Column expressions (whole-stage codegen, no UDFs).
+ */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens (same normalization as Dedup.tokens). */
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Mean token length in characters (whitespace excluded). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Per-language stopword marker lists for the language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "qui", "pas", "sur"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+
+  /**
+   * Stopword-overlap language ID: distinct-token overlap with each
+   * marker list; argmax wins with ties broken in declaration order;
+   * zero overlap everywhere -> "und".
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = stopwords.map { case (lang, words) => lang -> markerCount(toks, words) }
+    val maxc = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(maxc === 0, lit("und"))) { case (acc, (lang, c)) =>
+      acc.when(c === maxc, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Stopword ratio against the combined marker vocabulary. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = stopwords.flatMap(_._2).distinct
+    size(filter(toks, t => t.isin(all: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length credit (saturates at 100
+   * tokens), low punctuation noise, natural stopword density.
+   */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3
+
+  /** Content fingerprint of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /**
+   * Portable MinHash signature: per seed, the min over 4-char shingles
+   * of md5(seed || "|" || shingle), concat_ws-joined. md5-as-string min
+   * is engine-portable (same lowercase hex everywhere) — the DuckDB
+   * oracle computes the identical value. The xxhash64 variant in
+   * [[Dedup.minhashSignature]] is the faster scale path.
+   */
+  def minhashPortable(text: Column, seeds: Int = 8, shingleSize: Int = 4): Column = {
+    val s = lower(text)
+    val shingles = array_distinct(
+      transform(sequence(lit(1), greatest(lit(1), length(s) - (shingleSize - 1))),
+        i => s.substr(i, lit(shingleSize))))
+    val sigs = (0 until seeds).map { j =>
+      array_min(transform(shingles, x => md5(concat(lit(s"$j|"), x).cast("binary"))))
+    }
+    concat_ws("|", sigs: _*)
+  }
+}

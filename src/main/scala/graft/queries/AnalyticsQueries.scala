@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Queries.{t, dec}
+
+/**
+ * Analytics operators beyond the reference (BASELINE north star):
+ * joins (broadcast + shuffle), windows, top-k, rollup, set ops,
+ * semi/anti joins, exact + approximate aggregation.
+ *
+ * Scale notes are per-query; the common rules: small dims are
+ * broadcast (no shuffle of the fact side), FP aggregation goes through
+ * DECIMAL for order-independent exactness, every ordering has a
+ * deterministic tiebreak.
+ */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Star join: fact orders shuffles once on o_custkey; nation/region
+    // are broadcast (at 100 TB: customer bucketed on custkey avoids
+    // even that shuffle).
+    Q("q_join_revenue",
+      (s, dir) => {
+        val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
+    // Running window aggregate (decimal-exact running sum).
+    Q("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          sum(dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          row_number().over(w).as("rn"))
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events""")),
+
+    // lag/lead/rank with deterministic tiebreaks.
+    Q("q_window_lag_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val wr = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          rank().over(wr).as("value_rank"))
+      },
+      Some("""SELECT event_id, event_type,
+        lag(event_id, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_id,
+        lead(event_id, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS next_id,
+        rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS value_rank
+        FROM events""")),
+
+    // Top-k: Spark plans TakeOrderedAndProject — per-partition heap,
+    // no full sort (the 100 TB-safe top-k).
+    Q("q_topk_orders",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Hierarchical rollup with subtotal rows.
+    Q("q_rollup_region",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // Left-semi join (EXISTS).
+    Q("q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // Left-anti join (NOT EXISTS) with a filtered right side.
+    Q("q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority").startsWith("1-"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1-%')""")),
+
+    // Set op: UNION DISTINCT across two sources.
+    Q("q_union_nations",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        c.union(sup).distinct()
+      },
+      Some("""SELECT DISTINCT nk FROM
+        (SELECT c_nationkey AS nk FROM customer
+         UNION ALL SELECT s_nationkey AS nk FROM supplier)""")),
+
+    // Aggregation battery: count / distinct / min / max / exact mean.
+    Q("q_agg_stats",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events GROUP BY event_type""")),
+
+    // Approximate distinct (HLL) — the 100 TB cardinality path; sketch
+    // values are engine-specific so the driver records rows-only.
+    Q("q_agg_approx_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n")),
+      None),
+  )
+}

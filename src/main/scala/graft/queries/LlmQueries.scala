@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Queries.t
+
+/**
+ * Training-data pipeline operators over documents/embeddings:
+ * dedup (exact + near-dup), similarity search, text analysis,
+ * multimodal binary plumbing. Oracled wherever the computation is
+ * engine-portable (md5-based hashing, integer/double arithmetic);
+ * xxhash64 scale paths are rows-only checked.
+ */
+object LlmQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup on content, keep first in ingest order.
+    Q("q_llm_dedup_exact",
+      (s, dir) => Dedup.byIngestOrder(t(s, dir, "documents"), Seq("text"), keepFirst = true)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""")),
+
+    // Token / char counting + mean token length.
+    Q("q_llm_token_stats",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.charCount(col("text")).as("n_chars2"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_tok_len")),
+      Some("""SELECT doc_id,
+        len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        length(text) AS n_chars2,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+          / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_tok_len
+        FROM documents""")),
+
+    // Quality scoring: punctuation noise + stopword density + length.
+    Q("q_llm_quality",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(LlmOracles.quality)),
+
+    // Language ID via stopword-overlap argmax.
+    Q("q_llm_lang_id",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some(LlmOracles.langId)),
+
+    // Document fingerprint (normalized md5).
+    Q("q_llm_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents""")),
+
+    // Portable MinHash signature (md5-min over 4-char shingles, 8 seeds).
+    Q("q_llm_minhash_sig",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.minhashPortable(col("text")).as("sig")),
+      Some(LlmOracles.minhashSig)),
+
+    // Portable SimHash (30-bit, md5-derived token hashes).
+    Q("q_llm_simhash",
+      (s, dir) => {
+        val df = t(s, dir, "documents")
+        val toks = df.select(col("doc_id"),
+            explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+          .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast(LongType))
+        val bitSums = (0 until 30).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+        val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        val sig = (0 until 30).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        agg.select(col("doc_id"), sig.as("simhash"))
+      },
+      Some(LlmOracles.simhash)),
+
+    // Token-trigram Jaccard near-dup pairs via inverted index.
+    Q("q_llm_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.1, maxPostings = 5000),
+      Some(LlmOracles.ngramJaccard)),
+
+    // MinHash/LSH near-dup pairs — xxhash64 scale path (rows-only).
+    Q("q_llm_minhash_pairs",
+      (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+      None),
+
+    // SimHash 64-bit xxhash scale path (rows-only).
+    Q("q_llm_simhash64",
+      (s, dir) => Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text"),
+      None),
+
+    // Brute-force cosine top-3 for the first 20 vectors.
+    Q("q_llm_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+      },
+      Some(LlmOracles.cosineTopK)),
+
+    // LSH-bucketed ANN — the 100 TB path (rows-only).
+    Q("q_llm_ann_lsh",
+      (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, planes = 8),
+      None),
+
+    // Multimodal plumbing: binary content + per-partition extraction.
+    Q("q_multimodal_features",
+      (s, dir) => {
+        val df = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
+        Multimodal.extractFeatures(df, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, strlen(text) AS n_bytes,
+        CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS head_byte,
+        md5(text) AS content_md5
+        FROM documents""")),
+  )
+}
+
+/** Long-form DuckDB oracle SQL for the LLM queries. */
+object LlmOracles {
+
+  private val stopLists = TextAnalysis.stopwords.map { case (l, ws) =>
+    l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  }.toMap
+  private val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val quality: String = s"""
+    WITH x AS (SELECT doc_id,
+      string_split_regex(lower(trim(text)), '\\s+') AS toks,
+      CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) AS punct_ratio
+      FROM documents),
+    y AS (SELECT doc_id, punct_ratio,
+      CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE)
+        / greatest(len(toks), 1) AS stop_ratio,
+      len(toks) AS n_toks FROM x)
+    SELECT doc_id, punct_ratio, stop_ratio,
+      least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+    FROM y"""
+
+  val langId: String = {
+    val counts = TextAnalysis.stopwords.map { case (l, _) =>
+      s"len(list_intersect(dtoks, ${stopLists(l)})) AS c_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val maxExpr = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN c_$l = maxc THEN '$l'").mkString(" ")
+    s"""WITH x AS (SELECT doc_id, lang,
+        list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+        FROM documents),
+      y AS (SELECT doc_id, lang, $counts FROM x),
+      z AS (SELECT *, $maxExpr AS maxc FROM y)
+      SELECT doc_id, lang,
+        CASE WHEN maxc = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_pred
+      FROM z"""
+  }
+
+  val minhashSig: String = {
+    val terms = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x)))").mkString(", ")
+    s"""WITH x AS (SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(1, length(lower(text)) - 3)),
+          i -> substr(lower(text), i, 4))) AS sh
+        FROM documents)
+      SELECT doc_id, concat_ws('|', $terms) AS sig FROM x"""
+  }
+
+  val simhash: String = """
+    WITH toks AS (SELECT DISTINCT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, j,
+        SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS j) js
+      GROUP BY doc_id, j)
+    SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id"""
+
+  val ngramJaccard: String = """
+    WITH tk AS (SELECT doc_id AS id,
+        string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    g AS (SELECT id, list_distinct(list_transform(
+        generate_series(1, greatest(1, len(toks) - 2)),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams FROM tk),
+    sizes AS (SELECT id, len(grams) AS n_grams FROM g),
+    posting AS (SELECT id, unnest(grams) AS gr FROM g),
+    idx AS (SELECT gr, list(id) AS ids FROM posting GROUP BY gr
+            HAVING COUNT(*) BETWEEN 2 AND 5000),
+    p1 AS (SELECT unnest(ids) AS id_a, ids FROM idx),
+    p2 AS (SELECT id_a, unnest(ids) AS id_b FROM p1),
+    inter AS (SELECT id_a, id_b, COUNT(*) AS inter FROM p2
+              WHERE id_a < id_b GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+      CAST(inter AS DOUBLE) / (a.n_grams + b.n_grams - inter) AS jaccard
+    FROM inter
+    JOIN sizes a ON a.id = id_a
+    JOIN sizes b ON b.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (a.n_grams + b.n_grams - inter) >= 0.1"""
+
+  val cosineTopK: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM e q CROSS JOIN e n
+      WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+    ranked AS (SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3"""
+}

@@ -36,7 +36,8 @@ object Queries {
     else df
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  /** Exact (order-independent) FP aggregation intermediate. */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast("decimal(18,4)")
 
   val core: Seq[Q] = Seq(
 
@@ -107,7 +108,7 @@ object Queries {
       Some("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents")),
   )
 
-  val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all
+  val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
