@@ -1,0 +1,67 @@
+package graft.config
+
+/**
+ * The playbook data model — the engine's "query language".
+ *
+ * Mirrors the reference's ETLConfig
+ * (/root/reference/internal/config/types.go:39-215): a declarative
+ * six-stage pipeline Extract -> Filter -> Transform -> Flatten ->
+ * Dedup -> Load. We add `parquet` as a source/destination type (the
+ * natural Spark-native format the reference predates).
+ */
+case class Playbook(
+    source: SourceConfig,
+    destination: DestinationConfig,
+    filter: Option[String] = None,
+    mappings: Seq[MappingRule] = Seq.empty,
+    flattening: Option[FlatteningConfig] = None,
+    dedup: Option[DedupConfig] = None,
+    errorHandling: ErrorHandlingConfig = ErrorHandlingConfig())
+
+/** types.go:67-101 — `type` in {csv,json,xlsx,xml,yaml,postgres,parquet}. */
+case class SourceConfig(
+    `type`: String,
+    file: String = "",
+    query: String = "",           // postgres
+    delimiter: Option[String] = None,     // csv
+    commentChar: Option[String] = None,   // csv
+    sheetName: Option[String] = None,     // xlsx
+    sheetIndex: Option[Int] = None,       // xlsx
+    xmlRecordTag: Option[String] = None)  // xml
+
+/** types.go:104-142. */
+case class DestinationConfig(
+    `type`: String,
+    file: String = "",
+    table: String = "",                    // postgres
+    xmlRecordTag: Option[String] = None,
+    xmlRootTag: Option[String] = None,
+    sheetName: Option[String] = None)
+
+/** types.go:118-141 — one projection/transform rule. */
+case class MappingRule(
+    source: String,
+    target: String,
+    transform: Option[String] = None,      // may carry "name:param" shorthand
+    params: Map[String, Any] = Map.empty)
+
+/** types.go:145-165. */
+case class FlatteningConfig(
+    sourceField: String,
+    targetField: String,
+    includeParent: Boolean = true,
+    errorOnNonList: Boolean = false,
+    conditionField: Option[String] = None,
+    conditionValue: Option[String] = None)
+
+/** types.go:169-180 — strategy in {first,last,min,max}. */
+case class DedupConfig(
+    keys: Seq[String],
+    strategy: String = "first",
+    strategyField: Option[String] = None)
+
+/** types.go:203-215 — mode in {halt,skip}. */
+case class ErrorHandlingConfig(
+    mode: String = "halt",
+    logErrors: Boolean = true,
+    errorFile: Option[String] = None)

@@ -1,0 +1,153 @@
+package graft.config
+
+import org.yaml.snakeyaml.Yaml
+import scala.jdk.CollectionConverters._
+
+/**
+ * YAML -> Playbook with defaults, plus accumulated-error validation
+ * (reference: internal/config/load.go:12-122 + validation.go:52-688).
+ */
+object PlaybookLoader {
+
+  def fromFile(path: String): Playbook =
+    fromString(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  def fromString(yamlText: String): Playbook = {
+    val root = Option(new Yaml().load[java.util.Map[String, Any]](yamlText))
+      .getOrElse(throw new IllegalArgumentException("empty playbook"))
+    val m = root.asScala.toMap
+    val pb = Playbook(
+      source = sourceOf(section(m, "source")
+        .getOrElse(throw new IllegalArgumentException("playbook: missing 'source'"))),
+      destination = destOf(section(m, "destination")
+        .getOrElse(throw new IllegalArgumentException("playbook: missing 'destination'"))),
+      filter = str(m, "filter"),
+      mappings = m.get("mappings").map(listOfMaps).getOrElse(Seq.empty).map(ruleOf),
+      flattening = section(m, "flattening").map(flattenOf),
+      dedup = section(m, "deduplication").orElse(section(m, "dedup")).map(dedupOf),
+      errorHandling = section(m, "errorHandling").map(errOf).getOrElse(ErrorHandlingConfig()))
+    val errs = Validator.validate(pb)
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException("invalid playbook:\n  " + errs.mkString("\n  "))
+    pb
+  }
+
+  // ---- section decoding ----
+  private def section(m: Map[String, Any], k: String): Option[Map[String, Any]] =
+    m.get(k).collect { case j: java.util.Map[_, _] =>
+      j.asScala.map { case (kk, v) => kk.toString -> (v: Any) }.toMap
+    }
+  private def listOfMaps(v: Any): Seq[Map[String, Any]] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq.collect {
+      case j: java.util.Map[_, _] => j.asScala.map { case (k, vv) => k.toString -> (vv: Any) }.toMap
+    }
+    case _ => Seq.empty
+  }
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String if s.nonEmpty => s }
+  private def int(m: Map[String, Any], k: String): Option[Int] =
+    m.get(k).collect { case n: Number => n.intValue }
+  private def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
+    m.get(k).collect { case b: java.lang.Boolean => b.booleanValue }.getOrElse(dflt)
+
+  private def sourceOf(m: Map[String, Any]) = SourceConfig(
+    `type` = str(m, "type").getOrElse("").toLowerCase,
+    file = str(m, "file").getOrElse(""),
+    query = str(m, "query").getOrElse(""),
+    delimiter = str(m, "delimiter"),
+    commentChar = str(m, "commentChar"),
+    sheetName = str(m, "sheetName"),
+    sheetIndex = int(m, "sheetIndex"),
+    xmlRecordTag = str(m, "xmlRecordTag"))
+
+  private def destOf(m: Map[String, Any]) = DestinationConfig(
+    `type` = str(m, "type").getOrElse("").toLowerCase,
+    file = str(m, "file").getOrElse(""),
+    table = str(m, "table").getOrElse(""),
+    xmlRecordTag = str(m, "xmlRecordTag"),
+    xmlRootTag = str(m, "xmlRootTag"),
+    sheetName = str(m, "sheetName"))
+
+  private def ruleOf(m: Map[String, Any]) = MappingRule(
+    source = str(m, "source").getOrElse(""),
+    target = str(m, "target").getOrElse(""),
+    transform = str(m, "transform"),
+    params = section(m, "params").getOrElse(Map.empty))
+
+  private def flattenOf(m: Map[String, Any]) = FlatteningConfig(
+    sourceField = str(m, "sourceField").getOrElse(""),
+    targetField = str(m, "targetField").getOrElse(""),
+    includeParent = bool(m, "includeParent", dflt = true),
+    errorOnNonList = bool(m, "errorOnNonList", dflt = false),
+    conditionField = str(m, "conditionField"),
+    conditionValue = m.get("conditionValue").map(v => String.valueOf(v)))
+
+  private def dedupOf(m: Map[String, Any]) = DedupConfig(
+    keys = m.get("keys") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case _ => Seq.empty
+    },
+    strategy = str(m, "strategy").getOrElse("first").toLowerCase,
+    strategyField = str(m, "strategyField"))
+
+  private def errOf(m: Map[String, Any]) = ErrorHandlingConfig(
+    mode = str(m, "mode").getOrElse("halt").toLowerCase,
+    logErrors = bool(m, "logErrors", dflt = true),
+    errorFile = str(m, "errorFile"))
+}
+
+/** Accumulated-error playbook validation (validation.go:52-688 shape). */
+object Validator {
+
+  private val sourceTypes = Set("csv", "json", "xlsx", "xml", "yaml", "postgres", "parquet")
+  private val strategies = Set("first", "last", "min", "max")
+  private val modes = Set("halt", "skip")
+
+  def validate(pb: Playbook): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    if (!sourceTypes(pb.source.`type`))
+      errs += s"source.type '${pb.source.`type`}' not in ${sourceTypes.toSeq.sorted.mkString(",")}"
+    if (pb.source.`type` != "postgres" && pb.source.file.isEmpty)
+      errs += "source.file is required"
+    if (!sourceTypes(pb.destination.`type`))
+      errs += s"destination.type '${pb.destination.`type`}' not in ${sourceTypes.toSeq.sorted.mkString(",")}"
+    if (pb.destination.`type` != "postgres" && pb.destination.file.isEmpty)
+      errs += "destination.file is required"
+
+    // filter must translate (syntax check at compile time — validation.go:62-66)
+    pb.filter.foreach { f =>
+      try graft.expr.Goval.translate(f)
+      catch { case e: Exception => errs += s"filter: ${e.getMessage}" }
+    }
+
+    val targets = pb.mappings.map(_.target)
+    targets.diff(targets.distinct).distinct.foreach(t => errs += s"duplicate mapping target '$t'")
+    pb.mappings.zipWithIndex.foreach { case (r, i) =>
+      if (r.source.isEmpty) errs += s"mappings[$i]: source is required"
+      if (r.target.isEmpty) errs += s"mappings[$i]: target is required"
+      r.transform.foreach { tr =>
+        val name = tr.split(":", 2)(0).toLowerCase
+        if (!graft.transforms.Transforms.names(name))
+          errs += s"mappings[$i]: unknown transform '$name'"
+      }
+    }
+
+    pb.flattening.foreach { f =>
+      if (f.sourceField.isEmpty) errs += "flattening.sourceField is required"
+      if (f.targetField.isEmpty) errs += "flattening.targetField is required"
+      if (f.conditionField.isDefined != f.conditionValue.isDefined)
+        errs += "flattening: conditionField and conditionValue must be set together"
+    }
+
+    pb.dedup.foreach { d =>
+      if (d.keys.isEmpty) errs += "deduplication.keys is required"
+      if (!strategies(d.strategy)) errs += s"deduplication.strategy '${d.strategy}' not in first,last,min,max"
+      if ((d.strategy == "min" || d.strategy == "max") && d.strategyField.isEmpty)
+        errs += "deduplication.strategyField is required for min/max"
+    }
+
+    if (!modes(pb.errorHandling.mode))
+      errs += s"errorHandling.mode '${pb.errorHandling.mode}' not in halt,skip"
+    errs.toSeq
+  }
+}

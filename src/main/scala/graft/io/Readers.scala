@@ -1,0 +1,198 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.config.SourceConfig
+import scala.jdk.CollectionConverters._
+
+/**
+ * Source readers (reference: /root/reference/internal/io/factory.go:13-49).
+ *
+ * Scale notes: csv/json/xml/parquet are Spark-native partitioned scans.
+ * yaml and xlsx are whole-file interchange formats (non-splittable by
+ * nature); they parse driver-side and parallelize the rows — correct
+ * for config-driven ETL inputs, while the columnar path (parquet) is
+ * the 100 TB ingest format.
+ */
+object Readers {
+
+  def read(spark: SparkSession, src: SourceConfig): DataFrame = src.`type` match {
+    case "csv"     => readCsv(spark, src)
+    case "json"    => spark.read.option("multiLine", "true").json(src.file)
+    case "xml"     => spark.read.format("xml")
+      .option("rowTag", src.xmlRecordTag.getOrElse("record"))
+      .load(src.file)
+    case "yaml"    => readYaml(spark, src.file)
+    case "xlsx"    => Xlsx.read(spark, src)
+    case "parquet" => spark.read.parquet(src.file)
+    case "postgres" => spark.read.format("jdbc")
+      .option("url", sys.env.getOrElse("DB_CREDENTIALS", ""))
+      .option("query", src.query)
+      .load() // requires a JDBC driver jar on the classpath
+    case other => throw new IllegalArgumentException(s"unsupported source type: $other")
+  }
+
+  /**
+   * CSV per reference semantics (internal/io/csv.go:50-135): header row
+   * -> keys, all values strings, configurable delimiter/comment char,
+   * wrong-field-count rows skipped (DROPMALFORMED). Duplicate header ->
+   * last column wins; empty header -> column dropped — those two need a
+   * driver-side header pass, then a positional re-projection.
+   */
+  private def readCsv(spark: SparkSession, src: SourceConfig): DataFrame = {
+    val delim = src.delimiter.getOrElse(",")
+    val header = sniffHeader(src.file, delim.charAt(0))
+    val base = spark.read
+      .option("header", "true")
+      .option("sep", delim)
+      .option("inferSchema", "false")
+      .option("mode", "DROPMALFORMED")
+      .option("enforceSchema", "false")
+    val withComment = src.commentChar.map(c => base.option("comment", c)).getOrElse(base)
+
+    if (header.distinct.size == header.size && !header.contains("")) {
+      withComment.csv(src.file)
+    } else {
+      // pathological headers: read positionally (_c0.._cn) and project
+      // per reference rules (dup -> last wins, empty -> dropped)
+      val n = header.size
+      val schema = StructType((0 until n).map(i => StructField(s"_c$i", StringType, nullable = true)))
+      val raw = withComment.option("header", "true").schema(schema).csv(src.file)
+      val lastIdx: Map[String, Int] = header.zipWithIndex
+        .filter(_._1.nonEmpty).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      val keep = lastIdx.toSeq.sortBy(_._2)
+      raw.select(keep.map { case (name, i) => raw(s"_c$i").as(name) }: _*)
+    }
+  }
+
+  /** Driver-side first-line header sniff (local or hadoop path). */
+  private def sniffHeader(path: String, delim: Char): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(firstFile(path)), "UTF-8"))
+    try {
+      val line = Option(in.readLine()).getOrElse("")
+      splitCsvLine(line, delim)
+    } finally in.close()
+  }
+
+  private def firstFile(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".csv")).map(_.getPath).sorted.head
+    else path
+  }
+
+  /** Minimal RFC4180 line split (quotes + escaped quotes). */
+  private[io] def splitCsvLine(line: String, delim: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+        else if (c == '"') inQ = false
+        else sb.append(c)
+      } else {
+        if (c == '"') inQ = true
+        else if (c == delim) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // YAML (reference internal/io/yaml.go:17-65): list-of-maps, fallback
+  // single map; empty/null -> 0 records. No Spark source exists;
+  // snakeyaml parse + recursive schema inference.
+  // ------------------------------------------------------------------
+
+  def readYaml(spark: SparkSession, path: String): DataFrame = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    readYamlString(spark, text)
+  }
+
+  def readYamlString(spark: SparkSession, text: String): DataFrame = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val loaded: Any = yaml.load[Any](text)
+    val records: Seq[Map[String, Any]] = loaded match {
+      case null => Seq.empty
+      case l: java.util.List[_] => l.asScala.toSeq.collect {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+      }
+      case m: java.util.Map[_, _] =>
+        Seq(m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap)
+      case _ => Seq.empty
+    }
+    recordsToDf(spark, records)
+  }
+
+  /** Dynamic records -> DataFrame: merged schema (union of keys), type
+    * conflicts widen (long+double -> double, else -> string). */
+  def recordsToDf(spark: SparkSession, records: Seq[Map[String, Any]]): DataFrame = {
+    if (records.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    val schema = records.map(recordType).reduce(mergeStruct)
+    val rows = records.map(r => toRow(r, schema))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def inferType(v: Any): DataType = v match {
+    case null => NullType
+    case _: String => StringType
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: java.math.BigInteger => LongType
+    case _: java.lang.Double | _: java.lang.Float | _: java.math.BigDecimal => DoubleType
+    case _: java.lang.Boolean => BooleanType
+    case d: java.util.Date => TimestampType
+    case l: java.util.List[_] =>
+      val elems = l.asScala.map(inferType)
+      ArrayType(if (elems.isEmpty) StringType else elems.reduce(mergeType))
+    case m: java.util.Map[_, _] =>
+      StructType(m.asScala.toSeq.sortBy(_._1.toString).map { case (k, vv) =>
+        StructField(k.toString, inferType(vv), nullable = true)
+      })
+    case _ => StringType
+  }
+
+  private def recordType(r: Map[String, Any]): StructType =
+    StructType(r.toSeq.sortBy(_._1).map { case (k, v) => StructField(k, inferType(v), nullable = true) })
+
+  private def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (x: StructType, y: StructType) => mergeStruct(x, y)
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeType(x, y))
+    case _ => StringType
+  }
+
+  private def mergeStruct(a: StructType, b: StructType): StructType = {
+    val names = (a.fieldNames ++ b.fieldNames).distinct.sorted
+    StructType(names.map { n =>
+      val ta = a.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+      val tb = b.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+      StructField(n, mergeType(ta, tb), nullable = true)
+    })
+  }
+
+  private def toRow(r: Map[String, Any], schema: StructType): Row =
+    Row.fromSeq(schema.fields.map(f => convert(r.get(f.name).orNull, f.dataType)).toIndexedSeq)
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x, StringType) => String.valueOf(x)
+    case (n: Number, LongType) => n.longValue
+    case (n: Number, DoubleType) => n.doubleValue
+    case (b: java.lang.Boolean, BooleanType) => b.booleanValue
+    case (d: java.util.Date, TimestampType) => new java.sql.Timestamp(d.getTime)
+    case (l: java.util.List[_], ArrayType(et, _)) => l.asScala.toSeq.map(convert(_, et))
+    case (m: java.util.Map[_, _], st: StructType) =>
+      toRow(m.asScala.map { case (k, vv) => k.toString -> (vv: Any) }.toMap, st)
+    case (x, _) => x
+  }
+}

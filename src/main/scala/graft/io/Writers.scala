@@ -1,0 +1,134 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.config.DestinationConfig
+import graft.transforms.Transforms
+
+/**
+ * Sink writers (reference: /root/reference/internal/io/factory.go:52-87).
+ *
+ * Reference sinks write ONE file with headers = sorted union of keys
+ * and Go-`%v` value rendering (csv.go:218-273, xml.go:162-262). For
+ * single-file parity the CLI path funnels through a part-file move;
+ * the library caller can always take `df.write` themselves for
+ * partitioned output at scale.
+ */
+object Writers {
+
+  def write(df: DataFrame, dest: DestinationConfig): Unit = dest.`type` match {
+    case "csv"     => writeCsv(df, dest.file)
+    case "json"    => writeJsonArray(df, dest.file)
+    case "xml"     => writeXml(df, dest)
+    case "yaml"    => writeYaml(df, dest.file)
+    case "xlsx"    => Xlsx.write(df, dest)
+    case "parquet" => df.write.mode("overwrite").parquet(dest.file)
+    case "postgres" => df.write.format("jdbc")
+      .option("url", sys.env.getOrElse("DB_CREDENTIALS", ""))
+      .option("dbtable", dest.table).mode("append").save()
+    case other => throw new IllegalArgumentException(s"unsupported destination type: $other")
+  }
+
+  /** All columns rendered as Go `%v` strings, nil -> "" (csv.go:252-256). */
+  private def stringified(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.sortBy(_.name).map { f =>
+      Transforms.goToString(col(f.name), f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Sorted headers, Go-stringified values, single file (csv.go:218-273). */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".spark-tmp"
+    stringified(df).coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("emptyValue", "")
+      .csv(tmp)
+    moveSinglePart(tmp, path, ".csv")
+  }
+
+  /** Indented (2-space) JSON ARRAY file — the reference's shape
+    * (json.go:51-87) — streamed via toLocalIterator (never a full
+    * driver collect). */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    // Go's encoding/json marshals nil fields explicitly (json.go:51-87)
+    val jsonCol = to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+      Map("ignoreNullFields" -> "false"))
+    val it = df.select(jsonCol.as("j")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .toLocalIterator()
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), "UTF-8"))
+    try {
+      if (!it.hasNext) w.write("[]")
+      else {
+        w.write("[\n")
+        var first = true
+        while (it.hasNext) {
+          if (!first) w.write(",\n")
+          w.write("  " + it.next())
+          first = false
+        }
+        w.write("\n]")
+      }
+    } finally w.close()
+  }
+
+  /** rootTag/recordTag XML, sorted string fields (xml.go:162-262). */
+  def writeXml(df: DataFrame, dest: DestinationConfig): Unit = {
+    val tmp = dest.file + ".spark-tmp"
+    stringified(df).coalesce(1).write.mode("overwrite")
+      .format("xml")
+      .option("rootTag", dest.xmlRootTag.getOrElse("records"))
+      .option("rowTag", dest.xmlRecordTag.getOrElse("record"))
+      .save(tmp)
+    moveSinglePart(tmp, dest.file, ".xml")
+  }
+
+  /** YAML sequence of maps, indent 2 (yaml.go:71-127). */
+  def writeYaml(df: DataFrame, path: String): Unit = {
+    val opts = new org.yaml.snakeyaml.DumperOptions
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    opts.setIndent(2)
+    val yaml = new org.yaml.snakeyaml.Yaml(opts)
+    val names = df.columns
+    val it = df.toLocalIterator()
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), "UTF-8"))
+    try {
+      while (it.hasNext) {
+        val row = it.next()
+        val m = new java.util.LinkedHashMap[String, Any]()
+        names.zipWithIndex.foreach { case (n, i) => m.put(n, toJava(row.get(i))) }
+        val doc = new java.util.ArrayList[Any](); doc.add(m)
+        w.write(yaml.dump(doc))
+      }
+      if (!df.columns.isEmpty && df.isEmpty) w.write("[]\n")
+    } finally w.close()
+  }
+
+  private def toJava(v: Any): Any = v match {
+    case null => null
+    case s: Seq[_] => val l = new java.util.ArrayList[Any](); s.foreach(x => l.add(toJava(x))); l
+    case m: Map[_, _] =>
+      val j = new java.util.LinkedHashMap[Any, Any]()
+      m.foreach { case (k, vv) => j.put(toJava(k), toJava(vv)) }; j
+    case r: org.apache.spark.sql.Row =>
+      val j = new java.util.LinkedHashMap[String, Any]()
+      r.schema.fieldNames.zipWithIndex.foreach { case (n, i) => j.put(n, toJava(r.get(i))) }; j
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+    case other => other
+  }
+
+  /** Move the single part file of a one-partition write to `path`. */
+  private[io] def moveSinglePart(tmpDir: String, path: String, ext: String): Unit = {
+    val dir = new java.io.File(tmpDir)
+    val part = dir.listFiles().find(f => f.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+    val target = new java.io.File(path)
+    if (target.exists()) target.delete()
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+  }
+}
