@@ -92,7 +92,11 @@ object Goval {
     var pos = 0
 
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
-    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def next(): Tok = {
+      if (pos >= toks.length)
+        throw new IllegalArgumentException(s"unexpected end of expression: $expression")
+      val t = toks(pos); pos += 1; t
+    }
     def expect(op: String): Unit = next() match {
       case Op(`op`) => ()
       case t => throw new IllegalArgumentException(s"expected '$op', got $t in: $expression")

@@ -22,27 +22,15 @@ object GoFloatFormat {
     if (v.isNaN) return "NaN"
     if (v == Double.PositiveInfinity) return "+Inf"
     if (v == Double.NegativeInfinity) return "-Inf"
-    val s = java.lang.Double.toString(v) // shortest round-trip
-    val neg = s.startsWith("-")
-    val body = if (neg) s.substring(1) else s
-    val (mant, e) = body.indexOf('E') match {
-      case -1 => (body, 0)
-      case i  => (body.substring(0, i), body.substring(i + 1).toInt)
-    }
-    val dot = mant.indexOf('.')
-    val intPart = if (dot == -1) mant else mant.substring(0, dot)
-    val fracPart = if (dot == -1) "" else mant.substring(dot + 1)
-    var digits = intPart + fracPart
-    // exponent (base 10) of the first digit of `digits`
-    var decExp = intPart.length + e - 1
-    // strip leading zeros (e.g. "0.001" -> digits "0001")
-    val lead = digits.indexWhere(_ != '0')
-    if (lead == -1) { // value is zero
-      return if (neg) "-0" else "0"
-    }
-    decExp -= lead
-    digits = digits.substring(lead)
-    // strip trailing zeros ("1.0" -> "10" -> "1")
+    if (v == 0.0) return if (1.0 / v < 0) "-0" else "0"
+    val neg = v < 0
+    // Shortest round-tripping digit string. JDK 17's Double.toString is
+    // NOT shortest (Ryū landed in JDK 19 — JDK-4511638), so search the
+    // precision: the fewest significant digits that parse back exactly.
+    val (digits0, decExp0) = shortestDigits(math.abs(v))
+    var digits = digits0
+    var decExp = decExp0
+    // strip trailing zeros ("1.0" -> "1")
     digits = digits.replaceAll("0+$", "")
     if (digits.isEmpty) digits = "0"
 
@@ -62,6 +50,26 @@ object GoFloatFormat {
       sb.append("0.").append("0" * (-decExp - 1)).append(digits)
     }
     sb.toString
+  }
+
+  /** (significant digits, base-10 exponent of the first digit) for a
+    * positive finite double — minimal digit count that round-trips. */
+  private def shortestDigits(v: Double): (String, Int) = {
+    var p = 0
+    while (p < 17) {
+      val s = String.format("%." + p + "e", Double.box(v)) // p+1 sig digits
+      if (s.toDouble == v) return splitSci(s)
+      p += 1
+    }
+    splitSci(String.format("%.16e", Double.box(v)))
+  }
+
+  /** "d.ddde+xx" -> (digits, exponent). */
+  private def splitSci(s: String): (String, Int) = {
+    val ei = s.indexOf('e')
+    val mant = s.substring(0, ei).replace(".", "")
+    val exp = s.substring(ei + 1).toInt
+    (mant, exp)
   }
 
   private val goFormatUdf = udf((v: java.lang.Double) =>

@@ -33,36 +33,37 @@ object Readers {
   }
 
   /**
-   * CSV per reference semantics (internal/io/csv.go:50-135): header row
-   * -> keys, all values strings, configurable delimiter/comment char,
-   * wrong-field-count rows skipped (DROPMALFORMED). Duplicate header ->
-   * last column wins; empty header -> column dropped — those two need a
-   * driver-side header pass, then a positional re-projection.
+   * CSV with the reference's exact semantics (internal/io/csv.go:50-135):
+   * header row -> keys, all values strings, configurable delimiter +
+   * comment char, wrong-field-count rows SKIPPED (Spark's native source
+   * pads short rows instead — not parity), duplicate header -> last
+   * column wins, empty header -> column dropped, short lookups fill "".
+   *
+   * Distributed line parse (text scan + per-partition split); like the
+   * text scan itself, quoted embedded newlines are not supported.
    */
   private def readCsv(spark: SparkSession, src: SourceConfig): DataFrame = {
-    val delim = src.delimiter.getOrElse(",")
-    val header = sniffHeader(src.file, delim.charAt(0))
-    val base = spark.read
-      .option("header", "true")
-      .option("sep", delim)
-      .option("inferSchema", "false")
-      .option("mode", "DROPMALFORMED")
-      .option("enforceSchema", "false")
-    val withComment = src.commentChar.map(c => base.option("comment", c)).getOrElse(base)
+    val delim = src.delimiter.getOrElse(",").charAt(0)
+    val header = sniffHeader(src.file, delim)
+    val n = header.size
+    val comment = src.commentChar.filter(_.nonEmpty).map(_.charAt(0))
 
-    if (header.distinct.size == header.size && !header.contains("")) {
-      withComment.csv(src.file)
-    } else {
-      // pathological headers: read positionally (_c0.._cn) and project
-      // per reference rules (dup -> last wins, empty -> dropped)
-      val n = header.size
-      val schema = StructType((0 until n).map(i => StructField(s"_c$i", StringType, nullable = true)))
-      val raw = withComment.option("header", "true").schema(schema).csv(src.file)
-      val lastIdx: Map[String, Int] = header.zipWithIndex
-        .filter(_._1.nonEmpty).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
-      val keep = lastIdx.toSeq.sortBy(_._2)
-      raw.select(keep.map { case (name, i) => raw(s"_c$i").as(name) }: _*)
-    }
+    // dup -> last wins, empty -> dropped (csv.go:218-231)
+    val keep: Seq[(String, Int)] = header.zipWithIndex
+      .filter(_._1.nonEmpty)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      .toSeq.sortBy(_._2)
+    val schema = StructType(keep.map { case (name, _) => StructField(name, StringType, nullable = true) })
+
+    val rows = spark.sparkContext.textFile(src.file)
+      .zipWithIndex()
+      .filter { case (line, i) => // index 0 is the header row
+        i != 0 && line.nonEmpty && !comment.exists(c => line.startsWith(c.toString))
+      }
+      .map { case (line, _) => splitCsvLine(line, delim) }
+      .filter(_.length == n) // wrong-field-count rows skipped (csv.go:117-129)
+      .map(fields => Row.fromSeq(keep.map { case (_, i) => fields(i) }))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Driver-side first-line header sniff (local or hadoop path). */

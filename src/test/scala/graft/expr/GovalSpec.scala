@@ -1,0 +1,75 @@
+package graft.expr
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Translator tables for the govaluate -> Spark SQL compiler (SURVEY §2.2). */
+class GovalSpec extends AnyFunSuite {
+
+  private def sql(e: String, strings: Set[String] = Set.empty): String =
+    Goval.translate(e, stringTyped = strings).sql
+
+  test("comparison operators rewrite") {
+    assert(sql("a == 1") == "(`a` = 1)")
+    assert(sql("a != 1") == "(`a` <> 1)")
+    assert(sql("a >= 1 && b < 2") == "((`a` >= 1) AND (`b` < 2))")
+    assert(sql("a || b") == "(`a` OR `b`)")
+  }
+
+  test("regex match / not-match") {
+    assert(sql("s =~ '^x'") == "(`s` RLIKE '^x')")
+    assert(sql("s !~ '^x'") == "(NOT (`s` RLIKE '^x'))")
+  }
+
+  test("IN list") {
+    assert(sql("a IN (1, 2, 3)") == "(`a` IN (1, 2, 3))")
+    assert(sql("s in ('x', 'y')") == "(`s` IN ('x', 'y'))")
+  }
+
+  test("ternary and null-coalescing") {
+    assert(sql("a > 1 ? 'big' : 'small'") == "IF((`a` > 1), 'big', 'small')")
+    assert(sql("a ?? 5") == "COALESCE(`a`, 5)")
+  }
+
+  test("arithmetic, power, modulo") {
+    assert(sql("a + b * 2") == "(`a` + (`b` * 2))")
+    assert(sql("a ** 2") == "POWER(`a`, 2)")
+    assert(sql("a % 7 == 0") == "((`a` % 7) = 0)")
+  }
+
+  test("string concat + when either side is a string") {
+    assert(sql("s + '!'", strings = Set("s")) == "CONCAT(`s`, '!')")
+    assert(sql("'a' + 'b'") == "CONCAT('a', 'b')")
+    assert(sql("a + 1") == "(`a` + 1)")
+  }
+
+  test("unary operators") {
+    assert(sql("!a") == "(NOT `a`)")
+    assert(sql("-a + 1") == "((- `a`) + 1)")
+  }
+
+  test("escaped [identifier with spaces]") {
+    assert(sql("[field name] == 1") == "(`field name` = 1)")
+  }
+
+  test("string escaping") {
+    assert(sql("s == 'it\\'s'") == "(`s` = 'it\\'s')")
+  }
+
+  test("identifiers are collected") {
+    val r = Goval.translate("(a > 1 && b.c == 'x') || d IN (1,2)")
+    assert(r.identifiers == Set("a", "b.c", "d"))
+  }
+
+  test("the reference docs' example translates") {
+    val r = Goval.translate(
+      "(status == 'active' && amount > 0) || priority >= 10",
+      stringTyped = Set("status"))
+    assert(r.sql == "((((`status` = 'active') AND (`amount` > 0))) OR (`priority` >= 10))")
+  }
+
+  test("malformed expressions are rejected") {
+    assertThrows[IllegalArgumentException](Goval.translate("a >"))
+    assertThrows[IllegalArgumentException](Goval.translate("a == 'unterminated"))
+    assertThrows[IllegalArgumentException](Goval.translate("a b"))
+  }
+}

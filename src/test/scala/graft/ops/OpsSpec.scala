@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup strategies + near-dup/similarity operator invariants. */
+class OpsSpec extends SparkTestBase {
+
+  private def events = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 3.0), (3L, "b", 7.0), (4L, "a", 3.0))
+      .toDF("id", "k", "v")
+  }
+
+  test("byIngestOrder first/last keep deterministic rows") {
+    val first = Dedup.byIngestOrder(events, Seq("k"), keepFirst = true)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
+    assert(first == Map("a" -> 1L, "b" -> 3L))
+    val last = Dedup.byIngestOrder(events, Seq("k"), keepFirst = false)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
+    assert(last == Map("a" -> 4L, "b" -> 3L))
+  }
+
+  test("byExtreme min/max with earliest-ingested tiebreak") {
+    val mn = Dedup.byExtreme(events, Seq("k"), "v", max = false)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
+    assert(mn == Map("a" -> 2L, "b" -> 3L)) // v=3.0 tie: id 2 earliest
+    val mx = Dedup.byExtreme(events, Seq("k"), "v", max = true)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
+    assert(mx == Map("a" -> 1L, "b" -> 3L))
+  }
+
+  test("minhash near-dup pairs finds the planted near-duplicate only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                            // near-dup of 1
+      (3L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 4, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash64: identical docs identical signature; near-dups close in hamming") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("ngram jaccard: exact duplicate scores 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cosine top-k: nearest neighbor is the almost-parallel vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", k = 2).collect()
+    assert(top.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
+  }
+
+  test("lsh buckets: identical vectors collide; topk contains exact dup") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => (math.sin(i + 1)).toFloat)
+    val vecs = Seq((1L, v), (2L, v), (3L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding", dims = 8, k = 1, planes = 6)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(top.contains((1L, 2L)) && top.contains((2L, 1L)))
+  }
+
+  test("multimodal: per-partition features match driver-side recompute") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("content", col("text").cast("binary"))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "content")
+      .collect().map(f => f.doc_id -> f).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val expect = md5.digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(feats(1L).n_bytes == 5 && feats(1L).head_byte == 'h'.toInt &&
+      feats(1L).content_md5 == expect)
+    assert(feats(2L).n_bytes == 0 && feats(2L).head_byte == -1)
+    assert(Multimodal.sampleFrames(df.filter(col("doc_id") === 1), "doc_id", "content", 2)
+      .collect().length == 2)
+    assertThrows[NotImplementedError](Multimodal.decodeImage(Array[Byte](1)))
+  }
+
+  test("text analysis: token stats, langId markers, fingerprint normalization") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "xyzzy plugh")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("n") == 5)
+    assert(out(1L).getAs[String]("lang") == "en")
+    assert(out(2L).getAs[String]("lang") == "es")
+    assert(out(3L).getAs[String]("lang") == "und")
+    // fingerprint ignores case and whitespace runs
+    val fp2 = df.select(TextAnalysis.fingerprint(lit("THE  cat and the DOG"))).collect().head.getString(0)
+    assert(out(1L).getAs[String]("fp") == fp2)
+  }
+}

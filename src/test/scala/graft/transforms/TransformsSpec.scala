@@ -1,0 +1,206 @@
+package graft.transforms
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.SparkTestBase
+
+/**
+ * Behavior tables ported from the reference's transform tests
+ * (/root/reference/internal/transform/transform_test.go) — the
+ * Go functions are the spec; each case drives the compiled Column
+ * through a real DataFrame.
+ */
+class TransformsSpec extends SparkTestBase {
+
+  private def onStrings(values: Seq[String], name: String,
+                        params: Map[String, Any] = Map.empty,
+                        engine: EngineConfig = EngineConfig()): Seq[Any] = {
+    import spark.implicits._
+    val df = values.toDF("v")
+    val out = Transforms(name, Transforms.Ctx(col("v"), StringType, "v",
+      n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)), params, engine))
+    df.select(out.value).collect().map(r => r.get(0)).toSeq
+  }
+
+  private def onDoubles(values: Seq[java.lang.Double], name: String): Seq[Any] = {
+    import spark.implicits._
+    val df = values.map(Option(_).map(_.doubleValue)).toDF("v")
+    val out = Transforms(name, Transforms.Ctx(col("v"), DoubleType, "v", _ => None, Map.empty))
+    df.select(out.value).collect().map(_.get(0)).toSeq
+  }
+
+  test("toInt: integral floats convert, fractional -> null, strings parse (transform_test.go toInt table)") {
+    assert(onDoubles(Seq(42.0, 1.5, -3.0, null), "toint") == Seq(42L, null, -3L, null))
+    assert(onStrings(Seq("123", " 42 ", "1.0", "1.5", "abc", ""), "toint") ==
+      Seq(123L, 42L, 1L, null, null, null))
+  }
+
+  test("toFloat: widen / parse / null on garbage") {
+    assert(onStrings(Seq("1.5", " 2 ", "abc", ""), "tofloat") == Seq(1.5, 2.0, null, null))
+  }
+
+  test("toBool: permissive string sets (transform.go:426-463)") {
+    assert(onStrings(Seq("true", "YES", " t ", "y", "1"), "tobool") ==
+      Seq(true, true, true, true, true))
+    assert(onStrings(Seq("false", "no", "F", "n", "0", ""), "tobool") ==
+      Seq(false, false, false, false, false, false))
+    assert(onStrings(Seq("maybe", "2", "0.0"), "tobool") == Seq(null, true, false))
+  }
+
+  test("toString: nil -> empty string; floats via Go %v") {
+    assert(onDoubles(Seq(100.0, 1.5, null), "tostring") == Seq("100", "1.5", ""))
+  }
+
+  test("mustToInt error channel fires exactly on unconvertible rows") {
+    import spark.implicits._
+    val df = Seq("12", "x").toDF("v")
+    val out = Transforms("musttoint", Transforms.Ctx(col("v"), StringType, "v", _ => None, Map.empty))
+    val rows = df.select(out.value.as("v2"), out.error.get.as("e")).collect()
+    assert(rows(0).get(0) == 12L && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).getString(1).contains("mustToInt"))
+  }
+
+  test("mustToBool: empty string is an ERROR, not false (transform.go:696,706-709)") {
+    import spark.implicits._
+    val df = Seq("true", "", "nope").toDF("v")
+    val out = Transforms("musttobool", Transforms.Ctx(col("v"), StringType, "v", _ => None, Map.empty))
+    val rows = df.select(out.value.as("b"), out.error.get.as("e")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && !rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && !rows(2).isNullAt(1))
+  }
+
+  test("trim/upper/lower pass non-strings through") {
+    assert(onStrings(Seq("  x  "), "trim") == Seq("x"))
+    assert(onStrings(Seq("x"), "touppercase") == Seq("X"))
+    assert(onStrings(Seq("X"), "tolowercase") == Seq("x"))
+    assert(onDoubles(Seq(1.5), "trim") == Seq(1.5)) // passthrough
+  }
+
+  test("replaceAll is literal, not regex (transform.go:478-494)") {
+    assert(onStrings(Seq("a.b.c"), "replaceall",
+      Map("old" -> ".", "new" -> "-")) == Seq("a-b-c"))
+  }
+
+  test("substring: rune-based 0-based start with clamping (transform.go:497-531)") {
+    assert(onStrings(Seq("hello world"), "substring",
+      Map("start" -> 0, "length" -> 5)) == Seq("hello"))
+    assert(onStrings(Seq("hello"), "substring",
+      Map("start" -> 3, "length" -> 10)) == Seq("lo"))
+    assert(onStrings(Seq("hello"), "substring",
+      Map("start" -> 9, "length" -> 2)) == Seq(""))
+    assert(onStrings(Seq("hello"), "substring",
+      Map("start" -> -2, "length" -> 2)) == Seq("he"))
+    assert(onStrings(Seq("héllo"), "substring",
+      Map("start" -> 1, "length" -> 3)) == Seq("éll")) // codepoints, not bytes
+  }
+
+  test("regexExtract returns first capture group; no match -> null") {
+    assert(onStrings(Seq("id=42;", "nope"), "regexextract",
+      Map("pattern" -> "id=([0-9]+)")) == Seq("42", null))
+  }
+
+  test("epochToDate: UTC date string; unparseable passes through") {
+    assert(onStrings(Seq("1700000000", "garbage"), "epochtodate") ==
+      Seq("2023-11-14", "garbage"))
+  }
+
+  test("calculateAge: frozen now, floor days, future -> 0 (transform.go:169-191)") {
+    val eng = EngineConfig(nowEpoch = Some(1700000000L)) // 2023-11-14 UTC
+    assert(onStrings(Seq("1699900000", "1600000000", "1800000000"), "calculateage", engine = eng) ==
+      Seq(1, 1157, 0)) // 2020-09-13 -> 2023-11-14 = 1157 days
+  }
+
+  test("dateConvert: explicit layout and fallback list (transform.go:311-362)") {
+    assert(onStrings(Seq("2021/03/05"), "dateconvert",
+      Map("inputFormat" -> "2006/01/02", "outputFormat" -> "01/02/2006")) == Seq("03/05/2021"))
+    // no inputFormat -> fallback list; '01/02/2006' is US order (month first)
+    assert(onStrings(Seq("03/05/2021"), "dateconvert",
+      Map("outputFormat" -> "2006-01-02")) == Seq("2021-03-05"))
+    assert(onStrings(Seq("not a date"), "dateconvert",
+      Map("outputFormat" -> "2006-01-02")) == Seq("not a date")) // passthrough
+  }
+
+  test("multiDateConvert: first layout that parses wins") {
+    assert(onStrings(Seq("2021-03-05", "05.03.2021", "x"), "multidateconvert",
+      Map("formats" -> Seq("2006-01-02", "02.01.2006"), "outputFormat" -> "20060102")) ==
+      Seq("20210305", "20210305", "x"))
+  }
+
+  test("branch: first true condition wins; none -> passthrough (transform.go:246-308)") {
+    import spark.implicits._
+    val df = Seq(("gold", 5.0), ("iron", 50.0), ("tin", 5.0)).toDF("metal", "weight")
+    val out = Transforms("branch", Transforms.Ctx(col("metal"), StringType, "metal",
+      n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)),
+      Map("branches" -> Seq(
+        Map("condition" -> "inputValue == 'gold'", "value" -> "precious"),
+        Map("condition" -> "weight > 10", "value" -> "heavy")))))
+    assert(df.select(out.value).collect().map(_.getString(0)).toSeq ==
+      Seq("precious", "heavy", "tin"))
+  }
+
+  test("coalesce: first non-nil non-empty-string field from record state") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], "", "c1"), ("a1", "b1", "c2")).toDF("a", "b", "c")
+    val out = Transforms("coalesce", Transforms.Ctx(lit(null), NullType, "out",
+      n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)),
+      Map("fields" -> Seq("a", "b", "c"))))
+    assert(df.select(out.value).collect().map(_.getString(0)).toSeq == Seq("c1", "a1"))
+  }
+
+  test("hash: sorted fields, canonical strings, <MISSING> sentinel (transform.go:606-673)") {
+    import spark.implicits._
+    val df = Seq(("x", 2.0)).toDF("name", "score")
+    def hash(algo: String, fields: Seq[String]): String = {
+      val out = Transforms("hash", Transforms.Ctx(lit(null), NullType, "h",
+        n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)),
+        Map("algorithm" -> algo, "fields" -> fields)))
+      df.select(out.value).collect().head.getString(0)
+    }
+    // canonical: score renders "2" (Go %v), fields sorted name,score -> "x||2"? no: sorted = name,score
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expected = md.digest("x||2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hash("sha256", Seq("score", "name")) == expected) // order-insensitive (sorted)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val expMissing = md5.digest("x||<MISSING>".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hash("md5", Seq("name", "nope")) == expMissing)
+  }
+
+  test("hash: md5 rejected in FIPS mode (transform.go:633-634)") {
+    assertThrows[IllegalArgumentException] {
+      Transforms("hash", Transforms.Ctx(lit(null), NullType, "h", _ => None,
+        Map("algorithm" -> "md5", "fields" -> Seq("a")),
+        EngineConfig(fipsMode = true)))
+    }
+  }
+
+  test("validateRequired / validateRegex / validateNumericRange / validateAllowedValues") {
+    import spark.implicits._
+    val df = Seq(("ok", "a1", 5.0, "red"), ("  ", "!!", 99.0, "blue")).toDF("r", "x", "n", "c")
+    def err(name: String, src: String, dt: DataType, params: Map[String, Any]): Seq[Boolean] = {
+      val out = Transforms(name, Transforms.Ctx(col(src), dt, src,
+        n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)), params))
+      df.select(out.error.get.isNotNull).collect().map(_.getBoolean(0)).toSeq
+    }
+    assert(err("validaterequired", "r", StringType, Map.empty) == Seq(false, true))
+    assert(err("validateregex", "x", StringType, Map("pattern" -> "^[a-z][0-9]$")) == Seq(false, true))
+    assert(err("validatenumericrange", "n", DoubleType, Map("min" -> 0, "max" -> 10)) == Seq(false, true))
+    assert(err("validateallowedvalues", "c", StringType, Map("values" -> Seq("red", "green"))) == Seq(false, true))
+  }
+
+  test("validateAllowedValues: numeric cross-type equality (CompareValues)") {
+    import spark.implicits._
+    val df = Seq(5, 7).toDF("v")
+    val out = Transforms("validateallowedvalues", Transforms.Ctx(col("v"), IntegerType, "v",
+      _ => None, Map("values" -> Seq("5.0", "6"))))
+    assert(df.select(out.error.get.isNotNull).collect().map(_.getBoolean(0)).toSeq ==
+      Seq(false, true)) // 5 matches "5.0" numerically
+  }
+
+  test("unknown transform rejected at compile time (validation.go:301-303)") {
+    assertThrows[IllegalArgumentException] {
+      Transforms("frobnicate", Transforms.Ctx(lit(null), NullType, "x", _ => None, Map.empty))
+    }
+  }
+}
