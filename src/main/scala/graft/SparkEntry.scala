@@ -5,15 +5,23 @@ import graft.queries.Queries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Exercises filter (govaluate-translated) → transform → dedup. */
+  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Runs the real product surface: a YAML playbook compiled to
+    * a DataFrame plan (filter -> transforms -> dedup). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val pred = graft.expr.Goval.translate("l_quantity > 10 && l_returnflag != 'X'",
-      stringTyped = Set("l_returnflag")).sql
-    val li = spark.read.parquet(s"$dir/lineitem.parquet").filter(expr(pred))
-    graft.ops.Dedup.byIngestOrder(li, Seq("l_orderkey"), keepFirst = true)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+    val pb = graft.config.PlaybookLoader.fromString(
+      s"""source: {type: parquet, file: $dir/lineitem.parquet}
+         |destination: {type: parquet, file: unused}
+         |filter: "l_quantity > 10 && l_returnflag != 'X'"
+         |mappings:
+         |  - {source: l_orderkey, target: order_id}
+         |  - {source: l_partkey, target: part_id}
+         |  - {source: l_quantity, target: qty, transform: toInt}
+         |  - {source: l_returnflag, target: flag, transform: toLowerCase}
+         |deduplication: {keys: [order_id], strategy: first}
+         |""".stripMargin)
+    graft.compile.PipelineCompiler.compile(spark, pb).main
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

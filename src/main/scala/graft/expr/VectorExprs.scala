@@ -1,0 +1,58 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Native dot product over two array<double> columns.
+ *
+ * The builtin route (`aggregate(zip_with(a, b, _*_), 0d, _+_)`) runs
+ * interpreted lambdas with per-element boxing — ~15us per 64-dim pair.
+ * This expression is a tight codegen'd primitive loop (~100ns), which
+ * is what embedding similarity needs when the candidate set is 10^9
+ * pairs at 100 TB. Registered as SQL function `vec_dot` by
+ * [[graft.functions.Registry]].
+ */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double> (AbstractDataType needed for
+  // ExpectsInputTypes is private[sql]); callers cast explicitly
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.VecDot
+
+/** Registers graft's native Catalyst expressions as SQL functions on a
+  * session (callable via `call_function`/`expr`). Idempotent. */
+object Registry {
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def ensure(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (!registered.add(key)) return
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1)))
+  }
+}

@@ -102,16 +102,24 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: for each of `numHashes` hash functions, the min
-   * over the shingle set of a keyed hash. Uses xxhash64 (codegen'd,
-   * 64-bit) with per-function seeds — the scale path. A portable
-   * md5-based variant (same shape) backs the DuckDB-oracle query in
-   * `graft.Queries`.
+   * MinHash signatures: explode the (distinct) shingles, hash each
+   * string ONCE with xxhash64, then derive the per-function values by
+   * re-hashing the 64-bit value with the seed — integer mixing inside
+   * whole-stage codegen, with map-side partial `min` aggregation. This
+   * shape beats per-seed higher-order `transform` lambdas by an order
+   * of magnitude (one string hash per shingle instead of `numHashes`,
+   * no repeated array construction) and shuffles only (id, minhashes).
    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /**
    * MinHash/LSH near-duplicate PAIRS.
@@ -129,9 +137,7 @@ object Dedup {
                           maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(charShingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
     // band key: hash of the band's slice of the signature
     val banded = sig.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map { b =>

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two array<double> columns (left-to-right fold —
-    * deterministic, reproducible across runs and engines). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.expr.VecDot]] expression (left-to-right sum, identical
+    * result order to the interpreted fold it replaces). */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,15 +32,18 @@ object Similarity {
   /**
    * Brute-force cosine top-k: for each row of `queries`, the k nearest
    * corpus rows (excluding self-id matches). Queries side should be
-   * small (it is broadcast into the join).
+   * small (it is broadcast into the join); norms are computed once per
+   * ROW (not per pair), so each pair costs exactly one vec_dot.
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -68,16 +74,17 @@ object Similarity {
               dims: Int, k: Int, planes: Int = 16,
               maxBucketSize: Int = 10000): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), dims, planes))
     val buckets = v.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

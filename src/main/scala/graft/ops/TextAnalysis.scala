@@ -72,20 +72,22 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
   /**
-   * Portable MinHash signature: per seed, the min over 4-char shingles
+   * Portable MinHash signatures: per seed, the min over 4-char shingles
    * of md5(seed || "|" || shingle), concat_ws-joined. md5-as-string min
    * is engine-portable (same lowercase hex everywhere) — the DuckDB
-   * oracle computes the identical value. The xxhash64 variant in
-   * [[Dedup.minhashSignature]] is the faster scale path.
+   * oracle computes the identical value via list_min/list_transform.
+   * Explode + partial-min aggregation (not per-seed array lambdas) so
+   * the string set is built once; [[Dedup.minhashSignatures]] with
+   * xxhash64 integer mixing is the faster production path.
    */
-  def minhashPortable(text: Column, seeds: Int = 8, shingleSize: Int = 4): Column = {
-    val s = lower(text)
-    val shingles = array_distinct(
-      transform(sequence(lit(1), greatest(lit(1), length(s) - (shingleSize - 1))),
-        i => s.substr(i, lit(shingleSize))))
-    val sigs = (0 until seeds).map { j =>
-      array_min(transform(shingles, x => md5(concat(lit(s"$j|"), x).cast("binary"))))
-    }
-    concat_ws("|", sigs: _*)
+  def minhashPortableDf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                        seeds: Int = 8, shingleSize: Int = 4): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as(idCol),
+      explode(Dedup.charShingles(col(textCol), shingleSize)).as("_sh"))
+    val mins = (0 until seeds).map(j =>
+      min(md5(concat(lit(s"$j|"), col("_sh")).cast("binary"))).as(s"_m$j"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        concat_ws("|", (0 until seeds).map(i => col(s"_m$i")): _*).as("sig"))
   }
 }

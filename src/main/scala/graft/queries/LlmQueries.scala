@@ -60,8 +60,7 @@ object LlmQueries {
 
     // Portable MinHash signature (md5-min over 4-char shingles, 8 seeds).
     Q("q_llm_minhash_sig",
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.minhashPortable(col("text")).as("sig")),
+      (s, dir) => TextAnalysis.minhashPortableDf(t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.minhashSig)),
 
     // Portable SimHash (30-bit, md5-derived token hashes).

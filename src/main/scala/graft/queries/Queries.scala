@@ -108,7 +108,8 @@ object Queries {
       Some("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents")),
   )
 
-  val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all
+  val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all ++
+    AnalyticsQueries.all ++ LlmQueries.all ++ IoQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
