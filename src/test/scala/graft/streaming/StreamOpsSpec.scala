@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming operators driven through MemoryStream micro-batches. */
+class StreamOpsSpec extends SparkTestBase {
+
+  import StreamOps.{UserEvent, UserStats}
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed watermarked aggregation over a micro-batched stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.windowedCounts(mem.toDF(), "ts", "value", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        UserEvent(1, "click", 2.0, ts(1)),
+        UserEvent(2, "click", 3.0, ts(4)),
+        UserEvent(1, "view", 5.0, ts(12)))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+        .toSet
+      assert(rows == Set(("click", 2L, 5.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops repeated keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.dedupStream(mem.toDF(), Seq("user_id"), "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UserEvent(1, "a", 1.0, ts(1)),
+        UserEvent(1, "b", 2.0, ts(2)),
+        UserEvent(2, "c", 3.0, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").collect().map(_.getAs[Long]("user_id")).sorted.toSeq ==
+        Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user aggregates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.userRunningStats(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, "a", 1.5, ts(1)), UserEvent(1, "b", 2.5, ts(2)))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, "c", 6.0, ts(3))) // second batch: state persists
+      q.processAllAvailable()
+      val last = spark.table("user_stats").collect()
+        .map(r => UserStats(r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"), r.getAs[String]("last_type")))
+        .maxBy(_.n_events)
+      assert(last == UserStats(1L, 3L, 10.0, "c"))
+    } finally q.stop()
+  }
+}
