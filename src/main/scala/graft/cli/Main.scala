@@ -44,11 +44,15 @@ object Main {
   def run(spark: SparkSession, args: Args): Unit = {
     val pb0 = PlaybookLoader.fromFile(Util.expandEnv(args.config))
     // flag > config precedence for paths (app.go:103-109)
+    val db = args.db.map(Util.expandEnv)
+      .orElse(sys.env.get("DB_CREDENTIALS")) // flag > config > env (app.go:103-109)
     val pb = pb0.copy(
-      source = args.input.map(i => pb0.source.copy(file = Util.expandEnv(i)))
-        .getOrElse(pb0.source.copy(file = Util.expandEnv(pb0.source.file))),
-      destination = args.output.map(o => pb0.destination.copy(file = Util.expandEnv(o)))
-        .getOrElse(pb0.destination.copy(file = Util.expandEnv(pb0.destination.file))))
+      source = pb0.source.copy(
+        file = Util.expandEnv(args.input.getOrElse(pb0.source.file)),
+        conn = db.getOrElse(Util.expandEnv(pb0.source.conn))),
+      destination = pb0.destination.copy(
+        file = Util.expandEnv(args.output.getOrElse(pb0.destination.file)),
+        conn = db.getOrElse(Util.expandEnv(pb0.destination.conn))))
 
     val compiled = PipelineCompiler.compile(spark, pb, EngineConfig(fipsMode = args.fips))
 
@@ -75,7 +79,7 @@ object Main {
         graft.io.Writers.write(compiled.main, pb.destination)
         pb.errorHandling.errorFile.foreach { ef =>
           val errs = compiled.errors
-          if (!errs.isEmpty) graft.io.Writers.writeCsv(errs, Util.expandEnv(ef))
+          if (!errs.isEmpty) graft.io.Writers.appendCsv(errs, Util.expandEnv(ef))
         }
         if (pb.errorHandling.logErrors) {
           val n = compiled.errors.count()

@@ -23,6 +23,7 @@ case class SourceConfig(
     `type`: String,
     file: String = "",
     query: String = "",           // postgres
+    conn: String = "",            // jdbc url; -db flag / DB_CREDENTIALS
     delimiter: Option[String] = None,     // csv
     commentChar: Option[String] = None,   // csv
     sheetName: Option[String] = None,     // xlsx
@@ -34,6 +35,9 @@ case class DestinationConfig(
     `type`: String,
     file: String = "",
     table: String = "",                    // postgres
+    conn: String = "",                     // jdbc url
+    loaderCommand: String = "",            // custom-SQL loader (postgres.go:318)
+    loaderBatchSize: Int = 0,              // custom-SQL per-txn batch
     xmlRecordTag: Option[String] = None,
     xmlRootTag: Option[String] = None,
     sheetName: Option[String] = None)

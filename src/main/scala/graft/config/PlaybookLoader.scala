@@ -58,12 +58,16 @@ object PlaybookLoader {
     commentChar = str(m, "commentChar"),
     sheetName = str(m, "sheetName"),
     sheetIndex = int(m, "sheetIndex"),
-    xmlRecordTag = str(m, "xmlRecordTag"))
+    xmlRecordTag = str(m, "xmlRecordTag"),
+    conn = str(m, "conn").getOrElse(""))
 
   private def destOf(m: Map[String, Any]) = DestinationConfig(
     `type` = str(m, "type").getOrElse("").toLowerCase,
     file = str(m, "file").getOrElse(""),
     table = str(m, "table").getOrElse(""),
+    conn = str(m, "conn").getOrElse(""),
+    loaderCommand = section(m, "loader").flatMap(l => str(l, "command")).getOrElse(""),
+    loaderBatchSize = section(m, "loader").flatMap(l => int(l, "batch_size")).getOrElse(0),
     xmlRecordTag = str(m, "xmlRecordTag"),
     xmlRootTag = str(m, "xmlRootTag"),
     sheetName = str(m, "sheetName"))

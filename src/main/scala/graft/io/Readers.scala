@@ -26,7 +26,7 @@ object Readers {
     case "xlsx"    => Xlsx.read(spark, src)
     case "parquet" => spark.read.parquet(src.file)
     case "postgres" => spark.read.format("jdbc")
-      .option("url", sys.env.getOrElse("DB_CREDENTIALS", ""))
+      .option("url", if (src.conn.nonEmpty) src.conn else sys.env.getOrElse("DB_CREDENTIALS", ""))
       .option("query", src.query)
       .load() // requires a JDBC driver jar on the classpath
     case other => throw new IllegalArgumentException(s"unsupported source type: $other")

@@ -24,9 +24,12 @@ object Writers {
     case "yaml"    => writeYaml(df, dest.file)
     case "xlsx"    => Xlsx.write(df, dest)
     case "parquet" => df.write.mode("overwrite").parquet(dest.file)
-    case "postgres" => df.write.format("jdbc")
-      .option("url", sys.env.getOrElse("DB_CREDENTIALS", ""))
-      .option("dbtable", dest.table).mode("append").save()
+    case "postgres" =>
+      val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
+      if (dest.loaderCommand.nonEmpty)
+        Jdbc.customSqlLoad(df, url, dest.loaderCommand,
+          if (dest.loaderBatchSize > 0) dest.loaderBatchSize else 100)
+      else Jdbc.bulkLoad(df, url, dest.table)
     case other => throw new IllegalArgumentException(s"unsupported destination type: $other")
   }
 
@@ -46,6 +49,28 @@ object Writers {
       .option("emptyValue", "")
       .csv(tmp)
     moveSinglePart(tmp, path, ".csv")
+  }
+
+  /**
+   * Error-record sink: APPEND mode with header-only-if-new — the
+   * reference's CSVErrorWriter shape (csv.go:354-467: failed records +
+   * etl_error_message, appended across runs).
+   */
+  def appendCsv(df: DataFrame, path: String): Unit = {
+    val target = new java.io.File(path)
+    val writeHeader = !target.exists() || target.length() == 0
+    val tmp = path + ".spark-tmp"
+    stringified(df).coalesce(1).write.mode("overwrite")
+      .option("header", writeHeader.toString)
+      .option("emptyValue", "")
+      .csv(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    val out = new java.io.FileOutputStream(target, /*append=*/ true)
+    try java.nio.file.Files.copy(part.toPath, out)
+    finally out.close()
+    dir.listFiles().foreach(_.delete()); dir.delete()
   }
 
   /** Indented (2-space) JSON ARRAY file — the reference's shape

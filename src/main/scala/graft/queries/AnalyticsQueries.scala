@@ -153,5 +153,49 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n")),
       None),
+
+    // Exact percentiles (linear interpolation — matches quantile_cont).
+    Q("q_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.9)").as("p90")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS med,
+        quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type""")),
+
+    // Pivot: rows -> columns on a known category set (decimal-exact).
+    Q("q_pivot_events",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(dec(col("value"))).cast("double"))
+        .na.fill(0.0),
+      Some("""SELECT user_id,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'click') AS DOUBLE), 0.0) AS click,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'view') AS DOUBLE), 0.0) AS view,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'signup') AS DOUBLE), 0.0) AS signup,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'error') AS DOUBLE), 0.0) AS error
+        FROM events GROUP BY user_id""")),
+
+    // Deterministic collect: sorted distinct list rendered as a string.
+    Q("q_collect_sorted",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n")),
+      Some("""SELECT user_id,
+        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        COUNT(*) AS n FROM events GROUP BY user_id""")),
+
+    // Grouping-sets cube over two dims.
+    Q("q_cube_status",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
   )
 }

@@ -174,6 +174,34 @@ class PipelineCompilerSpec extends SparkTestBase {
     assert(e.head.getAs[String]("etl_error_message").startsWith("mustToInt"))
   }
 
+  test("FIXTURES #3: validation records, skip keeps passers, errors carry messages") {
+    val pb = PlaybookLoader.fromString(
+      """source: {type: parquet, file: u}
+        |destination: {type: parquet, file: u}
+        |mappings:
+        |  - {source: email, target: email, transform: "validateRegex:^[^@]+@[^@]+\\.[a-z]+$"}
+        |  - {source: status, target: status, transform: validateRequired}
+        |  - source: age
+        |    target: age
+        |    transform: validateNumericRange
+        |    params: {min: 0, max: 120}
+        |errorHandling: {mode: skip}
+        |""".stripMargin)
+    val src = records(
+      Map("email" -> "test@example.com", "status" -> "active", "age" -> 30L),
+      Map("email" -> "invalid-email", "status" -> "active", "age" -> 40L),
+      Map("email" -> "good@email.org", "status" -> "", "age" -> 40L),
+      Map("email" -> "ok@domain.net", "status" -> "active", "age" -> 150L))
+    val out = PipelineCompiler.compileFrom(src, pb)
+    assert(out.main.count() == 1)
+    val errs = out.errors.collect()
+      .map(r => (r.getAs[String]("email"), r.getAs[String]("etl_error_message"))).toMap
+    assert(errs.size == 3)
+    assert(errs("invalid-email").contains("validateRegex"))
+    assert(errs("good@email.org").contains("validateRequired"))
+    assert(errs("ok@domain.net").contains("validateNumericRange"))
+  }
+
   test("playbook validation accumulates errors") {
     val ex = intercept[IllegalArgumentException] {
       PlaybookLoader.fromString(

@@ -115,6 +115,28 @@ class IoSpec extends SparkTestBase {
     assert(back.columns.sorted.toSeq == Seq("id", "name"))
   }
 
+  test("csv: tab delimiter and header-only file -> 0 records") {
+    val p = tmp(".csv")
+    Files.writeString(java.nio.file.Paths.get(p), "a\tb\n1\t2\n")
+    val df = Readers.read(spark, SourceConfig("csv", file = p, delimiter = Some("\t")))
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 1)
+    val p2 = tmp(".csv")
+    Files.writeString(java.nio.file.Paths.get(p2), "a,b\n")
+    assert(Readers.read(spark, SourceConfig("csv", file = p2)).count() == 0)
+  }
+
+  test("appendCsv: header once, rows accumulate across runs (error-file semantics)") {
+    import spark.implicits._
+    val p = tmp(".csv")
+    val df1 = Seq(("r1", "boom")).toDF("id", "etl_error_message")
+    Writers.appendCsv(df1, p)
+    Writers.appendCsv(Seq(("r2", "bang")).toDF("id", "etl_error_message"), p)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(p))
+    assert(lines.size == 3)
+    assert(lines.get(0) == "etl_error_message,id")
+    assert(lines.get(1) == "boom,r1" && lines.get(2) == "bang,r2")
+  }
+
   test("env expansion: $VAR, ${VAR}, %VAR%; unset -> empty (util.go:12-34)") {
     import graft.cli.Util
     val k = sys.env.keys.headOption.getOrElse("HOME")
