@@ -48,14 +48,18 @@ object Queries {
           .agg(
             sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
             sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+            // product has <=4 decimals exactly (2dp * 2dp), so casting it
+            // back to (18,4) is lossless AND keeps the summed type inside
+            // both engines' precision-propagation rules at any SF
+            sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+              .cast("decimal(18,4)"))
               .cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
