@@ -246,6 +246,51 @@ object TransformQueries {
              ELSE 'mustToInt: cannot convert value to integer for field ''mixed''' END AS err_msg
         FROM part""")),
 
+    // mustToFloat: value + error channel.
+    Q("q_tr_musttofloat_err",
+      (s, dir) => {
+        val df = t(s, dir, "events")
+          .withColumn("mixed",
+            when(col("event_id") % 2 === 0, col("value").cast(StringType))
+              .otherwise(col("event_type")))
+        val out = Transforms("musttofloat", ctx(df, col("mixed"), StringType, "mixed"))
+        df.select(col("event_id"), out.value.as("f_val"), out.error.get.as("err_msg"))
+      },
+      Some("""SELECT event_id,
+        CASE WHEN event_id % 2 = 0 THEN value END AS f_val,
+        CASE WHEN event_id % 2 <> 0
+             THEN 'mustToFloat: cannot convert value to float for field ''mixed''' END AS err_msg
+        FROM events""")),
+
+    // mustEpochToDate: epoch -> date or error.
+    Q("q_tr_mustepochtodate_err",
+      (s, dir) => {
+        val df = t(s, dir, "events")
+          .withColumn("mixed",
+            when(col("event_id") % 2 === 0,
+              (lit(1600000000L) + col("event_id")).cast(StringType))
+              .otherwise(col("event_type")))
+        val out = Transforms("mustepochtodate", ctx(df, col("mixed"), StringType, "mixed"))
+        df.select(col("event_id"), out.value.as("day"), out.error.get.as("err_msg"))
+      },
+      Some("""SELECT event_id,
+        CASE WHEN event_id % 2 = 0
+             THEN strftime(make_timestamp((1600000000 + event_id) * 1000000), '%Y-%m-%d') END AS day,
+        CASE WHEN event_id % 2 <> 0
+             THEN 'mustEpochToDate: cannot parse epoch for field ''mixed''' END AS err_msg
+        FROM events""")),
+
+    // hash sha512 (DuckDB 1.0 has no sha512 -> rows-only check).
+    Q("q_tr_hash_sha512",
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+        val v = Transforms("hash",
+          ctx(df, lit(null), NullType, "h",
+            Map("algorithm" -> "sha512", "fields" -> Seq("c_name")))).value
+        df.select(col("c_custkey"), v.as("h"))
+      },
+      None),
+
     // mustToBool: '' and unparseable are ERRORS (unlike toBool).
     Q("q_tr_musttobool_err",
       (s, dir) => {
