@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew handling for hot keys.
+ *
+ * At 100 TB a groupBy on a key with a few dominant values (one user,
+ * one boilerplate document) puts an entire key on one reducer. Salting
+ * splits each key into `buckets` sub-keys, aggregates partially per
+ * sub-key (parallel across reducers), then merges the partials in a
+ * second, tiny aggregation. AQE's skew-join handling covers JOINS
+ * automatically; salting is the aggregation-side counterpart.
+ */
+object Skew {
+
+  /**
+   * Two-phase salted sum/count aggregation. `aggs` maps output column
+   * name -> the column to decimal-sum (exactness preserved: decimal
+   * partials merge losslessly, unlike double sums).
+   */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+                sums: Map[String, Column], buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partialAggs = sums.toSeq.map { case (name, c) =>
+      sum(c.cast("decimal(28,4)")).as(s"_p_$name")
+    } :+ count(lit(1)).as("_p_n")
+    val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sums.keys.toSeq.map { name =>
+      sum(col(s"_p_$name")).cast("double").as(name)
+    } :+ sum(col("_p_n")).as("n")
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}

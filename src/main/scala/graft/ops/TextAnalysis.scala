@@ -71,6 +71,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** BPE-ish token count: word runs AND standalone punctuation each
+    * count as one token (the pre-tokenization shape BPE vocabularies
+    * use), vs the whitespace count in [[tokenCount]]. RE2-safe pattern
+    * (no lookarounds) so the DuckDB oracle states it identically. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
+
+  /**
+   * Mod-sampling rolling-hash fingerprint (the shape used by content-
+   * defined dedup): hash every k-char shingle, keep those ≡ 0 mod
+   * `modulus`, render the sorted sample as the document fingerprint.
+   * Portable: the shingle hash is md5-derived so the DuckDB oracle
+   * computes the identical value.
+   */
+  def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, modulus: Int = 16): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(Dedup.charShingles(col(textCol), k)).as("_sh"))
+    val hashed = sh.withColumn("_h",
+      conv(substring(md5(col("_sh").cast("binary")), 1, 15), 16, 10).cast("long"))
+    hashed.filter(pmod(col("_h"), lit(modulus)) === 0)
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_set(col("_h"))), ",").as("fp"))
+  }
+
   /**
    * Portable MinHash signatures: per seed, the min over 4-char shingles
    * of md5(seed || "|" || shingle), concat_ws-joined. md5-as-string min

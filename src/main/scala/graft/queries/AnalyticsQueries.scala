@@ -188,6 +188,15 @@ object AnalyticsQueries {
         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         COUNT(*) AS n FROM events GROUP BY user_id""")),
 
+    // Salted two-phase aggregation (hot-key mitigation; same result as
+    // a direct group-by, so the oracle is the direct form).
+    Q("q_skew_salted_agg",
+      (s, dir) => graft.ops.Skew.saltedAgg(t(s, dir, "events"),
+        Seq("event_type"), Map("total_value" -> col("value"))),
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value,
+        COUNT(*) AS n FROM events GROUP BY event_type""")),
+
     // Grouping-sets cube over two dims.
     Q("q_cube_status",
       (s, dir) => t(s, dir, "orders")

@@ -110,6 +110,26 @@ object LlmQueries {
         dims = 64, k = 3, planes = 8),
       None),
 
+    // BPE-ish pre-tokenization count (word runs + punctuation).
+    Q("q_llm_bpe_tokens",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe")),
+      Some("""SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]')) AS n_bpe
+        FROM documents""")),
+
+    // Mod-sampling rolling-hash fingerprint (content-defined dedup shape).
+    Q("q_llm_rolling_fp",
+      (s, dir) => TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH sh AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, greatest(1, length(lower(text)) - 7)),
+            i -> substr(lower(text), i, 8)))) AS s
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh)
+        SELECT doc_id, array_to_string(list_sort(list(DISTINCT h)), ',') AS fp
+        FROM h WHERE h % 16 = 0 GROUP BY doc_id""")),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {

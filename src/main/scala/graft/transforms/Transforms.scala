@@ -115,9 +115,14 @@ object Transforms {
       })
     case "regexextract" =>
       val pattern = require(pStr(ctx, "pattern"), "regexExtract.pattern")
-      // first capture group; no-match / non-string → null (transform.go:194-219)
+      // Go semantics (transform.go:194-219): no-match / non-string /
+      // group-less pattern -> null; a MATCH whose group captured "" -> "".
+      // rlike distinguishes no-match from empty-capture (both "" from
+      // regexp_extract), keeping everything codegen'd.
+      val groups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
       Out(ctx.sourceType match {
-        case _: StringType => nullif(regexp_extract(ctx.source, pattern, 1), lit(""))
+        case _: StringType if groups >= 1 =>
+          when(ctx.source.rlike(pattern), regexp_extract(ctx.source, pattern, 1))
         case _ => lit(null).cast(StringType)
       })
 
