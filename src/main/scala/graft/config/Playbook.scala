@@ -40,7 +40,8 @@ case class DestinationConfig(
     loaderBatchSize: Int = 0,              // custom-SQL per-txn batch
     xmlRecordTag: Option[String] = None,
     xmlRootTag: Option[String] = None,
-    sheetName: Option[String] = None)
+    sheetName: Option[String] = None,
+    partitionBy: Seq[String] = Seq.empty)         // parquet layout at scale
 
 /** types.go:118-141 — one projection/transform rule. */
 case class MappingRule(

@@ -70,7 +70,11 @@ object PlaybookLoader {
     loaderBatchSize = section(m, "loader").flatMap(l => int(l, "batch_size")).getOrElse(0),
     xmlRecordTag = str(m, "xmlRecordTag"),
     xmlRootTag = str(m, "xmlRootTag"),
-    sheetName = str(m, "sheetName"))
+    sheetName = str(m, "sheetName"),
+    partitionBy = m.get("partitionBy") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case _ => Seq.empty
+    })
 
   private def ruleOf(m: Map[String, Any]) = MappingRule(
     source = str(m, "source").getOrElse(""),

@@ -23,7 +23,10 @@ object Writers {
     case "xml"     => writeXml(df, dest)
     case "yaml"    => writeYaml(df, dest.file)
     case "xlsx"    => Xlsx.write(df, dest)
-    case "parquet" => df.write.mode("overwrite").parquet(dest.file)
+    case "parquet" =>
+      val w = df.write.mode("overwrite")
+      (if (dest.partitionBy.nonEmpty) w.partitionBy(dest.partitionBy: _*) else w)
+        .parquet(dest.file)
     case "postgres" =>
       val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
       if (dest.loaderCommand.nonEmpty)

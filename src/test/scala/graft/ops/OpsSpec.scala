@@ -30,6 +30,24 @@ class OpsSpec extends SparkTestBase {
     assert(mx == Map("a" -> 1L, "b" -> 3L))
   }
 
+  test("ingest order is stable across multi-file reads (file path, block, row)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    // two files written separately -> two splits; order must follow
+    // (file_path, block, row-in-partition), not split packing
+    Seq((1L, "k", "f1-first"), (2L, "k", "f1-second")).toDF("id", "k", "tag")
+      .coalesce(1).write.parquet(dir + "/p=a")
+    Seq((3L, "k", "f2-first")).toDF("id", "k", "tag")
+      .coalesce(1).write.parquet(dir + "/p=b")
+    val df = spark.read.parquet(dir + "/p=a", dir + "/p=b")
+    val kept = Dedup.byIngestOrder(df, Seq("k"), keepFirst = true).collect()
+    assert(kept.length == 1)
+    // p=a sorts before p=b -> f1-first wins deterministically
+    assert(kept.head.getAs[String]("tag") == "f1-first")
+    val keptLast = Dedup.byIngestOrder(df, Seq("k"), keepFirst = false).collect()
+    assert(keptLast.head.getAs[String]("tag") == "f2-first")
+  }
+
   test("minhash near-dup pairs finds the planted near-duplicate only") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
