@@ -181,6 +181,55 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
+   * SimHash near-duplicate PAIRS: band the 64-bit signature into
+   * `bands` contiguous bit slices; by pigeonhole, any pair with
+   * hamming distance < `bands` shares at least one exact band, so
+   * bucketing on (band, slice) finds ALL such pairs with one shuffle;
+   * candidates verify with bit_count. maxHamming must be < bands for
+   * the guarantee (default 3 < 4).
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val bits = 64 / bands
+    val sigs = simhash64(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1))
+      }: _*)).as(Seq("band", "slice")))
+    val buckets = banded.groupBy(col("band"), col("slice"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets.select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs. Brute-force O(n^2) form for
+   * exactness (oracle-able); [[Similarity.lshTopK]]'s bucketing is the
+   * same verify step behind an LSH blocker for scale.
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /**
    * Token n-gram Jaccard similarity pairs ≥ threshold, blocked by a
    * shared-ngram inverted index (never a full cross join).
    * Scale: explode → groupBy ngram (inverted index) → pair counts →

@@ -96,6 +96,23 @@ object LlmQueries {
       (s, dir) => Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text"),
       None),
 
+    // SimHash near-dup pairs: banded pigeonhole blocking (rows-only).
+    Q("q_llm_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4),
+      None),
+
+    // Embedding-cosine near-dup pairs (brute-force exact, oracled).
+    Q("q_llm_cosine_neardup",
+      (s, dir) => Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""")),
+
     // Brute-force cosine top-3 for the first 20 vectors.
     Q("q_llm_cosine_topk",
       (s, dir) => {
