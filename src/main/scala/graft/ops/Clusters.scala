@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster resolution: near-dup PAIRS (from MinHash/SimHash/
+ * Jaccard/cosine blocking) -> connected components -> one canonical
+ * representative per cluster.
+ *
+ * Components via iterative min-label propagation: each round every
+ * node takes the min label among itself and its neighbors; O(diameter)
+ * rounds. Each round is one shuffle-join; lineage is cut with
+ * localCheckpoint so 20 rounds don't stack 20 plans. Dup-cluster
+ * graphs are near-cliques (tiny diameter), so this converges in 2-3
+ * rounds in practice.
+ */
+object Clusters {
+
+  /** (id, component) for every node appearing in `edges`; component =
+    * min node id reachable. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(labels("id"),
+          labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("label") < col("old_label")).isEmpty
+      labels = updated.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /**
+   * Near-dup dedup: keep ONE doc per duplicate cluster (the min id —
+   * deterministic canonical); docs not in any pair pass through.
+   */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   pairACol: String, pairBCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, pairACol, pairBCol)
+    val canonical = comp.groupBy(col("component")).agg(min(col("id")).as("keep_id"))
+    val losers = comp.join(canonical, "component")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -67,6 +67,44 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /**
+   * IVF (inverted-file) approximate nearest neighbors: a k-means
+   * coarse quantizer (MLlib, seeded — deterministic) partitions the
+   * corpus into `nlist` cells; each query probes its `nprobe` nearest
+   * centroids and re-ranks candidates with exact cosine. The corpus
+   * shuffles ONCE on the cell id; centroids broadcast as literals.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+              k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(v)
+    val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
+      col("cell")).withColumn("nn", norm(col("nv")))
+    // query-side probe list: distance to every centroid, keep nprobe best
+    val cents = model.clusterCenters.map(_.toArray)
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"))
+    }.toIndexedSeq: _*)
+    val q = v.select(col("id").as("qid"), col("v").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cent", explode(centLits))
+      .withColumn("cdist", -dot(col("qv"), col("cent.cv"))) // max dot ~ min dist for normalized-ish vecs
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cent.ci"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cent.ci").as("cell"))
+    val scored = q.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed approximate nearest neighbors: one shuffle on the
    * bucket key; exact cosine re-ranking inside each bucket.
    */

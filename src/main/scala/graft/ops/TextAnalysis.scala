@@ -79,6 +79,32 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
 
   /**
+   * Winnowing fingerprint (Schleimer et al., SIGMOD 2003): positional
+   * k-gram hashes; each sliding window of `w` consecutive hashes
+   * contributes its minimum; the distinct window-min set is the
+   * fingerprint. Guarantees every match of length >= w+k-1 shares a
+   * fingerprint hash. One shuffle (window by doc); md5-derived hash so
+   * the DuckDB oracle is value-identical.
+   */
+  def winnowingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = lower(col(textCol))
+    val shingles = transform(
+      sequence(lit(1), greatest(lit(1), length(s) - (k - 1))),
+      i => s.substr(i, lit(k)))
+    val pos = df.select(col(idCol), posexplode(shingles).as(Seq("pos", "sh")))
+      .withColumn("h",
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.withColumn("wmin", min(col("h")).over(byPos.rowsBetween(-(w - 1), 0)))
+      .withColumn("rn", row_number().over(byPos))
+      .filter(col("rn") >= w) // only full windows
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_set(col("wmin"))), ",").as("fp"))
+  }
+
+  /**
    * Mod-sampling rolling-hash fingerprint (the shape used by content-
    * defined dedup): hash every k-char shingle, keep those ≡ 0 mod
    * `modulus`, render the sorted sample as the document fingerprint.

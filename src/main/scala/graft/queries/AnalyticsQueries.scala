@@ -188,6 +188,24 @@ object AnalyticsQueries {
         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         COUNT(*) AS n FROM events GROUP BY user_id""")),
 
+    // Gap-based sessionization + per-session aggregates.
+    Q("q_sessionize",
+      (s, dir) => graft.ops.Sessions.sessionStats(t(s, dir, "events"),
+        "user_id", "ts", "value", gapSeconds = 3600, tiebreak = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+               THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, ts, value,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM x)
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+          CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_secs,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM y GROUP BY user_id, session_idx""")),
+
     // Salted two-phase aggregation (hot-key mitigation; same result as
     // a direct group-by, so the oracle is the direct form).
     Q("q_skew_salted_agg",

@@ -147,6 +147,42 @@ object LlmQueries {
         SELECT doc_id, array_to_string(list_sort(list(DISTINCT h)), ',') AS fp
         FROM h WHERE h % 16 = 0 GROUP BY doc_id""")),
 
+    // Winnowing fingerprint (window-min over positional shingle hashes).
+    Q("q_llm_winnowing",
+      (s, dir) => TextAnalysis.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        p AS (SELECT doc_id,
+            unnest(generate_series(1, greatest(1, length(lt) - 7))) AS pos, lt
+          FROM base),
+        h AS (SELECT doc_id, pos,
+            ('0x' || substr(md5(substr(lt, pos, 8)), 1, 15))::BIGINT AS h FROM p),
+        wm AS (SELECT doc_id,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM h)
+        SELECT doc_id, array_to_string(list_sort(list(DISTINCT wmin)), ',') AS fp
+        FROM wm WHERE rn >= 4 GROUP BY doc_id""")),
+
+    // Near-dup dedup end-to-end: pairs -> connected components ->
+    // canonical representative per cluster (rows-only: iterative CC).
+    Q("q_llm_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5)
+        graft.ops.Clusters.dedupByPairs(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", pairs, "id_a", "id_b")
+      },
+      None),
+
+    // IVF ANN (k-means coarse quantizer + probe + exact re-rank) —
+    // rows-only (k-means cells are seed-deterministic but engine-local).
+    Q("q_llm_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 8, nprobe = 2),
+      None),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {

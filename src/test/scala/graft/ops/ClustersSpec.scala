@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkTestBase {
+
+  test("connected components: chains merge, singletons keep own label") {
+    import spark.implicits._
+    // 1-2, 2-3 (one component), 5-6, isolated node 9 appears via self-pair? no — only edges
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val comp = Clusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: long chain converges past one round") {
+    import spark.implicits._
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Clusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("component")).toSet
+    assert(comp == Set(1L)) // all ten nodes in component 1
+  }
+
+  test("dedupByPairs keeps min-id representative plus untouched docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (7L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Clusters.dedupByPairs(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 7L)) // cluster {1,2,3} -> 1; 7 untouched
+  }
+
+  test("sessionize splits on gaps and aggregates per session") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 2.0),   // session 1 (gap 10m)
+      (1L, 3L, ts(50), 4.0),                          // session 2 (gap 40m > 30m)
+      (2L, 4L, ts(5), 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Sessions.sessionStats(ev, "user_id", "ts", "value",
+      gapSeconds = 1800, tiebreak = Seq("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("span_secs"), r.getAs[Double]("total_value")))
+      .toMap
+    assert(out == Map(
+      (1L, 1L) -> (2L, 600L, 3.0),
+      (1L, 2L) -> (1L, 0L, 4.0),
+      (2L, 1L) -> (1L, 0L, 8.0)))
+  }
+
+  test("ivf ANN finds the exact-duplicate vector in its probe cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat())
+    val vecs = ((1L, base) +: (2L, base) +:
+      (3L to 30L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toSeq)
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding", dims = 8,
+      k = 1, nlist = 3, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    assert(top(1L) == 2L && top(2L) == 1L) // identical vectors share a cell
+  }
+
+  test("winnowing: shared long substring yields overlapping fingerprints") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, common + " alpha beta"),
+      (2L, "gamma delta " + common),
+      (3L, "entirely unrelated text about query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp").split(",").toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+}
