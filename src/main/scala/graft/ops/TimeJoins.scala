@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series joins Spark lacks as builtins, composed scale-right.
+ *
+ * asofJoin: "for each left row, the most recent right row with
+ * right.ts <= left.ts per key". NOT implemented as a point-lookup join:
+ * both sides union into one stream, ONE shuffle+sort per key, and a
+ * last-non-null window carries the right row forward (LOCF). Cost is
+ * sort-merge over n_left + n_right — the plan you want at 100 TB.
+ *
+ * bandedRangeJoin: inequality band joins explode into O(n*m) under a
+ * naive cross join; binning both sides by window-sized buckets makes
+ * each left row probe exactly two buckets, then the exact predicate
+ * filters — one equi-shuffle, bounded candidates.
+ */
+object TimeJoins {
+
+  /**
+   * As-of (backward) join. Right rows must be unique per (keys, ts) —
+   * pre-dedupe if needed. Right payload columns arrive prefixed.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("_t") :+ lit(0).as("_side") :+
+        struct(rightVals.map(col): _*).as("_rv")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right row at the SAME ts sorts before left (inclusive <=)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t").asc, col("_side").asc)
+    val filled = unioned.withColumn("_last_rv",
+      last(col("_rv"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val outCols: Seq[Column] =
+      left.columns.toSeq.map(col) ++
+        rightVals.map(v => col(s"_last_rv.$v").as(s"$prefix$v"))
+    filled.filter(col("_side") === 1).select(outCols: _*)
+  }
+
+  /**
+   * Pairs (a, b) sharing `keys` with b.ts in [a.ts, a.ts + windowSec].
+   * Bin size = window size: a's candidates live in a's bin or the next.
+   */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      windowSec: Long): DataFrame = {
+    val aBin = floor(unix_timestamp(col(leftTs)) / windowSec)
+    val bBin = floor(unix_timestamp(col(rightTs)) / windowSec)
+    val a = left.withColumn("_bin", explode(array(aBin, aBin + 1)))
+    val b = right.withColumn("_bin", bBin)
+    a.join(b, keys.map(k => a(k) === b(k)).reduce(_ && _) && (a("_bin") === b("_bin")))
+      .filter(b(rightTs) >= a(leftTs) &&
+        unix_timestamp(b(rightTs)) - unix_timestamp(a(leftTs)) <= windowSec)
+      .drop("_bin")
+  }
+}

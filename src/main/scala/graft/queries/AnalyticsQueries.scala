@@ -188,6 +188,49 @@ object AnalyticsQueries {
         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         COUNT(*) AS n FROM events GROUP BY user_id""")),
 
+    // As-of join: each click joined to the user's most recent prior
+    // purchase — union + window LOCF, one sort-merge, no point lookups.
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("p_id").desc)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id").as("p_id"))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        graft.ops.TimeJoins.asofJoin(clicks, purch, Seq("user_id"), "ts", "ts",
+          Seq("value", "p_id"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_value"), col("asof_p_id"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        purch AS (SELECT user_id, ts, value, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        SELECT c.event_id, c.user_id, p.value AS asof_value, p.p_id AS asof_p_id
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
+    // Banded range join: same-user event pairs within a 1-hour window,
+    // binned so each row probes two buckets (never a cross join).
+    Q("q_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+        val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+        graft.ops.TimeJoins.bandedRangeJoin(a, b, Seq("user_id"), "a_ts", "b_ts", 3600L)
+          .filter(col("a_ts") < col("b_ts") ||
+            (col("a_ts") === col("b_ts") && col("a_id") < col("b_id")))
+          .select(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND b.ts >= a.ts
+          AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) <= 3600
+          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))""")),
+
     // Gap-based sessionization + per-session aggregates.
     Q("q_sessionize",
       (s, dir) => graft.ops.Sessions.sessionStats(t(s, dir, "events"),
