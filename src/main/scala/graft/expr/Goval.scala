@@ -107,6 +107,17 @@ object Goval {
 
     def sqlStr(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    /**
+     * Numeric operation with a string-typed side: govaluate ERRORS
+     * per-record on type mismatch (no coercion), and the pipeline
+     * routes eval-errors to the error channel. TRY_CAST gives exactly
+     * that shape row-by-row — parseable strings compare numerically,
+     * garbage turns the predicate NULL (-> error record) instead of an
+     * ANSI runtime exception killing the job.
+     */
+    def numericize(x: R, other: R): String =
+      if (x.isString && !other.isString) s"TRY_CAST(${x.sql} AS DOUBLE)" else x.sql
+
     def primary(): R = next() match {
       case Num(v)   => R(v, isString = false)
       case Str(v)   => R(sqlStr(v), isString = true)
@@ -149,7 +160,8 @@ object Goval {
       var l = power()
       var go = true
       while (go) peek match {
-        case Some(Op(o @ ("*" | "/" | "%"))) => next(); val r = power(); l = R(s"(${l.sql} $o ${r.sql})", isString = false)
+        case Some(Op(o @ ("*" | "/" | "%"))) => next(); val r = power()
+          l = R(s"(${numericize(l, r)} $o ${numericize(r, l)})", isString = false)
         case _ => go = false
       }
       l
@@ -163,7 +175,8 @@ object Goval {
           next(); val r = mul()
           l = if (l.isString || r.isString) R(s"CONCAT(${l.sql}, ${r.sql})", isString = true)
               else R(s"(${l.sql} + ${r.sql})", isString = false)
-        case Some(Op("-")) => next(); val r = mul(); l = R(s"(${l.sql} - ${r.sql})", isString = false)
+        case Some(Op("-")) => next(); val r = mul()
+          l = R(s"(${numericize(l, r)} - ${numericize(r, l)})", isString = false)
         case _ => go = false
       }
       l
@@ -196,7 +209,8 @@ object Goval {
       while (go) peek match {
         case Some(Op("==")) => next(); val r = bitwise(); l = R(s"(${l.sql} = ${r.sql})", isString = false)
         case Some(Op("!=")) => next(); val r = bitwise(); l = R(s"(${l.sql} <> ${r.sql})", isString = false)
-        case Some(Op(o @ ("<" | ">" | "<=" | ">="))) => next(); val r = bitwise(); l = R(s"(${l.sql} $o ${r.sql})", isString = false)
+        case Some(Op(o @ ("<" | ">" | "<=" | ">="))) => next(); val r = bitwise()
+          l = R(s"(${numericize(l, r)} $o ${numericize(r, l)})", isString = false)
         case Some(Op("=~")) => next(); val r = bitwise(); l = R(s"(${l.sql} RLIKE ${r.sql})", isString = false)
         case Some(Op("!~")) => next(); val r = bitwise(); l = R(s"(NOT (${l.sql} RLIKE ${r.sql}))", isString = false)
         case Some(Ident(kw)) if kw.equalsIgnoreCase("in") =>

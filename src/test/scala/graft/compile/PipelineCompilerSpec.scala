@@ -202,6 +202,22 @@ class PipelineCompilerSpec extends SparkTestBase {
     assert(errs("ok@domain.net").contains("validateNumericRange"))
   }
 
+  test("numeric filter on a string column: parseable rows compare, garbage rows error") {
+    val pb = PlaybookLoader.fromString(
+      """source: {type: parquet, file: u}
+        |destination: {type: parquet, file: u}
+        |filter: "score > 80"
+        |errorHandling: {mode: skip}
+        |""".stripMargin)
+    val src = records(
+      Map("id" -> 1L, "score" -> "85.5"),
+      Map("id" -> 2L, "score" -> "12"),
+      Map("id" -> 3L, "score" -> "not_a_number"))
+    val out = PipelineCompiler.compileFrom(src, pb)
+    assert(out.main.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(out.errors.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
   test("playbook validation accumulates errors") {
     val ex = intercept[IllegalArgumentException] {
       PlaybookLoader.fromString(
