@@ -183,6 +183,13 @@ object LlmQueries {
         dims = 64, k = 3, nlist = 8, nprobe = 2),
       None),
 
+    // End-to-end corpus cleaning: quality gate -> exact dedup ->
+    // near-dup cluster resolution (rows-only: composes CC).
+    Q("q_llm_corpus_clean",
+      (s, dir) => graft.ops.Corpus.clean(t(s, dir, "documents"), "doc_id", "text",
+        graft.ops.Corpus.CleanConfig(minQuality = 0.2, nearDupThreshold = 0.6)),
+      None),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {

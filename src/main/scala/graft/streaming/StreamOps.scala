@@ -63,6 +63,26 @@ object StreamOps {
       }
   }
 
+  /**
+   * Streaming NEAR-dup dedup: a per-row MinHash signature (array
+   * expression — no groupBy, so it works on an unbounded stream) and
+   * watermarked dropDuplicates on the signature. Batch pipelines use
+   * the explode+agg signatures in Dedup (faster); streams need the
+   * stateless per-row shape.
+   */
+  def minhashDedupStream(df: DataFrame, textCol: String, tsCol: String,
+                         shingleSize: Int = 5, numHashes: Int = 8,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val shingles = graft.ops.Dedup.charShingles(col(textCol), shingleSize)
+    val sig = concat_ws(",", (0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+    df.withColumn("_minhash_sig", sig)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_minhash_sig"))
+      .drop("_minhash_sig")
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

@@ -49,6 +49,25 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup dedup drops a re-worded duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamOps.minhashDedupStream(df, "text", "ts")
+    val q = out.writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog tonight"
+      mem.addData((1L, base, ts(1)), (2L, base, ts(2)),
+        (3L, "completely different text about spark and shuffles", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("near_dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L)) // identical signature -> 2 dropped
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
