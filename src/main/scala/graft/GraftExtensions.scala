@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.VecDot
+
+/**
+ * SparkSessionExtensions injector: activate graft's native expressions
+ * cluster-wide with
+ *   spark.sql.extensions=graft.GraftExtensions
+ * (no code changes in the consuming job — the standard way to ship a
+ * Catalyst extension library). `graft.functions.Registry.ensure` is
+ * the equivalent runtime-registration path for embedded use.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+  }
+}

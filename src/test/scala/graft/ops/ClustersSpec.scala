@@ -64,6 +64,16 @@ class ClustersSpec extends SparkTestBase {
     assert(top(1L) == 2L && top(2L) == 1L) // identical vectors share a cell
   }
 
+  test("GraftExtensions injects vec_dot; SQL-level evaluation works") {
+    // the injector accepts a real extensions instance without error
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the function evaluates through SQL on a registered session
+    graft.functions.Registry.ensure(spark)
+    val v = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("winnowing: shared long substring yields overlapping fingerprints") {
     import spark.implicits._
     val common = "the quick brown fox jumps over the lazy dog repeatedly"
