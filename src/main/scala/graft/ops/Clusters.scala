@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** (id, component) for every node appearing in `edges`; component =
-    * min node id reachable. */
+    * min node id reachable. Adaptive: small edge sets resolve with
+    * driver union-find (one job instead of one per propagation round);
+    * big graphs take the distributed label-propagation loop. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().localCheckpoint()
+    if (sym.count() <= driverEdgeLimit) return driverUnionFind(sym)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -41,6 +45,28 @@ object Clusters {
       iter += 1
     }
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** In-memory union-find over a collected (already-checkpointed)
+    * edge list; result distributed back as a DataFrame. */
+  private def driverUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /**

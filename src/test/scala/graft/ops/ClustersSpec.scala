@@ -14,12 +14,24 @@ class ClustersSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("connected components: long chain converges past one round") {
+  test("connected components: long chain converges past one round (distributed path)") {
     import spark.implicits._
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = Clusters.connectedComponents(edges, "a", "b")
+    // driverEdgeLimit = 0 forces the iterative label-propagation loop
+    val comp = Clusters.connectedComponents(edges, "a", "b", driverEdgeLimit = 0L)
       .collect().map(r => r.getAs[Long]("component")).toSet
     assert(comp == Set(1L)) // all ten nodes in component 1
+  }
+
+  test("connected components: driver union-find path agrees with distributed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 5L)).toDF("a", "b")
+    val small = Clusters.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    val dist = Clusters.connectedComponents(edges, "a", "b", driverEdgeLimit = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(small == dist)
+    assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 5L, 9L -> 5L))
   }
 
   test("dedupByPairs keeps min-id representative plus untouched docs") {
