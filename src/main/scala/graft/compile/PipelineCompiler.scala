@@ -50,9 +50,12 @@ object PipelineCompiler {
 
     // ---- FILTER (§2.2): eval-error -> error channel, false -> drop ----
     pb.filter.foreach { f =>
-      val tr = Goval.translate(f, stringTyped = n =>
-        src.schema.fields.find(_.name == n).exists(_.dataType.isInstanceOf[StringType]))
-      val unknown = tr.identifiers.filterNot(srcCols.contains)
+      // identifiers may be dot-notation nested paths (getNestedField,
+      // processor.go:233-245) — resolve against the full schema
+      def typeOf(n: String): Option[DataType] = resolvePath(src.schema, n)
+      val tr = Goval.translate(f,
+        stringTyped = n => typeOf(n).exists(_.isInstanceOf[StringType]))
+      val unknown = tr.identifiers.filterNot(n => typeOf(n).isDefined)
       if (unknown.nonEmpty) {
         // reference: unknown parameter -> per-record eval error -> error file
         df = df.withColumn(ERR,

@@ -202,6 +202,30 @@ class PipelineCompilerSpec extends SparkTestBase {
     assert(errs("ok@domain.net").contains("validateNumericRange"))
   }
 
+  test("shorthand transform syntax: regexExtract:pattern (transform.go:110-113)") {
+    val pb = PlaybookLoader.fromString(
+      """source: {type: parquet, file: u}
+        |destination: {type: parquet, file: u}
+        |mappings:
+        |  - {source: raw, target: num, transform: "regexExtract:id=([0-9]+)"}
+        |""".stripMargin)
+    val out = PipelineCompiler.compileFrom(
+      records(Map("raw" -> "id=77;x"), Map("raw" -> "nothing")), pb)
+    assertSameRecords(out.main, Seq(Map("num" -> "77"), Map("num" -> null)))
+  }
+
+  test("filter on a nested struct field via dot notation") {
+    val pb = PlaybookLoader.fromString(
+      """source: {type: parquet, file: u}
+        |destination: {type: parquet, file: u}
+        |filter: "meta.score > 5"
+        |""".stripMargin)
+    def rec(name: String, score: Long) = Map("name" -> name,
+      "meta" -> new java.util.HashMap[String, Any] { put("score", score) })
+    val out = PipelineCompiler.compileFrom(records(rec("hi", 9L), rec("lo", 2L)), pb)
+    assert(out.main.collect().map(_.getAs[String]("name")).toSeq == Seq("hi"))
+  }
+
   test("numeric filter on a string column: parseable rows compare, garbage rows error") {
     val pb = PlaybookLoader.fromString(
       """source: {type: parquet, file: u}

@@ -198,6 +198,32 @@ class TransformsSpec extends SparkTestBase {
       Seq(false, true)) // 5 matches "5.0" numerically
   }
 
+  test("dateConvert: RFC1123-style fallback input parses (day-name prefix stripped)") {
+    assert(onStrings(Seq("Tue, 05 Mar 2024 10:30:00 GMT"), "dateconvert",
+      Map("outputFormat" -> "2006-01-02 15:04")) == Seq("2024-03-05 10:30"))
+    assert(onStrings(Seq("Tue, 05 Mar 2024 10:30:00 +0200"), "dateconvert",
+      Map("outputFormat" -> "2006-01-02 15:04")) == Seq("2024-03-05 08:30")) // offset honored -> UTC
+  }
+
+  test("dateConvert: time.Time (timestamp) input passes straight through the formatter") {
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-05 10:30:00")).toDF("v")
+    val out = Transforms("dateconvert", Transforms.Ctx(col("v"), TimestampType, "v",
+      _ => None, Map("outputFormat" -> "02 Jan 2006")))
+    assert(df.select(out.value).collect().head.getString(0) == "05 Mar 2024")
+  }
+
+  test("hash canonicalizes timestamps as RFC3339Nano UTC (ValueToStringForHash)") {
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-05 10:30:00.5")).toDF("ts")
+    val out = Transforms("hash", Transforms.Ctx(lit(null), NullType, "h",
+      n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)),
+      Map("algorithm" -> "sha256", "fields" -> Seq("ts"))))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest("2024-03-05T10:30:00.5Z".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(df.select(out.value).collect().head.getString(0) == expect)
+  }
+
   test("unknown transform rejected at compile time (validation.go:301-303)") {
     assertThrows[IllegalArgumentException] {
       Transforms("frobnicate", Transforms.Ctx(lit(null), NullType, "x", _ => None, Map.empty))
