@@ -34,4 +34,21 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /**
+   * Salted join for a skewed fact side: fact rows get a random salt in
+   * [0, buckets); the (small-ish) dim side replicates once per salt so
+   * every (key, salt) pair still matches. A hot fact key now spreads
+   * over `buckets` reducers instead of one. (AQE's skew-join split
+   * covers sort-merge joins automatically; this is the explicit form
+   * for when the optimizer can't see the skew — e.g. post-explode.)
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedFact.join(replicatedDim, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanism demonstrations: bucketed co-located joins and
+  * salted skew joins produce correct results with the intended plans. */
+class ScaleSpec extends SparkTestBase {
+
+  test("bucketed tables join WITHOUT a shuffle exchange (co-located join)") {
+    import spark.implicits._
+    // warehouse.dir is static config; tables land in ./spark-warehouse
+    // (gitignored) and are dropped in the finally
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // disable auto-broadcast so the join would otherwise shuffle
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1L to 100L).map(i => (i, i % 10, i * 1.5)).toDF("o_id", "cust", "amt")
+        .write.bucketBy(4, "cust").sortBy("cust").saveAsTable("b_orders")
+      (0L to 9L).map(i => (i, s"c$i")).toDF("cust", "name")
+        .write.bucketBy(4, "cust").saveAsTable("b_customer")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "cust")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join, got:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("salted join spreads a hot key and matches the plain join result") {
+    import spark.implicits._
+    // one dominant key (90 of 100 rows)
+    val fact = ((1 to 90).map(i => (1L, i.toLong)) ++ (1 to 10).map(i => (2L, i.toLong)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .groupBy("k", "tag").count().collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("tag")) -> r.getAs[Long]("count")).toMap
+    assert(salted == Map((1L, "hot") -> 90L, (2L, "cold") -> 10L))
+  }
+}
