@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, reproducible sampling for training pipelines. Random
+ * sampling (df.sample) is seed-and-partitioning dependent; hashing the
+ * record KEY makes membership a pure function of the data — stable
+ * across reruns, engines, cluster sizes, and late-arriving shards,
+ * which is what train/val splits must be.
+ */
+object Sampling {
+
+  /** Engine-portable bucket in [0, buckets) from a key column's md5
+    * (identical value in the DuckDB oracle). For pure-Spark speed
+    * paths use xxhash64 instead. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(buckets))
+
+  /** Add a split column: "train" / "val" / "test" by hash-bucket
+    * thresholds (e.g. 90/5/5). */
+  def withSplit(df: DataFrame, keyCol: String,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Keep a deterministic `pct`% sample by key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < pct)
+
+  /**
+   * Stratified deterministic sampling: per stratum value, keep a
+   * different percentage (e.g. downsample a dominant language).
+   * Unlisted strata keep `defaultPct`.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val pctExpr = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < pctExpr)
+  }
+}

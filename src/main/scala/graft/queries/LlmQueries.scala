@@ -190,6 +190,29 @@ object LlmQueries {
         graft.ops.Corpus.CleanConfig(minQuality = 0.2, nearDupThreshold = 0.6)),
       None),
 
+    // Deterministic hash-bucket train/val/test split (reproducible
+    // across engines/cluster sizes — md5-portable, oracled).
+    Q("q_llm_split",
+      (s, dir) => graft.ops.Sampling.withSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n")),
+      Some("""WITH b AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split, lang, COUNT(*) AS n
+        FROM b GROUP BY 1, 2""")),
+
+    // Stratified deterministic downsampling (dominant stratum at 20%).
+    Q("q_llm_stratified_sample",
+      (s, dir) => graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", Map("en" -> 20), defaultPct = 100),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < (CASE WHEN lang = 'en' THEN 20 ELSE 100 END)""")),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {
