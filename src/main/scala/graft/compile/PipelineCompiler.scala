@@ -42,13 +42,15 @@ object PipelineCompiler {
                   engine: EngineConfig = EngineConfig()): Compiled = {
     val srcCols = src.columns.toSeq
 
-    // ingest order + original record capture (error-file parity:
-    // app.go:98 writes the ORIGINAL record alongside the message)
-    var df = Dedup.withIngestSeq(src, SEQ)
-      .withColumn(ORIG, struct(srcCols.map(col): _*))
-      .withColumn(ERR, lit(null).cast(StringType))
-
     // ---- FILTER (§2.2): eval-error -> error channel, false -> drop ----
+    // Runs DIRECTLY on the source scan, before the nondeterministic
+    // ingest-seq column is added — otherwise Catalyst cannot push the
+    // predicate down to the (parquet) scan. Rows whose predicate
+    // evaluates to null branch into the error channel; when the
+    // predicate is provably non-nullable that branch constant-folds to
+    // an empty relation at optimization time.
+    var filtered = src
+    var filterErrors: Option[DataFrame] = None
     pb.filter.foreach { f =>
       // identifiers may be dot-notation nested paths (getNestedField,
       // processor.go:233-245) — resolve against the full schema
@@ -58,17 +60,24 @@ object PipelineCompiler {
       val unknown = tr.identifiers.filterNot(n => typeOf(n).isDefined)
       if (unknown.nonEmpty) {
         // reference: unknown parameter -> per-record eval error -> error file
-        df = df.withColumn(ERR,
-          lit(s"filter: unknown field(s) ${unknown.mkString(",")}"))
-          .filter(col(ERR).isNotNull) // all rows error; none continue
+        filterErrors = Some(src.select(col("*"),
+          lit(s"filter: unknown field(s) ${unknown.mkString(",")}").as("etl_error_message")))
+        filtered = src.limit(0)
       } else {
         val pred = expr(tr.sql)
-        df = df.withColumn(ERR,
-            when(col(ERR).isNotNull, col(ERR))
-              .when(pred.isNull, lit(s"filter: expression evaluated to null")))
-          .filter(col(ERR).isNotNull || pred)
+        filterErrors = Some(src.filter(pred.isNull).select(col("*"),
+          lit("filter: expression evaluated to null").as("etl_error_message")))
+        filtered = src.filter(pred) // null and false both excluded here
       }
     }
+
+    // ingest order + original record capture (error-file parity:
+    // app.go:98 writes the ORIGINAL record alongside the message).
+    // Relative order of surviving rows equals ingest order, so dedup
+    // first/last semantics are unchanged by filtering first.
+    var df = Dedup.withIngestSeq(filtered, SEQ)
+      .withColumn(ORIG, struct(srcCols.map(col): _*))
+      .withColumn(ERR, lit(null).cast(StringType))
 
     // ---- MAPPINGS (§2.3): sequential fold; targets shadow sources ----
     pb.mappings.foreach { rule =>
@@ -113,9 +122,13 @@ object PipelineCompiler {
     }
 
     // errors exit the pipeline before dedup (processor.go:95-119: error
-    // records never reach dedupRecords)
-    val errorsDf = df.filter(col(ERR).isNotNull)
+    // records never reach dedupRecords); filter-stage errors union in
+    val transformErrors = df.filter(col(ERR).isNotNull)
       .select(col(ORIG + ".*"), col(ERR).as("etl_error_message"))
+    val errorsDf = filterErrors match {
+      case Some(fe) => fe.unionByName(transformErrors)
+      case None => transformErrors
+    }
     var main = df.filter(col(ERR).isNull)
 
     // ---- DEDUPLICATION (§2.5) ----
