@@ -71,6 +71,18 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys)
 
+  /** Top-k rows per key by `orderCol` (desc), ties broken by
+    * `tiebreak` asc. Spark executes this as WindowGroupLimit: each map
+    * task keeps only k rows per key BEFORE the shuffle. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+                 tiebreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tiebreak).asc)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .withColumnRenamed("_rank", "rank")
+  }
+
   /** Go-parity composite dedup key string (processor.go:283-291). */
   def compositeKey(df: DataFrame, keys: Seq[String]): Column = {
     val parts = keys.sorted.map { k =>

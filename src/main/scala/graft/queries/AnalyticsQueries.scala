@@ -81,6 +81,17 @@ object AnalyticsQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // Grouped top-k: 3 highest-value events per user (WindowGroupLimit
+    // keeps k rows per key map-side before the shuffle).
+    Q("q_topk_per_key",
+      (s, dir) => graft.ops.Dedup.topKPerKey(t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), "value", "event_id", k = 3),
+      Some("""SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""")),
+
     // Hierarchical rollup with subtotal rows.
     Q("q_rollup_region",
       (s, dir) => {

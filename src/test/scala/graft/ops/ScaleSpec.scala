@@ -32,6 +32,19 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("deterministic split is stable under repartitioning and rerun") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Sampling.withSplit(d, "id").select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(df)
+    val b = splits(df.repartition(7))
+    assert(a == b) // membership is a pure function of the key
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.85 && frac < 0.95) // ~90% train
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import spark.implicits._
     // one dominant key (90 of 100 rows)
