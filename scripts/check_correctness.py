@@ -29,8 +29,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        spark_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
+        files = (glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
+                 or glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
