@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Measures recall@k of the ANN paths vs brute force on real embeddings. */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = graft.queries.Queries.t(spark, dir, "embeddings")
+    val k = 3
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
+    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6))
+    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 2))
+    println(f"RECALL lsh=${(truth & lsh).size.toDouble / truth.size}%.3f ivf=${(truth & ivf).size.toDouble / truth.size}%.3f n=${truth.size}")
+    spark.stop()
+  }
+}

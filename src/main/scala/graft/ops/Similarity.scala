@@ -105,24 +105,31 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed approximate nearest neighbors: one shuffle on the
-   * bucket key; exact cosine re-ranking inside each bucket.
+   * LSH-bucketed approximate nearest neighbors with MULTI-PROBE: the
+   * corpus shuffles once on its bucket; each query additionally probes
+   * every bucket at Hamming distance 1 from its own (flip each
+   * hyperplane bit), which is what lifts recall on high-dimensional
+   * data — a near neighbor usually differs in at most one plane sign.
+   * Candidates = (planes+1) buckets per query, exact cosine re-rank.
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              dims: Int, k: Int, planes: Int = 16,
-              maxBucketSize: Int = 10000): DataFrame = {
+              dims: Int, k: Int, planes: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), dims, planes))
-    val buckets = v.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-    val pairs = buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("nid"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val corpus = v.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val probeCols: Seq[Column] =
+      if (multiProbe) col("bucket") +: (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      else Seq(col("bucket"))
+    val q = v.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val pairs = q.join(corpus, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .distinct() // a pair can meet in more than one probe
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -124,7 +124,7 @@ object LlmQueries {
     // LSH-bucketed ANN — the 100 TB path (rows-only).
     Q("q_llm_ann_lsh",
       (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, planes = 8),
+        dims = 64, k = 3, planes = 6),
       None),
 
     // BPE-ish pre-tokenization count (word runs + punctuation).
