@@ -35,9 +35,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Driver contract: correctness entries are keyed by the OUTPUT DIRECTORY
+    // name `<name>.parquet`, so emit every oracle under BOTH the bare query
+    // name and `<name>.parquet` (round-2 postmortem: bare-only keys made the
+    // driver find oracle SQL for zero of 84 queries).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Cheap insurance: a copy at the repo root in case the driver looks there.
+    try Files.writeString(Paths.get("oracle_sql.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

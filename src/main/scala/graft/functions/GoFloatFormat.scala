@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions.udf
  * Both Java and Go produce the SHORTEST digit string that round-trips
  * the exact double; they differ only in surface form (Java "1.0E6" vs
  * Go "1e+06"). We reuse Java's shortest digits and re-render with Go's
- * rules: exponent form when decExp < -4 || decExp >= 21, lowercase
- * 'e', signed 2-digit exponent, no trailing ".0".
+ * rules: exponent form when decExp < -4 || decExp >= 6 (strconv
+ * ftoa.go sets eprec=6 in shortest mode; ftoa_test.go pins
+ * 2000000 -> "2e+06"), lowercase 'e', signed 2-digit exponent, no
+ * trailing ".0".
  */
 object GoFloatFormat {
 
@@ -35,7 +37,7 @@ object GoFloatFormat {
     if (digits.isEmpty) digits = "0"
 
     val sb = new StringBuilder(if (neg) "-" else "")
-    if (decExp < -4 || decExp >= 21) {
+    if (decExp < -4 || decExp >= 6) {
       sb.append(digits.charAt(0))
       if (digits.length > 1) sb.append('.').append(digits.substring(1))
       sb.append('e').append(if (decExp >= 0) '+' else '-')

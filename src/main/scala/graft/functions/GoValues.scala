@@ -116,7 +116,8 @@ object GoValues {
    * Go `strconv.FormatFloat(v,'g',-1,64)` (used by %v and hashing),
    * built from Spark string ops on Java's shortest-round-trip repr.
    * Java emits `1.0`/`1.0E6`/`1.23E-7`; Go emits `1`/`1e+06`/`1.23e-07`.
-   * Go switches to exponent form when exp < -4 or exp >= 21.
+   * Go switches to exponent form when exp < -4 or exp >= 6 (shortest
+   * mode eprec=6, strconv ftoa.go).
    */
   def goFormatFloat(d: Column): Column = GoFloatFormat.goFormat(d)
 

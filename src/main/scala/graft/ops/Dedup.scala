@@ -51,17 +51,42 @@ object Dedup {
   }
 
   /**
-   * Keep the record with min/max `strategyField` per key
-   * (CompareValues ordering: numeric cross-type compare, nulls lose —
-   * reference keeps the stored record when incomparable).
+   * Keep the record with min/max `strategyField` per key, ordered like
+   * the reference's CompareValues (transform.go:1052-1117) as driven by
+   * the processor's strict-improvement fold (processor.go:295-307):
+   *   - nil is SMALLEST (nil wins min, loses max);
+   *   - numeric values AND numeric strings compare as float64
+   *     (parseValueAsFloat64 transform.go:1005-1030 — so string "10"
+   *     beats "9" numerically, never lexicographically);
+   *   - non-numeric strings compare lexicographically among themselves;
+   *   - ties / incomparable keep the earliest-ingested record.
+   * Cross-class (numeric string vs non-numeric string) the reference
+   * compares raw strings pairwise, which is not a total order; we rank
+   * numerics below non-numeric strings — the same result strings.Compare
+   * gives whenever the non-numeric string starts with a letter (digits
+   * and '-'/'+' sort before letters in ASCII).
    */
   def byExtreme(df: DataFrame, keys: Seq[String], strategyField: String,
                 max: Boolean): DataFrame = {
     val seqd = if (df.columns.contains("_seq")) df else withIngestSeq(df)
     val sf = seqd(strategyField)
-    val primary = if (max) sf.desc_nulls_last else sf.asc_nulls_last
+    val dt = seqd.schema.fields.find(_.name == strategyField)
+      .map(_.dataType).getOrElse(StringType)
+    val ordCols: Seq[Column] = dt match {
+      case _: StringType =>
+        val num = GoValues.goToFloat(sf, dt)
+        // class: 0 = nil, 1 = numeric, 2 = non-numeric string
+        val cls = when(sf.isNull, 0).when(num.isNotNull, 1).otherwise(2)
+        if (max) Seq(cls.desc, num.desc_nulls_last, sf.desc_nulls_last)
+        else     Seq(cls.asc,  num.asc_nulls_last,  sf.asc_nulls_last)
+      case _ =>
+        // native types: Spark's natural order matches CompareValues
+        // (numeric, timestamp, bool false<true); nil smallest.
+        if (max) Seq(sf.desc_nulls_last) else Seq(sf.asc_nulls_first)
+    }
     // tie / incomparable → earliest ingested wins (reference keeps stored)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(primary, col("_seq").asc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordCols :+ col("_seq").asc: _*)
     seqd.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_seq")

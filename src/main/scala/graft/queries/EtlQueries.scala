@@ -82,5 +82,57 @@ object EtlQueries {
         .select(col("user_id"), col("event_id"), col("value")),
       Some("""SELECT user_id, event_id, value FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) = 1""")),
+
+    // dedup min over STRING values — CompareValues semantics
+    // (transform.go:1052-1117): numeric strings compare as float64
+    // ("9" < "10", never lexicographic), nil is smallest (wins min),
+    // non-numeric strings rank above numerics for min.
+    Q("q_dedup_min_string",
+      (s, dir) => {
+        val df = t(s, dir, "events").withColumn("value_str",
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .when(col("event_id") % 7 === 1, lit("abc"))
+            .otherwise((col("event_id") % 1000).cast("string")))
+        Dedup.byExtreme(df, Seq("user_id"), "value_str", max = false)
+          .select(col("user_id"), col("event_id"), col("value_str"))
+      },
+      Some("""SELECT user_id, event_id, value_str FROM (
+          SELECT user_id, event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+                 WHEN event_id % 7 = 1 THEN 'abc'
+                 ELSE CAST(event_id % 1000 AS VARCHAR) END AS value_str
+          FROM events)
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY
+          CASE WHEN value_str IS NULL THEN 0
+               WHEN try_cast(value_str AS DOUBLE) IS NOT NULL THEN 1
+               ELSE 2 END ASC,
+          try_cast(value_str AS DOUBLE) ASC NULLS LAST,
+          value_str ASC NULLS LAST,
+          event_id ASC) = 1""")),
+
+    // dedup max over STRING values — nil loses max; non-numeric strings
+    // beat numeric ones (strings.Compare: letters sort above digits).
+    Q("q_dedup_max_string",
+      (s, dir) => {
+        val df = t(s, dir, "events").withColumn("value_str",
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .when(col("event_id") % 7 === 1, lit("abc"))
+            .otherwise((col("event_id") % 1000).cast("string")))
+        Dedup.byExtreme(df, Seq("user_id"), "value_str", max = true)
+          .select(col("user_id"), col("event_id"), col("value_str"))
+      },
+      Some("""SELECT user_id, event_id, value_str FROM (
+          SELECT user_id, event_id,
+            CASE WHEN event_id % 7 = 0 THEN NULL
+                 WHEN event_id % 7 = 1 THEN 'abc'
+                 ELSE CAST(event_id % 1000 AS VARCHAR) END AS value_str
+          FROM events)
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY
+          CASE WHEN value_str IS NULL THEN 0
+               WHEN try_cast(value_str AS DOUBLE) IS NOT NULL THEN 1
+               ELSE 2 END DESC,
+          try_cast(value_str AS DOUBLE) DESC NULLS LAST,
+          value_str DESC NULLS LAST,
+          event_id ASC) = 1""")),
   )
 }

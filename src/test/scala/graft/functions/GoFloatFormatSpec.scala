@@ -13,8 +13,13 @@ class GoFloatFormatSpec extends AnyFunSuite {
       0.0 -> "0", 1.0 -> "1", -1.0 -> "-1", 100.0 -> "100",
       1.5 -> "1.5", 123.45 -> "123.45", -0.25 -> "-0.25",
       0.001 -> "0.001", 0.0001 -> "0.0001",
-      0.00001 -> "1e-05",              // decExp -5 < -4 -> exponent form
-      1e20 -> "100000000000000000000", // decExp 20 < 21 -> plain
+      0.00001 -> "1e-05", // decExp -5 < -4 -> exponent form
+      // Go strconv ftoa_test.go vectors: shortest 'g' switches to
+      // exponent form at decExp >= 6 (eprec=6), not 21.
+      100000.0 -> "100000", 200000.0 -> "200000",
+      1000000.0 -> "1e+06", 2000000.0 -> "2e+06",
+      1234567.0 -> "1.234567e+06", 123456.7 -> "123456.7",
+      1e20 -> "1e+20",
       1e21 -> "1e+21",
       1.23e22 -> "1.23e+22", // JDK17 Double.toString says 1.2300000000000001E22; Go (shortest) says 1.23e+22
       6.02e-23 -> "6.02e-23",
@@ -35,10 +40,10 @@ class GoFloatFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("property: integral doubles render as plain integers under 1e21") {
+  test("property: integral doubles render as plain integers under 1e6") {
     val rnd = new scala.util.Random(7)
     (1 to 2000).foreach { _ =>
-      val n = rnd.between(-1000000L, 1000000L)
+      val n = rnd.between(-999999L, 1000000L)
       assert(GoFloatFormat.format(n.toDouble) == n.toString)
     }
   }
