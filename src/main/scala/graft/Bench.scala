@@ -21,17 +21,30 @@ object Bench {
     // warm the JVM/session so the first measured query isn't charged for init
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // md5-portable ORACLE twins are correctness fixtures for the DuckDB
+    // gate, not perf claims: md5-per-shingle is 5-10x an xxhash64, and
+    // each twin's production path IS benched (q_llm_minhash_sig_x64,
+    // q_llm_minhash_pairs, q_llm_simhash_pairs, q_llm_dedup_clusters,
+    // q_llm_corpus_clean). Benching both double-counts the same operator
+    // and buries the headline in hash-function overhead.
+    val oracleOnlyFixtures = Set(
+      "q_llm_minhash_sig", "q_llm_minhash_pairs_md5", "q_llm_simhash_pairs_md5",
+      "q_llm_dedup_clusters_md5", "q_llm_corpus_clean_md5")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => oracleOnlyFixtures(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val excluded = oracleOnlyFixtures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}""")
     spark.stop()
   }
 }

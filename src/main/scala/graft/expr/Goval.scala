@@ -102,8 +102,12 @@ object Goval {
       case t => throw new IllegalArgumentException(s"expected '$op', got $t in: $expression")
     }
 
-    // Rendered SQL + a flag: is this subexpression string-typed?
-    case class R(sql: String, isString: Boolean)
+    // Rendered SQL + stringness: `isString` says the subexpression is
+    // string-typed; `known` says we positively know its type either way
+    // (literals, declared stringTyped columns, operator results).
+    // Unknown identifiers carry known=false so type-based rewrites
+    // never fire on a guess.
+    case class R(sql: String, isString: Boolean, known: Boolean = true)
 
     def sqlStr(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
@@ -127,7 +131,10 @@ object Goval {
         val renamed = rename(name)
         idents += renamed
         val quoted = renamed.split('.').map(p => s"`$p`").mkString(".")
-        R(quoted, stringTyped(renamed))
+        // stringTyped=false can mean "non-string" OR "not in the schema
+        // map" — only a positive answer is knowledge.
+        val isStr = stringTyped(renamed)
+        R(quoted, isStr, known = isStr)
       case Op("(") =>
         val e = ternary()
         peek match {
@@ -137,7 +144,7 @@ object Goval {
             while (peek.contains(Op(","))) { next(); items += ternary().sql }
             expect(")")
             R(items.mkString("(", ", ", ")"), isString = false)
-          case _ => expect(")"); R(s"(${e.sql})", e.isString)
+          case _ => expect(")"); R(s"(${e.sql})", e.isString, e.known)
         }
       case Op("-") => val e = unary(); R(s"(- ${e.sql})", isString = false)
       case Op("!") => val e = unary(); R(s"(NOT ${e.sql})", isString = false)
@@ -206,9 +213,20 @@ object Goval {
     def comparison(): R = {
       var l = bitwise()
       var go = true
+      // govaluate v3 equality (evaluationStage.go equalStage) is
+      // reflect.DeepEqual with NO type coercion and NO type check:
+      // '5' == 5 is simply false (a string never DeepEquals a float64).
+      // SQL `=` would coerce ('5' = 5 → true), so when both sides'
+      // types are positively known and their stringness differs we fold
+      // the comparison to its constant govaluate result.
+      def strictEq(a: R, b: R): Boolean = a.known && b.known && a.isString != b.isString
       while (go) peek match {
-        case Some(Op("==")) => next(); val r = bitwise(); l = R(s"(${l.sql} = ${r.sql})", isString = false)
-        case Some(Op("!=")) => next(); val r = bitwise(); l = R(s"(${l.sql} <> ${r.sql})", isString = false)
+        case Some(Op("==")) => next(); val r = bitwise()
+          l = if (strictEq(l, r)) R("false", isString = false)
+              else R(s"(${l.sql} = ${r.sql})", isString = false)
+        case Some(Op("!=")) => next(); val r = bitwise()
+          l = if (strictEq(l, r)) R("true", isString = false)
+              else R(s"(${l.sql} <> ${r.sql})", isString = false)
         case Some(Op(o @ ("<" | ">" | "<=" | ">="))) => next(); val r = bitwise()
           l = R(s"(${numericize(l, r)} $o ${numericize(r, l)})", isString = false)
         case Some(Op("=~")) => next(); val r = bitwise(); l = R(s"(${l.sql} RLIKE ${r.sql})", isString = false)
@@ -239,10 +257,12 @@ object Goval {
           next(); val a = ternary()
           expect(":")
           val b = ternary()
-          R(s"IF(${c.sql}, ${a.sql}, ${b.sql})", a.isString || b.isString)
+          R(s"IF(${c.sql}, ${a.sql}, ${b.sql})", a.isString || b.isString,
+            known = a.known && b.known && a.isString == b.isString)
         case Some(Op("??")) =>
           next(); val b = ternary()
-          R(s"COALESCE(${c.sql}, ${b.sql})", c.isString || b.isString)
+          R(s"COALESCE(${c.sql}, ${b.sql})", c.isString || b.isString,
+            known = c.known && b.known && c.isString == b.isString)
         case _ => c
       }
     }

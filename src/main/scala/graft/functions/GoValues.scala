@@ -27,16 +27,18 @@ object GoValues {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       c.cast(LongType)
     case _: FloatType | _: DoubleType | _: DecimalType =>
-      // integral floats only (transform.go:979: float64(int64(v)) == v)
+      // integral floats only (transform.go:979: float64(int64(v)) == v).
+      // try_cast, not cast: Long.MaxValue.toDouble rounds UP to 2^63, so a
+      // between() guard admits input exactly 9223372036854775808.0 and a
+      // plain ANSI cast would throw — try_cast turns overflow into null
+      // (Go's int64(v) round-trip check fails there too).
       val d = c.cast(DoubleType)
-      when(d.isNotNull && d === floor(d) && d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble),
-        d.cast(LongType))
+      when(d.isNotNull && d === floor(d), d.try_cast(LongType))
     case _: StringType =>
       val t = trim(c)
       val asLong = when(t.rlike(intRe), t.try_cast(LongType))
       val d = t.try_cast(DoubleType)
-      val viaFloat = when(d.isNotNull && d === floor(d) && d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble),
-        d.cast(LongType))
+      val viaFloat = when(d.isNotNull && d === floor(d), d.try_cast(LongType))
       coalesce(asLong, viaFloat)
     case _: BooleanType => lit(null).cast(LongType) // Go: bool not accepted (transform.go:999)
     case _ => lit(null).cast(LongType)
@@ -47,9 +49,18 @@ object GoValues {
     case _: NumericType => c.cast(DoubleType)
     case _: StringType  =>
       // Go strconv.ParseFloat after TrimSpace (transform.go:1018);
-      // try_cast: malformed -> null (never throws, ANSI-mode safe);
-      // accepts "Infinity"/"NaN" like Go.
-      trim(c).try_cast(DoubleType)
+      // try_cast: malformed -> null (never throws, ANSI-mode safe).
+      // ParseFloat also accepts "inf"/"infinity"/"nan" in any case with
+      // an optional sign, which Java's Double.parseDouble (and thus
+      // Spark's cast) does not — map those spellings explicitly.
+      // (Unsupported ParseFloat forms: hex floats "0x1p3", digit
+      // underscores "1_000" — absent from playbook data in practice.)
+      val t = trim(c)
+      val low = lower(t)
+      when(low.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
+        .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+        .when(low.isin("nan", "+nan", "-nan"), lit(Double.NaN))
+        .otherwise(t.try_cast(DoubleType))
     case _: BooleanType => lit(null).cast(DoubleType)
     case _ => lit(null).cast(DoubleType)
   }

@@ -32,47 +32,122 @@ object Readers {
     case other => throw new IllegalArgumentException(s"unsupported source type: $other")
   }
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
-   * CSV with the reference's exact semantics (internal/io/csv.go:50-135):
-   * header row -> keys, all values strings, configurable delimiter +
-   * comment char, wrong-field-count rows SKIPPED (Spark's native source
-   * pads short rows instead — not parity), duplicate header -> last
-   * column wins, empty header -> column dropped, short lookups fill "".
+   * CSV with the reference's exact semantics (internal/io/csv.go:50-135,
+   * which delegates to Go encoding/csv): header row -> keys (trimmed),
+   * all values strings, configurable delimiter + comment char, QUOTED
+   * FIELDS MAY CONTAIN EMBEDDED NEWLINES, wrong-field-count rows skipped
+   * WITH a per-row warning (csv.go:117-129), duplicate header -> last
+   * column wins, empty header -> column dropped.
    *
-   * Distributed line parse (text scan + per-partition split); like the
-   * text scan itself, quoted embedded newlines are not supported.
+   * Parsed per file (wholeTextFiles): quoted-newline CSV is inherently
+   * non-splittable — no line boundary identifies a record boundary —
+   * and the reference itself is a single-file reader. Directory reads
+   * parallelize across files (each file carries its own header row);
+   * the columnar path (parquet) is the 100 TB ingest format.
    */
   private def readCsv(spark: SparkSession, src: SourceConfig): DataFrame = {
     val delim = src.delimiter.getOrElse(",").charAt(0)
-    val header = sniffHeader(src.file, delim)
-    val n = header.size
     val comment = src.commentChar.filter(_.nonEmpty).map(_.charAt(0))
+    val header = sniffHeader(src.file, delim, comment)
+    val n = header.size
 
-    // dup -> last wins, empty -> dropped (csv.go:218-231)
-    val keep: Seq[(String, Int)] = header.zipWithIndex
+    // headers trimmed; dup -> last wins, empty -> dropped (csv.go:96-113)
+    val keep: Seq[(String, Int)] = header.map(_.trim).zipWithIndex
       .filter(_._1.nonEmpty)
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
       .toSeq.sortBy(_._2)
     val schema = StructType(keep.map { case (name, _) => StructField(name, StringType, nullable = true) })
 
-    val rows = spark.sparkContext.textFile(src.file)
-      .zipWithIndex()
-      .filter { case (line, i) => // index 0 is the header row
-        i != 0 && line.nonEmpty && !comment.exists(c => line.startsWith(c.toString))
+    val skipped = spark.sparkContext.longAccumulator("csv_skipped_rows")
+    val rows = spark.sparkContext
+      .wholeTextFiles(src.file, spark.sparkContext.defaultParallelism)
+      .flatMap { case (path, content) =>
+        // every file's record 0 is its header row
+        splitCsvRecords(content, delim, comment).iterator.zipWithIndex.drop(1)
+          .flatMap { case (fields, idx) =>
+            if (fields.length == n)
+              Some(Row.fromSeq(keep.map { case (_, i) => fields(i) }))
+            else {
+              skipped.add(1)
+              log.warn(s"csv: skipping record ${idx + 1} of $path: " +
+                s"${fields.length} fields, expected $n")
+              None
+            }
+          }
       }
-      .map { case (line, _) => splitCsvLine(line, delim) }
-      .filter(_.length == n) // wrong-field-count rows skipped (csv.go:117-129)
-      .map(fields => Row.fromSeq(keep.map { case (_, i) => fields(i) }))
     spark.createDataFrame(rows, schema)
   }
 
-  /** Driver-side first-line header sniff (local or hadoop path). */
-  private def sniffHeader(path: String, delim: Char): Seq[String] = {
+  /**
+   * Quote-aware record split (RFC4180 / Go encoding/csv shape): `""`
+   * escapes a quote inside a quoted field; a quoted field may span
+   * lines; records end at newline (or CRLF) OUTSIDE quotes; blank lines
+   * and lines starting with the comment char are skipped.
+   */
+  private[io] def splitCsvRecords(text: String, delim: Char,
+                                  comment: Option[Char]): Vector[Vector[String]] = {
+    val out = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var inComment = false
+    var sawAny = false // consumed any char of the current record
+    var nFields = 0
+    var i = 0
+    val len = text.length
+    def endRecord(): Unit = {
+      fields += sb.toString; sb.clear()
+      out += fields.result(); fields = Vector.newBuilder
+      nFields = 0; sawAny = false
+    }
+    while (i < len) {
+      val c = text.charAt(i)
+      if (inComment) {
+        if (c == '\n') inComment = false
+        i += 1
+      } else if (inQ) {
+        if (c == '"' && i + 1 < len && text.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+        else if (c == '"') { inQ = false; i += 1 }
+        else { sb.append(c); i += 1 }
+      } else if (!sawAny && comment.contains(c)) {
+        inComment = true; i += 1
+      } else if (c == '"') {
+        inQ = true; sawAny = true; i += 1
+      } else if (c == delim) {
+        fields += sb.toString; sb.clear(); nFields += 1; sawAny = true; i += 1
+      } else if (c == '\n' || (c == '\r' && i + 1 < len && text.charAt(i + 1) == '\n')) {
+        val adv = if (c == '\r') 2 else 1
+        if (sawAny || nFields > 0) endRecord() // blank line otherwise — skip
+        i += adv
+      } else {
+        sb.append(c); sawAny = true; i += 1
+      }
+    }
+    if (sawAny || nFields > 0 || sb.nonEmpty) endRecord()
+    out.result()
+  }
+
+  /** Driver-side header sniff: the first RECORD (quote-aware, so a
+    * header containing quoted newlines parses) of the first file. */
+  private def sniffHeader(path: String, delim: Char, comment: Option[Char]): Seq[String] = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       new java.io.FileInputStream(firstFile(path)), "UTF-8"))
     try {
-      val line = Option(in.readLine()).getOrElse("")
-      splitCsvLine(line, delim)
+      val sb = new StringBuilder
+      var line = in.readLine()
+      while (line != null && (line.isEmpty || comment.exists(c => line.startsWith(c.toString))))
+        line = in.readLine()
+      var open = false
+      while (line != null) {
+        sb.append(line)
+        open = (open != (line.count(_ == '"') % 2 == 1)) // quote parity across lines
+        if (!open) line = null
+        else { sb.append('\n'); line = in.readLine() }
+      }
+      splitCsvRecords(sb.toString, delim, None).headOption.getOrElse(Vector.empty)
     } finally in.close()
   }
 

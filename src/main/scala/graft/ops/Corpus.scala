@@ -19,7 +19,10 @@ object Corpus {
       nearDupThreshold: Double = 0.7,
       shingleSize: Int = 5,
       numHashes: Int = 16,
-      bands: Int = 4)
+      bands: Int = 4,
+      // md5-portable minhash pairs (4-char shingles, 8 seeds) instead of
+      // xxhash64 — slower, but every stage verifies against DuckDB
+      portableHashing: Boolean = false)
 
   /** Returns the cleaned corpus (original columns; canonical doc kept
     * per near-dup cluster) plus bookkeeping columns quality + lang_pred. */
@@ -38,8 +41,13 @@ object Corpus {
     val exact = Dedup.byIngestOrder(kept, Seq(textCol), keepFirst = true)
 
     // 3. near-dup clusters -> canonical representative
-    val pairs = Dedup.minhashNearDupPairs(exact, idCol, textCol,
-      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+    val pairs =
+      if (cfg.portableHashing)
+        Dedup.minhashPortablePairs(exact, idCol, textCol,
+          shingleSize = 4, numHashes = 8, bands = cfg.bands, threshold = cfg.nearDupThreshold)
+      else
+        Dedup.minhashNearDupPairs(exact, idCol, textCol,
+          cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
     Clusters.dedupByPairs(exact, idCol, pairs, "id_a", "id_b")
   }
 }

@@ -77,8 +77,12 @@ object Dedup {
         val num = GoValues.goToFloat(sf, dt)
         // class: 0 = nil, 1 = numeric, 2 = non-numeric string
         val cls = when(sf.isNull, 0).when(num.isNotNull, 1).otherwise(2)
-        if (max) Seq(cls.desc, num.desc_nulls_last, sf.desc_nulls_last)
-        else     Seq(cls.asc,  num.asc_nulls_last,  sf.asc_nulls_last)
+        // lexicographic key ONLY for the non-numeric class: float-equal
+        // numeric strings ("1" vs "1.0") are a CompareValues tie, so the
+        // earliest-ingested record must win via _seq, never string order.
+        val lex = when(cls === 2, sf)
+        if (max) Seq(cls.desc, num.desc_nulls_last, lex.desc_nulls_last)
+        else     Seq(cls.asc,  num.asc_nulls_last,  lex.asc_nulls_last)
       case _ =>
         // native types: Spark's natural order matches CompareValues
         // (numeric, timestamp, bool false<true); nil smallest.
@@ -195,20 +199,92 @@ object Dedup {
   }
 
   /**
+   * md5-portable MinHash signatures as BIGINT arrays: per seed j, the
+   * min over distinct shingles of the first 15 hex chars of
+   * md5("<j>|" + shingle) read base-16 — arithmetic DuckDB reproduces
+   * exactly ('0x'||substr(md5(...),1,15))::BIGINT, which is what makes
+   * the near-dup PAIR queries oracle-able. Same explode + partial-min
+   * shape as [[minhashSignatures]]; that xxhash64 integer-mixing path
+   * (one string hash per shingle instead of `numHashes` md5s) is the
+   * production/bench path.
+   */
+  def minhashPortableValues(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(charShingles(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map(j =>
+      min(conv(substring(md5(concat(lit(s"$j|"), col("sh")).cast("binary")), 1, 15), 16, 10)
+        .cast(LongType)).as(s"_m$j"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /**
+   * md5-portable MinHash/LSH near-dup pairs — the oracle twin of
+   * [[minhashNearDupPairs]]. Identical banding algorithm, but the band
+   * bucket key is the band's signature values rendered as a string
+   * (engine-portable) instead of an xxhash64 of the slice.
+   */
+  def minhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 4, numHashes: Int = 8,
+                           bands: Int = 4, threshold: Double = 0.5,
+                           maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashPortableValues(df, idCol, textCol, shingleSize, numHashes)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast(StringType)), ",")
+      }: _*)).as(Seq("band", "bucket")))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets.select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /**
    * SimHash (64-bit): per token, a 64-bit hash; bit j contributes +1/-1
    * to accumulator j; simhash bit j = sign. Near-dups = hamming
    * distance ≤ k on the signature. Scale path: one explode + one
    * groupBy(id) — token strings never shuffle (hashed first).
    */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashes(
+      df.select(col(idCol).as("id"),
+          explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        .withColumn("h", xxhash64(col("tok"))), 64)
+
+  /**
+   * md5-portable SimHash (30 bits — the widest slice of a 15-hex-char
+   * md5 prefix that stays positive in both engines): same sign-of-bit-
+   * sums construction as [[simhash64]], token hashes from md5 so the
+   * DuckDB oracle computes identical values.
+   */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashes(
+      df.select(col(idCol).as("id"),
+          explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        .withColumn("h",
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast(LongType)),
+      30)
+
+  /** Shared SimHash core over a (id, h) hashed-token frame. */
+  private def simhashFromHashes(hashed: DataFrame, bits: Int): DataFrame = {
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
     }
-    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val agg = hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), sig.as("simhash"))
@@ -227,10 +303,24 @@ object Dedup {
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4,
-                          maxBucketSize: Int = 10000): DataFrame = {
+                          maxBucketSize: Int = 10000): DataFrame =
+    simhashBandPairs(simhash64(df, idCol, textCol), 64, maxHamming, bands, maxBucketSize)
+
+  /** md5-portable SimHash near-dup pairs (30-bit signature, 5 bands of
+    * 6 bits) — the oracle twin of [[simhashNearDupPairs]]. */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, bands: Int = 5,
+                           maxBucketSize: Int = 10000): DataFrame =
+    simhashBandPairs(simhashPortable(df, idCol, textCol), 30, maxHamming, bands, maxBucketSize)
+
+  /** Banded pigeonhole blocking over a (id, simhash) frame: any pair
+    * with hamming ≤ maxHamming (< bands) shares at least one exact band
+    * slice, so one shuffle on (band, slice) finds ALL such pairs. */
+  private def simhashBandPairs(sigs: DataFrame, widthBits: Int, maxHamming: Int,
+                               bands: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
-    val bits = 64 / bands
-    val sigs = simhash64(df, idCol, textCol)
+    require(widthBits % bands == 0, "widthBits must be divisible by bands")
+    val bits = widthBits / bands
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bits)

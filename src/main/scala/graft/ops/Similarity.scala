@@ -74,13 +74,22 @@ object Similarity {
    * shuffles ONCE on the cell id; centroids broadcast as literals.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-              k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 2,
+              maxFitVectors: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("fv", array_to_vector(col("v")))
+    // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
+    // on the full corpus is the one driver-side scale hazard at 100 TB.
+    // Deterministic hash-mod downsample to ~maxFitVectors; corpora at or
+    // under the cap fit on everything (bit-identical to the unsampled fit).
+    val n = v.count()
+    val fitSet =
+      if (n <= maxFitVectors) v
+      else v.filter(pmod(xxhash64(col("id")), lit(n / maxFitVectors + 1)) === 0)
     val model = new KMeans().setK(nlist).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(v)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
     val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
       col("cell")).withColumn("nn", norm(col("nv")))
     // query-side probe list: distance to every centroid, keep nprobe best

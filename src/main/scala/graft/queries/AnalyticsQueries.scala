@@ -165,6 +165,20 @@ object AnalyticsQueries {
           count(lit(1)).as("n")),
       None),
 
+    // Oracle-able HLL check: the sketch VALUE is engine-specific, but
+    // "within 10% of exact" is a hard cross-engine claim (rsd=0.02 →
+    // 10% is 5σ; at these cardinalities HLL++ sparse mode is exact).
+    Q("q_agg_approx_distinct_check",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("n_users_exact"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("approx") - col("n_users_exact")).cast("double")
+            / col("n_users_exact") <= 0.1).as("hll_within_10pct")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+        TRUE AS hll_within_10pct FROM events GROUP BY event_type""")),
+
     // Exact percentiles (linear interpolation — matches quantile_cont).
     Q("q_percentiles",
       (s, dir) => t(s, dir, "events")
@@ -252,8 +266,8 @@ object AnalyticsQueries {
                THEN 1 ELSE 0 END AS ns
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         y AS (SELECT user_id, ts, value,
-          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM x)
         SELECT user_id, session_idx, COUNT(*) AS n_events,
           CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_secs,

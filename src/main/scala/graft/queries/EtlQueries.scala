@@ -74,14 +74,14 @@ object EtlQueries {
       (s, dir) => Dedup.byExtreme(t(s, dir, "events"), Seq("user_id"), "value", max = false)
         .select(col("user_id"), col("event_id"), col("value")),
       Some("""SELECT user_id, event_id, value FROM events
-        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) = 1""")),
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value ASC NULLS FIRST, event_id ASC) = 1""")),
 
     // dedup strategy=max on strategyField.
     Q("q_dedup_max",
       (s, dir) => Dedup.byExtreme(t(s, dir, "events"), Seq("user_id"), "value", max = true)
         .select(col("user_id"), col("event_id"), col("value")),
       Some("""SELECT user_id, event_id, value FROM events
-        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) = 1""")),
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id ASC) = 1""")),
 
     // dedup min over STRING values — CompareValues semantics
     // (transform.go:1052-1117): numeric strings compare as float64
@@ -107,7 +107,8 @@ object EtlQueries {
                WHEN try_cast(value_str AS DOUBLE) IS NOT NULL THEN 1
                ELSE 2 END ASC,
           try_cast(value_str AS DOUBLE) ASC NULLS LAST,
-          value_str ASC NULLS LAST,
+          CASE WHEN value_str IS NOT NULL AND try_cast(value_str AS DOUBLE) IS NULL
+               THEN value_str END ASC NULLS LAST,
           event_id ASC) = 1""")),
 
     // dedup max over STRING values — nil loses max; non-numeric strings
@@ -132,7 +133,8 @@ object EtlQueries {
                WHEN try_cast(value_str AS DOUBLE) IS NOT NULL THEN 1
                ELSE 2 END DESC,
           try_cast(value_str AS DOUBLE) DESC NULLS LAST,
-          value_str DESC NULLS LAST,
+          CASE WHEN value_str IS NOT NULL AND try_cast(value_str AS DOUBLE) IS NULL
+               THEN value_str END DESC NULLS LAST,
           event_id ASC) = 1""")),
   )
 }

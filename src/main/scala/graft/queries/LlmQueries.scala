@@ -65,18 +65,8 @@ object LlmQueries {
 
     // Portable SimHash (30-bit, md5-derived token hashes).
     Q("q_llm_simhash",
-      (s, dir) => {
-        val df = t(s, dir, "documents")
-        val toks = df.select(col("doc_id"),
-            explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
-          .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast(LongType))
-        val bitSums = (0 until 30).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
-        val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        val sig = (0 until 30).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-        agg.select(col("doc_id"), sig.as("simhash"))
-      },
+      (s, dir) => Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
       Some(LlmOracles.simhash)),
 
     // Token-trigram Jaccard near-dup pairs via inverted index.
@@ -100,6 +90,28 @@ object LlmQueries {
     Q("q_llm_simhash_pairs",
       (s, dir) => Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bands = 4),
+      None),
+
+    // md5-portable twins of the xxhash64 near-dup pair paths: identical
+    // banding algorithms with engine-portable hashes — these carry the
+    // hard DuckDB-oracle signal for the pair pipelines (the xxhash64
+    // variants above stay the production/bench paths).
+    Q("q_llm_minhash_pairs_md5",
+      (s, dir) => Dedup.minhashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 4, numHashes = 8, bands = 4, threshold = 0.5),
+      Some(LlmOracles.minhashPairsMd5)),
+
+    Q("q_llm_simhash_pairs_md5",
+      (s, dir) => Dedup.simhashPortablePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 5),
+      Some(LlmOracles.simhashPairsMd5)),
+
+    // xxhash64 minhash signature headline for the bench (same explode +
+    // partial-min algorithm as the oracled md5 twin q_llm_minhash_sig;
+    // the hash function itself is engine-local, hence rows-only).
+    Q("q_llm_minhash_sig_x64",
+      (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, numHashes = 16),
       None),
 
     // Embedding-cosine near-dup pairs (brute-force exact, oracled).
@@ -165,7 +177,7 @@ object LlmQueries {
         FROM wm WHERE rn >= 4 GROUP BY doc_id""")),
 
     // Near-dup dedup end-to-end: pairs -> connected components ->
-    // canonical representative per cluster (rows-only: iterative CC).
+    // canonical representative per cluster (rows-only: xxhash64 pairs).
     Q("q_llm_dedup_clusters",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -176,6 +188,18 @@ object LlmQueries {
       },
       None),
 
+    // Oracle twin of the cluster dedup: md5-portable pairs, connected
+    // components checked against a DuckDB recursive-CTE min-label walk.
+    Q("q_llm_dedup_clusters_md5",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPortablePairs(docs, "doc_id", "text",
+          shingleSize = 4, numHashes = 8, bands = 4, threshold = 0.5)
+        graft.ops.Clusters.dedupByPairs(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", pairs, "id_a", "id_b")
+      },
+      Some(LlmOracles.dedupClustersMd5)),
+
     // IVF ANN (k-means coarse quantizer + probe + exact re-rank) —
     // rows-only (k-means cells are seed-deterministic but engine-local).
     Q("q_llm_ann_ivf",
@@ -184,11 +208,20 @@ object LlmQueries {
       None),
 
     // End-to-end corpus cleaning: quality gate -> exact dedup ->
-    // near-dup cluster resolution (rows-only: composes CC).
+    // near-dup cluster resolution (rows-only: xxhash64 pairs).
     Q("q_llm_corpus_clean",
       (s, dir) => graft.ops.Corpus.clean(t(s, dir, "documents"), "doc_id", "text",
         graft.ops.Corpus.CleanConfig(minQuality = 0.2, nearDupThreshold = 0.6)),
       None),
+
+    // Oracle twin of the full cleaning composite: portable hashing end
+    // to end, so quality gate + exact dedup + recursive-CTE clusters
+    // all verify in DuckDB.
+    Q("q_llm_corpus_clean_md5",
+      (s, dir) => graft.ops.Corpus.clean(t(s, dir, "documents"), "doc_id", "text",
+        graft.ops.Corpus.CleanConfig(minQuality = 0.2, nearDupThreshold = 0.5,
+          portableHashing = true)),
+      Some(LlmOracles.corpusCleanMd5)),
 
     // Deterministic hash-bucket train/val/test split (reproducible
     // across engines/cluster sizes — md5-portable, oracled).
@@ -279,16 +312,130 @@ object LlmOracles {
       SELECT doc_id, concat_ws('|', $terms) AS sig FROM x"""
   }
 
-  val simhash: String = """
-    WITH toks AS (SELECT DISTINCT doc_id,
-        unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+  /** 30-bit md5-portable SimHash as a CTE fragment: (doc_id, simhash),
+    * sourced from `src`. Twin of [[graft.ops.Dedup.simhashPortable]]. */
+  private def simhashSigCtes(src: String): String = s"""
+    toks AS (SELECT DISTINCT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM $src),
     h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
     bits AS (SELECT doc_id, j,
         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS j) js
-      GROUP BY doc_id, j)
-    SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-    FROM bits GROUP BY doc_id"""
+      GROUP BY doc_id, j),
+    ssig AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)"""
+
+  val simhash: String =
+    s"WITH ${simhashSigCtes("documents")} SELECT doc_id, simhash FROM ssig"
+
+  /** Banded pigeonhole SimHash pairs (5 bands × 6 bits, hamming ≤ 3) —
+    * twin of [[graft.ops.Dedup.simhashPortablePairs]]. */
+  val simhashPairsMd5: String = s"""
+    WITH ${simhashSigCtes("documents")},
+    sbanded AS (SELECT doc_id, simhash, band, (simhash >> (band * 6)) & 63 AS slice
+      FROM ssig, (SELECT unnest(generate_series(0, 4)) AS band) bs),
+    ssizes AS (SELECT band, slice, COUNT(*) AS n FROM sbanded GROUP BY band, slice)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sbanded a
+      JOIN sbanded b ON a.band = b.band AND a.slice = b.slice
+      JOIN ssizes s ON s.band = a.band AND s.slice = a.slice
+      WHERE s.n BETWEEN 2 AND 10000 AND a.doc_id < b.doc_id)
+    WHERE hamming <= 3"""
+
+  /**
+   * md5-portable MinHash near-dup pair CTE fragment, sourced from
+   * `src`: 4-char shingles, 8 seeds, 4 bands of 2 — produces
+   * cand(id_a, id_b, est_jaccard ≥ 0.5). Twin of
+   * [[graft.ops.Dedup.minhashPortablePairs]].
+   */
+  private def minhashPairCtes(src: String): String = {
+    val terms = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j|' || s), 1, 15))::BIGINT))")
+      .mkString(", ")
+    s"""mx AS (SELECT doc_id AS id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(1, length(lower(text)) - 3)),
+          i -> substr(lower(text), i, 4))) AS sh
+      FROM $src),
+    msig AS (SELECT id, [$terms] AS sig FROM mx),
+    mbanded AS (SELECT id, sig, band,
+        array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), ',') AS bucket
+      FROM msig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    msizes AS (SELECT band, bucket, COUNT(*) AS n FROM mbanded GROUP BY band, bucket),
+    cand AS (SELECT id_a, id_b, est_jaccard FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          CAST(list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 8 AS est_jaccard
+        FROM mbanded a
+        JOIN mbanded b ON a.band = b.band AND a.bucket = b.bucket
+        JOIN msizes s ON s.band = a.band AND s.bucket = a.bucket
+        WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id)
+      WHERE est_jaccard >= 0.5)"""
+  }
+
+  val minhashPairsMd5: String =
+    s"WITH ${minhashPairCtes("documents")} SELECT id_a, id_b, est_jaccard FROM cand"
+
+  /** Recursive min-label walk over symmetric edges: comp(id, component),
+    * losers(id) = every node that is not its cluster's min id. */
+  private val clusterCtes: String = """
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    walk(id, comp) AS (SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    keepers AS (SELECT component, MIN(id) AS keep_id FROM comp GROUP BY component),
+    losers AS (SELECT c.id FROM comp c
+      JOIN keepers k ON c.component = k.component WHERE c.id <> k.keep_id)"""
+
+  val dedupClustersMd5: String = s"""
+    WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** End-to-end corpus-clean twin: quality gate → exact dedup →
+    * portable minhash pairs → recursive-CTE cluster resolution.
+    * Twin of [[graft.ops.Corpus.clean]] with portableHashing=true. */
+  val corpusCleanMd5: String = {
+    val counts = TextAnalysis.stopwords.map { case (l, _) =>
+      s"len(list_intersect(dtoks, ${stopLists(l)})) AS c_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val maxExpr = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN c_$l = maxc THEN '$l'").mkString(" ")
+    s"""
+    WITH RECURSIVE
+    qx AS (SELECT doc_id, text, lang, source, n_chars,
+        string_split_regex(lower(trim(text)), '\\s+') AS toks,
+        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_ratio
+      FROM documents),
+    qy AS (SELECT *, list_distinct(toks) AS dtoks, len(toks) AS n_toks,
+        CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS stop_ratio
+      FROM qx),
+    qz AS (SELECT *,
+        least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality,
+        $counts
+      FROM qy),
+    ql AS (SELECT doc_id, text, lang, source, n_chars, quality,
+        CASE WHEN maxc = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_pred
+      FROM (SELECT *, $maxExpr AS maxc FROM qz)
+      WHERE quality >= 0.2),
+    exact AS (SELECT * FROM ql
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    ${minhashPairCtes("exact")},
+    $clusterCtes
+    SELECT doc_id, text, lang, source, n_chars, quality, lang_pred FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM losers)"""
+  }
 
   val ngramJaccard: String = """
     WITH tk AS (SELECT doc_id AS id,

@@ -279,7 +279,10 @@ object Transforms {
     * zero (Go int64(v)), numeric strings int-then-float (transform.go:143-166). */
   private def epochSeconds(ctx: Ctx): Column = ctx.sourceType match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType => ctx.source.cast(LongType)
-    case _: FloatType | _: DoubleType => ctx.source.cast(LongType) // trunc toward zero
+    case _: FloatType | _: DoubleType =>
+      // trunc toward zero; try_cast so NaN / out-of-long-range values
+      // become null (error channel) instead of an ANSI cast exception
+      ctx.source.try_cast(LongType)
     case _: StringType =>
       val t = trim(ctx.source)
       coalesce(
