@@ -22,23 +22,31 @@ object GoValues {
 
   private val intRe = "^[+-]?[0-9]+$"
 
+  /**
+   * Double→Long cast that can never overflow OR saturate. ANSI cast's
+   * own range check compares `floor(d) <= Long.MaxValue` in double
+   * arithmetic, where MaxValue promotes to exactly 2^63 — so input
+   * exactly 9223372036854775808.0 passes the check and SATURATES to
+   * MaxValue (try_cast sees no error to suppress). Guard strictly:
+   * valid doubles are [-2^63, 2^63) (−2^63 is exact; 2^63 is not a Long).
+   */
+  def safeLongCast(d: Column): Column =
+    when(d >= Long.MinValue.toDouble && d < 9.223372036854776e18, d.try_cast(LongType))
+
   /** Go parseValueAsInt64 as a Column: result is LongType or null. */
   def goToInt(c: Column, dt: DataType): Column = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       c.cast(LongType)
     case _: FloatType | _: DoubleType | _: DecimalType =>
-      // integral floats only (transform.go:979: float64(int64(v)) == v).
-      // try_cast, not cast: Long.MaxValue.toDouble rounds UP to 2^63, so a
-      // between() guard admits input exactly 9223372036854775808.0 and a
-      // plain ANSI cast would throw — try_cast turns overflow into null
-      // (Go's int64(v) round-trip check fails there too).
+      // integral floats only (transform.go:979: float64(int64(v)) == v);
+      // Go's int64(v) round-trip check fails outside Long range too.
       val d = c.cast(DoubleType)
-      when(d.isNotNull && d === floor(d), d.try_cast(LongType))
+      when(d.isNotNull && d === floor(d), safeLongCast(d))
     case _: StringType =>
       val t = trim(c)
       val asLong = when(t.rlike(intRe), t.try_cast(LongType))
       val d = t.try_cast(DoubleType)
-      val viaFloat = when(d.isNotNull && d === floor(d), d.try_cast(LongType))
+      val viaFloat = when(d.isNotNull && d === floor(d), safeLongCast(d))
       coalesce(asLong, viaFloat)
     case _: BooleanType => lit(null).cast(LongType) // Go: bool not accepted (transform.go:999)
     case _ => lit(null).cast(LongType)

@@ -34,6 +34,10 @@ object Readers {
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Skip counter of the most recent CSV read (csv.go:117-129 logs each
+    * skip; the accumulator makes the total observable after the action). */
+  @transient @volatile var lastCsvSkipped: Option[org.apache.spark.util.LongAccumulator] = None
+
   /**
    * CSV with the reference's exact semantics (internal/io/csv.go:50-135,
    * which delegates to Go encoding/csv): header row -> keys (trimmed),
@@ -62,6 +66,7 @@ object Readers {
     val schema = StructType(keep.map { case (name, _) => StructField(name, StringType, nullable = true) })
 
     val skipped = spark.sparkContext.longAccumulator("csv_skipped_rows")
+    lastCsvSkipped = Some(skipped)
     val rows = spark.sparkContext
       .wholeTextFiles(src.file, spark.sparkContext.defaultParallelism)
       .flatMap { case (path, content) =>

@@ -10,9 +10,9 @@ import scala.xml.XML
  * Minimal OOXML (.xlsx) reader/writer — hand-rolled (no POI offline;
  * SURVEY §7d). An .xlsx is a ZIP of XML parts; we handle shared
  * strings, inline strings, and numbers. The reference reads FORMATTED
- * cell display values (xlsx.go:150-156); without a format engine we
- * render raw values Go-style, which matches for strings and
- * general-format numbers (the common playbook case).
+ * cell display values via excelize GetCellValue (xlsx.go:150-156), so
+ * styled numeric cells (dates, percents, thousands) render through
+ * [[NumFmt]]; General-format numbers render Go-style.
  *
  * Reference: internal/io/xlsx.go:32-170 (read), :191-304 (write).
  * Sheet selection: name > index > first (xlsx.go:60-88). All values
@@ -61,6 +61,21 @@ object Xlsx {
       val ws = XML.loadString(entryText(sheetPath)
         .getOrElse(throw new IllegalArgumentException(s"missing $sheetPath")))
 
+      // style (cellXfs) index -> number-format code, for FORMATTED
+      // display values (dates/percents — GetCellValue parity)
+      val numFmtByXf: IndexedSeq[Option[String]] = entryText("xl/styles.xml") match {
+        case Some(xmlStr) =>
+          val st = XML.loadString(xmlStr)
+          val custom = (st \ "numFmts" \ "numFmt").flatMap { nf =>
+            scala.util.Try((nf \@ "numFmtId").toInt -> (nf \@ "formatCode")).toOption
+          }.toMap
+          (st \ "cellXfs" \ "xf").map { xf =>
+            val id = scala.util.Try((xf \@ "numFmtId").toInt).getOrElse(0)
+            custom.get(id).orElse(NumFmt.builtin.get(id))
+          }.toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+
       val rows: Seq[Seq[(Int, String)]] = (ws \ "sheetData" \ "row").map { r =>
         (r \ "c").map { c =>
           val ref = c \@ "r" // e.g. "B3"
@@ -72,7 +87,15 @@ object Xlsx {
             case "b" => if ((c \ "v").text.trim == "1") "true" else "false"
             case _ =>
               val raw = (c \ "v").text
-              formatNumber(raw)
+              val fmt = (c \@ "s") match {
+                case s if s.nonEmpty =>
+                  scala.util.Try(s.toInt).toOption.flatMap(i => numFmtByXf.lift(i).flatten)
+                case _ => None
+              }
+              (fmt, scala.util.Try(raw.trim.toDouble).toOption) match {
+                case (Some(code), Some(d)) => NumFmt.format(d, code)
+                case _ => formatNumber(raw)
+              }
           }
           colIdx -> v
         }.toSeq

@@ -280,14 +280,14 @@ object Transforms {
   private def epochSeconds(ctx: Ctx): Column = ctx.sourceType match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType => ctx.source.cast(LongType)
     case _: FloatType | _: DoubleType =>
-      // trunc toward zero; try_cast so NaN / out-of-long-range values
-      // become null (error channel) instead of an ANSI cast exception
-      ctx.source.try_cast(LongType)
+      // trunc toward zero; safeLongCast so NaN / out-of-long-range values
+      // (incl. exactly 2^63, which ANSI cast saturates) become null
+      graft.functions.GoValues.safeLongCast(ctx.source.cast(DoubleType))
     case _: StringType =>
       val t = trim(ctx.source)
       coalesce(
         when(t.rlike("^[+-]?[0-9]+$"), t.try_cast(LongType)),
-        t.try_cast(DoubleType).try_cast(LongType))
+        graft.functions.GoValues.safeLongCast(t.try_cast(DoubleType)))
     case _ => lit(null).cast(LongType)
   }
 

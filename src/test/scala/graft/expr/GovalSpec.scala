@@ -8,6 +8,18 @@ class GovalSpec extends AnyFunSuite {
   private def sql(e: String, strings: Set[String] = Set.empty): String =
     Goval.translate(e, stringTyped = strings).sql
 
+  test("equality is strict on known type mismatch (govaluate equalStage = reflect.DeepEqual)") {
+    // '5' == 5 is FALSE in govaluate v3 (a string never DeepEquals a
+    // float64) — SQL '=' would coerce it to true.
+    assert(sql("'5' == 5") == "false")
+    assert(sql("'5' != 5") == "true")
+    assert(sql("status == 5", Set("status")) == "false")
+    // same-type and unknown-type comparisons keep real SQL equality
+    assert(sql("status == 'O'", Set("status")) == "(`status` = 'O')")
+    assert(sql("mystery == 5") == "(`mystery` = 5)")
+    assert(sql("mystery == 'x'") == "(`mystery` = 'x')")
+  }
+
   test("comparison operators rewrite") {
     assert(sql("a == 1") == "(`a` = 1)")
     assert(sql("a != 1") == "(`a` <> 1)")

@@ -34,6 +34,26 @@ class IoSpec extends SparkTestBase {
     assert(row.getAs[String]("b") == "3")
   }
 
+  test("csv: quoted fields span lines and escape quotes (encoding/csv parity)") {
+    val p = tmp(".csv")
+    Files.writeString(java.nio.file.Paths.get(p),
+      "id,note\n1,\"line one\nline two\"\n2,\"say \"\"hi\"\", ok\"\n")
+    val df = Readers.read(spark, graft.config.SourceConfig("csv", file = p))
+    val notes = df.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("note")).toMap
+    assert(notes("1") == "line one\nline two")
+    assert(notes("2") == "say \"hi\", ok")
+  }
+
+  test("csv: directory read drops EVERY file's header row; skip counter observable") {
+    val dir = Files.createTempDirectory("graft-csvdir")
+    Files.writeString(dir.resolve("a.csv"), "id,name\n1,x\nbad_row\n")
+    Files.writeString(dir.resolve("b.csv"), "id,name\n2,y\n")
+    val df = Readers.read(spark, graft.config.SourceConfig("csv", file = dir.toString))
+    val rows = df.collect().map(r => r.getAs[String]("id")).sorted.toSeq
+    assert(rows == Seq("1", "2")) // no header-as-data rows from file b
+    assert(Readers.lastCsvSkipped.exists(_.value == 1L)) // bad_row logged+counted
+  }
+
   test("csv writer: sorted headers, Go %v floats, nil -> empty") {
     import spark.implicits._
     val p = tmp(".csv")
@@ -100,6 +120,40 @@ class IoSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException] {
       Readers.read(spark, SourceConfig("xlsx", file = p, sheetName = Some("Nope")))
     }
+  }
+
+  test("xlsx: numFmt-styled cells render FORMATTED display values (xlsx.go:150-156)") {
+    val p = tmp(".xlsx")
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), java.time.LocalDate.of(2006, 1, 2))
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    put("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>
+        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="10"/><xf numFmtId="164"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    def is(t: String) = s"""t="inlineStr"><is><t>$t</t></is>"""
+    put("xl/worksheets/sheet1.xml",
+      s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" ${is("d_us")}</c><c r="B1" ${is("d_iso")}</c><c r="C1" ${is("pct")}</c><c r="D1" ${is("raw")}</c></row>
+         |<row r="2"><c r="A2" s="1"><v>$serial</v></c><c r="B2" s="3"><v>$serial</v></c><c r="C2" s="2"><v>0.125</v></c><c r="D2"><v>2.5</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val row = Readers.read(spark, graft.config.SourceConfig("xlsx", file = p)).collect().head
+    assert(row.getAs[String]("d_us") == "01-02-06")     // builtin 14 mm-dd-yy
+    assert(row.getAs[String]("d_iso") == "2006-01-02")  // custom yyyy-mm-dd
+    assert(row.getAs[String]("pct") == "12.50%")        // builtin 10
+    assert(row.getAs[String]("raw") == "2.5")           // General stays Go-style
   }
 
   test("xml round trip via built-in source: rowTag records, sorted string fields") {

@@ -21,6 +21,21 @@ class OpsSpec extends SparkTestBase {
     assert(last == Map("a" -> 4L, "b" -> 3L))
   }
 
+  test("byExtreme string field: float-equal numeric strings tie -> earliest ingested") {
+    import spark.implicits._
+    // "1.0" and "1" parse to the same float64: CompareValues returns 0,
+    // so the fold keeps the earliest-ingested record — string order must
+    // never break the tie (transform.go:1052-1117).
+    val df = Seq((1L, "k", "1.0"), (2L, "k", "1"), (3L, "k", "abc"), (4L, "k", "2"))
+      .toDF("id", "g", "s")
+    val mn = Dedup.byExtreme(df, Seq("g"), "s", max = false)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(mn == Seq(1L)) // 1.0 == 1 tie, id 1 earliest
+    val mx = Dedup.byExtreme(df, Seq("g"), "s", max = true)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(mx == Seq(3L)) // non-numeric class ranks above numerics for max
+  }
+
   test("byExtreme min/max with earliest-ingested tiebreak") {
     val mn = Dedup.byExtreme(events, Seq("k"), "v", max = false)
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
