@@ -28,6 +28,58 @@ object Goval {
 
   case class TranslationResult(sql: String, identifiers: Set[String])
 
+  /**
+   * govaluate date literals (parsing.go `tryParseTime`): any string
+   * literal parseable in one of its time layouts becomes a float64 of
+   * unix SECONDS at parse time, in every context — `'2014-01-02'` is
+   * the number 1388620800, and `stringField == '2014-01-02'` is
+   * constant-false (string never DeepEquals float64). Layout subset:
+   * the zone-less and numeric-offset layouts; the abbreviated-zone
+   * layouts (UnixDate/RFC822/RFC850/RFC1123) depend on Go's
+   * zone-abbrev offset-0 quirk and are omitted. Zone-less layouts are
+   * pinned to UTC (govaluate uses the process-local zone; the
+   * reference containers run UTC).
+   */
+  private[expr] def tryParseTime(s: String): Option[Long] = {
+    import java.time._
+    import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+    import java.time.temporal.ChronoField._
+    def f(pattern: String): DateTimeFormatter =
+      new DateTimeFormatterBuilder().appendPattern(pattern)
+        .parseDefaulting(YEAR, 0).parseDefaulting(MONTH_OF_YEAR, 1)
+        .parseDefaulting(DAY_OF_MONTH, 1).parseDefaulting(HOUR_OF_DAY, 0)
+        .parseDefaulting(MINUTE_OF_HOUR, 0).parseDefaulting(SECOND_OF_MINUTE, 0)
+        .toFormatter(java.util.Locale.US)
+    // RFC3339 / RFC3339Nano: optional fraction, 'Z' or ±hh:mm offset
+    val rfc3339 = new DateTimeFormatterBuilder()
+      .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+      .appendFraction(NANO_OF_SECOND, 0, 9, true)
+      .appendPattern("XXX").toFormatter(java.util.Locale.US)
+    val layouts: Seq[DateTimeFormatter] = Seq(
+      f("uuuu-MM-dd"),                       // "2006-01-02"
+      f("uuuu-MM-dd HH:mm"),                 // "2006-01-02 15:04"
+      f("uuuu-MM-dd HH:mm:ss"),              // "2006-01-02 15:04:05"
+      f("uuuu-MM-dd HH:mm:ssXXX"),           // "... -07:00"
+      rfc3339,                               // RFC3339 / RFC3339Nano
+      f("uuuu-MM-dd'T'HHXX"),                // ISO8601 hour, Z0700
+      f("uuuu-MM-dd'T'HH:mmXX"),             // ISO8601 minutes, Z0700
+      f("uuuu-MM-dd'T'HH:mm:ssXX"),          // ISO8601 seconds, Z0700
+      new DateTimeFormatterBuilder().appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+        .appendFraction(NANO_OF_SECOND, 0, 9, true)
+        .appendPattern("XX").toFormatter(java.util.Locale.US), // ISO8601 nanos, Z0700
+      f("h:mma"),                            // Kitchen "3:04PM" (Go year-0 date)
+      f("EEE MMM dd HH:mm:ss xx uuuu"),      // RubyDate
+      f("EEE MMM ppd HH:mm:ss uuuu"))        // ANSIC (space-padded day)
+    layouts.view.flatMap { fmt =>
+      try {
+        val ta = fmt.parse(s)
+        val ldt = LocalDateTime.from(ta)
+        val off = if (ta.isSupported(OFFSET_SECONDS)) ZoneOffset.from(ta) else ZoneOffset.UTC
+        Some(ldt.toEpochSecond(off))
+      } catch { case _: Exception => None }
+    }.headOption
+  }
+
   def tokenize(s: String): List[Tok] = {
     val out = ArrayBuffer[Tok]()
     var i = 0
@@ -124,7 +176,11 @@ object Goval {
 
     def primary(): R = next() match {
       case Num(v)   => R(v, isString = false)
-      case Str(v)   => R(sqlStr(v), isString = true)
+      case Str(v)   => tryParseTime(v) match {
+        // govaluate tokenizer: date-parseable string → float64 unix seconds
+        case Some(secs) => R(secs.toString, isString = false)
+        case None       => R(sqlStr(v), isString = true)
+      }
       case Ident("true")  => R("true", isString = false)
       case Ident("false") => R("false", isString = false)
       case Ident(name) =>

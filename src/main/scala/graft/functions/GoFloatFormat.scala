@@ -74,9 +74,18 @@ object GoFloatFormat {
     (mant, exp)
   }
 
-  private val goFormatUdf = udf((v: java.lang.Double) =>
-    if (v == null) null else format(v))
+  /** Column form — the codegen'd [[graft.expr.GoFormatFloat]]
+    * expression (null-safe: null → null). Falls back to a UDF only
+    * when no session is active (pure unit-test contexts). */
+  def goFormat(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        Registry.ensure(s)
+        org.apache.spark.sql.functions.call_function("go_format_float", c)
+      case None => goFormatUdf(c)
+    }
+  }
 
-  /** Column form. Null-safe (null → null). */
-  def goFormat(c: Column): Column = goFormatUdf(c)
+  private lazy val goFormatUdf = udf((v: java.lang.Double) =>
+    if (v == null) null else format(v))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.VecDot
+import graft.expr.{GoFormatFloat, VecDot}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -20,5 +20,9 @@ object Registry {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("go_format_float"),
+      new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
+      (children: Seq[Expression]) => GoFormatFloat(children.head))
   }
 }

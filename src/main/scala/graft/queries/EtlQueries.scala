@@ -40,6 +40,23 @@ object EtlQueries {
         WHERE (l_extendedprice * (1 - l_discount) > 90000)
            OR (regexp_matches(l_returnflag, 'A') AND l_quantity % 7 = 0)""")),
 
+    // govaluate DATE LITERALS (parsing.go tryParseTime): a string
+    // literal parseable as a date tokenizes to float64 unix seconds, so
+    // it compares numerically against an epoch field. The oracle derives
+    // the same window independently from the TIMESTAMP column.
+    Q("q_filter_date_literal",
+      (s, dir) => {
+        val pred = Goval.translate(
+          "o_epoch >= '1995-06-01' && o_epoch < '1995-09-01 00:00:00'").sql
+        t(s, dir, "orders")
+          .withColumn("o_epoch", unix_timestamp(col("o_orderdate")))
+          .filter(expr(pred))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate < TIMESTAMP '1995-09-01'""")),
+
     // flatten with includeParent=false: output holds ONLY the element.
     Q("q_flatten_noparent",
       (s, dir) => t(s, dir, "documents")

@@ -20,6 +20,20 @@ class GovalSpec extends AnyFunSuite {
     assert(sql("mystery == 'x'") == "(`mystery` = 'x')")
   }
 
+  test("date literals tokenize to unix seconds (govaluate parsing.go tryParseTime)") {
+    // '2014-01-02' is the NUMBER 1388620800 in govaluate, in every context
+    assert(sql("ts > '2014-01-02'") == "(`ts` > 1388620800)")
+    assert(sql("ts >= '2014-01-02 15:04:05'") == "(`ts` >= 1388675045)")
+    assert(sql("ts < '2014-01-02T15:04:05Z'") == "(`ts` < 1388675045)")
+    assert(sql("ts < '2014-01-02T15:04:05+01:00'") == "(`ts` < 1388671445)")
+    // a string column compared to a date literal is a known type
+    // mismatch -> constant DeepEqual result, like '5' == 5
+    assert(sql("name == '2014-01-02'", Set("name")) == "false")
+    // non-date strings stay strings
+    assert(sql("name == '2014-13-99'", Set("name")) == "(`name` = '2014-13-99')")
+    assert(sql("name == 'x2014-01-02'", Set("name")) == "(`name` = 'x2014-01-02')")
+  }
+
   test("comparison operators rewrite") {
     assert(sql("a == 1") == "(`a` = 1)")
     assert(sql("a != 1") == "(`a` <> 1)")
