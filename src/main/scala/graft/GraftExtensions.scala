@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.VecDot
+import graft.expr.{GoFormatFloat, VecDot}
 
 /**
  * SparkSessionExtensions injector: activate graft's native expressions
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("go_format_float"),
+      new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
+      (children: Seq[Expression]) => GoFormatFloat(children.head)))
   }
 }

@@ -57,6 +57,14 @@ object GoFloatFormat {
   /** (significant digits, base-10 exponent of the first digit) for a
     * positive finite double — minimal digit count that round-trips. */
   private def shortestDigits(v: Double): (String, Int) = {
+    // Integral values below 2^53 carry their exact digits: skip the
+    // format/parse search entirely (the caller strips trailing zeros,
+    // which is exactly what the search would have found). This is the
+    // common ETL case — ids, counts, whole-number prices.
+    if (v == math.rint(v) && v < 9.007199254740992e15) {
+      val s = java.lang.Long.toString(v.toLong)
+      return (s, s.length - 1)
+    }
     var p = 0
     while (p < 17) {
       val s = String.format("%." + p + "e", Double.box(v)) // p+1 sig digits

@@ -37,8 +37,14 @@ object Corpus {
     if (cfg.langs.nonEmpty)
       kept = kept.filter(col("lang_pred").isin(cfg.langs.toSeq: _*))
 
-    // 2. exact dedup (hash shuffle on content)
+    // 2. exact dedup (hash shuffle on content). Persisted: the result
+    //    feeds BOTH the near-dup pair generation and the final
+    //    anti-join, and without a persist the whole scan + gate +
+    //    dedup-window DAG executes twice. At full scale this is the
+    //    stage boundary where a production pipeline materializes the
+    //    cleaned corpus anyway (MEMORY_AND_DISK spills, never OOMs).
     val exact = Dedup.byIngestOrder(kept, Seq(textCol), keepFirst = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup clusters -> canonical representative
     val pairs =

@@ -58,10 +58,13 @@ object Similarity {
   private def planeSign(j: Int, i: Int): Column =
     when(pmod(xxhash64(lit(j), lit(i)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** 16-bit random-hyperplane LSH bucket key for an array<double> vec. */
-  def lshBucket(vec: Column, dims: Int, planes: Int = 16): Column =
+  /** Random-hyperplane LSH bucket key for an array<double> vec.
+    * `tableSeed` offsets the plane hash so each table of a multi-table
+    * scheme draws INDEPENDENT hyperplanes (seed 0 = the original
+    * single-table buckets). */
+  def lshBucket(vec: Column, dims: Int, planes: Int = 16, tableSeed: Int = 0): Column =
     (0 until planes).map { j =>
-      val d = (0 until dims).map(i => element_at(vec, i + 1) * planeSign(j, i))
+      val d = (0 until dims).map(i => element_at(vec, i + 1) * planeSign(tableSeed * planes + j, i))
         .reduce(_ + _)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -114,31 +117,44 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed approximate nearest neighbors with MULTI-PROBE: the
-   * corpus shuffles once on its bucket; each query additionally probes
-   * every bucket at Hamming distance 1 from its own (flip each
-   * hyperplane bit), which is what lifts recall on high-dimensional
-   * data — a near neighbor usually differs in at most one plane sign.
-   * Candidates = (planes+1) buckets per query, exact cosine re-rank.
+   * Multi-table LSH approximate nearest neighbors with multi-probe:
+   * `tables` independent hyperplane tables (the standard recall lever —
+   * a near neighbor missed by one table's cut is usually caught by
+   * another), each probed at the query's own bucket plus every bucket
+   * at Hamming distance 1 (flip each plane bit). Candidates are the
+   * union across tables, exact-cosine re-ranked. The corpus shuffles
+   * once per table (explode on the (table, bucket) key) — at 100 TB
+   * that is `tables`× the corpus shuffle volume, the documented price
+   * of recall; tune `tables`/`planes` per corpus. Buckets are computed
+   * ONCE per row per table; probe keys are cheap bit-flips of those
+   * columns (codegen CSE keeps the hyperplane sums single-evaluation).
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               dims: Int, k: Int, planes: Int = 8,
-              multiProbe: Boolean = true): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+              multiProbe: Boolean = true, tables: Int = 4): DataFrame = {
+    val v0 = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), dims, planes))
-    val corpus = v.select(col("id").as("nid"), col("v").as("nv"),
-      col("nrm").as("nn"), col("bucket"))
-    val probeCols: Seq[Column] =
-      if (multiProbe) col("bucket") +: (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
-      else Seq(col("bucket"))
-    val q = v.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(array(probeCols: _*)).as("bucket"))
-    val pairs = q.join(corpus, "bucket")
+    val v = (0 until tables).foldLeft(v0) { (d, t) =>
+      d.withColumn(s"b_$t", lshBucket(col("v"), dims, planes, t))
+    }
+    val corpus = v
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"b_$t").as("b"))): _*)))
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("tb"))
+    val probeCols: Seq[Column] = (0 until tables).flatMap { t =>
+      val base = col(s"b_$t")
+      val bs = if (multiProbe) base +: (0 until planes).map(j => base.bitwiseXOR(lit(1L << j)))
+               else Seq(base)
+      bs.map(b => struct(lit(t).as("t"), b.as("b")))
+    }
+    val q = v
+      .withColumn("tb", explode(array(probeCols: _*)))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("tb"))
+    val pairs = q.join(corpus, "tb")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .distinct() // a pair can meet in more than one probe
+      .distinct() // a pair can meet in more than one table/probe
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
