@@ -16,9 +16,16 @@ object RecallCheck {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
+    def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
     val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6))
     val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 2))
-    println(f"RECALL lsh=${(truth & lsh).size.toDouble / truth.size}%.3f ivf=${(truth & ivf).size.toDouble / truth.size}%.3f n=${truth.size}")
+    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f n=${truth.size}")
+    // config sweep for the recall/candidate-volume tradeoff table
+    for ((t, mp) <- Seq((1, true), (2, true), (4, false), (4, true), (6, false))) {
+      val r = rec(pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k,
+        planes = 6, multiProbe = mp, tables = t)))
+      println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s recall=$r%.3f")
+    }
     spark.stop()
   }
 }

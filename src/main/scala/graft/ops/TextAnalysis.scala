@@ -83,11 +83,17 @@ object TextAnalysis {
    * k-gram hashes; each sliding window of `w` consecutive hashes
    * contributes its minimum; the distinct window-min set is the
    * fingerprint. Guarantees every match of length >= w+k-1 shares a
-   * fingerprint hash. One shuffle (window by doc); md5-derived hash so
-   * the DuckDB oracle is value-identical.
+   * fingerprint hash. One shuffle (window by doc).
+   *
+   * `portableHash=true` (default) uses the md5-derived hash so the
+   * DuckDB oracle computes value-identical fingerprints — a
+   * correctness fixture. The production path at scale is
+   * `portableHash=false`: xxhash64, ~5-10× cheaper per shingle,
+   * identical algorithm (benched as `q_llm_winnowing_x64`).
    */
   def winnowingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                           k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+                           k: Int = 8, w: Int = 4,
+                           portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = lower(col(textCol))
     val shingles = transform(
@@ -95,7 +101,9 @@ object TextAnalysis {
       i => s.substr(i, lit(k)))
     val pos = df.select(col(idCol), posexplode(shingles).as(Seq("pos", "sh")))
       .withColumn("h",
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long"))
+        if (portableHash)
+          conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long")
+        else xxhash64(col("sh")))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     pos.withColumn("wmin", min(col("h")).over(byPos.rowsBetween(-(w - 1), 0)))
       .withColumn("rn", row_number().over(byPos))
@@ -108,15 +116,19 @@ object TextAnalysis {
    * Mod-sampling rolling-hash fingerprint (the shape used by content-
    * defined dedup): hash every k-char shingle, keep those ≡ 0 mod
    * `modulus`, render the sorted sample as the document fingerprint.
-   * Portable: the shingle hash is md5-derived so the DuckDB oracle
-   * computes the identical value.
+   * `portableHash=true` (default): md5-derived hash, value-identical
+   * in DuckDB — correctness fixture. `portableHash=false`: xxhash64,
+   * the production path (benched as `q_llm_rolling_fp_x64`).
    */
   def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, modulus: Int = 16): org.apache.spark.sql.DataFrame = {
+                         k: Int = 8, modulus: Int = 16,
+                         portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol),
       explode(Dedup.charShingles(col(textCol), k)).as("_sh"))
     val hashed = sh.withColumn("_h",
-      conv(substring(md5(col("_sh").cast("binary")), 1, 15), 16, 10).cast("long"))
+      if (portableHash)
+        conv(substring(md5(col("_sh").cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("_sh")))
     hashed.filter(pmod(col("_h"), lit(modulus)) === 0)
       .groupBy(col(idCol))
       .agg(array_join(array_sort(collect_set(col("_h"))), ",").as("fp"))

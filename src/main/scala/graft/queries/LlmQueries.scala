@@ -160,6 +160,17 @@ object LlmQueries {
         FROM h WHERE h % 16 = 0 GROUP BY doc_id""")),
 
     // Winnowing fingerprint (window-min over positional shingle hashes).
+    // xxhash64 production twins of the two md5-portable fingerprint
+    // fixtures below — identical algorithm, engine-local hash (rows-only).
+    Q("q_llm_rolling_fp_x64",
+      (s, dir) => TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text",
+        portableHash = false),
+      None),
+    Q("q_llm_winnowing_x64",
+      (s, dir) => TextAnalysis.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text",
+        portableHash = false),
+      None),
+
     Q("q_llm_winnowing",
       (s, dir) => TextAnalysis.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text"),
       Some("""WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
