@@ -26,6 +26,11 @@ object RecallCheck {
         planes = 6, multiProbe = mp, tables = t)))
       println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s recall=$r%.3f")
     }
+    for ((nl, np) <- Seq((8, 3), (8, 4), (16, 4))) {
+      val r = rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,
+        nlist = nl, nprobe = np)))
+      println(f"RECALL_SWEEP ivf nlist=$nl%d nprobe=$np%d recall=$r%.3f")
+    }
     spark.stop()
   }
 }

@@ -137,10 +137,14 @@ object Similarity {
     val v = (0 until tables).foldLeft(v0) { (d, t) =>
       d.withColumn(s"b_$t", lshBucket(col("v"), dims, planes, t))
     }
+    // candidate generation moves ONLY (id, bucket) pairs — the 512-byte
+    // vectors never ride through the bucket join or the distinct; each
+    // unique candidate pair is scored exactly once after a fetch join
+    // back to the (id, vec, norm) relation.
     val corpus = v
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"b_$t").as("b"))): _*)))
-      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("tb"))
+      .select(col("id").as("nid"), col("tb"))
     val probeCols: Seq[Column] = (0 until tables).flatMap { t =>
       val base = col(s"b_$t")
       val bs = if (multiProbe) base +: (0 until planes).map(j => base.bitwiseXOR(lit(1L << j)))
@@ -149,12 +153,16 @@ object Similarity {
     }
     val q = v
       .withColumn("tb", explode(array(probeCols: _*)))
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("tb"))
-    val pairs = q.join(corpus, "tb")
+      .select(col("id").as("qid"), col("tb"))
+    val cand = q.join(corpus, "tb")
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct() // a pair can meet in more than one table/probe
+    val pairs = cand
+      .join(v0.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(v0.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .distinct() // a pair can meet in more than one table/probe
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

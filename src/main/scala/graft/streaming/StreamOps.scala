@@ -83,6 +83,66 @@ object StreamOps {
       .drop("_minhash_sig")
   }
 
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        total_value: Double)
+  // not `private`: the state-store encoder codegen needs the public
+  // constructor/accessors of the state class
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /**
+   * Gap-based sessionization on an unbounded stream — the streaming
+   * twin of the batch `ops.Sessions.sessionize` (same gap rule, same
+   * aggregates). flatMapGroupsWithState with EventTimeTimeout: events
+   * inside a batch extend or close sessions by the gap rule; a session
+   * still open at batch end parks in the state store with a timeout at
+   * (last event + gap), and the watermark passing that point fires the
+   * timeout and emits the closed session. State per key is one
+   * fixed-size struct, so store size is O(active keys) and the
+   * watermark bounds its lifetime — nothing touches the driver.
+   */
+  def sessionizeStream(events: Dataset[UserEvent], gapMinutes: Int = 30,
+                       watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            for (e <- batch.toArray.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(t, s.last), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // a timeout at or before the current watermark throws —
+              // clamp just past it (the session closes immediately then)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

@@ -68,6 +68,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gap sessionization: in-batch gap closes a session; watermark timeout closes the parked one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    // 10-minute gap, 5-minute watermark delay
+    val out = StreamOps.sessionizeStream(mem.toDS(), gapMinutes = 10, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session A: u1 at 10:01 + 10:05; u1 at 10:40 starts session B in
+      // the SAME batch -> A closes by the in-batch gap rule
+      mem.addData(
+        UserEvent(1, "a", 1.0, ts(1)), UserEvent(1, "b", 2.0, ts(5)),
+        UserEvent(1, "c", 3.0, ts(40)))
+      q.processAllAvailable()
+      // a late-hour event pushes the watermark past B's (10:40 + 10min)
+      // timeout; the fire happens on the FOLLOWING batch
+      mem.addData(UserEvent(9, "z", 0.0, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(UserEvent(9, "z", 0.0, Timestamp.valueOf("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(got == Set(
+        (ts(1), ts(5), 2L, 3.0),    // session A: gap-closed in batch
+        (ts(40), ts(40), 1L, 3.0))) // session B: timeout-closed by watermark
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
