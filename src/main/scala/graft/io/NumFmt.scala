@@ -188,12 +188,23 @@ object NumFmt {
     val maskStart = code.indexOf(mask)
     val prefix = code.substring(0, maskStart).replace("\"", "")
     val suffix = code.substring(maskStart + mask.length).replace("\"", "")
-    val decimals = if (mask.contains('.')) mask.dropWhile(_ != '.').count(c => c == '0' || c == '#') else 0
+    // '0' fraction slots are mandatory, '#' slots drop trailing zeros:
+    // "0.0#" gives 1.5 -> "1.5" (min 1 digit) but 1.0 -> "1.0".
+    val fracMask = if (mask.contains('.')) mask.dropWhile(_ != '.').drop(1) else ""
+    val decimals = fracMask.count(c => c == '0' || c == '#')
+    val minFrac = fracMask.lastIndexOf('0') + 1 // 0 when no mandatory slot
     val grouped = mask.contains(',')
     val bd = BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
-    val body =
+    var body =
       if (grouped) String.format(java.util.Locale.ROOT, s"%,.${decimals}f", Double.box(bd.toDouble))
       else bd.bigDecimal.toPlainString
+    if (decimals > minFrac && body.contains('.')) {
+      val dot = body.indexOf('.')
+      var end = body.length
+      while (end - dot - 1 > minFrac && body.charAt(end - 1) == '0') end -= 1
+      if (end - 1 == dot) end = dot // nothing mandatory left -> drop the '.'
+      body = body.substring(0, end)
+    }
     prefix + body + suffix
   }
 }

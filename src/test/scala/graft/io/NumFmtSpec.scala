@@ -42,6 +42,15 @@ class NumFmtSpec extends AnyFunSuite {
     assert(NumFmt.format(12345.0, "0.00E+00") == "1.23E+04")
   }
 
+  test("optional '#' fraction slots drop trailing zeros; '0' slots keep them") {
+    assert(NumFmt.format(1.5, "0.##") == "1.5")
+    assert(NumFmt.format(1.25, "0.##") == "1.25")
+    assert(NumFmt.format(2.0, "0.##") == "2")     // all-optional fraction vanishes
+    assert(NumFmt.format(1.5, "0.0#") == "1.5")
+    assert(NumFmt.format(1.0, "0.0#") == "1.0")   // mandatory slot stays
+    assert(NumFmt.format(1234.5, "#,##0.##") == "1,234.5")
+  }
+
   test("negative section with parens (builtin 37-40 shape)") {
     assert(NumFmt.format(-1234.5, "#,##0 ;(#,##0)") == "(1,235)")
     assert(NumFmt.format(1234.5, "#,##0 ;(#,##0)") == "1,235 ")
