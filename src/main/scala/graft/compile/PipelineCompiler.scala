@@ -56,7 +56,10 @@ object PipelineCompiler {
       // processor.go:233-245) — resolve against the full schema
       def typeOf(n: String): Option[DataType] = resolvePath(src.schema, n)
       val tr = Goval.translate(f,
-        stringTyped = n => typeOf(n).exists(_.isInstanceOf[StringType]))
+        stringTyped = n => typeOf(n).exists(_.isInstanceOf[StringType]),
+        timestampTyped = n => typeOf(n).exists(t =>
+          t.isInstanceOf[TimestampType] || t == TimestampNTZType ||
+            t.isInstanceOf[DateType]))
       val unknown = tr.identifiers.filterNot(n => typeOf(n).isDefined)
       if (unknown.nonEmpty) {
         // reference: unknown parameter -> per-record eval error -> error file

@@ -133,12 +133,19 @@ object Goval {
    * @param stringTyped identifier → true when the column is known to be
    *   a string (so `+` renders as CONCAT, matching govaluate's
    *   string-concat `+`); unknown identifiers assumed non-string.
+   * @param timestampTyped identifier → true when the column is a
+   *   timestamp/date. Such columns render as `to_unix_timestamp(col)`
+   *   so they compare naturally against govaluate date LITERALS (which
+   *   are unix seconds). Extension beyond the reference: its sources
+   *   never produce typed timestamps (strings/numbers only), so this
+   *   case is new surface introduced by the typed (parquet) sources.
    * @param rename identifier rewriting (e.g. branch's `inputValue` →
    *   the source column).
    */
   def translate(expression: String,
                 stringTyped: String => Boolean = _ => false,
-                rename: String => String = identity): TranslationResult = {
+                rename: String => String = identity,
+                timestampTyped: String => Boolean = _ => false): TranslationResult = {
     val toks = tokenize(expression)
     val idents = scala.collection.mutable.Set[String]()
     var pos = 0
@@ -187,10 +194,15 @@ object Goval {
         val renamed = rename(name)
         idents += renamed
         val quoted = renamed.split('.').map(p => s"`$p`").mkString(".")
-        // stringTyped=false can mean "non-string" OR "not in the schema
-        // map" — only a positive answer is knowledge.
-        val isStr = stringTyped(renamed)
-        R(quoted, isStr, known = isStr)
+        if (timestampTyped(renamed)) {
+          // epoch seconds, the same scale govaluate date literals use
+          R(s"to_unix_timestamp($quoted)", isString = false, known = true)
+        } else {
+          // stringTyped=false can mean "non-string" OR "not in the schema
+          // map" — only a positive answer is knowledge.
+          val isStr = stringTyped(renamed)
+          R(quoted, isStr, known = isStr)
+        }
       case Op("(") =>
         val e = ternary()
         peek match {

@@ -57,6 +57,21 @@ object EtlQueries {
         WHERE o_orderdate >= TIMESTAMP '1995-06-01'
           AND o_orderdate < TIMESTAMP '1995-09-01'""")),
 
+    // timestamp-TYPED column vs date literal (extension for typed
+    // sources: the identifier renders as to_unix_timestamp so it
+    // compares on the same epoch-seconds scale as the literal).
+    Q("q_filter_ts_literal",
+      (s, dir) => {
+        val pred = Goval.translate(
+          "o_orderdate >= '1995-06-01' && o_orderdate < '1995-09-01'",
+          timestampTyped = Set("o_orderdate")).sql
+        t(s, dir, "orders").filter(expr(pred))
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate < TIMESTAMP '1995-09-01'""")),
+
     // flatten with includeParent=false: output holds ONLY the element.
     Q("q_flatten_noparent",
       (s, dir) => t(s, dir, "documents")

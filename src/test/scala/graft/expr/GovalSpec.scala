@@ -34,6 +34,12 @@ class GovalSpec extends AnyFunSuite {
     assert(sql("name == 'x2014-01-02'", Set("name")) == "(`name` = 'x2014-01-02')")
   }
 
+  test("timestamp-typed identifiers render as epoch seconds (extension for typed sources)") {
+    val r = Goval.translate("ts >= '2014-01-02' && n > 1",
+      timestampTyped = Set("ts"))
+    assert(r.sql == "((to_unix_timestamp(`ts`) >= 1388620800) AND (`n` > 1))")
+  }
+
   test("comparison operators rewrite") {
     assert(sql("a == 1") == "(`a` = 1)")
     assert(sql("a != 1") == "(`a` <> 1)")
