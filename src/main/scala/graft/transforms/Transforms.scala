@@ -168,11 +168,17 @@ object Transforms {
       val isStringField: String => Boolean = f =>
         if (f == ctx.sourceName) ctx.sourceType.isInstanceOf[StringType]
         else ctx.field(f).exists(_._2.isInstanceOf[StringType])
+      def isTsType(t: DataType): Boolean =
+        t.isInstanceOf[TimestampType] || t == TimestampNTZType || t.isInstanceOf[DateType]
+      val isTsField: String => Boolean = f =>
+        if (f == ctx.sourceName) isTsType(ctx.sourceType)
+        else ctx.field(f).exists(p => isTsType(p._2))
       val result = branches.foldLeft[Option[Column]](None) { case (acc, (condOpt, value)) =>
         val cond = Goval.translate(
           require(condOpt, "branch.condition"),
           stringTyped = isStringField,
-          rename = n => if (n == "inputValue") ctx.sourceName else n).sql
+          rename = n => if (n == "inputValue") ctx.sourceName else n,
+          timestampTyped = isTsField).sql
         val v = litAny(value)
         Some(acc match {
           case None => when(expr(cond), v)
