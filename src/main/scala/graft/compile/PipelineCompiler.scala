@@ -57,9 +57,12 @@ object PipelineCompiler {
       def typeOf(n: String): Option[DataType] = resolvePath(src.schema, n)
       val tr = Goval.translate(f,
         stringTyped = n => typeOf(n).exists(_.isInstanceOf[StringType]),
-        timestampTyped = n => typeOf(n).exists(t =>
-          t.isInstanceOf[TimestampType] || t == TimestampNTZType ||
-            t.isInstanceOf[DateType]))
+        timestampTyped = n => typeOf(n).flatMap {
+          case TimestampNTZType    => Some("timestamp_ntz")
+          case _: TimestampType    => Some("timestamp")
+          case _: DateType         => Some("date")
+          case _                   => None
+        })
       val unknown = tr.identifiers.filterNot(n => typeOf(n).isDefined)
       if (unknown.nonEmpty) {
         // reference: unknown parameter -> per-record eval error -> error file

@@ -133,19 +133,23 @@ object Goval {
    * @param stringTyped identifier → true when the column is known to be
    *   a string (so `+` renders as CONCAT, matching govaluate's
    *   string-concat `+`); unknown identifiers assumed non-string.
-   * @param timestampTyped identifier → true when the column is a
-   *   timestamp/date. Such columns render as `to_unix_timestamp(col)`
-   *   so they compare naturally against govaluate date LITERALS (which
-   *   are unix seconds). Extension beyond the reference: its sources
-   *   never produce typed timestamps (strings/numbers only), so this
-   *   case is new surface introduced by the typed (parquet) sources.
+   * @param timestampTyped identifier → Some(flavor) when the column is
+   *   datetime-typed ("timestamp" | "timestamp_ntz" | "date"). In a
+   *   comparison against a govaluate date LITERAL the column stays
+   *   BARE and the literal renders as a typed timestamp
+   *   (`TIMESTAMP_SECONDS(n)` constant-folds to a literal the parquet
+   *   scan can push down); in any other context the column renders as
+   *   `to_unix_timestamp(col)` — the same epoch-seconds scale the
+   *   literals use. Extension beyond the reference: its sources never
+   *   produce typed timestamps (strings/numbers only), so this case is
+   *   new surface introduced by the typed (parquet) sources.
    * @param rename identifier rewriting (e.g. branch's `inputValue` →
    *   the source column).
    */
   def translate(expression: String,
                 stringTyped: String => Boolean = _ => false,
                 rename: String => String = identity,
-                timestampTyped: String => Boolean = _ => false): TranslationResult = {
+                timestampTyped: String => Option[String] = _ => None): TranslationResult = {
     val toks = tokenize(expression)
     val idents = scala.collection.mutable.Set[String]()
     var pos = 0
@@ -165,8 +169,30 @@ object Goval {
     // string-typed; `known` says we positively know its type either way
     // (literals, declared stringTyped columns, operator results).
     // Unknown identifiers carry known=false so type-based rewrites
-    // never fire on a guess.
-    case class R(sql: String, isString: Boolean, known: Boolean = true)
+    // never fire on a guess. `tsCol` carries a datetime column's bare
+    // SQL + flavor and `dateLit` a date literal's epoch seconds so a
+    // comparison between them can render pushdown-friendly.
+    case class R(sql: String, isString: Boolean, known: Boolean = true,
+                 tsCol: Option[(String, String)] = None,
+                 dateLit: Option[Long] = None)
+
+    /** Typed timestamp literal — TIMESTAMP_SECONDS is foldable, so the
+      * optimizer sees a plain literal and the scan can push the filter. */
+    def tsLit(flavor: String, secs: Long): String = flavor match {
+      case "timestamp_ntz" => s"CAST(TIMESTAMP_SECONDS($secs) AS TIMESTAMP_NTZ)"
+      case "date"          => s"CAST(TIMESTAMP_SECONDS($secs) AS DATE)"
+      case _               => s"TIMESTAMP_SECONDS($secs)"
+    }
+
+    /** Operand pair for a comparison: a datetime column meeting a date
+      * literal compares natively (bare column vs typed literal). */
+    def tsPair(l: R, r: R): Option[(String, String)] = (l, r) match {
+      case (R(_, _, _, Some((sql, fl)), _), R(_, _, _, _, Some(secs))) =>
+        Some((sql, tsLit(fl, secs)))
+      case (R(_, _, _, _, Some(secs)), R(_, _, _, Some((sql, fl)), _)) =>
+        Some((tsLit(fl, secs), sql))
+      case _ => None
+    }
 
     def sqlStr(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
@@ -185,7 +211,7 @@ object Goval {
       case Num(v)   => R(v, isString = false)
       case Str(v)   => tryParseTime(v) match {
         // govaluate tokenizer: date-parseable string → float64 unix seconds
-        case Some(secs) => R(secs.toString, isString = false)
+        case Some(secs) => R(secs.toString, isString = false, dateLit = Some(secs))
         case None       => R(sqlStr(v), isString = true)
       }
       case Ident("true")  => R("true", isString = false)
@@ -194,14 +220,17 @@ object Goval {
         val renamed = rename(name)
         idents += renamed
         val quoted = renamed.split('.').map(p => s"`$p`").mkString(".")
-        if (timestampTyped(renamed)) {
-          // epoch seconds, the same scale govaluate date literals use
-          R(s"to_unix_timestamp($quoted)", isString = false, known = true)
-        } else {
-          // stringTyped=false can mean "non-string" OR "not in the schema
-          // map" — only a positive answer is knowledge.
-          val isStr = stringTyped(renamed)
-          R(quoted, isStr, known = isStr)
+        timestampTyped(renamed) match {
+          case Some(flavor) =>
+            // epoch seconds, the same scale govaluate date literals use;
+            // tsCol lets comparisons swap in the pushdown-friendly form
+            R(s"to_unix_timestamp($quoted)", isString = false, known = true,
+              tsCol = Some((quoted, flavor)))
+          case None =>
+            // stringTyped=false can mean "non-string" OR "not in the
+            // schema map" — only a positive answer is knowledge.
+            val isStr = stringTyped(renamed)
+            R(quoted, isStr, known = isStr)
         }
       case Op("(") =>
         val e = ternary()
@@ -212,7 +241,8 @@ object Goval {
             while (peek.contains(Op(","))) { next(); items += ternary().sql }
             expect(")")
             R(items.mkString("(", ", ", ")"), isString = false)
-          case _ => expect(")"); R(s"(${e.sql})", e.isString, e.known)
+          case _ => expect(")")
+            R(s"(${e.sql})", e.isString, e.known, tsCol = e.tsCol, dateLit = e.dateLit)
         }
       case Op("-") => val e = unary(); R(s"(- ${e.sql})", isString = false)
       case Op("!") => val e = unary(); R(s"(NOT ${e.sql})", isString = false)
@@ -291,12 +321,21 @@ object Goval {
       while (go) peek match {
         case Some(Op("==")) => next(); val r = bitwise()
           l = if (strictEq(l, r)) R("false", isString = false)
-              else R(s"(${l.sql} = ${r.sql})", isString = false)
+              else tsPair(l, r) match {
+                case Some((ls, rs)) => R(s"($ls = $rs)", isString = false)
+                case None => R(s"(${l.sql} = ${r.sql})", isString = false)
+              }
         case Some(Op("!=")) => next(); val r = bitwise()
           l = if (strictEq(l, r)) R("true", isString = false)
-              else R(s"(${l.sql} <> ${r.sql})", isString = false)
+              else tsPair(l, r) match {
+                case Some((ls, rs)) => R(s"($ls <> $rs)", isString = false)
+                case None => R(s"(${l.sql} <> ${r.sql})", isString = false)
+              }
         case Some(Op(o @ ("<" | ">" | "<=" | ">="))) => next(); val r = bitwise()
-          l = R(s"(${numericize(l, r)} $o ${numericize(r, l)})", isString = false)
+          l = tsPair(l, r) match {
+            case Some((ls, rs)) => R(s"($ls $o $rs)", isString = false)
+            case None => R(s"(${numericize(l, r)} $o ${numericize(r, l)})", isString = false)
+          }
         case Some(Op("=~")) => next(); val r = bitwise(); l = R(s"(${l.sql} RLIKE ${r.sql})", isString = false)
         case Some(Op("!~")) => next(); val r = bitwise(); l = R(s"(NOT (${l.sql} RLIKE ${r.sql}))", isString = false)
         case Some(Ident(kw)) if kw.equalsIgnoreCase("in") =>

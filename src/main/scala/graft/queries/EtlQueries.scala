@@ -64,7 +64,7 @@ object EtlQueries {
       (s, dir) => {
         val pred = Goval.translate(
           "o_orderdate >= '1995-06-01' && o_orderdate < '1995-09-01'",
-          timestampTyped = Set("o_orderdate")).sql
+          timestampTyped = Map("o_orderdate" -> "timestamp_ntz").get).sql
         t(s, dir, "orders").filter(expr(pred))
           .select(col("o_orderkey"), col("o_custkey"))
       },

@@ -168,11 +168,15 @@ object Transforms {
       val isStringField: String => Boolean = f =>
         if (f == ctx.sourceName) ctx.sourceType.isInstanceOf[StringType]
         else ctx.field(f).exists(_._2.isInstanceOf[StringType])
-      def isTsType(t: DataType): Boolean =
-        t.isInstanceOf[TimestampType] || t == TimestampNTZType || t.isInstanceOf[DateType]
-      val isTsField: String => Boolean = f =>
-        if (f == ctx.sourceName) isTsType(ctx.sourceType)
-        else ctx.field(f).exists(p => isTsType(p._2))
+      def tsFlavor(t: DataType): Option[String] = t match {
+        case TimestampNTZType => Some("timestamp_ntz")
+        case _: TimestampType => Some("timestamp")
+        case _: DateType      => Some("date")
+        case _                => None
+      }
+      val isTsField: String => Option[String] = f =>
+        if (f == ctx.sourceName) tsFlavor(ctx.sourceType)
+        else ctx.field(f).flatMap(p => tsFlavor(p._2))
       val result = branches.foldLeft[Option[Column]](None) { case (acc, (condOpt, value)) =>
         val cond = Goval.translate(
           require(condOpt, "branch.condition"),

@@ -34,10 +34,18 @@ class GovalSpec extends AnyFunSuite {
     assert(sql("name == 'x2014-01-02'", Set("name")) == "(`name` = 'x2014-01-02')")
   }
 
-  test("timestamp-typed identifiers render as epoch seconds (extension for typed sources)") {
+  test("timestamp-typed identifiers: pushdown-friendly vs date literals, epoch otherwise") {
+    // vs a date LITERAL: bare column against a typed foldable literal,
+    // so the parquet scan can push the range filter
     val r = Goval.translate("ts >= '2014-01-02' && n > 1",
-      timestampTyped = Set("ts"))
-    assert(r.sql == "((to_unix_timestamp(`ts`) >= 1388620800) AND (`n` > 1))")
+      timestampTyped = Map("ts" -> "timestamp_ntz").get)
+    assert(r.sql ==
+      "((`ts` >= CAST(TIMESTAMP_SECONDS(1388620800) AS TIMESTAMP_NTZ)) AND (`n` > 1))")
+    val tz = Goval.translate("ts == '2014-01-02'", timestampTyped = Map("ts" -> "timestamp").get)
+    assert(tz.sql == "(`ts` = TIMESTAMP_SECONDS(1388620800))")
+    // vs anything else: epoch-seconds rendering
+    val num = Goval.translate("ts > 1388620800", timestampTyped = Map("ts" -> "timestamp").get)
+    assert(num.sql == "(to_unix_timestamp(`ts`) > 1388620800)")
   }
 
   test("comparison operators rewrite") {
