@@ -32,6 +32,18 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("goval date-literal filter on a timestamp column pushes down to the parquet scan") {
+    val pred = graft.expr.Goval.translate(
+      "o_orderdate >= '1995-06-01' && o_orderdate < '1995-09-01'",
+      timestampTyped = Map("o_orderdate" -> "timestamp_ntz").get).sql
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(expr(pred)).select("o_orderkey")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date-range filter must reach the scan:\n$scan")
+    assert(df.count() > 0)
+  }
+
   test("deterministic split is stable under repartitioning and rerun") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
