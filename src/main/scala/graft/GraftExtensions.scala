@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, VecDot}
+import graft.expr.{GoFormatFloat, LshBuckets, VecDot}
 
 /**
  * SparkSessionExtensions injector: activate graft's native expressions
@@ -23,5 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
       (children: Seq[Expression]) => GoFormatFloat(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        LshBuckets(children(0), asInt(children(1)), asInt(children(2)), asInt(children(3)))
+      }))
   }
 }

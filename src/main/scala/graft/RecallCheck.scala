@@ -21,10 +21,11 @@ object RecallCheck {
     val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 2))
     println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
-    for ((t, mp) <- Seq((1, true), (2, true), (4, false), (4, true), (6, false))) {
+    for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
+                            (6, false, 6), (4, true, 8), (4, true, 10), (6, true, 10))) {
       val r = rec(pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k,
-        planes = 6, multiProbe = mp, tables = t)))
-      println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s recall=$r%.3f")
+        planes = pl, multiProbe = mp, tables = t)))
+      println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s planes=$pl%d recall=$r%.3f")
     }
     for ((nl, np) <- Seq((8, 3), (8, 4), (16, 4))) {
       val r = rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, VecDot}
+import graft.expr.{GoFormatFloat, LshBuckets, VecDot}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -24,5 +24,12 @@ object Registry {
       FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
       (children: Seq[Expression]) => GoFormatFloat(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        LshBuckets(children(0), asInt(children(1)), asInt(children(2)), asInt(children(3)))
+      })
   }
 }

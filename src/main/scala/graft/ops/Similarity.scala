@@ -132,16 +132,25 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               dims: Int, k: Int, planes: Int = 8,
               multiProbe: Boolean = true, tables: Int = 4): DataFrame = {
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     val v0 = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val v = (0 until tables).foldLeft(v0) { (d, t) =>
-      d.withColumn(s"b_$t", lshBucket(col("v"), dims, planes, t))
-    }
+    // The LSH INDEX: (id, per-table bucket) — built ONCE and persisted.
+    // All buckets come from the native [[graft.expr.LshBuckets]] loop
+    // (one expression, not tables×planes×dims unrolled terms); both the
+    // corpus side and the probe side derive from this relation, and the
+    // persisted rows are ~8(tables+1) bytes — the standard "build the
+    // index once" shape, cheap even at 10^9 docs.
+    val vb = v0
+      .withColumn("bs", call_function("lsh_buckets",
+        col("v"), lit(dims), lit(planes), lit(tables)))
+      .select(col("id") +: (0 until tables).map(t => col("bs").getItem(t).as(s"b_$t")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation moves ONLY (id, bucket) pairs — the 512-byte
     // vectors never ride through the bucket join or the distinct; each
     // unique candidate pair is scored exactly once after a fetch join
     // back to the (id, vec, norm) relation.
-    val corpus = v
+    val corpus = vb
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"b_$t").as("b"))): _*)))
       .select(col("id").as("nid"), col("tb"))
@@ -151,7 +160,7 @@ object Similarity {
                else Seq(base)
       bs.map(b => struct(lit(t).as("t"), b.as("b")))
     }
-    val q = v
+    val q = vb
       .withColumn("tb", explode(array(probeCols: _*)))
       .select(col("id").as("qid"), col("tb"))
     val cand = q.join(corpus, "tb")
