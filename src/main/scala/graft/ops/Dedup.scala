@@ -363,19 +363,23 @@ object Dedup {
    * jaccard via |A∩B| / (|A|+|B|-|A∩B|). Frequent-ngram skew bounded
    * by `maxPostings`.
    */
+  /** Distinct word n-grams of the normalized text, HASHED to xxhash64
+    * before anything shuffles — gram-set operators only need equality,
+    * and an 8-byte key beats a ~20-byte string in every exchange. Even
+    * at 10^9 distinct grams the birthday bound gives ~3% odds of ONE
+    * colliding pair corpus-wide — noise for count/jaccard consumers. */
+  def wordGramHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(lit(0), size(toks) - n)),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxPostings: Int = 5000): DataFrame = {
-    // gram STRINGS are hashed to xxhash64 before anything shuffles —
-    // Jaccard only needs gram equality, and an 8-byte key beats a
-    // ~20-byte string in every exchange below. Even at 10^9 distinct
-    // grams the birthday bound gives ~3% odds of ONE colliding pair
-    // corpus-wide, which perturbs a single intersection count by 1 —
-    // noise far below the threshold granularity.
-    val grams = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(
-        transform(sequence(lit(0), greatest(lit(0), size(col("toks")) - n)),
-          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("grams"))
+    val grams = df.select(col(idCol).as("id"),
+        wordGramHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
     val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
     val posting = grams.select(col("id"), explode(col("grams")).as("g"))

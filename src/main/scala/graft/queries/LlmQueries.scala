@@ -234,6 +234,28 @@ object LlmQueries {
           portableHashing = true)),
       Some(LlmOracles.corpusCleanMd5)),
 
+    // Benchmark decontamination: flag corpus docs sharing word 3-grams
+    // with a deterministic "eval set" slice (doc_id % 97 == 0). The
+    // engine joins on xxhash64 gram keys; the oracle intersects the raw
+    // gram strings — counts agree (hashing only affects equality).
+    Q("q_llm_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ops.Decontaminate.flags(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3, minOverlap = 2)
+      },
+      Some(LlmOracles.decontaminate)),
+
+    // Sequence packing: concat-and-chunk into 2048-token context
+    // windows, 16 shards; window assignment is a pure function of
+    // (shard, id order) — oracled via DuckDB window cumsums.
+    Q("q_llm_pack_windows",
+      (s, dir) => graft.ops.Packing.packWindows(
+        t(s, dir, "documents"), "doc_id", "text", capacity = 2048, shards = 16),
+      Some(LlmOracles.packWindows)),
+
     // Deterministic hash-bucket train/val/test split (reproducible
     // across engines/cluster sizes — md5-portable, oracled).
     Q("q_llm_split",
@@ -447,6 +469,33 @@ object LlmOracles {
     SELECT doc_id, text, lang, source, n_chars, quality, lang_pred FROM exact
     WHERE doc_id NOT IN (SELECT id FROM losers)"""
   }
+
+  val decontaminate: String = """
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(1, len(toks) - 2)),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams FROM tk),
+    bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 97 <> 0),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (gr) GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(COALESCE(cnt.n, 0) AS BIGINT) AS contaminated_grams,
+      COALESCE(cnt.n, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN cnt USING (doc_id)"""
+
+  val packWindows: String = """
+    WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+          - n_tokens AS start_off FROM t)
+    SELECT doc_id, shard, n_tokens,
+      CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS window_id,
+      FLOOR((start_off + n_tokens - 1) / 2048.0) > FLOOR(start_off / 2048.0) AS straddles
+    FROM c"""
 
   val ngramJaccard: String = """
     WITH tk AS (SELECT doc_id AS id,

@@ -21,6 +21,43 @@ class OpsSpec extends SparkTestBase {
     assert(last == Map("a" -> 4L, "b" -> 3L))
   }
 
+  test("decontaminate flags docs overlapping the benchmark set by >= minOverlap grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 3-grams with bench
+      (2L, "completely unrelated text about spark shuffles and joins"),
+      (3L, "the quick brown cat sleeps")                   // shares ONE 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps tonight")).toDF("doc_id", "text")
+    val got = graft.ops.Decontaminate.flags(corpus, bench, "doc_id", "text",
+        n = 3, minOverlap = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("contaminated_grams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(got(1L) == (3L, true))  // "the quick brown","quick brown fox","brown fox jumps"
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (1L, false)) // one shared gram < minOverlap
+  }
+
+  test("packWindows chunks the per-shard token stream deterministically") {
+    import spark.implicits._
+    // one shard (ids all ≡ 1 mod 16): 3+4+5 tokens, capacity 6
+    val docs = Seq(
+      (1L, "a b c"), (17L, "d e f g"), (33L, "h i j k l")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Packing.packWindows(docs, "doc_id", "text",
+        capacity = 6, shards = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("window_id"), r.getAs[Boolean]("straddles"))).toMap
+    assert(got(1L) == (0L, false))  // tokens 0-2
+    assert(got(17L) == (0L, true))  // tokens 3-6: crosses window 0->1
+    assert(got(33L) == (1L, false)) // tokens 7-11 fit inside window 1 (6-11)
+    // rerun after repartition: identical assignment (pure function)
+    val again = graft.ops.Packing.packWindows(docs.repartition(5), "doc_id", "text",
+        capacity = 6, shards = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("window_id")).toMap
+    assert(again == got.view.mapValues(_._1).toMap)
+  }
+
   test("byExtreme string field: float-equal numeric strings tie -> earliest ingested") {
     import spark.implicits._
     // "1.0" and "1" parse to the same float64: CompareValues returns 0,
