@@ -35,6 +35,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
 
   /**
+   * Cap each group (domain/source/site) at `maxPerGroup` rows — the
+   * anti-monoculture guard of web-scale corpora. Kept rows are chosen
+   * by KEY-HASH rank (unbiased — ingest order would favor early
+   * shards), id as tiebreak, so the cap is a pure function of the
+   * data: stable across reruns and cluster sizes. One shuffle on the
+   * group column; WindowGroupLimit pushes the top-k below it.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol), 1000000), col(keyCol))
+    df.withColumn("_cap_rank", row_number().over(w))
+      .filter(col("_cap_rank") <= maxPerGroup)
+      .drop("_cap_rank")
+  }
+
+  /**
    * Stratified deterministic sampling: per stratum value, keep a
    * different percentage (e.g. downsample a dominant language).
    * Unlisted strata keep `defaultPct`.

@@ -79,6 +79,27 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
 
   /**
+   * Repetition statistics — the Gopher-rules quality signals for
+   * machine-generated/boilerplate text: distinct-token ratio and the
+   * fraction taken by the single most frequent token. Two-level
+   * aggregation (token counts per doc, then per-doc max/sum) — one
+   * shuffle on the doc id, partial aggregation map-side.
+   */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tokCounts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    tokCounts.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_count").cast("double") / col("n_tokens")).as("top_token_frac"))
+  }
+
+  /**
    * Winnowing fingerprint (Schleimer et al., SIGMOD 2003): positional
    * k-gram hashes; each sliding window of `w` consecutive hashes
    * contributes its minimum; the distinct window-min set is the

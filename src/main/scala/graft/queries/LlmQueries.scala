@@ -256,6 +256,21 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text", capacity = 2048, shards = 16),
       Some(LlmOracles.packWindows)),
 
+    // Per-source cap: at most 20 docs per source, kept by md5-hash
+    // rank (unbiased, rerun-stable) — the anti-monoculture guard.
+    Q("q_llm_source_cap",
+      (s, dir) => graft.ops.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", maxPerGroup = 20),
+      Some(LlmOracles.sourceCap)),
+
+    // Gopher-style repetition signals: distinct-token ratio and
+    // top-token fraction per doc.
+    Q("q_llm_repetition",
+      (s, dir) => graft.ops.TextAnalysis.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.repetition)),
+
     // Deterministic hash-bucket train/val/test split (reproducible
     // across engines/cluster sizes — md5-portable, oracled).
     Q("q_llm_split",
@@ -496,6 +511,25 @@ object LlmOracles {
       CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS window_id,
       FLOOR((start_off + n_tokens - 1) / 2048.0) > FLOOR(start_off / 2048.0) AS straddles
     FROM c"""
+
+  val sourceCap: String = """
+    WITH r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+          doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, source FROM r WHERE rk <= 20"""
+
+  val repetition: String = """
+    WITH tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents) GROUP BY doc_id, tok)
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_tokens,
+      COUNT(*) AS n_distinct,
+      CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS distinct_ratio,
+      CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_frac
+    FROM tc GROUP BY doc_id"""
 
   val ngramJaccard: String = """
     WITH tk AS (SELECT doc_id AS id,
