@@ -79,6 +79,25 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
 
   /**
+   * PII redaction: emails, dotted/dashed phone numbers, SSN-shaped
+   * ids → placeholder tokens. Patterns stay inside the
+   * RE2 ∩ java.util.regex common subset (no lookarounds, no
+   * backreferences) so the same pattern means the same thing in
+   * Spark's codegen'd regexp_replace and any RE2-based engine.
+   * Row-local — pipelines run it before anything shuffles.
+   */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+
+  /**
    * Repetition statistics — the Gopher-rules quality signals for
    * machine-generated/boilerplate text: distinct-token ratio and the
    * fraction taken by the single most frequent token. Two-level

@@ -256,6 +256,21 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text", capacity = 2048, shards = 16),
       Some(LlmOracles.packWindows)),
 
+    // PII redaction. The corpus is synthetic, so deterministic PII is
+    // APPENDED per doc (an email, a dotted phone, an SSN shape) and
+    // must come back redacted — the oracle builds the same string and
+    // applies the same RE2-safe patterns.
+    Q("q_llm_redact_pii",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555.123.4567 id 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        d.select(col("doc_id"),
+          graft.ops.TextAnalysis.redactPii(injected).as("clean"))
+      },
+      Some(LlmOracles.redactPii)),
+
     // Per-source cap: at most 20 docs per source, kept by md5-hash
     // rank (unbiased, rerun-stable) — the anti-monoculture guard.
     Q("q_llm_source_cap",
@@ -511,6 +526,19 @@ object LlmOracles {
       CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS window_id,
       FLOOR((start_off + n_tokens - 1) / 2048.0) > FLOOR(start_off / 2048.0) AS straddles
     FROM c"""
+
+  val redactPii: String = """
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 555.123.4567 id 123-45-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS clean
+    FROM documents"""
 
   val sourceCap: String = """
     WITH r AS (SELECT doc_id, source,

@@ -21,6 +21,23 @@ class OpsSpec extends SparkTestBase {
     assert(last == Map("a" -> 4L, "b" -> 3L))
   }
 
+  test("redactPii masks emails, phones, SSN shapes; leaves clean text alone") {
+    import spark.implicits._
+    val got = Seq(
+      "mail bob.smith+x@sub.example.co.uk now",
+      "call 555-123-4567 or 555.123.4567",
+      "ssn 123-45-6789 here",
+      "no pii at all 12345",
+      "v1.2.3 release notes" // version strings must survive
+    ).toDF("t").select(graft.ops.TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "ssn <SSN> here")
+    assert(got(3) == "no pii at all 12345")
+    assert(got(4) == "v1.2.3 release notes")
+  }
+
   test("decontaminate flags docs overlapping the benchmark set by >= minOverlap grams") {
     import spark.implicits._
     val corpus = Seq(
