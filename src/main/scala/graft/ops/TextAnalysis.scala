@@ -79,6 +79,24 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
 
   /**
+   * Corpus vocabulary: global token frequencies, top-K by (freq desc,
+   * token) — the seed table for tokenizer training. Scale shape: the
+   * count is one map-side-combined aggregation; the top-K goes through
+   * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+   * global sort), and only the K survivors see the rank window.
+   */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+  }
+
+  /**
    * PII redaction: emails, dotted/dashed phone numbers, SSN-shaped
    * ids → placeholder tokens. Patterns stay inside the
    * RE2 ∩ java.util.regex common subset (no lookarounds, no

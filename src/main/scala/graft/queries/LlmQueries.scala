@@ -256,6 +256,12 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text", capacity = 2048, shards = 16),
       Some(LlmOracles.packWindows)),
 
+    // Top-K corpus vocabulary (tokenizer-training seed table).
+    Q("q_llm_vocab",
+      (s, dir) => graft.ops.TextAnalysis.vocabulary(
+        t(s, dir, "documents"), "text", topK = 1000),
+      Some(LlmOracles.vocab)),
+
     // PII redaction. The corpus is synthetic, so deterministic PII is
     // APPENDED per doc (an email, a dotted phone, an SSN shape) and
     // must come back redacted — the oracle builds the same string and
@@ -526,6 +532,13 @@ object LlmOracles {
       CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS window_id,
       FLOOR((start_off + n_tokens - 1) / 2048.0) > FLOOR(start_off / 2048.0) AS straddles
     FROM c"""
+
+  val vocab: String = """
+    WITH f AS (SELECT tok, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents) GROUP BY tok)
+    SELECT tok, freq, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT) AS rank
+    FROM f ORDER BY freq DESC, tok LIMIT 1000"""
 
   val redactPii: String = """
     SELECT doc_id,
