@@ -23,11 +23,118 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** REAL image decoding would go here (libjpeg/ffmpeg etc. — not in
-    * this container). Deliberately unimplemented. */
+  /** Compressed-format decoding (JPEG/PNG/video) would go here —
+    * those need libjpeg/ffmpeg, absent in this container. Deliberately
+    * unimplemented; the codec-FREE netpbm path below is real. */
   def decodeImage(bytes: Array[Byte]): Nothing =
     throw new NotImplementedError(
-      "decodeImage: media codecs unavailable in this environment (stub)")
+      "decodeImage: compressed-media codecs unavailable in this environment (stub)")
+
+  /** A decoded raster: interleaved unsigned bytes, `channels` per pixel. */
+  case class ImageData(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /**
+   * REAL decode for the codec-free binary netpbm formats — P5
+   * (grayscale) and P6 (RGB), maxval ≤ 255: magic, whitespace/comment
+   * tokens, width/height/maxval header, then raw samples. Pure byte
+   * parsing, no library. Returns None for anything else (incl.
+   * compressed formats — see [[decodeImage]]).
+   */
+  def decodeNetpbm(bytes: Array[Byte]): Option[ImageData] = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
+    val channels = bytes(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _   => return None
+    }
+    var i = 2
+    def nextInt(): Option[Int] = {
+      // skip whitespace and '#'-comments
+      while (i < bytes.length &&
+        (bytes(i).toChar.isWhitespace || bytes(i) == '#')) {
+        if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < bytes.length && bytes(i).toChar.isDigit) i += 1
+      if (i == start) None else Some(new String(bytes, start, i - start).toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+      if maxval > 0 && maxval <= 255 && w > 0 && h > 0
+      // exactly ONE whitespace byte separates header from samples
+      if i < bytes.length && bytes(i).toChar.isWhitespace
+      n = w * h * channels
+      if bytes.length - (i + 1) >= n
+    } yield ImageData(w, h, channels,
+      java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + n))
+  }
+
+  /** Nearest-neighbor resize (the batched-preprocessing primitive). */
+  def resizeNearest(img: ImageData, w: Int, h: Int): ImageData = {
+    val out = new Array[Byte](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.width / w
+        var c = 0
+        while (c < img.channels) {
+          out((y * w + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(w, h, img.channels, out)
+  }
+
+  /** Synthesize a P5 gradient image (pixel (x,y) = (x+y+seed) mod 256)
+    * — deterministic test/oracle fixture with a closed-form luma sum. */
+  def synthPgm(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(header.length + y * w + x) = (((x + y + seed) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           channels: Int, decoded: Boolean, sum_luma: Long)
+
+  /** Per-partition REAL decode → integer features (sum of unsigned
+    * sample bytes — exact, engine-portable). Undecodable payloads keep
+    * their row with decoded=false. */
+  def imageFeatures(df: DataFrame, idCol: String, contentCol: String): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeNetpbm(bytes) match {
+            case Some(img) =>
+              var s = 0L
+              var i = 0
+              while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
+              ImageFeatures(id, img.width, img.height, img.channels, decoded = true, s)
+            case None =>
+              ImageFeatures(id, -1, -1, -1, decoded = false, 0L)
+          }
+        }
+      }
+  }
 
   /**
    * Per-partition feature extraction over a binary content column.

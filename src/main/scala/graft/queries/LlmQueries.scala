@@ -315,6 +315,25 @@ object LlmQueries {
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
           < (CASE WHEN lang = 'en' THEN 20 ELSE 100 END)""")),
 
+    // REAL image decode end to end: synthesize a P5 gradient image per
+    // doc (pixel = (x+y+doc_id) mod 256), decode it per-partition with
+    // the pure-byte netpbm parser, emit exact integer features. The
+    // oracle computes the same luma sum in closed form.
+    Q("q_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        val pgms = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthPgm(id, 8, 8))))
+          .toDF("doc_id", "content")
+        Multimodal.imageFeatures(pgms, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,
+        true AS decoded,
+        CAST((SELECT SUM((x.g + y.g + doc_id) % 256)
+              FROM generate_series(0, 7) x(g), generate_series(0, 7) y(g))
+          AS BIGINT) AS sum_luma
+        FROM documents""")),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {

@@ -21,6 +21,28 @@ class OpsSpec extends SparkTestBase {
     assert(last == Map("a" -> 4L, "b" -> 3L))
   }
 
+  test("netpbm decode: P5/P6 round-trip, comments, truncation, resize, garbage") {
+    import graft.ops.Multimodal
+    // P5 synth round-trips with known pixels
+    val p5 = Multimodal.decodeNetpbm(Multimodal.synthPgm(7L, 4, 2)).get
+    assert((p5.width, p5.height, p5.channels) == (4, 2, 1))
+    assert((p5.pixels(0) & 0xff) == 7 && (p5.pixels(5) & 0xff) == 9) // (0,0) and (1,1)
+    // P6 with a header comment
+    val p6bytes = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val p6 = Multimodal.decodeNetpbm(p6bytes).get
+    assert((p6.width, p6.height, p6.channels) == (2, 1, 3))
+    assert((p6.pixels(3) & 0xff) == 40)
+    // truncated payload and non-netpbm bytes decode to None
+    assert(Multimodal.decodeNetpbm(p6bytes.dropRight(1)) == None)
+    assert(Multimodal.decodeNetpbm("JFIF....".getBytes) == None)
+    // nearest-neighbor downsample picks the mapped source pixels
+    val big = Multimodal.decodeNetpbm(Multimodal.synthPgm(0L, 8, 8)).get
+    val small = Multimodal.resizeNearest(big, 4, 4)
+    assert((small.width, small.height) == (4, 4))
+    assert((small.pixels(0) & 0xff) == 0 && (small.pixels(5) & 0xff) == 4) // out(1,1) -> src(2,2) = 4
+  }
+
   test("redactPii masks emails, phones, SSN shapes; leaves clean text alone") {
     import spark.implicits._
     val got = Seq(
