@@ -110,6 +110,88 @@ object Multimodal {
     out
   }
 
+  /** A decoded PCM clip: interleaved 16-bit samples. */
+  case class AudioData(channels: Int, sampleRate: Int, samples: Array[Short])
+
+  /**
+   * REAL decode for canonical PCM WAV (RIFF/WAVE, fmt audioFormat=1,
+   * 16-bit) — pure byte parsing of the chunk structure, no codec.
+   * Compressed audio (MP3/AAC/FLAC) would need codecs absent here.
+   */
+  def decodeWav(bytes: Array[Byte]): Option[AudioData] = {
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    while (i + 8 <= bytes.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+        if (le16(i + 8) != 1) return None // PCM only
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      } else if (id == "data") {
+        return fmt.collect { case (ch, rate, bits)
+            if bits == 16 && ch > 0 && i + 8 + size <= bytes.length =>
+          val n = size / 2
+          val out = new Array[Short](n)
+          var k = 0
+          while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
+          AudioData(ch, rate, out)
+        }
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Synthesize a mono 16-bit PCM WAV: sample(i) = ((i*7+seed) mod
+    * 65536) − 32768 — deterministic fixture with closed-form stats. */
+  def synthWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort(((((k * 7 + seed) % 65536 + 65536) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
+                           n_samples: Int, decoded: Boolean, sum_sq: Long)
+
+  /** Per-partition REAL WAV decode → exact integer energy features. */
+  def audioFeatures(df: DataFrame, idCol: String, contentCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(a) =>
+              var s = 0L
+              var k = 0
+              while (k < a.samples.length) {
+                val v = a.samples(k).toLong; s += v * v; k += 1
+              }
+              AudioFeatures(id, a.channels, a.sampleRate, a.samples.length,
+                decoded = true, s)
+            case None => AudioFeatures(id, -1, -1, -1, decoded = false, 0L)
+          }
+        }
+      }
+  }
+
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
                            channels: Int, decoded: Boolean, sum_luma: Long)
 

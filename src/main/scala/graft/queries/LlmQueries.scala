@@ -334,6 +334,25 @@ object LlmQueries {
           AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // REAL audio decode: synthesize a 64-sample PCM WAV per doc
+    // (sample i = ((i*7+doc_id) mod 65536) − 32768), decode the RIFF
+    // chunks per-partition, emit exact integer energy. Closed-form
+    // DuckDB oracle.
+    Q("q_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthWav(id, 64))))
+          .toDF("doc_id", "content")
+        Multimodal.audioFeatures(wavs, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 1 AS channels, 16000 AS sample_rate,
+        64 AS n_samples, true AS decoded,
+        CAST((SELECT SUM(((i.g * 7 + doc_id) % 65536 - 32768)
+                       * ((i.g * 7 + doc_id) % 65536 - 32768))
+              FROM generate_series(0, 63) i(g)) AS BIGINT) AS sum_sq
+        FROM documents""")),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {

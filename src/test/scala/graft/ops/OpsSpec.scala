@@ -43,6 +43,16 @@ class OpsSpec extends SparkTestBase {
     assert((small.pixels(0) & 0xff) == 0 && (small.pixels(5) & 0xff) == 4) // out(1,1) -> src(2,2) = 4
   }
 
+  test("wav decode: synth round-trip, sample values, truncation, non-wav") {
+    import graft.ops.Multimodal
+    val a = Multimodal.decodeWav(Multimodal.synthWav(5L, 10)).get
+    assert((a.channels, a.sampleRate, a.samples.length) == (1, 16000, 10))
+    assert(a.samples(0) == (5 - 32768).toShort)       // i=0: (0*7+5)%65536-32768
+    assert(a.samples(3) == (26 - 32768).toShort)      // i=3: 21+5
+    assert(Multimodal.decodeWav(Multimodal.synthWav(5L, 10).dropRight(1)) == None)
+    assert(Multimodal.decodeWav("not audio at all".getBytes) == None)
+  }
+
   test("redactPii masks emails, phones, SSN shapes; leaves clean text alone") {
     import spark.implicits._
     val got = Seq(
