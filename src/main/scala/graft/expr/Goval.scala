@@ -250,10 +250,8 @@ object Goval {
       case t => throw new IllegalArgumentException(s"unexpected token $t in: $expression")
     }
 
-    def unary(): R = peek match {
-      case Some(Op("-")) | Some(Op("!")) | Some(Op("~")) => primary()
-      case _ => primary()
-    }
+    // prefix - ! ~ are consumed inside primary()
+    def unary(): R = primary()
 
     def power(): R = {
       var l = unary()

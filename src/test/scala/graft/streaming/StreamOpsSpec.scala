@@ -99,6 +99,36 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("row-local corpus ops compose on a stream: redact -> quality gate -> exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    // the same Column expressions the batch pipeline uses are row-local,
+    // so they attach to an unbounded source unchanged
+    val out = df
+      .withColumn("clean", TextAnalysis.redactPii(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("clean")))
+      .filter(col("quality") >= 0.4)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("clean"))
+    val q = out.writeStream.format("memory").queryName("stream_corpus")
+      .outputMode("append").start()
+    try {
+      val good = "a perfectly reasonable document about spark with enough words to pass the gate"
+      mem.addData(
+        (1L, good + " mail me at bob@example.com", ts(1)),
+        (2L, good + " mail me at alice@example.com", ts(2)), // same after redaction -> dup
+        (3L, "x", ts(3)))                                    // fails the quality gate
+      q.processAllAvailable()
+      val rows = spark.table("stream_corpus").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+      assert(rows.head.getAs[String]("clean").endsWith("mail me at <EMAIL>"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
