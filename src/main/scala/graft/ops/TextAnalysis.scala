@@ -118,13 +118,16 @@ object TextAnalysis {
   /**
    * Repetition statistics — the Gopher-rules quality signals for
    * machine-generated/boilerplate text: distinct-token ratio and the
-   * fraction taken by the single most frequent token. Two-level
-   * aggregation (token counts per doc, then per-doc max/sum) — one
-   * shuffle on the doc id, partial aggregation map-side.
+   * fraction taken by the single most frequent token. ONE shuffle: the
+   * doc rows repartition by id BEFORE the explode — HashPartitioning(id)
+   * satisfies the clustering requirement of BOTH the (id, tok) count
+   * and the per-id rollup, so neither aggregation re-exchanges, and
+   * what shuffles is the compact doc row, not the exploded tokens.
    */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String): org.apache.spark.sql.DataFrame = {
     val tokCounts = df
+      .repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
     tokCounts.groupBy(col(idCol)).agg(
