@@ -143,23 +143,26 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: explode the (distinct) shingles, hash each
-   * string ONCE with xxhash64, then derive the per-function values by
-   * re-hashing the 64-bit value with the seed — integer mixing inside
-   * whole-stage codegen, with map-side partial `min` aggregation. This
-   * shape beats per-seed higher-order `transform` lambdas by an order
-   * of magnitude (one string hash per shingle instead of `numHashes`,
-   * no repeated array construction) and shuffles only (id, minhashes).
+   * MinHash signatures — a PER-ROW computation, no explode, no
+   * shuffle: each distinct shingle is string-hashed ONCE with xxhash64
+   * into a long array, then the `numHashes` signature slots are
+   * integer re-mixes (`xxhash64(seed, h)`) folded with `array_min`,
+   * all inside whole-stage codegen. The signature is doc-local, so the
+   * whole operator is a narrow map stage — at 100 TB it scans and
+   * emits (id, 16 longs) with zero exchange. (An earlier shape
+   * exploded shingles into a partial-min groupBy; value-identical, but
+   * it paid a generate + hash-aggregate per shingle and an exchange of
+   * the per-doc partials for what is ultimately row-local arithmetic.)
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(charShingles(col(textCol), shingleSize), sh => xxhash64(sh)).as("_hs"))
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+        array((0 until numHashes).map { i =>
+          array_min(transform(col("_hs"), h => xxhash64(lit(i), h)))
+        }: _*).as("sig"))
   }
 
   /**
@@ -203,21 +206,22 @@ object Dedup {
    * min over distinct shingles of the first 15 hex chars of
    * md5("<j>|" + shingle) read base-16 — arithmetic DuckDB reproduces
    * exactly ('0x'||substr(md5(...),1,15))::BIGINT, which is what makes
-   * the near-dup PAIR queries oracle-able. Same explode + partial-min
+   * the near-dup PAIR queries oracle-able. Same per-row, shuffle-free
    * shape as [[minhashSignatures]]; that xxhash64 integer-mixing path
    * (one string hash per shingle instead of `numHashes` md5s) is the
    * production/bench path.
    */
   def minhashPortableValues(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(charShingles(col(textCol), shingleSize)).as("sh"))
-    val mins = (0 until numHashes).map(j =>
-      min(conv(substring(md5(concat(lit(s"$j|"), col("sh")).cast("binary")), 1, 15), 16, 10)
-        .cast(LongType)).as(s"_m$j"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        charShingles(col(textCol), shingleSize).as("_shs"))
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+        array((0 until numHashes).map { j =>
+          array_min(transform(col("_shs"), sh =>
+            conv(substring(md5(concat(lit(s"$j|"), sh).cast("binary")), 1, 15), 16, 10)
+              .cast(LongType)))
+        }: _*).as("sig"))
   }
 
   /**

@@ -144,7 +144,12 @@ object TextAnalysis {
    * k-gram hashes; each sliding window of `w` consecutive hashes
    * contributes its minimum; the distinct window-min set is the
    * fingerprint. Guarantees every match of length >= w+k-1 shares a
-   * fingerprint hash. One shuffle (window by doc).
+   * fingerprint hash. The fingerprint is doc-local, so this is a
+   * PER-ROW computation: positional k-gram hashes in a long array, the
+   * window minima as `array_min` over length-`w` slices — a narrow map
+   * stage, zero exchange at any scale. (An earlier shape posexploded
+   * positions into a rows-window per doc; value-identical, but it
+   * shuffled every positional hash just to compute row-local minima.)
    *
    * `portableHash=true` (default) uses the md5-derived hash so the
    * DuckDB oracle computes value-identical fingerprints — a
@@ -155,22 +160,21 @@ object TextAnalysis {
   def winnowingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                            k: Int = 8, w: Int = 4,
                            portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = lower(col(textCol))
     val shingles = transform(
       sequence(lit(1), greatest(lit(1), length(s) - (k - 1))),
       i => s.substr(i, lit(k)))
-    val pos = df.select(col(idCol), posexplode(shingles).as(Seq("pos", "sh")))
-      .withColumn("h",
-        if (portableHash)
-          conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long")
-        else xxhash64(col("sh")))
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    pos.withColumn("wmin", min(col("h")).over(byPos.rowsBetween(-(w - 1), 0)))
-      .withColumn("rn", row_number().over(byPos))
-      .filter(col("rn") >= w) // only full windows
-      .groupBy(col(idCol))
-      .agg(array_join(array_sort(collect_set(col("wmin"))), ",").as("fp"))
+    val hashes = transform(shingles, sh =>
+      if (portableHash)
+        conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(sh))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), hashes.as("_hs"))
+      .filter(size(col("_hs")) >= w) // only full windows
+      .select(col(idCol),
+        array_join(array_sort(array_distinct(
+          transform(sequence(lit(w), size(col("_hs"))),
+            i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))), ",").as("fp"))
   }
 
   /**
@@ -184,15 +188,20 @@ object TextAnalysis {
   def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                          k: Int = 8, modulus: Int = 16,
                          portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(Dedup.charShingles(col(textCol), k)).as("_sh"))
-    val hashed = sh.withColumn("_h",
+    // Doc-local → per-row: hash the distinct shingles into a long
+    // array, keep the ≡0 sample with `filter`, sort + join in place.
+    // Narrow map stage, zero exchange at any scale; docs whose sample
+    // is empty drop (parity with the grouped shape this replaces).
+    val hashes = transform(Dedup.charShingles(col(textCol), k), sh =>
       if (portableHash)
-        conv(substring(md5(col("_sh").cast("binary")), 1, 15), 16, 10).cast("long")
-      else xxhash64(col("_sh")))
-    hashed.filter(pmod(col("_h"), lit(modulus)) === 0)
-      .groupBy(col(idCol))
-      .agg(array_join(array_sort(collect_set(col("_h"))), ",").as("fp"))
+        conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")
+      else xxhash64(sh))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        array_sort(array_distinct(filter(hashes, h => pmod(h, lit(modulus)) === 0)))
+          .as("_fp"))
+      .filter(size(col("_fp")) > 0)
+      .select(col(idCol), array_join(col("_fp"), ",").as("fp"))
   }
 
   /**
@@ -200,18 +209,17 @@ object TextAnalysis {
    * of md5(seed || "|" || shingle), concat_ws-joined. md5-as-string min
    * is engine-portable (same lowercase hex everywhere) — the DuckDB
    * oracle computes the identical value via list_min/list_transform.
-   * Explode + partial-min aggregation (not per-seed array lambdas) so
-   * the string set is built once; [[Dedup.minhashSignatures]] with
-   * xxhash64 integer mixing is the faster production path.
+   * Per-row like [[Dedup.minhashSignatures]] (the signature is
+   * doc-local): `array_min` over the per-seed md5 transforms of the
+   * distinct-shingle array, zero exchange.
    */
   def minhashPortableDf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                         seeds: Int = 8, shingleSize: Int = 4): org.apache.spark.sql.DataFrame = {
-    val sh = df.select(col(idCol).as(idCol),
-      explode(Dedup.charShingles(col(textCol), shingleSize)).as("_sh"))
-    val mins = (0 until seeds).map(j =>
-      min(md5(concat(lit(s"$j|"), col("_sh")).cast("binary"))).as(s"_m$j"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), Dedup.charShingles(col(textCol), shingleSize).as("_shs"))
       .select(col(idCol),
-        concat_ws("|", (0 until seeds).map(i => col(s"_m$i")): _*).as("sig"))
+        concat_ws("|", (0 until seeds).map { j =>
+          array_min(transform(col("_shs"), sh => md5(concat(lit(s"$j|"), sh).cast("binary"))))
+        }: _*).as("sig"))
   }
 }

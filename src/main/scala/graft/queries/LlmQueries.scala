@@ -108,10 +108,15 @@ object LlmQueries {
 
     // xxhash64 minhash signature headline for the bench (same explode +
     // partial-min algorithm as the oracled md5 twin q_llm_minhash_sig;
-    // the hash function itself is engine-local, hence rows-only).
+    // the hash function itself is engine-local, hence rows-only). The
+    // signature array is rendered as a comma string for the dump: the
+    // driver's rows-only pass still sorts the frame, and pandas cannot
+    // sort ndarray cells.
     Q("q_llm_minhash_sig_x64",
       (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 5, numHashes = 16),
+        shingleSize = 5, numHashes = 16)
+        .select(col("id").as("doc_id"),
+          array_join(col("sig").cast("array<string>"), ",").as("sig")),
       None),
 
     // Embedding-cosine near-dup pairs (brute-force exact, oracled).
