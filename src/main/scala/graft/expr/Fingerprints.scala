@@ -1,0 +1,150 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native doc-local fingerprint expressions over a string column.
+ *
+ * These are the engine-local (xxhash64-family) scale paths; their
+ * md5-portable twins in [[graft.ops.Dedup]] / [[graft.ops.TextAnalysis]]
+ * carry the DuckDB-oracle signal for the same algorithms. The
+ * composed-builtin shapes both lose: explode + groupBy pays a
+ * generate, a hash aggregate, and an exchange for what is row-local
+ * arithmetic; higher-order `transform`/`aggregate` lambdas are
+ * interpreted (CodegenFallback) with per-element boxing. Each
+ * expression here is ONE static call into a primitive loop per row —
+ * a narrow map stage with zero exchange at any scale, no
+ * per-shingle allocation.
+ *
+ * Shingles are windows over the LOWERCASED UTF-8 byte sequence
+ * (multibyte characters widen a window vs the char-based `substr`
+ * builtins — irrelevant to fingerprint quality and documented here;
+ * the portable twins keep exact char semantics for the oracles).
+ * Texts shorter than `k` contribute their whole text as the single
+ * shingle, matching `charShingles`' `greatest(1, len-k+1)` contract.
+ */
+object Fingerprints {
+  private final val Seed = 42L // match builtin xxhash64's default seed
+
+  private def shingleHashes(s: UTF8String, k: Int): Array[Long] = {
+    val b = s.toLowerCase.getBytes
+    val n = math.max(1, b.length - k + 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = XXH64.hashUnsafeBytes(
+        b, Platform.BYTE_ARRAY_OFFSET + i, math.min(k, b.length - i), Seed)
+      i += 1
+    }
+    out
+  }
+
+  private def sortedDistinct(hs: java.util.HashSet[java.lang.Long]): ArrayData = {
+    val arr = new Array[Long](hs.size)
+    val it = hs.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature: slot j = min over shingles of
+    * XXH64.hashLong(shingleHash, j). Distinct-ness of shingles is
+    * irrelevant under min, so no dedup pass is needed. */
+  def minhashSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val hs = shingleHashes(s, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < numHashes) {
+        val m = XXH64.hashLong(h, j)
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Mod-sampling rolling fingerprint: the sorted distinct shingle
+    * hashes ≡ 0 (mod `modulus`). Empty when nothing samples. */
+  def rollingFp(s: UTF8String, k: Int, modulus: Int): ArrayData = {
+    val hs = shingleHashes(s, k)
+    val keep = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < hs.length) {
+      if (java.lang.Math.floorMod(hs(i), modulus.toLong) == 0L) keep.add(hs(i))
+      i += 1
+    }
+    sortedDistinct(keep)
+  }
+
+  /** Winnowing (Schleimer et al., SIGMOD 2003): sorted distinct minima
+    * of each w-window of consecutive positional shingle hashes. Empty
+    * when the doc has fewer than `w` shingles (no full window). */
+  def winnowFp(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = shingleHashes(s, k)
+    val keep = new java.util.HashSet[java.lang.Long]()
+    var i = w - 1
+    while (i < hs.length) {
+      var m = hs(i)
+      var j = i - w + 1
+      while (j < i) { if (hs(j) < m) m = hs(j); j += 1 }
+      keep.add(m)
+      i += 1
+    }
+    sortedDistinct(keep)
+  }
+}
+
+sealed abstract class FingerprintExpression extends UnaryExpression {
+  // input must already be a string column (AbstractDataType needed for
+  // ExpectsInputTypes is private[sql]); callers pass text directly
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** `minhash_sig_x64(text, k, numHashes)` — array<long> signature. */
+case class MinhashSigX64(child: Expression, k: Int, numHashes: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.minhashSig(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.minhashSig($c, $k, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigX64 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig_x64"
+}
+
+/** `rolling_fp_x64(text, k, modulus)` — sorted distinct sampled hashes. */
+case class RollingFpX64(child: Expression, k: Int, modulus: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.rollingFp(input.asInstanceOf[UTF8String], k, modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.rollingFp($c, $k, $modulus);")
+  override protected def withNewChildInternal(newChild: Expression): RollingFpX64 =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fp_x64"
+}
+
+/** `winnow_fp_x64(text, k, w)` — sorted distinct window minima. */
+case class WinnowFpX64(child: Expression, k: Int, w: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.winnowFp(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.winnowFp($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpX64 =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fp_x64"
+}

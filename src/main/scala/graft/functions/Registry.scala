@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, LshBuckets, VecDot}
+import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -30,6 +30,27 @@ object Registry {
       (children: Seq[Expression]) => {
         def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
         LshBuckets(children(0), asInt(children(1)), asInt(children(2)), asInt(children(3)))
+      })
+    reg.registerFunction(
+      FunctionIdentifier("minhash_sig_x64"),
+      new ExpressionInfo(classOf[MinhashSigX64].getName, "minhash_sig_x64"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        MinhashSigX64(children(0), asInt(children(1)), asInt(children(2)))
+      })
+    reg.registerFunction(
+      FunctionIdentifier("rolling_fp_x64"),
+      new ExpressionInfo(classOf[RollingFpX64].getName, "rolling_fp_x64"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        RollingFpX64(children(0), asInt(children(1)), asInt(children(2)))
+      })
+    reg.registerFunction(
+      FunctionIdentifier("winnow_fp_x64"),
+      new ExpressionInfo(classOf[WinnowFpX64].getName, "winnow_fp_x64"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))
       })
   }
 }

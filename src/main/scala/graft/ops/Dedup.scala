@@ -143,26 +143,20 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures — a PER-ROW computation, no explode, no
-   * shuffle: each distinct shingle is string-hashed ONCE with xxhash64
-   * into a long array, then the `numHashes` signature slots are
-   * integer re-mixes (`xxhash64(seed, h)`) folded with `array_min`,
-   * all inside whole-stage codegen. The signature is doc-local, so the
-   * whole operator is a narrow map stage — at 100 TB it scans and
-   * emits (id, 16 longs) with zero exchange. (An earlier shape
-   * exploded shingles into a partial-min groupBy; value-identical, but
-   * it paid a generate + hash-aggregate per shingle and an exchange of
-   * the per-doc partials for what is ultimately row-local arithmetic.)
+   * MinHash signatures — the signature is doc-local, so this is ONE
+   * native [[graft.expr.MinhashSigX64]] expression per row: a narrow
+   * map stage with zero exchange at any scale. (Two earlier shapes
+   * both lose: explode + partial-min groupBy pays a generate, a hash
+   * aggregate and an exchange for row-local arithmetic; higher-order
+   * `transform` lambdas are interpreted with per-element boxing.)
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
+    graft.functions.Registry.ensure(df.sparkSession)
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        transform(charShingles(col(textCol), shingleSize), sh => xxhash64(sh)).as("_hs"))
-      .select(col("id"),
-        array((0 until numHashes).map { i =>
-          array_min(transform(col("_hs"), h => xxhash64(lit(i), h)))
-        }: _*).as("sig"))
+        call_function("minhash_sig_x64",
+          col(textCol), lit(shingleSize), lit(numHashes)).as("sig"))
   }
 
   /**

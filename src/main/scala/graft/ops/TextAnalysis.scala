@@ -160,21 +160,33 @@ object TextAnalysis {
   def winnowingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                            k: Int = 8, w: Int = 4,
                            portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val s = lower(col(textCol))
-    val shingles = transform(
-      sequence(lit(1), greatest(lit(1), length(s) - (k - 1))),
-      i => s.substr(i, lit(k)))
-    val hashes = transform(shingles, sh =>
-      if (portableHash)
-        conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")
-      else xxhash64(sh))
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol), hashes.as("_hs"))
-      .filter(size(col("_hs")) >= w) // only full windows
-      .select(col(idCol),
-        array_join(array_sort(array_distinct(
-          transform(sequence(lit(w), size(col("_hs"))),
-            i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))), ",").as("fp"))
+    if (portableHash) {
+      // md5-portable oracle twin: positional hashes as a higher-order
+      // transform, window minima as array_min over length-w slices.
+      val s = lower(col(textCol))
+      val hashes = transform(
+        transform(
+          sequence(lit(1), greatest(lit(1), length(s) - (k - 1))),
+          i => s.substr(i, lit(k))),
+        sh => conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long"))
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), hashes.as("_hs"))
+        .filter(size(col("_hs")) >= w) // only full windows
+        .select(col(idCol),
+          array_join(array_sort(array_distinct(
+            transform(sequence(lit(w), size(col("_hs"))),
+              i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))), ",").as("fp"))
+    } else {
+      // production path: native [[graft.expr.WinnowFpX64]] — empty
+      // array when the doc has no full window, dropped here (parity
+      // with the portable branch's size filter).
+      graft.functions.Registry.ensure(df.sparkSession)
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          call_function("winnow_fp_x64", col(textCol), lit(k), lit(w)).as("_fp"))
+        .filter(size(col("_fp")) > 0)
+        .select(col(idCol), array_join(col("_fp"), ",").as("fp"))
+    }
   }
 
   /**
@@ -188,18 +200,23 @@ object TextAnalysis {
   def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                          k: Int = 8, modulus: Int = 16,
                          portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
-    // Doc-local → per-row: hash the distinct shingles into a long
-    // array, keep the ≡0 sample with `filter`, sort + join in place.
-    // Narrow map stage, zero exchange at any scale; docs whose sample
-    // is empty drop (parity with the grouped shape this replaces).
-    val hashes = transform(Dedup.charShingles(col(textCol), k), sh =>
+    // Doc-local → per-row, zero exchange at any scale. The portable
+    // branch keeps the md5 arithmetic DuckDB reproduces (higher-order
+    // filter over the shingle array); the production branch is the
+    // native [[graft.expr.RollingFpX64]] primitive loop. Docs whose
+    // sample is empty drop (parity between both branches).
+    val sample: Column =
       if (portableHash)
-        conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")
-      else xxhash64(sh))
+        array_sort(array_distinct(filter(
+          transform(Dedup.charShingles(col(textCol), k), sh =>
+            conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")),
+          h => pmod(h, lit(modulus)) === 0)))
+      else {
+        graft.functions.Registry.ensure(df.sparkSession)
+        call_function("rolling_fp_x64", col(textCol), lit(k), lit(modulus))
+      }
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        array_sort(array_distinct(filter(hashes, h => pmod(h, lit(modulus)) === 0)))
-          .as("_fp"))
+      .select(col(idCol), sample.as("_fp"))
       .filter(size(col("_fp")) > 0)
       .select(col(idCol), array_join(col("_fp"), ",").as("fp"))
   }
