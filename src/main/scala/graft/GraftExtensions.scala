@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64}
+import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64, WordGramHashes}
 
 /**
  * SparkSessionExtensions injector: activate graft's native expressions
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
         WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        WordGramHashes(children(0), asInt(children(1)))
       }))
   }
 }

@@ -86,6 +86,67 @@ object Fingerprints {
     sortedDistinct(keep)
   }
 
+  /**
+   * Distinct word n-gram hashes, replicating the builtin construction
+   * `array_distinct(transform(..., i => xxhash64(array_join(slice(
+   * split(lower(trim(text)), "\\s+"), i+1, n), " "))))` token-for-token:
+   * lowercase, strip leading/trailing SPACES only (SQL `trim`), split
+   * on ASCII-whitespace runs keeping leading/trailing empty tokens
+   * (Java split with limit -1), join each n-token window with a single
+   * space, hash. Hash values are engine-local (XXH64 of the gram
+   * bytes); consumers only need gram-set identity, which this
+   * preserves: equal grams hash equal, distinct grams distinct modulo
+   * the 64-bit birthday bound.
+   */
+  def wordGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytesAll = s.toLowerCase.getBytes
+    // SQL trim: strip 0x20 only
+    var lo = 0
+    var hi = bytesAll.length
+    while (lo < hi && bytesAll(lo) == 0x20) lo += 1
+    while (hi > lo && bytesAll(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+    // token byte ranges, Java split(limit=-1) semantics
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytesAll(i))) {
+        starts.add(tokStart); ends.add(i)
+        while (i < hi && isWs(bytesAll(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    starts.add(tokStart); ends.add(hi) // final token (possibly empty)
+    val t = starts.size()
+    val numGrams = math.max(1, t - n + 1)
+    val keep = new java.util.LinkedHashSet[java.lang.Long]()
+    val buf = new Array[Byte](hi - lo + n) // gram bytes + separators
+    var g = 0
+    while (g < numGrams) {
+      var len = 0
+      var j = g
+      val last = math.min(g + n, t)
+      while (j < last) {
+        if (j > g) { buf(len) = 0x20; len += 1 }
+        val ts = starts.get(j)
+        val te = ends.get(j)
+        System.arraycopy(bytesAll, ts, buf, len, te - ts)
+        len += te - ts
+        j += 1
+      }
+      keep.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      g += 1
+    }
+    val arr = new Array[Long](keep.size)
+    val it = keep.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD 2003): sorted distinct minima
     * of each w-window of consecutive positional shingle hashes. Empty
     * when the doc has fewer than `w` shingles (no full window). */
@@ -134,6 +195,19 @@ case class RollingFpX64(child: Expression, k: Int, modulus: Int)
   override protected def withNewChildInternal(newChild: Expression): RollingFpX64 =
     copy(child = newChild)
   override def prettyName: String = "rolling_fp_x64"
+}
+
+/** `word_gram_hashes(text, n)` — distinct word n-gram hashes. */
+case class WordGramHashes(child: Expression, n: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.wordGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.wordGramHashes($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_gram_hashes"
 }
 
 /** `winnow_fp_x64(text, k, w)` — sorted distinct window minima. */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64}
+import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64, WordGramHashes}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -51,6 +51,13 @@ object Registry {
       (children: Seq[Expression]) => {
         def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
         WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))
+      })
+    reg.registerFunction(
+      FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        WordGramHashes(children(0), asInt(children(1)))
       })
   }
 }

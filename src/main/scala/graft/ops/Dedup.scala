@@ -361,38 +361,41 @@ object Dedup {
    * jaccard via |A∩B| / (|A|+|B|-|A∩B|). Frequent-ngram skew bounded
    * by `maxPostings`.
    */
-  /** Distinct word n-grams of the normalized text, HASHED to xxhash64
+  /** Distinct word n-grams of the normalized text, HASHED to 64 bits
     * before anything shuffles — gram-set operators only need equality,
     * and an 8-byte key beats a ~20-byte string in every exchange. Even
     * at 10^9 distinct grams the birthday bound gives ~3% odds of ONE
-    * colliding pair corpus-wide — noise for count/jaccard consumers. */
+    * colliding pair corpus-wide — noise for count/jaccard consumers.
+    * Native [[graft.expr.WordGramHashes]]: one primitive loop instead
+    * of interpreted tokenize/slice/join lambdas per gram. */
   def wordGramHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(lit(0), size(toks) - n)),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    call_function("word_gram_hashes", text, lit(n))
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxPostings: Int = 5000): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
+    // The posting row carries the doc's gram count, so the pair step
+    // reads |A| and |B| straight off the bucket structs — no join back
+    // to a sizes relation (the gram count is doc-local metadata, and
+    // one extra int per posting is far cheaper than two shuffled joins
+    // against a per-doc side at 100 TB).
+    val posting = df.select(col(idCol).as("id"),
         wordGramHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
-    val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
-    val posting = grams.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
     // inverted index, bounded postings per gram (stop-gram removal)
     val index = posting.groupBy(col("g"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxPostings))
-    val interCounts = index
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    interCounts
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .agg(collect_list(struct(col("id"), col("n"))).as("members"))
+      .filter(size(col("members")).between(2, maxPostings))
+    index
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
+        col("b.id").as("id_b"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -83,6 +83,39 @@ class FingerprintsSpec extends SparkTestBase {
     assert(out.select("doc_id").as[String].collect().toSeq == Seq("t2"))
   }
 
+  test("word_gram_hashes: value-identical to the builtin tokenize/slice/join/xxhash64 construction") {
+    reg()
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing spaces  ",
+      "tab\tseparated\ttokens here",
+      "mixed \t whitespace\n runs \r\n everywhere",
+      "one",
+      "two words",
+      "",
+      "   ",
+      "ÜNICODE Text ÉΛΛHNIKA tokens",
+      "a  b   c    d", // multi-space runs
+      "\ttab-led", // leading non-space whitespace survives SQL trim
+      "trailing-tab\t")
+    for (n <- Seq(2, 3, 5)) {
+      val df = texts.toDF("t")
+      val builtin = {
+        val toks = split(lower(trim(col("t"))), "\\s+")
+        array_distinct(
+          transform(sequence(lit(0), greatest(lit(0), size(toks) - n)),
+            i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      }
+      val rows = df.select(
+          builtin.as("want"),
+          call_function("word_gram_hashes", col("t"), lit(n)).as("got"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](0), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("fingerprint queries plan as narrow map stages: no Exchange, no ScalaUDF") {
     reg()
     val df = Seq(("d1", "some document text for the plan shape check")).toDF("doc_id", "text")
