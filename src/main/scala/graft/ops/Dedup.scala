@@ -355,6 +355,93 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-dup pairs behind an LSH blocker — the 100 TB
+   * twin of [[embeddingNearDupPairs]]: candidates are pairs sharing a
+   * bucket in ANY of `tables` independent hyperplane tables
+   * ([[graft.expr.LshBuckets]]), then exact-cosine verified. Only
+   * (id, bucket) moves until the candidate distinct; vectors join back
+   * for scoring (semi-join-then-fetch, same as [[Similarity.lshTopK]]).
+   * Output ⊆ the brute-force pairs; recall is the documented price —
+   * raise `tables` to trade shuffle volume for recall.
+   */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, dims: Int,
+                               planes: Int = 6, tables: Int = 4,
+                               maxBucketSize: Int = 10000): DataFrame = {
+    graft.functions.Registry.ensure(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val bucketed = v.select(col("id"),
+        posexplode(call_function("lsh_buckets",
+          col("v"), lit(dims), lit(planes), lit(tables))).as(Seq("table", "bucket")))
+    val cands = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct() // a pair can share buckets in several tables
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /**
+   * SEMANTIC dedup: embedding-cosine near-dup pairs → connected
+   * components → keep one canonical doc (min id) per cluster,
+   * singletons pass through ([[Clusters.dedupByPairs]]).
+   * `exactPairs=true` uses the brute-force O(n²) pair generator — the
+   * oracle baseline; the default LSH blocker is the scale path (same
+   * verify arithmetic, bounded buckets, recall documented on the pair
+   * op).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, dims: Int,
+                    exactPairs: Boolean = false): DataFrame = {
+    val pairs =
+      if (exactPairs) embeddingNearDupPairs(df, idCol, vecCol, threshold)
+      else embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, dims)
+    Clusters.dedupByPairs(df, idCol, pairs, "id_a", "id_b")
+  }
+
+  /**
+   * Incremental dedup of a NEW batch against an existing REFERENCE
+   * corpus, without shuffling either side in full: the reference's
+   * key-hashes aggregate into a bloom sketch (map-side partials, one
+   * tiny driver merge — the sketch, not the corpus, is what moves);
+   * new rows whose hash cannot be in the sketch pass through with NO
+   * exchange at all, and only probable duplicates — fpp of the clean
+   * volume plus the true dups — pay the exact anti-join that resolves
+   * bloom false positives. The result is therefore EXACTLY the plain
+   * anti-join on `keys`, which is what the oracle checks; the bloom
+   * only prunes the shuffle. Size `expectedRefDistinct` to the
+   * reference corpus (1% fpp ≈ 1.2 GB per 10⁹ keys — broadcast-able;
+   * shard the reference and run per-shard passes beyond that).
+   */
+  def incrementalDedup(newDf: DataFrame, refDf: DataFrame, keys: Seq[String],
+                       expectedRefDistinct: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val spark = newDf.sparkSession
+    val keyHash = xxhash64(keys.map(col): _*)
+    val bloom = refDf.select(keyHash.as("_h")).stat.bloomFilter("_h", expectedRefDistinct, fpp)
+    val fnName = "graft_bloom_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.expr.BloomMightContain].getName, fnName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.BloomMightContain(children.head, bloom))
+    val flagged = newDf.withColumn("_maybe_dup", call_function(fnName, keyHash))
+    val clean = flagged.filter(!col("_maybe_dup")).drop("_maybe_dup")
+    val resolved = flagged.filter(col("_maybe_dup")).drop("_maybe_dup")
+      .join(refDf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    clean.unionByName(resolved)
+  }
+
+  /**
    * Token n-gram Jaccard similarity pairs ≥ threshold, blocked by a
    * shared-ngram inverted index (never a full cross join).
    * Scale: explode → groupBy ngram (inverted index) → pair counts →

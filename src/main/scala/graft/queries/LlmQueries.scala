@@ -130,6 +130,36 @@ object LlmQueries {
           FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""")),
 
+    // SEMANTIC dedup: cosine pairs -> connected components -> keep the
+    // min-id representative per cluster. Brute-force pairs here so the
+    // whole composite (pairs + clustering + canonical selection)
+    // verifies against DuckDB's recursive CTE; the LSH-blocked pair
+    // generator is the spec-covered scale path.
+    Q("q_llm_semantic_dedup",
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dims = 64, exactPairs = true)
+        .select(col("vec_id"), col("label")),
+      Some(LlmOracles.semanticDedup)),
+
+    // Incremental dedup of a new batch against a reference corpus:
+    // bloom prefilter + exact anti-join on the survivors. The result
+    // equals the plain anti-join on the content key (the bloom only
+    // prunes the shuffle), so the scale path itself is oracle-able.
+    Q("q_llm_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("content_key", substring(col("text"), 1, 48))
+        Dedup.incrementalDedup(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0),
+            Seq("content_key"), expectedRefDistinct = 10000L)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS ck FROM documents)
+        SELECT doc_id, lang, n_chars FROM d n
+        WHERE doc_id % 3 = 0 AND NOT EXISTS (
+          SELECT 1 FROM d r WHERE r.doc_id % 3 <> 0 AND r.ck = n.ck)""")),
+
     // Brute-force cosine top-3 for the first 20 vectors.
     Q("q_llm_cosine_topk",
       (s, dir) => {
@@ -509,6 +539,21 @@ object LlmOracles {
     $clusterCtes
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** Semantic dedup twin: brute-force cosine pairs ≥ 0.4 feed the same
+    * recursive min-label cluster walk; survivors = min id per cluster
+    * plus singletons. Twin of [[graft.ops.Dedup.semanticDedup]] with
+    * exactPairs=true. */
+  val semanticDedup: String = s"""
+    WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ev a CROSS JOIN ev b
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+    $clusterCtes
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM losers)"""
 
   /** End-to-end corpus-clean twin: quality gate → exact dedup →
     * portable minhash pairs → recursive-CTE cluster resolution.
