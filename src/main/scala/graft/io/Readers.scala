@@ -19,6 +19,11 @@ object Readers {
   def read(spark: SparkSession, src: SourceConfig): DataFrame = src.`type` match {
     case "csv"     => readCsv(spark, src)
     case "json"    => spark.read.option("multiLine", "true").json(src.file)
+    // newline-delimited JSON: the training-data interchange format.
+    // Unlike the "json" array form (multiLine, whole-file parse), JSONL
+    // is SPLITTABLE — Spark assigns line ranges to tasks, so a single
+    // 100 GB file still scans in parallel.
+    case "jsonl"   => spark.read.json(src.file)
     case "xml"     => spark.read.format("xml")
       .option("rowTag", src.xmlRecordTag.getOrElse("record"))
       .load(src.file)

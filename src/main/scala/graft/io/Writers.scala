@@ -20,6 +20,7 @@ object Writers {
   def write(df: DataFrame, dest: DestinationConfig): Unit = dest.`type` match {
     case "csv"     => writeCsv(df, dest.file)
     case "json"    => writeJsonArray(df, dest.file)
+    case "jsonl"   => writeJsonl(df, dest.file)
     case "xml"     => writeXml(df, dest)
     case "yaml"    => writeYaml(df, dest.file)
     case "xlsx"    => Xlsx.write(df, dest)
@@ -75,6 +76,15 @@ object Writers {
     finally out.close()
     dir.listFiles().foreach(_.delete()); dir.delete()
   }
+
+  /** Newline-delimited JSON (JSONL) — the training-data interchange
+    * format. Distributed `df.write.json` (each task writes its own
+    * part, no single-file funnel: JSONL consumers glob directories),
+    * nulls kept explicit for round-trip schema stability. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(path)
 
   /** Indented (2-space) JSON ARRAY file — the reference's shape
     * (json.go:51-87) — streamed via toLocalIterator (never a full

@@ -53,6 +53,32 @@ object Sampling {
   }
 
   /**
+   * Training-mixture RESAMPLING: weight each stratum (source/domain)
+   * by a real factor — the per-source epoch multipliers of an LLM data
+   * mixture. Weight 2.5 emits every row twice plus a deterministic 50%
+   * once more; weight 0.3 keeps a 30% sample; 0 drops the stratum.
+   * Emitted copies carry an `epoch` column (1..n) so downstream
+   * shuffles/packing see distinguishable rows. Purely row-local
+   * (hash + explode, no shuffle), deterministic in the key — rerunning
+   * on late-arriving shards reproduces the same membership, which is
+   * what makes the mixture auditable.
+   */
+  def mixtureResample(df: DataFrame, keyCol: String, stratumCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val frac = (w - floor(w)) * 1000000
+    val copies = (floor(w).cast("int") +
+      when(hashBucket(col(keyCol), 1000000) < frac.cast("long"), 1).otherwise(0)).as("_copies")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("_copies"))))
+      .drop("_copies")
+  }
+
+  /**
    * Stratified deterministic sampling: per stratum value, keep a
    * different percentage (e.g. downsample a dominant language).
    * Unlisted strata keep `defaultPct`.

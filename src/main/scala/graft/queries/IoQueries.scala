@@ -44,6 +44,15 @@ object IoQueries {
       },
       Some("SELECT doc_id, lang, n_chars FROM documents")),
 
+    // JSONL sink (distributed part files) -> splittable JSONL source.
+    Q("q_io_jsonl_roundtrip",
+      (s, dir) => {
+        val p = tmpDir() + "/docs.jsonl"
+        Writers.writeJsonl(docs3(s, dir), p)
+        Readers.read(s, SourceConfig("jsonl", file = p))
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents")),
+
     // XML sink -> built-in XML source (rowTag), numeric re-inference.
     Q("q_io_xml_roundtrip",
       (s, dir) => {

@@ -350,6 +350,23 @@ object LlmQueries {
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
           < (CASE WHEN lang = 'en' THEN 20 ELSE 100 END)""")),
 
+    // Training-mixture resampling: per-source epoch weights (src0 seen
+    // 2.5x, src1 downsampled to 30%, everything else 1x).
+    Q("q_llm_mixture",
+      (s, dir) => graft.ops.Sampling.mixtureResample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.3)),
+      Some("""WITH w AS (SELECT doc_id, source, n_chars,
+          CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.3 ELSE 1.0 END AS wt,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+          FROM documents),
+        c AS (SELECT doc_id, source, n_chars,
+          CAST(floor(wt) AS INT)
+            + (CASE WHEN b < CAST((wt - floor(wt)) * 1000000 AS BIGINT) THEN 1 ELSE 0 END) AS n
+          FROM w)
+        SELECT doc_id, source, n_chars, CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+        FROM c WHERE n > 0""")),
+
     // REAL image decode end to end: synthesize a P5 gradient image per
     // doc (pixel = (x+y+doc_id) mod 256), decode it per-partition with
     // the pure-byte netpbm parser, emit exact integer features. The

@@ -57,6 +57,24 @@ class ScaleSpec extends SparkTestBase {
     assert(frac > 0.85 && frac < 0.95) // ~90% train
   }
 
+  test("mixtureResample: integer weights repeat exactly, fractions sample, 0 drops; deterministic") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureResample(d, "id", "source",
+        Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0))
+        .select("id", "source", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val out = run(df)
+    assert(out == run(df.repartition(7))) // pure function of the key
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") == 200) // every src0 row exactly twice (epochs 1 and 2)
+    assert(out.filter(_._2 == "src0").map(_._3).toSet == Set(1, 2))
+    val s1 = bySrc.getOrElse("src1", 0)
+    assert(s1 > 30 && s1 < 70, s"~50% of 100 expected, got $s1")
+    assert(!bySrc.contains("src2")) // weight 0 drops the stratum
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import spark.implicits._
     // one dominant key (90 of 100 rows)
