@@ -60,4 +60,17 @@ object Registry {
         WordGramHashes(children(0), asInt(children(1)))
       })
   }
+
+  /** Registers a one-off membership function for a concrete bloom
+    * sketch (runtime object — can't be a name-only registration) and
+    * returns its unique name for `call_function`. */
+  def bloomFunction(spark: SparkSession,
+                    bloom: org.apache.spark.util.sketch.BloomFilter): String = {
+    val fnName = "graft_bloom_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName),
+      new ExpressionInfo(classOf[graft.expr.BloomMightContain].getName, fnName),
+      (children: Seq[Expression]) => graft.expr.BloomMightContain(children.head, bloom))
+    fnName
+  }
 }

@@ -424,16 +424,9 @@ object Dedup {
   def incrementalDedup(newDf: DataFrame, refDf: DataFrame, keys: Seq[String],
                        expectedRefDistinct: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
-    val spark = newDf.sparkSession
     val keyHash = xxhash64(keys.map(col): _*)
     val bloom = refDf.select(keyHash.as("_h")).stat.bloomFilter("_h", expectedRefDistinct, fpp)
-    val fnName = "graft_bloom_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(fnName),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.expr.BloomMightContain].getName, fnName),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expr.BloomMightContain(children.head, bloom))
+    val fnName = graft.functions.Registry.bloomFunction(newDf.sparkSession, bloom)
     val flagged = newDf.withColumn("_maybe_dup", call_function(fnName, keyHash))
     val clean = flagged.filter(!col("_maybe_dup")).drop("_maybe_dup")
     val resolved = flagged.filter(col("_maybe_dup")).drop("_maybe_dup")

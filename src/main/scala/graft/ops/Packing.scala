@@ -32,4 +32,29 @@ object Packing {
         (floor((col("start_off") + col("n_tokens") - 1) / capacity) >
           floor(col("start_off") / capacity)).as("straddles"))
   }
+
+  /**
+   * Per-document token CHUNKING with overlap — the long-document
+   * splitter that runs BEFORE packing: each doc becomes
+   * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`
+   * whitespace tokens, consecutive chunks sharing `overlap` tokens
+   * (retrieval/embedding prep: the overlap keeps boundary context in
+   * both chunks). Row-local (tokenize + slice windows + posexplode, no
+   * shuffle); deterministic chunk ids = (doc id, chunk index). Docs at
+   * or under `chunkTokens` pass through as their own single chunk.
+   */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = Dedup.tokens(col(textCol))
+    // chunk starts: 0, stride, 2*stride, ... while start + overlap < n
+    // (the last chunk begins before the tail would be pure overlap)
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", size(Dedup.tokens(col("chunk_text"))))
+  }
 }

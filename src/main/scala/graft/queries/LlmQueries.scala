@@ -350,6 +350,25 @@ object LlmQueries {
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
           < (CASE WHEN lang = 'en' THEN 20 ELSE 100 END)""")),
 
+    // Long-document chunking: 20-token windows with 4-token overlap.
+    Q("q_llm_chunk",
+      (s, dir) => graft.ops.Packing.chunkDocs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 20, overlap = 4),
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+          greatest(1, CAST(ceil(CAST(len(toks) - 4 AS DOUBLE) / 16) AS INT)) AS nc FROM tk),
+        c AS (SELECT doc_id,
+          list_transform(generate_series(0, nc - 1),
+            i -> array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 20), ' ')) AS chunks
+          FROM n)
+        SELECT doc_id,
+          CAST(unnest(generate_series(0, len(chunks) - 1)) AS INT) AS chunk_idx,
+          unnest(chunks) AS chunk_text,
+          CAST(len(string_split_regex(unnest(chunks), '\s+')) AS INT) AS chunk_tokens
+        FROM c""")),
+
     // Training-mixture resampling: per-source epoch weights (src0 seen
     // 2.5x, src1 downsampled to 30%, everything else 1x).
     Q("q_llm_mixture",

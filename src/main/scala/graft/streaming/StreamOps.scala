@@ -64,23 +64,43 @@ object StreamOps {
   }
 
   /**
-   * Streaming NEAR-dup dedup: a per-row MinHash signature (array
-   * expression — no groupBy, so it works on an unbounded stream) and
-   * watermarked dropDuplicates on the signature. Batch pipelines use
-   * the explode+agg signatures in Dedup (faster); streams need the
-   * stateless per-row shape.
+   * Streaming NEAR-dup dedup: the per-row native MinHash signature
+   * ([[graft.expr.MinhashSigX64]] — row-local, no groupBy, so it works
+   * on an unbounded stream; same expression the batch path uses) and
+   * watermarked dropDuplicates on the rendered signature.
    */
   def minhashDedupStream(df: DataFrame, textCol: String, tsCol: String,
                          shingleSize: Int = 5, numHashes: Int = 8,
                          watermark: String = "10 minutes"): DataFrame = {
-    val shingles = graft.ops.Dedup.charShingles(col(textCol), shingleSize)
-    val sig = concat_ws(",", (0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.Registry.ensure(df.sparkSession)
+    val sig = concat_ws(",", call_function("minhash_sig_x64",
+      col(textCol), lit(shingleSize), lit(numHashes)).cast("array<string>"))
     df.withColumn("_minhash_sig", sig)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_minhash_sig"))
       .drop("_minhash_sig")
+  }
+
+  /**
+   * Streaming incremental dedup against a STATIC reference corpus —
+   * the streaming face of [[graft.ops.Dedup.incrementalDedup]]: rows
+   * the reference's bloom sketch rules out pass through without
+   * touching the join; probable duplicates resolve with a stream-static
+   * left-anti join, so emitted rows are EXACTLY the stream rows whose
+   * key is absent from the reference. The sketch is built once at
+   * query definition from the static side.
+   */
+  def incrementalDedupStream(stream: DataFrame, refDf: DataFrame, keys: Seq[String],
+                             expectedRefDistinct: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame = {
+    val keyHash = xxhash64(keys.map(col): _*)
+    val bloom = refDf.select(keyHash.as("_h")).stat.bloomFilter("_h", expectedRefDistinct, fpp)
+    val fnName = graft.functions.Registry.bloomFunction(stream.sparkSession, bloom)
+    val flagged = stream.withColumn("_maybe_dup", call_function(fnName, keyHash))
+    val clean = flagged.filter(!col("_maybe_dup")).drop("_maybe_dup")
+    val resolved = flagged.filter(col("_maybe_dup")).drop("_maybe_dup")
+      .join(refDf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    clean.unionByName(resolved)
   }
 
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

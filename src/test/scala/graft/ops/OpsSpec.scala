@@ -107,6 +107,28 @@ class OpsSpec extends SparkTestBase {
     assert(again == got.view.mapValues(_._1).toMap)
   }
 
+  test("chunkDocs: overlapping token windows cover the doc; short docs pass through whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // under one chunk
+      (3L, "x")                               // single token
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Packing.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Int]("chunk_tokens"))).toMap
+    // stride 3: chunks at 0,3,6 -> [t0..t3], [t3..t6], [t6..t9]; last is 4 tokens
+    assert(got((1L, 0)) == ("t0 t1 t2 t3", 4))
+    assert(got((1L, 1)) == ("t3 t4 t5 t6", 4))
+    assert(got((1L, 2)) == ("t6 t7 t8 t9", 4))
+    assert(got((2L, 0)) == ("a b", 2))
+    assert(got((3L, 0)) == ("x", 1))
+    assert(got.size == 5)
+    // consecutive chunks share exactly `overlap` boundary tokens
+    assert(got((1L, 0))._1.split(" ").last == got((1L, 1))._1.split(" ").head)
+  }
+
   test("byExtreme string field: float-equal numeric strings tie -> earliest ingested") {
     import spark.implicits._
     // "1.0" and "1" parse to the same float64: CompareValues returns 0,

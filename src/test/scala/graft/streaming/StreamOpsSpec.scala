@@ -129,6 +129,24 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: stream rows present in the static reference are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = (1 to 60).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.incrementalDedupStream(mem.toDF().toDF("id", "k"), ref, Seq("k"),
+      expectedRefDistinct = 60L, fpp = 0.2) // high fpp: false positives must still resolve
+    val q = out.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((100 to 160).map(i => (i.toLong, s"key_${i - 70}")): _*)
+      q.processAllAvailable()
+      // keys key_30..key_90; key_30..key_60 collide with the reference
+      val kept = spark.table("inc_dedup").collect().map(_.getAs[Long]("id")).toSet
+      assert(kept == (131L to 160L).toSet)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
