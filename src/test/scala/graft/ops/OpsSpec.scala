@@ -144,6 +144,25 @@ class OpsSpec extends SparkTestBase {
     assert(mx == Seq(3L)) // non-numeric class ranks above numerics for max
   }
 
+  test("byExtreme cross-class DIVERGENCE pinned: digit-leading non-numeric vs numeric string") {
+    import spark.implicits._
+    // Known, documented divergence from the reference: CompareValues
+    // falls back to strings.Compare for ("5x", "9") -> "5x" < "9"
+    // (ASCII '5' < '9'), while this impl ranks ALL numeric strings
+    // below ALL non-numeric strings, so min picks "9". The reference's
+    // pairwise raw-string compare is not a total order (it depends on
+    // fold encounter order); a deterministic class ranking is the
+    // price of a distributed sort. This test pins OUR ordering so any
+    // change to it is deliberate.
+    val df = Seq((1L, "k", "9"), (2L, "k", "5x")).toDF("id", "g", "s")
+    val mn = Dedup.byExtreme(df, Seq("g"), "s", max = false)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(mn == Seq(1L)) // impl: numeric "9" < non-numeric "5x"; reference: "5x" first
+    val mx = Dedup.byExtreme(df, Seq("g"), "s", max = true)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(mx == Seq(2L))
+  }
+
   test("byExtreme min/max with earliest-ingested tiebreak") {
     val mn = Dedup.byExtreme(events, Seq("k"), "v", max = false)
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toMap
