@@ -100,6 +100,47 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys)
 
+  /**
+   * C4-style duplicate-span removal: each document's token stream is
+   * cut into consecutive non-overlapping `spanTokens`-token segments;
+   * a segment that appears verbatim anywhere else in the corpus
+   * survives only at its FIRST occurrence ((doc id, position) order)
+   * and every later occurrence is dropped; each document is rebuilt
+   * from its surviving segments in order. Documents whose every span
+   * was dropped disappear, as in C4's line-level dedup.
+   *
+   * Shape: one shuffle keyed on the span text for the global
+   * first-occurrence rank (the occ = 1 filter runs as
+   * WindowGroupLimit, so map tasks keep one row per span before the
+   * exchange), one shuffle on the doc id to rebuild. Spans are short
+   * (`spanTokens` words); at 100 TB the rank key would be
+   * xxhash64(span) to cut shuffle bytes — raw strings kept here for
+   * oracle portability.
+   */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nSpans = greatest(
+      ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
+    val spans = docs.select(col(idCol).as("id"), nSpans.as("total_spans"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")))
+        .as(Seq("span_idx", "span_text")))
+    val firstW = Window.partitionBy(col("span_text"))
+      .orderBy(col("id"), col("span_idx"))
+    spans
+      .withColumn("occ", row_number().over(firstW))
+      .filter(col("occ") === 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+            s => s.getField("span_text")), " ").as("clean_text"),
+        count(lit(1)).cast("int").as("kept_spans"),
+        first(col("total_spans")).as("total_spans"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Top-k rows per key by `orderCol` (desc), ties broken by
     * `tiebreak` asc. Spark executes this as WindowGroupLimit: each map
     * task keeps only k rows per key BEFORE the shuffle. */

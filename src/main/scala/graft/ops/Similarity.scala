@@ -176,4 +176,33 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * Per-label centroid of the L2-normalized embeddings, long format:
+   * (label, dim, centroid, n_vectors). The long shape keeps every
+   * output cell scalar (array cells break column-wise comparison
+   * downstream) and makes the aggregation a plain (label, dim)
+   * groupBy — ONE shuffle whose width is rows×dims scalars, the same
+   * map-side-combining agg at any corpus size.
+   *
+   * Normalization is row-local IEEE math (vec_dot + sqrt + divide:
+   * bit-deterministic). The cross-row mean quantizes each normalized
+   * value to integer nano-units BEFORE summation: multiply/add/floor
+   * are IEEE-exact given identical input doubles, and the integer sum
+   * is order-independent — unlike a double sum (partition order
+   * wiggles low bits) or a double->DECIMAL cast (engines disagree on
+   * the rounding of tie-adjacent values).
+   */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val v = df.select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    v.select(col("label"), col("nrm"), posexplode(col("v")).as(Seq("dim", "dval")))
+      .withColumn("nano",
+        floor(col("dval") / col("nrm") * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        ((sum(col("nano")).cast("double") / count(lit(1))) / lit(1e9)).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+  }
 }

@@ -434,6 +434,66 @@ object LlmQueries {
         CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS head_byte,
         md5(text) AS content_md5
         FROM documents""")),
+
+    // C4-style duplicate-span removal: 3-token spans, first corpus
+    // occurrence survives, docs rebuilt from surviving spans.
+    Q("q_llm_span_dedup",
+      (s, dir) => Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 3),
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+          greatest(CAST(ceil(CAST(len(toks) AS DOUBLE) / 3) AS INT), 1) AS total_spans
+          FROM tk),
+        s AS (SELECT doc_id, toks, total_spans,
+          CAST(unnest(generate_series(0, total_spans - 1)) AS INT) AS span_idx FROM n),
+        sp AS (SELECT doc_id, total_spans, span_idx,
+          array_to_string(list_slice(toks, span_idx * 3 + 1, span_idx * 3 + 3), ' ')
+            AS span_text FROM s),
+        k AS (SELECT *, row_number()
+            OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS occ FROM sp)
+        SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+          CAST(COUNT(*) AS INT) AS kept_spans, any_value(total_spans) AS total_spans
+        FROM k WHERE occ = 1 GROUP BY doc_id""")),
+
+    // BM25 keyword extraction: top-3 scored terms per doc; scores in
+    // integer micro-units (ln is not bit-reproducible across engines).
+    Q("q_llm_bm25",
+      (s, dir) => graft.ops.Ranking.bm25TopTerms(
+        t(s, dir, "documents"), "doc_id", "text", topK = 3),
+      Some("""WITH tk AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dl AS (SELECT doc_id, term, tf,
+          SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        fr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+          CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl FROM tf),
+        sc AS (SELECT t.doc_id, t.term,
+            ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * (t.tf * (1.2 + 1) /
+                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * (t.dl / st.avgdl)))) AS score
+          FROM dl t JOIN fr f USING (term) CROSS JOIN st),
+        r AS (SELECT doc_id, term,
+            CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS bm25_micro FROM sc),
+        rk AS (SELECT doc_id, term, bm25_micro,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY bm25_micro DESC, term ASC) AS INT) AS rank FROM r)
+        SELECT doc_id, term, rank, bm25_micro FROM rk WHERE rank <= 3""")),
+
+    // Per-label centroids of L2-normalized embeddings, long format
+    // (nano-unit-quantized mean: order-independent, exact cross-engine).
+    Q("q_llm_embed_centroids",
+      (s, dir) => Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding"),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        d AS (SELECT label,
+            CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS dim,
+            CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS nano FROM n)
+        SELECT label, dim,
+          (CAST(SUM(nano) AS DOUBLE) / COUNT(*)) / 1e9 AS centroid,
+          COUNT(*) AS n_vectors
+        FROM d GROUP BY 1, 2""")),
   )
 }
 
