@@ -43,9 +43,12 @@ object GoValues {
       val d = c.cast(DoubleType)
       when(d.isNotNull && d === floor(d), safeLongCast(d))
     case _: StringType =>
+      // Go: ParseInt(s, 10, 64) first (base 10 — NO underscores), then
+      // the ParseFloat fallback, which DOES accept underscores and hex
+      // floats — route it through goToFloat for identical semantics.
       val t = trim(c)
       val asLong = when(t.rlike(intRe), t.try_cast(LongType))
-      val d = t.try_cast(DoubleType)
+      val d = goToFloat(c, dt)
       val viaFloat = when(d.isNotNull && d === floor(d), safeLongCast(d))
       coalesce(asLong, viaFloat)
     case _: BooleanType => lit(null).cast(LongType) // Go: bool not accepted (transform.go:999)
@@ -58,16 +61,41 @@ object GoValues {
     case _: StringType  =>
       // Go strconv.ParseFloat after TrimSpace (transform.go:1018);
       // try_cast: malformed -> null (never throws, ANSI-mode safe).
-      // ParseFloat also accepts "inf"/"infinity"/"nan" in any case with
-      // an optional sign, which Java's Double.parseDouble (and thus
-      // Spark's cast) does not — map those spellings explicitly.
-      // (Unsupported ParseFloat forms: hex floats "0x1p3", digit
-      // underscores "1_000" — absent from playbook data in practice.)
-      val t = trim(c)
-      val low = lower(t)
+      // ParseFloat also accepts, which Java's Double.parseDouble (and
+      // thus Spark's cast) does not:
+      //  - "inf"/"infinity"/"nan" in any case with an optional sign;
+      //  - digit underscores BETWEEN digits ("1_000", "0x_1p3");
+      //  - hex floats "0x<mantissa>p<exp>" (p-exponent mandatory).
+      val t0 = trim(c)
+      val low = lower(t0)
+      // underscore placement per the Go literal grammar; strip if valid,
+      // else null (ParseFloat errors on misplaced underscores)
+      val decU = "^[+-]?(([0-9](_?[0-9])*)(\\.([0-9](_?[0-9])*)?)?|\\.[0-9](_?[0-9])*)" +
+        "([eE][+-]?[0-9](_?[0-9])*)?$"
+      val hexU = "^[+-]?0[xX](_?[0-9a-fA-F](_?[0-9a-fA-F])*(\\.([0-9a-fA-F](_?[0-9a-fA-F])*)?)?" +
+        "|\\.[0-9a-fA-F](_?[0-9a-fA-F])*)[pP][+-]?[0-9](_?[0-9])*$"
+      val t = when(!t0.contains("_"), t0)
+        .when(t0.rlike(decU) || t0.rlike(hexU), regexp_replace(t0, "_", ""))
+      // hex float value: (int part + frac/16^len) * 2^exp. `conv` reads
+      // the mantissa as unsigned 64-bit — exact through 16 hex digits,
+      // beyond double precision (13-14 digits) anyway.
+      // cheap contains-guard so ordinary numeric strings never pay the
+      // hex regex (And short-circuits in codegen)
+      val isHex = (t.contains("x") || t.contains("X")) &&
+        t.rlike("^[+-]?0[xX]([0-9a-fA-F]+(\\.[0-9a-fA-F]*)?|\\.[0-9a-fA-F]+)[pP][+-]?[0-9]+$")
+      val hexRe = "^[+-]?0[xX]([0-9a-fA-F]*)\\.?([0-9a-fA-F]*)[pP]([+-]?[0-9]+)$"
+      val ip = regexp_extract(t, hexRe, 1)
+      val fp = regexp_extract(t, hexRe, 2)
+      val ex = regexp_extract(t, hexRe, 3).cast(IntegerType)
+      val ipv = when(ip === "", lit(0.0)).otherwise(conv(ip, 16, 10).cast(DoubleType))
+      val fpv = when(fp === "", lit(0.0))
+        .otherwise(conv(fp, 16, 10).cast(DoubleType) / pow(lit(16.0), length(fp).cast(DoubleType)))
+      val sgn = when(t.startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
+      val hexVal = sgn * (ipv + fpv) * pow(lit(2.0), ex)
       when(low.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
         .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
         .when(low.isin("nan", "+nan", "-nan"), lit(Double.NaN))
+        .when(isHex, hexVal)
         .otherwise(t.try_cast(DoubleType))
     case _: BooleanType => lit(null).cast(DoubleType)
     case _ => lit(null).cast(DoubleType)

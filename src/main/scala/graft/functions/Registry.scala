@@ -61,16 +61,14 @@ object Registry {
       })
   }
 
-  /** Registers a one-off membership function for a concrete bloom
-    * sketch (runtime object — can't be a name-only registration) and
-    * returns its unique name for `call_function`. */
-  def bloomFunction(spark: SparkSession,
-                    bloom: org.apache.spark.util.sketch.BloomFilter): String = {
-    val fnName = "graft_bloom_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(fnName),
-      new ExpressionInfo(classOf[graft.expr.BloomMightContain].getName, fnName),
-      (children: Seq[Expression]) => graft.expr.BloomMightContain(children.head, bloom))
-    fnName
-  }
+  /** Membership predicate for a concrete bloom sketch, built directly
+    * as a Column (the sketch is a runtime object, so a name-only
+    * registration can't express it; registering a UUID-named function
+    * per call would leak the sketch into the session FunctionRegistry
+    * for the session's lifetime). */
+  def bloomColumn(hash: org.apache.spark.sql.Column,
+                  bloom: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hash), bloom))
 }

@@ -72,28 +72,39 @@ object Dedup {
     val sf = seqd(strategyField)
     val dt = seqd.schema.fields.find(_.name == strategyField)
       .map(_.dataType).getOrElse(StringType)
-    val ordCols: Seq[Column] = dt match {
+    val (prepped, ordCols, tmpCols): (DataFrame, Seq[Column], Seq[String]) = dt match {
       case _: StringType =>
+        // Project the sort keys ONCE per row: sort-order expressions are
+        // re-evaluated on every comparison inside the window's sort, and
+        // goToFloat is regex-heavy — O(n log n) parses without this.
         val num = GoValues.goToFloat(sf, dt)
         // class: 0 = nil, 1 = numeric, 2 = non-numeric string
-        val cls = when(sf.isNull, 0).when(num.isNotNull, 1).otherwise(2)
         // lexicographic key ONLY for the non-numeric class: float-equal
         // numeric strings ("1" vs "1.0") are a CompareValues tie, so the
         // earliest-ingested record must win via _seq, never string order.
-        val lex = when(cls === 2, sf)
-        if (max) Seq(cls.desc, num.desc_nulls_last, lex.desc_nulls_last)
-        else     Seq(cls.asc,  num.asc_nulls_last,  lex.asc_nulls_last)
+        val p = seqd.withColumn("_x_num", num)
+          .withColumn("_x_cls",
+            when(sf.isNull, 0).when(col("_x_num").isNotNull, 1).otherwise(2))
+          .withColumn("_x_lex", when(col("_x_cls") === 2, sf))
+        val ord =
+          if (max) Seq(col("_x_cls").desc, col("_x_num").desc_nulls_last,
+                       col("_x_lex").desc_nulls_last)
+          else     Seq(col("_x_cls").asc,  col("_x_num").asc_nulls_last,
+                       col("_x_lex").asc_nulls_last)
+        (p, ord, Seq("_x_num", "_x_cls", "_x_lex"))
       case _ =>
         // native types: Spark's natural order matches CompareValues
         // (numeric, timestamp, bool false<true); nil smallest.
-        if (max) Seq(sf.desc_nulls_last) else Seq(sf.asc_nulls_first)
+        (seqd,
+         if (max) Seq(sf.desc_nulls_last) else Seq(sf.asc_nulls_first),
+         Nil)
     }
     // tie / incomparable → earliest ingested wins (reference keeps stored)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ordCols :+ col("_seq").asc: _*)
-    seqd.withColumn("_rn", row_number().over(w))
+    prepped.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_seq")
+      .drop("_rn" +: "_seq" +: tmpCols: _*)
   }
 
   /** Exact duplicate removal on a set of columns (hash-shuffle distinct). */
@@ -190,6 +201,14 @@ object Dedup {
    * both lose: explode + partial-min groupBy pays a generate, a hash
    * aggregate and an exchange for row-local arithmetic; higher-order
    * `transform` lambdas are interpreted with per-element boxing.)
+   *
+   * PRECONDITION: `idCol` must be unique. Output is one signature row
+   * per INPUT ROW; a duplicated id yields duplicate (id, sig) rows,
+   * and downstream banding ([[minhashNearDupPairs]]) would see them as
+   * distinct bucket members. (An earlier explode+groupBy(id) shape
+   * silently merged duplicate ids into one signature over the union of
+   * their shingles — that merge was an accident of shape, not a
+   * contract; `dropDuplicates(idCol)` first if ids can repeat.)
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
@@ -467,8 +486,8 @@ object Dedup {
                        fpp: Double = 0.01): DataFrame = {
     val keyHash = xxhash64(keys.map(col): _*)
     val bloom = refDf.select(keyHash.as("_h")).stat.bloomFilter("_h", expectedRefDistinct, fpp)
-    val fnName = graft.functions.Registry.bloomFunction(newDf.sparkSession, bloom)
-    val flagged = newDf.withColumn("_maybe_dup", call_function(fnName, keyHash))
+    val flagged = newDf.withColumn("_maybe_dup",
+      graft.functions.Registry.bloomColumn(keyHash, bloom))
     val clean = flagged.filter(!col("_maybe_dup")).drop("_maybe_dup")
     val resolved = flagged.filter(col("_maybe_dup")).drop("_maybe_dup")
       .join(refDf.select(keys.map(col): _*).distinct(), keys, "left_anti")

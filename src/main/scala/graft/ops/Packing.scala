@@ -55,6 +55,10 @@ object Packing {
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
     docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
-      .withColumn("chunk_tokens", size(Dedup.tokens(col("chunk_text"))))
+      // count by splitting the RAW chunk text (no trim/lowercase): the
+      // doc tokenizer can emit empty tokens (e.g. leading tab survives
+      // trim), and the rejoined chunk then carries boundary spaces —
+      // a trimming recount would disagree with a plain split count.
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), "\\s+", -1)))
   }
 }

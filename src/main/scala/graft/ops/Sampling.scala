@@ -66,12 +66,20 @@ object Sampling {
   def mixtureResample(df: DataFrame, keyCol: String, stratumCol: String,
                       weights: Map[String, Double],
                       defaultWeight: Double = 1.0): DataFrame = {
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    // Threshold computed DRIVER-SIDE with round-to-nearest so the engine
+    // and the DuckDB oracle (CAST((wt-floor(wt))*1e6 AS BIGINT), which
+    // rounds) share one integer: float truncation of e.g. 0.29*1e6 =
+    // 289999.999… would differ from the oracle by 1 bucket.
+    def intPart(v: Double): Int = math.floor(v).toInt
+    def fracThr(v: Double): Long = math.round((v - math.floor(v)) * 1e6)
+    val base = weights.foldLeft(lit(intPart(defaultWeight))) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(intPart(v))).otherwise(acc)
     }
-    val frac = (w - floor(w)) * 1000000
-    val copies = (floor(w).cast("int") +
-      when(hashBucket(col(keyCol), 1000000) < frac.cast("long"), 1).otherwise(0)).as("_copies")
+    val thr = weights.foldLeft(lit(fracThr(defaultWeight))) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(fracThr(v))).otherwise(acc)
+    }
+    val copies = (base +
+      when(hashBucket(col(keyCol), 1000000) < thr, 1).otherwise(0)).as("_copies")
     df.withColumn("_copies", copies)
       .filter(col("_copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1), col("_copies"))))

@@ -85,12 +85,18 @@ object Similarity {
       .withColumn("fv", array_to_vector(col("v")))
     // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
     // on the full corpus is the one driver-side scale hazard at 100 TB.
-    // Deterministic hash-mod downsample to ~maxFitVectors; corpora at or
-    // under the cap fit on everything (bit-identical to the unsampled fit).
-    val n = v.count()
+    // Deterministic hash-mod downsample to ~maxFitVectors. The row count
+    // that sizes the modulus comes from PLAN STATISTICS (sum of input
+    // file bytes / the vector's own width) — metadata-only, replacing an
+    // eager count() that cost a full corpus scan just to size a sample.
+    // The quantizer is insensitive to the exact sample size; the modulus
+    // only needs the right order of magnitude. Corpora at or under the
+    // cap estimate modulus 1 and fit on everything.
+    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
     val fitSet =
-      if (n <= maxFitVectors) v
-      else v.filter(pmod(xxhash64(col("id")), lit(n / maxFitVectors + 1)) === 0)
+      if (estRows <= maxFitVectors) v
+      else v.filter(pmod(xxhash64(col("id")), lit(estRows / maxFitVectors + 1)) === 0)
     val model = new KMeans().setK(nlist).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
     val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
@@ -197,6 +203,10 @@ object Similarity {
     val v = df.select(col(labelCol).as("label"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+      // a zero vector has no direction: dval/nrm = NaN, which Spark's
+      // long cast silently turns into 0 while DuckDB's CAST(floor(NaN))
+      // errors — exclude such rows on BOTH sides (oracle mirrors nrm>0).
+      .filter(col("nrm") > 0)
     v.select(col("label"), col("nrm"), posexplode(col("v")).as(Seq("dim", "dval")))
       .withColumn("nano",
         floor(col("dval") / col("nrm") * lit(1e9) + lit(0.5)).cast("long"))

@@ -54,11 +54,17 @@ object TimeJoins {
                       windowSec: Long): DataFrame = {
     val aBin = floor(unix_timestamp(col(leftTs)) / windowSec)
     val bBin = floor(unix_timestamp(col(rightTs)) / windowSec)
-    val a = left.withColumn("_bin", explode(array(aBin, aBin + 1)))
-    val b = right.withColumn("_bin", bBin)
-    a.join(b, keys.map(k => a(k) === b(k)).reduce(_ && _) && (a("_bin") === b("_bin")))
-      .filter(b(rightTs) >= a(leftTs) &&
-        unix_timestamp(b(rightTs)) - unix_timestamp(a(leftTs)) <= windowSec)
+    // Alias both sides so self-joins (left and right sharing lineage)
+    // resolve explicitly instead of via Spark's ambiguous-self-join
+    // repair, which logs "trivially true equals predicate" and is
+    // resolver-version-dependent.
+    val a = left.withColumn("_bin", explode(array(aBin, aBin + 1))).alias("_l")
+    val b = right.withColumn("_bin", bBin).alias("_r")
+    a.join(b,
+        keys.map(k => col(s"_l.$k") === col(s"_r.$k")).reduce(_ && _) &&
+          (col("_l._bin") === col("_r._bin")))
+      .filter(col(s"_r.$rightTs") >= col(s"_l.$leftTs") &&
+        unix_timestamp(col(s"_r.$rightTs")) - unix_timestamp(col(s"_l.$leftTs")) <= windowSec)
       .drop("_bin")
   }
 }

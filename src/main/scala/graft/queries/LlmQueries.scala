@@ -381,7 +381,7 @@ object LlmQueries {
           FROM documents),
         c AS (SELECT doc_id, source, n_chars,
           CAST(floor(wt) AS INT)
-            + (CASE WHEN b < CAST((wt - floor(wt)) * 1000000 AS BIGINT) THEN 1 ELSE 0 END) AS n
+            + (CASE WHEN b < CAST(round((wt - floor(wt)) * 1000000) AS BIGINT) THEN 1 ELSE 0 END) AS n
           FROM w)
         SELECT doc_id, source, n_chars, CAST(unnest(generate_series(1, n)) AS INT) AS epoch
         FROM c WHERE n > 0""")),
@@ -489,7 +489,8 @@ object LlmQueries {
         n AS (SELECT label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         d AS (SELECT label,
             CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS dim,
-            CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS nano FROM n)
+            CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS nano
+          FROM n WHERE nrm > 0)
         SELECT label, dim,
           (CAST(SUM(nano) AS DOUBLE) / COUNT(*)) / 1e9 AS centroid,
           COUNT(*) AS n_vectors

@@ -95,8 +95,8 @@ object StreamOps {
                              fpp: Double = 0.01): DataFrame = {
     val keyHash = xxhash64(keys.map(col): _*)
     val bloom = refDf.select(keyHash.as("_h")).stat.bloomFilter("_h", expectedRefDistinct, fpp)
-    val fnName = graft.functions.Registry.bloomFunction(stream.sparkSession, bloom)
-    val flagged = stream.withColumn("_maybe_dup", call_function(fnName, keyHash))
+    val flagged = stream.withColumn("_maybe_dup",
+      graft.functions.Registry.bloomColumn(keyHash, bloom))
     val clean = flagged.filter(!col("_maybe_dup")).drop("_maybe_dup")
     val resolved = flagged.filter(col("_maybe_dup")).drop("_maybe_dup")
       .join(refDf.select(keys.map(col): _*).distinct(), keys, "left_anti")

@@ -30,4 +30,31 @@ class GoValuesSpec extends SparkTestBase {
     assert(one(GoValues.goToFloat(lit("1.5"), StringType)) == 1.5)
     assert(one(GoValues.goToFloat(lit("bogus"), StringType)) == null)
   }
+
+  test("goToFloat: Go ParseFloat hex floats") {
+    assert(one(GoValues.goToFloat(lit("0x1p3"), StringType)) == 8.0)
+    assert(one(GoValues.goToFloat(lit("0x1.8p1"), StringType)) == 3.0)
+    assert(one(GoValues.goToFloat(lit("-0x.8p0"), StringType)) == -0.5)
+    assert(one(GoValues.goToFloat(lit("0X10P-1"), StringType)) == 8.0)
+    assert(one(GoValues.goToFloat(lit("0x1f"), StringType)) == null)  // p-exp mandatory
+    assert(one(GoValues.goToFloat(lit("0xp3"), StringType)) == null)  // no mantissa digits
+  }
+
+  test("goToFloat: Go literal digit underscores (between digits only)") {
+    assert(one(GoValues.goToFloat(lit("1_000"), StringType)) == 1000.0)
+    assert(one(GoValues.goToFloat(lit("1_000.000_1"), StringType)) == 1000.0001)
+    assert(one(GoValues.goToFloat(lit("1_0e1_0"), StringType)) == 1e11)
+    assert(one(GoValues.goToFloat(lit("0x_1p3"), StringType)) == 8.0) // after base prefix ok
+    assert(one(GoValues.goToFloat(lit("_1000"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("1000_"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("1__000"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("1_.5"), StringType)) == null)  // not between digits
+  }
+
+  test("goToInt: ParseFloat fallback inherits underscore/hex forms") {
+    assert(one(GoValues.goToInt(lit("1_000"), StringType)) == 1000L)
+    assert(one(GoValues.goToInt(lit("0x1p3"), StringType)) == 8L)
+    assert(one(GoValues.goToInt(lit("0x1.8p1"), StringType)) == 3L)   // 3.0 is integral
+    assert(one(GoValues.goToInt(lit("0x1.4p1"), StringType)) == null) // 2.5 is not
+  }
 }
