@@ -46,8 +46,14 @@ object Bench {
       "q_llm_dedup_clusters_md5", "q_llm_corpus_clean_md5",
       "q_llm_rolling_fp", "q_llm_winnowing")
 
+    // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
+    // just those queries. The driver never sets it — full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => oracleOnlyFixtures(name) }
+      .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -152,6 +152,42 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /**
+   * [[spanDedup]]'s 100 TB twin: the first-occurrence rank runs over
+   * xxhash64(span) so the dedup exchange moves ONLY (hash, id,
+   * span_idx) — 24 bytes a span instead of the span text — and the
+   * rebuild re-derives span text row-locally from the doc after a
+   * single join of the doc table against the tiny winner set
+   * (recompute-over-shuffle: span strings never ride an exchange at
+   * all). Result is identical to [[spanDedup]] absent 64-bit hash
+   * collisions (~n²/2⁶⁴ — negligible below ~10⁹ distinct spans; a
+   * collision drops a distinct span as if it were a duplicate).
+   */
+  def spanDedupHashed(docs: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nSpans = greatest(
+      ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
+    def spanOf(i: Column): Column =
+      array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")
+    val keys = docs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1), i => xxhash64(spanOf(i))))
+        .as(Seq("span_idx", "h")))
+    val firstW = Window.partitionBy(col("h"))
+      .orderBy(col("id"), col("span_idx"))
+    val winners = keys
+      .withColumn("occ", row_number().over(firstW))
+      .filter(col("occ") === 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("span_idx"))).as("_keep"))
+    docs.select(col(idCol).as("id"), col(textCol))
+      .join(winners, "id")
+      .select(col("id").as(idCol),
+        array_join(transform(col("_keep"), i => spanOf(i)), " ").as("clean_text"),
+        size(col("_keep")).as("kept_spans"),
+        nSpans.as("total_spans"))
+  }
+
   /** Top-k rows per key by `orderCol` (desc), ties broken by
     * `tiebreak` asc. Spark executes this as WindowGroupLimit: each map
     * task keeps only k rows per key BEFORE the shuffle. */
@@ -362,20 +398,23 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4,
                           maxBucketSize: Int = 10000): DataFrame =
-    simhashBandPairs(simhash64(df, idCol, textCol), 64, maxHamming, bands, maxBucketSize)
+    hammingBandPairs(simhash64(df, idCol, textCol), 64, maxHamming, bands, maxBucketSize)
 
   /** md5-portable SimHash near-dup pairs (30-bit signature, 5 bands of
     * 6 bits) — the oracle twin of [[simhashNearDupPairs]]. */
   def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3, bands: Int = 5,
                            maxBucketSize: Int = 10000): DataFrame =
-    simhashBandPairs(simhashPortable(df, idCol, textCol), 30, maxHamming, bands, maxBucketSize)
+    hammingBandPairs(simhashPortable(df, idCol, textCol), 30, maxHamming, bands, maxBucketSize)
 
   /** Banded pigeonhole blocking over a (id, simhash) frame: any pair
     * with hamming ≤ maxHamming (< bands) shares at least one exact band
-    * slice, so one shuffle on (band, slice) finds ALL such pairs. */
-  private def simhashBandPairs(sigs: DataFrame, widthBits: Int, maxHamming: Int,
-                               bands: Int, maxBucketSize: Int): DataFrame = {
+    * slice, so one shuffle on (band, slice) finds ALL such pairs.
+    * Public: the same machinery serves ANY 64-bit-or-narrower Hamming
+    * signature — text simhash here, perceptual image hashes
+    * ([[Multimodal.imageNearDupPairs]]), audio fingerprints. */
+  def hammingBandPairs(sigs: DataFrame, widthBits: Int, maxHamming: Int,
+                       bands: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     require(widthBits % bands == 0, "widthBits must be divisible by bands")
     val bits = widthBits / bands

@@ -243,6 +243,123 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (near-duplicate image detection)
+  // ------------------------------------------------------------------
+
+  /** Nearest-neighbor grayscale downsample to w×h integer luma values
+    * (RGB → (299r+587g+114b)/1000, integer math — engine-portable). */
+  def grayResize(img: ImageData, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.width / w
+        val base = (sy * img.width + sx) * img.channels
+        out(y * w + x) =
+          if (img.channels == 3)
+            ((img.pixels(base) & 0xff) * 299 + (img.pixels(base + 1) & 0xff) * 587 +
+              (img.pixels(base + 2) & 0xff) * 114) / 1000
+          else img.pixels(base) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** dHash: 9×8 grayscale grid, bit k (= y*8+x) set iff
+    * p(y,x) < p(y,x+1) — the standard gradient perceptual hash
+    * (robust to brightness/contrast shifts; 64-bit Hamming space). */
+  def dHash64(img: ImageData): Long = {
+    val g = grayResize(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** aHash: 8×8 grayscale grid, bit i set iff pixel i > integer mean. */
+  def aHash64(img: ImageData): Long = {
+    val g = grayResize(img, 8, 8)
+    var s = 0
+    var i = 0
+    while (i < 64) { s += g(i); i += 1 }
+    val mean = s / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Synthesize a 9×8 P5 image whose [[dHash64]] is EXACTLY `bits`:
+    * each row starts at luma 128 and steps +1 where the corresponding
+    * bit is set, −1 where clear (drift stays in [120,136]) — the
+    * closed-form fixture for oracle-checked image near-dup queries. */
+  def synthPgmBits(bits: Long): Array[Byte] = {
+    val header = "P5\n9 8\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 72)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < 8) {
+      var p = 128
+      out(header.length + y * 9) = p.toByte
+      var x = 0
+      while (x < 8) {
+        p += (if (((bits >>> (y * 8 + x)) & 1L) == 1L) 1 else -1)
+        out(header.length + y * 9 + x + 1) = p.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class ImageHashes(doc_id: Long, decoded: Boolean, dhash: Long, ahash: Long)
+
+  /** Per-partition real decode → perceptual hashes. Undecodable
+    * payloads keep their row with decoded=false (hashes 0). */
+  def imagePerceptualHashes(df: DataFrame, idCol: String,
+                            contentCol: String): Dataset[ImageHashes] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeNetpbm(bytes) match {
+            case Some(img) => ImageHashes(id, decoded = true, dHash64(img), aHash64(img))
+            case None      => ImageHashes(id, decoded = false, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /**
+   * Near-duplicate IMAGE pairs: real decode → dHash → banded pigeonhole
+   * Hamming join ([[Dedup.hammingBandPairs]] — the same machinery as
+   * text simhash). Complete for hamming ≤ maxHamming when
+   * maxHamming < bands; one shuffle on (band, 16-bit slice), never a
+   * cross join — the hash index is 16 bytes/row at any corpus size.
+   */
+  def imageNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = imagePerceptualHashes(df, idCol, contentCol).toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("dhash").as("simhash"))
+    Dedup.hammingBandPairs(sigs, 64, maxHamming, bands, maxBucketSize)
+  }
+
   /**
    * Deterministic "frame sampling": split the payload into `frames`
    * contiguous byte slices (the partitioning/batching shape of real

@@ -283,6 +283,23 @@ object AnalyticsQueries {
         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value,
         COUNT(*) AS n FROM events GROUP BY event_type""")),
 
+    // Salted skewed JOIN (hot fact keys spread over `buckets` reducers;
+    // the salt must be result-invisible, so the oracle is the plain
+    // join). Fact key = user_id%5 concentrates the whole events table
+    // onto 5 keys — the post-explode-style skew AQE can't always see.
+    Q("q_skew_salted_join",
+      (s, dir) => {
+        val fact = t(s, dir, "events").select(
+          pmod(col("user_id"), lit(5)).as("k"), col("event_id"), col("value"))
+        val dim = t(s, dir, "nation")
+          .filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("k"), col("n_name"))
+        graft.ops.Skew.saltedJoin(fact, dim, Seq("k"))
+          .select(col("event_id"), col("k"), col("n_name"), col("value"))
+      },
+      Some("""SELECT e.event_id, e.user_id % 5 AS k, n.n_name, e.value
+        FROM events e JOIN nation n ON e.user_id % 5 = n.n_nationkey""")),
+
     // Grouping-sets cube over two dims.
     Q("q_cube_status",
       (s, dir) => t(s, dir, "orders")

@@ -405,6 +405,55 @@ object LlmQueries {
           AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // Perceptual-hash image NEAR-DUP, end to end: each doc gets a 9×8
+    // P5 image whose dHash bit-string is a closed-form function of
+    // doc_id — Fibonacci-mixed group id (doc_id/4) XOR a variant mask
+    // flipping (doc_id%4) low bits, so within-group pairs sit at
+    // Hamming 1–3 and cross-group pairs are pseudorandomly far. The
+    // engine REALLY decodes, resizes, dHashes and band-joins; the
+    // oracle computes the same hashes arithmetically (HUGEINT wrap
+    // mul) and mirrors the banding + bucket cap.
+    Q("q_multimodal_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
+            (id, Multimodal.synthPgmBits(bits))
+          }).toDF("doc_id", "content")
+        Multimodal.imageNearDupPairs(imgs, "doc_id", "content",
+          maxHamming = 3, bands = 4)
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            xor(
+              CAST(CASE WHEN m < 9223372036854775808 THEN m
+                        ELSE m - 18446744073709551616 END AS BIGINT),
+              CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END
+            ) AS dh
+          FROM (SELECT doc_id,
+              (CAST(doc_id // 4 AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616 AS m
+            FROM documents) t),
+        hu AS (SELECT doc_id, dh,
+            CASE WHEN dh < 0 THEN CAST(dh AS HUGEINT) + 18446744073709551616
+                 ELSE CAST(dh AS HUGEINT) END AS u FROM h),
+        banded AS (SELECT doc_id, dh,
+            band,
+            CAST((u // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
+                        WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+              % 65536 AS BIGINT) AS slice
+          FROM hu, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+        sizes AS (SELECT band, slice, COUNT(*) AS n FROM banded GROUP BY band, slice)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+          FROM banded a
+          JOIN banded b ON a.band = b.band AND a.slice = b.slice
+          JOIN sizes s ON s.band = a.band AND s.slice = a.slice
+          WHERE s.n BETWEEN 2 AND 10000 AND a.doc_id < b.doc_id)
+        WHERE hamming <= 3""")),
+
     // REAL audio decode: synthesize a 64-sample PCM WAV per doc
     // (sample i = ((i*7+doc_id) mod 65536) − 32768), decode the RIFF
     // chunks per-partition, emit exact integer energy. Closed-form
@@ -439,6 +488,30 @@ object LlmQueries {
     // occurrence survives, docs rebuilt from surviving spans.
     Q("q_llm_span_dedup",
       (s, dir) => Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 3),
+      Some("""WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+          greatest(CAST(ceil(CAST(len(toks) AS DOUBLE) / 3) AS INT), 1) AS total_spans
+          FROM tk),
+        s AS (SELECT doc_id, toks, total_spans,
+          CAST(unnest(generate_series(0, total_spans - 1)) AS INT) AS span_idx FROM n),
+        sp AS (SELECT doc_id, total_spans, span_idx,
+          array_to_string(list_slice(toks, span_idx * 3 + 1, span_idx * 3 + 3), ' ')
+            AS span_text FROM s),
+        k AS (SELECT *, row_number()
+            OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS occ FROM sp)
+        SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+          CAST(COUNT(*) AS INT) AS kept_spans, any_value(total_spans) AS total_spans
+        FROM k WHERE occ = 1 GROUP BY doc_id""")),
+
+    // The 100 TB twin: first-occurrence rank over xxhash64(span) — the
+    // dedup exchange moves 24-byte keys, span text never shuffles, and
+    // the rebuild re-derives spans row-locally. Same oracle: the result
+    // is identical absent 64-bit collisions (none at these scales), so
+    // the scale path itself is hash-verified, not rows-only.
+    Q("q_llm_span_dedup_x64",
+      (s, dir) => Dedup.spanDedupHashed(t(s, dir, "documents"), "doc_id", "text",
         spanTokens = 3),
       Some("""WITH tk AS (SELECT doc_id,
           string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

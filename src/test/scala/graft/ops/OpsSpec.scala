@@ -43,6 +43,68 @@ class OpsSpec extends SparkTestBase {
     assert((small.pixels(0) & 0xff) == 0 && (small.pixels(5) & 0xff) == 4) // out(1,1) -> src(2,2) = 4
   }
 
+  test("spanDedupHashed matches spanDedup (hashed rank key is semantics-free)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),            // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),            // first span duplicates doc 1's
+      (3L, "x y z"),                  // duplicates doc 2's second span
+      (4L, "a b c")                   // fully duplicate -> doc vanishes
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val raw = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 3)
+    val hashed = Dedup.spanDedupHashed(docs, "doc_id", "text", spanTokens = 3)
+    assert(canon(raw) == canon(hashed))
+    assert(canon(raw).map(r => (r.head, r(1))) ==
+      Seq((1L, "a b c d e f"), (2L, "x y z")))
+  }
+
+  test("saltedJoin: salt is result-invisible vs a plain join") {
+    import spark.implicits._
+    val fact = (0L until 200L).map(i => (i % 3, i)).toDF("k", "v")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (9L, "unmatched"))
+      .toDF("k", "name")
+    val got = Skew.saltedJoin(fact, dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && got.size == 200)
+  }
+
+  test("perceptual hashes: dHash bit-exact round-trip, aHash, near-dup pairs") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // synthPgmBits realizes EXACTLY the requested dHash bit-string
+    for (bits <- Seq(0L, -1L, 0x0123456789abcdefL, 0x9E3779B97F4A7C15L)) {
+      val img = Multimodal.decodeNetpbm(Multimodal.synthPgmBits(bits)).get
+      assert(Multimodal.dHash64(img) == bits)
+    }
+    // dHash goes through grayResize: a 18x16 image downsamples to the
+    // same grid it was upscaled from (nearest-neighbor idempotence)
+    val base = Multimodal.decodeNetpbm(Multimodal.synthPgmBits(0x5555AAAA5555AAAAL)).get
+    val up = Multimodal.resizeNearest(base, 18, 16)
+    assert(Multimodal.dHash64(up) == 0x5555AAAA5555AAAAL)
+    // aHash: flat image -> no pixel exceeds the mean -> 0
+    val flat = Multimodal.ImageData(8, 8, 1, Array.fill(64)(100.toByte))
+    assert(Multimodal.aHash64(flat) == 0L)
+    // near-dup pairs: 2 groups of 4 variants; variant v flips v low
+    // dHash bits, so within-group hamming = |va - vb| in 1..3 and the
+    // Fibonacci-mixed group ids sit far apart -> exactly 6 pairs/group
+    val imgs = (0L until 8L).map { id =>
+      val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
+      (id, Multimodal.synthPgmBits(bits))
+    }.toDF("doc_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(imgs, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.size == 12)
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 })
+    assert(pairs.contains((0L, 3L, 3)) && pairs.contains((4L, 5L, 1)))
+    // undecodable rows are excluded, not crashed on
+    val mixed = imgs.union(Seq((99L, "JFIF garbage".getBytes)).toDF("doc_id", "content"))
+    assert(Multimodal.imageNearDupPairs(mixed, "doc_id", "content").count() == 12)
+  }
+
   test("wav decode: synth round-trip, sample values, truncation, non-wav") {
     import graft.ops.Multimodal
     val a = Multimodal.decodeWav(Multimodal.synthWav(5L, 10)).get
