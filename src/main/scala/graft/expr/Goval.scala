@@ -33,12 +33,14 @@ object Goval {
    * literal parseable in one of its time layouts becomes a float64 of
    * unix SECONDS at parse time, in every context — `'2014-01-02'` is
    * the number 1388620800, and `stringField == '2014-01-02'` is
-   * constant-false (string never DeepEquals float64). Layout subset:
-   * the zone-less and numeric-offset layouts; the abbreviated-zone
-   * layouts (UnixDate/RFC822/RFC850/RFC1123) depend on Go's
-   * zone-abbrev offset-0 quirk and are omitted. Zone-less layouts are
-   * pinned to UTC (govaluate uses the process-local zone; the
-   * reference containers run UTC).
+   * constant-false (string never DeepEquals float64). Covers the
+   * zone-less and numeric-offset layouts AND the abbreviated-zone
+   * layouts (UnixDate/RFC822/RFC850/RFC1123): Go binds an MST-token
+   * abbreviation to offset 0 unless it names the process-local zone,
+   * and the reference containers run UTC — so both branches mean UTC
+   * and we strip the abbreviation and parse zone-less (two-digit years
+   * widen with Go's 69→19xx / 68→20xx pivot). Zone-less layouts are
+   * pinned to UTC (govaluate uses the process-local zone).
    */
   private[expr] def tryParseTime(s: String): Option[Long] = {
     import java.time._
@@ -70,14 +72,33 @@ object Goval {
       f("h:mma"),                            // Kitchen "3:04PM" (Go year-0 date)
       f("EEE MMM dd HH:mm:ss xx uuuu"),      // RubyDate
       f("EEE MMM ppd HH:mm:ss uuuu"))        // ANSIC (space-padded day)
-    layouts.view.flatMap { fmt =>
+    // Abbreviated-zone layouts: strip the zone token (Go offset-0
+    // binding → UTC here), widen 2-digit years with Go's 69/99 pivot.
+    def year4(yy: String): String = {
+      val y = yy.toInt
+      (if (y >= 69) 1900 + y else 2000 + y).toString
+    }
+    val Zab = "[A-Z]{3,5}"
+    val unixDate = s"^([A-Za-z]{3} [A-Za-z]{3} (?: \\d|\\d{1,2}) \\d{2}:\\d{2}:\\d{2}) $Zab (\\d{4})$$".r
+    val rfc822   = s"^(\\d{2} [A-Za-z]{3} )(\\d{2})( \\d{2}:\\d{2}) $Zab$$".r
+    val rfc850   = s"^([A-Za-z]+, \\d{2}-[A-Za-z]{3}-)(\\d{2})( \\d{2}:\\d{2}:\\d{2}) $Zab$$".r
+    val rfc1123  = s"^([A-Za-z]{3}, \\d{2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2}) $Zab$$".r
+    val abbrevStripped: Option[(String, DateTimeFormatter)] = s match {
+      case unixDate(dt, yr) => Some((s"$dt $yr", f("EEE MMM ppd HH:mm:ss uuuu")))
+      case rfc1123(dt)      => Some((dt, f("EEE, dd MMM uuuu HH:mm:ss")))
+      case rfc850(a, yy, b) => Some((s"$a${year4(yy)}$b", f("EEEE, dd-MMM-uuuu HH:mm:ss")))
+      case rfc822(a, yy, b) => Some((s"$a${year4(yy)}$b", f("dd MMM uuuu HH:mm")))
+      case _                => None
+    }
+    def epochOf(fmt: DateTimeFormatter, str: String): Option[Long] =
       try {
-        val ta = fmt.parse(s)
+        val ta = fmt.parse(str)
         val ldt = LocalDateTime.from(ta)
         val off = if (ta.isSupported(OFFSET_SECONDS)) ZoneOffset.from(ta) else ZoneOffset.UTC
         Some(ldt.toEpochSecond(off))
       } catch { case _: Exception => None }
-    }.headOption
+    abbrevStripped.flatMap { case (str, fmt) => epochOf(fmt, str) }
+      .orElse(layouts.view.flatMap(fmt => epochOf(fmt, s)).headOption)
   }
 
   def tokenize(s: String): List[Tok] = {

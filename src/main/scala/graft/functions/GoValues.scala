@@ -92,11 +92,20 @@ object GoValues {
         .otherwise(conv(fp, 16, 10).cast(DoubleType) / pow(lit(16.0), length(fp).cast(DoubleType)))
       val sgn = when(t.startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
       val hexVal = sgn * (ipv + fpv) * pow(lit(2.0), ex)
+      // Go range errors: overflow (±Inf) and underflow (0 from a
+      // nonzero mantissa) carry ErrRange, which the reference treats
+      // as unparseable — only the explicit inf/nan SPELLINGS survive.
+      // The mantissa-nonzero probe regex only runs on exact zeros.
+      def rangeGuard(v: Column): Column =
+        when(v === Double.PositiveInfinity || v === Double.NegativeInfinity,
+          lit(null).cast(DoubleType))
+          .when(v === 0.0 && t.rlike("^[^eEpP]*[1-9]"), lit(null).cast(DoubleType))
+          .otherwise(v)
       when(low.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
         .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
         .when(low.isin("nan", "+nan", "-nan"), lit(Double.NaN))
-        .when(isHex, hexVal)
-        .otherwise(t.try_cast(DoubleType))
+        .when(isHex, rangeGuard(hexVal))
+        .otherwise(rangeGuard(t.try_cast(DoubleType)))
     case _: BooleanType => lit(null).cast(DoubleType)
     case _ => lit(null).cast(DoubleType)
   }

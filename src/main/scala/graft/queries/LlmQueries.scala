@@ -14,6 +14,20 @@ import graft.queries.Queries.t
  */
 object LlmQueries {
 
+  /** Deterministic 9×8 P5 image per doc whose [[Multimodal.dHash64]]
+    * is closed-form in doc_id — Fibonacci-mixed group id (doc_id/4)
+    * XOR a (doc_id%4)-low-bit variant mask — so image-pipeline queries
+    * are oracle-able while the engine really decodes and hashes. */
+  def synthImages(s: org.apache.spark.sql.SparkSession,
+                  dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
+        (id, Multimodal.synthPgmBits(bits))
+      }).toDF("doc_id", "content")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup on content, keep first in ingest order.
@@ -414,45 +428,25 @@ object LlmQueries {
     // oracle computes the same hashes arithmetically (HUGEINT wrap
     // mul) and mirrors the banding + bucket cap.
     Q("q_multimodal_neardup",
+      (s, dir) => Multimodal.imageNearDupPairs(
+        synthImages(s, dir), "doc_id", "content",
+        maxHamming = 3, bands = 4),
+      Some(LlmOracles.imageNearDup)),
+
+    // Image DEDUP composite: near-dup pairs → connected components →
+    // keep the min-id canonical per cluster (plus singletons). Oracle:
+    // the same closed-form pair set feeds DuckDB's recursive-CTE
+    // cluster walk.
+    Q("q_multimodal_dedup",
       (s, dir) => {
-        import s.implicits._
-        val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
-            (id, Multimodal.synthPgmBits(bits))
-          }).toDF("doc_id", "content")
-        Multimodal.imageNearDupPairs(imgs, "doc_id", "content",
+        val pairs = Multimodal.imageNearDupPairs(
+          synthImages(s, dir), "doc_id", "content",
           maxHamming = 3, bands = 4)
+        graft.ops.Clusters.dedupByPairs(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", pairs, "id_a", "id_b")
       },
-      Some("""WITH h AS (
-          SELECT doc_id,
-            xor(
-              CAST(CASE WHEN m < 9223372036854775808 THEN m
-                        ELSE m - 18446744073709551616 END AS BIGINT),
-              CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END
-            ) AS dh
-          FROM (SELECT doc_id,
-              (CAST(doc_id // 4 AS HUGEINT) * 11400714819323198485)
-                % 18446744073709551616 AS m
-            FROM documents) t),
-        hu AS (SELECT doc_id, dh,
-            CASE WHEN dh < 0 THEN CAST(dh AS HUGEINT) + 18446744073709551616
-                 ELSE CAST(dh AS HUGEINT) END AS u FROM h),
-        banded AS (SELECT doc_id, dh,
-            band,
-            CAST((u // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
-                        WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
-              % 65536 AS BIGINT) AS slice
-          FROM hu, (SELECT unnest(generate_series(0, 3)) AS band) bs),
-        sizes AS (SELECT band, slice, COUNT(*) AS n FROM banded GROUP BY band, slice)
-        SELECT id_a, id_b, hamming FROM (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
-          FROM banded a
-          JOIN banded b ON a.band = b.band AND a.slice = b.slice
-          JOIN sizes s ON s.band = a.band AND s.slice = a.slice
-          WHERE s.n BETWEEN 2 AND 10000 AND a.doc_id < b.doc_id)
-        WHERE hamming <= 3""")),
+      Some(LlmOracles.imageDedup)),
 
     // REAL audio decode: synthesize a 64-sample PCM WAV per doc
     // (sample i = ((i*7+doc_id) mod 65536) − 32768), decode the RIFF
@@ -706,6 +700,50 @@ object LlmOracles {
 
   val dedupClustersMd5: String = s"""
     WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** Closed-form dHash of [[LlmQueries.synthImages]] + the same
+    * 4-band/16-bit pigeonhole blocking and bucket cap the engine's
+    * [[graft.ops.Dedup.hammingBandPairs]] applies: `cand` is the exact
+    * near-dup pair set (HUGEINT wrap-multiply reproduces the JVM's
+    * overflowing long multiply). */
+  private val imageHashCtes: String = """
+    h AS (
+      SELECT doc_id,
+        xor(
+          CAST(CASE WHEN m < 9223372036854775808 THEN m
+                    ELSE m - 18446744073709551616 END AS BIGINT),
+          CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END
+        ) AS dh
+      FROM (SELECT doc_id,
+          (CAST(doc_id // 4 AS HUGEINT) * 11400714819323198485)
+            % 18446744073709551616 AS m
+        FROM documents) t),
+    hu AS (SELECT doc_id, dh,
+        CASE WHEN dh < 0 THEN CAST(dh AS HUGEINT) + 18446744073709551616
+             ELSE CAST(dh AS HUGEINT) END AS u FROM h),
+    banded AS (SELECT doc_id, dh, band,
+        CAST((u // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
+                    WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+          % 65536 AS BIGINT) AS slice
+      FROM hu, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    sizes AS (SELECT band, slice, COUNT(*) AS n FROM banded GROUP BY band, slice),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.slice = b.slice
+      JOIN sizes s ON s.band = a.band AND s.slice = a.slice
+      WHERE s.n BETWEEN 2 AND 10000 AND a.doc_id < b.doc_id
+        AND bit_count(xor(a.dh, b.dh)) <= 3)"""
+
+  val imageNearDup: String = s"""
+    WITH $imageHashCtes
+    SELECT id_a, id_b, hamming FROM cand"""
+
+  val imageDedup: String = s"""
+    WITH RECURSIVE $imageHashCtes,
     $clusterCtes
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)"""

@@ -34,6 +34,20 @@ class GovalSpec extends AnyFunSuite {
     assert(sql("name == 'x2014-01-02'", Set("name")) == "(`name` = 'x2014-01-02')")
   }
 
+  test("abbreviated-zone date literals: Go binds the zone abbrev to offset 0 (UTC)") {
+    // 2014-01-02 15:04:05 UTC = 1388675045 regardless of the abbrev
+    assert(sql("ts > 'Thu, 02 Jan 2014 15:04:05 MST'") == "(`ts` > 1388675045)") // RFC1123
+    assert(sql("ts > 'Thu, 02 Jan 2014 15:04:05 GMT'") == "(`ts` > 1388675045)")
+    assert(sql("ts > 'Thu Jan  2 15:04:05 EST 2014'") == "(`ts` > 1388675045)")  // UnixDate
+    assert(sql("ts > 'Thursday, 02-Jan-14 15:04:05 UTC'") == "(`ts` > 1388675045)") // RFC850
+    assert(sql("ts > '02 Jan 14 15:04 CHAST'") == "(`ts` > 1388675040)")         // RFC822
+    // Go's 2-digit-year pivot: 69-99 -> 19xx
+    assert(sql("ts > '02 Jan 99 15:04 MST'") == "(`ts` > 915289440)")
+    // lower-case abbrevs are NOT zone tokens -> not a date literal
+    assert(sql("name == '02 Jan 14 15:04 mst'", Set("name")) ==
+      "(`name` = '02 Jan 14 15:04 mst')")
+  }
+
   test("timestamp-typed identifiers: pushdown-friendly vs date literals, epoch otherwise") {
     // vs a date LITERAL: bare column against a typed foldable literal,
     // so the parquet scan can push the range filter

@@ -51,6 +51,17 @@ class GoValuesSpec extends SparkTestBase {
     assert(one(GoValues.goToFloat(lit("1_.5"), StringType)) == null)  // not between digits
   }
 
+  test("goToFloat: Go ErrRange parity — overflow and underflow are errors") {
+    assert(one(GoValues.goToFloat(lit("1e999"), StringType)) == null)   // overflow
+    assert(one(GoValues.goToFloat(lit("-1e999"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("1e-999"), StringType)) == null)  // underflow
+    assert(one(GoValues.goToFloat(lit("0x1p99999"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("0x1p-99999"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("0e99"), StringType)) == 0.0)     // true zero ok
+    assert(one(GoValues.goToFloat(lit("0.0"), StringType)) == 0.0)
+    assert(one(GoValues.goToFloat(lit("inf"), StringType)) == Double.PositiveInfinity)
+  }
+
   test("goToInt: ParseFloat fallback inherits underscore/hex forms") {
     assert(one(GoValues.goToInt(lit("1_000"), StringType)) == 1000L)
     assert(one(GoValues.goToInt(lit("0x1p3"), StringType)) == 8L)
