@@ -74,24 +74,26 @@ object Dedup {
       .map(_.dataType).getOrElse(StringType)
     val (prepped, ordCols, tmpCols): (DataFrame, Seq[Column], Seq[String]) = dt match {
       case _: StringType =>
-        // Project the sort keys ONCE per row: sort-order expressions are
-        // re-evaluated on every comparison inside the window's sort, and
-        // goToFloat is regex-heavy — O(n log n) parses without this.
-        val num = GoValues.goToFloat(sf, dt)
+        // Project ONLY the regex-heavy goToFloat key once per row:
+        // sort-order expressions are re-evaluated on every comparison
+        // inside the window's sort — O(n log n) parses without the
+        // projection. The class and lex keys stay expressions in the
+        // ordering (null checks and a branch over already-projected
+        // columns — O(1) per compare, and projecting the lex copy would
+        // double the string bytes through the exchange).
+        val p = seqd.withColumn("_x_num", GoValues.goToFloat(sf, dt))
         // class: 0 = nil, 1 = numeric, 2 = non-numeric string
+        val cls = when(sf.isNull, 0).when(col("_x_num").isNotNull, 1).otherwise(2)
         // lexicographic key ONLY for the non-numeric class: float-equal
         // numeric strings ("1" vs "1.0") are a CompareValues tie, so the
         // earliest-ingested record must win via _seq, never string order.
-        val p = seqd.withColumn("_x_num", num)
-          .withColumn("_x_cls",
-            when(sf.isNull, 0).when(col("_x_num").isNotNull, 1).otherwise(2))
-          .withColumn("_x_lex", when(col("_x_cls") === 2, sf))
+        val lex = when(cls === 2, sf)
         val ord =
-          if (max) Seq(col("_x_cls").desc, col("_x_num").desc_nulls_last,
-                       col("_x_lex").desc_nulls_last)
-          else     Seq(col("_x_cls").asc,  col("_x_num").asc_nulls_last,
-                       col("_x_lex").asc_nulls_last)
-        (p, ord, Seq("_x_num", "_x_cls", "_x_lex"))
+          if (max) Seq(cls.desc, col("_x_num").desc_nulls_last,
+                       lex.desc_nulls_last)
+          else     Seq(cls.asc,  col("_x_num").asc_nulls_last,
+                       lex.asc_nulls_last)
+        (p, ord, Seq("_x_num"))
       case _ =>
         // native types: Spark's natural order matches CompareValues
         // (numeric, timestamp, bool false<true); nil smallest.

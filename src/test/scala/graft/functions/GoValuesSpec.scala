@@ -27,6 +27,10 @@ class GoValuesSpec extends SparkTestBase {
     assert(one(GoValues.goToFloat(lit(" -Inf "), StringType)) == Double.NegativeInfinity)
     assert(one(GoValues.goToFloat(lit("INFINITY"), StringType)) == Double.PositiveInfinity)
     assert(one(GoValues.goToFloat(lit("nan"), StringType)).asInstanceOf[Double].isNaN)
+    // Go's special() allows a sign only before inf/infinity — "+nan"
+    // is NOT a valid ParseFloat input (and Spark's try_cast agrees)
+    assert(one(GoValues.goToFloat(lit("+nan"), StringType)) == null)
+    assert(one(GoValues.goToFloat(lit("-nan"), StringType)) == null)
     assert(one(GoValues.goToFloat(lit("1.5"), StringType)) == 1.5)
     assert(one(GoValues.goToFloat(lit("bogus"), StringType)) == null)
   }
