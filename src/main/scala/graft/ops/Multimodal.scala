@@ -324,6 +324,87 @@ object Multimodal {
     out
   }
 
+  /** 64-bit audio gradient hash — the PCM analogue of [[dHash64]]:
+    * the sample stream splits into 65 equal windows; bit k is set iff
+    * the integer mean of window k is below that of window k+1. Robust
+    * to gain changes the way dHash is to brightness; integer division
+    * keeps it engine-portable. Clips shorter than 65 samples hash 0. */
+  def audioHash64(a: AudioData): Long = {
+    val n = a.samples.length
+    if (n < 65) return 0L
+    val means = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val lo = w * n / 65
+      val hi = (w + 1) * n / 65
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += a.samples(i); i += 1 }
+      means(w) = s / (hi - lo)
+      w += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) { if (means(k) < means(k + 1)) bits |= 1L << k; k += 1 }
+    bits
+  }
+
+  /** Synthesize a mono PCM WAV whose [[audioHash64]] is EXACTLY
+    * `bits`: 65 constant 4-sample windows stepping +1 where the bit is
+    * set, −1 where clear — the closed-form fixture for oracle-checked
+    * audio near-dup queries. */
+  def synthWavBits(bits: Long, sampleRate: Int = 16000): Array[Byte] = {
+    val nSamples = 65 * 4
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var v = 0
+    var w = 0
+    while (w < 65) {
+      var i = 0
+      while (i < 4) { bb.putShort(v.toShort); i += 1 }
+      if (w < 64) v += (if (((bits >>> w) & 1L) == 1L) 1 else -1)
+      w += 1
+    }
+    bb.array()
+  }
+
+  case class AudioHashes(doc_id: Long, decoded: Boolean, ahash64: Long)
+
+  /** Per-partition real WAV decode → audio gradient hash. */
+  def audioPerceptualHashes(df: DataFrame, idCol: String,
+                            contentCol: String): Dataset[AudioHashes] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(a) => AudioHashes(id, decoded = true, audioHash64(a))
+            case None    => AudioHashes(id, decoded = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate AUDIO pairs: real decode → gradient hash → the
+    * same banded pigeonhole Hamming join as images/text. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = audioPerceptualHashes(df, idCol, contentCol).toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("ahash64").as("simhash"))
+    Dedup.hammingBandPairs(sigs, 64, maxHamming, bands, maxBucketSize)
+  }
+
   case class ImageHashes(doc_id: Long, decoded: Boolean, dhash: Long, ahash: Long)
 
   /** Per-partition real decode → perceptual hashes. Undecodable

@@ -448,6 +448,23 @@ object LlmQueries {
       },
       Some(LlmOracles.imageDedup)),
 
+    // Audio near-dup, end to end: per doc a PCM WAV whose windowed
+    // gradient hash realizes the SAME closed-form bit function as the
+    // image fixtures, so the image oracle verifies the full
+    // decode→window-mean→band-join audio pipeline too.
+    Q("q_multimodal_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
+            (id, Multimodal.synthWavBits(bits))
+          }).toDF("doc_id", "content")
+        Multimodal.audioNearDupPairs(wavs, "doc_id", "content",
+          maxHamming = 3, bands = 4)
+      },
+      Some(LlmOracles.imageNearDup)),
+
     // REAL audio decode: synthesize a 64-sample PCM WAV per doc
     // (sample i = ((i*7+doc_id) mod 65536) − 32768), decode the RIFF
     // chunks per-partition, emit exact integer energy. Closed-form

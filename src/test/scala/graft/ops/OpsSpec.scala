@@ -105,6 +105,25 @@ class OpsSpec extends SparkTestBase {
     assert(Multimodal.imageNearDupPairs(mixed, "doc_id", "content").count() == 12)
   }
 
+  test("audio gradient hash: bit-exact round-trip and near-dup pairs") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    for (bits <- Seq(0L, -1L, 0x0123456789abcdefL, 0x9E3779B97F4A7C15L)) {
+      val a = Multimodal.decodeWav(Multimodal.synthWavBits(bits)).get
+      assert(Multimodal.audioHash64(a) == bits)
+    }
+    // short clips hash 0, undecodable rows are excluded from pairs
+    assert(Multimodal.audioHash64(Multimodal.AudioData(1, 16000, Array[Short](1, 2))) == 0L)
+    val wavs = (0L until 8L).map { id =>
+      val bits = (id / 4) * 0x9E3779B97F4A7C15L ^ ((1L << (id % 4).toInt) - 1L)
+      (id, Multimodal.synthWavBits(bits))
+    }.toDF("doc_id", "content")
+      .union(Seq((99L, "not audio".getBytes)).toDF("doc_id", "content"))
+    val pairs = Multimodal.audioNearDupPairs(wavs, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.size == 12 && pairs.contains((0L, 3L, 3)))
+  }
+
   test("wav decode: synth round-trip, sample values, truncation, non-wav") {
     import graft.ops.Multimodal
     val a = Multimodal.decodeWav(Multimodal.synthWav(5L, 10)).get
