@@ -97,7 +97,10 @@ object Similarity {
     val fitSet =
       if (estRows <= maxFitVectors) v
       else v.filter(pmod(xxhash64(col("id")), lit(estRows / maxFitVectors + 1)) === 0)
-    val model = new KMeans().setK(nlist).setSeed(42)
+    // A coarse quantizer doesn't need converged centroids — cells only
+    // bucket candidates for exact re-rank, so cap the iterations (the
+    // MLlib default 20 doubles fit time for sub-1% recall movement).
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
     val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
       col("cell")).withColumn("nn", norm(col("nv")))

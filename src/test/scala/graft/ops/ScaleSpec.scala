@@ -75,6 +75,57 @@ class ScaleSpec extends SparkTestBase {
     assert(!bySrc.contains("src2")) // weight 0 drops the stratum
   }
 
+  test("spanDedupHashed: span text never reaches the dedup rank exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.StringType
+    val docs = (1L to 50L).map(i => (i, s"tok$i a b c d e")).toDF("doc_id", "text")
+    // hashed twin: the first-occurrence rank window sees ONLY
+    // (id, span_idx, hash) — 24 bytes/row through the exchange
+    val hashedWin = Dedup.spanDedupHashed(docs, "doc_id", "text", 3)
+      .queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }.get
+    assert(!hashedWin.child.output.exists(_.dataType == StringType),
+      s"string column leaked into the hashed rank exchange: ${hashedWin.child.output}")
+    // contrast: the raw (oracle-portable) form necessarily ranks the text
+    val rawWin = Dedup.spanDedup(docs, "doc_id", "text", 3)
+      .queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }.get
+    assert(rawWin.child.output.exists(_.dataType == StringType))
+  }
+
+  test("image near-dup: binary payloads never reach the banding exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.BinaryType
+    val imgs = (0L until 16L).map(id => (id, Multimodal.synthPgmBits(id)))
+      .toDF("doc_id", "content")
+    val plan = Multimodal.imageNearDupPairs(imgs, "doc_id", "content")
+      .queryExecution.optimizedPlan
+    // every aggregation (the bucket groupBy) sees only (id, hash, band,
+    // slice) — the decoded image and its bytes stay map-local
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(!a.child.output.exists(_.dataType == BinaryType),
+        s"binary column leaked into a shuffle: ${a.child.output}")
+    }
+  }
+
+  test("vocabulary: the rank window input is bounded by the top-K limit") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val docs = (1L to 100L).map(i => (i, s"w${i % 7} w${i % 3} common")).toDF("id", "text")
+    val win = TextAnalysis.vocabulary(docs, "text", topK = 5)
+      .queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }.get
+    // the window must sit ABOVE the limit: its input is ≤ topK rows, so
+    // the constant-key single partition can never become a hotspot
+    assert(win.child.collectFirst { case l: GlobalLimit => l }.isDefined,
+      s"rank window input is not limit-bounded:\n${win.child}")
+    assert(TextAnalysis.vocabulary(docs, "text", 5).count() == 5)
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import spark.implicits._
     // one dominant key (90 of 100 rows)
