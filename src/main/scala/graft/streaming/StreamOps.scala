@@ -103,6 +103,44 @@ object StreamOps {
     clean.unionByName(resolved)
   }
 
+  /**
+   * Streaming perceptual IMAGE dedup: per-row netpbm decode → dHash
+   * (row-local, unbounded-safe — the same hash the batch
+   * [[graft.ops.Multimodal.imageNearDupPairs]] bands), then
+   * watermarked dedup on the hash = exact perceptual duplicates
+   * (Hamming 0). Cross-row banded NEAR-dup needs the batch pass —
+   * banding is a self-join, unbounded on a stream. Undecodable rows
+   * pass through: they have no perceptual identity to collide on.
+   * (A Scala UDF is fine here: the decode is opaque byte parsing the
+   * batch path also runs as JVM code via mapPartitions — there is no
+   * codegen to fall out of.)
+   */
+  def imageDedupStream(df: DataFrame, contentCol: String, tsCol: String,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val dhash = udf((bytes: Array[Byte]) =>
+      graft.ops.Multimodal.decodeNetpbm(bytes).map(graft.ops.Multimodal.dHash64))
+    val hashed = df.withColumn("_dhash", dhash(col(contentCol).cast("binary")))
+    hashed.filter(col("_dhash").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_dhash"))
+      .unionByName(hashed.filter(col("_dhash").isNull))
+      .drop("_dhash")
+  }
+
+  /** Streaming perceptual AUDIO dedup — the WAV/[[graft.ops.Multimodal.audioHash64]]
+    * twin of [[imageDedupStream]]. */
+  def audioDedupStream(df: DataFrame, contentCol: String, tsCol: String,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val ahash = udf((bytes: Array[Byte]) =>
+      graft.ops.Multimodal.decodeWav(bytes).map(graft.ops.Multimodal.audioHash64))
+    val hashed = df.withColumn("_ahash", ahash(col(contentCol).cast("binary")))
+    hashed.filter(col("_ahash").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_ahash"))
+      .unionByName(hashed.filter(col("_ahash").isNull))
+      .drop("_ahash")
+  }
+
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,
                         total_value: Double)

@@ -68,6 +68,43 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming perceptual image dedup drops hash-identical images, passes undecodable rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "content", "ts")
+    val q = StreamOps.imageDedupStream(df, "content", "ts")
+      .writeStream.format("memory").queryName("img_dedup")
+      .outputMode("append").start()
+    try {
+      val a = graft.ops.Multimodal.synthPgmBits(0x1234L)
+      val b = graft.ops.Multimodal.synthPgmBits(0x9999L)
+      mem.addData((1L, a, ts(1)), (2L, a, ts(2)), (3L, b, ts(3)),
+        (4L, "JFIF garbage".getBytes, ts(4)))
+      q.processAllAvailable()
+      val ids = spark.table("img_dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L, 4L)) // 2 is a perceptual duplicate of 1; 4 passes through
+    } finally q.stop()
+  }
+
+  test("streaming perceptual audio dedup drops hash-identical clips") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "content", "ts")
+    val q = StreamOps.audioDedupStream(df, "content", "ts")
+      .writeStream.format("memory").queryName("aud_dedup")
+      .outputMode("append").start()
+    try {
+      val a = graft.ops.Multimodal.synthWavBits(0xABCDEFL)
+      mem.addData((1L, a, ts(1)), (2L, a, ts(2)),
+        (3L, graft.ops.Multimodal.synthWavBits(0x777L), ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("aud_dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("gap sessionization: in-batch gap closes a session; watermark timeout closes the parked one") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
