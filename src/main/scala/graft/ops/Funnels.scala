@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered-funnel and cohort-retention analytics over an event table
+ * (extensions beyond the reference: the standard product-analytics
+ * operators an event pipeline needs, shaped for scale).
+ */
+object Funnels {
+
+  /**
+   * Per-key ordered funnel: for the given sequence of `steps` event
+   * types, the timestamp at which each step was FIRST completed,
+   * where step i+1 must occur STRICTLY after the completion of step
+   * i. Columns are null from the first incomplete step onward. Every
+   * key with at least one step-typed event appears in the output.
+   *
+   * Scale shape: events are filtered to the step types BEFORE the
+   * per-key collect (only those rows can matter), then ONE shuffle on
+   * the key; the chain itself is a codegen'd higher-order fold over
+   * the sorted per-key event list — no window, no K self-joins (the
+   * naive formulation shuffles K times). The per-key list is bounded
+   * by that key's step-typed event count; a key whose history exceeds
+   * executor memory needs an upstream cap, the same bound as any
+   * per-entity history operator.
+   */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    val stepArr = array(steps.map(lit): _*)
+    // state: k nullable timestamps, slot i = completion ts of step i
+    val init = array((0 until k).map(_ => lit(null).cast("timestamp")): _*)
+    val evs = sort_array(collect_list(struct(col("_ts").as("ts"), col("_tp").as("tp"))))
+    val folded = aggregate(evs, init, (st, e) => {
+      val done = size(filter(st, x => x.isNotNull))
+      // completion ts of the last finished step; done==0 reads slot 1
+      // (still null) and coalesces to the epoch floor — strictly-after
+      // is then vacuously true for the first step. least() keeps the
+      // step lookup in-bounds when done==k (ANSI element_at throws on
+      // out-of-range even for rows the done<k conjunct rejects).
+      val prevTs = coalesce(element_at(st, greatest(done, lit(1))),
+        to_timestamp(lit("1900-01-01")))
+      val eligible = (done < lit(k)) &&
+        (element_at(stepArr, least(done + lit(1), lit(k))) === e("tp")) &&
+        (e("ts") > prevTs)
+      when(eligible,
+        transform(st, (x, i) => when(i === done, e("ts")).otherwise(x)))
+        .otherwise(st)
+    })
+    val stepCols: Seq[Column] = steps.zipWithIndex.map { case (s, i) =>
+      element_at(col("_steps"), i + 1).as(s"${s}_ts")
+    }
+    df.filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol), col(tsCol).as("_ts"), col(typeCol).as("_tp"))
+      .groupBy(col(keyCol))
+      .agg(folded.as("_steps"))
+      .select(col(keyCol) +: stepCols: _*)
+  }
+
+  /**
+   * Cohort retention matrix: keys grouped by first-active day; for
+   * each (cohort_day, day_offset <= maxOffsetDays) the number of
+   * cohort keys active on that day. `cohort_day` is formatted
+   * yyyy-MM-dd (string: engine-portable, sorts correctly).
+   *
+   * Scale shape: events collapse to DISTINCT (key, day) first — the
+   * one shuffle that touches event volume and it map-side-combines;
+   * the first-day aggregate and the join both reuse that key
+   * partitioning (no new exchange), and the final matrix is tiny
+   * (days × offsets).
+   */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+                maxOffsetDays: Int): DataFrame = {
+    val days = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d")).distinct()
+    val first = days.groupBy(col("k")).agg(min(col("d")).as("d0"))
+    days.join(first, "k")
+      .withColumn("day_offset", datediff(col("d"), col("d0")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -218,4 +218,53 @@ object Similarity {
         ((sum(col("nano")).cast("double") / count(lit(1))) / lit(1e9)).as("centroid"),
         count(lit(1)).as("n_vectors"))
   }
+
+  /**
+   * Nearest-centroid label assignment: score every vector against the
+   * per-label centroids (long format, from [[labelCentroids]]) and
+   * keep the best-cosine label (ties -> smallest label).
+   *
+   * Scale shape: centroids are bounded (labels × dims scalars) — they
+   * are collected once and inlined as literals, so classifying the
+   * full corpus is a PURE MAP: zip_with + integer-quantized dot +
+   * array_min argmax per row, no join, no shuffle, no broadcast
+   * exchange even.
+   *
+   * Cross-engine exactness: each product quantizes to integer nanos
+   * before the (order-independent) sum; after that the only FP ops
+   * are one divide and one sqrt, both IEEE-correctly-rounded, so the
+   * score doubles are bit-identical in any engine given the same
+   * centroid doubles. Labels whose centroid is all-zero have no
+   * direction and are excluded (mirror the filter in any oracle).
+   */
+  def classifyByCentroid(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame): DataFrame = {
+    val cents: Seq[(Int, Array[Double], Long)] = centroids
+      .select(col("label").cast("int"), col("dim").cast("int"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (lab, rows) =>
+        val arr = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        val n2 = arr.map(c => math.floor(c * c * 1e9 + 0.5).toLong).sum
+        (lab, arr, n2)
+      }
+      .filter(_._3 > 0L)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "no non-zero centroids to classify against")
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val scored = cents.map { case (lab, arr, n2) =>
+      val cLit = array(arr.map(lit).toIndexedSeq: _*)
+      val sn = aggregate(
+        zip_with(col("_v"), cLit, (x, y) => floor(x * y * lit(1e9) + lit(0.5)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val score = sn.cast("double") / lit(math.sqrt(n2.toDouble))
+      // negated score: array_min then picks (max score, min label)
+      struct((lit(0d) - score).as("ns"), lit(lab).as("lab"))
+    }
+    val best = array_min(array(scored: _*))
+    v.select(col(idCol),
+      best.getField("lab").as("pred_label"),
+      floor((lit(0d) - best.getField("ns")) * lit(1e6) + lit(0.5)).cast("long")
+        .as("score_micro"))
+  }
 }

@@ -58,6 +58,78 @@ object TextAnalysis {
       greatest(size(toks), lit(1))
   }
 
+  /** The Gopher-style required-word subset (Rae et al. 2021 §A1.1:
+    * a doc must contain >= 2 of a small English stop set). */
+  val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1
+   * adapted to this corpus's whitespace tokens): per-rule booleans +
+   * an overall pass flag, all ROW-LOCAL (a pure map — runs before
+   * anything shuffles, prunes at the scan at any corpus size).
+   * Ratio intermediates are single IEEE divides of integer counts, so
+   * rule boundaries decide identically in any engine.
+   */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nw = size(toks)
+    val nwSafe = greatest(nw, lit(1))
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0L),
+      (acc, x) => acc + x).cast("double") / nwSafe
+    val symbolRatio = size(filter(toks, t => t.contains("#") || t.contains("…")))
+      .cast("double") / nwSafe
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nwSafe
+    val stopHits = size(filter(toks, t => t.isin(gopherStops: _*)))
+    val rWords = nw >= minWords && nw <= maxWords
+    val rMean = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = stopHits >= minStopHits
+    df.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      floor(meanLen * lit(1e6) + lit(0.5)).cast("long").as("mean_len_micro"),
+      floor(alphaFrac * lit(1e6) + lit(0.5)).cast("long").as("alpha_micro"),
+      stopHits.cast("long").as("stop_hits"),
+      rWords.as("r_words"), rMean.as("r_mean_len"), rSymbol.as("r_symbol"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWords && rMean && rSymbol && rAlpha && rStop).as("pass"))
+  }
+
+  /**
+   * Corpus-wide word n-gram vocabulary: top-K n-grams by frequency
+   * with a deterministic (freq desc, gram asc) rank. Same scale shape
+   * as [[vocabulary]]: the explode+count map-side-combines into one
+   * shuffle keyed by gram; top-K is a TakeOrderedAndProject (per-
+   * partition heaps, no global sort) and only the K survivors see the
+   * constant-key rank window.
+   */
+  def ngramVocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      n: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "use vocabulary() for unigrams")
+    val toks = tokens(col(textCol))
+    val m = size(toks) - lit(n - 1)
+    // sequence(1, m) flips to a DESCENDING sequence when m < 1 — guard
+    // short docs to an empty gram list instead.
+    val grams = when(m >= 1,
+      transform(sequence(lit(1), m), i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val top = df.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(
+        Window.partitionBy(pmod(col("freq"), lit(1)))
+          .orderBy(col("freq").desc, col("gram"))))
+  }
+
   /**
    * Composite quality score in [0,1]: length credit (saturates at 100
    * tokens), low punctuation noise, natural stopword density.

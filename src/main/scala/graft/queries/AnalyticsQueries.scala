@@ -309,5 +309,46 @@ object AnalyticsQueries {
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Ordered funnel view -> click -> purchase: first-completion
+    // timestamps per user, each step strictly after the previous.
+    // One shuffle (HOF fold over the sorted per-user step events);
+    // the oracle is the equivalent min-ts chain.
+    Q("q_funnel",
+      (s, dir) => graft.ops.Funnels.funnel(t(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us")),
+      Some("""WITH base AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT base.user_id, epoch_us(t1) AS view_us, epoch_us(t2) AS click_us,
+          epoch_us(t3) AS purchase_us
+        FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)""")),
+
+    // Cohort retention: first-active-day cohorts x day offset. The
+    // distinct (user, day) collapse is the only event-volume shuffle.
+    Q("q_retention",
+      (s, dir) => graft.ops.Funnels.retention(t(s, dir, "events"),
+        "user_id", "ts", maxOffsetDays = 30),
+      Some("""WITH days AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+          FROM events),
+        first AS (SELECT k, min(d) AS d0 FROM days GROUP BY 1)
+        SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+          CAST(date_diff('day', d0, d) AS INT) AS day_offset,
+          COUNT(*) AS n_users
+        FROM days JOIN first USING (k)
+        WHERE date_diff('day', d0, d) <= 30
+        GROUP BY 1, 2""")),
   )
 }

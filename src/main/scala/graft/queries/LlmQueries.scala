@@ -579,6 +579,87 @@ object LlmQueries {
           (CAST(SUM(nano) AS DOUBLE) / COUNT(*)) / 1e9 AS centroid,
           COUNT(*) AS n_vectors
         FROM d GROUP BY 1, 2""")),
+
+    // Nearest-centroid classification: centroids (10 labels x 64 dims)
+    // inline as literals -> classification is a pure map (no join, no
+    // shuffle). Products quantize to integer nanos before the sum, so
+    // the score doubles are bit-identical cross-engine.
+    Q("q_llm_classify",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.classifyByCentroid(e, "vec_id", "embedding",
+          Similarity.labelCentroids(e, "label", "embedding"))
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        d AS (SELECT label,
+            CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS dim,
+            CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS nano
+          FROM n WHERE nrm > 0),
+        c AS (SELECT label, dim,
+            (CAST(SUM(nano) AS DOUBLE) / COUNT(*)) / 1e9 AS centroid
+          FROM d GROUP BY 1, 2),
+        cn AS (SELECT label,
+            SUM(CAST(floor(centroid * centroid * 1e9 + 0.5) AS BIGINT)) AS n2
+          FROM c GROUP BY 1 HAVING n2 > 0),
+        q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT q.vec_id, c.label,
+            SUM(CAST(floor(v[c.dim + 1] * c.centroid * 1e9 + 0.5) AS BIGINT)) AS sn
+          FROM q CROSS JOIN c GROUP BY 1, 2),
+        sc AS (SELECT vec_id, p.label,
+            CAST(sn AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS score
+          FROM p JOIN cn USING (label))
+        SELECT vec_id, label AS pred_label,
+          CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micro
+        FROM sc
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, label) = 1""")),
+
+    // Corpus-wide bigram vocabulary, deterministic top-100.
+    Q("q_llm_ngram_vocab",
+      (s, dir) => TextAnalysis.ngramVocabulary(t(s, dir, "documents"),
+        "text", n = 2, topK = 100),
+      Some("""WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        ix AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk),
+        g AS (SELECT toks[i] || ' ' || toks[i + 1] AS gram FROM ix),
+        f AS (SELECT gram, COUNT(*) AS freq FROM g GROUP BY 1
+          ORDER BY freq DESC, gram LIMIT 100)
+        SELECT gram, freq,
+          CAST(row_number() OVER (ORDER BY freq DESC, gram) AS INT) AS rank
+        FROM f""")),
+
+    // Gopher-style heuristic quality rules (row-local; ratios are
+    // single IEEE divides of integer counts -> identical verdicts in
+    // any engine).
+    Q("q_llm_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(t(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(s"""WITH x AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        y AS (SELECT doc_id, len(toks) AS nw,
+          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / greatest(len(toks), 1) AS mean_len,
+          CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '…'))) AS DOUBLE)
+            / greatest(len(toks), 1) AS symbol_ratio,
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+            / greatest(len(toks), 1) AS alpha_frac,
+          len(list_filter(toks, t -> list_contains(${LlmOracles.gopherStopList}, t))) AS stop_hits
+          FROM x),
+        z AS (SELECT doc_id, nw, mean_len, alpha_frac, stop_hits,
+          nw >= 10 AND nw <= 100000 AS r_words,
+          mean_len >= 2.0 AND mean_len <= 12.0 AS r_mean_len,
+          symbol_ratio <= 0.1 AS r_symbol,
+          alpha_frac >= 0.8 AS r_alpha,
+          stop_hits >= 2 AS r_stop
+          FROM y)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+          CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS mean_len_micro,
+          CAST(floor(alpha_frac * 1e6 + 0.5) AS BIGINT) AS alpha_micro,
+          CAST(stop_hits AS BIGINT) AS stop_hits,
+          r_words, r_mean_len, r_symbol, r_alpha, r_stop,
+          r_words AND r_mean_len AND r_symbol AND r_alpha AND r_stop AS pass
+        FROM z""")),
   )
 }
 
@@ -588,6 +669,10 @@ object LlmOracles {
   private val stopLists = TextAnalysis.stopwords.map { case (l, ws) =>
     l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
   }.toMap
+
+  /** SQL list literal of the Gopher required-word set. */
+  val gopherStopList: String =
+    TextAnalysis.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
   private val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
     .map(w => s"'$w'").mkString("[", ", ", "]")
 

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Funnel / retention / centroid-classify / quality-rule / n-gram-vocab
+  * operator invariants (closed-form fixtures). */
+class FunnelsSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: strict ordering, partial completion, step-typed-only keys") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // u2: click BEFORE the first view doesn't count; the later one does
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 09:45:00")),
+      // u3: click at EXACTLY the view ts is not strictly after
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "click", ts("2024-01-01 08:00:00")),
+      // u4: only a purchase — appears, nothing completed
+      (4L, "purchase", ts("2024-01-01 07:00:00")),
+      // noise type is filtered before the fold
+      (1L, "error", ts("2024-01-01 10:01:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), ts("2024-01-01 10:10:00")))
+    assert(out(2L) == (ts("2024-01-01 09:30:00"), ts("2024-01-01 09:45:00"), null))
+    assert(out(3L) == (ts("2024-01-01 08:00:00"), null, null))
+    assert(out(4L) == (null, null, null))
+  }
+
+  test("retention: cohort by first day, offset-capped counts") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-04 10:00:00")),
+      (2L, ts("2024-01-02 12:00:00")),
+      (3L, ts("2024-01-01 01:00:00")), (3L, ts("2024-01-09 01:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Funnels.retention(ev, "user_id", "ts", maxOffsetDays = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // cohort 01-01 = users 1,3: day0 ×2, day1 ×1 (u1), day3 ×1 (u1);
+    // u3's day8 exceeds the cap. cohort 01-02 = user 2: day0 ×1.
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 3) -> 1L,
+      ("2024-01-02", 0) -> 1L))
+  }
+
+  test("classifyByCentroid: nearest label wins; zero vector falls to smallest label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.0f, 0.0f), 0) // zero vector: all scores 0 -> label 0
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(vecs, "label", "embedding")
+    val out = Similarity.classifyByCentroid(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
+  test("gopherRules: each rule trips on its own fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat and the dog ran to be fair with all of it"), // passes
+      (2L, "too short"),                                             // r_words
+      (3L, "the " * 5 + "supercalifragilisticexpialidocious " * 8),  // r_mean_len
+      (4L, ("1 2 3 4 5 6 7 8 9 10 11 " * 1) + "the of")             // r_alpha (numbers)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("r_words") && !out(2L).getAs[Boolean]("pass"))
+    assert(!out(3L).getAs[Boolean]("r_mean_len"))
+    assert(!out(4L).getAs[Boolean]("r_alpha"))
+    // stop-hit counting is token-exact
+    assert(out(1L).getAs[Long]("stop_hits") >= 2)
+  }
+
+  test("ngramVocabulary: bigram counts, deterministic rank, short-doc guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),    // "a b", "b c"
+      (2L, "a b d"),    // "a b", "b d"
+      (3L, "x")         // no bigrams (sequence guard)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramVocabulary(docs, "text", n = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a b", 2L, 1), ("b c", 1L, 2), ("b d", 1L, 3)))
+  }
+}
