@@ -66,17 +66,19 @@ object Funnels {
    * cohort keys active on that day. `cohort_day` is formatted
    * yyyy-MM-dd (string: engine-portable, sorts correctly).
    *
-   * Scale shape: events collapse to DISTINCT (key, day) first — the
-   * one shuffle that touches event volume and it map-side-combines;
-   * the first-day aggregate and the join both reuse that key
-   * partitioning (no new exchange), and the final matrix is tiny
-   * (days × offsets).
+   * Scale shape: ONE event-volume shuffle — a per-key collect_set of
+   * active days (map-side combining; the per-key set is bounded by
+   * the calendar, not by event count). First day and offsets are then
+   * row-local (array_min + explode), and the closing matrix aggregate
+   * is tiny (days × offsets). The naive distinct-then-join form
+   * shuffles event volume twice more.
    */
   def retention(df: DataFrame, keyCol: String, tsCol: String,
                 maxOffsetDays: Int): DataFrame = {
-    val days = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d")).distinct()
-    val first = days.groupBy(col("k")).agg(min(col("d")).as("d0"))
-    days.join(first, "k")
+    val byKey = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k")).agg(collect_set(col("d")).as("ds"))
+      .select(array_min(col("ds")).as("d0"), explode(col("ds")).as("d"))
+    byKey
       .withColumn("day_offset", datediff(col("d"), col("d0")))
       .filter(col("day_offset") <= maxOffsetDays)
       .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))

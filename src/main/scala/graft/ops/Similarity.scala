@@ -99,8 +99,13 @@ object Similarity {
       else v.filter(pmod(xxhash64(col("id")), lit(estRows / maxFitVectors + 1)) === 0)
     // A coarse quantizer doesn't need converged centroids — cells only
     // bucket candidates for exact re-rank, so cap the iterations (the
-    // MLlib default 20 doubles fit time for sub-1% recall movement).
+    // MLlib default 20 doubles fit time for sub-1% recall movement)
+    // and init from a seeded random sample: k-means|| init costs
+    // several extra collect ROUNDS (cluster-wide jobs) to place
+    // centroids well, and the 8 Lloyd iterations wash that placement
+    // out for bucketing purposes anyway.
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
     val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
       col("cell")).withColumn("nn", norm(col("nv")))

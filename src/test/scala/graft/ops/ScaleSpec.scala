@@ -137,4 +137,52 @@ class ScaleSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("tag")) -> r.getAs[Long]("count")).toMap
     assert(salted == Map((1L, "hot") -> 90L, (2L, "cold") -> 10L))
   }
+
+  test("funnel: exactly one exchange (the per-key fold), step filter pushed to the scan") {
+    val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the whole chain costs ONE shuffle: the groupBy(key) fold
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one exchange in the funnel plan:\n$plan")
+    // non-step rows are dropped AT THE SCAN, before that exchange
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"step-type filter not pushed to the parquet scan:\n$plan")
+  }
+
+  test("retention: one event-volume exchange, rest is row-local + tiny matrix agg") {
+    import spark.implicits._
+    val ev = (1L to 300L).map(i => (i % 25, new java.sql.Timestamp(i * 3600L * 1000)))
+      .toDF("user_id", "ts")
+    val df = Funnels.retention(ev, "user_id", "ts", 30)
+    val plan = df.queryExecution.executedPlan.toString
+    // exchange 1: collect_set keyed on user; exchange 2: the closing
+    // (cohort_day, offset) matrix — days × offsets rows, never event volume
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected two exchanges in the retention plan:\n$plan")
+  }
+
+  test("classifyByCentroid: a pure map — no exchange, no join in the scoring plan") {
+    import spark.implicits._
+    val vecs = (1L to 40L).map(i =>
+        (i, Array.tabulate(4)(d => ((i + d) % 5).toFloat), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(vecs, "label", "embedding")
+    val plan = Similarity.classifyByCentroid(vecs, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"classification should be a pure map (centroids are literals):\n$plan")
+  }
+
+  test("ngramVocabulary: rank window input is bounded by the top-K limit") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val docs = (1L to 100L).map(i => (i, s"w${i % 7} w${i % 3} common end")).toDF("id", "text")
+    val win = TextAnalysis.ngramVocabulary(docs, "text", n = 2, topK = 5)
+      .queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }.get
+    assert(win.child.collectFirst { case l: GlobalLimit => l }.isDefined,
+      s"rank window input is not limit-bounded:\n${win.child}")
+  }
 }
