@@ -99,4 +99,24 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < pctExpr)
   }
+
+  /**
+   * Per-source token budget report: doc count, token sum, and each
+   * source's share of the total token budget in integer micros
+   * (INTEGRAL division — no FP in the shares, exact in any engine).
+   * One map-side-combining shuffle keyed by source; the share window
+   * runs over the tiny per-source relation (constant-key partition on
+   * a column-dependent expression so it can't be folded to the
+   * warning-prone empty spec).
+   */
+  def sourceBudget(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("long")).as("n_tokens"))
+    per.withColumn("_total",
+        sum(col("n_tokens")).over(Window.partitionBy(pmod(col("n_tokens"), lit(1)))))
+      .withColumn("share_micro", expr("n_tokens * 1000000 div _total"))
+      .drop("_total")
+  }
 }

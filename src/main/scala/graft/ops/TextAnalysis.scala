@@ -241,7 +241,16 @@ object TextAnalysis {
    */
   def winnowingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                            k: Int = 8, w: Int = 4,
-                           portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
+                           portableHash: Boolean = true): org.apache.spark.sql.DataFrame =
+    winnowSet(df, idCol, textCol, k, w, portableHash)
+      .select(col(idCol), array_join(col("_set"), ",").as("fp"))
+
+  /** The distinct sorted winnow minima per doc as an array column
+    * (`_set`) — shared by [[winnowingFingerprint]] (renders it) and
+    * [[fingerprintContainmentPairs]] (self-joins it). */
+  private[ops] def winnowSet(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                             k: Int, w: Int,
+                             portableHash: Boolean): org.apache.spark.sql.DataFrame = {
     if (portableHash) {
       // md5-portable oracle twin: positional hashes as a higher-order
       // transform, window minima as array_min over length-w slices.
@@ -255,9 +264,9 @@ object TextAnalysis {
         .select(col(idCol), hashes.as("_hs"))
         .filter(size(col("_hs")) >= w) // only full windows
         .select(col(idCol),
-          array_join(array_sort(array_distinct(
+          array_sort(array_distinct(
             transform(sequence(lit(w), size(col("_hs"))),
-              i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))), ",").as("fp"))
+              i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))).as("_set"))
     } else {
       // production path: native [[graft.expr.WinnowFpX64]] — empty
       // array when the doc has no full window, dropped here (parity
@@ -265,10 +274,45 @@ object TextAnalysis {
       graft.functions.Registry.ensure(df.sparkSession)
       df.filter(col(textCol).isNotNull)
         .select(col(idCol),
-          call_function("winnow_fp_x64", col(textCol), lit(k), lit(w)).as("_fp"))
-        .filter(size(col("_fp")) > 0)
-        .select(col(idCol), array_join(col("_fp"), ",").as("fp"))
+          call_function("winnow_fp_x64", col(textCol), lit(k), lit(w)).as("_set"))
+        .filter(size(col("_set")) > 0)
     }
+  }
+
+  /**
+   * Containment detection over winnowing fingerprints (the MOSS-style
+   * "is doc A substantially inside doc B" relation that symmetric
+   * Jaccard misses for unequal-length docs): pairs whose shared
+   * distinct winnow minima cover >= `threshold` of the SMALLER doc's
+   * minima set. Same inverted-index shape as
+   * [[Dedup.ngramJaccardPairs]]: the posting row carries the doc's
+   * set size (no join back against a sizes side), postings per hash
+   * are bounded (stop-hash removal), and only (id, n, hash) ever
+   * rides an exchange.
+   */
+  def fingerprintContainmentPairs(df: org.apache.spark.sql.DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int = 8, w: Int = 4,
+                                  threshold: Double = 0.5,
+                                  maxPostings: Int = 5000,
+                                  portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val posting = winnowSet(df, idCol, textCol, k, w, portableHash)
+      .select(col(idCol).as("id"), size(col("_set")).as("n"),
+        explode(col("_set")).as("h"))
+    val index = posting.groupBy(col("h"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("members"))
+      .filter(size(col("members")).between(2, maxPostings))
+    index
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("a.n").as("na"),
+        col("b.id").as("id_b"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
   }
 
   /**

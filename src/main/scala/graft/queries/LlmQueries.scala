@@ -660,6 +660,47 @@ object LlmQueries {
           r_words, r_mean_len, r_symbol, r_alpha, r_stop,
           r_words AND r_mean_len AND r_symbol AND r_alpha AND r_stop AS pass
         FROM z""")),
+
+    // Containment pairs over winnowing fingerprints (MOSS-style
+    // asymmetric overlap: shared minima / smaller set). Inverted-index
+    // join, postings bounded; md5-portable hashes so DuckDB derives
+    // identical minima.
+    Q("q_llm_containment",
+      (s, dir) => TextAnalysis.fingerprintContainmentPairs(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        p AS (SELECT doc_id, unnest(generate_series(1, greatest(1, length(lt) - 7))) AS pos, lt
+          FROM base),
+        h AS (SELECT doc_id, pos,
+            ('0x' || substr(md5(substr(lt, pos, 8)), 1, 15))::BIGINT AS h FROM p),
+        wm AS (SELECT doc_id,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn FROM h),
+        st AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE rn >= 4),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM st GROUP BY 1),
+        idx AS (SELECT wmin FROM st GROUP BY wmin
+          HAVING COUNT(*) BETWEEN 2 AND 5000),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM st a JOIN st b USING (wmin) JOIN idx ON a.wmin = idx.wmin
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        c AS (SELECT id_a, id_b, shared,
+            CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+          FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+          JOIN sz sb ON sb.doc_id = pr.id_b)
+        SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared, containment
+        FROM c WHERE containment >= 0.5""")),
+
+    // Per-source token budget report (integral-division shares).
+    Q("q_llm_source_budget",
+      (s, dir) => graft.ops.Sampling.sourceBudget(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+          SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS n_tokens
+          FROM documents GROUP BY 1)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_micro
+        FROM s""")),
   )
 }
 

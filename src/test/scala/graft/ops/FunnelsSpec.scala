@@ -98,4 +98,32 @@ class FunnelsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq(("a b", 2L, 1), ("b c", 1L, 2), ("b d", 1L, 3)))
   }
+
+  test("fingerprintContainmentPairs: full containment scores 1.0, disjoint docs drop") {
+    import spark.implicits._
+    val contained = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, contained),                                  // inside doc 2
+      (2L, contained + " iota kappa lambda mu nu xi"),  // superset
+      (3L, "omicron pi rho sigma tau upsilon phi chi")  // disjoint
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintContainmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 1)
+    val (a, b, c) = out.head
+    assert((a, b) == (1L, 2L))
+    assert(c == 1.0) // every minimum of the contained doc appears in the superset
+  }
+
+  test("sourceBudget: integral micro shares from exact token sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e f g"), // 7 tokens
+      (3L, "book", "h i j")                          // 3 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.sourceBudget(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("web") == (2L, 7L, 700000L))  // 7*1e6 div 10
+    assert(out("book") == (1L, 3L, 300000L))
+  }
 }
