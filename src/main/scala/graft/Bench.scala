@@ -38,13 +38,13 @@ object Bench {
     // gate, not perf claims: md5-per-shingle is 5-10x an xxhash64, and
     // each twin's production path IS benched (q_llm_minhash_sig_x64,
     // q_llm_minhash_pairs, q_llm_simhash_pairs, q_llm_dedup_clusters,
-    // q_llm_corpus_clean, q_llm_rolling_fp_x64, q_llm_winnowing_x64).
+    // q_llm_corpus_clean, q_llm_rolling_fp_x64, q_llm_winnowing_x64, q_llm_containment_x64).
     // Benching both double-counts the same operator and buries the
     // headline in hash-function overhead.
     val oracleOnlyFixtures = Set(
       "q_llm_minhash_sig", "q_llm_minhash_pairs_md5", "q_llm_simhash_pairs_md5",
       "q_llm_dedup_clusters_md5", "q_llm_corpus_clean_md5",
-      "q_llm_rolling_fp", "q_llm_winnowing")
+      "q_llm_rolling_fp", "q_llm_winnowing", "q_llm_containment")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

@@ -663,11 +663,14 @@ object LlmQueries {
 
     // Containment pairs over winnowing fingerprints (MOSS-style
     // asymmetric overlap: shared minima / smaller set). Inverted-index
-    // join, postings bounded; md5-portable hashes so DuckDB derives
-    // identical minima.
+    // join, postings bounded at 64 — this corpus's 40-word vocabulary
+    // makes some shingles near-ubiquitous (3379/5000 docs at sf0.1);
+    // such stop-hashes carry no containment signal and their posting
+    // lists pair quadratically (95M pairs unbounded vs ~1M at 64; the 26-pair sf0.01 answer is 25 at 64 — the signal lives in RARE shared minima).
+    // md5-portable hashes so DuckDB derives identical minima.
     Q("q_llm_containment",
       (s, dir) => TextAnalysis.fingerprintContainmentPairs(
-        t(s, dir, "documents"), "doc_id", "text"),
+        t(s, dir, "documents"), "doc_id", "text", maxPostings = 64),
       Some("""WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
         p AS (SELECT doc_id, unnest(generate_series(1, greatest(1, length(lt) - 7))) AS pos, lt
           FROM base),
@@ -680,7 +683,7 @@ object LlmQueries {
         st AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE rn >= 4),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM st GROUP BY 1),
         idx AS (SELECT wmin FROM st GROUP BY wmin
-          HAVING COUNT(*) BETWEEN 2 AND 5000),
+          HAVING COUNT(*) BETWEEN 2 AND 64),
         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
           FROM st a JOIN st b USING (wmin) JOIN idx ON a.wmin = idx.wmin
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -690,6 +693,15 @@ object LlmQueries {
           JOIN sz sb ON sb.doc_id = pr.id_b)
         SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared, containment
         FROM c WHERE containment >= 0.5""")),
+
+    // Production containment twin: identical algorithm over native
+    // xxhash64 winnow minima (no md5-per-shingle) — the benched scale
+    // path; rows-only by nature (xxhash64 absent from DuckDB).
+    Q("q_llm_containment_x64",
+      (s, dir) => TextAnalysis.fingerprintContainmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxPostings = 64,
+        portableHash = false),
+      None),
 
     // Per-source token budget report (integral-division shares).
     Q("q_llm_source_budget",
