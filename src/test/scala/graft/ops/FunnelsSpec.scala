@@ -107,12 +107,19 @@ class FunnelsSpec extends SparkTestBase {
       (2L, contained + " iota kappa lambda mu nu xi"),  // superset
       (3L, "omicron pi rho sigma tau upsilon phi chi")  // disjoint
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.fingerprintContainmentPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    assert(out.length == 1)
-    val (a, b, c) = out.head
-    assert((a, b) == (1L, 2L))
-    assert(c == 1.0) // every minimum of the contained doc appears in the superset
+    // a strict prefix's windows are a subset of the superset doc's, so
+    // its winnow minima are a subset and containment is exactly 1.0 —
+    // under ANY hash function: pin both the md5 oracle path and the
+    // xxhash64 production path
+    for (portable <- Seq(true, false)) {
+      val out = TextAnalysis.fingerprintContainmentPairs(docs, "doc_id", "text",
+          portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(out.length == 1, s"portable=$portable: $out")
+      val (a, b, c) = out.head
+      assert((a, b) == (1L, 2L))
+      assert(c == 1.0)
+    }
   }
 
   test("sourceBudget: integral micro shares from exact token sums") {

@@ -203,4 +203,25 @@ class StreamOpsSpec extends SparkTestBase {
       assert(last == UserStats(1L, 3L, 10.0, "c"))
     } finally q.stop()
   }
+
+  test("gopherRules quality gate composes onto a stream (row-local columns, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // row-local rule columns need no watermark/state: the same op used
+    // in batch gates a stream unchanged
+    val gated = graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("pass"))
+    val q = gated.writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the cat sat and the dog ran to be fair with all of it"),
+        (2L, "too short"))
+      q.processAllAvailable()
+      val ids = spark.table("quality_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
 }
