@@ -225,6 +225,32 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 scalar quantization of an embedding column, long
+   * format (id, dim, code, scale_micro): per-vector scale =
+   * max(|x|)/127, code = round(x/scale) in [-127, 127]. The standard
+   * 4× storage/bandwidth compression for a 100 TB embedding store —
+   * entirely ROW-LOCAL (pure map, no shuffle; the long format keeps
+   * output cells scalar for engine-portable comparison).
+   *
+   * Cross-engine exactness: scale and x/scale are single IEEE
+   * divides; code and scale_micro quantize via floor(x+0.5) — every
+   * step bit-deterministic given the same input doubles. Zero vectors
+   * (scale 0) are excluded — no direction, nothing to encode (mirror
+   * the predicate in any oracle).
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_scale",
+        aggregate(col("_v"), lit(0d), (m, x) => greatest(m, abs(x))) / lit(127d))
+      .filter(col("_scale") > 0)
+    v.select(col(idCol), col("_scale"),
+        posexplode(col("_v")).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim"),
+        floor(col("x") / col("_scale") + lit(0.5)).cast("int").as("code"),
+        floor(col("_scale") * lit(1e6) + lit(0.5)).cast("long").as("scale_micro"))
+  }
+
+  /**
    * Nearest-centroid label assignment: score every vector against the
    * per-label centroids (long format, from [[labelCentroids]]) and
    * keep the best-cosine label (ties -> smallest label).

@@ -703,6 +703,22 @@ object LlmQueries {
         portableHash = false),
       None),
 
+    // Symmetric int8 scalar quantization, long format — the 4x
+    // embedding-store compression op; row-local, IEEE-exact steps.
+    Q("q_llm_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        d AS (SELECT vec_id, scale,
+            CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS dim,
+            unnest(v) AS x
+          FROM sc WHERE scale > 0)
+        SELECT vec_id, dim, CAST(floor(x / scale + 0.5) AS INT) AS code,
+          CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro
+        FROM d""")),
+
     // Per-source token budget report (integral-division shares).
     Q("q_llm_source_budget",
       (s, dir) => graft.ops.Sampling.sourceBudget(

@@ -122,6 +122,22 @@ class FunnelsSpec extends SparkTestBase {
     }
   }
 
+  test("quantizeInt8: known codes and scale, zero vector excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector: nothing to encode
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(out.keys.map(_._1).toSet == Set(1L))
+    // scale = 1/127; codes floor(x*127 + 0.5)
+    assert(out(1L -> 0) == (127, 7874L))
+    assert(out(1L -> 1) == (-63, 7874L)) // floor(-63.5 + 0.5) = -63
+    assert(out(1L -> 2) == (32, 7874L))  // floor(31.75 + 0.5) = 32
+    assert(out(1L -> 3) == (0, 7874L))
+  }
+
   test("sourceBudget: integral micro shares from exact token sums") {
     import spark.implicits._
     val docs = Seq(
