@@ -350,5 +350,35 @@ object AnalyticsQueries {
         FROM days JOIN first USING (k)
         WHERE date_diff('day', d0, d) <= 30
         GROUP BY 1, 2""")),
+
+    // CDC snapshot diff: two deterministic "versions" of orders
+    // (old = keys not divisible by 7; new = prices bumped on keys
+    // divisible by 5) -> added/removed/changed classification.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val newSnap = orders.select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        graft.ops.Snapshot.diff(oldSnap, newSnap,
+          Seq("o_orderkey"), Seq("o_totalprice"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 7 <> 0),
+        n AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          o.o_totalprice AS old_o_totalprice,
+          n.o_totalprice AS new_o_totalprice,
+          CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               ELSE 'changed' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice <> n.o_totalprice""")),
   )
 }

@@ -138,6 +138,22 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(1L -> 3) == (0, 7874L))
   }
 
+  test("Snapshot.diff: added/removed/changed with null-safe value compare") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val newSnap = Seq((1L, Some("a")), (2L, Some("B")), (3L, None), (5L, Some("e")))
+      .toDF("k", "v")
+    val out = Snapshot.diff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[String]("old_v"),
+        r.getAs[String]("new_v"), r.getString(3))).toMap
+    // 1 unchanged (dropped), 3 unchanged with BOTH null (null-safe <=>)
+    assert(out == Map(
+      2L -> (("b", "B", "changed")),
+      4L -> (("d", null, "removed")),
+      5L -> ((null, "e", "added"))))
+  }
+
   test("sourceBudget: integral micro shares from exact token sums") {
     import spark.implicits._
     val docs = Seq(
