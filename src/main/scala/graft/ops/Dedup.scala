@@ -554,6 +554,53 @@ object Dedup {
     call_function("word_gram_hashes", text, lit(n))
   }
 
+  /**
+   * Lexical near-dup by TF-IDF cosine: doc pairs whose weighted term
+   * vectors have cosine >= `threshold`. The weighted complement to
+   * [[ngramJaccardPairs]] — common terms are idf-downweighted instead
+   * of counted, so boilerplate vocabulary can't fake similarity.
+   *
+   * Scale shape: the inverted index moves (term, id, wn, n2) only —
+   * weights and the doc's norm ride the posting row (no sizes join at
+   * pair time); postings per term are bounded (stop-term removal);
+   * the one broadcast is the single-row doc count.
+   *
+   * Cross-engine exactness: weights quantize to integer micros
+   * (floor(tf*idf*1e6+0.5)) BEFORE any cross-row sum; dot products
+   * and norms are then integer arithmetic, and the closing
+   * cos = dot / (sqrt(n2a)*sqrt(n2b)) is IEEE-correctly-rounded.
+   */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.5,
+                       maxPostings: Int = 1000): DataFrame = {
+    val tk = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tk.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("wn",
+        floor(col("tf") * log(lit(1.0) + col("n_docs").cast("double") / col("df"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("wn") > 0) // idf of a term in EVERY doc rounds to 0 weight
+    val norm2 = w.groupBy(col("id")).agg(sum(col("wn") * col("wn")).as("n2"))
+    val posting = w.join(norm2, "id")
+      .select(col("term"), col("id"), col("wn"), col("n2"))
+    val index = posting.groupBy(col("term"))
+      .agg(collect_list(struct(col("id"), col("wn"), col("n2"))).as("members"))
+      .filter(size(col("members")).between(2, maxPostings))
+    index
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("a.n2").as("n2a"),
+        col("b.id").as("id_b"), col("b.n2").as("n2b"))
+      .agg(sum(col("a.wn") * col("b.wn")).as("dotn"))
+      .withColumn("cos", col("dotn").cast(DoubleType) /
+        (sqrt(col("n2a").cast(DoubleType)) * sqrt(col("n2b").cast(DoubleType))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxPostings: Int = 5000): DataFrame = {

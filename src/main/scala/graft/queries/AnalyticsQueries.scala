@@ -380,5 +380,20 @@ object AnalyticsQueries {
         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
            OR o.o_totalprice <> n.o_totalprice""")),
+
+    // Tumbling-window aggregation (the batch face of the streaming
+    // windowed agg — same window() operator Structured Streaming
+    // uses; UTC day buckets align with DuckDB's date_trunc).
+    Q("q_window_tumbling",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2""")),
   )
 }

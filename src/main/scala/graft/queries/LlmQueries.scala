@@ -719,6 +719,34 @@ object LlmQueries {
           CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro
         FROM d""")),
 
+    // Lexical near-dup by TF-IDF cosine (idf-downweighted complement
+    // of the unweighted ngram-Jaccard path). Threshold 0.95 probes as
+    // 11 pairs at sf0.01 (pair cosine median 0.62, max 0.983 on this
+    // small-vocabulary corpus).
+    Q("q_llm_tfidf_pairs",
+      (s, dir) => Dedup.tfidfCosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.95),
+      Some("""WITH tk AS (SELECT doc_id AS id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        w AS (SELECT id, term,
+            CAST(floor(tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS wn
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+          WHERE floor(tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) > 0),
+        n2 AS (SELECT id, SUM(wn * wn) AS n2 FROM w GROUP BY 1),
+        idx AS (SELECT term FROM w GROUP BY term
+          HAVING COUNT(*) BETWEEN 2 AND 1000),
+        pr AS (SELECT a.id AS id_a, b.id AS id_b, SUM(a.wn * b.wn) AS dotn
+          FROM w a JOIN w b USING (term) JOIN idx USING (term)
+          WHERE a.id < b.id GROUP BY 1, 2),
+        c AS (SELECT id_a, id_b,
+            CAST(dotn AS DOUBLE) /
+              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+          FROM pr JOIN n2 na ON na.id = pr.id_a JOIN n2 nb ON nb.id = pr.id_b)
+        SELECT id_a, id_b, cos FROM c WHERE cos >= 0.95""")),
+
     // Per-source token budget report (integral-division shares).
     Q("q_llm_source_budget",
       (s, dir) => graft.ops.Sampling.sourceBudget(

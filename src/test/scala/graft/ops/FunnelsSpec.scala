@@ -138,6 +138,20 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(1L -> 3) == (0, 7874L))
   }
 
+  test("tfidfCosinePairs: identical docs ~1.0, disjoint-vocabulary docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join agg window"),
+      (2L, "spark shuffle join agg window"), // identical tf vector
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert((out.head._1, out.head._2) == (1L, 2L))
+    assert(out.head._3 > 0.999) // sqrt(x)*sqrt(x) can be 1 ulp off x
+  }
+
   test("Snapshot.diff: added/removed/changed with null-safe value compare") {
     import spark.implicits._
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
