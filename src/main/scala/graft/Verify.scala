@@ -21,8 +21,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
-      // contract: result at outDir/<name>.parquet (a parquet directory)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // contract: result at outDir/<name>.parquet (a parquet directory,
+      // one part file). repartition(1), NOT coalesce(1): coalesce
+      // collapses the query's final stage to a single task (a heavy
+      // final aggregation then runs one-threaded — measured minutes vs
+      // seconds at sf0.1), while repartition adds a 1-partition
+      // exchange AFTER the parallel computation and only the write is
+      // single-task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -36,16 +36,17 @@ object Funnels {
     val evs = sort_array(collect_list(struct(col("_ts").as("ts"), col("_tp").as("tp"))))
     val folded = aggregate(evs, init, (st, e) => {
       val done = size(filter(st, x => x.isNotNull))
-      // completion ts of the last finished step; done==0 reads slot 1
-      // (still null) and coalesces to the epoch floor — strictly-after
-      // is then vacuously true for the first step. least() keeps the
-      // step lookup in-bounds when done==k (ANSI element_at throws on
-      // out-of-range even for rows the done<k conjunct rejects).
-      val prevTs = coalesce(element_at(st, greatest(done, lit(1))),
-        to_timestamp(lit("1900-01-01")))
+      // completion ts of the last finished step. greatest/least keep
+      // both lookups in-bounds (ANSI element_at throws on
+      // out-of-range even for rows a conjunct rejects). For the first
+      // step (done==0) the strictly-after guard is `done===0 OR
+      // ts > null` — TRUE OR NULL is TRUE in three-valued logic, so
+      // no epoch-floor sentinel is needed (and pre-1900 timestamps
+      // can't break eligibility).
+      val prevTs = element_at(st, greatest(done, lit(1)))
       val eligible = (done < lit(k)) &&
         (element_at(stepArr, least(done + lit(1), lit(k))) === e("tp")) &&
-        (e("ts") > prevTs)
+        ((done === lit(0)) || (e("ts") > prevTs))
       when(eligible,
         transform(st, (x, i) => when(i === done, e("ts")).otherwise(x)))
         .otherwise(st)

@@ -267,6 +267,10 @@ object Similarity {
    * score doubles are bit-identical in any engine given the same
    * centroid doubles. Labels whose centroid is all-zero have no
    * direction and are excluded (mirror the filter in any oracle).
+   *
+   * Labels must be integral (the long-format centroid contract from
+   * [[labelCentroids]] over an int label column) — a non-numeric
+   * label would cast to null here and fail fast on the collect.
    */
   def classifyByCentroid(df: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame): DataFrame = {
