@@ -17,9 +17,12 @@ object RecallCheck {
       df.select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
+    // headline lines use the PRODUCTION configs (the ones the
+    // q_llm_ann_* queries run); the sweeps below map the tradeoff
     val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6))
-    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 2))
-    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f n=${truth.size}")
+    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
+    val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
+    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
                             (6, false, 6), (4, true, 8), (4, true, 10), (6, true, 10))) {
@@ -27,7 +30,7 @@ object RecallCheck {
         planes = pl, multiProbe = mp, tables = t)))
       println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s planes=$pl%d recall=$r%.3f")
     }
-    for ((nl, np) <- Seq((8, 3), (8, 4), (16, 4))) {
+    for ((nl, np) <- Seq((8, 2), (8, 3), (8, 4), (12, 4), (16, 4), (16, 6))) {
       val r = rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,
         nlist = nl, nprobe = np)))
       println(f"RECALL_SWEEP ivf nlist=$nl%d nprobe=$np%d recall=$r%.3f")

@@ -56,3 +56,51 @@ case class VecDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_dot"
 }
+
+/**
+ * Native INTEGER dot product over two array<int> code columns — the
+ * coarse-pass scorer for int8-quantized ANN ([[graft.ops.Similarity
+ * .ivfTopKInt8]]): codes are in [-127, 127] so a 64-dim dot is at most
+ * ~1e6, and the Long accumulator is exact to 2^63 (no FP at all in the
+ * coarse pass — identical result in any engine and any partition
+ * order). Registered as SQL function `vec_dot_i8`.
+ */
+case class VecDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt8 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot_i8"
+}

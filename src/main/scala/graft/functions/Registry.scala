@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, WinnowFpX64, WordGramHashes}
+import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -20,6 +20,10 @@ object Registry {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotInt8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => VecDotInt8(children(0), children(1)))
     reg.registerFunction(
       FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),

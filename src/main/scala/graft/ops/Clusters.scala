@@ -23,7 +23,8 @@ object Clusters {
     * big graphs take the distributed label-propagation loop. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20,
-                          driverEdgeLimit: Long = 2000000L): DataFrame = {
+                          driverEdgeLimit: Long = 2000000L,
+                          requireConvergence: Boolean = true): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().localCheckpoint()
@@ -44,6 +45,15 @@ object Clusters {
       labels = updated.select(col("id"), col("label"))
       iter += 1
     }
+    // Silently-unconverged labels are poison downstream: a duplicate
+    // cluster splits in two and dedup under-removes with no signal.
+    // Fail loudly by default; callers that can tolerate partial labels
+    // (e.g. a diagnostics pass) opt out explicitly.
+    if (!converged && requireConvergence)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "the graph's diameter exceeds maxIter; raise maxIter or pass " +
+        "requireConvergence=false to accept partial labels")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -43,8 +43,11 @@ object Corpus {
     //    dedup-window DAG executes twice. At full scale this is the
     //    stage boundary where a production pipeline materializes the
     //    cleaned corpus anyway (MEMORY_AND_DISK spills, never OOMs).
-    val exact = Dedup.byIngestOrder(kept, Seq(textCol), keepFirst = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //    Tracked in [[CachedRelations]] so the caller can release the
+    //    stage after its action — see that object's scaladoc.
+    val exact = CachedRelations.track(
+      Dedup.byIngestOrder(kept, Seq(textCol), keepFirst = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // 3. near-dup clusters -> canonical representative
     val pairs =

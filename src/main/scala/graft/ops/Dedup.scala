@@ -582,7 +582,12 @@ object Dedup {
         floor(col("tf") * log(lit(1.0) + col("n_docs").cast("double") / col("df"))
           * lit(1e6) + lit(0.5)).cast("long"))
       .filter(col("wn") > 0) // idf of a term in EVERY doc rounds to 0 weight
-    val norm2 = w.groupBy(col("id")).agg(sum(col("wn") * col("wn")).as("n2"))
+    // n2/dotn accumulate in DECIMAL(38,0): a high-tf doc (tf ~1e5 at a
+    // deep-corpus idf) puts wn near 1e12, and wn*wn would silently wrap
+    // Int64 in non-ANSI Spark while a SQL oracle's BIGINT multiply
+    // raises — decimal keeps both engines exact to wn ~1e18.
+    val wnDec = col("wn").cast("decimal(19,0)")
+    val norm2 = w.groupBy(col("id")).agg(sum(wnDec * col("wn")).as("n2"))
     val posting = w.join(norm2, "id")
       .select(col("term"), col("id"), col("wn"), col("n2"))
     val index = posting.groupBy(col("term"))
@@ -594,7 +599,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("a.n2").as("n2a"),
         col("b.id").as("id_b"), col("b.n2").as("n2b"))
-      .agg(sum(col("a.wn") * col("b.wn")).as("dotn"))
+      .agg(sum(col("a.wn").cast("decimal(19,0)") * col("b.wn")).as("dotn"))
       .withColumn("cos", col("dotn").cast(DoubleType) /
         (sqrt(col("n2a").cast(DoubleType)) * sqrt(col("n2b").cast(DoubleType))))
       .filter(col("cos") >= threshold)

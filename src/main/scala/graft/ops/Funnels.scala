@@ -21,14 +21,16 @@ object Funnels {
    * per-key collect (only those rows can matter), then ONE shuffle on
    * the key; the chain itself is a codegen'd higher-order fold over
    * the sorted per-key event list — no window, no K self-joins (the
-   * naive formulation shuffles K times). The per-key list is bounded
-   * by that key's step-typed event count; a key whose history exceeds
-   * executor memory needs an upstream cap, the same bound as any
-   * per-entity history operator.
+   * naive formulation shuffles K times). The per-key list is HARD-BOUNDED
+   * by `maxEventsPerKey` (earliest events win — exact whenever the
+   * cap isn't hit; see the pre-cap note below), so one robot key
+   * can't OOM an executor.
    */
   def funnel(df: DataFrame, keyCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxEventsPerKey: Int = 1000000): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxEventsPerKey >= 1, "maxEventsPerKey must be positive")
     val k = steps.length
     val stepArr = array(steps.map(lit): _*)
     // state: k nullable timestamps, slot i = completion ts of step i
@@ -54,8 +56,22 @@ object Funnels {
     val stepCols: Seq[Column] = steps.zipWithIndex.map { case (s, i) =>
       element_at(col("_steps"), i + 1).as(s"${s}_ts")
     }
+    // Pre-cap per-key history: one pathological key (a robot user with
+    // 10^8 step-typed events) would otherwise OOM an executor at the
+    // collect_list. Keeping the EARLIEST maxEventsPerKey events is
+    // WindowGroupLimit-shaped (per-partition top-k heaps before the
+    // exchange, no full per-key sort materialized) and exact whenever
+    // the cap isn't hit — first-completion funnels only ever advance on
+    // the earliest eligible events. The rank window shuffles on the
+    // same key as the groupBy, so the agg reuses that partitioning:
+    // still ONE event-volume shuffle.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_ts").asc, col("_tp").asc)
     df.filter(col(typeCol).isin(steps: _*))
       .select(col(keyCol), col(tsCol).as("_ts"), col(typeCol).as("_tp"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxEventsPerKey)
+      .drop("_rn")
       .groupBy(col(keyCol))
       .agg(folded.as("_steps"))
       .select(col(keyCol) +: stepCols: _*)

@@ -39,8 +39,13 @@ object Ranking {
     val stats = tf.groupBy().agg(
       countDistinct(col("id")).as("n_docs"),
       (sum(col("tf")).cast("double") / countDistinct(col("id"))).as("avgdl"))
+    // dfreq gets NO broadcast hint: a word-level vocabulary broadcasts
+    // fine (and AQE picks that from stats), but a forced hint would
+    // OVERRIDE AQE when the term unit is raw n-grams — vocabulary then
+    // grows with the corpus and the hint becomes a driver OOM at
+    // 100 TB. stats is one row; its hint is always safe.
     val scored = withDl
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("score",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

@@ -116,7 +116,12 @@ object Sampling {
         sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("long")).as("n_tokens"))
     per.withColumn("_total",
         sum(col("n_tokens")).over(Window.partitionBy(pmod(col("n_tokens"), lit(1)))))
-      .withColumn("share_micro", expr("n_tokens * 1000000 div _total"))
+      // DECIMAL(38,0) intermediate: a plain Int64 multiply wraps
+      // silently past ~9.2e12 tokens per source (a real corpus size at
+      // 100 TB) while the DuckDB oracle's HUGEINT sum doesn't —
+      // decimal keeps the two engines exact to ~1e31 tokens.
+      .withColumn("share_micro",
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div _total AS BIGINT)"))
       .drop("_total")
   }
 }

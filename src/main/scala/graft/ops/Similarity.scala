@@ -69,20 +69,12 @@ object Similarity {
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /**
-   * IVF (inverted-file) approximate nearest neighbors: a k-means
-   * coarse quantizer (MLlib, seeded — deterministic) partitions the
-   * corpus into `nlist` cells; each query probes its `nprobe` nearest
-   * centroids and re-ranks candidates with exact cosine. The corpus
-   * shuffles ONCE on the cell id; centroids broadcast as literals.
-   */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-              k: Int, nlist: Int = 16, nprobe: Int = 2,
-              maxFitVectors: Long = 100000L): DataFrame = {
+  /** Shared IVF coarse-quantizer fit: k-means cell assignment for every
+    * row plus the centroid arrays (for literal-inlined probe ranking).
+    * Returns (corpus rows (id, v, cell), centroids). */
+  private def ivfFit(v: DataFrame, dims: Int, nlist: Int,
+                     maxFitVectors: Long): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
     // on the full corpus is the one driver-side scale hazard at 100 TB.
     // Deterministic hash-mod downsample to ~maxFitVectors. The row count
@@ -107,23 +99,119 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
-    val corpus = model.transform(v).select(col("id").as("nid"), col("v").as("nv"),
-      col("cell")).withColumn("nn", norm(col("nv")))
-    // query-side probe list: distance to every centroid, keep nprobe best
-    val cents = model.clusterCenters.map(_.toArray)
+    (model.transform(v).select(col("id"), col("v"), col("cell")),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** Explode a query relation against the centroid literals and keep
+    * each query's `nprobe` nearest cells — ranked by the SAME metric
+    * k-means used to assign cells (Euclidean: |q-c|^2 = |q|^2 - 2 q.c
+    * + |c|^2, and |q|^2 is constant per query so |c|^2 - 2 q.c orders
+    * identically). A max-dot probe against Euclidean-assigned cells
+    * mismatches for unnormalized vectors and probes the wrong cells.
+    * Input must carry (qid, qv); output keeps every input column and
+    * adds `cell`. */
+  private def probeCells(q: DataFrame, cents: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"))
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
-    val q = v.select(col("id").as("qid"), col("v").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("cent", explode(centLits))
-      .withColumn("cdist", -dot(col("qv"), col("cent.cv"))) // max dot ~ min dist for normalized-ish vecs
+    q.withColumn("cent", explode(centLits))
+      .withColumn("cdist", col("cent.cn2") - lit(2.0) * dot(col("qv"), col("cent.cv")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cent.ci"))))
       .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cent.ci").as("cell"))
+      .withColumn("cell", col("cent.ci"))
+      .drop("cent", "cdist", "crank")
+  }
+
+  /**
+   * IVF (inverted-file) approximate nearest neighbors: a k-means
+   * coarse quantizer (MLlib, seeded — deterministic) partitions the
+   * corpus into `nlist` cells; each query probes its `nprobe` nearest
+   * centroids and re-ranks candidates with exact cosine. The corpus
+   * shuffles ONCE on the cell id; centroids broadcast as literals.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+              k: Int, nlist: Int = 16, nprobe: Int = 2,
+              maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
+    val corpus = assigned.select(col("id").as("nid"), col("v").as("nv"),
+      col("cell")).withColumn("nn", norm(col("nv")))
+    val q = probeCells(
+      v.select(col("id").as("qid"), col("v").as("qv")).withColumn("qn", norm(col("qv"))),
+      cents, nprobe)
     val scored = q.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Memory-bound IVF ANN: the coarse pass scores int8 CODES (the
+   * [[quantizeInt8]] scheme kept row-shaped: per-vector scale =
+   * max|x|/127, codes in [-127,127]) with the native integer
+   * [[graft.expr.VecDotInt8]] — 4 bytes/dim less bandwidth per
+   * candidate at 100 TB, where ANN is memory-bound, not compute-bound
+   * — and only the `rerankFactor * k` best approximate candidates per
+   * query fetch their float vectors for exact-cosine re-ranking. The
+   * fetch join moves (qid, nid) pairs only — float vectors never ride
+   * the candidate exchange.
+   *
+   * Same output contract as [[ivfTopK]] (qid, nid, cos, rank) — the
+   * approximation only affects WHICH candidates reach the exact
+   * re-rank, so recall tracks the float path within the quantization
+   * error (RecallCheck measures both).
+   */
+  def ivfTopKInt8(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                  k: Int, nlist: Int = 16, nprobe: Int = 2,
+                  rerankFactor: Int = 4,
+                  maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    def i8dot(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
+    // row-local int8 encode; approximate norm comes from the codes
+    // themselves (sqrt of the exact integer self-dot, times scale), so
+    // the coarse pass touches nothing but codes + 2 doubles per row
+    val coded = assigned
+      .withColumn("scale",
+        aggregate(col("v"), lit(0d), (m, x) => greatest(m, abs(x))) / lit(127d))
+      .filter(col("scale") > 0)
+      .withColumn("codes",
+        transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
+      .withColumn("anorm",
+        sqrt(i8dot(col("codes"), col("codes")).cast("double")) * col("scale"))
+    val corpus = coded.select(col("id").as("nid"), col("cell"),
+      col("codes").as("ncodes"), col("scale").as("nscale"), col("anorm").as("nn8"))
+    val q = probeCells(
+      coded.select(col("id").as("qid"), col("v").as("qv"), col("codes").as("qcodes"),
+        col("scale").as("qscale"), col("anorm").as("qn8")),
+      cents, nprobe).drop("qv")
+    // coarse: approximate cosine from the integer dot (exact integer
+    // sum; two scale multiplies and one divide of FP after)
+    val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val survivors = q.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        ((i8dot(col("qcodes"), col("ncodes")).cast("double") * col("qscale") * col("nscale"))
+          / (col("qn8") * col("nn8"))).as("acos"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerankFactor * k)
+      .select(col("qid"), col("nid"))
+    // exact re-rank: fetch float vectors for the survivor pairs only
+    val vecs = v.select(col("id"), col("v")).withColumn("nrm", norm(col("v")))
+    val scored = survivors
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -155,11 +243,15 @@ object Similarity {
     // corpus side and the probe side derive from this relation, and the
     // persisted rows are ~8(tables+1) bytes — the standard "build the
     // index once" shape, cheap even at 10^9 docs.
-    val vb = v0
+    // Tracked in [[CachedRelations]]: the caller releases the index
+    // after its action (Verify/Bench do; see that object's scaladoc) —
+    // an untracked persist here would leak one relation per call for
+    // the session lifetime.
+    val vb = CachedRelations.track(v0
       .withColumn("bs", call_function("lsh_buckets",
         col("v"), lit(dims), lit(planes), lit(tables)))
       .select(col("id") +: (0 until tables).map(t => col("bs").getItem(t).as(s"b_$t")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // candidate generation moves ONLY (id, bucket) pairs — the 512-byte
     // vectors never ride through the bucket join or the distinct; each
     // unique candidate pair is scored exactly once after a fetch join
@@ -276,6 +368,10 @@ object Similarity {
                          centroids: DataFrame): DataFrame = {
     val cents: Seq[(Int, Array[Double], Long)] = centroids
       .select(col("label").cast("int"), col("dim").cast("int"), col("centroid"))
+      // null labels/dims would NPE the typed getters below; a null
+      // centroid cell has nothing to score against
+      .filter(col("label").isNotNull && col("dim").isNotNull &&
+        col("centroid").isNotNull)
       .collect()
       .groupBy(_.getInt(0)).toSeq
       .map { case (lab, rows) =>
@@ -286,7 +382,15 @@ object Similarity {
       .filter(_._3 > 0L)
       .sortBy(_._1)
     require(cents.nonEmpty, "no non-zero centroids to classify against")
+    val nDims = cents.head._2.length
+    require(cents.forall(_._2.length == nDims),
+      s"centroids disagree on dimensionality (expected $nDims)")
+    // a vector of the wrong length would make zip_with pad with nulls
+    // and poison its score to null — the null-score struct then sorts
+    // FIRST in array_min, silently assigning an arbitrary label.
+    // Mismatched rows are excluded instead (mirror in any oracle).
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .filter(size(col("_v")) === lit(nDims))
     val scored = cents.map { case (lab, arr, n2) =>
       val cLit = array(arr.map(lit).toIndexedSeq: _*)
       val sn = aggregate(

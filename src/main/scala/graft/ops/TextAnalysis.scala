@@ -91,7 +91,10 @@ object TextAnalysis {
     val rSymbol = symbolRatio <= maxSymbolRatio
     val rAlpha = alphaFrac >= minAlphaFrac
     val rStop = stopHits >= minStopHits
-    df.select(col(idCol),
+    // a null doc has no tokens to judge: Spark's size(null) = -1 would
+    // yield FALSE verdicts here while a SQL oracle yields NULL booleans
+    // — exclude null text so both engines agree (mirror in any oracle).
+    df.filter(col(textCol).isNotNull).select(col(idCol),
       nw.cast("long").as("n_words"),
       floor(meanLen * lit(1e6) + lit(0.5)).cast("long").as("mean_len_micro"),
       floor(alphaFrac * lit(1e6) + lit(0.5)).cast("long").as("alpha_micro"),

@@ -262,9 +262,20 @@ object LlmQueries {
 
     // IVF ANN (k-means coarse quantizer + probe + exact re-rank) —
     // rows-only (k-means cells are seed-deterministic but engine-local).
+    // nprobe=4 is the RecallCheck-tuned operating point (0.80 recall@3
+    // at sf0.001 vs 0.54 at nprobe=2).
     Q("q_llm_ann_ivf",
       (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 8, nprobe = 2),
+        dims = 64, k = 3, nlist = 8, nprobe = 4),
+      None),
+
+    // Memory-bound IVF variant: int8-code coarse scoring (native
+    // integer dot), exact float re-rank on the rerankFactor*k
+    // survivors only — rows-only; RecallCheck pins it within ~0.02 of
+    // the float path.
+    Q("q_llm_ann_ivf8",
+      (s, dir) => Similarity.ivfTopKInt8(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 8, nprobe = 4),
       None),
 
     // End-to-end corpus cleaning: quality gate -> exact dedup ->

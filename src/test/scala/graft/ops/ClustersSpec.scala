@@ -34,6 +34,27 @@ class ClustersSpec extends SparkTestBase {
     assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 5L, 9L -> 5L))
   }
 
+  test("connected components: non-convergence throws by default, partial labels on opt-out") {
+    import spark.implicits._
+    // a 6-node chain needs ~4 propagation rounds; maxIter=2 can't finish
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Clusters.connectedComponents(edges, "a", "b",
+        maxIter = 2, driverEdgeLimit = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // explicit opt-out returns (partial) labels instead of throwing
+    val partial = Clusters.connectedComponents(edges, "a", "b",
+        maxIter = 2, driverEdgeLimit = 0L, requireConvergence = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(partial.size == 6)
+    // and with enough rounds the same graph converges to one component
+    val full = Clusters.connectedComponents(edges, "a", "b",
+        maxIter = 10, driverEdgeLimit = 0L)
+      .collect().map(r => r.getAs[Long]("component")).toSet
+    assert(full == Set(1L))
+  }
+
   test("dedupByPairs keeps min-id representative plus untouched docs") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (7L, "solo")).toDF("doc_id", "text")
@@ -74,6 +95,21 @@ class ClustersSpec extends SparkTestBase {
       k = 1, nlist = 3, nprobe = 2)
       .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
     assert(top(1L) == 2L && top(2L) == 1L) // identical vectors share a cell
+  }
+
+  test("int8 IVF ANN agrees with the float path on the duplicate-vector fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat())
+    val vecs = ((1L, base) +: (2L, base) +:
+      (3L to 30L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toSeq)
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopKInt8(vecs, "vec_id", "embedding", dims = 8,
+      k = 1, nlist = 3, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    // the coarse int8 pass can't miss an exact duplicate (identical
+    // codes -> max approximate cosine), and the exact re-rank scores it 1.0
+    assert(top(1L) == 2L && top(2L) == 1L)
   }
 
   test("GraftExtensions injects vec_dot; SQL-level evaluation works") {

@@ -39,6 +39,27 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(4L) == (null, null, null))
   }
 
+  test("funnel: maxEventsPerKey caps a pathological key to its earliest events") {
+    import spark.implicits._
+    // robot key 1: 50 interleaved view/click events; cap 4 keeps only
+    // the earliest four (2 views + 2 clicks) — funnel still completes
+    // view->click from those. Key 2 is unaffected by the cap.
+    val robot = (0 until 50).map { i =>
+      (1L, if (i % 2 == 0) "view" else "click", ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"))
+    }
+    val ev = (robot :+ (2L, "view", ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val capped = Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxEventsPerKey = 4)
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(capped(1L) == (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:01")))
+    assert(capped(2L) == (ts("2024-01-01 12:00:00"), null))
+    // uncapped default agrees on this fixture's first completions
+    val full = Funnels.funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(full == capped)
+  }
+
   test("retention: cohort by first day, offset-capped counts") {
     import spark.implicits._
     val ev = Seq(

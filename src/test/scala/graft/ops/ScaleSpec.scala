@@ -175,6 +175,41 @@ class ScaleSpec extends SparkTestBase {
       s"classification should be a pure map (centroids are literals):\n$plan")
   }
 
+  test("bm25: dfreq join strategy is AQE's choice — only the one-row stats is hinted") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = (1L to 60L).map(i => (i, s"alpha w${i % 9} w${i % 4} beta")).toDF("id", "text")
+    val df = Ranking.bm25TopTerms(docs, "id", "text", topK = 2)
+    // exactly ONE broadcast hint in the plan: the single-row stats.
+    // A hint on dfreq would OVERRIDE AQE — at 100 TB with an n-gram
+    // term unit the vocabulary outgrows broadcast and the hint becomes
+    // a driver OOM instead of a (correct) shuffle join.
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the stats broadcast hint, got ${hints.size}")
+    // at fixture scale AQE still picks broadcast for the tiny dfreq —
+    // from STATS, not from a hint
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small dfreq side at this size:\n$finalPlan")
+  }
+
+  test("lshTopK: the persisted index is released by CachedRelations after the action") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    CachedRelations.releaseAll() // clean slate
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", dims = 8, k = 1, planes = 4)
+    assert(out.count() > 0)
+    // the index IS cached while the operator runs...
+    assert(!spark.sharedState.cacheManager.isEmpty, "expected the LSH index to be cached")
+    // ...and the caller's release leaves NO net cached relations behind
+    assert(CachedRelations.releaseAll() >= 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached relations leaked past CachedRelations.releaseAll")
+  }
+
   test("ngramVocabulary: rank window input is bounded by the top-K limit") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
