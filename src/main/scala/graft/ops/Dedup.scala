@@ -190,6 +190,53 @@ object Dedup {
         nSpans.as("total_spans"))
   }
 
+  /**
+   * Boilerplate-line removal (the C4/RefinedWeb curation step): a line
+   * that appears in MANY documents of the same domain (nav menus,
+   * cookie banners, footers) is dropped from every document, and each
+   * document is rebuilt from its surviving lines in order. A line is
+   * boilerplate within a domain when it occurs in at least `minDocs`
+   * distinct documents AND in more than `maxDocFracBp` basis points
+   * (1/10000ths) of the domain's documents. The threshold compares
+   * INTEGERS (dfd * 10000 > bp * n_docs) — no FP, exact in any engine.
+   * Documents whose every line was boilerplate disappear, as in C4.
+   *
+   * Scale shape (the [[spanDedupHashed]] recipe): line text is hashed
+   * to 8 bytes row-locally BEFORE anything shuffles, so the frequency
+   * count, the threshold join and the keep-list anti-join all move
+   * (domain, hash, id/idx) rows only; each surviving document is
+   * rebuilt row-locally (element_at into its own line array) after ONE
+   * join of the doc table against the per-doc keep list. A 64-bit
+   * collision (~n²/2⁶⁴) folds two lines' counts together — noise at
+   * any real corpus size.
+   */
+  def boilerplateLineRemoval(docs: DataFrame, idCol: String, textCol: String,
+                             domainCol: String, lineDelim: String = "\n",
+                             minDocs: Int = 2,
+                             maxDocFracBp: Int = 500): DataFrame = {
+    def linesOf: Column = split(col(textCol), java.util.regex.Pattern.quote(lineDelim))
+    val keys = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
+      posexplode(transform(linesOf, l => xxhash64(l))).as(Seq("idx", "h")))
+    // distinct docs per (domain, line): a line repeated WITHIN one doc
+    // counts once — the signal is cross-document repetition
+    val docFreq = keys.select(col("domain"), col("h"), col("id")).distinct()
+      .groupBy(col("domain"), col("h")).agg(count(lit(1)).as("dfd"))
+    val nDocs = docs.groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
+    val boiler = docFreq.join(nDocs, "domain")
+      .filter(col("dfd") >= minDocs &&
+        col("dfd") * lit(10000L) > lit(maxDocFracBp.toLong) * col("n_docs"))
+      .select(col("domain"), col("h"))
+    val keep = keys.join(boiler, Seq("domain", "h"), "left_anti")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("idx"))).as("_keep"))
+    docs.select(col(idCol).as("id"), col(domainCol), col(textCol))
+      .join(keep, "id")
+      .select(col("id").as(idCol), col(domainCol),
+        array_join(transform(col("_keep"), i => element_at(linesOf, i + 1)), lineDelim)
+          .as("clean_text"),
+        size(col("_keep")).as("kept_lines"),
+        size(linesOf).as("total_lines"))
+  }
+
   /** Top-k rows per key by `orderCol` (desc), ties broken by
     * `tiebreak` asc. Spark executes this as WindowGroupLimit: each map
     * task keeps only k rows per key BEFORE the shuffle. */

@@ -368,4 +368,63 @@ object TextAnalysis {
           array_min(transform(col("_shs"), sh => md5(concat(lit(s"$j|"), sh).cast("binary"))))
         }: _*).as("sig"))
   }
+
+  /**
+   * CCNet-style unigram language-model score: each document's summed /
+   * mean negative log-likelihood under the CORPUS's own unigram
+   * distribution — the standard cheap perplexity proxy for quality
+   * bucketing (docs full of rare tokens score high, boilerplate-heavy
+   * docs score low; CCNet buckets on exactly this signal before
+   * training a real LM).
+   *
+   * Scale shape: one corpus-volume shuffle (the per-(doc, term) tf
+   * combine); the unigram table is one row per vocabulary term — its
+   * join back is AQE's choice (broadcast for word vocabularies, which
+   * grow ~log corpus), and the single-row total is an explicit
+   * broadcast. Per-token NLL quantizes to integer micros BEFORE the
+   * per-doc sum (order-independent; the one non-correctly-rounded op,
+   * ln, sits inside the quantization like bm25's idf), and the mean is
+   * INTEGRAL division — no FP rides any exchange.
+   */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tk.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val unigram = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = unigram.select(sum(col("cnt")).as("total"))
+    tf.join(unigram, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        floor(-log(col("cnt").cast("double") / col("total")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("nll_micro")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * Lexical-diversity stats per document: token count, distinct-type
+   * count, hapax count (types occurring exactly once in the doc), and
+   * the type-token / hapax ratios in integer micros (INTEGRAL division
+   * — exact in any engine, no FP anywhere). Low TTR = repetitive or
+   * templated text; high hapax ratio = rich vocabulary. One shuffle:
+   * the (doc, term) tf combine; the closing per-doc agg reuses the
+   * partitioning opportunity map-side.
+   */
+  def lexicalDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_micro", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("hapax_micro", expr("n_hapax * 1000000 div n_types"))
+      .withColumnRenamed("id", idCol)
+  }
 }

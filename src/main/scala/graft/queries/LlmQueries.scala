@@ -37,6 +37,77 @@ object LlmQueries {
       Some("""SELECT doc_id, lang, n_chars FROM documents
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""")),
 
+    // Boilerplate-line removal (C4/RefinedWeb curation): the corpus has
+    // no newline structure, so the query first spanizes each doc into
+    // 8-token "lines" (deterministic in both engines), then drops lines
+    // occurring in >=2 docs AND >4% (400 bp) of a source's docs. The
+    // production path itself is oracled — the xxhash64 grouping is
+    // internal; the OUTPUT is rebuilt text, which is engine-portable.
+    Q("q_llm_boilerplate",
+      (s, dir) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val n = ceil(size(toks).cast("double") / lit(8.0)).cast("int")
+        val lined = array_join(
+          transform(sequence(lit(0), n - 1),
+            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), lined.as("text"))
+        Dedup.boilerplateLineRemoval(docs, "doc_id", "text", "source",
+          minDocs = 2, maxDocFracBp = 400)
+      },
+      Some("""WITH d0 AS (SELECT doc_id, source,
+          string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        d AS (SELECT doc_id, source,
+            list_transform(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1),
+              i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS ls FROM d0),
+        l AS (SELECT doc_id, source,
+            CAST(unnest(generate_series(1, len(ls))) AS INT) AS idx,
+            unnest(ls) AS line FROM d),
+        f AS (SELECT source, line, COUNT(DISTINCT doc_id) AS dfd FROM l GROUP BY 1, 2),
+        nd AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        b AS (SELECT source, line FROM f JOIN nd USING (source)
+          WHERE dfd >= 2 AND dfd * 10000 > 400 * n_docs),
+        k AS (SELECT l.doc_id, l.source, l.idx, l.line FROM l
+          LEFT JOIN b ON b.source = l.source AND b.line = l.line
+          WHERE b.line IS NULL),
+        tot AS (SELECT doc_id, len(ls) AS total_lines FROM d)
+        SELECT k.doc_id, any_value(k.source) AS source,
+          string_agg(k.line, chr(10) ORDER BY k.idx) AS clean_text,
+          CAST(COUNT(*) AS INT) AS kept_lines,
+          CAST(any_value(tot.total_lines) AS INT) AS total_lines
+        FROM k JOIN tot USING (doc_id) GROUP BY k.doc_id""")),
+
+    // CCNet-style unigram-LM perplexity proxy: per-doc NLL under the
+    // corpus's own unigram distribution, integer micros end-to-end.
+    Q("q_llm_unigram_lp",
+      (s, dir) => TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        ug AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ug),
+        w AS (SELECT doc_id, tf,
+            CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT) AS nll
+          FROM tf JOIN ug USING (term) CROSS JOIN tot)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(tf * nll) AS BIGINT) AS sum_nll_micro,
+          CAST(SUM(tf * nll) // SUM(tf) AS BIGINT) AS avg_nll_micro
+        FROM w GROUP BY 1""")),
+
+    // Lexical diversity: type-token + hapax ratios, pure integer math.
+    Q("q_llm_lexical",
+      (s, dir) => TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents) GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          CAST(COUNT(*) * 1000000 // SUM(tf) AS BIGINT) AS ttr_micro,
+          CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+            AS hapax_micro
+        FROM tf GROUP BY 1""")),
+
     // Token / char counting + mean token length.
     Q("q_llm_token_stats",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

@@ -159,6 +159,27 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(1L -> 3) == (0, 7874L))
   }
 
+  test("unigramLogProb: closed-form NLL micros under the corpus unigram model") {
+    import spark.implicits._
+    // corpus: a=2, b=2, c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // NLL(a)=NLL(b)=-ln(0.4) -> 916291 micro; NLL(c)=-ln(0.2) -> 1609438
+    assert(out(1L) == (3L, 3L * 916291L, 916291L))
+    assert(out(2L) == (2L, 916291L + 1609438L, (916291L + 1609438L) / 2))
+  }
+
+  test("lexicalDiversity: type/token/hapax counts and integral ratios") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == (4L, 3L, 2L, 750000L, 666666L))
+    assert(out(2L) == (4L, 1L, 0L, 250000L, 0L))
+  }
+
   test("tfidfCosinePairs: identical docs ~1.0, disjoint-vocabulary docs drop") {
     import spark.implicits._
     val docs = Seq(

@@ -60,6 +60,35 @@ class OpsSpec extends SparkTestBase {
       Seq((1L, "a b c d e f"), (2L, "x y z")))
   }
 
+  test("boilerplateLineRemoval: domain-frequent lines drop, docs rebuild in order") {
+    import spark.implicits._
+    val footer = "contact us"
+    val docs = Seq(
+      // domain A: footer in 3/4 docs (75% > 50%) -> boilerplate
+      (1L, "A", s"alpha one\n$footer\nbody text"),
+      (2L, "A", s"$footer\nbeta two"),
+      (3L, "A", s"gamma three\n$footer"),
+      (4L, "A", "delta four"),
+      // domain B: same footer in 1/2 docs -> fails minDocs=2, kept
+      (5L, "B", s"epsilon five\n$footer"),
+      (6L, "B", "zeta six"),
+      // domain C: doc that is ALL boilerplate vanishes
+      (7L, "C", "only line"),
+      (8L, "C", "only line"),
+      (9L, "C", s"real content\nonly line")
+    ).toDF("doc_id", "domain", "text")
+    val out = Dedup.boilerplateLineRemoval(docs, "doc_id", "text", "domain",
+        minDocs = 2, maxDocFracBp = 5000)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ("alpha one\nbody text", 2, 3)) // footer dropped, order kept
+    assert(out(2L) == ("beta two", 1, 2))
+    assert(out(3L) == ("gamma three", 1, 2))
+    assert(out(4L) == ("delta four", 1, 1))
+    assert(out(5L) == (s"epsilon five\n$footer", 2, 2)) // under minDocs frac in B
+    assert(out(9L) == ("real content", 1, 2))
+    assert(!out.contains(7L) && !out.contains(8L)) // all-boilerplate docs vanish
+  }
+
   test("saltedJoin: salt is result-invisible vs a plain join") {
     import spark.implicits._
     val fact = (0L until 200L).map(i => (i % 3, i)).toDF("k", "v")

@@ -112,6 +112,24 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("boilerplateLineRemoval: line text never reaches a grouping exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val docs = (1L to 30L).map(i => (i, s"d${i % 3}", s"line$i one\nshared footer\nline$i two"))
+      .toDF("doc_id", "domain", "text")
+    val plan = Dedup.boilerplateLineRemoval(docs, "doc_id", "text", "domain")
+      .queryExecution.optimizedPlan
+    // every aggregation (distinct, the (domain,hash) frequency count,
+    // the per-doc keep list) sees hashes + keys only — the doc text
+    // rides ONE fetch join at the end, never a grouping exchange
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(!a.child.output.exists(_.name == "text"),
+        s"doc text leaked into a grouping exchange: ${a.child.output}")
+    }
+  }
+
   test("vocabulary: the rank window input is bounded by the top-K limit") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
