@@ -59,71 +59,20 @@ object GoValues {
   def goToFloat(c: Column, dt: DataType): Column = dt match {
     case _: NumericType => c.cast(DoubleType)
     case _: StringType  =>
-      // Go strconv.ParseFloat after TrimSpace (transform.go:1018);
-      // try_cast: malformed -> null (never throws, ANSI-mode safe).
-      // ParseFloat also accepts, which Java's Double.parseDouble (and
-      // thus Spark's cast) does not:
-      //  - "inf"/"infinity"/"nan" in any case with an optional sign;
-      //  - digit underscores BETWEEN digits ("1_000", "0x_1p3");
-      //  - hex floats "0x<mantissa>p<exp>" (p-exponent mandatory).
-      // FAST PATH FIRST: this column sits on hot per-row paths (every
-      // toFloat/must* transform, byExtreme's projected sort key), so
-      // ordinary numeric strings must cost one trim + one try_cast.
-      // Spark's try_cast implements EXACTLY Go's special-literal
-      // grammar (±inf/±infinity/nan case-insensitive, signed nan
-      // rejected by both — probed on Spark 4.1), so no spelling
-      // pre-checks are needed; the Go-only forms (digit underscores,
-      // hex floats) only run for rows the plain cast rejects.
-      val t = trim(c)
-      val d = t.try_cast(DoubleType)
-      // Go range errors: overflow (±Inf) and underflow (0 from a
-      // nonzero mantissa) carry ErrRange, which the reference treats as
-      // unparseable. Any ±Inf surviving past the spelling whens IS an
-      // overflow ("Infinity" spellings were already caught); the
-      // mantissa-nonzero probe regex only runs on exact zeros.
-      def rangeGuard(v: Column, src: Column): Column =
-        when(v === Double.PositiveInfinity || v === Double.NegativeInfinity,
-          lit(null).cast(DoubleType))
-          .when(v === 0.0 && src.rlike("^[^eEpP]*[1-9]"), lit(null).cast(DoubleType))
-          .otherwise(v)
-      // Slow path: underscore placement per the Go literal grammar
-      // (strip if valid, else unparseable) and hex floats
-      // 0x<mantissa>p<exp>. `conv` reads the mantissa as unsigned
-      // 64-bit — exact through 16 hex digits, beyond double precision
-      // (13-14 digits) anyway.
-      val decU = "^[+-]?(([0-9](_?[0-9])*)(\\.([0-9](_?[0-9])*)?)?|\\.[0-9](_?[0-9])*)" +
-        "([eE][+-]?[0-9](_?[0-9])*)?$"
-      val hexU = "^[+-]?0[xX](_?[0-9a-fA-F](_?[0-9a-fA-F])*(\\.([0-9a-fA-F](_?[0-9a-fA-F])*)?)?" +
-        "|\\.[0-9a-fA-F](_?[0-9a-fA-F])*)[pP][+-]?[0-9](_?[0-9])*$"
-      val hasU = t.contains("_")
-      val stripped = when(hasU && (t.rlike(decU) || t.rlike(hexU)),
-        regexp_replace(t, "_", ""))
-      val s2 = coalesce(stripped, t)
-      val isHex = (s2.contains("x") || s2.contains("X")) &&
-        s2.rlike("^[+-]?0[xX]([0-9a-fA-F]+(\\.[0-9a-fA-F]*)?|\\.[0-9a-fA-F]+)[pP][+-]?[0-9]+$")
-      val hexRe = "^[+-]?0[xX]([0-9a-fA-F]*)\\.?([0-9a-fA-F]*)[pP]([+-]?[0-9]+)$"
-      val ip = regexp_extract(s2, hexRe, 1)
-      val fp = regexp_extract(s2, hexRe, 2)
-      val ex = regexp_extract(s2, hexRe, 3).cast(IntegerType)
-      val ipv = when(ip === "", lit(0.0)).otherwise(conv(ip, 16, 10).cast(DoubleType))
-      val fpv = when(fp === "", lit(0.0))
-        .otherwise(conv(fp, 16, 10).cast(DoubleType) / pow(lit(16.0), length(fp).cast(DoubleType)))
-      val sgn = when(s2.startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
-      val hexVal = sgn * (ipv + fpv) * pow(lit(2.0), ex)
-      val slow =
-        when(isHex, rangeGuard(hexVal, s2))
-          .when(hasU, rangeGuard(stripped.try_cast(DoubleType), s2))
-          .otherwise(lit(null).cast(DoubleType))
-      when(d.isNotNull,
-        when(d === Double.PositiveInfinity || d === Double.NegativeInfinity,
-          // ±Inf is a spelled infinity (keep) or overflow ErrRange
-          // (unparseable); the isin only runs on the rare Inf rows.
-          when(lower(t).isin("inf", "+inf", "infinity", "+infinity",
-                             "-inf", "-infinity"), d)
-            .otherwise(lit(null).cast(DoubleType)))
-          .when(d === 0.0 && t.rlike("^[^eEpP]*[1-9]"), lit(null).cast(DoubleType))
-          .otherwise(d))
-        .otherwise(slow)
+      // Go strconv.ParseFloat after TrimSpace (transform.go:1018):
+      // special literals (±inf/±infinity/nan, signed nan rejected),
+      // digit underscores, hex floats, and ErrRange (overflow /
+      // nonzero-mantissa underflow) treated as unparseable → null.
+      // Implemented as the native [[graft.expr.GoParseFloat]]
+      // expression: the equivalent Column tree inlined the trimmed
+      // source and its try_cast ~30× inside CaseWhen branches — where
+      // codegen subexpression elimination can't reach — and blew
+      // janino's 64 KB method limit, knocking every toFloat/must*
+      // projection out of whole-stage codegen (2.3 s to map 20 k rows
+      // interpreted; ~0.1 s native). Semantics are a 1:1 port pinned
+      // by GoValuesSpec — see [[GoFloatParse]] for the parity notes.
+      Registry.ensure(org.apache.spark.sql.SparkSession.active)
+      call_function("go_parse_float", c)
     case _: BooleanType => lit(null).cast(DoubleType)
     case _ => lit(null).cast(DoubleType)
   }

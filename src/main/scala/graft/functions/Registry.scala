@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes}
+import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -28,6 +28,10 @@ object Registry {
       FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
       (children: Seq[Expression]) => GoFormatFloat(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("go_parse_float"),
+      new ExpressionInfo(classOf[GoParseFloat].getName, "go_parse_float"),
+      (children: Seq[Expression]) => GoParseFloat(children.head))
     reg.registerFunction(
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
