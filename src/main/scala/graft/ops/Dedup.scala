@@ -210,6 +210,27 @@ object Dedup {
    * collision (~n²/2⁶⁴) folds two lines' counts together — noise at
    * any real corpus size.
    */
+  /** The per-domain boilerplate set (domain, h=xxhash64(line)) that
+    * [[boilerplateLineRemoval]] subtracts — exposed separately so a
+    * STREAMING deployment can compute it batch-side and scrub the
+    * live stream row-locally against it
+    * ([[graft.streaming.StreamOps.boilerplateFilterStream]]). */
+  def boilerplateSet(docs: DataFrame, idCol: String, textCol: String,
+                     domainCol: String, lineDelim: String = "\n",
+                     minDocs: Int = 2, maxDocFracBp: Int = 500): DataFrame = {
+    val linesOf: Column = split(col(textCol), java.util.regex.Pattern.quote(lineDelim))
+    // distinct docs per (domain, line): a line repeated WITHIN one doc
+    // counts once — the signal is cross-document repetition
+    val docFreq = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
+        explode(array_distinct(transform(linesOf, l => xxhash64(l)))).as("h"))
+      .groupBy(col("domain"), col("h")).agg(count(lit(1)).as("dfd"))
+    val nDocs = docs.groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
+    docFreq.join(nDocs, "domain")
+      .filter(col("dfd") >= minDocs &&
+        col("dfd") * lit(10000L) > lit(maxDocFracBp.toLong) * col("n_docs"))
+      .select(col("domain"), col("h"))
+  }
+
   def boilerplateLineRemoval(docs: DataFrame, idCol: String, textCol: String,
                              domainCol: String, lineDelim: String = "\n",
                              minDocs: Int = 2,
@@ -217,15 +238,8 @@ object Dedup {
     def linesOf: Column = split(col(textCol), java.util.regex.Pattern.quote(lineDelim))
     val keys = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
       posexplode(transform(linesOf, l => xxhash64(l))).as(Seq("idx", "h")))
-    // distinct docs per (domain, line): a line repeated WITHIN one doc
-    // counts once — the signal is cross-document repetition
-    val docFreq = keys.select(col("domain"), col("h"), col("id")).distinct()
-      .groupBy(col("domain"), col("h")).agg(count(lit(1)).as("dfd"))
-    val nDocs = docs.groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
-    val boiler = docFreq.join(nDocs, "domain")
-      .filter(col("dfd") >= minDocs &&
-        col("dfd") * lit(10000L) > lit(maxDocFracBp.toLong) * col("n_docs"))
-      .select(col("domain"), col("h"))
+    val boiler = boilerplateSet(docs, idCol, textCol, domainCol, lineDelim,
+      minDocs, maxDocFracBp)
     val keep = keys.join(boiler, Seq("domain", "h"), "left_anti")
       .groupBy(col("id")).agg(sort_array(collect_list(col("idx"))).as("_keep"))
     docs.select(col(idCol).as("id"), col(domainCol), col(textCol))

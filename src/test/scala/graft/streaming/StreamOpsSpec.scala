@@ -49,6 +49,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming boilerplate filter scrubs batch-learned lines, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch side learns the boilerplate set from yesterday's corpus
+    val footer = "cookie banner"
+    val corpus = Seq(
+      (1L, "A", s"alpha\n$footer"), (2L, "A", s"beta\n$footer"), (3L, "A", "gamma"))
+      .toDF("doc_id", "domain", "text")
+    val boiler = graft.ops.Dedup.boilerplateSet(corpus, "doc_id", "text", "domain",
+      minDocs = 2, maxDocFracBp = 5000)
+    // live stream scrubbed row-locally against the inlined set
+    val mem = MemoryStream[(Long, String, String)]
+    val out = StreamOps.boilerplateFilterStream(
+      mem.toDF().toDF("doc_id", "domain", "text"), "doc_id", "text", "domain", boiler)
+    val q = out.writeStream.format("memory").queryName("bp_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, "A", s"fresh content\n$footer"), // footer scrubbed in domain A
+        (11L, "B", s"other domain\n$footer"),  // same line, other domain: kept
+        (12L, "A", footer))                    // all-boilerplate doc vanishes
+      q.processAllAvailable()
+      val rows = spark.table("bp_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Int]("kept_lines"))).toMap
+      assert(rows == Map(
+        10L -> ("fresh content", 1),
+        11L -> (s"other domain\n$footer", 2)))
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup dedup drops a re-worded duplicate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
