@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -147,6 +147,65 @@ object Fingerprints {
     new GenericArrayData(arr)
   }
 
+  /**
+   * ALL word n-grams in document order (non-distinct — frequency
+   * consumers need multiplicity), as strings: the [[wordGramHashes]]
+   * tokenizer (same SQL-trim + Java-split byte loop, parity
+   * spec-pinned) but emitting the gram text instead of its hash, and
+   * EMPTY when the doc has fewer than n tokens (a vocabulary over
+   * short docs has no n-grams — unlike the dedup hashes, which keep
+   * one short gram so every doc retains an identity).
+   *
+   * Exists because the Column construction —
+   * transform(sequence(1, m), i -> array_join(slice(toks, i, n), " "))
+   * — evaluates three nested interpreted lambdas per row (HOFs are
+   * CodegenFallback): ~8 µs per gram, the whole cost of the n-gram
+   * vocabulary query. This loop re-slices the SAME token byte ranges
+   * at ~100 ns per gram.
+   */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytesAll = s.toLowerCase.getBytes
+    var lo = 0
+    var hi = bytesAll.length
+    while (lo < hi && bytesAll(lo) == 0x20) lo += 1
+    while (hi > lo && bytesAll(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytesAll(i))) {
+        starts.add(tokStart); ends.add(i)
+        while (i < hi && isWs(bytesAll(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    starts.add(tokStart); ends.add(hi)
+    val t = starts.size()
+    val numGrams = t - n + 1
+    if (numGrams < 1) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](numGrams)
+    val buf = new Array[Byte](hi - lo + n)
+    var g = 0
+    while (g < numGrams) {
+      var len = 0
+      var j = g
+      while (j < g + n) {
+        if (j > g) { buf(len) = 0x20; len += 1 }
+        val ts = starts.get(j)
+        val te = ends.get(j)
+        System.arraycopy(bytesAll, ts, buf, len, te - ts)
+        len += te - ts
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD 2003): sorted distinct minima
     * of each w-window of consecutive positional shingle hashes. Empty
     * when the doc has fewer than `w` shingles (no full window). */
@@ -208,6 +267,20 @@ case class WordGramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
     copy(child = newChild)
   override def prettyName: String = "word_gram_hashes"
+}
+
+/** `word_grams(text, n)` — ALL word n-grams in order, as strings
+  * (array<string>, not a FingerprintExpression — different type). */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.wordGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.wordGrams($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams"
 }
 
 /** `winnow_fp_x64(text, k, w)` — sorted distinct window minima. */

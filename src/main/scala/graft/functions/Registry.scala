@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes}
+import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -59,6 +59,13 @@ object Registry {
       (children: Seq[Expression]) => {
         def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
         WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))
+      })
+    reg.registerFunction(
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (children: Seq[Expression]) => {
+        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+        WordGrams(children(0), asInt(children(1)))
       })
     reg.registerFunction(
       FunctionIdentifier("word_gram_hashes"),

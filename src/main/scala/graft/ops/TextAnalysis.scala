@@ -116,13 +116,13 @@ object TextAnalysis {
                       n: Int, topK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, "use vocabulary() for unigrams")
-    val toks = tokens(col(textCol))
-    val m = size(toks) - lit(n - 1)
-    // sequence(1, m) flips to a DESCENDING sequence when m < 1 — guard
-    // short docs to an empty gram list instead.
-    val grams = when(m >= 1,
-      transform(sequence(lit(1), m), i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // native [[graft.expr.WordGrams]]: the equivalent
+    // transform(sequence(1, m), i -> array_join(slice(toks, i, n), " "))
+    // runs three nested interpreted lambdas per row (HOFs are
+    // CodegenFallback) and was this query's entire cost (~8 µs/gram);
+    // short docs (< n tokens) yield an empty gram array either way.
+    graft.functions.Registry.ensure(df.sparkSession)
+    val grams = call_function("word_grams", col(textCol), lit(n))
     val top = df.select(explode(grams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram"))

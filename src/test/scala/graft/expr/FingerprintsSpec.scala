@@ -116,6 +116,39 @@ class FingerprintsSpec extends SparkTestBase {
     }
   }
 
+  test("word_grams: value-identical to the builtin tokenize/slice/join construction") {
+    reg()
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing spaces  ",
+      "tab\tseparated\ttokens here",
+      "mixed \t whitespace\n runs \r\n everywhere",
+      "one",            // fewer tokens than n -> EMPTY (vocabulary semantics)
+      "two words",
+      "",
+      "   ",
+      "ÜNICODE Text ÉΛΛHNIKA tokens",
+      "a  b   c    d",
+      "\ttab-led",
+      "the the the")    // repeated gram kept with multiplicity
+    for (n <- Seq(2, 3)) {
+      val df = texts.toDF("t")
+      val builtin = {
+        val toks = split(lower(trim(col("t"))), "\\s+")
+        val m = size(toks) - lit(n - 1)
+        when(m >= 1, transform(sequence(lit(1), m), i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      val rows = df.select(
+          builtin.as("want"),
+          call_function("word_grams", col("t"), lit(n)).as("got"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](1) == r.getSeq[String](0), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("fingerprint queries plan as narrow map stages: no Exchange, no ScalaUDF") {
     reg()
     val df = Seq(("d1", "some document text for the plan shape check")).toDF("doc_id", "text")
