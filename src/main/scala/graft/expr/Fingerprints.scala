@@ -163,7 +163,7 @@ object Fingerprints {
    * vocabulary query. This loop re-slices the SAME token byte ranges
    * at ~100 ns per gram.
    */
-  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+  def wordGrams(s: UTF8String, n: Int, step: Int = 1): ArrayData = {
     val bytesAll = s.toLowerCase.getBytes
     var lo = 0
     var hi = bytesAll.length
@@ -184,16 +184,22 @@ object Fingerprints {
     }
     starts.add(tokStart); ends.add(hi)
     val t = starts.size()
-    val numGrams = t - n + 1
+    // step 1 = sliding n-grams, full windows only (vocabulary
+    // semantics: empty when t < n); step > 1 = chunking, the PARTIAL
+    // tail kept (span semantics: ceil(t/step) chunks, never zero —
+    // every doc retains an identity)
+    val numGrams = if (step == 1) t - n + 1 else (t + step - 1) / step
     if (numGrams < 1) return new GenericArrayData(new Array[Any](0))
     val out = new Array[Any](numGrams)
     val buf = new Array[Byte](hi - lo + n)
     var g = 0
     while (g < numGrams) {
       var len = 0
-      var j = g
-      while (j < g + n) {
-        if (j > g) { buf(len) = 0x20; len += 1 }
+      val from = g * step
+      val until = math.min(from + n, t)
+      var j = from
+      while (j < until) {
+        if (j > from) { buf(len) = 0x20; len += 1 }
         val ts = starts.get(j)
         val te = ends.get(j)
         System.arraycopy(bytesAll, ts, buf, len, te - ts)
@@ -269,15 +275,17 @@ case class WordGramHashes(child: Expression, n: Int)
   override def prettyName: String = "word_gram_hashes"
 }
 
-/** `word_grams(text, n)` — ALL word n-grams in order, as strings
-  * (array<string>, not a FingerprintExpression — different type). */
-case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+/** `word_grams(text, n[, step])` — word n-grams in order, as strings
+  * (array<string>, not a FingerprintExpression — different type).
+  * step 1 (default) = sliding windows; step > 1 = chunks. */
+case class WordGrams(child: Expression, n: Int, step: Int = 1)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    Fingerprints.wordGrams(input.asInstanceOf[UTF8String], n)
+    Fingerprints.wordGrams(input.asInstanceOf[UTF8String], n, step)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.Fingerprints.wordGrams($c, $n);")
+      s"${ev.value} = graft.expr.Fingerprints.wordGrams($c, $n, $step);")
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
   override def prettyName: String = "word_grams"

@@ -65,7 +65,8 @@ object Registry {
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
       (children: Seq[Expression]) => {
         def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        WordGrams(children(0), asInt(children(1)))
+        WordGrams(children(0), asInt(children(1)),
+          if (children.length > 2) asInt(children(2)) else 1)
       })
     reg.registerFunction(
       FunctionIdentifier("word_gram_hashes"),

@@ -132,13 +132,14 @@ object Dedup {
    */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nSpans = greatest(
-      ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
-    val spans = docs.select(col(idCol).as("id"), nSpans.as("total_spans"),
-      posexplode(transform(sequence(lit(0), nSpans - 1),
-        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")))
-        .as(Seq("span_idx", "span_text")))
+    // native chunker (word_grams step = n): the slice/join lambda
+    // construction it replaces ran interpreted per span (HOFs are
+    // CodegenFallback) — same strings, parity spec-pinned
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val chunks = call_function("word_grams",
+      col(textCol), lit(spanTokens), lit(spanTokens))
+    val spans = docs.select(col(idCol).as("id"), size(chunks).as("total_spans"),
+      posexplode(chunks).as(Seq("span_idx", "span_text")))
     val firstW = Window.partitionBy(col("span_text"))
       .orderBy(col("id"), col("span_idx"))
     spans
@@ -167,14 +168,11 @@ object Dedup {
    */
   def spanDedupHashed(docs: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nSpans = greatest(
-      ceil(size(toks).cast("double") / spanTokens).cast("int"), lit(1))
-    def spanOf(i: Column): Column =
-      array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val chunks = call_function("word_grams",
+      col(textCol), lit(spanTokens), lit(spanTokens))
     val keys = docs.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), nSpans - 1), i => xxhash64(spanOf(i))))
-        .as(Seq("span_idx", "h")))
+      posexplode(transform(chunks, c => xxhash64(c))).as(Seq("span_idx", "h")))
     val firstW = Window.partitionBy(col("h"))
       .orderBy(col("id"), col("span_idx"))
     val winners = keys
@@ -185,9 +183,10 @@ object Dedup {
     docs.select(col(idCol).as("id"), col(textCol))
       .join(winners, "id")
       .select(col("id").as(idCol),
-        array_join(transform(col("_keep"), i => spanOf(i)), " ").as("clean_text"),
+        array_join(transform(col("_keep"), i => element_at(chunks, i + 1)), " ")
+          .as("clean_text"),
         size(col("_keep")).as("kept_spans"),
-        nSpans.as("total_spans"))
+        size(chunks).as("total_spans"))
   }
 
   /**

@@ -45,11 +45,9 @@ object LlmQueries {
     // internal; the OUTPUT is rebuilt text, which is engine-portable.
     Q("q_llm_boilerplate",
       (s, dir) => {
-        val toks = split(lower(trim(col("text"))), "\\s+")
-        val n = ceil(size(toks).cast("double") / lit(8.0)).cast("int")
+        graft.functions.Registry.ensure(s)
         val lined = array_join(
-          transform(sequence(lit(0), n - 1),
-            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n")
+          call_function("word_grams", col("text"), lit(8), lit(8)), "\n")
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), lined.as("text"))
         Dedup.boilerplateLineRemoval(docs, "doc_id", "text", "source",

@@ -149,6 +149,32 @@ class FingerprintsSpec extends SparkTestBase {
     }
   }
 
+  test("word_grams with step: chunk semantics match the ceil/slice construction") {
+    reg()
+    val texts = Seq(
+      "a b c d e f g h i j k",  // 11 tokens: partial tail chunk
+      "a b c",                  // fewer than n: one short chunk
+      "one",
+      "  x  y  ",
+      "exactly four word toks")
+    for (n <- Seq(3, 4, 8)) {
+      val df = texts.toDF("t")
+      val builtin = {
+        val toks = split(lower(trim(col("t"))), "\\s+")
+        val nSpans = greatest(ceil(size(toks).cast("double") / n).cast("int"), lit(1))
+        transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(toks, i * n + 1, lit(n)), " "))
+      }
+      val rows = df.select(
+          builtin.as("want"),
+          call_function("word_grams", col("t"), lit(n), lit(n)).as("got"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](1) == r.getSeq[String](0), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("fingerprint queries plan as narrow map stages: no Exchange, no ScalaUDF") {
     reg()
     val df = Seq(("d1", "some document text for the plan shape check")).toDF("doc_id", "text")
