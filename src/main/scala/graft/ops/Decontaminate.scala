@@ -40,4 +40,27 @@ object Decontaminate {
         coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"),
         (coalesce(col("contaminated_grams"), lit(0L)) >= minOverlap).as("contaminated"))
   }
+
+  /**
+   * Per-doc contamination SCORE — the audit face of [[flags]]: how
+   * MUCH of each document overlaps the benchmark (distinct-gram count,
+   * overlapping-gram count, and the overlap fraction in integer micros
+   * via INTEGRAL division — exact in any engine). Train/test-overlap
+   * audits bucket on this fraction, where the binary flag only gates.
+   * Same one-shuffle hashed-gram join shape as [[flags]]; the per-doc
+   * gram count is row-local (no extra pass).
+   */
+  def score(corpus: DataFrame, benchmark: DataFrame,
+            idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = Dedup.wordGramHashes(col(textCol), n)
+    val corpusGrams = corpus.select(col(idCol).as("id"), explode(grams).as("g"))
+    val benchGrams = benchmark.select(explode(grams).as("g")).distinct()
+    val hits = corpusGrams.join(benchGrams, "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("hit_grams"))
+    corpus.select(col(idCol).as("id"), size(grams).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+      .withColumn("contamination_micro", expr("hit_grams * 1000000 div n_grams"))
+  }
 }

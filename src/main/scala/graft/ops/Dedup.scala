@@ -637,6 +637,11 @@ object Dedup {
     val tf = tk.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
+    // w feeds both the norms and the inverted index on different
+    // shuffle keys — recomputed per consumer ON PURPOSE: the recompute
+    // is linear scan+combine work, and persisting this corpus-volume
+    // relation measured ~30% slower at sf0.1 (see unigramLogProb for
+    // the same finding; Corpus.clean shows the opposite case).
     val w = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("wn",
         floor(col("tf") * log(lit(1.0) + col("n_docs").cast("double") / col("df"))

@@ -30,6 +30,11 @@ object Ranking {
                    topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = docs.select(col(idCol).as("id"),
       explode(Dedup.tokens(col(textCol))).as("term"))
+    // tf feeds the scores, the doc-frequency table and the corpus
+    // stats on different shuffle keys — recomputed per consumer ON
+    // PURPOSE: persisting this corpus-volume stage measured ~50%
+    // slower at sf0.1 than the linear scan+combine recompute (see
+    // unigramLogProb for the same finding).
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     // doc length and corpus stats derive from the tf table: no second
     // pass over the corpus text

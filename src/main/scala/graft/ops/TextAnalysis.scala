@@ -390,6 +390,14 @@ object TextAnalysis {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val tk = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    // tf feeds three consumers with DIFFERENT shuffle keys (itself,
+    // the unigram table, the total), so exchange reuse can't kick in
+    // and the scan + (id, term) combine runs once per consumer.
+    // Deliberately NOT persisted: the recompute is cheap linear work
+    // (scan + map-side combine) while materializing this corpus-volume
+    // string relation measured 2× slower at sf0.1 — the opposite call
+    // from Corpus.clean, whose recomputed stage contains an expensive
+    // dedup window.
     val tf = tk.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val unigram = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = unigram.select(sum(col("cnt")).as("total"))

@@ -377,6 +377,30 @@ object LlmQueries {
       },
       Some(LlmOracles.decontaminate)),
 
+    // Contamination fraction per doc (audit face of decontaminate):
+    // integral micro ratio of benchmark-overlapping distinct grams.
+    Q("q_llm_contamination_score",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ops.Decontaminate.score(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(1, len(toks) - 2)),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams FROM tk),
+        bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+        cg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 97 <> 0),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (gr) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.ng AS BIGINT) AS n_grams,
+          CAST(COALESCE(cnt.n, 0) AS BIGINT) AS hit_grams,
+          CAST(COALESCE(cnt.n, 0) * 1000000 // d.ng AS BIGINT) AS contamination_micro
+        FROM (SELECT doc_id, len(grams) AS ng FROM g WHERE doc_id % 97 <> 0) d
+        LEFT JOIN cnt USING (doc_id)""")),
+
     // Sequence packing: concat-and-chunk into 2048-token context
     // windows, 16 shards; window assignment is a pure function of
     // (shard, id order) — oracled via DuckDB window cumsums.

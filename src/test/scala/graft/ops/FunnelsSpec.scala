@@ -180,6 +180,17 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(2L) == (4L, 1L, 0L, 250000L, 0L))
   }
 
+  test("contamination score: integral micro fraction of benchmark-overlapping grams") {
+    import spark.implicits._
+    // corpus doc 1: trigrams {a b c, b c d} — "a b c" is in the bench
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val out = Decontaminate.score(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 1L, 500000L))
+    assert(out(2L) == (2L, 0L, 0L))
+  }
+
   test("tfidfCosinePairs: identical docs ~1.0, disjoint-vocabulary docs drop") {
     import spark.implicits._
     val docs = Seq(
