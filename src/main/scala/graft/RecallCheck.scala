@@ -19,13 +19,13 @@ object RecallCheck {
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
     // headline lines use the PRODUCTION configs (the ones the
     // q_llm_ann_* queries run); the sweeps below map the tradeoff
-    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6))
+    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6, tables = 8))
     val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
     val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
     println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
-                            (6, false, 6), (4, true, 8), (4, true, 10), (6, true, 10))) {
+                            (6, true, 6), (8, true, 6), (6, true, 7), (4, true, 5))) {
       val r = rec(pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k,
         planes = pl, multiProbe = mp, tables = t)))
       println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s planes=$pl%d recall=$r%.3f")

@@ -251,10 +251,12 @@ object LlmQueries {
       },
       Some(LlmOracles.cosineTopK)),
 
-    // LSH-bucketed ANN — the 100 TB path (rows-only).
+    // LSH-bucketed ANN — the 100 TB path (rows-only). tables=8 is the
+    // RecallCheck-tuned operating point (recall@3 0.69 -> 0.90 at ~2×
+    // the tables=4 candidate volume; the sweep table maps the curve).
     Q("q_llm_ann_lsh",
       (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, planes = 6),
+        dims = 64, k = 3, planes = 6, tables = 8),
       None),
 
     // BPE-ish pre-tokenization count (word runs + punctuation).
