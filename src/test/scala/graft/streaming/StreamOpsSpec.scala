@@ -49,6 +49,33 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-key step chains across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.funnelStream(mem.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 views then clicks; u2 clicks before any view (no-op)
+      mem.addData(
+        UserEvent(1, "view", 0, ts(1)), UserEvent(1, "click", 0, ts(2)),
+        UserEvent(2, "click", 0, ts(1)))
+      q.processAllAvailable()
+      // batch 2: u1 purchases (completes); u2 views (chain starts)
+      mem.addData(UserEvent(1, "purchase", 0, ts(9)), UserEvent(2, "view", 0, ts(5)))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("completed"),
+          r.getSeq[Long](2).toList))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L)._2 == 3)
+      assert(last(1L)._3 == List(ts(1), ts(2), ts(9)).map(_.getTime * 1000L))
+      assert(last(2L)._2 == 1) // the early click never counted
+      assert(last(2L)._3 == List(ts(5).getTime * 1000L))
+    } finally q.stop()
+  }
+
   test("streaming boilerplate filter scrubs batch-learned lines, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
