@@ -35,6 +35,30 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
 
   /**
+   * Quantile bucketing at scale (e.g. quality deciles before pruning
+   * the bottom bucket): thresholds come from ONE approx_percentile
+   * aggregate (a GK sketch — map-side combining, tiny merge), then
+   * bucket assignment is a ROW-LOCAL comparison against the collected
+   * threshold literals. The naive `ntile(n) OVER (ORDER BY v)` is a
+   * GLOBAL SORT into a single partition — exactly the shape that dies
+   * at 100 TB. Buckets are 1..nBuckets, ascending in `valueCol`;
+   * boundaries are approximate within the sketch's accuracy (exact
+   * when accuracy >= distinct values, as in tests).
+   */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                      accuracy: Int = 10000,
+                      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thresholds = df
+      .agg(expr(s"percentile_approx($valueCol, array(${probs.mkString(",")}), $accuracy)"))
+      .head.getSeq[Number](0).map(_.doubleValue())
+    val b = thresholds.map(th => when(col(valueCol) > th, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.withColumn(bucketCol, b)
+  }
+
+  /**
    * Cap each group (domain/source/site) at `maxPerGroup` rows — the
    * anti-monoculture guard of web-scale corpora. Kept rows are chosen
    * by KEY-HASH rank (unbiased — ingest order would favor early

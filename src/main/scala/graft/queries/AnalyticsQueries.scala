@@ -179,6 +179,33 @@ object AnalyticsQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
         TRUE AS hll_within_10pct FROM events GROUP BY event_type""")),
 
+    // Approx-quantile check (the q_agg_approx_distinct_check pattern):
+    // the GK sketch VALUE is engine-specific, but "within 5% of the
+    // exact interpolated percentile" is a hard cross-engine claim —
+    // and at this cardinality/accuracy the sketch is exact, so the
+    // claim holds with slack. Backs Sampling.quantileBuckets.
+    Q("q_quantile_check",
+      (s, dir) => {
+        val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        t(s, dir, "documents")
+          .agg(expr(s"percentile_approx(n_chars, array(${qs.mkString(",")}), 10000)").as("ap"),
+            expr(s"percentile(n_chars, array(${qs.mkString(",")}))").as("ex"))
+          .select(posexplode(arrays_zip(
+            col("ap").cast("array<double>").as("ap"), col("ex").as("ex"))))
+          .select(
+            (element_at(array(qs.map(lit): _*), col("pos") + 1) * lit(1000000))
+              .cast("long").as("q_micro"),
+            col("col.ex").as("exact"),
+            (abs(col("col.ap") - col("col.ex")) / col("col.ex") <= 0.05)
+              .as("approx_within_5pct"))
+      },
+      Some("""SELECT 100000 AS q_micro, quantile_cont(n_chars, 0.1) AS exact,
+          TRUE AS approx_within_5pct FROM documents
+        UNION ALL SELECT 250000, quantile_cont(n_chars, 0.25), TRUE FROM documents
+        UNION ALL SELECT 500000, quantile_cont(n_chars, 0.5), TRUE FROM documents
+        UNION ALL SELECT 750000, quantile_cont(n_chars, 0.75), TRUE FROM documents
+        UNION ALL SELECT 900000, quantile_cont(n_chars, 0.9), TRUE FROM documents""")),
+
     // Exact percentiles (linear interpolation — matches quantile_cont).
     Q("q_percentiles",
       (s, dir) => t(s, dir, "events")

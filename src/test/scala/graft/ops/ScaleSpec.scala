@@ -44,6 +44,25 @@ class ScaleSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("quantileBuckets: row-local decile assignment, no global sort in the plan") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val out = Sampling.quantileBuckets(df, "v", nBuckets = 4)
+    // accuracy >> distinct values -> thresholds exact -> balanced quartiles
+    val counts = out.groupBy("bucket").count().collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4))
+    assert(counts.values.forall(c => c >= 200 && c <= 300), s"skewed buckets: $counts")
+    // monotone: every bucket-2 value is >= every bucket-1 value
+    val maxB1 = out.filter(col("bucket") === 1).agg(max("v")).head.getDouble(0)
+    val minB2 = out.filter(col("bucket") === 2).agg(min("v")).head.getDouble(0)
+    assert(maxB1 <= minB2)
+    // the assignment plan is a pure map over the input — no Sort, no Window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Window"),
+      s"bucket assignment must not global-sort:\n$plan")
+  }
+
   test("deterministic split is stable under repartitioning and rerun") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
