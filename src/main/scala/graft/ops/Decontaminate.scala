@@ -50,8 +50,13 @@ object Decontaminate {
    * Same one-shuffle hashed-gram join shape as [[flags]]; the per-doc
    * gram count is row-local (no extra pass).
    */
-  def score(corpus: DataFrame, benchmark: DataFrame,
+  def score(corpus0: DataFrame, benchmark: DataFrame,
             idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // a null doc has no grams: size(null) would ride to a NULL n_grams
+    // and ratio — a silent cross-engine divergence (SQL oracles emit
+    // NULL where Spark legacy modes emit -1). Exclude null text
+    // outright; mirror the filter in any oracle over null-bearing data.
+    val corpus = corpus0.filter(col(textCol).isNotNull)
     val grams = Dedup.wordGramHashes(col(textCol), n)
     val corpusGrams = corpus.select(col(idCol).as("id"), explode(grams).as("g"))
     val benchGrams = benchmark.select(explode(grams).as("g")).distinct()

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/**
+ * Null-tolerance sweep: the driver's parquet fixtures contain no null
+ * documents, so every operator's null path only exists in unit specs.
+ * This suite runs each text/embedding operator over a fixture with
+ * null rows and pins BOTH that nothing throws AND the documented
+ * disposition of the null row (filtered vs passed through) — a null
+ * doc must never silently poison a cross-engine verdict (the
+ * gopherRules ADVICE finding, generalized).
+ */
+class NullRobustnessSpec extends SparkTestBase {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "src1", Option("the quick brown fox jumps and runs with the dog")),
+      (2L, "src1", Option.empty[String]),
+      (3L, "src2", Option("plain second document text body here"))
+    ).toDF("doc_id", "source", "text")
+  }
+
+  test("row-local text scorers: null doc filtered (gopher) or null-scored, never fabricated") {
+    val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(g == Set(1L, 3L)) // filtered — FALSE verdicts would diverge from a SQL oracle
+
+    val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getString(2))).toMap
+    assert(!q(1L)._1 && q(1L)._2 == "en")
+    assert(q(2L)._1) // null in, null score out — no fabricated number
+  }
+
+  test("corpus-statistical scorers drop null docs from both sides of their stats") {
+    val u = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(u == Set(1L, 3L))
+    val l = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(l == Set(1L, 3L))
+    val b = Ranking.bm25TopTerms(docs.filter(col("text").isNotNull), "doc_id", "text", 2)
+    assert(b.count() > 0)
+  }
+
+  test("dedup/fingerprint operators: null doc neither matches nor crashes") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 4, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L, 3L)) // isNotNull-filtered at the source
+
+    val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.1)
+    assert(pairs.count() == 0) // docs 1 and 3 share nothing above threshold; no NPE
+
+    // boilerplate: null text has no lines — the doc drops from the
+    // rebuilt output (inner join against the keep list), same as a doc
+    // whose every line was boilerplate
+    val bp = Dedup.boilerplateLineRemoval(docs, "doc_id", "text", "source")
+      .collect().map(_.getLong(0)).toSet
+    assert(bp == Set(1L, 3L))
+  }
+
+  test("contamination and span operators tolerate null docs") {
+    val cs = Decontaminate.score(docs, docs.filter(col("doc_id") === 3L),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the null doc is excluded outright (a NULL n_grams/ratio row would
+    // silently diverge from a SQL oracle); doc 3 self-contaminates fully
+    assert(cs.keySet == Set(1L, 3L))
+    assert(cs(3L) == 1000000L)
+
+    val sd = Dedup.spanDedupHashed(docs.filter(col("text").isNotNull),
+      "doc_id", "text", 3)
+    assert(sd.count() == 2)
+  }
+}
