@@ -137,7 +137,10 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 2,
               maxFitVectors: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // null vectors would abort the k-means fit — one bad row must not
+    // kill a corpus-scale job; they have no neighbors to report anyway
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
     val corpus = assigned.select(col("id").as("nid"), col("v").as("nv"),
@@ -176,7 +179,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     def i8dot(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
     // row-local int8 encode; approximate norm comes from the codes

@@ -76,4 +76,25 @@ class NullRobustnessSpec extends SparkTestBase {
       "doc_id", "text", 3)
     assert(sd.count() == 2)
   }
+
+  test("embedding ANN paths tolerate a null vector row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = ((1L to 20L).map(i => (i, Option(Array.fill(8)(rnd.nextFloat())))) :+
+      (21L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", dims = 8, k = 1, planes = 4)
+      .collect().map(_.getAs[Long]("qid")).toSet
+    CachedRelations.releaseAll()
+    assert(!lsh.contains(21L)) // null vector: null buckets join nothing
+    // ivf paths filter the null row themselves — a single bad row must
+    // not abort the k-means fit of a corpus-scale job
+    val ivf = Similarity.ivfTopKInt8(vecs, "vec_id", "embedding",
+        dims = 8, k = 1, nlist = 2, nprobe = 1)
+      .collect().map(_.getAs[Long]("qid")).toSet
+    assert(ivf.nonEmpty && !ivf.contains(21L))
+    val q8 = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!q8.contains(21L)) // no scale to encode
+  }
 }
