@@ -35,6 +35,34 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis, IPL 2006, algorithm A-ES): each row draws u in (0,1]
+   * from the md5 of its key — a pure function of the data, so the
+   * sample is reproducible across engines, reruns and cluster sizes
+   * like every sampler here — takes exponential arrival key
+   * -ln(u)/weight, and the k SMALLEST keys form the sample
+   * (inclusion probability proportional to weight, no replacement).
+   *
+   * Scale shape: row-local map + global top-k, which Spark executes
+   * as TakeOrderedAndProject (per-partition heaps — no global sort).
+   * The arrival key quantizes to integer micros for engine-portable
+   * ordering; ties break on the key column. Non-positive weights are
+   * excluded (no mass to sample).
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(math.pow(2.0, 48))
+    val key = floor(-log(u) / col(weightCol).cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro", key)
+      .orderBy(col("key_micro"), col(keyCol))
+      .limit(k)
+  }
+
+  /**
    * Quantile bucketing at scale (e.g. quality deciles before pruning
    * the bottom bucket): thresholds come from ONE approx_percentile
    * aggregate (a GK sketch — map-side combining, tiny merge), then

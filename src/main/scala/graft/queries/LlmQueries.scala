@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Queries.t
 
 /**
@@ -105,6 +105,20 @@ object LlmQueries {
           CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
             AS hapax_micro
         FROM tf GROUP BY 1""")),
+
+    // Deterministic weighted sampling (A-ES, weight = n_chars): hash-
+    // derived u, exponential arrival keys in integer micros, top-k.
+    Q("q_llm_weighted_sample",
+      (s, dir) => Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100),
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+          FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(floor(-ln((h + 1.0) / 281474976710656.0) / n_chars * 1e6 + 0.5)
+            AS BIGINT) AS key_micro
+        FROM s WHERE n_chars > 0 ORDER BY key_micro, doc_id LIMIT 100""")),
 
     // Token / char counting + mean token length.
     Q("q_llm_token_stats",

@@ -63,6 +63,29 @@ class ScaleSpec extends SparkTestBase {
       s"bucket assignment must not global-sort:\n$plan")
   }
 
+  test("weightedSample: weight-monotone, repartition-stable, top-k not global sort") {
+    import spark.implicits._
+    // one heavy item among uniform light ones: -ln(u)/w shrinks with w,
+    // so the heavy item is (deterministically, given the hash draws)
+    // in any reasonably sized sample
+    val df = ((1L to 200L).map(i => (i, 1.0)) :+ (999L, 1e9)).toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, "id", "w", k = 20)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val a = ids(df)
+    assert(a.contains(999L), s"heavy item missing from $a")
+    assert(a == ids(df.repartition(7))) // pure function of the data
+    // zero/negative weights carry no mass
+    val z = Sampling.weightedSample(
+      Seq((1L, 0.0), (2L, -3.0), (3L, 1.0)).toDF("id", "w"), "id", "w", 5)
+    assert(z.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // plan: TakeOrderedAndProject, not a global Sort + Limit
+    val plan = Sampling.weightedSample(df, "id", "w", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject:\n$plan")
+  }
+
   test("deterministic split is stable under repartitioning and rerun") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
