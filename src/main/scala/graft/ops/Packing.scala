@@ -34,6 +34,36 @@ object Packing {
   }
 
   /**
+   * Length-bucketed inference batches: within each hash shard, docs
+   * sort by token count so every batch of `batchSize` holds
+   * near-equal lengths — the standard padding-waste minimizer for
+   * batched inference/embedding jobs (a batch pads every sequence to
+   * its max; sorting makes max ≈ min). Reports each doc's batch plus
+   * the batch max and the doc's own pad waste.
+   *
+   * Shape at 100 TB: the sort is per-SHARD (never global) over
+   * (id, n_tokens) pairs only — the text is dropped before any
+   * exchange; the batch-max window repartitions the same narrow rows
+   * by (shard, batch). Assignment is a pure function of (shard,
+   * length, id) — reruns give identical batches.
+   */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    batchSize: Int, shards: Int = 64): DataFrame = {
+    require(batchSize >= 1 && shards >= 1, "need positive batchSize/shards")
+    val tok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens"), col(idCol))
+    val batch = Window.partitionBy(col("shard"), col("batch_idx"))
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"), tok.as("n_tokens"))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("batch_idx", expr(s"(_rn - 1) div $batchSize"))
+      .drop("_rn")
+      .withColumn("batch_max", max(col("n_tokens")).over(batch))
+      .withColumn("pad_tokens", col("batch_max") - col("n_tokens"))
+  }
+
+  /**
    * Per-document token CHUNKING with overlap — the long-document
    * splitter that runs BEFORE packing: each doc becomes
    * ceil((n_tokens - overlap) / stride) chunks of up to `chunkTokens`

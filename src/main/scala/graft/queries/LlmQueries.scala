@@ -120,6 +120,23 @@ object LlmQueries {
             AS BIGINT) AS key_micro
         FROM s WHERE n_chars > 0 ORDER BY key_micro, doc_id LIMIT 100""")),
 
+    // Length-bucketed inference batches (pad-waste minimizer): per-
+    // shard length sort, fixed batches, per-batch max + pad report.
+    Q("q_llm_length_batches",
+      (s, dir) => graft.ops.Packing.lengthBatches(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 8, shards = 16),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT doc_id, shard, n_tokens,
+          CAST((row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1) // 8
+            AS BIGINT) AS batch_idx FROM t)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, batch_idx,
+          CAST(max(n_tokens) OVER (PARTITION BY shard, batch_idx) AS BIGINT) AS batch_max,
+          CAST(max(n_tokens) OVER (PARTITION BY shard, batch_idx) - n_tokens AS BIGINT)
+            AS pad_tokens
+        FROM r""")),
+
     // Token / char counting + mean token length.
     Q("q_llm_token_stats",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

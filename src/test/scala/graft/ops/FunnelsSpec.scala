@@ -180,6 +180,23 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(2L) == (4L, 1L, 0L, 250000L, 0L))
   }
 
+  test("lengthBatches: near-equal lengths per batch, exact pad accounting") {
+    import spark.implicits._
+    // single shard (ids all ≡ 1 mod 1): lengths 1..10, batchSize 4 ->
+    // batches {1,2,3,4} {5,6,7,8} {9,10}
+    val docs = (1L to 10L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, "doc_id", "text", batchSize = 4, shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == (0L, 4L, 3L))  // batch 0 max=4, doc of len 1 pads 3
+    assert(out(4L) == (0L, 4L, 0L))
+    assert(out(5L) == (1L, 8L, 3L))
+    assert(out(10L) == (2L, 10L, 0L))
+    // total pad with length sorting is far under unsorted worst case
+    val pads = out.values.map(_._3).sum
+    assert(pads == (3 + 2 + 1 + 0) + (3 + 2 + 1 + 0) + (1 + 0))
+  }
+
   test("contamination score: integral micro fraction of benchmark-overlapping grams") {
     import spark.implicits._
     // corpus doc 1: trigrams {a b c, b c d} — "a b c" is in the bench
