@@ -137,6 +137,23 @@ object LlmQueries {
             AS pad_tokens
         FROM r""")),
 
+    // Per-source corpus-health report: mean quality (row-local micro
+    // quantization -> order-independent integer sums -> integral mean)
+    // and high-quality rate in basis points. ONE map-side-combining
+    // shuffle keyed by source.
+    Q("q_llm_source_quality",
+      (s, dir) => {
+        val q = TextAnalysis.qualityScore(col("text"))
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(floor(q * lit(1e6) + lit(0.5)).cast("long")).as("_qsum"),
+            sum(when(q >= 0.5, 1L).otherwise(0L)).as("_nhigh"))
+          .select(col("source"), col("n_docs"),
+            expr("_qsum div n_docs").as("q_mean_micro"),
+            expr("_nhigh * 10000 div n_docs").as("high_rate_bp"))
+      },
+      Some(LlmOracles.sourceQuality)),
+
     // Token / char counting + mean token length.
     Q("q_llm_token_stats",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -925,6 +942,28 @@ object LlmOracles {
         + (1.0 - punct_ratio) * 0.3
         + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
     FROM y"""
+
+  val sourceQuality: String = s"""
+    WITH x AS (SELECT doc_id, source,
+      string_split_regex(lower(trim(text)), '\\s+') AS toks,
+      CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) AS punct_ratio
+      FROM documents),
+    y AS (SELECT doc_id, source, punct_ratio,
+      CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE)
+        / greatest(len(toks), 1) AS stop_ratio,
+      len(toks) AS n_toks FROM x),
+    q AS (SELECT source,
+      least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+      FROM y)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CAST(floor(quality * 1e6 + 0.5) AS BIGINT)) // COUNT(*) AS BIGINT)
+        AS q_mean_micro,
+      CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+        AS high_rate_bp
+    FROM q GROUP BY source"""
 
   val langId: String = {
     val counts = TextAnalysis.stopwords.map { case (l, _) =>
