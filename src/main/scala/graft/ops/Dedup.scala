@@ -699,4 +699,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /**
+   * Cross-source duplication report: joins near-dup PAIRS (from any
+   * blocker above) back to each side's source and counts pairs per
+   * unordered source pair, with the duplication rate in integer
+   * micros against the maximum possible pair count — n_lo·n_hi across
+   * two sources, n·(n−1)/2 within one. High cross-source rates
+   * localize crawl overlap and mirror sites; high within-source rates
+   * localize templated content. This is the report that decides WHERE
+   * the dedup budget goes before committing a 100 TB pass.
+   *
+   * Scale shape: two id-joins attach sources to the band-bounded pair
+   * set (pair volume ≪ corpus volume, AQE broadcasts the smaller
+   * side); the report closes with one tiny (source_lo, source_hi)
+   * agg and a broadcast join against the per-source doc counts. All
+   * rates are INTEGRAL division on micro-scaled longs — exact in any
+   * engine.
+   */
+  def crossSourceDupReport(pairs: DataFrame, docs: DataFrame, idCol: String,
+                           sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("_cs_id"), col(sourceCol).as("_cs_src"))
+    val bySrc = pairs
+      .join(src.select(col("_cs_id").as("_ida"), col("_cs_src").as("_sa")),
+        col("id_a") === col("_ida"))
+      .join(src.select(col("_cs_id").as("_idb"), col("_cs_src").as("_sb")),
+        col("id_b") === col("_idb"))
+      .select(least(col("_sa"), col("_sb")).as("source_lo"),
+        greatest(col("_sa"), col("_sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val counts = docs.groupBy(col(sourceCol).as("_src")).agg(count(lit(1)).as("_n"))
+    bySrc
+      .join(counts.select(col("_src").as("_lo"), col("_n").as("n_lo")),
+        col("source_lo") === col("_lo"))
+      .join(counts.select(col("_src").as("_hi"), col("_n").as("n_hi")),
+        col("source_hi") === col("_hi"))
+      .withColumn("max_pairs",
+        when(col("source_lo") === col("source_hi"), expr("n_lo * (n_lo - 1) div 2"))
+          .otherwise(col("n_lo") * col("n_hi")))
+      .withColumn("dup_rate_micro", expr("n_dup_pairs * 1000000 div max_pairs"))
+      .select(col("source_lo"), col("source_hi"), col("n_dup_pairs"),
+        col("max_pairs"), col("dup_rate_micro"))
+  }
 }

@@ -35,6 +35,37 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
 
   /**
+   * Leakage-safe train/val/test split: near-duplicate documents must
+   * land in the SAME split, or the eval set leaks training data —
+   * memorized near-copies score as generalization. Near-dup PAIRS
+   * (from any blocker: MinHash/SimHash/cosine) resolve to connected
+   * components, and every doc hashes on its GROUP id (the component's
+   * min member id; unpaired docs group as themselves), so membership
+   * stays a pure function of the data like every sampler here —
+   * stable across reruns, engines, and cluster sizes.
+   *
+   * Scale shape: component resolution is the bounded
+   * [[Clusters.connectedComponents]] machinery (driver union-find
+   * under the edge limit, lineage-cut label propagation above); the
+   * group map joins back on the doc id — near-dup pair volume is
+   * band-bounded and typically ≪ corpus volume, so AQE broadcasts it
+   * — and the bucket/split assignment is a row-local pure map.
+   */
+  def groupAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val comp = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("_gs_id"), col("component").as("_gs_comp"))
+    val b = hashBucket(col("group_id"))
+    docs.join(comp, docs(idCol) === comp("_gs_id"), "left")
+      .withColumn("group_id", coalesce(col("_gs_comp"), col(idCol).cast("long")))
+      .drop("_gs_id", "_gs_comp")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /**
    * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
    * Spirakis, IPL 2006, algorithm A-ES): each row draws u in (0,1]
    * from the md5 of its key — a pure function of the data, so the

@@ -347,6 +347,57 @@ object Similarity {
   }
 
   /**
+   * Signed-random-projection dimensionality reduction (Charikar 2002;
+   * Achlioptas 2003 database-friendly JL projections) over the int8
+   * quantization grid: rp_j = Σ_i code_i · s_{j,i} with s ∈ {−1,+1}
+   * drawn from md5(seed|j|i) parity. The reduced vectors preserve
+   * angles in expectation at outDims/dims the bytes — the memory-bound
+   * scale path that feeds LSH/IVF when 100 TB of float vectors won't
+   * fit the candidate exchange.
+   *
+   * Scale shape: the sign matrix is computed driver-side and inlined
+   * as literals (the centroid-classification precedent), so the whole
+   * projection is a PURE MAP — no join, no shuffle, not even a
+   * broadcast exchange; each component is the native integer
+   * [[graft.expr.VecDotInt8]] (exact Long accumulation, codegen).
+   *
+   * Cross-engine exactness: quantization is [[quantizeInt8]]'s
+   * bit-deterministic scheme (single IEEE divide + floor(x+0.5)), and
+   * everything after is exact integer arithmetic; an oracle inlines
+   * the SAME literal signs. Zero vectors are excluded like
+   * [[quantizeInt8]].
+   */
+  def randomProjectInt8(df: DataFrame, idCol: String, vecCol: String,
+                        outDims: Int = 8, dims: Int = 64,
+                        seed: String = "rp"): DataFrame = {
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    val signs = projectionSigns(seed, outDims, dims)
+    val coded = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_scale",
+        aggregate(col("_v"), lit(0d), (m, x) => greatest(m, abs(x))) / lit(127d))
+      .filter(col("_scale") > 0)
+      .withColumn("_codes",
+        transform(col("_v"), x => floor(x / col("_scale") + lit(0.5)).cast("int")))
+    val outs = (0 until outDims).map { j =>
+      call_function("vec_dot_i8", col("_codes"),
+        array(signs(j).map(s => lit(s)): _*)).as(s"rp_$j")
+    }
+    coded.select(col(idCol) +: outs: _*)
+  }
+
+  /** Deterministic ±1 sign matrix from md5(seed|j|i) parity. Computed
+    * once on the driver and inlined as literals on BOTH engine sides
+    * (the oracle embeds the same values), so the derivation only needs
+    * to be deterministic, not SQL-expressible. */
+  def projectionSigns(seed: String, outDims: Int, dims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, dims) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$seed|$j|$i".getBytes("UTF-8"))
+      if ((h(h.length - 1) & 1) == 0) 1 else -1
+    }
+
+  /**
    * Nearest-centroid label assignment: score every vector against the
    * per-label centroids (long format, from [[labelCentroids]]) and
    * keep the best-cosine label (ties -> smallest label).

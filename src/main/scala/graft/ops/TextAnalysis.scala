@@ -435,4 +435,61 @@ object TextAnalysis {
       .withColumn("hapax_micro", expr("n_hapax * 1000000 div n_types"))
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * Per-document NLL under a Jelinek-Mercer interpolated bigram LM
+   * fitted on the corpus itself (CCNet's perplexity filter, one order
+   * up from [[unigramLogProb]]): p(cur|prev) = λ·c(prev,cur)/c(prev)
+   * + (1−λ)·c(cur)/N with λ in basis points. Bigram models separate
+   * shuffled/templated text from fluent text that a unigram model
+   * scores identically. Docs with fewer than two tokens have no
+   * transitions and are absent from the output.
+   *
+   * Scale shape: bigrams come from the native `word_grams(text, 2, 1)`
+   * (codegen, no HOF lambdas); the per-(doc, bigram) tf combine is the
+   * one corpus-volume shuffle, the bigram/unigram count tables join
+   * back at vocabulary² volume (AQE's broadcast choice), and the
+   * single-row total is an explicit broadcast. Like [[unigramLogProb]]
+   * the tf stage is deliberately NOT persisted: its three consumers
+   * shuffle on different keys so exchange reuse cannot kick in, and
+   * recomputing the linear scan measured faster than materializing the
+   * corpus-volume string relation. Per-transition NLL quantizes to
+   * integer micros BEFORE the per-doc sum (order-independent; ln sits
+   * inside the quantization), and the mean is INTEGRAL division — no
+   * FP rides any exchange.
+   */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lambdaBp: Int = 8000): org.apache.spark.sql.DataFrame = {
+    require(lambdaBp > 0 && lambdaBp < 10000, "lambdaBp must be in (0, 10000)")
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    val live = df.filter(col(textCol).isNotNull)
+    val uni = live
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = uni.select(sum(col("cnt")).as("total"))
+    val tf = live
+      .select(col(idCol).as("id"),
+        explode(call_function("word_grams", col(textCol), lit(2), lit(1))).as("g"))
+      .select(col("id"),
+        substring_index(col("g"), " ", 1).as("w_prev"),
+        substring_index(col("g"), " ", -1).as("w_cur"))
+      .groupBy(col("id"), col("w_prev"), col("w_cur")).agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w_prev"), col("w_cur")).agg(sum(col("tf")).as("c_ab"))
+    tf.join(cb, Seq("w_prev", "w_cur"))
+      .join(uni.select(col("term").as("w_prev"), col("cnt").as("c_a")), "w_prev")
+      .join(uni.select(col("term").as("w_cur"), col("cnt").as("c_b")), "w_cur")
+      .crossJoin(broadcast(total))
+      // identical FP expression tree in the DuckDB oracle: every op is
+      // a correctly-rounded IEEE multiply/divide/add on exact integer
+      // counts, so the double is bit-identical cross-engine before ln
+      .withColumn("nll_micro",
+        floor(-log((lit(lambdaBp.toDouble) * col("c_ab").cast("double") / col("c_a")
+            + lit((10000 - lambdaBp).toDouble) * col("c_b").cast("double") / col("total"))
+          / lit(10000.0)) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("nll_micro")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_bigrams"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -911,6 +911,67 @@ object LlmQueries {
         SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_micro
         FROM s""")),
+
+    // Interpolated bigram LM NLL per doc (CCNet perplexity filter one
+    // order up from unigram; portable by construction — oracled).
+    Q("q_llm_bigram_nll",
+      (s, dir) => TextAnalysis.bigramLogProb(
+        t(s, dir, "documents"), "doc_id", "text", lambdaBp = 8000),
+      Some(LlmOracles.bigramNll)),
+
+    // Cross-source duplication report over the md5-portable minhash
+    // pair set — the oracle instantiation of the report; the xxhash64
+    // pair generator below is the production/bench path.
+    Q("q_llm_cross_source_dups",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossSourceDupReport(
+          Dedup.minhashPortablePairs(docs, "doc_id", "text"),
+          docs, "doc_id", "source")
+      },
+      Some(LlmOracles.crossSourceDups)),
+
+    Q("q_llm_cross_source_dups_x64",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossSourceDupReport(
+          Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+          docs, "doc_id", "source")
+      },
+      None),
+
+    // Leakage-safe group-aware split: near-dup clusters land whole in
+    // one split. md5-portable pair set for the oracle (recursive-CTE
+    // cluster walk); xxhash64 variant is the production/bench path.
+    Q("q_llm_group_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Sampling.groupAwareSplit(
+            docs.select(col("doc_id"), col("lang")), "doc_id",
+            Dedup.minhashPortablePairs(docs, "doc_id", "text"))
+          .select(col("doc_id"), col("group_id"), col("split"))
+      },
+      Some(LlmOracles.groupSplit)),
+
+    Q("q_llm_group_split_x64",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Sampling.groupAwareSplit(
+            docs.select(col("doc_id"), col("lang")), "doc_id",
+            Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+              shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5))
+          .select(col("doc_id"), col("group_id"), col("split"))
+      },
+      None),
+
+    // Signed-random-projection dim reduction over int8 codes (pure
+    // map, literal-inlined sign matrix, exact integer sums — oracled).
+    Q("q_llm_random_projection",
+      (s, dir) => Similarity.randomProjectInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        outDims = 8, dims = 64, seed = "rp"),
+      Some(LlmOracles.randomProjection)),
   )
 }
 
@@ -1137,6 +1198,89 @@ object LlmOracles {
     $clusterCtes
     SELECT vec_id, label FROM embeddings
     WHERE vec_id NOT IN (SELECT id FROM losers)"""
+
+  /** Twin of [[graft.ops.Dedup.crossSourceDupReport]] over the
+    * md5-portable minhash pair set: pairs -> source pair -> counts and
+    * integral-micro rates against the max possible pair count. */
+  val crossSourceDups: String = s"""
+    WITH ${minhashPairCtes("documents")},
+    srcmap AS (SELECT doc_id, source FROM documents),
+    pj AS (SELECT least(sa.source, sb.source) AS source_lo,
+        greatest(sa.source, sb.source) AS source_hi
+      FROM cand JOIN srcmap sa ON cand.id_a = sa.doc_id
+                JOIN srcmap sb ON cand.id_b = sb.doc_id),
+    p AS (SELECT source_lo, source_hi, COUNT(*) AS n_dup_pairs
+      FROM pj GROUP BY 1, 2),
+    cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+    SELECT source_lo, source_hi, n_dup_pairs, max_pairs,
+      n_dup_pairs * 1000000 // max_pairs AS dup_rate_micro
+    FROM (SELECT p.source_lo, p.source_hi, p.n_dup_pairs,
+        CASE WHEN p.source_lo = p.source_hi THEN cl.n * (cl.n - 1) // 2
+             ELSE cl.n * ch.n END AS max_pairs
+      FROM p JOIN cnt cl ON p.source_lo = cl.source
+             JOIN cnt ch ON p.source_hi = ch.source)"""
+
+  /** Twin of [[graft.ops.Sampling.groupAwareSplit]]: the recursive-CTE
+    * cluster walk resolves group ids, then the same md5 bucket
+    * arithmetic as q_llm_split applies on the GROUP id. */
+  val groupSplit: String = s"""
+    WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes,
+    g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    b AS (SELECT doc_id, group_id,
+        ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM g)
+    SELECT doc_id, group_id,
+      CASE WHEN bucket < 90 THEN 'train'
+           WHEN bucket < 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM b"""
+
+  /** Twin of [[graft.ops.TextAnalysis.bigramLogProb]] at λ = 0.8:
+    * identical FP expression tree on exact integer counts, per-
+    * transition NLL quantized to micros before the per-doc sum. */
+  val bigramNll: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uni),
+    bg AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w_prev,
+        unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w_cur
+      FROM d WHERE len(toks) >= 2),
+    tf AS (SELECT doc_id, w_prev, w_cur, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w_prev, w_cur, CAST(SUM(tf) AS BIGINT) AS c_ab FROM tf GROUP BY 1, 2),
+    j AS (SELECT t.doc_id, t.tf,
+        CAST(floor(-ln((8000.0 * c.c_ab / ua.cnt + 2000.0 * ub.cnt / tot.total)
+          / 10000.0) * 1000000 + 0.5) AS BIGINT) AS nll_micro
+      FROM tf t JOIN cb c ON t.w_prev = c.w_prev AND t.w_cur = c.w_cur
+      JOIN uni ua ON t.w_prev = ua.term
+      JOIN uni ub ON t.w_cur = ub.term
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      CAST(SUM(tf * nll_micro) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(tf * nll_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
+    FROM j GROUP BY 1"""
+
+  /** Twin of [[graft.ops.Similarity.randomProjectInt8]]: the SAME
+    * driver-computed ±1 sign literals inlined into the SQL, int8
+    * quantization reproduced bit-for-bit, exact integer sums. */
+  val randomProjection: String = {
+    val signs = Similarity.projectionSigns("rp", 8, 64)
+    val cols = signs.zipWithIndex.map { case (row, j) =>
+      val sl = row.mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(generate_series(1, ${row.length}), " +
+        s"i -> codes[i] * list_extract($sl, i))) AS BIGINT) AS rp_$j"
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+    c AS (SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS codes
+      FROM sc WHERE scale > 0)
+    SELECT vec_id, $cols FROM c"""
+  }
 
   /** End-to-end corpus-clean twin: quality gate → exact dedup →
     * portable minhash pairs → recursive-CTE cluster resolution.

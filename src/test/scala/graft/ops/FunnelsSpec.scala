@@ -170,6 +170,26 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(2L) == (2L, 916291L + 1609438L, (916291L + 1609438L) / 2))
   }
 
+  test("bigramLogProb: closed-form interpolated NLL micros") {
+    import spark.implicits._
+    // corpus: doc1 "a b a", doc2 "b a"; unigram a=3, b=2, N=5
+    // bigram transitions: doc1 (a,b),(b,a); doc2 (b,a) -> c(a,b)=1, c(b,a)=2
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    def nll(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(-math.log((8000.0 * cab / ca + 2000.0 * cb / 5) / 10000.0) * 1e6 + 0.5).toLong
+    val ab = nll(1, 3, 2)
+    val ba = nll(2, 2, 3)
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, ab + ba, (ab + ba) / 2))
+    assert(out(2L) == (1L, ba, ba))
+    // a doc with fewer than two tokens has no transitions -> absent
+    val solo = TextAnalysis.bigramLogProb(
+      Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(solo == Set(1L))
+  }
+
   test("lexicalDiversity: type/token/hapax counts and integral ratios") {
     import spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "x x x x")).toDF("doc_id", "text")

@@ -43,6 +43,9 @@ class NullRobustnessSpec extends SparkTestBase {
     val l = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     assert(l == Set(1L, 3L))
+    val bi = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bi == Set(1L, 3L)) // null doc feeds neither counts nor output
     val b = Ranking.bm25TopTerms(docs.filter(col("text").isNotNull), "doc_id", "text", 2)
     assert(b.count() > 0)
   }

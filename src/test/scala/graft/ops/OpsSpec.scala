@@ -43,6 +43,59 @@ class OpsSpec extends SparkTestBase {
     assert((small.pixels(0) & 0xff) == 0 && (small.pixels(5) & 0xff) == 4) // out(1,1) -> src(2,2) = 4
   }
 
+  test("crossSourceDupReport: pair counts and integral rates per source pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "A"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.crossSourceDupReport(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A has 3 docs, B has 3: within-A max = 3*2/2 = 3; cross max = 9
+    assert(out(("A", "A")) == (1L, 3L, 333333L))
+    assert(out(("A", "B")) == (1L, 9L, 111111L))
+    assert(out(("B", "B")) == (1L, 3L, 333333L))
+    assert(out.size == 3)
+  }
+
+  test("groupAwareSplit: near-dup groups land whole; singletons match withSplit") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Sampling.groupAwareSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[String]("split"))).toMap
+    // chain 1-2-3 resolves to min id 1; 7-8 to 7
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(7L, 8L).map(out(_)._1).distinct == Seq(7L))
+    // the leakage property: every pair lands in exactly one split
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(Seq(7L, 8L).map(out(_)._2).distinct.size == 1)
+    // unpaired docs group as themselves and split exactly like withSplit
+    val solo = Sampling.withSplit(docs.filter(col("doc_id") > 8), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out(9L) == (9L, solo(9L)))
+    assert(out(10L) == (10L, solo(10L)))
+  }
+
+  test("randomProjectInt8: exact integer SRP over int8 codes; deterministic signs") {
+    import spark.implicits._
+    val signs = Similarity.projectionSigns("t", 2, 4)
+    assert(Similarity.projectionSigns("t", 2, 4).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    val vecs = Seq((1L, Array(127.0f, -63.5f, 31.75f, 0.0f)),
+        (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: no direction, excluded
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjectInt8(vecs, "vec_id", "embedding",
+        outDims = 2, dims = 4, seed = "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // scale = 127/127 = 1; codes = [127, floor(-63)= -63, floor(32.25)=32, 0]
+    val codes = Seq(127L, -63L, 32L, 0L)
+    def rp(j: Int): Long = codes.zip(signs(j)).map { case (c, s) => c * s }.sum
+    assert(out(1L) == (rp(0), rp(1)))
+    assert(!out.contains(2L))
+  }
+
   test("spanDedupHashed matches spanDedup (hashed rank key is semantics-free)") {
     import spark.implicits._
     val docs = Seq(

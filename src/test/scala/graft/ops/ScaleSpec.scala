@@ -235,6 +235,17 @@ class ScaleSpec extends SparkTestBase {
       s"classification should be a pure map (centroids are literals):\n$plan")
   }
 
+  test("randomProjectInt8: a pure map — no exchange, no join (signs are literals)") {
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i => (i, Array.tabulate(8)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.randomProjectInt8(vecs, "vec_id", "embedding",
+        outDims = 4, dims = 8, seed = "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"projection should be a pure map (signs are literals):\n$plan")
+  }
+
   test("bm25: dfreq join strategy is AQE's choice — only the one-row stats is hinted") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
