@@ -207,4 +207,33 @@ object Sampling {
         expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div _total AS BIGINT)"))
       .drop("_total")
   }
+
+  /**
+   * Temperature-resampled mixing weights (the XLM-R / mT5 α-exponent
+   * scheme): source sampling weight ∝ n_tokens^α with α < 1 flattening
+   * the head so low-resource sources are not drowned by the crawl
+   * giants. α = 0.5 — the common default — computes as sqrt, which is
+   * IEEE-correctly-rounded (unlike pow), so the weights stay
+   * bit-identical cross-engine. Each source's sqrt quantizes to
+   * integer micros ROW-LOCALLY before the cross-row total
+   * (order-independent integer sum), and shares close with INTEGRAL
+   * division on a DECIMAL(38,0) intermediate like [[sourceBudget]].
+   *
+   * Scale shape: one corpus-volume agg (per-source token counts —
+   * sources are few), then a constant-key window over the tiny
+   * per-source frame.
+   */
+  def temperatureWeights(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("_total",
+        sum(col("w_micro")).over(Window.partitionBy(pmod(col("n_tokens"), lit(1)))))
+      .withColumn("share_micro",
+        expr("CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 div _total AS BIGINT)"))
+      .drop("_total")
+  }
 }

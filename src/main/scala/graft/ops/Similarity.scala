@@ -72,7 +72,7 @@ object Similarity {
   /** Shared IVF coarse-quantizer fit: k-means cell assignment for every
     * row plus the centroid arrays (for literal-inlined probe ranking).
     * Returns (corpus rows (id, v, cell), centroids). */
-  private def ivfFit(v: DataFrame, dims: Int, nlist: Int,
+  private[graft] def ivfFit(v: DataFrame, dims: Int, nlist: Int,
                      maxFitVectors: Long): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
@@ -111,7 +111,7 @@ object Similarity {
     * mismatches for unnormalized vectors and probes the wrong cells.
     * Input must carry (qid, qv); output keeps every input column and
     * adds `cell`. */
-  private def probeCells(q: DataFrame, cents: Array[Array[Double]],
+  private[graft] def probeCells(q: DataFrame, cents: Array[Array[Double]],
                          nprobe: Int): DataFrame = {
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),

@@ -912,6 +912,21 @@ object LlmQueries {
           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_micro
         FROM s""")),
 
+    // Temperature-resampled source mixing weights (α=0.5 via sqrt —
+    // correctly-rounded, hence oracled exactly).
+    Q("q_llm_temperature_mix",
+      (s, dir) => graft.ops.Sampling.temperatureWeights(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+          FROM s)
+        SELECT source, n_docs, n_tokens, w_micro,
+          CAST(w_micro * 1000000 // SUM(w_micro) OVER () AS BIGINT) AS share_micro
+        FROM w""")),
+
     // Interpolated bigram LM NLL per doc (CCNet perplexity filter one
     // order up from unigram; portable by construction — oracled).
     Q("q_llm_bigram_nll",

@@ -278,6 +278,71 @@ object StreamOps {
       }
   }
 
+  /**
+   * Stream-static IVF ANN lookup — the online-retrieval face of
+   * [[graft.ops.Similarity.ivfTopK]]: the static corpus is indexed
+   * ONCE at plan time (the same sampled k-means fit and centroid
+   * literals as the batch path) and persisted; each micro-batch of
+   * query vectors ranks its `nprobe` nearest cells ROW-LOCALLY
+   * (array_sort over the centroid literals — the batch path's window
+   * rank is not allowed on a stream, and a per-row sort of `nlist`
+   * structs is cheaper anyway), stream-static inner joins the
+   * (cell -> candidates) index, and resolves exact-cosine top-k per
+   * query in flatMapGroupsWithState.
+   *
+   * ALL of a query's candidates are produced inside its own
+   * micro-batch (the cell fan-out is a deterministic function of the
+   * stream row), so each group sees its full candidate set in one
+   * invocation and the state slot stays empty — it exists only
+   * because Structured Streaming has no stateless per-group fold in
+   * append mode. Unlike the batch self-join, a lookup does NOT
+   * exclude qid == nid: query and corpus ids are different
+   * namespaces. Queries probing only empty cells emit nothing.
+   *
+   * The persisted index is registered with
+   * [[graft.ops.CachedRelations]] — callers release after stopping
+   * the stream.
+   */
+  def ivfLookupStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, dims: Int, k: Int,
+                      nlist: Int = 16, nprobe: Int = 2,
+                      maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.ops.{CachedRelations, Similarity}
+    import corpus.sparkSession.implicits._
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+    val index = CachedRelations.track(
+      assigned.select(col("id").as("nid"), col("v").as("nv"), col("cell"))
+        .withColumn("nn", Similarity.norm(col("nv"))).persist())
+    // row-local probe ranking: (|c|^2 - 2 q.c, ci) ascending — the
+    // same Euclidean order probeCells uses, as a struct array_sort
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
+    }.toIndexedSeq: _*)
+    val probed = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("cell", explode(slice(array_sort(transform(centLits, c =>
+        struct((c.getField("cn2") - lit(2.0) * Similarity.dot(col("qv"), c.getField("cv"))).as("d"),
+          c.getField("ci").as("ci")))), 1, nprobe).getField("ci")))
+    probed.join(index, "cell")
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Boolean]) =>
+          rows.toArray.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((_, nid, cos), i) => (qid, nid, cos, i + 1) }.iterator
+      }
+      .toDF("qid", "nid", "cos", "rank")
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

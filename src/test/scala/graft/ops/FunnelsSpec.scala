@@ -170,6 +170,17 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(2L) == (2L, 916291L + 1609438L, (916291L + 1609438L) / 2))
   }
 
+  test("temperatureWeights: sqrt-flattened shares in exact micros") {
+    import spark.implicits._
+    // A: 4 tokens -> w = 2e6; B: 1 token -> w = 1e6
+    val docs = Seq(("A", "a b"), ("A", "c d"), ("B", "e")).toDF("source", "text")
+    val out = Sampling.temperatureWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == (2L, 4L, 2000000L, 666666L))
+    assert(out("B") == (1L, 1L, 1000000L, 333333L))
+  }
+
   test("bigramLogProb: closed-form interpolated NLL micros") {
     import spark.implicits._
     // corpus: doc1 "a b a", doc2 "b a"; unigram a=3, b=2, N=5

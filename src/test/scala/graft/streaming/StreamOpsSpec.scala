@@ -282,4 +282,39 @@ class StreamOpsSpec extends SparkTestBase {
       assert(ids == Set(1L))
     } finally q.stop()
   }
+
+  test("streaming IVF lookup: stream queries hit the static index, exact top-k per query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two well-separated clusters; nlist=2 + nprobe=2 probes BOTH
+    // cells, so the lookup must equal exact brute-force cosine top-k
+    val corpus = Seq(
+      (101L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (102L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (103L, Array(0.0f, 0.1f, 1.0f, 0.0f)),
+      (104L, Array(0.0f, 0.0f, 1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = StreamOps.ivfLookupStream(
+      mem.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", dims = 4, k = 2, nlist = 2, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("ivf_lookup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      mem.addData((2L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      val rows = spark.table("ivf_lookup").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("nid")).toMap
+      // query 1 points along dim 0: nearest 101/102 (tie on cos broken by nid)
+      assert(rows((1L, 1)) == 101L && rows((1L, 2)) == 102L)
+      // query 2 points along dim 2: nearest 103/104
+      assert(rows((2L, 1)) == 103L && rows((2L, 2)) == 104L)
+      assert(rows.size == 4)
+    } finally {
+      q.stop()
+      assert(graft.ops.CachedRelations.releaseAll() >= 1) // index released
+    }
+  }
 }
