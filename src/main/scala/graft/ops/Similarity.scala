@@ -157,6 +157,44 @@ object Similarity {
   }
 
   /**
+   * Cross-corpus IVF ANN lookup: `queries` and `corpus` are DIFFERENT
+   * relations (the retrieval shape — eval queries against a training
+   * index, new batch against yesterday's corpus), unlike [[ivfTopK]]'s
+   * self-join. The quantizer fits on the CORPUS only (queries must
+   * not shift the cells they search), queries probe their `nprobe`
+   * nearest centroids row-cheap against the literal-inlined centroid
+   * set, and candidates re-rank with exact cosine. No qid == nid
+   * exclusion: the two id namespaces are unrelated. At nprobe = nlist
+   * the result is exact brute-force top-k (spec-pinned).
+   *
+   * Scale shape: corpus shuffles ONCE on the cell id; the query side
+   * shuffles at candidate volume only. The streaming face is
+   * [[graft.streaming.StreamOps.ivfLookupStream]].
+   */
+  def ivfLookup(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, dims: Int, k: Int,
+                nlist: Int = 16, nprobe: Int = 2,
+                maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cv = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = ivfFit(cv, dims, nlist, maxFitVectors)
+    val index = assigned.select(col("id").as("nid"), col("v").as("nv"),
+      col("cell")).withColumn("nn", norm(col("nv")))
+    val q = probeCells(
+      queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("qn", norm(col("qv"))),
+      cents, nprobe)
+    val scored = q.join(index, "cell")
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Memory-bound IVF ANN: the coarse pass scores int8 CODES (the
    * [[quantizeInt8]] scheme kept row-shaped: per-vector scale =
    * max|x|/127, codes in [-127,127]) with the native integer

@@ -397,6 +397,18 @@ object LlmQueries {
         dims = 64, k = 3, nlist = 8, nprobe = 4),
       None),
 
+    // Cross-corpus IVF lookup: every 50th vector queries the rest
+    // (the retrieval shape — no self-join; rows-only, ivf cells).
+    Q("q_llm_ann_lookup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfLookup(
+          e.filter(col("vec_id") % 50 === 0),
+          e.filter(col("vec_id") % 50 =!= 0),
+          "vec_id", "embedding", dims = 64, k = 3, nlist = 8, nprobe = 4)
+      },
+      None),
+
     // End-to-end corpus cleaning: quality gate -> exact dedup ->
     // near-dup cluster resolution (rows-only: xxhash64 pairs).
     Q("q_llm_corpus_clean",

@@ -97,6 +97,33 @@ class ClustersSpec extends SparkTestBase {
     assert(top(1L) == 2L && top(2L) == 1L) // identical vectors share a cell
   }
 
+  test("ivfLookup at nprobe = nlist equals exact brute-force top-k, keeps id collisions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cvecs = (1L to 25L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    val corpus = cvecs.toDF("vec_id", "embedding")
+    // disjoint query ids: probing ALL cells must reproduce exact
+    // brute-force top-k, rank for rank
+    val queries = (101L to 105L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfLookup(queries, corpus, "vec_id", "embedding",
+        dims = 8, k = 3, nlist = 3, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nid")).toMap
+    val expect = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nid")).toMap
+    assert(got == expect && got.size == 15)
+    // a query whose id AND vector collide with a corpus row: a lookup
+    // must NOT self-exclude (different namespaces, unlike the
+    // self-join) — the identical twin wins rank 1
+    val twin = Seq((7L, cvecs(6)._2)).toDF("vec_id", "embedding")
+    val t = Similarity.ivfLookup(twin, corpus, "vec_id", "embedding",
+        dims = 8, k = 1, nlist = 3, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Double]("cos")))
+    assert(t.length == 1 && t.head._1 == 7L && t.head._2 == 7L && t.head._3 > 0.9999)
+  }
+
   test("int8 IVF ANN agrees with the float path on the duplicate-vector fixture") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
