@@ -701,6 +701,63 @@ object Dedup {
   }
 
   /**
+   * Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better" — the ExactSubstr variant,
+   * re-expressed relationally): any L-token window whose exact text
+   * occurs elsewhere in the corpus EARLIER in (doc_id, position)
+   * order is a duplicate; every token covered by a duplicate window
+   * is dropped and the document rebuilt from the survivors. Docs
+   * losing every token vanish (the C4 convention); intra-doc repeats
+   * collapse too (a window repeated inside one doc keeps only its
+   * first occurrence). Unlike [[spanDedup]]'s fixed non-overlapping
+   * spans, sliding windows catch duplication at ARBITRARY offsets —
+   * the suffix-array result at one 8-byte hash per token instead of
+   * a corpus-wide sort.
+   *
+   * Scale shape: windows hash row-locally (native `word_grams` +
+   * xxhash64 — window text never rides an exchange); three
+   * corpus-volume shuffles (first-occurrence agg on the window hash,
+   * the dup-window join back, the per-doc rebuild) — the honest
+   * relational cost of ExactSubstr. Duplicate windows add L covered
+   * positions each to the rebuild. First-occurrence order packs as
+   * doc_id·10^9 + pos: positions must stay under 10^9 tokens per doc
+   * and ids under ~9.2·10^9 (both safe for real corpora).
+   *
+   * The output is REBUILT TEXT, so this xxhash64 path is directly
+   * oracle-able (the boilerplate precedent): an oracle groups by the
+   * window string itself — identical grouping absent collisions.
+   */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be at least 2")
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    val live = docs.filter(col(textCol).isNotNull)
+    def packed = col("id") * lit(1000000000L) + col("pos")
+    val toks = live.select(col(idCol).cast("long").as("id"),
+        posexplode(call_function("word_grams", col(textCol), lit(1), lit(1)))
+          .as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val wins = live.select(col(idCol).cast("long").as("id"),
+        posexplode(call_function("word_grams", col(textCol), lit(windowTokens), lit(1)))
+          .as(Seq("pos0", "w")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), xxhash64(col("w")).as("h"))
+    val firsts = wins.groupBy(col("h")).agg(min(packed).as("first_key"))
+    val covered = wins.join(firsts, "h")
+      .filter(packed =!= col("first_key"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("clean_text"))
+      .join(toks.groupBy(col("id")).agg(count(lit(1)).as("n_total")), "id")
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_kept"), col("n_dropped"))
+  }
+
+  /**
    * Cross-source duplication report: joins near-dup PAIRS (from any
    * blocker above) back to each side's source and counts pairs per
    * unordered source pair, with the duplication rate in integer

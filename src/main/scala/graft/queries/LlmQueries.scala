@@ -924,6 +924,14 @@ object LlmQueries {
           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_micro
         FROM s""")),
 
+    // Exact-substring dedup (ExactSubstr, 8-token sliding windows):
+    // the xxhash64 production path is directly oracled — output is
+    // rebuilt text; hashes only group windows (boilerplate precedent).
+    Q("q_llm_exact_substr",
+      (s, dir) => Dedup.exactSubstrDedup(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8),
+      Some(LlmOracles.exactSubstr)),
+
     // Temperature-resampled source mixing weights (α=0.5 via sqrt —
     // correctly-rounded, hence oracled exactly).
     Q("q_llm_temperature_mix",
@@ -1290,6 +1298,37 @@ object LlmOracles {
       CAST(SUM(tf * nll_micro) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(tf * nll_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
     FROM j GROUP BY 1"""
+
+  /** Oracle of [[graft.ops.Dedup.exactSubstrDedup]] at L = 8 — the
+    * production path itself (output is rebuilt text; the engine's
+    * window hash is internal grouping only): windows grouped by their
+    * STRING, first occurrence by the same doc_id·10^9 + pos key,
+    * covered positions unioned, tokens rebuilt in position order. */
+  val exactSubstr: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+        unnest(toks) AS tok FROM d),
+    w AS (SELECT doc_id,
+        unnest(generate_series(1, len(toks) - 7)) AS pos,
+        unnest(list_transform(generate_series(1, len(toks) - 7),
+          i -> array_to_string(toks[i:i+7], ' '))) AS win
+      FROM d WHERE len(toks) >= 8),
+    f AS (SELECT win, MIN(doc_id * 1000000000 + pos) AS first_key FROM w GROUP BY 1),
+    cov AS (SELECT DISTINCT doc_id, pos FROM (
+        SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 7)) AS pos
+        FROM w JOIN f ON w.win = f.win
+        WHERE w.doc_id * 1000000000 + w.pos <> f.first_key)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+      LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL),
+    g AS (SELECT doc_id,
+        array_to_string(array_agg(tok ORDER BY pos), ' ') AS clean_text,
+        COUNT(*) AS n_kept FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tk GROUP BY 1)
+    SELECT g.doc_id, g.clean_text, CAST(g.n_kept AS BIGINT) AS n_kept,
+      CAST(t.n_total - g.n_kept AS BIGINT) AS n_dropped
+    FROM g JOIN tot t ON g.doc_id = t.doc_id"""
 
   /** Twin of [[graft.ops.Similarity.randomProjectInt8]]: the SAME
     * driver-computed ±1 sign literals inlined into the SQL, int8

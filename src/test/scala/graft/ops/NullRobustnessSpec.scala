@@ -58,6 +58,10 @@ class NullRobustnessSpec extends SparkTestBase {
     val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "text", threshold = 0.1)
     assert(pairs.count() == 0) // docs 1 and 3 share nothing above threshold; no NPE
 
+    val es = Dedup.exactSubstrDedup(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(es == Set(1L, 3L)) // null doc filtered before windowing
+
     // boilerplate: null text has no lines — the doc drops from the
     // rebuilt output (inner join against the keep list), same as a doc
     // whose every line was boilerplate

@@ -43,6 +43,24 @@ class OpsSpec extends SparkTestBase {
     assert((small.pixels(0) & 0xff) == 0 && (small.pixels(5) & 0xff) == 4) // out(1,1) -> src(2,2) = 4
   }
 
+  test("exactSubstrDedup: cross-doc, intra-doc and full-coverage dispositions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // first occurrence of "a b c d"
+      (2L, "x y a b c d w"),        // window at pos 3 duplicates doc 1 pos 1
+      (3L, "p q r s p q r s"),      // intra-doc repeat: pos 5 duplicates pos 1
+      (4L, "a b c d"))              // fully covered -> vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("a b c d e f", 6L, 0L))
+    assert(out(2L) == ("x y w", 3L, 4L))      // covered positions 3..6 dropped
+    assert(out(3L) == ("p q r s", 4L, 4L))    // second repetition collapsed
+    assert(!out.contains(4L))                  // every token covered
+    assert(out.size == 3)
+  }
+
   test("crossSourceDupReport: pair counts and integral rates per source pair") {
     import spark.implicits._
     val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "A"))

@@ -172,6 +172,25 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("exactSubstrDedup: window strings never reach a grouping exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val docs = (1L to 30L).map(i => (i, s"t${i % 4} shared run of words t$i tail"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.exactSubstrDedup(docs, "doc_id", "text", windowTokens = 4)
+      .queryExecution.optimizedPlan
+    // the first-occurrence agg and the covered-position dedup see the
+    // 8-byte window hash + positions only; single TOKENS ride the
+    // final rebuild agg (they ARE the output), but the L-token window
+    // strings themselves must never cross an exchange
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(!a.child.output.exists(_.name == "w"),
+        s"window text leaked into a grouping exchange: ${a.child.output}")
+    }
+  }
+
   test("vocabulary: the rank window input is bounded by the top-K limit") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
