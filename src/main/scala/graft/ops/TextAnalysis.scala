@@ -50,6 +50,47 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Writing-system classes for [[scriptProfile]]: name -> Java/RE2
+    * character class (both engines' regex dialects accept the
+    * `\x{...}` escapes). Order fixes the argmax tiebreak. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "digit" -> "[0-9]")
+
+  /**
+   * Per-document script profile (mC4/CCNet-style routing one level
+   * below [[langId]], whose stopword lists only see Latin-script
+   * languages): per-writing-system character counts and basis-point
+   * ratios, a dominant `script` label (argmax with declaration-order
+   * tiebreak; no script characters at all -> "other"), and the
+   * U+FFFD replacement-character count — the standard mojibake /
+   * transcoding-damage signal. Entirely ROW-LOCAL (regexp counts,
+   * pure map, no shuffle); ratios are INTEGRAL basis points — exact
+   * in any engine.
+   */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), cls, ""))).cast("long")
+    val counted = df.filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol), length(col(textCol)).cast("long").as("n_chars")) ++
+        scriptClasses.map { case (n, cls) => cnt(cls).as(s"n_$n") } :+
+        cnt("\\x{FFFD}").as("n_replacement"): _*)
+    val withBp = scriptClasses.foldLeft(counted) { case (d, (n, _)) =>
+      d.withColumn(s"${n}_bp", expr(s"n_$n * 10000 div greatest(n_chars, 1)"))
+    }
+    // argmax over the LETTER scripts (digits don't name a script)
+    val letters = scriptClasses.map(_._1).filterNot(_ == "digit")
+    val maxc = greatest(letters.map(n => col(s"n_$n")): _*)
+    withBp.withColumn("script",
+      letters.foldLeft(when(maxc === 0, lit("other"))) { case (acc, n) =>
+        acc.when(col(s"n_$n") === maxc, lit(n))
+      }.otherwise(lit("other")))
+  }
+
   /** Stopword ratio against the combined marker vocabulary. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)

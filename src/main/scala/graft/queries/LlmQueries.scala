@@ -924,6 +924,11 @@ object LlmQueries {
           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_micro
         FROM s""")),
 
+    // Per-doc writing-system profile (script routing below langId).
+    Q("q_llm_script_profile",
+      (s, dir) => TextAnalysis.scriptProfile(t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.scriptProfile)),
+
     // Exact-substring dedup (ExactSubstr, 8-token sliding windows):
     // the xxhash64 production path is directly oracled — output is
     // rebuilt text; hashes only group windows (boilerplate precedent).
@@ -1298,6 +1303,30 @@ object LlmOracles {
       CAST(SUM(tf * nll_micro) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(tf * nll_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
     FROM j GROUP BY 1"""
+
+  /** Twin of [[graft.ops.TextAnalysis.scriptProfile]] — generated from
+    * the same [[TextAnalysis.scriptClasses]] table (RE2 and Java both
+    * accept the `\x{...}` class escapes), integral basis points. */
+  val scriptProfile: String = {
+    val cls = TextAnalysis.scriptClasses
+    val cnts = (cls :+ ("replacement", "[\\x{FFFD}]")).map { case (n, c) =>
+      s"CAST(length(text) - length(regexp_replace(text, '$c', '', 'g')) AS BIGINT) AS n_$n"
+    }.mkString(",\n        ")
+    val bps = cls.map { case (n, _) =>
+      s"n_$n * 10000 // greatest(n_chars, 1) AS ${n}_bp"
+    }.mkString(",\n        ")
+    val letters = cls.map(_._1).filterNot(_ == "digit")
+    val maxc = s"greatest(${letters.map("n_" + _).mkString(", ")})"
+    val arms = letters.map(n => s"WHEN n_$n = $maxc THEN '$n'").mkString(" ")
+    s"""WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        $cnts
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+      n_replacement,
+        $bps,
+      CASE WHEN $maxc = 0 THEN 'other' $arms ELSE 'other' END AS script
+    FROM c"""
+  }
 
   /** Oracle of [[graft.ops.Dedup.exactSubstrDedup]] at L = 8 — the
     * production path itself (output is rebuilt text; the engine's

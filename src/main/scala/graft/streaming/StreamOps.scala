@@ -343,6 +343,83 @@ object StreamOps {
       .toDF("qid", "nid", "cos", "rank")
   }
 
+  /**
+   * Streaming exact-substring scrub against a STATIC reference corpus
+   * — the online face of [[graft.ops.Dedup.exactSubstrDedup]] for the
+   * incremental setting: any L-token window of an incoming doc whose
+   * text already occurs in the reference is a duplicate; covered
+   * tokens drop and the doc rebuilds from the survivors
+   * (fully-covered docs vanish; output text is the normalized token
+   * join, as in batch). Intra-STREAM duplication is NOT collapsed —
+   * only duplication against the reference (the incremental contract,
+   * like [[incrementalDedupStream]]).
+   *
+   * Scale shape, two legs (the bloom-prefilter pattern): reference
+   * windows hash once at plan time into an 8-byte key relation
+   * (persisted, [[graft.ops.CachedRelations]]-tracked) plus a bloom
+   * sketch. Docs whose windows all miss the bloom pass through as a
+   * ROW-LOCAL pure map — no join, no state. Only suspect docs explode
+   * their windows into the stream-static join for EXACT confirmation
+   * (bloom false positives route a doc to the join leg, never drop a
+   * token), and rebuild per doc in flatMapGroupsWithState — all of a
+   * doc's windows live in its own micro-batch, so the state slot is
+   * vestigial like [[ivfLookupStream]]'s. The token array rides each
+   * suspect window row through the join — the fan-out price of the
+   * exact leg; the bloom keeps that leg at near-duplicate volume.
+   */
+  def exactSubstrScrubStream(stream: DataFrame, refDocs: DataFrame, idCol: String,
+                             textCol: String, windowTokens: Int = 50,
+                             expectedRefWindows: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame = {
+    import stream.sparkSession.implicits._
+    graft.functions.Registry.ensure(stream.sparkSession)
+    val refWins = refDocs.filter(col(textCol).isNotNull)
+      .select(explode(call_function("word_grams", col(textCol),
+        lit(windowTokens), lit(1))).as("w"))
+      .select(xxhash64(col("w")).as("h")).distinct()
+    val bloom = refWins.stat.bloomFilter("h", expectedRefWindows, fpp)
+    val refStatic = graft.ops.CachedRelations.track(refWins.persist())
+    val base = stream.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        call_function("word_grams", col(textCol), lit(1), lit(1)).as("_toks"),
+        call_function("word_grams", col(textCol), lit(windowTokens), lit(1)).as("_wins"))
+      .withColumn("_suspect",
+        exists(col("_wins"), w => graft.functions.Registry.bloomColumn(xxhash64(w), bloom)))
+    val clean = base.filter(!col("_suspect"))
+      .select(col("id"), array_join(col("_toks"), " ").as("clean_text"),
+        size(col("_toks")).cast("long").as("n_kept"), lit(0L).as("n_dropped"))
+      .toDF("id", "clean_text", "n_kept", "n_dropped")
+    val scrubbed = base.filter(col("_suspect"))
+      .select(col("id"), col("_toks"), posexplode(col("_wins")).as(Seq("pos0", "w")))
+      .select(col("id"), col("_toks"), (col("pos0") + 1).as("pos"),
+        xxhash64(col("w")).as("h"))
+      .join(refStatic.withColumnRenamed("h", "h2"), col("h") === col("h2"), "left")
+      .select(col("id"), col("_toks"), col("pos"), col("h2").isNotNull.as("dup"))
+      .as[(Long, Seq[String], Int, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, Seq[String], Int, Boolean)],
+         state: GroupState[Boolean]) =>
+          val rs = rows.toArray
+          val toks = rs.head._2
+          val covered = new Array[Boolean](toks.length)
+          rs.foreach { case (_, _, pos, dup) =>
+            if (dup) {
+              var i = pos - 1
+              val end = math.min(pos - 1 + windowTokens, toks.length)
+              while (i < end) { covered(i) = true; i += 1 }
+            }
+          }
+          val kept = toks.indices.filterNot(covered)
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single((id, kept.map(toks).mkString(" "),
+            kept.size.toLong, (toks.length - kept.size).toLong))
+      }
+      .toDF("id", "clean_text", "n_kept", "n_dropped")
+    clean.unionByName(scrubbed).withColumnRenamed("id", idCol)
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

@@ -170,6 +170,28 @@ class FunnelsSpec extends SparkTestBase {
     assert(out(2L) == (2L, 916291L + 1609438L, (916291L + 1609438L) / 2))
   }
 
+  test("scriptProfile: per-script counts, bp ratios, dominant label, mojibake") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world 42"),
+      (2L, "привет мир"),
+      (3L, "日本語テスト"),
+      (4L, "مرحبا"),
+      (5L, "bad � byte"),
+      (6L, "12345 !!!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("script") == "latin")
+    assert(out(1L).getAs[Long]("n_latin") == 10L && out(1L).getAs[Long]("n_digit") == 2L)
+    assert(out(1L).getAs[Long]("latin_bp") == 10L * 10000 / 14)
+    assert(out(2L).getAs[String]("script") == "cyrillic" && out(2L).getAs[Long]("n_cyrillic") == 9L)
+    assert(out(3L).getAs[String]("script") == "cjk" && out(3L).getAs[Long]("n_cjk") == 6L)
+    assert(out(4L).getAs[String]("script") == "arabic")
+    assert(out(5L).getAs[Long]("n_replacement") == 1L)
+    assert(out(6L).getAs[String]("script") == "other") // digits name no script
+  }
+
   test("temperatureWeights: sqrt-flattened shares in exact micros") {
     import spark.implicits._
     // A: 4 tokens -> w = 2e6; B: 1 token -> w = 1e6

@@ -283,6 +283,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact-substr scrub: reference-covered tokens drop, clean docs pass row-locally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq((900L, "a b c d e")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.exactSubstrScrubStream(
+      mem.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      windowTokens = 4, expectedRefWindows = 100L)
+    val q = out.writeStream.format("memory").queryName("es_scrub")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "x y a b c d w"),   // ref window "a b c d" at pos 3: tokens 3-6 drop
+        (2L, "fresh text only here"),          // no ref overlap: pure-map leg
+        (3L, "a b c d"),                       // fully covered -> vanishes
+        (4L, "x y a b c d w"))   // same as doc 1: intra-stream dup NOT collapsed
+      q.processAllAvailable()
+      val rows = spark.table("es_scrub").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+      assert(rows(1L) == ("x y w", 3L, 4L))
+      assert(rows(2L) == ("fresh text only here", 4L, 0L))
+      assert(!rows.contains(3L))
+      assert(rows(4L) == ("x y w", 3L, 4L)) // scrubbed vs ref, kept vs stream
+      assert(rows.size == 3)
+    } finally {
+      q.stop()
+      assert(graft.ops.CachedRelations.releaseAll() >= 1)
+    }
+  }
+
   test("streaming IVF lookup: stream queries hit the static index, exact top-k per query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
