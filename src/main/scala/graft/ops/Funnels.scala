@@ -78,6 +78,68 @@ object Funnels {
   }
 
   /**
+   * Per-key Markov transition counts: for events ordered by
+   * (ts, tiebreak) within each key, the count of each observed
+   * (prev_type -> next_type) transition plus its conditional
+   * probability in integer micros (`n * 1e6 div n_from` — integral
+   * division, exact and identical cross-engine; no FP).
+   *
+   * Scale shape: ONE event-volume shuffle (the lag window on the key);
+   * the transition matrix aggregate is |types|^2 — tiny — so the
+   * closing groupBy and the per-prev_type normalizing window cost
+   * nothing. The naive per-pair self-join form shuffles event volume
+   * twice.
+   */
+  def eventTransitions(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tiebreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy((col(tsCol) +: tiebreak.map(col)): _*)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+    df.select(col(keyCol) +: col(tsCol) +: col(typeCol) +: tiebreak.map(col): _*)
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_from_total", sum(col("n")).over(wp))
+      .withColumn("p_micro", expr("(n * CAST(1000000 AS BIGINT)) div _from_total"))
+      .drop("_from_total")
+  }
+
+  /**
+   * Daily event-rate spike detection with an EXACT integer z-test: per
+   * (type, day) counts, a day is anomalous when |c - mean| > z*sigma
+   * over that type's observed days. The test is evaluated without any
+   * floating point — with n days, S = sum(c), Q = sum(c^2), the
+   * condition |c - S/n| > z * sqrt((nQ - S^2)/n^2) squares to
+   * (n*c - S)^2 > z^2 * (nQ - S^2), all integer arithmetic in
+   * DECIMAL(38,0) (a plain Int64 c^2 wraps past c ~ 3e9 daily events
+   * — a real rate at 100 TB — while DuckDB's HUGEINT doesn't; decimal
+   * keeps both engines exact to c ~ 1e15).
+   *
+   * Scale shape: ONE event-volume shuffle (the daily pre-aggregation,
+   * map-side combined); the per-type stats window runs over
+   * types × days rows — tiny. Population variance; a type observed on
+   * a single day has zero variance and never flags.
+   */
+  def rateAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                    z: Int = 2): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val dev = d38(col("_nd")) * d38(col("n")) - d38(col("_s"))
+    df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_nd", count(lit(1)).over(wt))
+      .withColumn("_s", sum(col("n")).over(wt))
+      .withColumn("_q", sum(d38(col("n")) * d38(col("n"))).over(wt))
+      .withColumn("mean_micro",
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) * 1000000 div _nd AS BIGINT)"))
+      .withColumn("is_anomaly",
+        dev * dev > lit(z.toLong * z) * (d38(col("_nd")) * col("_q") - d38(col("_s")) * d38(col("_s"))))
+      .select(col("event_type"), date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("mean_micro"), col("is_anomaly"))
+  }
+
+  /**
    * Cohort retention matrix: keys grouped by first-active day; for
    * each (cohort_day, day_offset <= maxOffsetDays) the number of
    * cohort keys active on that day. `cohort_day` is formatted

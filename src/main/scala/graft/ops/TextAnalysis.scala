@@ -175,6 +175,56 @@ object TextAnalysis {
   }
 
   /**
+   * Word co-occurrence lift (phrase-mining / collocation signal): for
+   * every ORDERED token pair (a, b) with b at distance 1..`maxDist`
+   * after a, the observed pair count and its lift over independence,
+   *   lift = p(a,b) / (p(a) * p(b))
+   *        = (n_ab * T^2) / (P * n_a * n_b)
+   * reported in integer basis points via a DECIMAL(38,0) integral
+   * division — no FP anywhere, identical cross-engine. Precondition:
+   * T (total tokens in scope) <= ~1e11 keeps the widest product
+   * n_ab * T * T * 1e4 inside DECIMAL(38); at a larger corpus compute
+   * per-shard or drop the lift column (counts never overflow).
+   *
+   * Scale shape: pair generation is ROW-LOCAL (the native
+   * [[graft.expr.WordGrams]] sliding windows — pair (i, i+d) is
+   * exactly the (first, last) of the width-(d+1) window at i, so no
+   * positional self-join and no token-volume shuffle on doc id); the
+   * only corpus-volume shuffles are the two map-side-combined counts
+   * (pairs, unigrams), both keyed by vocabulary-bounded terms.
+   * `minCount` prunes the long tail before the lift join; the unigram
+   * relation is vocabulary-sized and broadcasts.
+   */
+  def cooccurrenceLift(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       maxDist: Int = 2, minCount: Long = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1 && maxDist <= 8, "maxDist must be in [1, 8]")
+    graft.functions.Registry.ensure(df.sparkSession)
+    val base = df.filter(col(textCol).isNotNull)
+    val pairs = (1 to maxDist).map { d =>
+      base.select(explode(call_function("word_grams", col(textCol), lit(d + 1), lit(1))).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("w_a"),
+          substring_index(col("g"), " ", -1).as("w_b"))
+    }.reduce(_ union _)
+    val pc = pairs.groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("n_ab"))
+    val uni = base.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    // corpus totals ride a constant-key window over the tiny aggregated
+    // relations (pmod keeps the key column-dependent: see ngramVocabulary)
+    val uniT = uni.withColumn("_t", sum(col("n_w")).over(
+      Window.partitionBy(pmod(col("n_w"), lit(1)))))
+    val pcP = pc.withColumn("_p", sum(col("n_ab")).over(
+      Window.partitionBy(pmod(col("n_ab"), lit(1)))))
+    pcP.filter(col("n_ab") >= minCount)
+      .join(broadcast(uniT.select(col("w").as("w_a"), col("n_w").as("n_a"), col("_t"))), "w_a")
+      .join(broadcast(uniT.select(col("w").as("w_b"), col("n_w").as("n_b"))), "w_b")
+      .withColumn("lift_bp", expr(
+        """CAST(CAST(n_ab AS DECIMAL(38,0)) * _t * _t * 10000
+          | div (CAST(_p AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)""".stripMargin))
+      .select(col("w_a"), col("w_b"), col("n_ab"), col("n_a"), col("n_b"), col("lift_bp"))
+  }
+
+  /**
    * Composite quality score in [0,1]: length credit (saturates at 100
    * tokens), low punctuation noise, natural stopword density.
    */

@@ -378,6 +378,40 @@ object AnalyticsQueries {
         WHERE date_diff('day', d0, d) <= 30
         GROUP BY 1, 2""")),
 
+    // Markov transition matrix over per-user event sequences: counts +
+    // conditional probability in integer micros (integral division —
+    // exact cross-engine). One event-volume shuffle (the lag window).
+    Q("q_event_transitions",
+      (s, dir) => graft.ops.Funnels.eventTransitions(t(s, dir, "events"),
+        "user_id", "ts", "event_type", tiebreak = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        c AS (SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+          CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+        FROM c""")),
+
+    // Daily-rate spike detection: |c - mean| > 2 sigma evaluated as the
+    // EXACT integer inequality (n*c - S)^2 > 4 (n*Q - S^2) — no FP at
+    // all, so the verdict column is hash-comparable cross-engine.
+    Q("q_rate_anomalies",
+      (s, dir) => graft.ops.Funnels.rateAnomalies(t(s, dir, "events"),
+        "event_type", "ts", z = 2),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, d, n,
+            COUNT(*) OVER w AS nd,
+            CAST(SUM(n) OVER w AS BIGINT) AS sm,
+            SUM(CAST(n AS HUGEINT) * n) OVER w AS q
+          FROM d WINDOW w AS (PARTITION BY event_type))
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+          CAST(CAST(sm AS HUGEINT) * 1000000 // nd AS BIGINT) AS mean_micro,
+          (CAST(nd AS HUGEINT) * n - sm) * (CAST(nd AS HUGEINT) * n - sm)
+            > 4 * (CAST(nd AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_anomaly
+        FROM s""")),
+
     // CDC snapshot diff: two deterministic "versions" of orders
     // (old = keys not divisible by 7; new = prices bumped on keys
     // divisible by 5) -> added/removed/changed classification.

@@ -795,6 +795,69 @@ object LlmQueries {
           CAST(row_number() OVER (ORDER BY freq DESC, gram) AS INT) AS rank
         FROM f""")),
 
+    // Word co-occurrence lift (collocation mining): ordered pairs at
+    // distance <= 2 via row-local word_grams windows; lift over
+    // independence in integer basis points (DECIMAL(38,0) integral
+    // division — no FP).
+    Q("q_llm_cooccur",
+      (s, dir) => TextAnalysis.cooccurrenceLift(t(s, dir, "documents"),
+        "text", maxDist = 2, minCount = 2),
+      Some("""WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        up AS (SELECT unnest(toks) AS w FROM tk),
+        uni AS (SELECT w, COUNT(*) AS n_w FROM up GROUP BY 1),
+        i1 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk),
+        i2 AS (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tk),
+        pr AS (SELECT toks[i] AS w_a, toks[i + 1] AS w_b FROM i1
+          UNION ALL SELECT toks[i] AS w_a, toks[i + 2] AS w_b FROM i2),
+        pc AS (SELECT w_a, w_b, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS t FROM uni),
+        pt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS p FROM pc)
+        SELECT w_a, w_b, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+          CAST(CAST(n_ab AS HUGEINT) * (SELECT t FROM tot) * (SELECT t FROM tot) * 10000
+            // (CAST((SELECT p FROM pt) AS HUGEINT) * a.n_w * b.n_w) AS BIGINT) AS lift_bp
+        FROM pc JOIN uni a ON pc.w_a = a.w JOIN uni b ON pc.w_b = b.w
+        WHERE n_ab >= 2""")),
+
+    // PageRank centrality over the exact cosine near-dup graph
+    // (cluster-hub triage): fixed 3 iterations, parts-per-billion
+    // integer ranks, integral division throughout — bit-identical to
+    // the oracle's macro-expanded CTE iterations.
+    Q("q_llm_pagerank_dups",
+      (s, dir) => graft.ops.Graphs.pageRank(
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4).select(col("id_a"), col("id_b")),
+        "id_a", "id_b", iters = 3),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pr0
+          UNION SELECT id_b, id_a FROM pr0),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+        params AS (SELECT 1000000000 // COUNT(*) AS base FROM deg),
+        p0 AS (SELECT node, deg, (SELECT base FROM params) AS pr FROM deg),
+        s1 AS (SELECT sym.dst AS node, CAST(SUM(p0.pr // p0.deg) AS BIGINT) AS sc
+          FROM sym JOIN p0 ON sym.src = p0.node GROUP BY 1),
+        p1 AS (SELECT d.node, d.deg,
+            (1500 * (SELECT base FROM params)) // 10000
+              + (8500 * COALESCE(s1.sc, 0)) // 10000 AS pr
+          FROM deg d LEFT JOIN s1 ON d.node = s1.node),
+        s2 AS (SELECT sym.dst AS node, CAST(SUM(p1.pr // p1.deg) AS BIGINT) AS sc
+          FROM sym JOIN p1 ON sym.src = p1.node GROUP BY 1),
+        p2 AS (SELECT d.node, d.deg,
+            (1500 * (SELECT base FROM params)) // 10000
+              + (8500 * COALESCE(s2.sc, 0)) // 10000 AS pr
+          FROM deg d LEFT JOIN s2 ON d.node = s2.node),
+        s3 AS (SELECT sym.dst AS node, CAST(SUM(p2.pr // p2.deg) AS BIGINT) AS sc
+          FROM sym JOIN p2 ON sym.src = p2.node GROUP BY 1),
+        p3 AS (SELECT d.node, d.deg,
+            (1500 * (SELECT base FROM params)) // 10000
+              + (8500 * COALESCE(s3.sc, 0)) // 10000 AS pr
+          FROM deg d LEFT JOIN s3 ON d.node = s3.node)
+        SELECT node, deg, pr AS pr_ppb FROM p3""")),
+
     // Gopher-style heuristic quality rules (row-local; ratios are
     // single IEEE divides of integer counts -> identical verdicts in
     // any engine).

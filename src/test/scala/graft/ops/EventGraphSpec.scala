@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the event-sequence analytics (Markov
+  * transitions, integer z-test spike detection), integer PageRank,
+  * and co-occurrence lift. */
+class EventGraphSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("eventTransitions: counts, integral probabilities, tiebreak order") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:01:00")),
+      (1L, 3L, "a", ts("2024-01-01 10:02:00")),
+      (2L, 4L, "a", ts("2024-01-01 11:00:00")),
+      (2L, 5L, "b", ts("2024-01-01 11:01:00")),
+      // u3: same-ts pair ordered by the event_id tiebreak: a then c
+      (3L, 6L, "a", ts("2024-01-01 12:00:00")),
+      (3L, 7L, "c", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Funnels.eventTransitions(ev, "user_id", "ts", "event_type",
+      tiebreak = Seq("event_id"))
+    assertSameRecords(out, Seq(
+      Map("prev_type" -> "a", "next_type" -> "b", "n" -> 2L, "p_micro" -> 666666L),
+      Map("prev_type" -> "a", "next_type" -> "c", "n" -> 1L, "p_micro" -> 333333L),
+      Map("prev_type" -> "b", "next_type" -> "a", "n" -> 1L, "p_micro" -> 1000000L)))
+  }
+
+  test("rateAnomalies: exact integer z-test flags the spike day only") {
+    import spark.implicits._
+    // type x: six days of 10 events + one day of 40 -> only the 40 flags
+    // ((7*40-100)^2 = 32400 > 4*(7*2200-100^2) = 21600); a type seen on
+    // a single day has zero variance and never flags.
+    val rows =
+      (for (d <- 1 to 6; _ <- 1 to 10) yield ("x", ts(f"2024-01-0$d%d 01:00:00"))) ++
+      (for (_ <- 1 to 40) yield ("x", ts("2024-01-07 01:00:00"))) ++
+      Seq(("y", ts("2024-01-01 02:00:00")))
+    val out = Funnels.rateAnomalies(rows.toDF("event_type", "ts"), "event_type", "ts", z = 2)
+    val flagged = out.filter(col("is_anomaly")).collect()
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("event_type") == "x")
+    assert(flagged.head.getAs[String]("day") == "2024-01-07")
+    assert(flagged.head.getAs[Long]("mean_micro") == 14285714L)
+    assert(out.count() == 8)
+  }
+
+  test("pageRank: 3-iteration integral ranks on a 3-node path graph") {
+    import spark.implicits._
+    // duplicate + reversed input edges collapse into one undirected edge
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graphs.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // base = 1e9 div 3; hand-computed chain (see scaladoc arithmetic)
+    assert(out(1L) == (1L, 209729163L))
+    assert(out(2L) == (2L, 580541661L))
+    assert(out(3L) == (1L, 209729163L))
+  }
+
+  test("cooccurrenceLift: windows stay within docs; lift arithmetic exact") {
+    import spark.implicits._
+    // "a b a b": d1 pairs ab,ba,ab; d2 pairs aa,bb; "c" adds a token
+    // (T=5) but no pairs. minCount=2 keeps only (a,b): lift_bp =
+    // 2*25*10000 div (5*2*2) = 25000.
+    val docs = Seq("a b a b", "c").toDF("text")
+    val out = TextAnalysis.cooccurrenceLift(docs, "text", maxDist = 2, minCount = 2)
+    assertSameRecords(out, Seq(
+      Map("w_a" -> "a", "w_b" -> "b", "n_ab" -> 2L, "n_a" -> 2L, "n_b" -> 2L,
+        "lift_bp" -> 25000L)))
+    // minCount=1 exposes the distance-2 self pairs
+    val all = TextAnalysis.cooccurrenceLift(docs, "text", maxDist = 2, minCount = 1)
+    assert(all.count() == 4)
+    val aa = all.filter(col("w_a") === "a" && col("w_b") === "a").head()
+    assert(aa.getAs[Long]("lift_bp") == 12500L)
+  }
+}
