@@ -22,7 +22,9 @@ object RecallCheck {
     val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6, tables = 8))
     val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
     val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
-    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f n=${truth.size}")
+    val pq = pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16, rerankFactor = 16))
+    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f ivf_pq=${rec(pq)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
                             (6, true, 6), (8, true, 6), (6, true, 7), (4, true, 5))) {
@@ -34,6 +36,12 @@ object RecallCheck {
       val r = rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,
         nlist = nl, nprobe = np)))
       println(f"RECALL_SWEEP ivf nlist=$nl%d nprobe=$np%d recall=$r%.3f")
+    }
+    for ((mm, ks, rf) <- Seq((8, 16, 4), (8, 16, 8), (8, 16, 16), (8, 32, 8),
+                             (16, 16, 8), (16, 32, 8), (16, 16, 16), (16, 32, 16))) {
+      val r = rec(pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
+        nlist = 8, nprobe = 4, m = mm, ksub = ks, rerankFactor = rf)))
+      println(f"RECALL_SWEEP pq m=$mm%d ksub=$ks%d rerank=$rf%d recall=$r%.3f")
     }
     spark.stop()
   }

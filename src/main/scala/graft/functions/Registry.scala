@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. */
@@ -24,6 +24,28 @@ object Registry {
       FunctionIdentifier("vec_dot_i8"),
       new ExpressionInfo(classOf[VecDotInt8].getName, "vec_dot_i8"),
       (children: Seq[Expression]) => VecDotInt8(children(0), children(1)))
+    // PQ kernels: the codebook argument is a driver-built array
+    // LITERAL evaluated once at plan time (builder-time eval below) —
+    // it becomes a reference object in the generated code, never a
+    // per-row expression tree.
+    def asDoubles(e: Expression): Array[Double] =
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    def asIntOf(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+    reg.registerFunction(
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), asDoubles(children(1)), asIntOf(children(2)), asIntOf(children(3))))
+    reg.registerFunction(
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) =>
+        PqAdc(children(0), children(1), asDoubles(children(2)), asIntOf(children(3)), asIntOf(children(4))))
+    reg.registerFunction(
+      FunctionIdentifier("pq_cn2"),
+      new ExpressionInfo(classOf[PqCn2].getName, "pq_cn2"),
+      (children: Seq[Expression]) =>
+        PqCn2(children(0), asDoubles(children(1)), asIntOf(children(2))))
     reg.registerFunction(
       FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),

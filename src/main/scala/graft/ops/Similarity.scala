@@ -261,6 +261,125 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ approximate nearest neighbors (Jegou 2011 shape — the
+   * standard memory-bound ANN layout at corpus scale): the IVF coarse
+   * quantizer bounds candidates to `nprobe` cells, and each corpus
+   * vector is PRODUCT-QUANTIZED — `m` subspaces of dims/m, each with
+   * its own `ksub`-centroid codebook — so a candidate costs `m` small
+   * codebook lookups instead of a float-vector fetch. Queries stay
+   * un-quantized (asymmetric distance computation: query slices score
+   * against the candidate's codebook entries), the `rerankFactor * k`
+   * best approximate candidates re-rank with exact cosine.
+   *
+   * Scale shape: the candidate exchange moves m small ints + 1 double
+   * per corpus row (m=8: ~12 bytes vs 512 for a float64[64] vector —
+   * the memory-bandwidth win PQ exists for); codebooks are literals
+   * (m * ksub * dims/m doubles — constant-folded, zero broadcast
+   * state); encode is a row-local argmin over codebook literals with
+   * the native codegen'd dot. Subspace codebooks fit on the same
+   * deterministic metadata-sized sample policy as [[ivfFit]].
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                k: Int, nlist: Int = 8, nprobe: Int = 4,
+                m: Int = 16, ksub: Int = 16, rerankFactor: Int = 16,
+                maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dims % m == 0, s"dims ($dims) must divide evenly into m ($m) subspaces")
+    val sd = dims / m
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
+    // Subspace codebooks: ONE bounded driver-side sample (deterministic
+    // hash-mod, ~20k vectors — a 16-centroid codebook over 4 dims needs
+    // far less) then m in-memory Lloyd fits. m separate MLlib fits each
+    // pay full cluster-job overhead — 16 subspaces cost more in job
+    // scheduling than in arithmetic; the sample collect is the SAME
+    // bounded driver state the quantizer fit policy already allows.
+    val sampleCap = math.min(maxFitVectors, 20000L)
+    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+    val sampleDf = if (estRows <= sampleCap) v
+      else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+    val sample: Array[Array[Double]] =
+      sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfPqTopK needs at least one non-null vector")
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
+      Similarity.lloyd(pts, ksub, iters = 5, seed = 42L + j)
+    }
+    // flat codebook [(j*ksub + c)*sd + i] and per-centroid squared
+    // norms [j*ksub + c], passed to the native PQ kernels as plan-time
+    // reference objects (the unrolled column-algebra argmin is m*ksub
+    // struct terms — past janino's method limit; see PqExprs scaladoc)
+    val booksFlat: Array[Double] = books.flatMap(_.flatten)
+    val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    def booksLit: Column = array(booksFlat.map(lit).toIndexedSeq: _*)
+    def cn2Lit: Column = array(cn2Flat.map(lit).toIndexedSeq: _*)
+    val coded = assigned
+      .withColumn("codes",
+        call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
+      .withColumn("rn",
+        sqrt(call_function("pq_cn2", col("codes"), cn2Lit, lit(ksub))))
+      .filter(col("rn") > 0)
+    val corpus = coded.select(col("id").as("nid"), col("cell"),
+      col("codes").as("ncodes"), col("rn"))
+    val q = probeCells(
+      v.select(col("id").as("qid"), col("v").as("qv")).withColumn("qn", norm(col("qv"))),
+      cents, nprobe)
+    // ADC: full-precision query against the code-reconstructed candidate
+    val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit, lit(m), lit(ksub))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val survivors = q.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), (adot / (col("qn") * col("rn"))).as("acos"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerankFactor * k)
+      .select(col("qid"), col("nid"))
+    val vecs = v.select(col("id"), col("v")).withColumn("nrm", norm(col("v")))
+    val scored = survivors
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic in-memory Lloyd k-means for the PQ subspace
+    * codebooks (seeded shuffle init over the sample; an empty cluster
+    * keeps its previous centroid; first-min tie-break on assignment —
+    * matches [[graft.expr.PqExprs.encode]]). */
+  private[graft] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                           seed: Long): Array[Array[Double]] = {
+    val sd = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val cents = rnd.shuffle(pts.indices.toList).take(math.min(k, pts.length))
+      .map(i => pts(i).clone()).toArray.padTo(k, pts(0).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](sd))
+      val counts = new Array[Long](k)
+      for (p <- pts) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < sd) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < sd) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until sd)
+        cents(c)(i) = sums(c)(i) / counts(c)
+    }
+    cents
+  }
+
+  /**
    * Multi-table LSH approximate nearest neighbors with multi-probe:
    * `tables` independent hyperplane tables (the standard recall lever —
    * a near neighbor missed by one table's cut is usually caught by

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE tokenizer training over a corpus (Sennrich 2016 shape — the
+ * standard LLM tokenizer-construction pipeline; the reference engine
+ * has no tokenizer surface, this is north-star scope).
+ *
+ * Scale split: the CORPUS-VOLUME stage is the distributed word-
+ * frequency count (one map-side-combined shuffle keyed by word); merge
+ * learning then runs on the frequency table CAPPED at `maxVocab`
+ * distinct words — the same two-phase design production BPE trainers
+ * use (word counting scales with the corpus, merge learning with the
+ * vocabulary, which is bounded by construction). The driver-side state
+ * is maxVocab * avgWordLen symbols, explicitly bounded; it is NOT a
+ * hot-path collect of corpus rows.
+ */
+object Tokenizer {
+
+  /**
+   * Weighted adjacent-symbol pair counts at the CHARACTER level — BPE
+   * iteration zero, fully relational (this is the per-iteration
+   * counting step the trainer repeats after each merge; exposing it
+   * oracled pins the arithmetic the loop is built from). A length-2
+   * substring IS the adjacent char pair, so pair generation is
+   * row-local over the DISTINCT-word relation (vocabulary-sized, tiny
+   * next to the corpus — the HOF there costs nothing).
+   */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+  }
+
+  /**
+   * Learn `numMerges` BPE merges: start from character symbols, each
+   * round count adjacent symbol pairs weighted by word frequency, take
+   * the most frequent pair (ties broken by (left, right) ascending —
+   * fully deterministic), fuse it everywhere (left-to-right,
+   * non-overlapping — "aaa" under (a,a) becomes [aa, a]), repeat.
+   * Output: one row per learned merge (rank, left, right, merged,
+   * pair_count). Stops early when no pair remains.
+   *
+   * The merge loop is driver-side over the top-`maxVocab` frequency
+   * table (deterministic (freq desc, word) cut via TakeOrdered) — see
+   * the object scaladoc for why that split is the scale-honest one.
+   */
+  def bpeTrain(df: DataFrame, textCol: String,
+               numMerges: Int = 50, maxVocab: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val wf = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pc.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + f))
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+}

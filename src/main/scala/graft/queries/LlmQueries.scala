@@ -307,6 +307,28 @@ object LlmQueries {
         dims = 64, k = 3, planes = 6, tables = 8),
       None),
 
+    // BPE trainer iteration zero: weighted adjacent char-pair counts
+    // over the distinct-word relation (a length-2 substring IS the
+    // pair — pure counting, exactly oracle-able).
+    Q("q_llm_bpe_pairs",
+      (s, dir) => graft.ops.Tokenizer.bpePairCounts(t(s, dir, "documents"), "text"),
+      Some("""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+        p AS (SELECT substr(w, i, 2) AS pair, freq FROM (
+            SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wf WHERE length(w) >= 2))
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY 1""")),
+
+    // Learned BPE merge table (40 merges): the iterative merge loop is
+    // not SQL-expressible — rows-only; the pair-count arithmetic each
+    // iteration repeats is pinned by q_llm_bpe_pairs, and the merge
+    // semantics by TokenizerSpec's closed-form fixture.
+    Q("q_llm_bpe_merges",
+      (s, dir) => graft.ops.Tokenizer.bpeTrain(t(s, dir, "documents"), "text",
+        numMerges = 40),
+      None),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -395,6 +417,18 @@ object LlmQueries {
     Q("q_llm_ann_ivf8",
       (s, dir) => Similarity.ivfTopKInt8(t(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, k = 3, nlist = 8, nprobe = 4),
+      None),
+
+    // IVF-PQ: product-quantized candidates (m codebook lookups per
+    // candidate instead of a float-vector fetch), asymmetric-distance
+    // coarse pass, exact re-rank — rows-only; RecallCheck reports the
+    // recall alongside the float/int8 paths.
+    // m=16/ksub=16/rerank=16 is the RecallCheck-tuned operating point
+    // (recall 0.785 vs the 0.801 float-IVF ceiling at the same cells;
+    // 16 4-bit codes = 8 B/vector on the candidate exchange).
+    Q("q_llm_ann_pq",
+      (s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 8, nprobe = 4, m = 16, ksub = 16, rerankFactor = 16),
       None),
 
     // Cross-corpus IVF lookup: every 50th vector queries the rest
