@@ -6,8 +6,71 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
-  * session (callable via `call_function`/`expr`). Idempotent. */
+  * session (callable via `call_function`/`expr`). Idempotent. The same
+  * definition list backs [[graft.GraftExtensions]] (the
+  * spark.sql.extensions injection path), so the two registration
+  * routes can't drift. */
 object Registry {
+
+  private def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+
+  /** Codebook arguments are driver-built array LITERALS evaluated once
+    * at plan time — they become reference objects in the generated
+    * code, never per-row expression trees. */
+  private def asDoubles(e: Expression): Array[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+
+  /** Every graft SQL function: (identifier, info, builder). */
+  val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotInt8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => VecDotInt8(children(0), children(1))),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), asDoubles(children(1)), asInt(children(2)), asInt(children(3)))),
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) =>
+        PqAdc(children(0), children(1), asDoubles(children(2)), asInt(children(3)), asInt(children(4)))),
+    (FunctionIdentifier("pq_cn2"),
+      new ExpressionInfo(classOf[PqCn2].getName, "pq_cn2"),
+      (children: Seq[Expression]) =>
+        PqCn2(children(0), asDoubles(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("go_format_float"),
+      new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
+      (children: Seq[Expression]) => GoFormatFloat(children.head)),
+    (FunctionIdentifier("go_parse_float"),
+      new ExpressionInfo(classOf[GoParseFloat].getName, "go_parse_float"),
+      (children: Seq[Expression]) => GoParseFloat(children.head)),
+    (FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) =>
+        LshBuckets(children(0), asInt(children(1)), asInt(children(2)), asInt(children(3)))),
+    (FunctionIdentifier("minhash_sig_x64"),
+      new ExpressionInfo(classOf[MinhashSigX64].getName, "minhash_sig_x64"),
+      (children: Seq[Expression]) =>
+        MinhashSigX64(children(0), asInt(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("rolling_fp_x64"),
+      new ExpressionInfo(classOf[RollingFpX64].getName, "rolling_fp_x64"),
+      (children: Seq[Expression]) =>
+        RollingFpX64(children(0), asInt(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("winnow_fp_x64"),
+      new ExpressionInfo(classOf[WinnowFpX64].getName, "winnow_fp_x64"),
+      (children: Seq[Expression]) =>
+        WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (children: Seq[Expression]) =>
+        WordGrams(children(0), asInt(children(1)),
+          if (children.length > 2) asInt(children(2)) else 1)),
+    (FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (children: Seq[Expression]) =>
+        WordGramHashes(children(0), asInt(children(1)))))
 
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
@@ -16,87 +79,7 @@ object Registry {
     val key = System.identityHashCode(spark).toString
     if (!registered.add(key)) return
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("vec_dot_i8"),
-      new ExpressionInfo(classOf[VecDotInt8].getName, "vec_dot_i8"),
-      (children: Seq[Expression]) => VecDotInt8(children(0), children(1)))
-    // PQ kernels: the codebook argument is a driver-built array
-    // LITERAL evaluated once at plan time (builder-time eval below) —
-    // it becomes a reference object in the generated code, never a
-    // per-row expression tree.
-    def asDoubles(e: Expression): Array[Double] =
-      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
-    def asIntOf(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-    reg.registerFunction(
-      FunctionIdentifier("pq_encode"),
-      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
-      (children: Seq[Expression]) =>
-        PqEncode(children(0), asDoubles(children(1)), asIntOf(children(2)), asIntOf(children(3))))
-    reg.registerFunction(
-      FunctionIdentifier("pq_adc"),
-      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
-      (children: Seq[Expression]) =>
-        PqAdc(children(0), children(1), asDoubles(children(2)), asIntOf(children(3)), asIntOf(children(4))))
-    reg.registerFunction(
-      FunctionIdentifier("pq_cn2"),
-      new ExpressionInfo(classOf[PqCn2].getName, "pq_cn2"),
-      (children: Seq[Expression]) =>
-        PqCn2(children(0), asDoubles(children(1)), asIntOf(children(2))))
-    reg.registerFunction(
-      FunctionIdentifier("go_format_float"),
-      new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
-      (children: Seq[Expression]) => GoFormatFloat(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("go_parse_float"),
-      new ExpressionInfo(classOf[GoParseFloat].getName, "go_parse_float"),
-      (children: Seq[Expression]) => GoParseFloat(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("lsh_buckets"),
-      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        LshBuckets(children(0), asInt(children(1)), asInt(children(2)), asInt(children(3)))
-      })
-    reg.registerFunction(
-      FunctionIdentifier("minhash_sig_x64"),
-      new ExpressionInfo(classOf[MinhashSigX64].getName, "minhash_sig_x64"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        MinhashSigX64(children(0), asInt(children(1)), asInt(children(2)))
-      })
-    reg.registerFunction(
-      FunctionIdentifier("rolling_fp_x64"),
-      new ExpressionInfo(classOf[RollingFpX64].getName, "rolling_fp_x64"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        RollingFpX64(children(0), asInt(children(1)), asInt(children(2)))
-      })
-    reg.registerFunction(
-      FunctionIdentifier("winnow_fp_x64"),
-      new ExpressionInfo(classOf[WinnowFpX64].getName, "winnow_fp_x64"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        WinnowFpX64(children(0), asInt(children(1)), asInt(children(2)))
-      })
-    reg.registerFunction(
-      FunctionIdentifier("word_grams"),
-      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        WordGrams(children(0), asInt(children(1)),
-          if (children.length > 2) asInt(children(2)) else 1)
-      })
-    reg.registerFunction(
-      FunctionIdentifier("word_gram_hashes"),
-      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
-      (children: Seq[Expression]) => {
-        def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-        WordGramHashes(children(0), asInt(children(1)))
-      })
+    defs.foreach { case (id, info, builder) => reg.registerFunction(id, info, builder) }
   }
 
   /** Membership predicate for a concrete bloom sketch, built directly

@@ -35,4 +35,46 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol)))).as("span_secs"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
+
+  /**
+   * Top-K session paths (behavioral flow mining): each session's first
+   * `maxSteps` event types joined "a>b>c", counted corpus-wide, top-K
+   * by (count desc, path asc) with a deterministic rank.
+   *
+   * Scale shape: the session window and the per-session collect share
+   * ONE key-partitioned shuffle (the agg reuses the window's
+   * partitioning); the collect is order-pinned row-locally
+   * (sort_array over (ts, tiebreak, type) structs — never the
+   * nondeterministic collect_list order) and HARD-BOUNDED by
+   * `maxCollectPerSession` pre-cap on the same partitioning (the
+   * funnel maxEventsPerKey stance: earliest events win, exact
+   * whenever a session is under the cap — and a path only ever uses
+   * the first `maxSteps` anyway, but the cap keeps a robot session
+   * from OOMing the collect). Path counting is map-side combined;
+   * top-K is a TakeOrderedAndProject.
+   */
+  def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, gapSeconds: Long, maxSteps: Int,
+                   topK: Int, tiebreak: Seq[String] = Seq.empty,
+                   maxCollectPerSession: Int = 10000): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "maxSteps and topK must be positive")
+    val sess = sessionize(df, keyCol, tsCol, gapSeconds, tiebreak)
+    val wcap = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy((col(tsCol) +: tiebreak.map(col) :+ col(typeCol)): _*)
+    val orderKey = struct((col(tsCol) +: tiebreak.map(col) :+ col(typeCol)): _*)
+    val path = array_join(
+      slice(transform(sort_array(collect_list(struct(orderKey.as("o"), col(typeCol).as("t")))),
+        e => e.getField("t")), 1, maxSteps), ">")
+    sess
+      .withColumn("_rn", row_number().over(wcap))
+      .filter(col("_rn") <= maxCollectPerSession)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("n_sessions"), lit(1)))
+          .orderBy(col("n_sessions").desc, col("path"))))
+  }
 }

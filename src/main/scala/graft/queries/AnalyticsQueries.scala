@@ -301,6 +301,31 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM y GROUP BY user_id, session_idx""")),
 
+    // Top session paths (behavioral flow mining): first-5-steps path
+    // per gap session, corpus-wide top-50 with deterministic rank.
+    Q("q_session_paths",
+      (s, dir) => graft.ops.Sessions.sessionPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 3600, maxSteps = 5,
+        topK = 50, tiebreak = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+               THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, event_id, ts, event_type,
+          CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM x),
+        p AS (SELECT user_id, session_idx,
+            array_to_string(list_slice(
+              list(event_type ORDER BY ts, event_id, event_type), 1, 5), '>') AS path
+          FROM y GROUP BY 1, 2),
+        c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+          ORDER BY n_sessions DESC, path LIMIT 50)
+        SELECT path, n_sessions,
+          CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
+        FROM c""")),
+
     // Salted two-phase aggregation (hot-key mitigation; same result as
     // a direct group-by, so the oracle is the direct form).
     Q("q_skew_salted_agg",

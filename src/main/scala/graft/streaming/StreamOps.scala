@@ -104,6 +104,37 @@ object StreamOps {
       }
   }
 
+  case class TransitionOut(user_id: Long, prev_type: String, next_type: String)
+
+  /**
+   * Streaming face of [[graft.ops.Funnels.eventTransitions]]: per-key
+   * state is ONLY the last seen (ts, type) — each batch sorts its own
+   * events (same (ts, type) order as the batch lag window), emits one
+   * row per observed transition, and the cross-batch boundary
+   * transition comes from the carried state. Late events that sort
+   * before the carried last-event are the batch operator's backfill
+   * boundary (documented, same stance as funnelStream). Downstream a
+   * `groupBy(prev_type, next_type).count()` in update mode is the
+   * live transition matrix; the emitted rows ARE the increments.
+   */
+  def transitionStream(events: Dataset[UserEvent]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[(Long, String)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          for (e <- sorted) {
+            last.foreach { case (_, pt) => out += TransitionOut(uid, pt, e.event_type) }
+            last = Some((e.ts.getTime, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming NEAR-dup dedup: the per-row native MinHash signature
    * ([[graft.expr.MinhashSigX64]] — row-local, no groupBy, so it works

@@ -60,6 +60,27 @@ class EventGraphSpec extends SparkTestBase {
     assert(out(3L) == (1L, 209729163L))
   }
 
+  test("sessionPaths: gap splits, step truncation, deterministic top-k rank") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:10:00")),
+      (1L, 3L, "c", ts("2024-01-01 12:00:00")), // > 1h gap: new session
+      (2L, 4L, "a", ts("2024-01-01 09:00:00")),
+      (2L, 5L, "b", ts("2024-01-01 09:05:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessions.sessionPaths(ev, "user_id", "ts", "event_type",
+      gapSeconds = 3600, maxSteps = 5, topK = 10, tiebreak = Seq("event_id"))
+    assertSameRecords(out, Seq(
+      Map("path" -> "a>b", "n_sessions" -> 2L, "rank" -> 1L),
+      Map("path" -> "c", "n_sessions" -> 1L, "rank" -> 2L)))
+    val truncated = Sessions.sessionPaths(ev, "user_id", "ts", "event_type",
+      gapSeconds = 3600, maxSteps = 1, topK = 10, tiebreak = Seq("event_id"))
+    assertSameRecords(truncated, Seq(
+      Map("path" -> "a", "n_sessions" -> 2L, "rank" -> 1L),
+      Map("path" -> "c", "n_sessions" -> 1L, "rank" -> 2L)))
+  }
+
   test("cooccurrenceLift: windows stay within docs; lift arithmetic exact") {
     import spark.implicits._
     // "a b a b": d1 pairs ab,ba,ab; d2 pairs aa,bb; "c" adds a token

@@ -230,6 +230,42 @@ class ScaleSpec extends SparkTestBase {
       s"step-type filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("eventTransitions: lag window + map-side-combined matrix agg, two exchanges") {
+    val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Funnels.eventTransitions(ev, "user_id", "ts", "event_type",
+        tiebreak = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    // exchange 1: the per-key lag window (event volume); exchanges 2-3
+    // (matrix agg + per-prev_type normalizing window) both move
+    // |types|^2 rows — partial-aggregated map-side, never event volume
+    assert(plan.split("Exchange").length - 1 == 3,
+      s"expected three exchanges in the transitions plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"matrix agg is not map-side combined:\n$plan")
+  }
+
+  test("rateAnomalies: daily pre-agg is the only event-volume exchange") {
+    val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Funnels.rateAnomalies(ev, "event_type", "ts")
+      .queryExecution.executedPlan.toString
+    // exchange 1: (type, day) count — map-side combined to calendar
+    // volume; exchange 2: the per-type stats window over types x days
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected two exchanges in the anomalies plan:\n$plan")
+  }
+
+  test("cooccurrenceLift: no token-volume shuffle keyed on doc id") {
+    val docs = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextAnalysis.cooccurrenceLift(docs, "text")
+      .queryExecution.executedPlan.toString
+    // pair generation is row-local word_grams windows — the plan must
+    // not contain a positional self-join keyed on the doc id
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"co-occurrence pair generation shuffles on doc_id:\n$plan")
+    assert(plan.contains("word_grams"),
+      s"expected the native word_grams windows in the plan:\n$plan")
+  }
+
   test("retention: one event-volume exchange, rest is row-local + tiny matrix agg") {
     import spark.implicits._
     val ev = (1L to 300L).map(i => (i % 25, new java.sql.Timestamp(i * 3600L * 1000)))

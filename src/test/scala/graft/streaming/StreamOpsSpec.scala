@@ -348,4 +348,27 @@ class StreamOpsSpec extends SparkTestBase {
       assert(graft.ops.CachedRelations.releaseAll() >= 1) // index released
     }
   }
+
+  test("transition stream carries the last event across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.transitionStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("transition_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 a->b (same-ts pair orders by type); u2 single event
+      mem.addData(
+        UserEvent(1, "b", 0, ts(1)), UserEvent(1, "a", 0, ts(1)),
+        UserEvent(2, "a", 0, ts(2)))
+      q.processAllAvailable()
+      // batch 2: u1 continues b->c (cross-batch via state); u2 a->a
+      mem.addData(UserEvent(1, "c", 0, ts(5)), UserEvent(2, "a", 0, ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("transition_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.toSet == Set((1L, "a", "b"), (1L, "b", "c"), (2L, "a", "a")))
+      assert(got.length == 3)
+    } finally q.stop()
+  }
 }
