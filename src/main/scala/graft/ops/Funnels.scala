@@ -140,6 +140,42 @@ object Funnels {
   }
 
   /**
+   * Marketing-touch attribution: each conversion event's value is
+   * credited to the LAST (or FIRST) touch-typed event strictly before
+   * it in the key's (ts, tiebreak) order; conversions with no prior
+   * touch land in the 'none' channel. Output: per-channel conversion
+   * count + decimal-exact attributed value.
+   *
+   * Scale shape: the isin(touch ∪ conversion) filter reaches the scan
+   * (only those rows can matter), then ONE event-volume shuffle — the
+   * per-key window whose running first/last(ignoreNulls) carries the
+   * touch forward; the closing aggregate is |channels| rows. The
+   * rows-preceding frame (not range) makes same-timestamp ordering
+   * the tiebreak's decision, deterministically.
+   */
+  def attribution(df: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, valueCol: String,
+                  conversionType: String, touchTypes: Seq[String],
+                  tiebreak: Seq[String], firstTouch: Boolean = false): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy((col(tsCol) +: tiebreak.map(col)): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    val carried = if (firstTouch) first(touch, ignoreNulls = true).over(w)
+                  else last(touch, ignoreNulls = true).over(w)
+    df.filter(col(typeCol).isin((touchTypes :+ conversionType): _*))
+      .select(col(keyCol) +: col(tsCol) +: col(typeCol) +: col(valueCol) +: tiebreak.map(col): _*)
+      .withColumn("_ch", carried)
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("_ch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("attributed_value"))
+  }
+
+  /**
    * Cohort retention matrix: keys grouped by first-active day; for
    * each (cohort_day, day_offset <= maxOffsetDays) the number of
    * cohort keys active on that day. `cohort_day` is formatted

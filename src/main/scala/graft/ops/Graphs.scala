@@ -59,4 +59,58 @@ object Graphs {
     }
     pr.select(col("node"), col("deg"), col("pr").as("pr_ppb"))
   }
+
+  /**
+   * Per-node triangle counts over an UNDIRECTED edge set (local
+   * clustering signal on the near-dup graph: a node whose neighbors
+   * are also mutual near-dups sits inside a dense duplicate cluster,
+   * not a chain of borderline pairs). Output: one row per node that
+   * closes at least one triangle, with its triangle count.
+   *
+   * Scale shape: the classic degree-ordered orientation — each edge
+   * points from its lower-(degree, id) endpoint to the higher one, so
+   * every wedge is enumerated exactly once FROM its lowest-degree
+   * corner. Out-degree under this order is O(sqrt(m)) for any node
+   * regardless of skew (a 10^6-degree hub contributes wedges only via
+   * its rare lower-degree neighbors), giving the standard O(m^1.5)
+   * wedge bound instead of sum(deg^2) — the difference between a
+   * celebrity node producing 10^12 wedges and 10^6. Data movement:
+   * one degree aggregation + two edge-volume joins (wedge build,
+   * wedge close); the triangle relation itself is the only other
+   * shuffle input and is at most the wedge count. The closing
+   * per-node count is a map-side-combined explode of 3 ids per
+   * triangle. Orientation changes WHICH joins run, never the result:
+   * the triangle set is orientation-independent, which is what makes
+   * the simple a<b oracle formulation comparable.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set (a < b), self-loops dropped
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by the total order pi(v) = (deg(v), v); carry pi of the
+    // head so the wedge join can order its two heads without a third
+    // degree lookup
+    val pa = struct(col("da").as("d"), col("a").as("n"))
+    val pb = struct(col("db").as("d"), col("b").as("n"))
+    val dir = canon
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(pa < pb, col("a")).otherwise(col("b")).as("u"),
+        when(pa < pb, pb).otherwise(pa).as("pv"))
+      .select(col("u"), col("pv").getField("n").as("v"), col("pv"))
+    val wedges = dir.select(col("u"), col("v").as("x"), col("pv").as("px"))
+      .join(dir.select(col("u"), col("v").as("y"), col("pv").as("py")), "u")
+      .filter(col("px") < col("py"))
+    val tris = wedges
+      .join(dir.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "leftsemi")
+      .select(col("u"), col("x"), col("y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -273,6 +273,63 @@ object TextAnalysis {
   }
 
   /**
+   * Exact heavy hitters via per-partition Misra-Gries: every token
+   * whose EXACT global count c satisfies c * kInv > n_total, with its
+   * count and integral-micro corpus share. Two-phase shape:
+   *
+   *  1. Candidate scan — each partition streams its tokens through a
+   *     Misra-Gries summary with `kInv` counters (decrement-all on
+   *     overflow, O(kInv) amortized). A token missed by EVERY
+   *     partition has per-partition count <= n_p/(kInv+1), so its
+   *     global count is <= n_total/(kInv+1) < n_total/kInv — the
+   *     candidate union is a PROVABLE superset of the output set, and
+   *     the final exact filter makes the result deterministic (the
+   *     candidate set itself varies with partitioning; the output
+   *     never does — which is what lets a sketch-built query be
+   *     hash-oracled exactly).
+   *  2. Exact count — tokens semi-joined against the broadcast
+   *     candidate relation (<= partitions * kInv rows, never
+   *     collected to the driver), then ONE map-side-combined count
+   *     shuffle that carries ONLY candidate-matched tokens.
+   *
+   * At 100 TB this replaces the full-vocabulary count shuffle (every
+   * distinct token crosses the wire) with three linear scans plus a
+   * shuffle bounded by the candidate set — the standard sketch-then-
+   * verify shape. The three tokenization passes are recomputed, not
+   * persisted (linear scans; the bm25/tfidf recompute-vs-persist
+   * measurement applies).
+   */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   kInv: Int): org.apache.spark.sql.DataFrame = {
+    require(kInv >= 2, "kInv must be >= 2")
+    val sp = df.sparkSession
+    import sp.implicits._
+    def tok = df.select(explode(tokens(col(textCol))).as("tok"))
+    val cands = tok.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < kInv => counters(t) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counters(k) = c - 1 }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cands), Seq("tok"), "leftsemi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      .join(broadcast(total))
+      .filter(col("n_tok") * lit(kInv.toLong) > col("n_total"))
+      .select(col("tok"), col("n_tok"),
+        expr("n_tok * CAST(1000000 AS BIGINT) div n_total").as("share_micro"))
+  }
+
+  /**
    * PII redaction: emails, dotted/dashed phone numbers, SSN-shaped
    * ids → placeholder tokens. Patterns stay inside the
    * RE2 ∩ java.util.regex common subset (no lookarounds, no

@@ -388,6 +388,23 @@ object AnalyticsQueries {
         FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)""")),
 
+    // Last-touch attribution: each purchase's value credited to the
+    // most recent click/view strictly before it in the user's
+    // (ts, event_id) order; no prior touch -> the 'none' channel.
+    Q("q_attribution",
+      (s, dir) => graft.ops.Funnels.attribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "value",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        tiebreak = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, ts, event_id, event_type, value,
+          last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+            IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM events WHERE event_type IN ('click', 'view', 'purchase'))
+        SELECT COALESCE(touch, 'none') AS channel, COUNT(*) AS n_conversions,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        FROM x WHERE event_type = 'purchase' GROUP BY 1""")),
+
     // Cohort retention: first-active-day cohorts x day offset. The
     // distinct (user, day) collapse is the only event-volume shuffle.
     Q("q_retention",
@@ -481,5 +498,27 @@ object AnalyticsQueries {
         event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""")),
+
+    // Hopping (sliding) window aggregation: 1-day windows every 6
+    // hours — each event lands in exactly size/slide = 4 windows
+    // (epoch-aligned, same as Structured Streaming's sliding window()
+    // operator; StreamOps.windowedCounts is the streaming face). The
+    // 4x row expansion happens row-locally BEFORE the one
+    // map-side-combined agg shuffle; the oracle builds the same four
+    // aligned starts per event with a generate_series cross join.
+    Q("q_window_hopping",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT strftime(make_timestamp(
+            ((CAST(floor(epoch(ts)) AS BIGINT) // 21600 - i) * 21600) * 1000000),
+            '%Y-%m-%d %H:%M') AS win_start,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+        GROUP BY 1, 2""")),
   )
 }

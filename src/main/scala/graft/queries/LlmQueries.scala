@@ -511,6 +511,22 @@ object LlmQueries {
         t(s, dir, "documents"), "text", topK = 1000),
       Some(LlmOracles.vocab)),
 
+    // Exact heavy hitters (tokens over a 1/64 corpus share) via
+    // per-partition Misra-Gries candidates + an exact recount of the
+    // candidate-filtered stream. The sketch only ever prunes work:
+    // the output is the exact threshold set, so it hash-oracles
+    // against the full-count SQL despite the approximate first pass.
+    Q("q_llm_heavy_hitters",
+      (s, dir) => graft.ops.TextAnalysis.heavyHitters(
+        t(s, dir, "documents"), "text", kInv = 64),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        c AS (SELECT tok, COUNT(*) AS n_tok FROM tok GROUP BY 1)
+        SELECT tok, n_tok,
+          CAST(n_tok * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS share_micro
+        FROM c WHERE n_tok * 64 > (SELECT n_total FROM tot)""")),
+
     // PII redaction. The corpus is synthetic, so deterministic PII is
     // APPENDED per doc (an email, a dotted phone, an SSN shape) and
     // must come back redacted — the oracle builds the same string and
@@ -891,6 +907,29 @@ object LlmQueries {
               + (8500 * COALESCE(s3.sc, 0)) // 10000 AS pr
           FROM deg d LEFT JOIN s3 ON d.node = s3.node)
         SELECT node, deg, pr AS pr_ppb FROM p3""")),
+
+    // Per-node triangle counts over the exact cosine near-dup graph
+    // (dense-cluster triage: triangles separate genuine duplicate
+    // cliques from chains of borderline pairs). Production path is
+    // degree-ordered wedge enumeration; the triangle SET is
+    // orientation-independent, so the oracle's simple a<b self-join
+    // form compares exactly.
+    Q("q_llm_triangles",
+      (s, dir) => graft.ops.Graphs.triangleCounts(
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3).select(col("id_a"), col("id_b")),
+        "id_a", "id_b"),
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e0 a CROSS JOIN e0 b WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+        t AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+          FROM e e1 JOIN e e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+          JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+        n AS (SELECT x AS node FROM t
+          UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY 1""")),
 
     // Gopher-style heuristic quality rules (row-local; ratios are
     // single IEEE divides of integer counts -> identical verdicts in

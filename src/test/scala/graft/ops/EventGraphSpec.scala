@@ -81,6 +81,17 @@ class EventGraphSpec extends SparkTestBase {
       Map("path" -> "c", "n_sessions" -> 1L, "rank" -> 2L)))
   }
 
+  test("triangleCounts: two triangles sharing a node; dup/reversed edges collapse") {
+    import spark.implicits._
+    // bowtie: {1,2,3} and {3,4,5} share node 3; (5,6) closes nothing;
+    // (2,1) duplicates (1,2) reversed and must not double-count
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L), (2L, 1L)).toDF("a", "b")
+    val out = Graphs.triangleCounts(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("cooccurrenceLift: windows stay within docs; lift arithmetic exact") {
     import spark.implicits._
     // "a b a b": d1 pairs ab,ba,ab; d2 pairs aa,bb; "c" adds a token

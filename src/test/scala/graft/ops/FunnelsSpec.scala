@@ -9,6 +9,36 @@ class FunnelsSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("attribution: last vs first touch, strictly-before, none channel, same-ts tiebreak") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, ts("2024-01-01 10:00:00")),
+      (1L, 2L, "view", 0.0, ts("2024-01-01 10:05:00")),
+      (1L, 3L, "purchase", 10.0, ts("2024-01-01 10:10:00")),
+      // the earlier purchase is not a touch: view still carries
+      (1L, 4L, "purchase", 5.0, ts("2024-01-01 10:20:00")),
+      // u2: conversion with no prior touch -> 'none'
+      (2L, 5L, "purchase", 7.0, ts("2024-01-01 11:00:00")),
+      // u3: click at the SAME ts as the purchase but a lower event_id
+      // is one row preceding under the tiebreak -> credited
+      (3L, 6L, "click", 0.0, ts("2024-01-01 12:00:00")),
+      (3L, 7L, "purchase", 3.0, ts("2024-01-01 12:00:00")),
+      // noise type never enters the window
+      (1L, 8L, "error", 99.0, ts("2024-01-01 10:07:00"))
+    ).toDF("user_id", "event_id", "event_type", "value", "ts")
+    val last = Funnels.attribution(ev, "user_id", "ts", "event_type", "value",
+      "purchase", Seq("click", "view"), tiebreak = Seq("event_id"))
+    assertSameRecords(last, Seq(
+      Map("channel" -> "view", "n_conversions" -> 2L, "attributed_value" -> 15.0),
+      Map("channel" -> "none", "n_conversions" -> 1L, "attributed_value" -> 7.0),
+      Map("channel" -> "click", "n_conversions" -> 1L, "attributed_value" -> 3.0)))
+    val first = Funnels.attribution(ev, "user_id", "ts", "event_type", "value",
+      "purchase", Seq("click", "view"), tiebreak = Seq("event_id"), firstTouch = true)
+    assertSameRecords(first, Seq(
+      Map("channel" -> "click", "n_conversions" -> 3L, "attributed_value" -> 18.0),
+      Map("channel" -> "none", "n_conversions" -> 1L, "attributed_value" -> 7.0)))
+  }
+
   test("funnel: strict ordering, partial completion, step-typed-only keys") {
     import spark.implicits._
     val ev = Seq(

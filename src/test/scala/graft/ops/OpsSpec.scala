@@ -234,6 +234,28 @@ class OpsSpec extends SparkTestBase {
     assert(Multimodal.decodeWav("not audio at all".getBytes) == None)
   }
 
+  test("heavyHitters: exact threshold set, partitioning-independent, MG decrement path") {
+    import spark.implicits._
+    // counts: a=11 b=2 c=1 d=1, total 15
+    val docs = Seq("a a a a b", "a b c d", "a a a a a a").toDF("text")
+    // kInv=4: only a (11*4 > 15); result identical however the sketch
+    // pass is partitioned
+    for (p <- Seq(1, 4)) {
+      assertSameRecords(
+        TextAnalysis.heavyHitters(docs.repartition(p), "text", kInv = 4),
+        Seq(Map("tok" -> "a", "n_tok" -> 11L, "share_micro" -> 733333L)))
+    }
+    // kInv=8 admits b too (2*8 > 15)
+    assertSameRecords(TextAnalysis.heavyHitters(docs, "text", kInv = 8), Seq(
+      Map("tok" -> "a", "n_tok" -> 11L, "share_micro" -> 733333L),
+      Map("tok" -> "b", "n_tok" -> 2L, "share_micro" -> 133333L)))
+    // 4 distinct tokens through 2 MG slots in one partition forces the
+    // decrement-all path; the exact recount still lands on a alone
+    val skew = Seq("a a a b c d a a").toDF("text").repartition(1)
+    assertSameRecords(TextAnalysis.heavyHitters(skew, "text", kInv = 2),
+      Seq(Map("tok" -> "a", "n_tok" -> 5L, "share_micro" -> 625000L)))
+  }
+
   test("redactPii masks emails, phones, SSN shapes; leaves clean text alone") {
     import spark.implicits._
     val got = Seq(

@@ -217,6 +217,40 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == Map((1L, "hot") -> 90L, (2L, "cold") -> 10L))
   }
 
+  test("attribution: one event-volume exchange, touch+conversion filter pushed to the scan") {
+    val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Funnels.attribution(ev, "user_id", "ts", "event_type", "value",
+        "purchase", Seq("click", "view"), tiebreak = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    // exchange 1: the per-key carry window (event volume); exchange 2:
+    // the closing per-channel aggregate (|channels| rows)
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected two exchanges in the attribution plan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"touch/conversion filter not pushed to the parquet scan:\n$plan")
+  }
+
+  test("triangleCounts: no cartesian wedge enumeration, joins keyed on nodes") {
+    import spark.implicits._
+    val edges = (1L to 200L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .toDF("a", "b")
+    val plan = Graphs.triangleCounts(edges, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge enumeration degenerated to a cartesian product:\n$plan")
+  }
+
+  test("heavyHitters: exact count runs behind a broadcast candidate semi-join") {
+    val docs = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextAnalysis.heavyHitters(docs, "text", kInv = 64)
+      .queryExecution.executedPlan.toString
+    // the full-vocabulary shuffle is replaced by: a broadcast LeftSemi
+    // against the MG candidate relation, then the count aggregate over
+    // candidate-matched tokens only
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"),
+      s"candidate filter is not a broadcast semi-join:\n$plan")
+  }
+
   test("funnel: exactly one exchange (the per-key fold), step filter pushed to the scan") {
     val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
     val plan = Funnels.funnel(ev, "user_id", "ts", "event_type",

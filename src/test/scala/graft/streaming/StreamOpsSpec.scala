@@ -31,6 +31,25 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to size/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.windowedCounts(mem.toDF(), "ts", "value",
+      "10 minutes", slide = Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("hop_counts")
+      .outputMode("update").start()
+    try {
+      // one event at 10:04 -> windows [09:55,10:05) and [10:00,10:10)
+      mem.addData(UserEvent(1, "click", 2.0, ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("hop_counts").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[Long]("n")))
+        .toSet
+      assert(rows == Set(("2024-01-01 09:55:00.0", 1L), ("2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated keys") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
