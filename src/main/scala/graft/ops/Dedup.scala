@@ -799,4 +799,51 @@ object Dedup {
       .select(col("source_lo"), col("source_hi"), col("n_dup_pairs"),
         col("max_pairs"), col("dup_rate_micro"))
   }
+
+  /**
+   * Edit-distance-1 near-dup pairs (typo/variant dedup on short keys:
+   * names, titles, urls) via FastSS deletion-variant blocking
+   * (Bocek 2007): two strings are within Levenshtein distance 1 IFF
+   * they share a member of {s} ∪ {s minus one char} — substitution
+   * deletes the differing position from both, insertion/deletion
+   * deletes the extra char, equality shares s itself. So blocking is
+   * EXACT for d=1, not a recall tradeoff: candidates sharing a hashed
+   * variant bucket are verified with one real levenshtein call and
+   * nothing outside a shared bucket can qualify.
+   *
+   * Scale shape: ~len+1 variants per string, each an 8-byte xxhash64
+   * before the exchange (variant STRINGS never ride it; the short
+   * source string does, making bucket rows ~(8B + key + string)); ONE
+   * bucket shuffle + per-bucket pairing, pair-distinct, then the
+   * levenshtein verify runs only on candidates. `maxBucketSize` is a
+   * skew valve (a variant shared by >size strings — a near-constant
+   * key column — is dropped with its pairs); at its default the
+   * result is exactly the brute-force O(n²) pair set, which is what
+   * the oracle computes.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    val s = col("_eds")
+    val del = transform(sequence(lit(1), length(s)), i =>
+      xxhash64(concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+    val variants = array_distinct(concat(array(xxhash64(s)),
+      when(length(s) > 0, del).otherwise(array().cast("array<bigint>"))))
+    val bucketed = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("_eds"))
+      .filter(s.isNotNull)
+      .select(col("id"), s, explode(variants).as("bucket"))
+    val buckets = bucketed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("_eds").as("s"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets.select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("_sa"), col("b.s").as("_sb"))
+      .distinct() // a pair can share several variant buckets
+      .filter(levenshtein(col("_sa"), col("_sb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_sa"), col("_sb")).as("dist"))
+  }
 }

@@ -140,6 +140,36 @@ object Funnels {
   }
 
   /**
+   * Time-to-convert statistics per consecutive funnel step pair:
+   * completions, mean latency in integral micros of a second
+   * (`sum * 1e6 div n` — order-independent integer math, exact
+   * cross-engine), min and max seconds. Built ON the funnel output,
+   * so it inherits funnel's one-shuffle shape; the per-pair explode
+   * and the closing (steps-1)-row aggregate are free by comparison.
+   * Latencies are floor-of-epoch second diffs (strictly-after
+   * semantics makes them non-negative); step pairs nobody completed
+   * are absent from the output.
+   */
+  def funnelLatency(df: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    maxEventsPerKey: Int = 1000000): DataFrame = {
+    require(steps.length >= 2, "funnelLatency needs at least two steps")
+    val f = funnel(df, keyCol, tsCol, typeCol, steps, maxEventsPerKey)
+    val lat = explode(array(steps.zip(steps.tail).map { case (a, b) =>
+      struct(lit(a).as("f"), lit(b).as("t"),
+        (unix_timestamp(col(s"${b}_ts")) - unix_timestamp(col(s"${a}_ts"))).as("secs"))
+    }: _*)).as("p")
+    f.select(lat)
+      .select(col("p.f").as("step_from"), col("p.t").as("step_to"),
+        col("p.secs").as("secs"))
+      .filter(col("secs").isNotNull)
+      .groupBy(col("step_from"), col("step_to"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("sum(secs) * CAST(1000000 AS BIGINT) div count(1)").as("mean_secs_micro"),
+        min(col("secs")).as("min_secs"), max(col("secs")).as("max_secs"))
+  }
+
+  /**
    * Marketing-touch attribution: each conversion event's value is
    * credited to the LAST (or FIRST) touch-typed event strictly before
    * it in the key's (ts, tiebreak) order; conversions with no prior

@@ -388,6 +388,51 @@ object AnalyticsQueries {
         FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)""")),
 
+    // Step-to-step conversion latency over the same 3-step funnel:
+    // integral-micro mean + min/max seconds per consecutive pair.
+    Q("q_funnel_latency",
+      (s, dir) => graft.ops.Funnels.funnelLatency(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        f AS (SELECT s1.user_id, t1, t2, t3 FROM s1
+          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        lat AS (
+          SELECT 'view' AS step_from, 'click' AS step_to,
+            CAST(floor(epoch(t2)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) AS secs
+          FROM f WHERE t2 IS NOT NULL
+          UNION ALL
+          SELECT 'click', 'purchase',
+            CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t2)) AS BIGINT)
+          FROM f WHERE t3 IS NOT NULL)
+        SELECT step_from, step_to, COUNT(*) AS n_converted,
+          CAST(SUM(secs) * 1000000 // COUNT(*) AS BIGINT) AS mean_secs_micro,
+          MIN(secs) AS min_secs, MAX(secs) AS max_secs
+        FROM lat GROUP BY 1, 2""")),
+
+    // JSON property extraction (events.props is a JSON string):
+    // typed get_json_object pull + per-type aggregate. Row-local
+    // parse before the one agg shuffle.
+    Q("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+          COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+          CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+          MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1""")),
+
     // Last-touch attribution: each purchase's value credited to the
     // most recent click/view strictly before it in the user's
     // (ts, event_id) order; no prior touch -> the 'none' channel.
@@ -404,6 +449,18 @@ object AnalyticsQueries {
         SELECT COALESCE(touch, 'none') AS channel, COUNT(*) AS n_conversions,
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
         FROM x WHERE event_type = 'purchase' GROUP BY 1""")),
+
+    // Edit-distance-1 near-dup pairs on customer names (entity
+    // resolution / typo-variant matching) via FastSS deletion-variant
+    // blocking — exact for d=1, so the brute-force O(n²) levenshtein
+    // oracle is the same pair set the blocked path produces.
+    Q("q_edit_pairs",
+      (s, dir) => graft.ops.Dedup.editDistancePairs(
+        t(s, dir, "customer"), "c_custkey", "c_name"),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1""")),
 
     // Cohort retention: first-active-day cohorts x day offset. The
     // distinct (user, day) collapse is the only event-volume shuffle.

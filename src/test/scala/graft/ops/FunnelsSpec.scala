@@ -9,6 +9,26 @@ class FunnelsSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("funnelLatency: integral-micro means per step pair; incomplete steps drop out") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 09:45:00")),
+      // u3 views only: contributes to neither pair
+      (3L, "view", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnels.funnelLatency(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    assertSameRecords(out, Seq(
+      Map("step_from" -> "view", "step_to" -> "click", "n_converted" -> 2L,
+        "mean_secs_micro" -> 600000000L, "min_secs" -> 300L, "max_secs" -> 900L),
+      Map("step_from" -> "click", "step_to" -> "purchase", "n_converted" -> 1L,
+        "mean_secs_micro" -> 300000000L, "min_secs" -> 300L, "max_secs" -> 300L)))
+  }
+
   test("attribution: last vs first touch, strictly-before, none channel, same-ts tiebreak") {
     import spark.implicits._
     val ev = Seq(

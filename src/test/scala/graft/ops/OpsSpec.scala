@@ -234,6 +234,16 @@ class OpsSpec extends SparkTestBase {
     assert(Multimodal.decodeWav("not audio at all".getBytes) == None)
   }
 
+  test("editDistancePairs: substitution/deletion/exact-dup pairs; d>1 excluded; empty string") {
+    import spark.implicits._
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
+      (5L, "abc"), (7L, ""), (8L, "a")).toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0), (2L, 3L, 1),
+      (2L, 5L, 1), (3L, 5L, 1), (3L, 8L, 1), (7L, 8L, 1)))
+  }
+
   test("heavyHitters: exact threshold set, partitioning-independent, MG decrement path") {
     import spark.implicits._
     // counts: a=11 b=2 c=1 d=1, total 15
