@@ -55,6 +55,56 @@ object AnalyticsQueries {
         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         FROM events""")),
 
+    // Trailing-hour RANGE-frame window per user (the rows-frame
+    // running sum above can't express "last 60 minutes"): peers are
+    // chosen by ORDER-BY value distance, so same-second events are
+    // frame peers identically in both engines. Decimal-exact sum.
+    Q("q_window_range_trailing",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+          .rangeBetween(-3600, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+          COUNT(*) OVER w AS n_1h,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        FROM (SELECT event_id, user_id, value,
+            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    // Relational set difference (EXCEPT = distinct set semantics,
+    // complementing the anti-join formulation of q_anti_join):
+    // high-balance customers outside the automobile segment.
+    Q("q_set_except",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("key"))
+          .except(c.filter(col("c_mktsegment") === "AUTOMOBILE")
+            .select(col("c_custkey").as("key")))
+      },
+      Some("""SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        EXCEPT SELECT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE'""")),
+
+    // Unpivot/melt: lineitem's four measure columns to long format
+    // (row-local — the inverse of the pivot above, no shuffle at all).
+    Q("q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""")),
+
     // lag/lead/rank with deterministic tiebreaks.
     Q("q_window_lag_rank",
       (s, dir) => {

@@ -135,6 +135,39 @@ object StreamOps {
       }
   }
 
+  case class AttributionOut(user_id: Long, channel: String, value: Double)
+
+  /**
+   * Streaming face of [[graft.ops.Funnels.attribution]]: per-key state
+   * is ONLY the last touch-typed event's type — each batch sorts its
+   * own events (same (ts, type) order stance as [[transitionStream]]),
+   * touches update the carried channel, conversions emit one
+   * (channel, value) credit row ('none' before any touch). Downstream
+   * a `groupBy(channel).agg(sum)` in update mode is the live
+   * attribution report; the emitted rows ARE the increments. Late
+   * touches that sort before an already-credited conversion are the
+   * batch operator's backfill boundary.
+   */
+  def attributionStream(events: Dataset[UserEvent], conversionType: String,
+                        touchTypes: Set[String]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[String]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+          for (e <- sorted) {
+            if (touchTypes(e.event_type)) touch = Some(e.event_type)
+            else if (e.event_type == conversionType)
+              out += AttributionOut(uid, touch.getOrElse("none"), e.value)
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming NEAR-dup dedup: the per-row native MinHash signature
    * ([[graft.expr.MinhashSigX64]] — row-local, no groupBy, so it works

@@ -368,6 +368,31 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("attribution stream credits conversions to the carried touch across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.attributionStream(mem.toDS(), "purchase", Set("click", "view"))
+    val q = out.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 click then purchase; u2 converts with no touch
+      mem.addData(
+        UserEvent(1, "click", 0.0, ts(1)), UserEvent(1, "purchase", 10.0, ts(2)),
+        UserEvent(2, "purchase", 7.0, ts(3)))
+      q.processAllAvailable()
+      // batch 2: u1's click state carries into the next conversion;
+      // a view afterwards retargets the one after that
+      mem.addData(UserEvent(1, "purchase", 5.0, ts(5)),
+        UserEvent(1, "view", 0.0, ts(6)), UserEvent(1, "purchase", 3.0, ts(7)))
+      q.processAllAvailable()
+      val got = spark.table("attr_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "click", 10.0), (2L, "none", 7.0),
+        (1L, "click", 5.0), (1L, "view", 3.0)))
+    } finally q.stop()
+  }
+
   test("transition stream carries the last event across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
