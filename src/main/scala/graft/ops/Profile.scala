@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality profiling (the "know your table before you pipeline
+ * it" report the reference's schema-driven configs assume a human
+ * already did): per-column row/null/distinct counts and string-cast
+ * min/max in ONE long-format relation.
+ */
+object Profile {
+
+  /**
+   * Profile the given columns: one output row per column with
+   * n_rows, n_null, n_distinct (nulls excluded), and lexicographic
+   * min/max of the string cast. Values are compared AS STRINGS so the
+   * report schema is column-type-independent — callers profiling
+   * float columns should expect engine-specific float formatting and
+   * keep those out of cross-engine comparisons (integer and string
+   * casts are portable).
+   *
+   * Scale shape: a row-local stack (|cols| × n rows of (name, value))
+   * then one count-distinct aggregate keyed by column name. With
+   * `approx = true` the distinct count is a one-pass HLL sketch
+   * (approx_count_distinct) — the 100 TB default, since an exact
+   * per-column distinct expands rows again for the distinct
+   * aggregation; exact is the oracle path.
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    val distinctAgg =
+      if (approx) approx_count_distinct(col("v")).as("n_distinct")
+      else countDistinct(col("v")).as("n_distinct")
+    stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      distinctAgg,
+      min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+  }
+}

@@ -273,6 +273,59 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source distribution drift: the chi-square statistic of each
+   * source's unigram distribution against the whole corpus, in
+   * integral micros — corpus-mix monitoring (a source whose token
+   * distribution walks away from the corpus is changing register,
+   * language, or contamination profile). Expected counts are
+   * e_st = n_s·c_t/N in integral micros; observed cells contribute
+   * (c·1e6 − e_micro)²/(e_micro·1e6), and the zero-cell mass — every
+   * (source, token) the source never emitted — is added in closed
+   * form as n_s·1e6 − Σ_observed e_micro (Σ_all e_st = n_s exactly),
+   * so the statistic is the FULL chi-square without materializing the
+   * source × vocabulary grid. Integral division throughout — both
+   * engines compute bit-identical sums. Squares live in
+   * DECIMAL(38,0): exact to c_st·1e6 ~ 1e19 per cell (the
+   * rateAnomalies stance; a plain Int64 wraps at 9.2e18 silently).
+   *
+   * Scale shape: ONE token-volume shuffle (the (source, token) count,
+   * map-side combined); the per-source/per-token/global totals are
+   * windows over the sources × vocabulary relation — tiny. This is a
+   * drift SIGNAL ranking sources, not a calibrated test (no df
+   * correction).
+   */
+  def chiSquareDrift(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ws = Window.partitionBy(col("source"))
+    val wt = Window.partitionBy(col("tok"))
+    val wg = Window.partitionBy(pmod(col("c_st"), lit(1)))
+    st.withColumn("n_s", sum(col("c_st")).over(ws))
+      .withColumn("c_t", sum(col("c_st")).over(wt))
+      .withColumn("n_total", sum(col("c_st")).over(wg))
+      // (c·1e6 − e_micro)² div e_micro = 1e6·(c−E)²/E — micros, since
+      // the squared micros cancel one 1e6 against the micro divisor.
+      // `div` is integral on decimals and returns BIGINT; exact while
+      // the term quotient stays under 9.2e18 — c_st² ·1e12 over its
+      // expectation, comfortable whenever a source holds ≥ ~1e-6 of
+      // the corpus; a pathological cell against the e=1 floor bounds
+      // c_st at ~3e3 (rescale micros to millis past that).
+      .withColumn("e_micro",
+        greatest(expr("CAST(n_s AS DECIMAL(38,0)) * c_t * 1000000 div n_total"), lit(1L)))
+      .withColumn("term_micro", expr(
+        """(CAST(c_st AS DECIMAL(38,0)) * 1000000 - e_micro)
+           * (CAST(c_st AS DECIMAL(38,0)) * 1000000 - e_micro)
+           div CAST(e_micro AS DECIMAL(38,0))"""))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        (sum(col("term_micro")) +
+          (max(col("n_s")) * lit(1000000L) - sum(col("e_micro")))).as("chi2_micro"))
+  }
+
+  /**
    * Exact heavy hitters via per-partition Misra-Gries: every token
    * whose EXACT global count c satisfies c * kInv > n_total, with its
    * count and integral-micro corpus share. Two-phase shape:

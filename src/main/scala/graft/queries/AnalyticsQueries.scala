@@ -500,6 +500,23 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
         FROM x WHERE event_type = 'purchase' GROUP BY 1""")),
 
+    // Column profiling report (row/null/distinct counts + string-cast
+    // min/max) over customer's portable-cast columns — integers and
+    // strings only; float casts format engine-specifically.
+    Q("q_profile",
+      (s, dir) => graft.ops.Profile.profileColumns(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")),
+      Some("""SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(v) AS n_null, COUNT(DISTINCT v) AS n_distinct,
+          MIN(v) AS min_val, MAX(v) AS max_val
+        FROM (SELECT CAST(c_custkey AS VARCHAR) AS v FROM customer)
+        UNION ALL SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(v), COUNT(DISTINCT v), MIN(v), MAX(v)
+        FROM (SELECT CAST(c_name AS VARCHAR) AS v FROM customer)
+        UNION ALL SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(v), COUNT(DISTINCT v), MIN(v), MAX(v)
+        FROM (SELECT CAST(c_mktsegment AS VARCHAR) AS v FROM customer)
+        UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(v), COUNT(DISTINCT v), MIN(v), MAX(v)
+        FROM (SELECT CAST(c_nationkey AS VARCHAR) AS v FROM customer)""")),
+
     // Edit-distance-1 near-dup pairs on customer names (entity
     // resolution / typo-variant matching) via FastSS deletion-variant
     // blocking — exact for d=1, so the brute-force O(n²) levenshtein

@@ -511,6 +511,32 @@ object LlmQueries {
         t(s, dir, "documents"), "text", topK = 1000),
       Some(LlmOracles.vocab)),
 
+    // Per-source chi-square distribution drift vs the corpus unigram
+    // mix (integral micros; zero cells folded in closed form).
+    Q("q_llm_chi2_drift",
+      (s, dir) => graft.ops.TextAnalysis.chiSquareDrift(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""WITH st AS (SELECT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT source, tok, COUNT(*) AS c_st FROM st GROUP BY 1, 2),
+        w AS (SELECT source, tok, c_st,
+            SUM(c_st) OVER (PARTITION BY source) AS n_s,
+            SUM(c_st) OVER (PARTITION BY tok) AS c_t,
+            SUM(c_st) OVER () AS n_total
+          FROM c),
+        e AS (SELECT source, c_st, n_s,
+            greatest((CAST(n_s AS HUGEINT) * c_t * 1000000) // n_total, 1) AS e_micro
+          FROM w),
+        t AS (SELECT source, n_s, e_micro,
+            (CAST(c_st AS HUGEINT) * 1000000 - e_micro)
+              * (CAST(c_st AS HUGEINT) * 1000000 - e_micro)
+              // CAST(e_micro AS HUGEINT) AS term_micro
+          FROM e)
+        SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+          CAST(SUM(term_micro) + (MAX(n_s) * 1000000 - SUM(e_micro)) AS BIGINT) AS chi2_micro
+        FROM t GROUP BY 1""")),
+
     // Exact heavy hitters (tokens over a 1/64 corpus share) via
     // per-partition Misra-Gries candidates + an exact recount of the
     // candidate-filtered stream. The sketch only ever prunes work:

@@ -135,6 +135,33 @@ object StreamOps {
       }
   }
 
+  /**
+   * Watermarked STREAM-STREAM interval join (the streaming face of
+   * the batch range join `q_range_join`): left events matched to
+   * right events on the key with r.ts in [l.ts, l.ts + maxLag]. Both
+   * sides carry watermarks and the join condition bounds event-time
+   * distance, which is exactly what lets Spark expire buffered state:
+   * a left row older than (right watermark − maxLag) can never match
+   * again and is evicted. Column names must be disjoint (the caller
+   * renames); keyCols are the equi-join columns pairwise
+   * (leftKey, rightKey).
+   *
+   * Scale shape: state-store hash join partitioned by the key — the
+   * same single key shuffle per side a batch shuffle join costs, with
+   * state bounded by watermark + lag instead of table size.
+   */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         maxLagSeconds: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+  }
+
   case class AttributionOut(user_id: Long, channel: String, value: Double)
 
   /**

@@ -234,6 +234,33 @@ class OpsSpec extends SparkTestBase {
     assert(Multimodal.decodeWav("not audio at all".getBytes) == None)
   }
 
+  test("chiSquareDrift: closed-form three-source fixture with zero-cell mass") {
+    import spark.implicits._
+    // N=9, every e_micro = 1e6; A=(a:2,b:1): chi2 = 1 + 0 + zero-cell(c)=1
+    // -> 2.0; C=(c:3): (3-1)^2/1 + zero(a) + zero(b) = 6.0
+    val docs = Seq(("A", "a a b"), ("B", "a b b"), ("C", "c c c"))
+      .toDF("source", "text")
+    val out = TextAnalysis.chiSquareDrift(docs, "source", "text")
+    assertSameRecords(out, Seq(
+      Map("source" -> "A", "n_tokens" -> 3L, "chi2_micro" -> 2000000L),
+      Map("source" -> "B", "n_tokens" -> 3L, "chi2_micro" -> 2000000L),
+      Map("source" -> "C", "n_tokens" -> 3L, "chi2_micro" -> 6000000L)))
+  }
+
+  test("profileColumns: nulls, distincts, string-cast min/max; approx path sane") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")), (4L, Some("x")))
+      .toDF("id", "s")
+    val out = Profile.profileColumns(df, Seq("id", "s"))
+    assertSameRecords(out, Seq(
+      Map("col_name" -> "id", "n_rows" -> 4L, "n_null" -> 0L, "n_distinct" -> 4L,
+        "min_val" -> "1", "max_val" -> "4"),
+      Map("col_name" -> "s", "n_rows" -> 4L, "n_null" -> 1L, "n_distinct" -> 2L,
+        "min_val" -> "x", "max_val" -> "y")))
+    val approx = Profile.profileColumns(df, Seq("s"), approx = true).collect()(0)
+    assert(approx.getAs[Long]("n_rows") == 4L && approx.getAs[Long]("n_null") == 1L)
+  }
+
   test("editDistancePairs: substitution/deletion/exact-dup pairs; d>1 excluded; empty string") {
     import spark.implicits._
     val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),

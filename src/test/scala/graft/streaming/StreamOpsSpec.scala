@@ -368,6 +368,32 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches within the lag across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[UserEvent]
+    val buys = MemoryStream[UserEvent]
+    val out = StreamOps.intervalJoinStream(
+      clicks.toDF().selectExpr("user_id AS l_uid", "ts AS l_ts"),
+      buys.toDF().selectExpr("user_id AS r_uid", "ts AS r_ts"),
+      "l_uid", "r_uid", "l_ts", "r_ts", maxLagSeconds = 600)
+    val q = out.writeStream.format("memory").queryName("ivj_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — buffered in the join state store
+      clicks.addData(UserEvent(1, "click", 0.0, ts(1)), UserEvent(2, "click", 0.0, ts(2)))
+      q.processAllAvailable()
+      // batch 2: u1 buys inside the 10-min lag (matches the buffered
+      // click), u2 buys outside it, u3 buys with no click at all
+      buys.addData(UserEvent(1, "buy", 0.0, ts(5)),
+        UserEvent(2, "buy", 0.0, ts(20)), UserEvent(3, "buy", 0.0, ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("ivj_stream").collect()
+        .map(r => (r.getAs[Long]("l_uid"), r.getAs[Timestamp]("r_ts").toString))
+      assert(got.toSeq == Seq((1L, "2024-01-01 10:05:00.0")))
+    } finally q.stop()
+  }
+
   test("attribution stream credits conversions to the carried touch across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
