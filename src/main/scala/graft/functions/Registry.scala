@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. The same
@@ -40,6 +40,9 @@ object Registry {
       new ExpressionInfo(classOf[PqCn2].getName, "pq_cn2"),
       (children: Seq[Expression]) =>
         PqCn2(children(0), asDoubles(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
     (FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
       (children: Seq[Expression]) => GoFormatFloat(children.head)),

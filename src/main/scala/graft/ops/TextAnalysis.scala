@@ -273,6 +273,21 @@ object TextAnalysis {
   }
 
   /**
+   * Dedup-canonical text normalization: Unicode NFC composition
+   * (native [[graft.expr.NfcNormalize]] — a decomposed and a composed
+   * accent are byte-different and hash-different until composed),
+   * then lowercase, internal-whitespace collapse, and trim — in that
+   * order, so the oracle can state the identical function chain.
+   * Row-local pure map: pipelines run it before anything shuffles or
+   * hashes.
+   */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession,
+                    text: Column): Column = {
+    graft.functions.Registry.ensure(spark)
+    trim(regexp_replace(lower(call_function("nfc", text)), "\\s+", " "))
+  }
+
+  /**
    * Per-source distribution drift: the chi-square statistic of each
    * source's unigram distribution against the whole corpus, in
    * integral micros — corpus-mix monitoring (a source whose token

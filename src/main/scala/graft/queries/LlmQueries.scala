@@ -511,6 +511,28 @@ object LlmQueries {
         t(s, dir, "documents"), "text", topK = 1000),
       Some(LlmOracles.vocab)),
 
+    // Dedup-canonical normalization: NFC compose + lower + whitespace
+    // collapse + trim. The corpus is ASCII, so decomposed accents and
+    // ragged whitespace are APPENDED per doc and must come back
+    // composed and collapsed — the oracle builds the same string with
+    // chr() combining marks and applies the same chain via DuckDB's
+    // nfc_normalize.
+    Q("q_llm_normalize",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val injected = concat(col("text"),
+          lit("  Café   naïve\tÅngström "))
+        d.select(col("doc_id"),
+          graft.ops.TextAnalysis.normalizeText(s, col("text")).as("clean_base"),
+          graft.ops.TextAnalysis.normalizeText(s, injected).as("clean"))
+      },
+      Some("""SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS clean_base,
+          trim(regexp_replace(lower(nfc_normalize(
+            text || '  Cafe' || chr(769) || '   nai' || chr(776) || 've' || chr(9)
+              || 'A' || chr(778) || 'ngstro' || chr(776) || 'm ')), '\s+', ' ', 'g')) AS clean
+        FROM documents""")),
+
     // Per-source chi-square distribution drift vs the corpus unigram
     // mix (integral micros; zero cells folded in closed form).
     Q("q_llm_chi2_drift",
