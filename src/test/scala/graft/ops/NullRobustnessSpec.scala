@@ -50,6 +50,36 @@ class NullRobustnessSpec extends SparkTestBase {
     assert(b.count() > 0)
   }
 
+  test("r7b additions: null doc excluded from drift/heavy-hitter stats, null string from pairs") {
+    // chi-square drift: the null doc contributes to no source's tokens
+    val d = TextAnalysis.chiSquareDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("src1" -> 10L, "src2" -> 6L)) // src1 counts doc 1 only
+
+    // heavy hitters: null text emits no tokens into candidates or totals
+    val hh = TextAnalysis.heavyHitters(docs, "text", kInv = 16)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == Set("the")) // 2*16 > 16 total; nothing throws on the null row
+
+    // edit-distance pairs: null strings are dropped before bucketing
+    import spark.implicits._
+    val withNull = Seq((1L, Option("abc")), (2L, Option.empty[String]),
+      (3L, Option("abd"))).toDF("id", "s")
+    val ep = Dedup.editDistancePairs(withNull, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ep == Set((1L, 3L)))
+
+    // normalizeText: null in, null out — no fabricated empty string
+    val n = docs.select(col("doc_id"),
+        TextAnalysis.normalizeText(spark, col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!n(1L) && n(2L))
+
+    // profile: the null cell is counted, not dropped
+    val p = Profile.profileColumns(docs, Seq("text")).collect()(0)
+    assert(p.getAs[Long]("n_rows") == 3L && p.getAs[Long]("n_null") == 1L)
+  }
+
   test("dedup/fingerprint operators: null doc neither matches nor crashes") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 4, 8)
       .collect().map(_.getLong(0)).toSet

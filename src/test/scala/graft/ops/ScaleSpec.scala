@@ -251,6 +251,40 @@ class ScaleSpec extends SparkTestBase {
       s"candidate filter is not a broadcast semi-join:\n$plan")
   }
 
+  test("normalizeText: a pure map — zero exchanges in the plan") {
+    val docs = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "documents")
+    val plan = docs.select(
+        TextAnalysis.normalizeText(spark, col("text")).as("clean"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalization must stay row-local:\n$plan")
+  }
+
+  test("editDistancePairs: two exchanges, bucket grouping keyed on the variant hash") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, f"name$i%04d")).toDF("id", "s")
+    val plan = Dedup.editDistancePairs(rows, "id", "s")
+      .queryExecution.executedPlan.toString
+    // exchange 1: the (8-byte) variant-hash bucket groupBy; exchange 2:
+    // the candidate-pair distinct — variant STRINGS never materialize
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected two exchanges in the edit-pairs plan:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"bucket grouping is not keyed on the hashed variant:\n$plan")
+  }
+
+  test("sessionPaths: session window and per-session path agg share one key shuffle") {
+    val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
+    val plan = Sessions.sessionPaths(ev, "user_id", "ts", "event_type",
+        gapSeconds = 3600, maxSteps = 5, topK = 50, tiebreak = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    // exchange 1: the per-user session window (the cap window, the
+    // session_idx window and the per-session collect all reuse it);
+    // exchange 2: the tiny path-count aggregate
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected two exchanges in the session-paths plan:\n$plan")
+  }
+
   test("funnel: exactly one exchange (the per-key fold), step filter pushed to the scan") {
     val ev = graft.queries.Queries.t(spark, "/root/testdata/sf0.001", "events")
     val plan = Funnels.funnel(ev, "user_id", "ts", "event_type",
