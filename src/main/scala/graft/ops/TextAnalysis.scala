@@ -273,6 +273,47 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source quality-score calibration: each doc's percentile rank
+   * of [[qualityScore]] WITHIN its source, in integral micros —
+   * (rank−1)·1e6 div (n−1), ties share a rank so the result is
+   * deterministic without a tiebreak. Cross-source mixing by a single
+   * global quality cutoff over-prunes whole low-register sources; a
+   * per-source percentile keeps each source's internal ordering while
+   * making thresholds comparable across sources (the CCNet
+   * per-language-bucket stance). ONE doc-volume shuffle: the rank and
+   * count windows share the source partitioning.
+   */
+  def perSourcePercentile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          sourceCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col("source")).orderBy(col("quality"))
+    val wc = Window.partitionBy(col("source"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("source"),
+        qualityScore(col(textCol)).as("quality"))
+      .withColumn("_r", rank().over(wr))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .withColumn("pct_micro",
+        expr("(_r - 1) * CAST(1000000 AS BIGINT) div greatest(_n - 1, 1)"))
+      .drop("_r", "_n")
+  }
+
+  /**
+   * Doc-length histogram with log2-spaced buckets per source: the
+   * bucket is the BIT LENGTH of the length value (`length(bin(x))` =
+   * floor(log2 x)+1 for x ≥ 1) — an integer both engines compute
+   * identically, where a floating log2 would disagree at the exact
+   * powers of two. Row-local bucketing, one map-side-combined
+   * aggregate over sources × ~60 buckets.
+   */
+  def lengthHistogram(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                      lenCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(sourceCol).as("source"),
+        length(bin(col(lenCol))).as("len_bits"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_len"), max(col(lenCol)).as("max_len"))
+
+  /**
    * Dedup-canonical text normalization: Unicode NFC composition
    * (native [[graft.expr.NfcNormalize]] — a decomposed and a composed
    * accent are byte-different and hash-different until composed),

@@ -175,6 +175,23 @@ object LlmQueries {
         TextAnalysis.qualityScore(col("text")).as("quality")),
       Some(LlmOracles.quality)),
 
+    // Per-source quality percentile calibration (CCNet-style: a
+    // global cutoff over-prunes whole low-register sources; the
+    // per-source percentile makes thresholds comparable).
+    Q("q_llm_calibration",
+      (s, dir) => graft.ops.TextAnalysis.perSourcePercentile(
+        t(s, dir, "documents"), "doc_id", "source", "text"),
+      Some(LlmOracles.calibration)),
+
+    // Per-source log2-bucketed doc-length histogram (bit-length
+    // bucketing: integer-exact where FP log2 flips at powers of two).
+    Q("q_llm_length_hist",
+      (s, dir) => graft.ops.TextAnalysis.lengthHistogram(
+        t(s, dir, "documents"), "source", "n_chars"),
+      Some("""SELECT source, CAST(length(bin(n_chars)) AS INT) AS len_bits,
+          COUNT(*) AS n_docs, MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+        FROM documents GROUP BY 1, 2""")),
+
     // Language ID via stopword-overlap argmax.
     Q("q_llm_lang_id",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1211,6 +1228,26 @@ object LlmOracles {
     TextAnalysis.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
   private val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
     .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val calibration: String = s"""
+    WITH x AS (SELECT doc_id, source,
+      string_split_regex(lower(trim(text)), '\\s+') AS toks,
+      CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) AS punct_ratio
+      FROM documents WHERE text IS NOT NULL),
+    y AS (SELECT doc_id, source, punct_ratio,
+      CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE)
+        / greatest(len(toks), 1) AS stop_ratio,
+      len(toks) AS n_toks FROM x),
+    q AS (SELECT doc_id, source,
+      least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+      FROM y)
+    SELECT doc_id, source, quality,
+      CAST((rank() OVER (PARTITION BY source ORDER BY quality) - 1) * 1000000
+        // greatest(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS BIGINT) AS pct_micro
+    FROM q"""
 
   val quality: String = s"""
     WITH x AS (SELECT doc_id,

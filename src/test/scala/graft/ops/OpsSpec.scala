@@ -234,6 +234,30 @@ class OpsSpec extends SparkTestBase {
     assert(Multimodal.decodeWav("not audio at all".getBytes) == None)
   }
 
+  test("perSourcePercentile: ties share a rank; singleton source pins to 0") {
+    import spark.implicits._
+    val stopwordy = "the and is of to in it you that he was for on are with"
+    val docs = Seq((1L, "A", "zzz qqq"), (2L, "A", "zzz qqq"),
+      (3L, "A", stopwordy), (4L, "B", "solo")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.perSourcePercentile(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pct_micro")).toMap
+    // identical texts tie at rank 1 -> 0; the stopword-rich doc ranks
+    // 3rd of 3 -> (3-1)*1e6 div 2; a singleton source divides by
+    // greatest(n-1,1) -> 0
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  test("lengthHistogram: bit-length buckets are exact at powers of two") {
+    import spark.implicits._
+    val df = Seq(("s", 1L), ("s", 7L), ("s", 8L), ("s", 15L), ("t", 16L))
+      .toDF("source", "n_chars")
+    val out = TextAnalysis.lengthHistogram(df, "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(("s", 1) -> (1L, 1L, 1L), ("s", 3) -> (1L, 7L, 7L),
+      ("s", 4) -> (2L, 8L, 15L), ("t", 5) -> (1L, 16L, 16L)))
+  }
+
   test("chiSquareDrift: closed-form three-source fixture with zero-cell mass") {
     import spark.implicits._
     // N=9, every e_micro = 1e6; A=(a:2,b:1): chi2 = 1 + 0 + zero-cell(c)=1
