@@ -37,6 +37,30 @@ object Sessions {
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
 
   /**
+   * Entry-type bounce report: per session entry event type, how many
+   * sessions started there and what fraction ended immediately
+   * (single-event sessions), in integral basis points. The entry
+   * event is the (ts, tiebreak, type)-minimum — deterministic under
+   * timestamp ties. Shares sessionize's ONE key shuffle (the
+   * per-session aggregate reuses the window partitioning); the
+   * closing per-entry-type aggregate is |types| rows.
+   */
+  def bounceReport(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, gapSeconds: Long,
+                   tiebreak: Seq[String] = Seq.empty): DataFrame = {
+    val orderKey = struct((col(tsCol) +: tiebreak.map(col) :+ col(typeCol)): _*)
+    sessionize(df, keyCol, tsCol, gapSeconds, tiebreak)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(min(struct(orderKey.as("o"), col(typeCol).as("t"))).as("_first"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("_first").getField("t").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("_n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_bp",
+        expr("n_bounces * CAST(10000 AS BIGINT) div n_sessions"))
+  }
+
+  /**
    * Top-K session paths (behavioral flow mining): each session's first
    * `maxSteps` event types joined "a>b>c", counted corpus-wide, top-K
    * by (count desc, path asc) with a deterministic rank.

@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /**
+   * Join/group-key skew diagnostic — the report that tells you
+   * WHETHER to reach for [[saltedAgg]]/[[saltedJoin]] before a 100 TB
+   * run: per-key counts bucketed by bit length (log2-spaced,
+   * integer-exact), with key counts and row mass per bucket. A
+   * healthy key is a low bucket; a bucket holding few keys but a
+   * large share of rows IS the hot-key signature. ONE data-volume
+   * shuffle (the per-key count, map-side combined); the count-of-
+   * counts aggregate runs over distinct keys only.
+   */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
+      .groupBy(length(bin(col("_n"))).as("count_bits"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_n")).as("n_rows"),
+        min(col("_n")).as("min_count"), max(col("_n")).as("max_count"))
+
+  /**
    * Two-phase salted sum/count aggregation. `aggs` maps output column
    * name -> the column to decimal-sum (exactness preserved: decimal
    * partials merge losslessly, unlike double sums).

@@ -376,6 +376,39 @@ object AnalyticsQueries {
           CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
         FROM c""")),
 
+    // Entry-type bounce report: per session entry event, sessions
+    // started and single-event (bounce) share in basis points.
+    Q("q_bounce_report",
+      (s, dir) => graft.ops.Sessions.bounceReport(t(s, dir, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 3600,
+        tiebreak = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+               THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, event_id, ts, event_type,
+          CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM x),
+        s AS (SELECT user_id, session_idx,
+            list(event_type ORDER BY ts, event_id, event_type)[1] AS entry_type,
+            COUNT(*) AS n
+          FROM y GROUP BY 1, 2)
+        SELECT entry_type, COUNT(*) AS n_sessions,
+          CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounces,
+          CAST(COUNT(*) FILTER (WHERE n = 1) * 10000 // COUNT(*) AS BIGINT) AS bounce_bp
+        FROM s GROUP BY 1""")),
+
+    // Join-key skew diagnostic: per-key count histogram in log2
+    // buckets — the report that decides whether salting is needed.
+    Q("q_skew_report",
+      (s, dir) => graft.ops.Skew.skewReport(t(s, dir, "events"), "user_id"),
+      Some("""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        SELECT CAST(length(bin(n)) AS INT) AS count_bits, COUNT(*) AS n_keys,
+          CAST(SUM(n) AS BIGINT) AS n_rows, MIN(n) AS min_count, MAX(n) AS max_count
+        FROM c GROUP BY 1""")),
+
     // Salted two-phase aggregation (hot-key mitigation; same result as
     // a direct group-by, so the oracle is the direct form).
     Q("q_skew_salted_agg",

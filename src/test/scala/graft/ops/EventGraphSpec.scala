@@ -81,6 +81,32 @@ class EventGraphSpec extends SparkTestBase {
       Map("path" -> "c", "n_sessions" -> 1L, "rank" -> 2L)))
   }
 
+  test("bounceReport: per-entry-type session counts and bounce basis points") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:10:00")), // session 1: entry a, 2 events
+      (1L, 3L, "c", ts("2024-01-01 12:00:00")), // session 2: entry c, bounce
+      (2L, 4L, "b", ts("2024-01-01 09:00:00"))  // entry b, bounce
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessions.bounceReport(ev, "user_id", "ts", "event_type",
+      gapSeconds = 3600, tiebreak = Seq("event_id"))
+    assertSameRecords(out, Seq(
+      Map("entry_type" -> "a", "n_sessions" -> 1L, "n_bounces" -> 0L, "bounce_bp" -> 0L),
+      Map("entry_type" -> "b", "n_sessions" -> 1L, "n_bounces" -> 1L, "bounce_bp" -> 10000L),
+      Map("entry_type" -> "c", "n_sessions" -> 1L, "n_bounces" -> 1L, "bounce_bp" -> 10000L)))
+  }
+
+  test("skewReport: log2 count-of-counts buckets with row mass") {
+    import spark.implicits._
+    val rows = (Seq.fill(1)("k1") ++ Seq.fill(2)("k2") ++ Seq.fill(3)("k3") ++
+      Seq.fill(8)("k4")).toDF("k")
+    val out = Skew.skewReport(rows, "k").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(1 -> (1L, 1L, 1L, 1L), 2 -> (2L, 5L, 2L, 3L),
+      4 -> (1L, 8L, 8L, 8L)))
+  }
+
   test("triangleCounts: two triangles sharing a node; dup/reversed edges collapse") {
     import spark.implicits._
     // bowtie: {1,2,3} and {3,4,5} share node 3; (5,6) closes nothing;
