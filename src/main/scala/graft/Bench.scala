@@ -61,35 +61,51 @@ object Bench {
     // kept alongside for transparency. Pass 3 only fires when passes
     // 1-2 disagree by >10% — on a quiet host most queries stop at 2.
     val maxPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // r7 postmortem: timeOnce used to swallow the exception and return the
+    // elapsed time OF THE CRASH — 39 dead queries were timed at ~0.1 s each
+    // and counted in value/n_queries with exit 0. A failed query is now a
+    // first-class outcome: excluded from value, listed in "failed", and the
+    // JSON carries "rc":1 (exit stays 0 so the driver still captures the
+    // line; the field is the red flag).
+    val failedQueries = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      // release operator-persisted stage relations inside the timed
-      // window (the release is part of the query's honest cost, and a
-      // leaked index would make pass 2 measure a different query)
-      finally graft.ops.CachedRelations.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          failedQueries.getOrElseUpdate(name, first)
+          System.err.println(s"[bench] $name FAILED: $first")
+          false
+        }
+        // release operator-persisted stage relations inside the timed
+        // window (the release is part of the query's honest cost, and a
+        // leaked index would make pass 2 measure a different query)
+        finally graft.ops.CachedRelations.releaseAll()
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => oracleOnlyFixtures(name) }
       .filter { case (name, _) => only.forall(_(name)) }
-      .map { case (name, fn) =>
-        val p1 = timeOnce(name, fn)
-        var best = p1
-        var passes = 1
-        while (passes < maxPasses &&
-               (passes < 2 || math.abs(p1 - best) / math.max(best, 1e-9) > 0.10)) {
-          best = math.min(best, timeOnce(name, fn))
-          passes += 1
+      .flatMap { case (name, fn) =>
+        timeOnce(name, fn).map { p1 =>
+          var best = p1
+          var passes = 1
+          while (passes < maxPasses &&
+                 (passes < 2 || math.abs(p1 - best) / math.max(best, 1e-9) > 0.10)) {
+            timeOnce(name, fn).foreach(t => best = math.min(best, t))
+            passes += 1
+          }
+          (name, best, p1)
         }
-        (name, best, p1)
       }
     val results = timed.map { case (name, best, _) => name -> best }
     val total = results.map(_._2).sum
     val totalFirstPass = timed.map(_._3).sum
+    val failed = failedQueries.keys.toSeq
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rc = if (failed.nonEmpty) 1 else 0
 
     // Full per-query detail -> file (stdout must stay under the
     // driver's tail-capture budget).
@@ -98,8 +114,11 @@ object Bench {
     val excluded = oracleOnlyFixtures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val firstPassDetail = timed.map { case (k, _, p1) => "\"" + k + "\":" + r3(p1) }
       .mkString("{", ",", "}")
+    val failDetail = failedQueries
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\]", "'").take(160) + "\"" }
+      .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"first_pass_total":${r3(totalFirstPass)},"queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -120,7 +139,12 @@ object Bench {
     val rest = byCost.drop(taken)
     entries += ("\"_rest_" + rest.size + "q\":" + r3(rest.map(_._2).sum))
     val qs = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"first_pass_total":${r3(totalFirstPass)},"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    // "failed" on the compact line is capped so a mass failure cannot blow
+    // the driver's ~2000-char tail capture; the full list is in the detail.
+    val failedCompact = (failed.take(8).map("\"" + _ + "\"") ++
+      (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,11 @@ object Verify {
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // r7 postmortem: a crashed query used to write no output directory and
+    // the correctness surface silently SHRANK (39 queries vanished from
+    // CORRECTNESS_r07 with no red row). Failures are now collected into an
+    // explicit manifest + a FAILED count on stdout.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
@@ -31,7 +36,10 @@ object Verify {
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        failures += name -> first
+        System.err.println(s"[verify] $name FAILED: $first")
       }
       finally graft.ops.CachedRelations.releaseAll()
     }
@@ -58,6 +66,18 @@ object Verify {
     // Cheap insurance: a copy at the repo root in case the driver looks there.
     try Files.writeString(Paths.get("oracle_sql.json"), json)
     catch { case _: Throwable => () }
+    // Error manifest: every crashed query as an explicit entry, so a schema
+    // break grades as N red rows, not N missing rows. Also mirrored to the
+    // repo root (the driver archives the repo, not necessarily outDir).
+    val failJson = failures
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    try Files.writeString(Paths.get("VERIFY_FAILURES.json"), failJson)
+    catch { case _: Throwable => () }
+    println(s"[verify] FAILED ${failures.size} of ${SparkEntry.queries.size} queries" +
+      (if (failures.nonEmpty) ": " + failures.map(_._1).mkString(", ") else ""))
+    // Exit 0 even on failures: the manifest + stdout count carry the red
+    // signal; a nonzero exit could make the driver discard the good rows too.
     spark.stop()
   }
 }

@@ -671,9 +671,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** `maxPostings <= 0` (the default) resolves a CORPUS-RELATIVE stop-gram
+    * bound: clamp(1% of docs, 64, 100k). An absolute default was a silent
+    * scale trap (r7 "What's wrong #4": the old 5000 equaled the fixture
+    * corpus size — a no-op there, quadratic pair-expansion on any denser
+    * corpus). The bound rides a broadcast one-row aggregate, not a driver
+    * action, so the plan stays a single lazy DAG. Worst-case pair volume is
+    * then ≤ grams·(0.01·N)²/2 per stop-gram-free index row — linear in the
+    * corpus for fixed gram-frequency shape rather than N². */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxPostings: Int = 5000): DataFrame = {
+                        maxPostings: Int = 0): DataFrame = {
     // The posting row carries the doc's gram count, so the pair step
     // reads |A| and |B| straight off the bucket structs — no join back
     // to a sizes relation (the gram count is doc-local metadata, and
@@ -684,9 +692,21 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       .select(col("id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
     // inverted index, bounded postings per gram (stop-gram removal)
-    val index = posting.groupBy(col("g"))
+    val indexBase = posting.groupBy(col("g"))
       .agg(collect_list(struct(col("id"), col("n"))).as("members"))
-      .filter(size(col("members")).between(2, maxPostings))
+    val index =
+      if (maxPostings > 0)
+        indexBase.filter(size(col("members")).between(lit(2), lit(maxPostings)))
+      else {
+        // corpus-relative bound via a broadcast one-row count — no driver
+        // action, the whole thing stays one lazy DAG
+        val nDocs = df.filter(col(textCol).isNotNull)
+          .agg(count(lit(1)).as("n_docs"))
+        val bound = least(greatest(ceil(col("n_docs") * lit(0.01)), lit(64L)),
+          lit(100000L)).cast("int")
+        indexBase.crossJoin(broadcast(nDocs))
+          .filter(size(col("members")).between(lit(2), bound))
+      }
     index
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))

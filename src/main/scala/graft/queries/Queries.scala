@@ -25,15 +25,16 @@ case class Q(name: String,
  */
 object Queries {
 
-  /** Read one testdata table. `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark has no native type for — read as long nanos and
-    * convert to a microsecond timestamp (matches DuckDB's read). */
+  /** Read one testdata table through the schema-adapter layer
+    * (graft.io.Schemas): arrival schemas are validated and known type
+    * variants normalized — e.g. `events.ts` has shipped as both parquet
+    * TIMESTAMP(NANOS) (read as raw long nanos via the legacy conf below)
+    * and TIMESTAMP(MICROS); both normalize to session-TZ TimestampType.
+    * An unknown variant raises a named GraftSchemaException at the read,
+    * not a DATATYPE_MISMATCH N operators downstream (r7 postmortem). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    graft.io.Schemas.adapt(name, s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Exact (order-independent) FP aggregation intermediate. */

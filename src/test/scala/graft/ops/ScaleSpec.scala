@@ -414,4 +414,32 @@ class ScaleSpec extends SparkTestBase {
     assert(win.child.collectFirst { case l: GlobalLimit => l }.isDefined,
       s"rank window input is not limit-bounded:\n${win.child}")
   }
+
+  test("ngramJaccardPairs: auto stop-gram bound is corpus-relative (r7 ask #7)") {
+    import spark.implicits._
+    // 200 docs all sharing one universal trigram ("the same prefix"), each
+    // otherwise unique. Auto bound at N=200 → clamp(ceil(2), 64, 100k)=64,
+    // so the universal gram (200 postings) is a stop-gram: pair expansion
+    // from it (200·199/2 ≈ 20k pairs) must NOT happen.
+    val docs = (1L to 200L).map(i =>
+      (i, s"the same prefix u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    assert(auto.count() == 0,
+      "universal gram above the corpus-relative bound must be dropped")
+    // An explicit bound above the corpus size keeps the gram: the same
+    // corpus then yields every co-occurring pair (legacy absolute behavior
+    // is still reachable, and the bound provably gates pair expansion).
+    val wide = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.0, maxPostings = 5000)
+    assert(wide.count() == 200L * 199L / 2,
+      "explicit wide bound should enumerate all universal-gram pairs")
+    // Small corpus (N=30 < lower clamp 64): auto bound is a no-op — exact
+    // results identical to the unbounded path.
+    val small = (1L to 30L).map(i =>
+      (i, s"alpha beta gamma d${i}x d${i}y")).toDF("doc_id", "text")
+    val a = Dedup.ngramJaccardPairs(small, "doc_id", "text", n = 3, threshold = 0.0)
+    val b = Dedup.ngramJaccardPairs(small, "doc_id", "text", n = 3,
+      threshold = 0.0, maxPostings = 5000)
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
