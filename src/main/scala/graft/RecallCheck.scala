@@ -19,11 +19,11 @@ object RecallCheck {
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
     // headline lines use the PRODUCTION configs (the ones the
     // q_llm_ann_* queries run); the sweeps below map the tradeoff
-    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 6, tables = 8))
-    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
-    val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 8, nprobe = 4))
+    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 5, tables = 6))
+    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 16, nprobe = 8))
+    val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 16, nprobe = 8))
     val pq = pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
-      nlist = 8, nprobe = 4, m = 16, ksub = 16, rerankFactor = 16))
+      nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))
     println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f ivf_pq=${rec(pq)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
@@ -32,7 +32,8 @@ object RecallCheck {
         planes = pl, multiProbe = mp, tables = t)))
       println(f"RECALL_SWEEP tables=$t%d multiProbe=$mp%s planes=$pl%d recall=$r%.3f")
     }
-    for ((nl, np) <- Seq((8, 2), (8, 3), (8, 4), (12, 4), (16, 4), (16, 6))) {
+    for ((nl, np) <- Seq((8, 2), (8, 3), (8, 4), (8, 5), (8, 6), (12, 4), (12, 6),
+                         (12, 7), (16, 4), (16, 6), (16, 8), (16, 10))) {
       val r = rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,
         nlist = nl, nprobe = np)))
       println(f"RECALL_SWEEP ivf nlist=$nl%d nprobe=$np%d recall=$r%.3f")

@@ -316,12 +316,14 @@ object LlmQueries {
       },
       Some(LlmOracles.cosineTopK)),
 
-    // LSH-bucketed ANN — the 100 TB path (rows-only). tables=8 is the
-    // RecallCheck-tuned operating point (recall@3 0.69 -> 0.90 at ~2×
-    // the tables=4 candidate volume; the sweep table maps the curve).
+    // LSH-bucketed ANN — the 100 TB path (rows-only). planes=5/tables=6
+    // is the r8 RecallCheck operating point on the 2026-08-13 testdata:
+    // recall@3 0.925/0.926/0.946 at sf0.001/0.01/0.1 at 36 bucket-probes
+    // per query vs the old 6-plane/8-table config's 56 (which measured
+    // 0.884-0.923 — shorter buckets beat more tables on this corpus).
     Q("q_llm_ann_lsh",
       (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, planes = 6, tables = 8),
+        dims = 64, k = 3, planes = 5, tables = 6),
       None),
 
     // BPE trainer iteration zero: weighted adjacent char-pair counts
@@ -420,11 +422,14 @@ object LlmQueries {
 
     // IVF ANN (k-means coarse quantizer + probe + exact re-rank) —
     // rows-only (k-means cells are seed-deterministic but engine-local).
-    // nprobe=4 is the RecallCheck-tuned operating point (0.80 recall@3
-    // at sf0.001 vs 0.54 at nprobe=2).
+    // nlist=16/nprobe=8 is the r8 RecallCheck operating point on the
+    // 2026-08-13 testdata: recall@3 0.859/0.843/0.830 at sf0.001/0.01/0.1
+    // — the same probed-cell fraction (1/2) as the old 8/4 config (which
+    // had sunk to 0.774 on the regenerated vectors), but finer cells
+    // select candidates better at equal expected candidate volume.
     Q("q_llm_ann_ivf",
       (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 8, nprobe = 4),
+        dims = 64, k = 3, nlist = 16, nprobe = 8),
       None),
 
     // Memory-bound IVF variant: int8-code coarse scoring (native
@@ -433,19 +438,21 @@ object LlmQueries {
     // the float path.
     Q("q_llm_ann_ivf8",
       (s, dir) => Similarity.ivfTopKInt8(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 8, nprobe = 4),
+        dims = 64, k = 3, nlist = 16, nprobe = 8),
       None),
 
     // IVF-PQ: product-quantized candidates (m codebook lookups per
     // candidate instead of a float-vector fetch), asymmetric-distance
     // coarse pass, exact re-rank — rows-only; RecallCheck reports the
     // recall alongside the float/int8 paths.
-    // m=16/ksub=16/rerank=16 is the RecallCheck-tuned operating point
-    // (recall 0.785 vs the 0.801 float-IVF ceiling at the same cells;
-    // 16 4-bit codes = 8 B/vector on the candidate exchange).
+    // m=16/ksub=32/rerank=24 is the r8 operating point on the 2026-08-13
+    // testdata: recall@3 0.859/0.843/0.817 at sf0.001/0.01/0.1 (the old
+    // ksub=16/rerank=16 fell to 0.736 at sf0.1 on the regenerated
+    // vectors; 5-bit codes + a deeper exact re-rank recover it).
+    // 16 5-bit codes = 10 B/vector on the candidate exchange.
     Q("q_llm_ann_pq",
       (s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 8, nprobe = 4, m = 16, ksub = 16, rerankFactor = 16),
+        dims = 64, k = 3, nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24),
       None),
 
     // Cross-corpus IVF lookup: every 50th vector queries the rest
@@ -456,7 +463,7 @@ object LlmQueries {
         Similarity.ivfLookup(
           e.filter(col("vec_id") % 50 === 0),
           e.filter(col("vec_id") % 50 =!= 0),
-          "vec_id", "embedding", dims = 64, k = 3, nlist = 8, nprobe = 4)
+          "vec_id", "embedding", dims = 64, k = 3, nlist = 16, nprobe = 8)
       },
       None),
 
