@@ -23,26 +23,42 @@ object TimeJoins {
   /**
    * As-of (backward) join. Right rows must be unique per (keys, ts) —
    * pre-dedupe if needed. Right payload columns arrive prefixed.
+   *
+   * `toleranceSecs`: a feature-store staleness bound — a match older
+   * than the window NULLS OUT (row-local filter on the carried struct;
+   * the left row itself is kept, LEFT-ASOF semantics). `inner = true`
+   * instead drops left rows with no (in-tolerance) match — DuckDB's
+   * default ASOF JOIN semantics.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightVals: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               toleranceSecs: Option[Long] = None,
+               inner: Boolean = false): DataFrame = {
     val l = left
       .withColumn("_t", col(leftTs))
       .withColumn("_side", lit(1))
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("_t") :+ lit(0).as("_side") :+
-        struct(rightVals.map(col): _*).as("_rv")): _*)
+        struct(col(rightTs).as("_rts") +: rightVals.map(col): _*).as("_rv")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right row at the SAME ts sorts before left (inclusive <=)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t").asc, col("_side").asc)
     val filled = unioned.withColumn("_last_rv",
       last(col("_rv"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bounded = toleranceSecs.fold(filled) { tol =>
+      filled.withColumn("_last_rv",
+        when(unix_timestamp(col("_t")) - unix_timestamp(col("_last_rv._rts")) <= tol,
+          col("_last_rv")))
+    }
+    val matched =
+      if (inner) bounded.filter(col("_side") === 1 && col("_last_rv").isNotNull)
+      else bounded.filter(col("_side") === 1)
     val outCols: Seq[Column] =
       left.columns.toSeq.map(col) ++
         rightVals.map(v => col(s"_last_rv.$v").as(s"$prefix$v"))
-    filled.filter(col("_side") === 1).select(outCols: _*)
+    matched.select(outCols: _*)
   }
 
   /**

@@ -677,5 +677,34 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events CROSS JOIN generate_series(0, 3) AS g(i)
         GROUP BY 1, 2""")),
+
+    // Toleranced as-of join (feature-store staleness bound): clicks
+    // pick up the latest prior purchase ONLY if it is at most one hour
+    // old — stale matches null out (left-outer, TimeJoins.asofJoin
+    // toleranceSecs). Same single union+window shuffle as q_asof_join;
+    // the bound is a row-local filter on the carried match.
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("p_id").desc)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        graft.ops.TimeJoins.asofJoin(clicks, purch, Seq("user_id"), "ts", "ts",
+            Seq("p_id"), toleranceSecs = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("asof_p_id"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        purch AS (SELECT user_id, ts, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        SELECT c.event_id, c.user_id,
+          CASE WHEN CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT) <= 3600
+               THEN p.p_id END AS asof_p_id
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")),
   )
 }

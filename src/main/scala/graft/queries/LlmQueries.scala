@@ -1220,6 +1220,29 @@ object LlmQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         outDims = 8, dims = 64, seed = "rp"),
       Some(LlmOracles.randomProjection)),
+
+    // DSIR importance weights (Xie 2023): raw = every non-src0 doc
+    // scored against the src0 "target" distribution — xxhash64
+    // production path (rows-only; the md5 twin below carries the
+    // DuckDB signal for the identical pipeline).
+    Q("q_llm_dsir",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ops.Dsir.importanceWeights(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text")
+      },
+      None),
+
+    Q("q_llm_dsir_md5",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ops.Dsir.importanceWeights(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          portableHashing = true)
+      },
+      Some(LlmOracles.dsir)),
   )
 }
 
@@ -1730,6 +1753,38 @@ object LlmOracles {
     JOIN sizes a ON a.id = id_a
     JOIN sizes b ON b.id = id_b
     WHERE CAST(inter AS DOUBLE) / (a.n_grams + b.n_grams - inter) >= 0.1"""
+
+  /** DSIR md5 twin: unigram+bigram grams, md5 buckets mod 8192, Laplace
+    * log-ratio per bucket in integer micros, exact BIGINT doc sums —
+    * mirrors Dsir.importanceWeights(portableHashing = true) step for step. */
+  val dsir: String = """
+    WITH rtoks AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE source <> 'src0' AND text IS NOT NULL),
+    ttoks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+    rb AS (SELECT doc_id,
+        ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS b
+      FROM (SELECT doc_id, unnest(list_concat(toks,
+          list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]))) AS g FROM rtoks)),
+    tb AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS b
+      FROM (SELECT unnest(list_concat(toks,
+          list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]))) AS g FROM ttoks)),
+    rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM rb GROUP BY b),
+    tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rcnt) AS totr,
+                   (SELECT CAST(SUM(ct) AS BIGINT) FROM tcnt) AS tott),
+    lr AS (SELECT COALESCE(rcnt.b, tcnt.b) AS b,
+        CAST(floor((ln(COALESCE(ct, 0) + 1.0) - ln(tott + 8192.0)
+                  - ln(COALESCE(cr, 0) + 1.0) + ln(totr + 8192.0))
+          * 1000000 + 0.5) AS BIGINT) AS lr_micro
+      FROM rcnt FULL OUTER JOIN tcnt ON rcnt.b = tcnt.b CROSS JOIN tot)
+    SELECT rb.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      CAST(SUM(lr_micro) AS BIGINT) AS logw_micro,
+      CAST(SUM(lr_micro) AS DOUBLE) / 1000000 AS logw
+    FROM rb JOIN lr ON rb.b = lr.b GROUP BY rb.doc_id"""
 
   val cosineTopK: String = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

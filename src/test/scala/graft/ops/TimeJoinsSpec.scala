@@ -23,6 +23,37 @@ class TimeJoinsSpec extends SparkTestBase {
       3L -> None))      // B's only quote is later -> no match
   }
 
+  test("asofJoin toleranceSecs: stale match nulls out (left kept); inner drops it") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", ts(5)), (2L, "A", ts(45)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", ts(0), 10.0)).toDF("sym", "ts", "px")
+    // 10-minute staleness bound: trade 1 (5 min after the quote) keeps
+    // its match; trade 2 (45 min) is stale -> null but NOT dropped
+    val outer = TimeJoins.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+        Seq("px"), toleranceSecs = Some(600L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.doubleValue)).toMap
+    assert(outer == Map(1L -> Some(10.0), 2L -> None))
+    val inner = TimeJoins.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+        Seq("px"), toleranceSecs = Some(600L), inner = true)
+      .select("trade_id").as[Long].collect().toSeq
+    assert(inner == Seq(1L))
+  }
+
+  test("asofJoin plan: one key exchange, no cartesian or broadcast-nested-loop") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", ts(5))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", ts(0), 10.0)).toDF("sym", "ts", "px")
+    val plan = TimeJoins.asofJoin(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join must not degenerate to a cartesian:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one key exchange, got $exchanges:\n$plan")
+  }
+
   test("bandedRangeJoin finds pairs within the window across bin edges") {
     import spark.implicits._
     val a = Seq((1L, 10L, ts(0)), (2L, 10L, ts(58)))
