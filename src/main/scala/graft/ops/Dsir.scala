@@ -37,8 +37,10 @@ object Dsir {
         lit(buckets.toLong))
     else pmod(xxhash64(gram), lit(buckets.toLong))
 
-  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
-                          buckets: Int, portable: Boolean): DataFrame = {
+  /** Shared featurization with [[QualityClassifier]]: one row per gram
+    * occurrence, bucketed. */
+  private[ops] def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                               buckets: Int, portable: Boolean): DataFrame = {
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -46,6 +48,45 @@ object Dsir {
           call_function("word_grams", col(textCol), lit(1), lit(1)),
           call_function("word_grams", col(textCol), lit(2), lit(1)))).as("gram"))
       .select(col("id"), bucketOf(col("gram"), buckets, portable).as("b"))
+  }
+
+  /** (b, lr_micro) Laplace log-ratio table over the bucketed gram
+    * distributions of `raw` vs `target` — at most `buckets` rows.
+    * Shared by the batch scorer and the streaming literal-inline face. */
+  private[graft] def logRatioCore(rawG: DataFrame, tgtG: DataFrame,
+                                  buckets: Int): DataFrame = {
+    val rawB = rawG.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtB = tgtG.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // totals ride one-row broadcasts; B is a literal
+    val totals = rawB.agg(sum(col("cr")).as("totr"))
+      .crossJoin(tgtB.agg(sum(col("ct")).as("tott")))
+    rawB.join(tgtB, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(col("ct") + lit(1.0)) - log(col("tott") + lit(buckets.toDouble))
+             - log(col("cr") + lit(1.0)) + log(col("totr") + lit(buckets.toDouble)))
+          * lit(1e6) + lit(0.5)).cast("long").as("lr_micro"))
+  }
+
+  private[graft] def logRatioTable(raw: DataFrame, target: DataFrame,
+                                   idCol: String, textCol: String,
+                                   buckets: Int,
+                                   portableHashing: Boolean = false): DataFrame =
+    logRatioCore(
+      gramBuckets(raw, idCol, textCol, buckets, portableHashing),
+      gramBuckets(target, idCol, textCol, buckets, portableHashing), buckets)
+
+  /** Closed-form lr_micro of a bucket NEITHER corpus touched (ct = cr
+    * = 0): the streaming face scores unseen grams with it. Runs two
+    * one-row count jobs over the static corpora at plan time. */
+  private[graft] def unseenBucketMicro(raw: DataFrame, target: DataFrame,
+                                       idCol: String, textCol: String,
+                                       buckets: Int): Long = {
+    val totr = gramBuckets(raw, idCol, textCol, buckets, portable = false).count()
+    val tott = gramBuckets(target, idCol, textCol, buckets, portable = false).count()
+    math.floor((math.log(totr + buckets.toDouble)
+      - math.log(tott + buckets.toDouble)) * 1e6 + 0.5).toLong
   }
 
   /** Per-raw-doc DSIR log importance weight. Output: (id, n_grams,
@@ -58,18 +99,7 @@ object Dsir {
     require(buckets > 0, "buckets must be positive")
     val rawG = gramBuckets(raw, idCol, textCol, buckets, portableHashing)
     val tgtG = gramBuckets(target, idCol, textCol, buckets, portableHashing)
-    val rawB = rawG.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtB = tgtG.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // totals ride one-row broadcasts; B is a literal
-    val totals = rawB.agg(sum(col("cr")).as("totr"))
-      .crossJoin(tgtB.agg(sum(col("ct")).as("tott")))
-    val lr = rawB.join(tgtB, Seq("b"), "full_outer")
-      .na.fill(0L, Seq("cr", "ct"))
-      .crossJoin(broadcast(totals))
-      .select(col("b"),
-        floor((log(col("ct") + lit(1.0)) - log(col("tott") + lit(buckets.toDouble))
-             - log(col("cr") + lit(1.0)) + log(col("totr") + lit(buckets.toDouble)))
-          * lit(1e6) + lit(0.5)).cast("long").as("lr_micro"))
+    val lr = logRatioCore(rawG, tgtG, buckets)
     rawG.join(broadcast(lr), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("logw_micro"))

@@ -1234,6 +1234,20 @@ object LlmQueries {
       },
       None),
 
+    // fastText-style linear quality filter: logistic regression fit on
+    // src0-vs-rest hashed ngram features (bounded sample), scored
+    // RELATIONALLY via a broadcast coefficient table — rows-only
+    // (model weights are engine-local, the k-means precedent; the
+    // shared feature relation is oracled through q_llm_dsir_md5).
+    Q("q_llm_quality_classifier",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ops.QualityClassifier.trainScore(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text")
+      },
+      None),
+
     Q("q_llm_dsir_md5",
       (s, dir) => {
         val d = t(s, dir, "documents")

@@ -511,6 +511,48 @@ object StreamOps {
     clean.unionByName(scrubbed).withColumnRenamed("id", idCol)
   }
 
+  /**
+   * Streaming DSIR scoring — the online face of
+   * [[graft.ops.Dsir.importanceWeights]]: each incoming doc gets its
+   * log importance weight against a STATIC raw/target pair. The
+   * Laplace log-ratio table (≤ `buckets` rows) is computed once at
+   * plan time from the static corpora and rides the stream as a
+   * LITERAL map, so scoring is a pure row-local map — no state, no
+   * watermark, no join, composes with any downstream stateful stage
+   * (the [[boilerplateFilterStream]] literal-inlining shape). A gram
+   * hashing to a bucket neither static corpus touched scores the
+   * closed-form unseen-bucket ratio ln(Cr+B)−ln(Ct+B).
+   *
+   * The per-row HOF lambda is interpreted (CodegenFallback) — fine at
+   * stream rates; the BATCH path stays on the exploded/broadcast plan
+   * which is why the two faces share the bucket hash but not the plan.
+   */
+  def dsirScoreStream(stream: DataFrame, raw: DataFrame, target: DataFrame,
+                      idCol: String, textCol: String,
+                      buckets: Int = 8192): DataFrame = {
+    graft.functions.Registry.ensure(stream.sparkSession)
+    val lrRows = graft.ops.Dsir.logRatioTable(raw, target, idCol, textCol, buckets)
+    val rows = lrRows.collect() // bounded: at most `buckets` rows
+    require(rows.nonEmpty, "dsirScoreStream: empty static corpora")
+    val bs = rows.map(_.getLong(0))
+    val ws = rows.map(_.getLong(1))
+    val unseenMicro = graft.ops.Dsir.unseenBucketMicro(raw, target, idCol, textCol, buckets)
+    val lrMap = map_from_arrays(typedLit(bs), typedLit(ws))
+    val grams = concat(
+      call_function("word_grams", col(textCol), lit(1), lit(1)),
+      call_function("word_grams", col(textCol), lit(2), lit(1)))
+    stream.filter(col(textCol).isNotNull)
+      .withColumn("_grams", grams)
+      .withColumn("n_grams", size(col("_grams")).cast("long"))
+      .withColumn("logw_micro", aggregate(
+        transform(col("_grams"), g =>
+          coalesce(element_at(lrMap, pmod(xxhash64(g), lit(buckets.toLong))),
+            lit(unseenMicro))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("logw", col("logw_micro").cast("double") / lit(1e6))
+      .drop("_grams")
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

@@ -302,6 +302,46 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring matches the batch scorer doc for doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = Seq((101L, "alpha beta gamma alpha beta"),
+      (102L, "alpha beta delta gamma beta")).toDF("doc_id", "text")
+    val rawRef = Seq((201L, "zebra quux corge grault"),
+      (202L, "alpha zebra quux beta")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.dsirScoreStream(mem.toDF().toDF("doc_id", "text"),
+      rawRef, target, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "zebra quux corge grault"))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_micro")).toMap
+      assert(got.keySet == Set(1L, 2L))
+      // target-like doc scores strictly higher than the junk doc
+      assert(got(1L) > got(2L), s"expected target-like > junk, got $got")
+      // exact cross-face check: recompute each doc's expected sum from
+      // the static lr table + unseen constant
+      val lr = graft.ops.Dsir.logRatioTable(rawRef, target, "doc_id", "text", 8192)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unseen = graft.ops.Dsir.unseenBucketMicro(rawRef, target, "doc_id", "text", 8192)
+      def score(text: String): Long = {
+        val toks = text.split(" ").toSeq
+        val grams = toks ++ toks.sliding(2).map(_.mkString(" ")).toSeq
+        grams.toDF("g")
+          .select(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64($"g"),
+            org.apache.spark.sql.functions.lit(8192L)).as("b"))
+          .as[Long].collect()
+          .map(b => lr.getOrElse(b, unseen)).sum
+      }
+      assert(got(1L) == score("alpha beta gamma delta"))
+      assert(got(2L) == score("zebra quux corge grault"))
+    } finally q.stop()
+  }
+
   test("streaming exact-substr scrub: reference-covered tokens drop, clean docs pass row-locally") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
