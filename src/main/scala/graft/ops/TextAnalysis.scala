@@ -749,4 +749,37 @@ object TextAnalysis {
       .withColumn("avg_nll_micro", expr("sum_nll_micro div n_bigrams"))
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * Per-group Zipf (discrete power-law) exponent via the Clauset-style
+   * MLE over token frequencies: α = 1 + n / Σ_t ln(f_t / (fmin − ½))
+   * over the n distinct tokens with f_t ≥ fmin. A healthy natural-
+   * language corpus sits near α ≈ 2 under this unigram estimator;
+   * synthetic/templated text drifts — a cheap per-source health probe
+   * next to [[chiSquareDrift]].
+   *
+   * Scale shape: one (group, token)-keyed corpus-volume count shuffle,
+   * then a tiny per-group aggregate. Per-term ln lands in integer
+   * micros BEFORE the cross-row sum (the bigram-NLL determinism
+   * pattern), so `sum_ln_micro` is exact and α is one final division.
+   */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+              groupCol: String, fmin: Long = 2): org.apache.spark.sql.DataFrame = {
+    require(fmin >= 2, "fmin must be >= 2 (ln(f/(fmin-0.5)) must be > 0)")
+    df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= fmin)
+      .withColumn("ln_micro",
+        floor(log(col("f").cast("double") / lit(fmin - 0.5)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"), sum(col("ln_micro")).as("sum_ln_micro"))
+      // guard: a group where every surviving token has f == fmin and
+      // ln rounds to 0 would divide by zero (degenerate; alpha -> null)
+      .withColumn("alpha",
+        when(col("sum_ln_micro") > 0,
+          lit(1.0) + col("n_types").cast("double")
+            / (col("sum_ln_micro").cast("double") / lit(1e6))))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

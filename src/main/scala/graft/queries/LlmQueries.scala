@@ -1248,6 +1248,13 @@ object LlmQueries {
       },
       None),
 
+    // Per-source Zipf exponent (power-law MLE over token frequencies)
+    // — corpus-health probe; exact via per-term integer-micro ln.
+    Q("q_llm_zipf",
+      (s, dir) => graft.ops.TextAnalysis.zipfFit(
+        t(s, dir, "documents").filter(col("text").isNotNull), "text", "source"),
+      Some(LlmOracles.zipf)),
+
     Q("q_llm_dsir_md5",
       (s, dir) => {
         val d = t(s, dir, "documents")
@@ -1767,6 +1774,23 @@ object LlmOracles {
     JOIN sizes a ON a.id = id_a
     JOIN sizes b ON b.id = id_b
     WHERE CAST(inter AS DOUBLE) / (a.n_grams + b.n_grams - inter) >= 0.1"""
+
+  /** Zipf MLE: α = 1 + n/Σ ln(f/1.5) over tokens with f ≥ 2 per source;
+    * per-term ln in integer micros before the sum (exact cross-engine). */
+  val zipf: String = """
+    WITH tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL) GROUP BY source, tok
+      HAVING COUNT(*) >= 2),
+    lm AS (SELECT source,
+        CAST(floor(ln(CAST(f AS DOUBLE) / 1.5) * 1000000 + 0.5) AS BIGINT) AS ln_micro
+      FROM tc)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+      CAST(SUM(ln_micro) AS BIGINT) AS sum_ln_micro,
+      CASE WHEN SUM(ln_micro) > 0 THEN
+        1.0 + CAST(COUNT(*) AS DOUBLE) / (CAST(SUM(ln_micro) AS DOUBLE) / 1000000)
+      END AS alpha
+    FROM lm GROUP BY source"""
 
   /** DSIR md5 twin: unigram+bigram grams, md5 buckets mod 8192, Laplace
     * log-ratio per bucket in integer micros, exact BIGINT doc sums —
