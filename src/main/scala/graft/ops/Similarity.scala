@@ -618,4 +618,77 @@ object Similarity {
       floor((lit(0d) - best.getField("ns")) * lit(1e6) + lit(0.5)).cast("long")
         .as("score_micro"))
   }
+
+  /** Sign-bit packing of an array<double> vector into ceil(dims/64)
+    * longs: bit (i mod 64) of word (i div 64) is set iff v(i) >= 0
+    * (IEEE: -0.0 >= 0 is true, so the zero sign is engine-portable).
+    * Row-local; the packed words are the 1-bit quantized form — 64×
+    * smaller than the double vector, 32× smaller than float. */
+  def signPack(vec: Column, dims: Int): Column = {
+    require(dims > 0, "dims must be positive")
+    val words = (dims + 63) / 64
+    array((0 until words).map { w =>
+      (0 until math.min(64, dims - 64 * w)).map { i =>
+        when(element_at(vec, 64 * w + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Hamming distance between two sign-packed vectors (arrays of
+    * longs): popcount of the XOR, summed across words. Equals the
+    * count of dimensions whose signs disagree. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+
+  /**
+   * Binary-quantization nearest neighbors (the 1-bit "binary
+   * embeddings + rescoring" scheme popularized by faiss's
+   * IndexBinaryFlat-with-refine and vector stores' binary
+   * quantization): vectors compress 32× to their sign bits, a coarse
+   * pass ranks the corpus by Hamming distance on the packed words
+   * (sign-agreement tracks cosine for roughly-isotropic embeddings —
+   * Charikar 2002's SRP bound with identity hyperplanes), and the
+   * `rerank` closest candidates per query are re-scored with exact
+   * cosine. Unlike the LSH/IVF paths this is fully deterministic
+   * given the inputs (no hash tables, no k-means fit), so it is
+   * exactly oracle-able end to end.
+   *
+   * Scale shape: the candidate pass moves ONLY (id, packed words) —
+   * 8·ceil(dims/64) bytes per row instead of 8·dims — through the
+   * broadcast-queries × corpus compare; float vectors are fetched by
+   * a candidate-keyed join only for the rerank set (the LSH
+   * semi-join-then-fetch shape). The compare is still O(|q|·N) like
+   * [[bruteForceTopK]] — binary quantization cuts the constant
+   * (memory traffic and a popcount vs a 64-term FMA), not the
+   * asymptote — so its 100 TB role is the query-batch lookup /
+   * rescoring layer; for self-join near-dup at corpus scale, band the
+   * packed words through LSH instead.
+   */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, dims: Int,
+                 k: Int, rerank: Int = 96): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k")
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c0 = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val qb = q0.select(col("qid"), signPack(col("qv"), dims).as("qbits"))
+    val cb = c0.select(col("nid"), signPack(col("nv"), dims).as("nbits"))
+    val coarse = broadcast(qb).crossJoin(cb)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        hammingDist(col("qbits"), col("nbits")).as("ham"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val cand = coarse.withColumn("rr", row_number().over(wc))
+      .filter(col("rr") <= rerank)
+      .select(col("qid"), col("nid"), col("ham"))
+    val scored = cand
+      .join(q0.withColumn("qn", norm(col("qv"))), "qid")
+      .join(c0.withColumn("nn", norm(col("nv"))), "nid")
+      .select(col("qid"), col("nid"), col("ham"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"), col("ham"))
+  }
 }

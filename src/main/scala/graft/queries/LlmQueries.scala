@@ -326,6 +326,23 @@ object LlmQueries {
         dims = 64, k = 3, planes = 5, tables = 6),
       None),
 
+    // Binary sign-quantization ANN: 1-bit codes (32× compression on
+    // the candidate exchange), Hamming-distance coarse pass, exact
+    // cosine rerank of the 96 closest codes. Fully deterministic (no
+    // hash tables, no k-means), so unlike the other ANN paths it is
+    // exactly oracle-able END TO END, approximation included.
+    // RecallCheck rerank sweep on the 2026-08-13 sf0.01 embeddings:
+    // 24->0.556, 48->0.725, 64->0.785, 96->0.867, 128->0.917 — 96 is
+    // the recall>=0.8 operating point; rerank is an ABSOLUTE candidate
+    // count, so the reranked fraction shrinks as the corpus grows.
+    Q("q_llm_ann_binary",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.binaryTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", dims = 64, k = 3, rerank = 96)
+      },
+      Some(LlmOracles.binaryTopK)),
+
     // BPE trainer iteration zero: weighted adjacent char-pair counts
     // over the distinct-word relation (a length-2 substring IS the
     // pair — pure counting, exactly oracle-able).
@@ -1823,6 +1840,26 @@ object LlmOracles {
       CAST(SUM(lr_micro) AS BIGINT) AS logw_micro,
       CAST(SUM(lr_micro) AS DOUBLE) / 1000000 AS logw
     FROM rb JOIN lr ON rb.b = lr.b GROUP BY rb.doc_id"""
+
+  val binaryTopK: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ham AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> CASE WHEN (q.v[i] >= 0) <> (n.v[i] >= 0) THEN 1 ELSE 0 END)) AS INT) AS ham
+      FROM e q CROSS JOIN e n
+      WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+    cand AS (SELECT qid, nid, ham,
+        row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rr
+      FROM ham),
+    scored AS (SELECT c.qid, c.nid, c.ham,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM cand c JOIN e q ON c.qid = q.vec_id JOIN e n ON c.nid = n.vec_id
+      WHERE c.rr <= 96),
+    ranked AS (SELECT qid, nid, ham, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    SELECT qid, nid, rank, cos, ham FROM ranked WHERE rank <= 3"""
 
   val cosineTopK: String = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -513,6 +513,45 @@ class OpsSpec extends SparkTestBase {
     assert(top.contains((1L, 2L)) && top.contains((2L, 1L)))
   }
 
+  test("binary ANN: sign pack closed-form, hamming, exact when rerank covers corpus") {
+    import spark.implicits._
+    // signPack: bit i set iff v(i) >= 0; IEEE -0.0 >= 0 is TRUE
+    val packed = Seq(Tuple1(Array(1.0, -1.0, 0.0, -0.0, 2.0))).toDF("v")
+      .select(Similarity.signPack(col("v"), 5).as("bits"))
+      .collect().head.getSeq[Long](0)
+    assert(packed == Seq(0x1DL), s"expected 0b11101, got $packed") // 1,0,1,1,1
+    // 65 dims -> two words; dim 64 lands in word 1 bit 0
+    val two = Seq(Tuple1(Array.fill(65)(1.0))).toDF("v")
+      .select(Similarity.signPack(col("v"), 65).as("bits"))
+      .collect().head.getSeq[Long](0)
+    assert(two == Seq(-1L, 1L)) // word0 all 64 bits set, word1 bit 0
+    // hamming = popcount(xor) across words = count of sign disagreements
+    val h = Seq((Array(1.0, -1.0, 1.0, 1.0), Array(1.0, 1.0, -1.0, 1.0)))
+      .toDF("a", "b")
+      .select(Similarity.hammingDist(
+        Similarity.signPack(col("a"), 4), Similarity.signPack(col("b"), 4)).as("h"))
+      .collect().head.getInt(0)
+    assert(h == 2)
+    // with rerank covering the whole corpus the result IS brute force
+    val vecs = (1L to 12L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d)))).toDF("vec_id", "embedding")
+    val bin = Similarity.binaryTopK(vecs, vecs, "vec_id", "embedding",
+        dims = 8, k = 3, rerank = 11)
+      .select("qid", "nid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bin == bf)
+    // coarse pass is real: an exact-duplicate vector is hamming-0 and
+    // survives any rerank cut ahead of everything else
+    val dup = Seq((1L, Array(0.5, -0.25, 0.125, 1.0)),
+      (2L, Array(0.5, -0.25, 0.125, 1.0)),
+      (3L, Array(-0.5, 0.25, -0.125, -1.0))).toDF("vec_id", "embedding")
+    val top1 = Similarity.binaryTopK(dup.filter(col("vec_id") === 1), dup,
+        "vec_id", "embedding", dims = 4, k = 1, rerank = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("ham"))).toSet
+    assert(top1 == Set((1L, 2L, 0)))
+  }
+
   test("multimodal: per-partition features match driver-side recompute") {
     import spark.implicits._
     val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")

@@ -136,6 +136,26 @@ class ScaleSpec extends SparkTestBase {
     assert(rawWin.child.output.exists(_.dataType == StringType))
   }
 
+  test("binaryTopK: float vectors never reach the coarse hamming window") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 17 + d)))).toDF("vec_id", "embedding")
+    val plan = Similarity.binaryTopK(vecs, vecs, "vec_id", "embedding",
+      dims = 8, k = 2, rerank = 8).queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    // coarse candidate window ranks on hamming ("rr"); its input must
+    // carry only (qid, nid, ham) — the 8-byte packed words are consumed
+    // row-locally in the compare and the double vectors are fetched
+    // AFTER the cut, by the rerank join
+    val coarse = wins.find(_.windowExpressions.exists(_.name == "rr"))
+      .getOrElse(fail(s"no coarse window in plan: $wins"))
+    assert(!coarse.child.output.exists(_.dataType == ArrayType(DoubleType, containsNull = false)) &&
+           !coarse.child.output.exists(_.dataType == ArrayType(DoubleType, containsNull = true)),
+      s"float vectors leaked into the coarse exchange: ${coarse.child.output}")
+  }
+
   test("image near-dup: binary payloads never reach the banding exchange") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
