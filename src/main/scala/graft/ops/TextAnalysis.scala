@@ -782,4 +782,65 @@ object TextAnalysis {
             / (col("sum_ln_micro").cast("double") / lit(1e6))))
       .withColumnRenamed("grp", groupCol)
   }
+
+  /**
+   * C4-style HTML/markup strip for web-crawl corpus cleaning: drop
+   * script/style payloads (their CONTENT, not just the tags — inline
+   * JS/CSS is never training text), strip comments and all remaining
+   * tags (each replaced by a space so `</p><p>` can't weld words
+   * together), decode the basic named entities (&amp; LAST — decoding
+   * it first would double-decode `&amp;lt;`), then collapse
+   * whitespace. Entirely ROW-LOCAL (pure map, no shuffle) and built
+   * from the RE2∩Java regex subset — no backreferences, so the same
+   * patterns run in any engine (the documented Go-RE2-vs-Java
+   * divergence stance). A stray unclosed `<` is kept as text, like
+   * the lenient html-to-text strippers web pipelines use.
+   */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /**
+   * CCNet-style per-source perplexity partition (Wenzek 2020): rank
+   * each document's interpolated-bigram-LM NLL ([[bigramLogProb]])
+   * WITHIN its source and split into `buckets` equal-frequency bands —
+   * band "head" = lowest perplexity (most fluent), "tail" = highest.
+   * CCNet's stance (shared with [[perSourcePercentile]]): cut within
+   * the source, never globally — a global threshold prunes whole
+   * low-register sources instead of each source's worst documents.
+   * Docs with fewer than two tokens have no bigram transitions and
+   * are absent (mirror the bigram-NLL domain in any oracle).
+   *
+   * Scale shape: the corpus-volume work is [[bigramLogProb]]'s; the
+   * partition adds one doc-id-keyed join of two doc-volume relations
+   * and ONE doc-volume shuffle for the per-source ntile window. The
+   * ntile orders by (avg_nll_micro, id) — a total order, so the band
+   * assignment is deterministic in any engine (SQL NTILE distributes
+   * the first n mod b buckets one extra row in every dialect).
+   */
+  def perplexityPartition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, sourceCol: String,
+                          lambdaBp: Int = 8000, buckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "need at least head and tail bands")
+    val nll = bigramLogProb(df, idCol, textCol, lambdaBp)
+      .select(col(idCol), col("avg_nll_micro"))
+    val src = df.select(col(idCol), col(sourceCol).as("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("avg_nll_micro"), col(idCol))
+    nll.join(src, idCol)
+      .withColumn("bucket", ntile(buckets).over(w))
+      .withColumn("ppl_band",
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === lit(buckets), lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col("source"), col("avg_nll_micro"),
+        col("bucket"), col("ppl_band"))
+  }
 }

@@ -89,4 +89,81 @@ object Tokenizer {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /**
+   * Apply learned merges to ONE word — the exact re-application loop
+   * the trainer runs between rounds (each merge in rank order, fused
+   * left-to-right non-overlapping), so encode(train corpus) reproduces
+   * the trainer's final segmentation by construction.
+   */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    for ((l, r) <- merges if syms.length > 1) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+    }
+    syms
+  }
+
+  /**
+   * Corpus-wide BPE segmentation statistics on the VOCABULARY relation:
+   * (word, freq, n_tokens, n_chars). The same scale split as training —
+   * the corpus-volume stage is the word-frequency count (one map-side-
+   * combined shuffle); the iterative merge application (inherently
+   * sequential per word, not SQL-expressible — see the q_llm_bpe_merges
+   * coverage note) runs only on DISTINCT words, a vocabulary-bounded
+   * relation, so the per-row Scala encode is bounded work OFF the
+   * corpus-volume path. Merges ride into the closure as a (numMerges)-
+   * sized immutable list — broadcast-by-closure, no shuffle.
+   */
+  def bpeSegmentVocab(df: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toIndexedSeq
+    val nTok = udf((w: String) => applyMerges(w, m).length)
+    df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("n_tokens", nTok(col("w")).cast("long"))
+      .withColumn("n_chars", length(col("w")).cast("long"))
+  }
+
+  /**
+   * Per-source tokenizer fertility report: words, BPE tokens, chars,
+   * fertility (tokens per word) and compression (chars per token) in
+   * integer micros. The standard "how well does this tokenizer fit
+   * each source" health check when curating a multi-source training
+   * mix — a source with outlier fertility is being shredded to
+   * near-characters and will dominate the token budget.
+   *
+   * Scale shape: one corpus-volume (source, word) count shuffle; the
+   * encode cost lands on the per-source vocabulary relation; the
+   * closing per-source agg is map-side combined. The join of the
+   * (source, word) counts with the per-word token counts is keyed on
+   * the word — vocabulary-sized on the build side, AQE's broadcast
+   * choice.
+   */
+  def bpeFertility(df: DataFrame, textCol: String, sourceCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toIndexedSeq
+    val nTok = udf((w: String) => applyMerges(w, m).length)
+    val sw = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val enc = sw.select(col("w")).distinct()
+      .withColumn("n_tok", nTok(col("w")).cast("long"))
+      .withColumn("n_chr", length(col("w")).cast("long"))
+    sw.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_micro", expr("n_chars * 1000000 div n_tokens"))
+  }
 }

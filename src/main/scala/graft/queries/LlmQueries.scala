@@ -365,6 +365,21 @@ object LlmQueries {
         numMerges = 40),
       None),
 
+    // Per-source tokenizer fertility under the 40 learned merges —
+    // the encode/apply half of the tokenizer surface. Rows-only like
+    // q_llm_bpe_merges (iterative application); the application loop
+    // is the trainer's own (TokenizerSpec pins both on closed forms),
+    // and the fertility arithmetic is integral.
+    Q("q_llm_bpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bpeTrain(docs, "text", numMerges = 40)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Tokenizer.bpeFertility(docs, "text", "source", merges)
+      },
+      None),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -1184,6 +1199,44 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text", lambdaBp = 8000),
       Some(LlmOracles.bigramNll)),
 
+    // C4-style markup strip: documents are deterministically wrapped
+    // in tags/script/entities IN THE QUERY (both engines build the
+    // same dirty string), so the operator demonstrably strips real
+    // markup while staying exactly oracle-able.
+    Q("q_llm_strip_markup",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.stripMarkup(
+          concat(lit("<div class=\"doc\"><script type=\"text/javascript\">track();</script>"),
+            lit("<!-- crawler note --><p>"), col("text"),
+            lit("</p><style>p{color:red}</style>&amp;amp; &lt;tail&gt;&nbsp;end</div>")))
+          .as("clean")),
+      Some("""SELECT doc_id, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    '<div class="doc"><script type="text/javascript">track();</script><!-- crawler note --><p>'
+                      || text ||
+                    '</p><style>p{color:red}</style>&amp;amp; &lt;tail&gt;&nbsp;end</div>',
+                    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+        FROM documents WHERE text IS NOT NULL""")),
+
+    // CCNet head/middle/tail perplexity partition: per-source ntile
+    // over the bigram NLL — the "cut within the source" selection
+    // CCNet applies before training-data export.
+    Q("q_llm_ppl_partition",
+      (s, dir) => TextAnalysis.perplexityPartition(
+        t(s, dir, "documents"), "doc_id", "text", "source"),
+      Some(LlmOracles.pplPartition)),
+
     // Cross-source duplication report over the md5-portable minhash
     // pair set — the oracle instantiation of the report; the xxhash64
     // pair generator below is the production/bench path.
@@ -1592,6 +1645,17 @@ object LlmOracles {
       CAST(SUM(tf * nll_micro) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(tf * nll_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
     FROM j GROUP BY 1"""
+
+  /** [[bigramNll]] wrapped with the per-source NTILE(3) band — the
+    * nested-WITH subquery keeps the NLL arithmetic textually identical
+    * to the oracled q_llm_bigram_nll. */
+  val pplPartition: String = s"""
+    WITH nll AS ($bigramNll)
+    SELECT n.doc_id, s.source, n.avg_nll_micro,
+      ntile(3) OVER (PARTITION BY s.source ORDER BY n.avg_nll_micro, n.doc_id) AS bucket,
+      CASE ntile(3) OVER (PARTITION BY s.source ORDER BY n.avg_nll_micro, n.doc_id)
+        WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS ppl_band
+    FROM nll n JOIN documents s ON n.doc_id = s.doc_id"""
 
   /** Twin of [[graft.ops.TextAnalysis.scriptProfile]] — generated from
     * the same [[TextAnalysis.scriptClasses]] table (RE2 and Java both

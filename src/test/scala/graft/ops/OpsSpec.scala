@@ -568,6 +568,29 @@ class OpsSpec extends SparkTestBase {
     assertThrows[NotImplementedError](Multimodal.decodeImage(Array[Byte](1)))
   }
 
+  test("stripMarkup: script/style content dropped, tags spaced, entities decoded in order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>Hello<br/>world</p>"),
+      (2L, "a<script src=\"x\"> if (1<2) alert()</script>b"),
+      (3L, "x<style>p { color: red }</style>y"),
+      (4L, "keep <!-- secret -->this"),
+      (5L, "&amp;lt; is a literal, &lt;b&gt; is angled, A&nbsp;B"),
+      (6L, "unclosed < stays"),
+      (7L, "  <div>   spaced    out   </div>  "))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "Hello world")
+    assert(rows(2L) == "a b", s"script content must vanish: '${rows(2L)}'")
+    assert(rows(3L) == "x y")
+    assert(rows(4L) == "keep this")
+    // &amp;lt; -> literal "&lt;" (decode &amp; LAST); &lt;b&gt; -> <b> as TEXT
+    assert(rows(5L) == "&lt; is a literal, <b> is angled, A B")
+    assert(rows(6L) == "unclosed < stays")
+    assert(rows(7L) == "spaced out")
+  }
+
   test("text analysis: token stats, langId markers, fingerprint normalization") {
     import spark.implicits._
     val df = Seq(

@@ -35,4 +35,30 @@ class TextAnalysisZipfSpec extends SparkTestBase {
       Seq(("D", "all unique tokens here")).toDF("source", "text"), "text", "source")
     assert(none.count() == 0) // every token f=1 < fmin -> group drops
   }
+
+  test("perplexityPartition: per-source bands, ntile sizes, order-respecting, short docs absent") {
+    // source A: 6 scoreable docs (2/2/2 under ntile(3)); source B: 3
+    // (1/1/1); one single-token doc has no bigram and must be absent
+    val docs = Seq(
+      (1L, "a b a b a b", "A"), (2L, "a b a b", "A"), (3L, "a b c d", "A"),
+      (4L, "c d c d e", "A"), (5L, "e e e q r", "A"), (6L, "q r z z w", "A"),
+      (7L, "a b a b", "B"), (8L, "c d e", "B"), (9L, "w z q r", "B"),
+      (10L, "lonely", "B")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.perplexityPartition(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("avg_nll_micro"), r.getAs[Int]("bucket"), r.getAs[String]("ppl_band")))
+    assert(!out.exists(_._1 == 10L), "single-token doc must have no band")
+    val byBand = out.groupBy(t => (t._2, t._5)).view.mapValues(_.length).toMap
+    assert(byBand(("A", "head")) == 2 && byBand(("A", "middle")) == 2 && byBand(("A", "tail")) == 2)
+    assert(byBand(("B", "head")) == 1 && byBand(("B", "middle")) == 1 && byBand(("B", "tail")) == 1)
+    // bands are NLL-ordered within each source: max(head) <= min(middle) <= ...
+    for (src <- Seq("A", "B")) {
+      val g = out.filter(_._2 == src)
+      def nlls(b: String) = g.filter(_._5 == b).map(_._3)
+      assert(nlls("head").max <= nlls("middle").min)
+      assert(nlls("middle").max <= nlls("tail").min)
+    }
+    // head = LOWEST perplexity (most fluent): bucket 1 is the head
+    assert(out.filter(_._4 == 1).forall(_._5 == "head"))
+  }
 }

@@ -57,4 +57,42 @@ class TokenizerSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(merges.toSeq == Seq(("x", "y", 20L)))
   }
+
+  test("applyMerges: rank order, left-to-right non-overlap, chained merges") {
+    // (a,a) on "aaa": leftmost pair fuses, no overlap -> [aa, a]
+    assert(Tokenizer.applyMerges("aaa", Seq(("a", "a"))).toSeq == Seq("aa", "a"))
+    // rank order matters: (a,b) then (ab,c) chains into one token
+    assert(Tokenizer.applyMerges("abc", Seq(("a", "b"), ("ab", "c"))).toSeq == Seq("abc"))
+    // reversed priority: (b,c) fuses first, (a,b) then finds no pair
+    assert(Tokenizer.applyMerges("abc", Seq(("b", "c"), ("a", "b"))).toSeq == Seq("a", "bc"))
+    assert(Tokenizer.applyMerges("x", Seq(("a", "b"))).toSeq == Seq("x"))
+    // parity with the trainer: encoding the training corpus under the
+    // learned merges reproduces the trainer's own final segmentation
+    // ("aaab" x3: merge 1 = (a,a) cnt 6 -> [aa,a,b]; merge 2 tie
+    // (a,b) vs (aa,a) both 3 -> (a,b) by (left, right) asc)
+    assert(Tokenizer.applyMerges("aaab", Seq(("a", "a"), ("a", "b"))).toSeq
+      == Seq("aa", "ab"))
+  }
+
+  test("bpeSegmentVocab + bpeFertility: closed-form counts and integral ratios") {
+    import graft.SparkTestSession.spark.implicits._
+    val docs = Seq(
+      ("s1", "aa aa bb"), ("s1", "aa"), ("s2", "abab cc")).toDF("source", "text")
+    val merges = Seq(("a", "a"), ("b", "b"))
+    val seg = Tokenizer.bpeSegmentVocab(docs, "text", merges)
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("freq"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"))).toMap
+    assert(seg("aa") == ((3L, 1L, 2L)))   // fused by (a,a)
+    assert(seg("bb") == ((1L, 1L, 2L)))   // fused by (b,b)
+    assert(seg("abab") == ((1L, 4L, 4L))) // neither merge applies
+    assert(seg("cc") == ((1L, 2L, 2L)))
+    val fert = Tokenizer.bpeFertility(docs, "text", "source", merges)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+         r.getAs[Long]("fertility_micro"), r.getAs[Long]("chars_per_token_micro"))).toMap
+    // s1: words aa,aa,bb,aa -> 4 words, tokens 1+1+1+1 = 4, chars 8
+    assert(fert("s1") == ((4L, 4L, 1000000L, 2000000L)))
+    // s2: abab (4 tokens) + cc (2 tokens) -> 2 words, 6 tokens, 6 chars
+    assert(fert("s2") == ((2L, 6L, 3000000L, 1000000L)))
+  }
 }
