@@ -349,6 +349,84 @@ object Multimodal {
     bits
   }
 
+  /** Goertzel single-bin DFT power of a PCM clip at frequency
+    * `hz` — the classic O(n)-per-bin tone detector (Goertzel 1958;
+    * the DTMF-decoding standard): s[k] = x[k] + 2cos(ω)·s[k−1] −
+    * s[k−2], power = s1² + s2² − 2cos(ω)·s1·s2. Pure double
+    * recurrence over int16 samples — deterministic on a fixed JVM. */
+  def goertzelPower(a: AudioData, hz: Int): Double = {
+    val omega = 2.0 * math.Pi * hz / a.sampleRate
+    val coeff = 2.0 * math.cos(omega)
+    var s1 = 0.0; var s2 = 0.0
+    var k = 0
+    while (k < a.samples.length) {
+      val s0 = a.samples(k).toDouble + coeff * s1 - s2
+      s2 = s1; s1 = s0; k += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** The default probe bank: octave-spaced speech/music landmarks
+    * below the 16 kHz corpus's Nyquist. */
+  val defaultProbeHz: Seq[Int] = Seq(250, 500, 1000, 2000, 4000)
+
+  case class AudioSpectrum(doc_id: Long, decoded: Boolean,
+                           probe_hz: Array[Int], power: Array[Double],
+                           dominant_hz: Int)
+
+  /**
+   * Per-clip dominant-frequency detection: Goertzel power at a fixed
+   * probe bank, argmax with a lower-frequency tie-break — tone /
+   * beep / test-signal triage for audio corpora without an FFT
+   * library (each probe is O(n), the bank is O(bank·n), and a 100 TB
+   * corpus runs it row-locally inside `mapPartitions` — no shuffle at
+   * all; undecodable payloads keep their row with decoded=false, the
+   * [[audioFeatures]] contract).
+   */
+  def dominantFrequency(df: DataFrame, idCol: String, contentCol: String,
+                        probes: Seq[Int] = defaultProbeHz): Dataset[AudioSpectrum] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bank = probes.toArray
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(a) if a.samples.nonEmpty =>
+              val pw = bank.map(hz => goertzelPower(a, hz))
+              var best = 0
+              var i = 1
+              while (i < pw.length) { if (pw(i) > pw(best)) best = i; i += 1 }
+              AudioSpectrum(id, decoded = true, bank, pw, bank(best))
+            case _ => AudioSpectrum(id, decoded = false, bank,
+              new Array[Double](bank.length), -1)
+          }
+        }
+      }
+  }
+
+  /** Synthesize a mono PCM sine WAV at `hz` — the closed-form fixture
+    * for [[dominantFrequency]] (its Goertzel peak is `hz`'s bin). */
+  def synthSineWav(hz: Int, nSamples: Int, sampleRate: Int = 16000,
+                   amplitude: Int = 30000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort((amplitude * math.sin(2.0 * math.Pi * hz * k / sampleRate)).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
   /** Synthesize a mono PCM WAV whose [[audioHash64]] is EXACTLY
     * `bits`: 65 constant 4-sample windows stepping +1 where the bit is
     * set, −1 where clear — the closed-form fixture for oracle-checked

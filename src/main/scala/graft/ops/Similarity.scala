@@ -691,4 +691,80 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("cos"), col("ham"))
   }
+
+  /**
+   * k-NN label classification from a precomputed neighbor relation:
+   * each query id is assigned the majority label among its neighbors,
+   * with a fully deterministic tie-break — vote count desc, then the
+   * best (lowest) neighbor rank held by the voting label, then label
+   * asc. `pairs` is any (qid, nid, rank, …) neighbor generator:
+   * [[bruteForceTopK]] for the exact/oracled path, [[ivfLookup]] /
+   * [[binaryTopK]] for the 100 TB path — the vote is the same either
+   * way, which is what makes the classifier swappable onto an ANN
+   * backend without touching the decision rule.
+   *
+   * Scale shape: `pairs` is |queries|·k rows (tiny next to the
+   * corpus); the labels side is the full corpus but projected to
+   * (id, label) — 12 bytes a row — and joined on the neighbor id, so
+   * AQE broadcasts it for any queries batch that fits and falls back
+   * to a co-partitioned shuffle of id+label (never the vectors)
+   * otherwise. The vote aggregate and window share the qid key.
+   */
+  def knnClassifyFrom(pairs: DataFrame, labels: DataFrame,
+                      idCol: String, labelCol: String): DataFrame = {
+    val lbl = labels.select(col(idCol).as("nid"), col(labelCol).as("pred_label"))
+    val votes = pairs.join(lbl, "nid")
+      .groupBy(col("qid"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rank"), col("pred_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("pred_label"), col("votes"), col("best_rank"))
+  }
+
+  /** Exact k-NN classifier: brute-force neighbors + majority vote.
+    * The corpus supplies both the vectors and the labels. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame =
+    knnClassifyFrom(bruteForceTopK(queries, corpus, idCol, vecCol, k),
+      corpus, idCol, labelCol)
+
+  /**
+   * Ratio-margin scoring over a top-k neighbor relation (Artetxe &
+   * Schwenk 2019's margin criterion, the standard bitext-mining /
+   * semantic-pair filter: raw cosine over-selects hub vectors that
+   * are near EVERYTHING, so each pair's cosine is normalized by the
+   * mean top-k cosine of both endpoints). Computed in exact integer
+   * arithmetic: cosines quantize to micros row-locally, per-id sums
+   * over exactly k micro values are integer, and
+   * margin_ppm = cos_micro · 2k · 1e6 div (sum_a + sum_b) is an
+   * integral division — hash-identical in any engine (no FP mean, no
+   * FP divide). A margin_ppm of 1_000_000 means "exactly as close as
+   * the endpoints' average neighborhood"; mined pairs are typically
+   * kept at ≥ ~1.06e6.
+   *
+   * Requires a SELF top-k relation (every nid also appears as a qid —
+   * i.e. queries == corpus), since both endpoints need a
+   * neighborhood mean; pairs whose nid has no own neighborhood are
+   * dropped by the inner join, making the contract visible. Scale
+   * shape: input is N·k rows; the per-id sum shares the qid key with
+   * the generator's own window, and the nid-side join moves only
+   * (id, sum) — AQE broadcasts it below the threshold.
+   */
+  def marginPairs(pairs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cosM = pairs.select(col("qid"), col("nid"), col("rank"),
+      floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("cos_micro"))
+    val sums = cosM.groupBy(col("qid")).agg(sum(col("cos_micro")).as("nbr_sum"))
+    cosM
+      .join(sums.select(col("qid"), col("nbr_sum").as("sum_q")), "qid")
+      .join(sums.select(col("qid").as("nid"), col("nbr_sum").as("sum_n")), "nid")
+      // a non-positive neighborhood-mean denominator means the pair
+      // sits in an anti-correlated region where the ratio margin is
+      // meaningless (and engines disagree on x div 0) — drop, visibly
+      .filter(col("sum_q") + col("sum_n") > 0)
+      .select(col("qid"), col("nid"), col("rank"), col("cos_micro"),
+        expr(s"cos_micro * ${2L * k} * 1000000 div (sum_q + sum_n)")
+          .as("margin_ppm"))
+  }
 }

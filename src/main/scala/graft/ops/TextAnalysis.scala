@@ -843,4 +843,215 @@ object TextAnalysis {
       .select(col(idCol), col("source"), col("avg_nll_micro"),
         col("bucket"), col("ppl_band"))
   }
+
+  /**
+   * Per-document sentence statistics — the sentence-level half of the
+   * Gopher/C4 heuristics (documents with very few sentences, or one
+   * run-on "sentence", are boilerplate/navigation candidates; C4 keeps
+   * only lines that end in terminal punctuation). Sentences are the
+   * non-blank segments between `[.!?]+` runs — the RE2-and-Java common
+   * subset, so the same split runs in any engine. Reports sentence
+   * count, mean tokens per sentence in integral micros, the longest
+   * sentence's token count, and whether the trimmed document ends in
+   * terminal punctuation. Entirely row-local: zero shuffles.
+   */
+  def sentenceStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val sentToks = transform(sents, s => size(split(s, "\\s+")).cast("long"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(sents).cast("long").as("n_sentences"),
+        aggregate(sentToks, lit(0L), (a, x) => a + x).as("n_sent_tokens"),
+        coalesce(array_max(sentToks), lit(0L)).as("max_sent_tokens"),
+        col(textCol).as("_t"))
+      .withColumn("mean_sent_tokens_micro",
+        when(col("n_sentences") > 0,
+          expr("n_sent_tokens * 1000000 div n_sentences")).otherwise(lit(0L)))
+      .withColumn("ends_terminal", rtrim(col("_t")).rlike("[.!?]$"))
+      .drop("_t")
+  }
+
+  /**
+   * Per-document Shannon character entropy in integral micro-nats —
+   * the classic cheap junk detector: near-zero entropy is a repeated
+   * character / padding run, unusually high entropy is random keys or
+   * compressed-then-mangled bytes; prose sits in a stable band. The
+   * distribution is taken over the document's PRINTABLE-ASCII
+   * characters (`[\x20-\x7e]`) so both engines see identical units
+   * regardless of how their regex/split primitives treat multi-byte
+   * code points — non-ASCII composition is [[scriptProfile]]'s job.
+   *
+   * Exactness: per-char surprisal −ln(cnt/total) quantizes to micros
+   * row-wise ([[unigramLogProb]]'s pattern), the entropy is the exact
+   * integer Σ cnt·nll_micro div total. Scale shape: one (id, char)
+   * map-side-combined shuffle (≤ 95 rows per doc); the per-doc total
+   * is a window over the same key — no second exchange.
+   */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(split(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""), ""))
+          .as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("nll_micro",
+        floor(-log(col("cnt").cast("double") / col("total")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("id"))
+      .agg(max(col("total")).as("n_ascii_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * col("nll_micro")).as("sum_nll"))
+      .withColumn("entropy_micro", expr("sum_nll div n_ascii_chars"))
+      .drop("sum_nll")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The mojibake repair table: UTF-8 bytes decoded as cp1252/latin-1
+    * (the single most common encoding accident in web crawls), for
+    * the characters that actually occur in crawled text — curly
+    * quotes/dashes/ellipsis, western-European accents, and the
+    * `Â + NBSP` artifact. Longest-match-first so the 3-byte
+    * punctuation sequences win over their `Ã/Â` prefixes. Public
+    * knowledge (the ftfy tool's core table). */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // U+2019 (E2 80 99) read as cp1252: 0x99 = U+2122
+    "\u00E2\u20AC\u2122" -> "\u2019",
+    // U+2018 (E2 80 98): 0x98 = U+02DC
+    "\u00E2\u20AC\u02DC" -> "\u2018",
+    // U+201C (E2 80 9C): 0x9C = U+0153
+    "\u00E2\u20AC\u0153" -> "\u201C",
+    // (U+201D ends in 0x9D, undefined in cp1252 — decoders disagree
+    // on its carcass, so it has no reliable signature and is skipped)
+    // U+2013 en dash (E2 80 93): 0x93 = U+201C
+    "\u00E2\u20AC\u201C" -> "\u2013",
+    // U+2014 em dash (E2 80 94): 0x94 = U+201D
+    "\u00E2\u20AC\u201D" -> "\u2014",
+    // U+2026 ellipsis (E2 80 A6): 0xA6 = U+00A6
+    "\u00E2\u20AC\u00A6" -> "\u2026",
+    // Latin-1 accents: U+00Ex/U+00Fx are C3 xx in UTF-8; C3 = U+00C3
+    "\u00C3\u00A9" -> "\u00E9", // e acute
+    "\u00C3\u00A8" -> "\u00E8", // e grave
+    "\u00C3\u00A1" -> "\u00E1", // a acute
+    "\u00C3\u00AD" -> "\u00ED", // i acute (0xAD = soft hyphen)
+    "\u00C3\u00B3" -> "\u00F3", // o acute
+    "\u00C3\u00BA" -> "\u00FA", // u acute
+    "\u00C3\u00A4" -> "\u00E4", // a umlaut
+    "\u00C3\u00B6" -> "\u00F6", // o umlaut
+    "\u00C3\u00BC" -> "\u00FC", // u umlaut
+    "\u00C3\u00B1" -> "\u00F1", // n tilde
+    "\u00C3\u00A7" -> "\u00E7", // c cedilla
+    // U+00A0 NBSP (C2 A0): C2 = U+00C2 — the "A-hat + space" artifact
+    "\u00C2\u00A0" -> " ")
+
+  /**
+   * Gopher duplicate-line stats (Rae 2021 §A1.1 "duplicate line
+   * fraction" / "duplicate line character fraction"): the share of a
+   * document's non-blank lines — and of their characters — that are
+   * exact repeats of another line in the SAME document (headers,
+   * nav bars, templated listings). Entirely ROW-LOCAL (nested
+   * higher-order functions over the line array; documents hold tens
+   * of lines, so the O(L²) per-row compare is trivial and nothing
+   * shuffles); ratios are integral micros.
+   */
+  def dupLineStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= "")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), lines.as("lines"))
+      .select(col(idCol),
+        transform(col("lines"),
+          x => size(filter(col("lines"), y => y === x))).as("occs"),
+        transform(col("lines"), l => length(l).cast("long")).as("lens"))
+      .select(col(idCol),
+        size(col("occs")).cast("long").as("n_lines"),
+        size(filter(col("occs"), c => c > 1)).cast("long").as("dup_lines"),
+        aggregate(col("lens"), lit(0L), (a, x) => a + x).as("total_line_chars"),
+        aggregate(zip_with(col("lens"), col("occs"),
+            (l, c) => when(c > 1, l).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("dup_line_chars"))
+      .withColumn("dup_line_micro",
+        when(col("n_lines") > 0, expr("dup_lines * 1000000 div n_lines"))
+          .otherwise(lit(0L)))
+      .withColumn("dup_char_micro",
+        when(col("total_line_chars") > 0,
+          expr("dup_line_chars * 1000000 div total_line_chars"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
+   * Gopher duplicated-n-gram character coverage (Rae 2021 §A1.1
+   * "fraction of characters inside duplicate n-grams"): the share of
+   * a document's token characters covered by some word n-gram that
+   * occurs at least twice in the SAME document — counting each token
+   * position once however many duplicated grams cover it (the
+   * position-marking de-overlap the curation stacks use). Documents
+   * with fewer than n tokens have no grams and are absent.
+   *
+   * Scale shape: ONE exchange — docs repartition by id, and every
+   * downstream aggregate/window/join clusters on id or (id, x), which
+   * hash-partitioning on id already satisfies (sorts, no new
+   * shuffles). Gram keys cross the exchange as xxhash64 longs when
+   * `portableHash=false` (the production path); `portableHash=true`
+   * keeps the gram STRING so a SQL oracle computes value-identical
+   * coverage.
+   */
+  def dupNgramCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int = 5,
+                       portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "a 1-gram dup is just a repeated token")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .repartition(col("id"))
+    val pos = base.select(col("id"),
+        posexplode(transform(col("toks"), t => length(t).cast("long"))))
+      .toDF("id", "pos", "toklen")
+    // \u0001 separator: tokens are whitespace-split so they cannot
+    // contain it — gram strings are collision-free across boundaries
+    val gramStr = (i: Column) => concat_ws("\u0001", slice(col("toks"), i + 1, lit(n)))
+    val grams = base.select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => if (portableHash) gramStr(i).cast("string")
+               else xxhash64(gramStr(i)).cast("string"))))
+      .toDF("id", "gpos", "gram")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("gram"))
+    val covered = grams.withColumn("c", count(lit(1)).over(wc))
+      .filter(col("c") > 1)
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + n - 1)).as("pos"))
+      .distinct()
+      .join(pos, Seq("id", "pos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("covered_positions"),
+        sum(col("toklen")).as("covered_chars"))
+    pos.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("toklen")).as("total_token_chars"))
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("covered_positions", "covered_chars"))
+      .withColumn("dup_char_micro",
+        expr("covered_chars * 1000000 div total_token_chars"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * Repair double-encoded (UTF-8-read-as-cp1252) text via the fixed
+   * longest-first literal-replace chain of [[mojibakeTable]] — the
+   * bounded, deterministic core of what ftfy does, as a row-local
+   * column expression (codegen'd `replace` chain, no UDF). Returns
+   * the repaired text; pair with `repaired =!= original` for a
+   * mojibake-rate report. An oracle can state the IDENTICAL chain,
+   * since the table is data, not code.
+   */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
 }

@@ -343,6 +343,57 @@ object LlmQueries {
       },
       Some(LlmOracles.binaryTopK)),
 
+    // Exact k-NN label classification: majority label among the 5
+    // nearest corpus vectors, deterministic tie-break (votes desc,
+    // best rank, label asc) — the decision rule is pure relational
+    // algebra over the neighbor set, so it is exactly oracle-able.
+    Q("q_llm_knn_classify",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.knnClassify(e.filter(col("vec_id") < 50), e,
+          "vec_id", "embedding", "label", k = 5)
+      },
+      Some(LlmOracles.knnClassify)),
+
+    // Production twin: the SAME vote over IVF-ANN neighbors for the
+    // whole corpus (rows-only — the k-means cells are engine-local;
+    // the decision rule itself is oracled above).
+    Q("q_llm_knn_classify_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.knnClassifyFrom(
+          Similarity.ivfTopK(e, "vec_id", "embedding", dims = 64, k = 5,
+            nlist = 16, nprobe = 8),
+          e, "vec_id", "label")
+      },
+      None),
+
+    // Ratio-margin pair mining (Artetxe & Schwenk 2019) over the
+    // exact self top-3 of a 200-vector sub-corpus: hub-corrected
+    // pair scores in integer ppm — micro-quantized cosines, integral
+    // sums and division, so the approximation-free path hash-matches
+    // DuckDB end to end including the margins.
+    Q("q_llm_margin",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        Similarity.marginPairs(
+          Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3),
+          k = 3)
+      },
+      Some(LlmOracles.marginPairs)),
+
+    // Production twin: margins over the IVF self top-k at corpus
+    // scale (rows-only — ANN neighbor set is engine-local).
+    Q("q_llm_margin_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.marginPairs(
+          Similarity.ivfTopK(e, "vec_id", "embedding", dims = 64, k = 3,
+            nlist = 16, nprobe = 8),
+          k = 3)
+      },
+      None),
+
     // BPE trainer iteration zero: weighted adjacent char-pair counts
     // over the distinct-word relation (a length-2 substring IS the
     // pair — pure counting, exactly oracle-able).
@@ -804,6 +855,27 @@ object LlmQueries {
               FROM generate_series(0, 63) i(g)) AS BIGINT) AS sum_sq
         FROM documents""")),
 
+    // Dominant-frequency detection: each doc gets a synthesized sine
+    // at a probe-bank frequency chosen by doc_id (integer cycle counts
+    // at 256 samples/16 kHz, so the Goertzel peak IS the synth bin) —
+    // the engine really decodes the WAV and runs the recurrence; the
+    // oracle states the closed-form expected peak.
+    Q("q_multimodal_dominant_freq",
+      (s, dir) => {
+        import s.implicits._
+        val probes = Multimodal.defaultProbeHz
+        val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.synthSineWav(probes((id % 5).toInt), 256))))
+          .toDF("doc_id", "content")
+        Multimodal.dominantFrequency(wavs, "doc_id", "content")
+          .toDF().select(col("doc_id"), col("decoded"), col("dominant_hz"))
+      },
+      Some("""SELECT doc_id, true AS decoded,
+        CAST(CASE doc_id % 5 WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 1000
+             WHEN 3 THEN 2000 ELSE 4000 END AS INT) AS dominant_hz
+        FROM documents""")),
+
     // Multimodal plumbing: binary content + per-partition extraction.
     Q("q_multimodal_features",
       (s, dir) => {
@@ -1228,6 +1300,65 @@ object LlmQueries {
             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
           '\s+', ' ', 'g')) AS clean
         FROM documents WHERE text IS NOT NULL""")),
+
+    // Sentence-level heuristics (the sentence half of Gopher/C4):
+    // sentence count, mean/max tokens per sentence (integral micros),
+    // terminal-punctuation flag — row-local, shared regex subset.
+    Q("q_llm_sentences",
+      (s, dir) => TextAnalysis.sentenceStats(t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.sentenceStats)),
+
+    // Gopher duplicate-line stats: docs are deterministically salted
+    // with a repeated boiler line (both engines build the same text),
+    // so the duplicate detection demonstrably fires; case-sensitive
+    // line equality, integral micro ratios.
+    Q("q_llm_dup_lines",
+      (s, dir) => TextAnalysis.dupLineStats(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("text", concat(col("text"),
+            lit("\nboiler line\nBOILER line\nboiler line\nunique tail"))),
+        "doc_id", "text"),
+      Some(LlmOracles.dupLines)),
+
+    // Gopher duplicated-5-gram character coverage (portable gram
+    // strings; the xxhash64 twin below is the production path). A
+    // duplicated 6-token run is salted in so coverage provably fires
+    // on top of any natural repeats.
+    Q("q_llm_dup_ngrams",
+      (s, dir) => TextAnalysis.dupNgramCoverage(
+        t(s, dir, "documents")
+          .withColumn("text", concat(col("text"), lit(" q w e r t y q w e r t y"))),
+        "doc_id", "text", n = 5, portableHash = true),
+      Some(LlmOracles.dupNgrams)),
+
+    Q("q_llm_dup_ngrams_x64",
+      (s, dir) => TextAnalysis.dupNgramCoverage(
+        t(s, dir, "documents")
+          .withColumn("text", concat(col("text"), lit(" q w e r t y q w e r t y"))),
+        "doc_id", "text", n = 5, portableHash = false),
+      None),
+
+    // Printable-ASCII character entropy in micro-nats: the cheap
+    // junk/padding/random-key detector; surprisal micro-quantized
+    // row-wise, entropy an exact integral division.
+    Q("q_llm_char_entropy",
+      (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.charEntropy)),
+
+    // ftfy-style mojibake repair: documents are deterministically
+    // salted with every double-encoded sequence in the repair table
+    // (both engines build the same broken string), so the fix
+    // demonstrably repairs real mojibake while staying exactly
+    // oracle-able — the repair table is data, stated verbatim in SQL.
+    Q("q_llm_fix_mojibake",
+      (s, dir) => {
+        val salted = concat(col("text"), lit(LlmOracles.mojibakeSalt))
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.fixMojibake(salted).as("fixed"),
+            (TextAnalysis.fixMojibake(salted) =!= salted).as("was_broken"))
+      },
+      Some(LlmOracles.fixMojibake)),
 
     // CCNet head/middle/tail perplexity partition: per-source ntile
     // over the bigram NLL — the "cut within the source" selection
@@ -1936,4 +2067,151 @@ object LlmOracles {
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
       FROM scored)
     SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3"""
+
+  val knnClassify: String = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS lbl,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM e q CROSS JOIN e n
+      WHERE q.vec_id < 50 AND q.vec_id <> n.vec_id),
+    ranked AS (SELECT qid, nid, lbl,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored),
+    knn AS (SELECT * FROM ranked WHERE rank <= 5),
+    votes AS (SELECT qid, lbl AS pred_label, COUNT(*) AS votes, MIN(rank) AS best_rank
+      FROM knn GROUP BY 1, 2),
+    best AS (SELECT qid, pred_label, votes, best_rank,
+        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, best_rank, pred_label) AS rn
+      FROM votes)
+    SELECT qid, pred_label, votes, best_rank FROM best WHERE rn = 1"""
+
+  val marginPairs: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 200),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM e q CROSS JOIN e n WHERE q.vec_id <> n.vec_id),
+    ranked AS (SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored),
+    knn AS (SELECT qid, nid, rank,
+        CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM ranked WHERE rank <= 3),
+    sums AS (SELECT qid, SUM(cos_micro) AS nbr_sum FROM knn GROUP BY 1)
+    SELECT k.qid, k.nid, k.rank, k.cos_micro,
+        (k.cos_micro * 6 * 1000000) // (sq.nbr_sum + sn.nbr_sum) AS margin_ppm
+    FROM knn k
+    JOIN sums sq ON k.qid = sq.qid
+    JOIN sums sn ON k.nid = sn.qid
+    WHERE sq.nbr_sum + sn.nbr_sum > 0"""
+
+  val sentenceStats: String = """
+    WITH s AS (SELECT doc_id, text,
+        list_filter(list_transform(
+          regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+          x -> x <> '') AS sents
+      FROM documents WHERE text IS NOT NULL),
+    tk AS (SELECT doc_id, text, sents,
+        list_transform(sents, x -> CAST(len(string_split_regex(x, '\s+')) AS BIGINT)) AS stoks
+      FROM s)
+    SELECT doc_id,
+      CAST(len(sents) AS BIGINT) AS n_sentences,
+      CAST(coalesce(list_sum(stoks), 0) AS BIGINT) AS n_sent_tokens,
+      CAST(coalesce(list_max(stoks), 0) AS BIGINT) AS max_sent_tokens,
+      CAST(CASE WHEN len(sents) > 0
+        THEN (coalesce(list_sum(stoks), 0) * 1000000) // len(sents)
+        ELSE 0 END AS BIGINT) AS mean_sent_tokens_micro,
+      regexp_matches(rtrim(text), '[.!?]$') AS ends_terminal
+    FROM tk"""
+
+  val charEntropy: String = """
+    WITH c AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), '')) AS ch
+      FROM documents WHERE text IS NOT NULL),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c WHERE ch <> '' GROUP BY 1, 2),
+    tt AS (SELECT doc_id, ch, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+      FROM cc),
+    nl AS (SELECT doc_id, cnt, total,
+        CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5) AS BIGINT) AS nll
+      FROM tt)
+    SELECT doc_id,
+      MAX(total) AS n_ascii_chars,
+      COUNT(*) AS n_distinct_chars,
+      CAST(CAST(SUM(cnt * nll) AS BIGINT) // MAX(total) AS BIGINT) AS entropy_micro
+    FROM nl GROUP BY doc_id"""
+
+  val dupLines: String = """
+    WITH d AS (SELECT doc_id,
+        list_filter(list_transform(string_split(
+          text || chr(10) || 'boiler line' || chr(10) || 'BOILER line'
+               || chr(10) || 'boiler line' || chr(10) || 'unique tail',
+          chr(10)), l -> trim(l)), l -> l <> '') AS lines
+      FROM documents WHERE text IS NOT NULL),
+    o AS (SELECT doc_id,
+        list_transform(lines, x -> len(list_filter(lines, y -> y = x))) AS occs,
+        list_transform(lines, l -> CAST(len(l) AS BIGINT)) AS lens
+      FROM d)
+    SELECT doc_id,
+      CAST(len(occs) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(occs, c -> c > 1)) AS BIGINT) AS dup_lines,
+      CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS total_line_chars,
+      CAST(coalesce(list_sum(list_transform(range(len(lens)),
+        i -> CASE WHEN occs[i+1] > 1 THEN lens[i+1] ELSE 0 END)), 0) AS BIGINT)
+        AS dup_line_chars,
+      CAST(CASE WHEN len(occs) > 0
+        THEN (len(list_filter(occs, c -> c > 1)) * 1000000) // len(occs)
+        ELSE 0 END AS BIGINT) AS dup_line_micro,
+      CAST(CASE WHEN coalesce(list_sum(lens), 0) > 0
+        THEN (coalesce(list_sum(list_transform(range(len(lens)),
+          i -> CASE WHEN occs[i+1] > 1 THEN lens[i+1] ELSE 0 END)), 0) * 1000000)
+          // list_sum(lens)
+        ELSE 0 END AS BIGINT) AS dup_char_micro
+    FROM o"""
+
+  val dupNgrams: String = """
+    WITH b AS (SELECT doc_id,
+        string_split_regex(lower(trim(text || ' q w e r t y q w e r t y')), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    q AS (SELECT doc_id, toks FROM b WHERE len(toks) >= 5),
+    g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 5)) AS gpos, toks FROM q),
+    g2 AS (SELECT doc_id, gpos, array_to_string(toks[gpos+1:gpos+5], chr(1)) AS gram FROM g),
+    dup AS (SELECT doc_id, gpos FROM (
+        SELECT doc_id, gpos, COUNT(*) OVER (PARTITION BY doc_id, gram) AS c FROM g2)
+      WHERE c > 1),
+    cov0 AS (SELECT doc_id, gpos + unnest(generate_series(0, 4)) AS pos FROM dup),
+    cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+    p AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS pos, toks FROM q),
+    p2 AS (SELECT doc_id, pos, CAST(len(toks[pos+1]) AS BIGINT) AS toklen FROM p),
+    tot AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(toklen) AS BIGINT) AS total_token_chars FROM p2 GROUP BY 1),
+    cc AS (SELECT c.doc_id, COUNT(*) AS covered_positions,
+        CAST(SUM(p2.toklen) AS BIGINT) AS covered_chars
+      FROM cov c JOIN p2 ON c.doc_id = p2.doc_id AND c.pos = p2.pos GROUP BY 1)
+    SELECT t.doc_id, t.n_tokens, t.total_token_chars,
+      coalesce(cc.covered_positions, 0) AS covered_positions,
+      coalesce(cc.covered_chars, 0) AS covered_chars,
+      CAST((coalesce(cc.covered_chars, 0) * 1000000) // t.total_token_chars AS BIGINT)
+        AS dup_char_micro
+    FROM tot t LEFT JOIN cc ON t.doc_id = cc.doc_id"""
+
+  /** Every repair-table key, concatenated — the deterministic
+    * mojibake salt both engines append to each document. */
+  val mojibakeSalt: String =
+    " " + graft.ops.TextAnalysis.mojibakeTable.map(_._1).mkString(" ")
+
+  /** The repair chain stated verbatim in SQL from the same table the
+    * engine folds over — table order IS the replace nesting order. */
+  val fixMojibake: String = {
+    def sq(s: String) = s.replace("'", "''")
+    val salted = s"text || '${sq(mojibakeSalt)}'"
+    val chain = graft.ops.TextAnalysis.mojibakeTable.foldLeft(salted) {
+      case (acc, (bad, good)) => s"replace($acc, '${sq(bad)}', '${sq(good)}')"
+    }
+    s"""SELECT doc_id, $chain AS fixed,
+      $chain <> ($salted) AS was_broken
+      FROM documents WHERE text IS NOT NULL"""
+  }
 }

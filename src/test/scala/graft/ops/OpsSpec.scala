@@ -552,6 +552,75 @@ class OpsSpec extends SparkTestBase {
     assert(top1 == Set((1L, 2L, 0)))
   }
 
+  test("knn classify: majority vote, best-rank tiebreak, ann-backend swap") {
+    import spark.implicits._
+    val pairs = Seq(
+      // q1: label 20 outvotes 10 (2 votes vs 1)
+      (1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
+      // q2: 1-1 vote tie -> label holding the nearer neighbor wins
+      (2L, 104L, 1), (2L, 101L, 2))
+      .toDF("qid", "nid", "rank")
+    val labels = Seq((101L, 10), (102L, 20), (103L, 20), (104L, 30))
+      .toDF("vec_id", "label")
+    val out = Similarity.knnClassifyFrom(pairs, labels, "vec_id", "label")
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(out(1L) == (20, 2L))
+    assert(out(2L) == (30, 1L)) // rank-1 neighbor breaks the vote tie
+    // end-to-end: a query inside a labeled cluster takes its label
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f), 7), (2L, Array(1.0f, -0.05f), 7),
+      (3L, Array(0.9f, 0.1f), 7), (4L, Array(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(vecs.filter($"vec_id" === 1), vecs,
+      "vec_id", "embedding", "label", k = 3).collect().head
+    assert(pred.getAs[Int]("pred_label") == 7)
+  }
+
+  test("margin pairs: hub correction exact in ppm; degenerate pairs drop") {
+    import spark.implicits._
+    // hand-built self top-2 relation: 2 is a "hub" (high neighborhood
+    // mean), so its pairs are margin-penalized relative to raw cosine
+    val pairs = Seq(
+      (1L, 2L, 1, 0.9), (1L, 3L, 2, 0.1),
+      (2L, 1L, 1, 0.9), (2L, 3L, 2, 0.7),
+      (3L, 2L, 1, 0.7), (3L, 1L, 2, 0.1))
+      .toDF("qid", "nid", "rank", "cos")
+    val m = Similarity.marginPairs(pairs, k = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("margin_ppm")).toMap
+    // sums: s1 = 1_000_000, s2 = 1_600_000, s3 = 800_000 micro
+    assert(m((1L, 2L)) == 900000L * 4000000L / 2600000L) // 1_384_615
+    assert(m((2L, 3L)) == 700000L * 4000000L / 2400000L) // 1_166_666
+    assert(m((3L, 2L)) == m((2L, 3L))) // symmetric cos, same endpoints
+    // a pair whose nid has no own neighborhood is dropped (inner join
+    // makes the self-relation contract visible), as is a pair whose
+    // combined neighborhood mean is non-positive
+    val part = Seq((1L, 9L, 1, 0.5), (1L, 2L, 2, 0.4), (2L, 1L, 1, 0.4),
+      (5L, 6L, 1, -0.5), (6L, 5L, 1, -0.5))
+      .toDF("qid", "nid", "rank", "cos")
+    val kept = Similarity.marginPairs(part, k = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("goertzel: sine peaks at its own bin; undecodable flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.synthSineWav(1000, 256)),
+      (2L, Multimodal.synthSineWav(4000, 256)),
+      (3L, Array[Byte](1, 2, 3))) // not a WAV
+      .toDF("doc_id", "content")
+    val out = Multimodal.dominantFrequency(rows, "doc_id", "content")
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(out(1L).decoded && out(1L).dominant_hz == 1000)
+    assert(out(2L).decoded && out(2L).dominant_hz == 4000)
+    assert(!out(3L).decoded && out(3L).dominant_hz == -1)
+    // the peak is decisive, not marginal: >10x the next bin
+    val p = out(1L).probe_hz.zip(out(1L).power).toMap
+    assert(p(1000) > 10 * p(2000) && p(1000) > 10 * p(500))
+  }
+
   test("multimodal: per-partition features match driver-side recompute") {
     import spark.implicits._
     val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")

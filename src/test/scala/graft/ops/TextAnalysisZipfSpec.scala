@@ -61,4 +61,86 @@ class TextAnalysisZipfSpec extends SparkTestBase {
     // head = LOWEST perplexity (most fluent): bucket 1 is the head
     assert(out.filter(_._4 == 1).forall(_._5 == "head"))
   }
+
+  test("sentenceStats: split, counts, integral mean, terminal flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three four five! six?  "),
+      (2L, "no punct here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_sent_tokens"),
+          r.getAs[Long]("max_sent_tokens"), r.getAs[Long]("mean_sent_tokens_micro"),
+          r.getAs[Boolean]("ends_terminal"))).toMap
+    assert(out(1L) == (3L, 6L, 3L, 2000000L, true))
+    assert(out(2L) == (1L, 3L, 3L, 3000000L, false))
+    assert(out(3L) == (0L, 0L, 0L, 0L, false))
+  }
+
+  test("charEntropy: closed-form micro-nats; non-ASCII excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aab"),   // -(2/3 ln 2/3 + 1/3 ln 1/3) via micro quantization
+      (2L, "ab"),    // uniform pair: ln 2
+      (3L, "aé")) // accent stripped -> single char -> zero entropy
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ascii_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Long]("entropy_micro"))).toMap
+    assert(out(1L) == (3L, 2L, (2L * 405465L + 1098612L) / 3L)) // 636514
+    assert(out(2L) == (2L, 2L, 693147L))
+    assert(out(3L) == (1L, 1L, 0L))
+  }
+
+  test("dupLineStats: occurrence counts, char shares, blank lines dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nbb\na\n\n cc "),
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupLineStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("dup_lines"),
+          r.getAs[Long]("total_line_chars"), r.getAs[Long]("dup_line_chars"),
+          r.getAs[Long]("dup_line_micro"), r.getAs[Long]("dup_char_micro"))).toMap
+    assert(out(1L) == (4L, 2L, 6L, 2L, 500000L, 333333L))
+    assert(out(2L) == (1L, 0L, 4L, 0L, 0L, 0L))
+  }
+
+  test("dupNgramCoverage: de-overlapped position coverage; hash twin identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"), // "a b" repeats -> positions {0,1,3,4} covered
+      (2L, "x y z"),     // no repeated bigram
+      (3L, "one")).toDF("doc_id", "text") // < n tokens: absent
+    def run(portable: Boolean) =
+      TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n = 2, portableHash = portable)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_token_chars"),
+            r.getAs[Long]("covered_positions"), r.getAs[Long]("covered_chars"),
+            r.getAs[Long]("dup_char_micro"))).toMap
+    val out = run(true)
+    assert(out(1L) == (5L, 5L, 4L, 4L, 800000L))
+    assert(out(2L) == (3L, 3L, 0L, 0L, 0L))
+    assert(!out.contains(3L))
+    assert(run(false) == out) // xxhash64 production twin is value-identical
+  }
+
+  test("fixMojibake: repairs double-encoded punctuation and accents") {
+    import spark.implicits._
+    // "don<rsquo-mojibake>t <e-acute-mojibake>t<e-acute-mojibake> a<nbsp-mojibake>b"
+    val broken = "don\u00E2\u20AC\u2122t \u00C3\u00A9t\u00C3\u00A9 a\u00C2\u00A0b"
+    val out = Seq((1L, broken), (2L, "clean text")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fixMojibake(col("text")).as("fixed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "don\u2019t \u00E9t\u00E9 a b")
+    assert(out(2L) == "clean text")
+    // the full repair table round-trips: every key maps to its value
+    val all = graft.ops.TextAnalysis.mojibakeTable.map(_._1).mkString(" ")
+    val want = graft.ops.TextAnalysis.mojibakeTable.map(_._2).mkString(" ")
+    val fixedAll = Seq(Tuple1(all)).toDF("text")
+      .select(TextAnalysis.fixMojibake(col("text"))).collect().head.getString(0)
+    assert(fixedAll == want)
+  }
 }
