@@ -24,7 +24,7 @@ object RecallCheck {
     val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 16, nprobe = 8))
     val pq = pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
       nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))
-    val bin = pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k, rerank = 24))
+    val bin = pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k, rerank = 96))
     println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f ivf_pq=${rec(pq)}%.3f binary=${rec(bin)}%.3f n=${truth.size}")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),

@@ -42,4 +42,23 @@ object Profile {
       distinctAgg,
       min(col("v")).as("min_val"), max(col("v")).as("max_val"))
   }
+
+  /**
+   * k-anonymity audit (Sweeney 2002): equivalence-class sizes over a
+   * quasi-identifier column set — a row in a class smaller than `k`
+   * is re-identifiable by joining those columns against an external
+   * table, the canonical privacy gate before a corpus with
+   * user-derived metadata ships. One row per equivalence class with
+   * its size and the at_risk verdict; downstream suppression is
+   * a semi-join of the data against the at_risk classes. ONE
+   * map-side-combined shuffle on the QI key (counts collapse per
+   * partition first, so a 100 TB table moves |classes| rows).
+   */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, "k < 2 flags nothing")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
 }

@@ -1042,6 +1042,56 @@ object TextAnalysis {
   }
 
   /**
+   * Feature-hashing document embedding (Weinberger et al. 2009, the
+   * hashing trick): unigram counts hashed into `dims` buckets,
+   * l2-normalized — the no-model text vectorizer that bridges the
+   * documents table into the ANN / kNN-classify / margin stack.
+   * Long format (id, bucket, cnt, weight_micro): the l2 weight is
+   * cnt·1e6 / sqrt(Σcnt²) — integer counts, one correctly-rounded
+   * sqrt and divide, then micro quantization, so the oracled face is
+   * value-identical in any engine. `portableHash=true` buckets via
+   * the md5-prefix hash (SQL-reproducible); false via xxhash64 (the
+   * production path). Scale shape: one (id, bucket) map-side-combined
+   * shuffle; the Σcnt² window shares its key.
+   */
+  def hashEmbedLong(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, dims: Int = 64,
+                    portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val tok = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val bucket =
+      if (portableHash)
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(dims.toLong))
+      else pmod(xxhash64(col("tok")), lit(dims.toLong))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    tok.select(col("id"), bucket.as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("weight_micro",
+        floor(col("cnt") * lit(1e6) / sqrt(col("ss").cast("double")) + lit(0.5))
+          .cast("long"))
+      .select(col("id").as(idCol), col("bucket"), col("cnt"), col("weight_micro"))
+  }
+
+  /** Assemble [[hashEmbedLong]] into a dense array<float> column
+    * (id, embedding) for the ANN stack — collect the sparse buckets
+    * per doc (bounded by `dims`) and scatter into a fixed-length
+    * vector; order-independent via the bucket-keyed map. */
+  def hashEmbedVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, dims: Int = 64,
+                       portableHash: Boolean = false): org.apache.spark.sql.DataFrame =
+    hashEmbedLong(df, idCol, textCol, dims, portableHash)
+      .groupBy(col(idCol))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("weight_micro"))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => (coalesce(element_at(col("_m"), i.cast("long")), lit(0L))
+            .cast("double") / lit(1e6)).cast("float")).as("embedding"))
+
+  /**
    * Repair double-encoded (UTF-8-read-as-cp1252) text via the fixed
    * longest-first literal-replace chain of [[mojibakeTable]] — the
    * bounded, deterministic core of what ftfy does, as a row-local

@@ -550,6 +550,15 @@ object AnalyticsQueries {
         UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(v), COUNT(DISTINCT v), MIN(v), MAX(v)
         FROM (SELECT CAST(c_nationkey AS VARCHAR) AS v FROM customer)""")),
 
+    // k-anonymity audit over the (nation, segment) quasi-identifier:
+    // equivalence-class sizes + at-risk verdict at k=10.
+    Q("q_k_anonymity",
+      (s, dir) => graft.ops.Profile.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+          COUNT(*) < 10 AS at_risk
+        FROM customer GROUP BY 1, 2""")),
+
     // Edit-distance-1 near-dup pairs on customer names (entity
     // resolution / typo-variant matching) via FastSS deletion-variant
     // blocking — exact for d=1, so the brute-force O(n²) levenshtein

@@ -1084,6 +1084,61 @@ object LlmQueries {
           FROM deg d LEFT JOIN s3 ON d.node = s3.node)
         SELECT node, deg, pr AS pr_ppb FROM p3""")),
 
+    // Deterministic synchronous label-propagation communities over
+    // the same near-dup graph: 2 fixed rounds, most-frequent neighbor
+    // label with smallest-label tie-break — macro-expanded in SQL
+    // exactly like the PageRank iterations.
+    Q("q_llm_communities",
+      (s, dir) => graft.ops.Graphs.labelPropagation(
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4).select(col("id_a"), col("id_b")),
+        "id_a", "id_b", iters = 2),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pr0
+          UNION SELECT id_b, id_a FROM pr0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        n1 AS (SELECT sym.dst AS node, l.label, COUNT(*) AS c
+          FROM sym JOIN l0 l ON sym.src = l.node GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (SELECT node, label,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+          FROM n1) WHERE rn = 1),
+        n2 AS (SELECT sym.dst AS node, l.label, COUNT(*) AS c
+          FROM sym JOIN l1 l ON sym.src = l.node GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (SELECT node, label,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+          FROM n2) WHERE rn = 1)
+        SELECT node, label AS community FROM l2""")),
+
+    // Near-dup cluster size histogram (where the dedup budget sits:
+    // many pairs in few mega-clusters vs a long tail of doubles):
+    // connected components over the exact cosine pairs, then clusters
+    // per size. Recursive-CTE min-label walk in the oracle.
+    Q("q_llm_cluster_sizes",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3).select(col("id_a"), col("id_b"))
+        graft.ops.Clusters.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      },
+      Some("""WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e0 a CROSS JOIN e0 b WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+        edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        walk(id, comp) AS (SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+        comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+        sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY 1""")),
+
     // Per-node triangle counts over the exact cosine near-dup graph
     // (dense-cluster triage: triangles separate genuine duplicate
     // cliques from chains of borderline pairs). Production path is
@@ -1336,6 +1391,42 @@ object LlmQueries {
         t(s, dir, "documents")
           .withColumn("text", concat(col("text"), lit(" q w e r t y q w e r t y"))),
         "doc_id", "text", n = 5, portableHash = false),
+      None),
+
+    // Feature-hashing document embedding (the hashing trick), long
+    // format: md5-portable buckets, exact integer counts, one
+    // correctly-rounded sqrt+divide into micro weights — oracled.
+    Q("q_llm_hash_embed",
+      (s, dir) => TextAnalysis.hashEmbedLong(t(s, dir, "documents"),
+        "doc_id", "text", dims = 64, portableHash = true),
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        b AS (SELECT doc_id,
+            (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 64 AS bucket FROM tok),
+        c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        s AS (SELECT doc_id, bucket, cnt,
+            CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS ss FROM c)
+        SELECT doc_id, bucket, cnt,
+          CAST(floor(cnt * 1000000 / sqrt(CAST(ss AS DOUBLE)) + 0.5) AS BIGINT)
+            AS weight_micro
+        FROM s""")),
+
+    // The text -> embedding -> kNN bridge end-to-end: hash-embed the
+    // documents (xxhash64 production path) and kNN-classify each
+    // query doc's LANGUAGE from its 5 nearest neighbors in hash-
+    // embedding space — no pretrained model anywhere. Rows-only
+    // (vector assembly is engine-local); the vote rule and the
+    // embedding arithmetic are each oracled on their own.
+    Q("q_llm_text_knn",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vecs = TextAnalysis.hashEmbedVectors(docs, "doc_id", "text", dims = 64)
+        Similarity.knnClassifyFrom(
+          Similarity.bruteForceTopK(vecs.filter(col("doc_id") < 20), vecs,
+            "doc_id", "embedding", k = 5),
+          docs.select(col("doc_id"), col("lang")), "doc_id", "lang")
+      },
       None),
 
     // Printable-ASCII character entropy in micro-nats: the cheap

@@ -252,16 +252,16 @@ object StreamOps {
   def boilerplateFilterStream(stream: DataFrame, idCol: String, textCol: String,
                               domainCol: String, boiler: DataFrame,
                               lineDelim: String = "\n"): DataFrame = {
-    // (domain, hash) pairs -> one literal array of "domain hash"
+    // (domain, hash) pairs -> one literal array of "domain\u0000hash"
     // probes (a scalar set; map_from literal entries would need a
     // struct-keyed map, which array_contains on a concat key avoids)
     val probes: Array[String] = boiler
-      .select(concat_ws(" ", col("domain"), col("h").cast("string")))
+      .select(concat_ws("\u0000", col("domain"), col("h").cast("string")))
       .collect().map(_.getString(0))
     val probeLit = array(probes.toIndexedSeq.map(lit): _*)
     val lines = split(col(textCol), java.util.regex.Pattern.quote(lineDelim))
     val kept = filter(lines, l => !array_contains(probeLit,
-      concat_ws(" ", col(domainCol), xxhash64(l).cast("string"))))
+      concat_ws("\u0000", col(domainCol), xxhash64(l).cast("string"))))
     stream
       .withColumn("_kept", kept)
       .filter(size(col("_kept")) > 0)

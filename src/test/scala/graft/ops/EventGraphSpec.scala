@@ -134,4 +134,17 @@ class EventGraphSpec extends SparkTestBase {
     val aa = all.filter(col("w_a") === "a" && col("w_b") === "a").head()
     assert(aa.getAs[Long]("lift_bp") == 12500L)
   }
+
+  test("labelPropagation: two disjoint triangles settle on min labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val out = Graphs.labelPropagation(edges, "a", "b", iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // one round from id-labels: every node adopts its min neighbor id
+    val one = Graphs.labelPropagation(edges, "a", "b", iters = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 6L -> 4L))
+  }
 }

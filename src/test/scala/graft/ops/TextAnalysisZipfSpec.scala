@@ -127,6 +127,29 @@ class TextAnalysisZipfSpec extends SparkTestBase {
     assert(run(false) == out) // xxhash64 production twin is value-identical
   }
 
+  test("hashEmbed: l2 weights exact; identical docs identical vectors") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha alpha beta"),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    val long = TextAnalysis.hashEmbedLong(docs, "doc_id", "text", dims = 16)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: cnt 2 and 1 (or one bucket of 3 on collision); ss = 5 or 9
+    val d1 = long(1L).map(r => (r.getAs[Long]("cnt"), r.getAs[Long]("weight_micro")))
+    if (d1.length == 2) {
+      val ss = math.sqrt(5.0)
+      assert(d1.toSet == Set(
+        (2L, math.floor(2e6 / ss + 0.5).toLong), (1L, math.floor(1e6 / ss + 0.5).toLong)))
+    } else assert(d1.toSet == Set((3L, 1000000L)))
+    // vectors: same text -> bitwise-identical vector; top neighbor cos = 1
+    val vecs = TextAnalysis.hashEmbedVectors(docs, "doc_id", "text", dims = 16)
+    val byId = vecs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getSeq[Float](1)).toMap
+    assert(byId(1L) == byId(2L) && byId(1L) != byId(3L))
+    val top = Similarity.bruteForceTopK(vecs.filter(col("doc_id") === 1), vecs,
+      "doc_id", "embedding", k = 1).collect().head
+    assert(top.getAs[Long]("nid") == 2L && math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
   test("fixMojibake: repairs double-encoded punctuation and accents") {
     import spark.implicits._
     // "don<rsquo-mojibake>t <e-acute-mojibake>t<e-acute-mojibake> a<nbsp-mojibake>b"
