@@ -18,21 +18,26 @@ import org.apache.spark.unsafe.types.UTF8String
  * generated projection. Registered as SQL function `nfc` by
  * [[graft.functions.Registry]].
  */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression, form: String = "NFC") extends UnaryExpression {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown Unicode normalization form: $form")
 
   override def dataType: DataType = StringType
 
+  private def javaForm = java.text.Normalizer.Form.valueOf(form)
+
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+      input.asInstanceOf[UTF8String].toString, javaForm))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.$form))")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 
-  override def prettyName: String = "nfc"
+  override def prettyName: String = if (form == "NFC") "nfc" else form.toLowerCase
 }

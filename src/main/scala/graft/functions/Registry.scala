@@ -43,6 +43,12 @@ object Registry {
     (FunctionIdentifier("nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)),
+    // NFKC: compatibility composition — folds width variants,
+    // ligatures, and super/subscripts the canonical form keeps apart
+    // (ﬁ -> fi, ４２ -> 42); the aggressive dedup-canonicalization mode
+    (FunctionIdentifier("nfkc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfkc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head, "NFKC")),
     (FunctionIdentifier("go_format_float"),
       new ExpressionInfo(classOf[GoFormatFloat].getName, "go_format_float"),
       (children: Seq[Expression]) => GoFormatFloat(children.head)),

@@ -64,4 +64,57 @@ object Ranking {
       .filter(col("rank") <= topK)
       .select(col("id").as(idCol), col("term"), col("rank"), col("bm25_micro"))
   }
+
+  /**
+   * BM25 retrieval: top-`topK` corpus documents per query — the
+   * search-engine face of the same scoring ([[bm25TopTerms]] is the
+   * keyword-extraction face). Query-term multiplicity is ignored
+   * (DISTINCT query terms — the standard BM25 query model); each
+   * (term, doc) partial score quantizes to integer micros BEFORE the
+   * per-(query, doc) sum, so pair scores are exact integers in any
+   * engine.
+   *
+   * Scale shape: the corpus side is the same single tf shuffle as
+   * [[bm25TopTerms]]; queries join the posting relation on term (the
+   * inverted-index probe — query batches are small, AQE broadcasts
+   * them). The one unbounded join is a stop term whose posting list
+   * is the whole corpus: terms appearing in more than half the
+   * documents are dropped (`df · 2 > n_docs`, the integral form of
+   * every production engine's stop list — a term that common carries
+   * near-zero idf anyway).
+   */
+  def bm25Retrieve(queries: DataFrame, qidCol: String, qtextCol: String,
+                   docs: DataFrame, idCol: String, textCol: String,
+                   topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("id"))))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy().agg(
+      countDistinct(col("id")).as("n_docs"),
+      (sum(col("tf")).cast("double") / countDistinct(col("id"))).as("avgdl"))
+    val postings = withDl
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * 2 <= col("n_docs")) // stop-term cap, integral
+      .withColumn("s_micro", floor(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          * lit(1000000d) + lit(0.5)).cast("long"))
+      .select(col("term"), col("id"), col("s_micro"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(Dedup.tokens(col(qtextCol)))).as("term"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25_micro").desc, col("id").asc)
+    qterms.join(postings, "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("s_micro")).as("bm25_micro"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("id").as(idCol), col("rank"),
+        col("n_matched"), col("bm25_micro"))
+  }
 }

@@ -730,6 +730,26 @@ object Similarity {
       corpus, idCol, labelCol)
 
   /**
+   * ANN recall audit: per-query recall of an approximate neighbor
+   * relation against the exact one — the measurement that decides
+   * whether an ANN operating point ships, as a first-class relational
+   * operator instead of a driver-side script (at 100 TB you audit a
+   * sampled query set in-cluster; nothing collects). Inputs are any
+   * two (qid, nid, …) relations at the same k; output is per-query
+   * hit/exact counts and recall in integral micros. One semi-join on
+   * (qid, nid) plus qid-keyed aggregates.
+   */
+  def recallAudit(annPairs: DataFrame, exactPairs: DataFrame): DataFrame = {
+    val hits = annPairs.select(col("qid"), col("nid"))
+      .join(exactPairs.select(col("qid"), col("nid")), Seq("qid", "nid"), "leftsemi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exactPairs.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_exact"))
+  }
+
+  /**
    * Ratio-margin scoring over a top-k neighbor relation (Artetxe &
    * Schwenk 2019's margin criterion, the standard bitext-mining /
    * semantic-pair filter: raw cosine over-selects hub vectors that

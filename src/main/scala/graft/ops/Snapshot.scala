@@ -41,4 +41,38 @@ object Snapshot {
       .filter(!oPresent || !nPresent || !allEqual)
       .select(keyCols ++ valOut :+ col("change_type"): _*)
   }
+
+  /**
+   * SCD Type-2 validity intervals (Kimball's slowly-changing-dimension
+   * history): turn a stream of keyed change events into one row per
+   * version with [effective_from, effective_to) bounds and an
+   * is_current flag — effective_to is the NEXT change's timestamp
+   * (open interval, null on the current version). Consecutive events
+   * with an UNCHANGED value collapse into the earlier version (the
+   * standard "no-op update suppression"), null-safely. Deterministic
+   * given a total (ts, tiebreak) order per key.
+   *
+   * Scale shape: ONE event-volume shuffle (the per-key window); the
+   * collapse and interval assembly are lag/lead over the same
+   * partitioning — sorts, no further exchanges.
+   */
+  def scd2(events: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val keyPart = keyCols.map(col)
+    val order = (col(tsCol) +: tiebreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyPart: _*).orderBy(order: _*)
+    events
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      // version starts: the first event per key, or a value change
+      .withColumn("_is_start",
+        row_number().over(w) === 1 || !(col(valueCol) <=> col("_prev")))
+      .filter(col("_is_start"))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(keyPart ++ Seq(col(valueCol), col("effective_from"),
+        col("effective_to"), col("is_current")): _*)
+  }
 }

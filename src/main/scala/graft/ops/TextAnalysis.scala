@@ -994,48 +994,52 @@ object TextAnalysis {
    * position-marking de-overlap the curation stacks use). Documents
    * with fewer than n tokens have no grams and are absent.
    *
-   * Scale shape: ONE exchange — docs repartition by id, and every
-   * downstream aggregate/window/join clusters on id or (id, x), which
-   * hash-partitioning on id already satisfies (sorts, no new
-   * shuffles). Gram keys cross the exchange as xxhash64 longs when
-   * `portableHash=false` (the production path); `portableHash=true`
-   * keeps the gram STRING so a SQL oracle computes value-identical
-   * coverage.
+   * Scale shape: ONE exchange, NO joins — a pure window pipeline over
+   * the single (id, pos, tok) relation: grams assemble row-cheap via
+   * `lead` (ordered by pos), the dup flag is a count window over
+   * (id, gram), and de-overlapped coverage is a RANGE-frame max over
+   * the trailing n−1 positions ("is any duplicated gram starting in
+   * [p−n+1, p]?") — every window clusters on id or an (id, x)
+   * superset, which the one id hash-partitioning already satisfies
+   * (sorts only; plan-asserted in ScaleSpec). Gram keys stay in the
+   * partition as xxhash64 longs when `portableHash=false` (the
+   * production path); `portableHash=true` keeps the gram STRING so a
+   * SQL oracle computes value-identical coverage.
    */
   def dupNgramCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String, n: Int = 5,
                        portableHash: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(n >= 2, "a 1-gram dup is just a repeated token")
-    val base = df.filter(col(textCol).isNotNull)
+    val pos = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .repartition(col("id"))
-    val pos = base.select(col("id"),
-        posexplode(transform(col("toks"), t => length(t).cast("long"))))
-      .toDF("id", "pos", "toklen")
+      .select(col("id"), posexplode(col("toks")))
+      .toDF("id", "pos", "tok")
+    val wseq = Window.partitionBy(col("id")).orderBy(col("pos"))
     // \u0001 separator: tokens are whitespace-split so they cannot
     // contain it — gram strings are collision-free across boundaries
-    val gramStr = (i: Column) => concat_ws("\u0001", slice(col("toks"), i + 1, lit(n)))
-    val grams = base.select(col("id"), posexplode(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => if (portableHash) gramStr(i).cast("string")
-               else xxhash64(gramStr(i)).cast("string"))))
-      .toDF("id", "gpos", "gram")
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"), col("gram"))
-    val covered = grams.withColumn("c", count(lit(1)).over(wc))
-      .filter(col("c") > 1)
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + n - 1)).as("pos"))
-      .distinct()
-      .join(pos, Seq("id", "pos"))
+    val gramStr = concat_ws("\u0001",
+      col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(wseq)): _*)
+    val withGram = pos.withColumn("_gram_raw",
+        // concat_ws SKIPS nulls, so a tail (n-1)-gram would collide
+        // with a real n-gram — null the tail starts out explicitly
+        when(lead(col("tok"), n - 1).over(wseq).isNotNull,
+          if (portableHash) gramStr else xxhash64(gramStr).cast("string")))
+    val wg = Window.partitionBy(col("id"), col("_gram_raw"))
+    val wcov = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rangeBetween(-(n - 1), 0)
+    withGram
+      .withColumn("_dup",
+        when(col("_gram_raw").isNotNull && count(lit(1)).over(wg) > 1, 1L)
+          .otherwise(0L))
+      .withColumn("_covered", when(max(col("_dup")).over(wcov) > 0, 1L).otherwise(0L))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("covered_positions"),
-        sum(col("toklen")).as("covered_chars"))
-    pos.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("toklen")).as("total_token_chars"))
-      .join(covered, Seq("id"), "left")
-      .na.fill(0L, Seq("covered_positions", "covered_chars"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("total_token_chars"),
+        sum(col("_covered")).as("covered_positions"),
+        sum(col("_covered") * length(col("tok"))).as("covered_chars"))
       .withColumn("dup_char_micro",
         expr("covered_chars * 1000000 div total_token_chars"))
       .withColumnRenamed("id", idCol)

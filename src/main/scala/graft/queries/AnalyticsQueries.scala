@@ -650,6 +650,27 @@ object AnalyticsQueries {
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
            OR o.o_totalprice <> n.o_totalprice""")),
 
+    // SCD Type-2 validity intervals: each user's event_type change
+    // history as [from, to) versions with no-op updates collapsed —
+    // the Kimball dimension-history staple; one event-volume shuffle.
+    Q("q_scd2",
+      (s, dir) => graft.ops.Snapshot.scd2(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_type", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("is_current")),
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+            lag(event_type) OVER w AS prev,
+            row_number() OVER w AS rn
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id, event_type FROM o
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        SELECT user_id, event_type, epoch_us(ts) AS from_us,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS to_us,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        FROM s""")),
+
     // Tumbling-window aggregation (the batch face of the streaming
     // windowed agg — same window() operator Structured Streaming
     // uses; UTC day buckets align with DuckDB's date_trunc).

@@ -343,6 +343,20 @@ object LlmQueries {
       },
       Some(LlmOracles.binaryTopK)),
 
+    // ANN recall audit as a query: binary-quantization ANN at a
+    // deliberately thin rerank=24 vs exact brute force — BOTH sides
+    // deterministic, so the per-query recall itself is oracled (the
+    // in-cluster form of the RecallCheck measurement).
+    Q("q_llm_recall_audit",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        Similarity.recallAudit(
+          Similarity.binaryTopK(q, e, "vec_id", "embedding", dims = 64, k = 3, rerank = 24),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3))
+      },
+      Some(LlmOracles.recallAudit)),
+
     // Exact k-NN label classification: majority label among the 5
     // nearest corpus vectors, deterministic tie-break (votes desc,
     // best rank, label asc) — the decision rule is pure relational
@@ -956,6 +970,44 @@ object LlmQueries {
             CAST(row_number() OVER (PARTITION BY doc_id
               ORDER BY bm25_micro DESC, term ASC) AS INT) AS rank FROM r)
         SELECT doc_id, term, rank, bm25_micro FROM rk WHERE rank <= 3""")),
+
+    // BM25 retrieval face: the first 10 docs as a query batch against
+    // the whole corpus, top-5 each — inverted-index probe with the
+    // integral stop-term cap (df·2 > n_docs drops the list that would
+    // otherwise be corpus-sized); per-pair scores are exact integer
+    // sums of micro-quantized partials.
+    Q("q_llm_bm25_retrieve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Ranking.bm25Retrieve(
+          docs.filter(col("doc_id") < 10), "doc_id", "text",
+          docs, "doc_id", "text", topK = 5)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dl AS (SELECT doc_id, term, tf,
+          SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        fr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+          CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl FROM tf),
+        po AS (SELECT t.doc_id, t.term,
+            CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * (t.tf * (1.2 + 1) /
+                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * (t.dl / st.avgdl))))
+              * 1000000 + 0.5) AS BIGINT) AS s_micro
+          FROM dl t JOIN fr f USING (term) CROSS JOIN st
+          WHERE f.df * 2 <= st.n_docs),
+        qt AS (SELECT doc_id AS qid,
+            unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term
+          FROM documents WHERE doc_id < 10),
+        pair AS (SELECT qt.qid, po.doc_id, COUNT(*) AS n_matched,
+            CAST(SUM(po.s_micro) AS BIGINT) AS bm25_micro
+          FROM qt JOIN po USING (term) GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, n_matched, bm25_micro,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY bm25_micro DESC, doc_id ASC) AS INT) AS rank FROM pair)
+        SELECT qid, doc_id, rank, n_matched, bm25_micro FROM rk WHERE rank <= 5""")),
 
     // Per-label centroids of L2-normalized embeddings, long format
     // (nano-unit-quantized mean: order-independent, exact cross-engine).
@@ -2158,6 +2210,33 @@ object LlmOracles {
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
       FROM scored)
     SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3"""
+
+  /** Both sides of the audit restated: binary-ANN top-3 at rerank=24
+    * and exact top-3, then per-query hit counting. */
+  val recallAudit: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> CASE WHEN (q.v[i] >= 0) <> (n.v[i] >= 0) THEN 1 ELSE 0 END)) AS INT) AS ham,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM e q CROSS JOIN e n
+      WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+    cand AS (SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rr
+      FROM pairs),
+    ann AS (SELECT qid, nid FROM (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM cand WHERE rr <= 24) WHERE rank <= 3),
+    exact AS (SELECT qid, nid FROM (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM pairs) WHERE rank <= 3),
+    ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+    h AS (SELECT a.qid, COUNT(*) AS n_hits FROM ann a
+      JOIN exact x ON a.qid = x.qid AND a.nid = x.nid GROUP BY 1)
+    SELECT ex.qid, ex.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+      (COALESCE(h.n_hits, 0) * 1000000) // ex.n_exact AS recall_micro
+    FROM ex LEFT JOIN h ON ex.qid = h.qid"""
 
   val knnClassify: String = """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

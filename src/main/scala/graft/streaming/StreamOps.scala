@@ -435,6 +435,68 @@ object StreamOps {
   }
 
   /**
+   * Streaming kNN classification against a STATIC labeled corpus: the
+   * online face of [[graft.ops.Similarity.knnClassifyFrom]] over the
+   * IVF lookup — each incoming vector probes its `nprobe` nearest
+   * cells (row-local against the literal-inlined centroids), exact
+   * cosine ranks the candidates, and the majority label among the
+   * top k wins with the SAME deterministic tie-break as the batch
+   * rule (votes desc, best rank, label asc). Index fits once on the
+   * corpus and persists via CachedRelations; per batch the only
+   * exchange is the candidate-volume cell join + the per-query group.
+   */
+  def classifyStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String, dims: Int, k: Int,
+                     nlist: Int = 16, nprobe: Int = 2,
+                     maxFitVectors: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.ops.{CachedRelations, Similarity}
+    import corpus.sparkSession.implicits._
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+    // ivfFit keeps only (id, v, cell); labels rejoin once at index
+    // build (12-byte rows, the persisted index pays it a single time)
+    val labels = corpus.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl"))
+    val index = CachedRelations.track(
+      assigned.select(col("id"), col("v").as("nv"), col("cell"))
+        .join(labels, "id")
+        .select(col("id").as("nid"), col("nv"), col("lbl"), col("cell"))
+        .withColumn("nn", Similarity.norm(col("nv"))).persist())
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
+    }.toIndexedSeq: _*)
+    val probed = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("cell", explode(slice(array_sort(transform(centLits, c =>
+        struct((c.getField("cn2") - lit(2.0) * Similarity.dot(col("qv"), c.getField("cv"))).as("d"),
+          c.getField("ci").as("ci")))), 1, nprobe).getField("ci")))
+    probed.join(index, "cell")
+      .select(col("qid"), col("nid"), col("lbl"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[Boolean]) =>
+          val top = rows.toArray.sortBy(r => (-r._4, r._2)).take(k)
+          if (top.isEmpty) Iterator.empty
+          else {
+            val votes = top.zipWithIndex
+              .groupBy(_._1._3)
+              .map { case (lbl, g) => (lbl, g.length.toLong, g.map(_._2 + 1).min) }
+            val (lbl, n, best) = votes.toSeq
+              .sortBy { case (l, n, b) => (-n, b, l) }.head
+            Iterator.single((qid, lbl, n, best))
+          }
+      }
+      .toDF("qid", "pred_label", "votes", "best_rank")
+  }
+
+  /**
    * Streaming exact-substring scrub against a STATIC reference corpus
    * — the online face of [[graft.ops.Dedup.exactSubstrDedup]] for the
    * incremental setting: any L-token window of an incoming doc whose

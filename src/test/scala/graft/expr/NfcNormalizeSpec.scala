@@ -25,6 +25,17 @@ class NfcNormalizeSpec extends SparkTestBase {
     assert(got.isNullAt(3))
   }
 
+  test("nfkc folds compatibility variants nfc keeps apart") {
+    graft.functions.Registry.ensure(spark)
+    // U+FB01 LATIN SMALL LIGATURE FI + fullwidth digits U+FF14 U+FF12
+    val df = Seq("\uFB01le \uFF14\uFF12").toDF("t")
+    val nfkc = df.select(call_function("nfkc", col("t"))).head().getString(0)
+    assert(nfkc == "file 42")
+    // canonical nfc leaves both compatibility forms alone
+    val nfc = df.select(call_function("nfc", col("t"))).head().getString(0)
+    assert(nfc == "\uFB01le \uFF14\uFF12")
+  }
+
   test("normalizeText: nfc -> lower -> whitespace collapse -> trim, in order") {
     // decomposed A + U+030A ring composes to U+00C5, lowers to U+00E5
     val df = Seq("  Ångström\t\tUnits  ").toDF("t")

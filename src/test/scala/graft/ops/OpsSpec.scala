@@ -604,6 +604,64 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("bm25Retrieve: distinctive term finds its doc; stop terms are dead") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple pie recipe with apple and sugar"),
+      (2L, "car engine repair manual"),
+      (3L, "apple orchard growing guide"),
+      (4L, "the cat sat"), (5L, "the dog ran")) // "the" not in >half: 2/5
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "apple recipe")).toDF("qid", "qtext")
+    val out = Ranking.bm25Retrieve(q, "qid", "qtext", docs, "doc_id", "text", topK = 3)
+      .orderBy("rank").collect()
+    // doc 1 has both query terms (apple twice + recipe): rank 1
+    assert(out.head.getAs[Long]("doc_id") == 1L &&
+      out.head.getAs[Long]("n_matched") == 2L)
+    // doc 3 matches only "apple"
+    assert(out.map(_.getAs[Long]("doc_id")).contains(3L))
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(2L))
+    // a term in more than half the docs is stop-capped out entirely
+    val docs2 = Seq((1L, "common a"), (2L, "common b"), (3L, "common c"))
+      .toDF("doc_id", "text")
+    val dead = Ranking.bm25Retrieve(
+      Seq((9L, "common")).toDF("qid", "qtext"), "qid", "qtext",
+      docs2, "doc_id", "text", topK = 3)
+    assert(dead.count() == 0)
+  }
+
+  test("recallAudit: per-query hits vs exact; zero-hit query reported") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val ann = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 7L), (2L, 8L))
+      .toDF("qid", "nid")
+    val out = Similarity.recallAudit(ann, exact)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_micro"))).toMap
+    assert(out(1L) == (3L, 2L, 666666L))
+    assert(out(2L) == (2L, 0L, 0L)) // misses entirely, still reported
+  }
+
+  test("scd2: no-op collapse, [from, to) chaining, is_current") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 1L, "A"), (1L, 200L, 2L, "A"), // no-op update collapses
+      (1L, 300L, 3L, "B"), (1L, 400L, 4L, "A"), // back to A = NEW version
+      (2L, 150L, 5L, "X"))
+      .toDF("k", "ts", "seq", "v")
+    val out = Snapshot.scd2(ev, Seq("k"), "ts", "v", tiebreak = Seq("seq"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("effective_from")) ->
+        (r.getAs[String]("v"), Option(r.getAs[java.lang.Long]("effective_to")),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(out.size == 4)
+    assert(out((1L, 100L)) == ("A", Some(300L), false)) // spans the no-op at 200
+    assert(out((1L, 300L)) == ("B", Some(400L), false))
+    assert(out((1L, 400L)) == ("A", None, true))
+    assert(out((2L, 150L)) == ("X", None, true))
+  }
+
   test("goertzel: sine peaks at its own bin; undecodable flagged") {
     import spark.implicits._
     val rows = Seq(

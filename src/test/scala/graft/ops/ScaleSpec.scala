@@ -250,6 +250,24 @@ class ScaleSpec extends SparkTestBase {
       s"touch/conversion filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("dupNgramCoverage: the id repartition is the ONLY shuffle (subset-key reuse)") {
+    import spark.implicits._
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 50L).map(i => (i, s"a b c a b d e f tok$i x y"))
+        .toDF("doc_id", "text")
+      val plan = TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n = 2,
+          portableHash = false)
+        .queryExecution.executedPlan.toString
+      // every window / distinct / aggregate / join downstream clusters
+      // on id or an (id, x) superset, which the single id hash
+      // partitioning already satisfies — sorts, no further exchanges
+      assert(plan.split("Exchange").length - 1 == 1,
+        s"expected exactly one exchange (the id repartition):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   test("triangleCounts: no cartesian wedge enumeration, joins keyed on nodes") {
     import spark.implicits._
     val edges = (1L to 200L).flatMap(i => Seq((i, i + 1), (i, i + 2)))

@@ -408,6 +408,40 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming kNN classify: majority label from the static index per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // cluster along dim0 labeled 7 (2 of top-3 for a dim0 query),
+    // cluster along dim2 labeled 9
+    val corpus = Seq(
+      (101L, Array(1.0f, 0.1f, 0.0f, 0.0f), 7),
+      (102L, Array(1.0f, 0.0f, 0.1f, 0.0f), 7),
+      (103L, Array(0.0f, 0.1f, 1.0f, 0.0f), 9),
+      (104L, Array(0.0f, 0.0f, 1.0f, 0.1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = StreamOps.classifyStream(
+      mem.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", "label", dims = 4, k = 3, nlist = 2, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("knn_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      mem.addData((2L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      val rows = spark.table("knn_stream").collect()
+        .map(r => r.getAs[Long]("qid") ->
+          (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+      assert(rows(1L) == (7L, 2L)) // top-3 = {101, 102, one of 103/104}
+      assert(rows(2L) == (9L, 2L))
+      assert(rows.size == 2)
+    } finally {
+      q.stop()
+      assert(graft.ops.CachedRelations.releaseAll() >= 1)
+    }
+  }
+
   test("stream-stream interval join matches within the lag across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
