@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Exact descriptive statistics: Pearson correlation matrix and per-group
+ * OLS linear fit.
+ *
+ * Cross-engine exactness (the repo's standard recipe): every input value
+ * quantizes to an INTEGER at a fixed decimal scale (cast through
+ * DECIMAL(18,s), then ×10^s → DECIMAL(38,0)), all cross-row sums
+ * accumulate in DECIMAL(38,0) (exact, order-independent — a double
+ * Kahan-less sum would be partition-order dependent), and only the
+ * CLOSING formula runs in IEEE double with an expression tree the SQL
+ * oracle states verbatim, so the doubles are bit-identical cross-engine.
+ *
+ * Scale shape: ONE map-side-combined global aggregate over the data
+ * (every moment sum in a single pass), then row-local closing arithmetic
+ * on the 1-row (or per-group) result. No second scan, no window, no
+ * driver collect. Head-room: micro values are ~1e9, squares ~1e18, and
+ * DECIMAL(38,0) holds ~1e38 — 1e12 rows (100 TB-ish) of cross-moment
+ * sums stay exact with 2 digits to spare. At a larger scale or coarser
+ * inputs, lower `scale`.
+ */
+object Stats {
+
+  /** value → exact integer units at 10^scale (DECIMAL(38,0)). */
+  private def micros(c: Column, scale: Int): Column =
+    (c.cast(s"decimal(18,$scale)") * pow10(scale)).cast("decimal(38,0)")
+
+  private def pow10(scale: Int): Column =
+    lit(BigDecimal(10).pow(scale).toBigInt.toString).cast("decimal(18,0)")
+
+  /**
+   * Pairwise Pearson correlation over `cols`, long format
+   * (col_x < col_y by the given ordering): `col_x, col_y, n, corr`.
+   *
+   * r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)); the micro
+   * scale cancels. The discriminants are exact integers ≥ 0
+   * (Cauchy–Schwarz), so the sqrt never sees a negative rounding
+   * artifact. A zero-variance column yields NULL (stated CASE, not an
+   * engine-specific 0-division disposition). Rows with a NULL in ANY
+   * requested column are excluded globally (one stated n for every
+   * pair, as a statistics package's complete-case "listwise deletion").
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val complete = df.na.drop(cols)
+    val m = cols.map(c => c -> micros(col(c), scale)).toMap
+    val firstMoments = cols.flatMap { c =>
+      Seq(sum(m(c)).as(s"s_$c"), sum(m(c) * m(c)).as(s"s_${c}_${c}"))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val crossMoments = pairs.map { case (a, b) => sum(m(a) * m(b)).as(s"s_${a}_${b}") }
+    val agg = complete.agg(count(lit(1)).as("n"),
+      (firstMoments ++ crossMoments): _*)
+    val nD = col("n").cast(DoubleType)
+    def corrOf(a: String, b: String): Column = {
+      val sx = col(s"s_$a").cast(DoubleType); val sy = col(s"s_$b").cast(DoubleType)
+      val sxx = col(s"s_${a}_${a}").cast(DoubleType)
+      val syy = col(s"s_${b}_${b}").cast(DoubleType)
+      val sxy = col(s"s_${a}_${b}").cast(DoubleType)
+      val dx = nD * sxx - sx * sx
+      val dy = nD * syy - sy * sy
+      when(dx > lit(0.0) && dy > lit(0.0),
+        (nD * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)))
+    }
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+        corrOf(a, b).as("corr"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /**
+   * Per-group simple OLS fit of `yCol` on `xCol`:
+   * `byCols…, n, slope, intercept` with
+   * slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and
+   * intercept = (Sy − slope·Sx)/(n·10^scale) — the sums are in micro
+   * units, and the unit factor cancels in the slope (micro·micro over
+   * micro·micro) but not in the intercept (plain y units), hence the
+   * single stated 10^scale division. Zero x-variance → NULL fit.
+   * One map-side-combined shuffle on the group keys.
+   */
+  def olsFit(df: DataFrame, xCol: String, yCol: String,
+             byCols: Seq[String], scale: Int = 4): DataFrame = {
+    val complete = df.na.drop(Seq(xCol, yCol))
+    val mx = micros(col(xCol), scale)
+    val my = micros(col(yCol), scale)
+    val agg = complete.groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(mx).as("sx"), sum(my).as("sy"),
+        sum(mx * mx).as("sxx"), sum(mx * my).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+    val dx = nD * sxx - sx * sx
+    val slope = when(dx > lit(0.0), (nD * sxy - sx * sy) / dx)
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (sy - col("slope") * sx) / (nD * pow10(scale).cast(DoubleType)))
+      .select(byCols.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
+}

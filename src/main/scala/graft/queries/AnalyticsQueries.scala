@@ -736,5 +736,65 @@ object AnalyticsQueries {
                THEN p.p_id END AS asof_p_id
         FROM clicks c ASOF LEFT JOIN purch p
           ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
+    // Exact Pearson correlation matrix (Stats.correlationMatrix): every
+    // moment sum in ONE map-side-combined pass as DECIMAL(38,0) integer
+    // micros (order-independent — a double sum would be partition-order
+    // dependent), IEEE closing arithmetic stated verbatim in the oracle
+    // (DuckDB HUGEINT == int128 plays the exact-integer role there).
+    Q("q_corr_matrix",
+      (s, dir) => graft.ops.Stats.correlationMatrix(
+        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""WITH m AS (SELECT
+          CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS q,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS p,
+          CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS d
+          FROM lineitem WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        s AS (SELECT COUNT(*) AS n, SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+          SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+          SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd FROM m)
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+          CASE WHEN CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE) > 0
+                AND CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)-CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)-CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))) END AS corr
+        FROM s
+        UNION ALL SELECT 'l_quantity', 'l_discount', n,
+          CASE WHEN CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE) > 0
+                AND CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)-CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)-CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)-CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))) END
+        FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+          CASE WHEN CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)-CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE) > 0
+                AND CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)-CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(spd AS DOUBLE)-CAST(sp AS DOUBLE)*CAST(sd AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)-CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)-CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))) END
+        FROM s""")),
+
+    // Per-group OLS fit (Stats.olsFit): slope/intercept of extendedprice
+    // on quantity per returnflag — one map-side-combined group shuffle,
+    // exact integer-micro moment sums, IEEE closing (the micro unit
+    // cancels in the slope; the intercept states its one 10^4 division).
+    Q("q_ols_fit",
+      (s, dir) => graft.ops.Stats.olsFit(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice", Seq("l_returnflag")),
+      Some("""WITH m AS (SELECT l_returnflag,
+          CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS x,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS y
+          FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM m GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS slope,
+          (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) AS intercept
+        FROM s""")),
   )
 }
