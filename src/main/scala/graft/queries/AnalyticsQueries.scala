@@ -796,5 +796,30 @@ object AnalyticsQueries {
           (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) AS intercept
         FROM s""")),
+
+    // RFM segmentation (Rfm.rfm): per-user recency/frequency/monetary
+    // with fixed business-rule bands — row-local scoring after ONE
+    // user-keyed event shuffle; recency vs the broadcast corpus max
+    // (rerun-deterministic, not wall clock); monetary exact in DECIMAL.
+    Q("q_rfm",
+      (s, dir) => graft.ops.Rfm.rfm(t(s, dir, "events"), "user_id", "ts", "value",
+        recencyDayBands = (0, 1), freqBands = (70L, 55L),
+        monetaryBands = (BigDecimal(4000), BigDecimal(2500))),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+            CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        u AS (SELECT user_id, max(ep) AS last_epoch, COUNT(*) AS frequency,
+            SUM(v) AS monetary_dec FROM e GROUP BY user_id),
+        c AS (SELECT max(ep) AS corpus_max_epoch FROM e)
+        SELECT user_id, (corpus_max_epoch - last_epoch) // 86400 AS recency_days,
+          frequency, CAST(monetary_dec AS DOUBLE) AS monetary,
+          CASE WHEN recency_days <= 0 THEN 3 WHEN recency_days <= 1 THEN 2 ELSE 1 END AS r_score,
+          CASE WHEN frequency >= 70 THEN 3 WHEN frequency >= 55 THEN 2 ELSE 1 END AS f_score,
+          CASE WHEN monetary_dec >= 4000 THEN 3 WHEN monetary_dec >= 2500 THEN 2 ELSE 1 END AS m_score,
+          CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3 THEN 'champion'
+               WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+               WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+               WHEN r_score >= 2 AND f_score = 1 THEN 'new_or_casual'
+               ELSE 'hibernating' END AS segment
+        FROM u CROSS JOIN c""")),
   )
 }
