@@ -1108,4 +1108,35 @@ object TextAnalysis {
     mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
       replace(c, lit(bad), lit(good))
     }
+
+  /**
+   * Per-document TF-IDF keyword extraction: the top-`k` most
+   * distinctive terms per doc by tf·ln(1 + N/df), the same
+   * integer-micro weight the near-dup operator uses
+   * (`Dedup.tfidfCosinePairs`), with a deterministic (weight desc,
+   * term asc) rank.
+   *
+   * Scale shape: tf agg (doc+term keyed, map-side combined), df agg
+   * (term keyed), one term-keyed join, broadcast 1-row doc count, then
+   * a doc-keyed window whose per-group cost is the doc's distinct-term
+   * count — never a corpus-wide sort. Terms whose idf rounds to zero
+   * weight (present in every doc) drop before the window.
+   */
+  def keywords(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("wn",
+        floor(col("tf") * log(lit(1.0) + col("n_docs").cast("double") / col("df"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("wn") > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("wn").desc, col("term").asc)
+    w.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("wn"), col("rank"))
+  }
 }

@@ -1608,6 +1608,26 @@ object LlmQueries {
           portableHashing = true)
       },
       Some(LlmOracles.dsir)),
+
+    // Per-doc TF-IDF keyword extraction: top-3 distinctive terms, the
+    // same integer-micro tf·ln(1+N/df) weight as the near-dup operator,
+    // deterministic (weight desc, term asc) rank; doc-keyed window,
+    // never a corpus sort.
+    Q("q_llm_keywords",
+      (s, dir) => graft.ops.TextAnalysis.keywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""WITH tk AS (SELECT doc_id AS id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        w AS (SELECT id, term,
+            CAST(floor(tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS wn
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+          WHERE floor(tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) > 0),
+        r AS (SELECT id, term, wn,
+            row_number() OVER (PARTITION BY id ORDER BY wn DESC, term) AS rank FROM w)
+        SELECT id AS doc_id, term, wn, rank FROM r WHERE rank <= 3""")),
   )
 }
 
