@@ -73,6 +73,42 @@ object Fingerprints {
     new GenericArrayData(sig)
   }
 
+  /** Cyclic-borrow offset for OPH densification (see ophSig). */
+  final val OphBorrowOffset: Long = 1L << 40
+
+  /** One-permutation-hashing MinHash signature (Li, Owen, Zhang 2012;
+    * densification per Shrivastava & Li 2014): each shingle hashed
+    * ONCE — bin = h mod bins, candidate value = h div bins (sign bit
+    * masked first, matching the portable twin's non-negative 60-bit
+    * md5 prefix) — then empty bins borrow from the next non-empty bin
+    * at cyclic distance t with offset t·OphBorrowOffset. One hash +
+    * one min-update per shingle, independent of signature length;
+    * the k-hash signature (minhashSig) pays numHashes mixes each. */
+  def ophSig(s: UTF8String, k: Int, bins: Int): ArrayData = {
+    val hs = shingleHashes(s, k)
+    val mins = Array.fill(bins)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i) & Long.MaxValue
+      val b = (h % bins).toInt
+      val v = h / bins
+      if (v < mins(b)) mins(b) = v
+      i += 1
+    }
+    // densify: shingleHashes never returns an empty array, so at least
+    // one bin is filled and the borrow scan terminates. A real value
+    // can't collide with the MaxValue sentinel (bins >= 2 => v <= Max/2).
+    val out = new Array[Long](bins)
+    var j = 0
+    while (j < bins) {
+      var t = 0
+      while (mins((j + t) % bins) == Long.MaxValue) t += 1
+      out(j) = mins((j + t) % bins) + t * OphBorrowOffset
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Mod-sampling rolling fingerprint: the sorted distinct shingle
     * hashes ≡ 0 (mod `modulus`). Empty when nothing samples. */
   def rollingFp(s: UTF8String, k: Int, modulus: Int): ArrayData = {
@@ -247,6 +283,19 @@ case class MinhashSigX64(child: Expression, k: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashSigX64 =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig_x64"
+}
+
+/** `oph_sig_x64(text, k, bins)` — one-permutation-hashing signature. */
+case class OphSigX64(child: Expression, k: Int, bins: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.ophSig(input.asInstanceOf[UTF8String], k, bins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.ophSig($c, $k, $bins);")
+  override protected def withNewChildInternal(newChild: Expression): OphSigX64 =
+    copy(child = newChild)
+  override def prettyName: String = "oph_sig_x64"
 }
 
 /** `rolling_fp_x64(text, k, modulus)` — sorted distinct sampled hashes. */

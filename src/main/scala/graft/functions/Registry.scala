@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. The same
@@ -63,6 +63,10 @@ object Registry {
       new ExpressionInfo(classOf[MinhashSigX64].getName, "minhash_sig_x64"),
       (children: Seq[Expression]) =>
         MinhashSigX64(children(0), asInt(children(1)), asInt(children(2)))),
+    (FunctionIdentifier("oph_sig_x64"),
+      new ExpressionInfo(classOf[OphSigX64].getName, "oph_sig_x64"),
+      (children: Seq[Expression]) =>
+        OphSigX64(children(0), asInt(children(1)), asInt(children(2)))),
     (FunctionIdentifier("rolling_fp_x64"),
       new ExpressionInfo(classOf[RollingFpX64].getName, "rolling_fp_x64"),
       (children: Seq[Expression]) =>

@@ -409,6 +409,103 @@ object Dedup {
   }
 
   /**
+   * One-permutation-hashing MinHash signatures (Li, Owen, Zhang 2012)
+   * with rotation densification (Shrivastava & Li 2014): hash each
+   * distinct shingle ONCE, route it to bin `h mod k`, keep the min
+   * quotient `h div k` per bin, and fill an empty bin j from the next
+   * non-empty bin at cyclic distance t with offset t·C (so a borrow
+   * only matches a borrow of the same provenance).
+   *
+   * Why it exists next to [[minhashSignatures]]: the k-hash signature
+   * pays `numHashes` mixing steps per shingle (even the native x64
+   * expression); OPH pays ONE hash + one min-update per shingle,
+   * k-independent — at 100 TB the signature stage is a linear scan
+   * whose cost no longer multiplies by signature length. Estimator
+   * quality matches classic MinHash on non-tiny docs (densification
+   * handles the short-doc empty-bin case deterministically).
+   *
+   * `portableHashing=true` uses the md5 arithmetic DuckDB reproduces
+   * exactly; the default xxhash64 path (sign bit masked) is the
+   * production/bench twin with identical downstream algebra.
+   */
+  def ophSignatures(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 4, k: Int = 8,
+                    portableHashing: Boolean = false): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    if (!portableHashing) {
+      // Production path: ONE native codegen expression per row
+      // (graft.expr.OphSigX64) — the whole point of OPH is that the
+      // signature stage is a single pass; building it from k
+      // interpreted filter/transform lambdas measured 6× slower than
+      // even the k-hash native signature at sf0.1.
+      graft.functions.Registry.ensure(df.sparkSession)
+      return df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          call_function("oph_sig_x64", col(textCol), lit(shingleSize), lit(k)).as("sig"))
+    }
+    // Portable (oracle) path: the identical bin/min/borrow algebra as
+    // SQL expressions DuckDB can restate verbatim. Correctness fixture
+    // only — never benched (Bench excludes it).
+    val C = OphBorrowOffset
+    val binExprs = (0 until k).map(j =>
+      s"array_min(transform(filter(_hv, h -> h % $k = $j), h -> h div $k))").mkString(", ")
+    val sigExprs = (0 until k).map { j =>
+      val chain = (0 until k).map { t =>
+        val src = s"element_at(_b, ${((j + t) % k) + 1})"
+        if (t == 0) src else s"$src + ${t.toLong * C}L"
+      }.mkString(", ")
+      s"coalesce($chain)"
+    }.mkString(", ")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("_shs"))
+      .selectExpr("id",
+        "transform(_shs, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)) AS _hv")
+      .selectExpr("id", s"array($binExprs) AS _b")
+      .selectExpr("id", s"array($sigExprs) AS sig")
+  }
+
+  /** Cyclic-borrow offset for OPH densification: large enough that a
+    * borrowed value only equals another borrow with the same source
+    * distance, small enough that t·C never overflows on 60-bit
+    * quotients (2^57 + k·2^40 ≪ 2^63). Shared with the native
+    * expression ([[graft.expr.Fingerprints.OphBorrowOffset]]). */
+  val OphBorrowOffset: Long = graft.expr.Fingerprints.OphBorrowOffset
+
+  /**
+   * OPH near-duplicate pairs — same banding/verification algebra as
+   * [[minhashPortablePairs]] over the one-pass signature. Portable
+   * mode keys buckets on the band values rendered as a string (what
+   * the DuckDB twin states); production mode hashes the slice.
+   */
+  def ophPairs(df: DataFrame, idCol: String, textCol: String,
+               shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
+               threshold: Double = 0.5, maxBucketSize: Int = 1000,
+               portableHashing: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rowsPerBand = k / bands
+    val sig = ophSignatures(df, idCol, textCol, shingleSize, k, portableHashing)
+    val bucketOf = (b: Int) =>
+      if (portableHashing)
+        array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast(StringType)), ",")
+      else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).cast(StringType)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(bucketOf): _*)).as(Seq("band", "bucket")))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets.select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /**
    * SimHash (64-bit): per token, a 64-bit hash; bit j contributes +1/-1
    * to accumulator j; simhash bit j = sign. Near-dups = hamming
    * distance ≤ k on the signature. Scale path: one explode + one

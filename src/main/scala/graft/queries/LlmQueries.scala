@@ -1628,6 +1628,25 @@ object LlmQueries {
         r AS (SELECT id, term, wn,
             row_number() OVER (PARTITION BY id ORDER BY wn DESC, term) AS rank FROM w)
         SELECT id AS doc_id, term, wn, rank FROM r WHERE rank <= 3""")),
+
+    // One-permutation-hashing MinHash pairs (Li 2012 + rotation
+    // densification): ONE hash per shingle instead of numHashes mixes
+    // — the signature stage stops scaling with signature length. md5
+    // twin oracled end-to-end; the xxhash64 path below is the benched
+    // production twin with identical downstream algebra.
+    Q("q_llm_oph_pairs",
+      (s, dir) => Dedup.ophPairs(t(s, dir, "documents"), "doc_id", "text",
+        portableHashing = true),
+      Some(LlmOracles.ophPairs)),
+
+    // Production OPH geometry: 24 bins, 4 bands of 6 (bucket key as
+    // selective as the classic 16-hash banding), est >= 0.7 — same
+    // wall-clock as the classic pairs at sf0.1 with ONE hash per
+    // shingle instead of 16 mixes (native oph_sig_x64 expression).
+    Q("q_llm_oph_pairs_x64",
+      (s, dir) => Dedup.ophPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 24, bands = 4, threshold = 0.7),
+      None),
   )
 }
 
@@ -1796,6 +1815,47 @@ object LlmOracles {
 
   val minhashPairsMd5: String =
     s"WITH ${minhashPairCtes("documents")} SELECT id_a, id_b, est_jaccard FROM cand"
+
+  /** md5-portable one-permutation-hashing MinHash pairs — twin of
+    * [[graft.ops.Dedup.ophPairs]] (portableHashing=true): one hash per
+    * shingle, bin = h mod k, value = h div k, empty bins densified by
+    * cyclic borrow + t·C. The bin/densify/band algebra is macro-built
+    * from the SAME k and C the engine uses. */
+  val ophPairs: String = {
+    val k = 8
+    val c = graft.ops.Dedup.OphBorrowOffset
+    val bins = (0 until k).map(j =>
+      s"list_min(list_transform(list_filter(hv, h -> h % $k = $j), h -> h // $k))")
+      .mkString(", ")
+    val sigs = (0 until k).map { j =>
+      val chain = (0 until k).map { t =>
+        val src = s"b[${((j + t) % k) + 1}]"
+        if (t == 0) src else s"$src + ${t.toLong * c}"
+      }.mkString(", ")
+      s"coalesce($chain)"
+    }.mkString(", ")
+    s"""WITH mx AS (SELECT doc_id AS id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(1, length(lower(text)) - 3)),
+          i -> substr(lower(text), i, 4))) AS sh
+      FROM documents WHERE text IS NOT NULL),
+    hs AS (SELECT id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv FROM mx),
+    bb AS (SELECT id, [$bins] AS b FROM hs),
+    sg AS (SELECT id, [$sigs] AS sig FROM bb),
+    obanded AS (SELECT id, sig, band,
+        array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), ',') AS bucket
+      FROM sg, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    osizes AS (SELECT band, bucket, COUNT(*) AS n FROM obanded GROUP BY band, bucket)
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        CAST(list_sum(list_transform(generate_series(1, $k),
+          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k AS est_jaccard
+      FROM obanded a
+      JOIN obanded b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN osizes s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id)
+    WHERE est_jaccard >= 0.5"""
+  }
 
   /** Recursive min-label walk over symmetric edges: comp(id, component),
     * losers(id) = every node that is not its cluster's min id. */
