@@ -155,4 +155,44 @@ object Graphs {
     }
     lbl.withColumnRenamed("label", "community")
   }
+
+  /**
+   * Link prediction by common-neighbor count and Jaccard coefficient:
+   * for every NON-adjacent pair (a, b) sharing >= 1 neighbor, emit
+   * `cn` = |Γa ∩ Γb| and `jaccard_micro` = cn·10⁶ div (deg a + deg b
+   * − cn) — integral division, exact in any engine. On the near-dup
+   * graph this ranks "probably the same cluster but the pair edge
+   * itself fell under the similarity threshold" — the triage list for
+   * borderline dedup decisions.
+   *
+   * Scale shape: wedge generation is a self-join of the adjacency
+   * relation on the MID node (one key shuffle), so the work is
+   * Σ_m deg(m)² — quadratic in hub degree. `maxDegree` drops hub mid
+   * nodes from wedge generation (the stop-gram bound's graph cousin:
+   * a boilerplate hub connected to everything predicts nothing), so
+   * pair volume is ≤ n·maxDegree²/2. Degrees in the Jaccard
+   * denominator stay UNfiltered (true degrees); only the wedge pass
+   * is bounded.
+   */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDegree: Int = 1000): DataFrame = {
+    require(maxDegree >= 1, "maxDegree must be >= 1")
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("id_a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val sym = canon.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .union(canon.select(col("id_b").as("node"), col("id_a").as("nbr")))
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val mid = sym.join(deg.filter(col("deg") <= maxDegree).select("node"), "node")
+    val cn = mid.as("x").join(mid.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("id_a"), col("y.nbr").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cn"))
+    cn.join(canon, Seq("id_a", "id_b"), "left_anti")
+      .join(deg.select(col("node").as("id_a"), col("deg").as("_da")), "id_a")
+      .join(deg.select(col("node").as("id_b"), col("deg").as("_db")), "id_b")
+      .withColumn("jaccard_micro", expr("cn * 1000000 div (_da + _db - cn)"))
+      .select(col("id_a"), col("id_b"), col("cn"), col("jaccard_micro"))
+  }
 }

@@ -1647,6 +1647,35 @@ object LlmQueries {
       (s, dir) => Dedup.ophPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 24, bands = 4, threshold = 0.7),
       None),
+
+    // Link prediction over the near-dup graph: non-adjacent pairs
+    // sharing neighbors, scored by common-neighbor count + integral
+    // Jaccard — the "same cluster, but the direct edge fell under the
+    // threshold" triage list. Brute-force cosine input is a labeled
+    // oracle baseline (like q_llm_triangles), not a perf claim.
+    Q("q_llm_link_pred",
+      (s, dir) => graft.ops.Graphs.linkPrediction(
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3).select(col("id_a"), col("id_b")),
+        "id_a", "id_b"),
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e0 a CROSS JOIN e0 b WHERE a.vec_id < b.vec_id
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+        sym AS (SELECT id_a AS node, id_b AS nbr FROM e
+          UNION SELECT id_b, id_a FROM e),
+        deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY node),
+        cn AS (SELECT x.nbr AS id_a, y.nbr AS id_b, COUNT(*) AS cn
+          FROM sym x JOIN sym y ON x.node = y.node AND x.nbr < y.nbr
+          GROUP BY 1, 2),
+        cand AS (SELECT c.id_a, c.id_b, c.cn FROM cn c
+          LEFT JOIN e ON e.id_a = c.id_a AND e.id_b = c.id_b
+          WHERE e.id_a IS NULL)
+        SELECT c.id_a, c.id_b, c.cn,
+          (c.cn * 1000000) // (da.deg + db.deg - c.cn) AS jaccard_micro
+        FROM cand c JOIN deg da ON da.node = c.id_a
+        JOIN deg db ON db.node = c.id_b""")),
   )
 }
 

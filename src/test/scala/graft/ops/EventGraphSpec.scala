@@ -147,4 +147,30 @@ class EventGraphSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
     assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 6L -> 4L))
   }
+
+  test("linkPrediction: path graph wedges, square cn=2, adjacent pairs excluded") {
+    import spark.implicits._
+    // path 1-2-3-4: candidates (1,3) and (2,4), each cn=1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val gotPath = Graphs.linkPrediction(path, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // (1,3): deg1=1 deg3=2 cn=1 -> 1e6 // 2; (2,4): deg2=2 deg4=1 -> same
+    assert(gotPath == Map((1L, 3L) -> ((1L, 500000L)), (2L, 4L) -> ((1L, 500000L))))
+    // square 1-2-3-4-1: diagonals share BOTH neighbors (jaccard 1.0);
+    // every adjacent pair is excluded even though adjacent pairs share
+    // no neighbors here
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val gotSq = Graphs.linkPrediction(square, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotSq == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+  }
+
+  test("linkPrediction: hub mid-nodes above maxDegree generate no wedges; reversed/dup edges collapse") {
+    import spark.implicits._
+    // star: center 9 with 4 leaves (deg 4 > maxDegree 3) -> no candidate pairs
+    val star = Seq((9L, 1L), (2L, 9L), (9L, 3L), (9L, 4L), (1L, 9L)).toDF("a", "b")
+    assert(Graphs.linkPrediction(star, "a", "b", maxDegree = 3).count() == 0)
+    // with the bound relaxed the leaves pair up through the center
+    assert(Graphs.linkPrediction(star, "a", "b", maxDegree = 4).count() == 6)
+  }
 }
