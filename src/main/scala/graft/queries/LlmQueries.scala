@@ -804,6 +804,33 @@ object LlmQueries {
           AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // Integer Sobel edge energy over the REAL P5 decode: the synth
+    // gradient pixel (x+y+id) mod 256 makes the convolved energy a
+    // closed-form function of doc_id — the oracle restates the same
+    // kernel arithmetic (incl. the mod-256 wrap seam) over
+    // generate_series, so the decode+convolve path hash-verifies.
+    Q("q_multimodal_edges",
+      (s, dir) => {
+        import s.implicits._
+        val pgms = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthPgm(id, 8, 8))))
+          .toDF("doc_id", "content")
+        Multimodal.imageEdgeEnergy(pgms, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 8 AS width, 8 AS height, true AS decoded,
+        CAST((SELECT SUM(
+          abs(((x.g+1 + y.g-1 + doc_id) % 256) + 2*((x.g+1 + y.g + doc_id) % 256)
+            + ((x.g+1 + y.g+1 + doc_id) % 256)
+            - ((x.g-1 + y.g-1 + doc_id) % 256) - 2*((x.g-1 + y.g + doc_id) % 256)
+            - ((x.g-1 + y.g+1 + doc_id) % 256))
+          + abs(((x.g-1 + y.g+1 + doc_id) % 256) + 2*((x.g + y.g+1 + doc_id) % 256)
+            + ((x.g+1 + y.g+1 + doc_id) % 256)
+            - ((x.g-1 + y.g-1 + doc_id) % 256) - 2*((x.g + y.g-1 + doc_id) % 256)
+            - ((x.g+1 + y.g-1 + doc_id) % 256)))
+          FROM generate_series(1, 6) x(g), generate_series(1, 6) y(g))
+          AS BIGINT) AS edge_energy
+        FROM documents""")),
+
     // Perceptual-hash image NEAR-DUP, end to end: each doc gets a 9×8
     // P5 image whose dHash bit-string is a closed-form function of
     // doc_id — Fibonacci-mixed group id (doc_id/4) XOR a variant mask

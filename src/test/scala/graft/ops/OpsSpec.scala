@@ -737,4 +737,30 @@ class OpsSpec extends SparkTestBase {
     val fp2 = df.select(TextAnalysis.fingerprint(lit("THE  cat and the DOG"))).collect().head.getString(0)
     assert(out(1L).getAs[String]("fp") == fp2)
   }
+
+  test("imageEdgeEnergy: step edge, flat image, P6 luma, tiny and garbage inputs") {
+    import spark.implicits._
+    // 4x3 P5 step edge: cols 0-1 black, cols 2-3 white -> two interior
+    // pixels, each |Gx| = 4*255 = 1020, |Gy| = 0 -> total 2040
+    val step = "P5\n4 3\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(12)(i => if (i % 4 >= 2) 255.toByte else 0.toByte)
+    // flat image -> zero energy; 2x2 -> no interior -> zero energy
+    val flat = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(77.toByte)
+    val tiny = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(4)(9.toByte)
+    // 3x3 P6 with r=g=b (luma = value): col2 white -> one interior
+    // pixel, |Gx| = 1020, |Gy| = 0
+    val p6 = "P6\n3 3\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(27)(i => if ((i / 3) % 3 == 2) 255.toByte else 0.toByte)
+    val df = Seq(
+      (1L, step), (2L, flat), (3L, tiny), (4L, p6),
+      (5L, "not an image".getBytes("US-ASCII"))
+    ).toDF("doc_id", "content")
+    val got = Multimodal.imageEdgeEnergy(df, "doc_id", "content").collect()
+      .map(e => e.doc_id -> (e.decoded, e.edge_energy)).toMap
+    assert(got(1L) == ((true, 2040L)))
+    assert(got(2L) == ((true, 0L)))
+    assert(got(3L) == ((true, 0L)))
+    assert(got(4L) == ((true, 1020L)))
+    assert(got(5L) == ((false, 0L)))
+  }
 }
