@@ -615,6 +615,61 @@ object StreamOps {
       .drop("_grams")
   }
 
+  case class RfmState(last_epoch: Long, frequency: Long, monetary_micro: Long)
+  case class RfmScore(user_id: Long, recency_days: Long, frequency: Long,
+                      monetary: Double, r_score: Int, f_score: Int, m_score: Int,
+                      segment: String)
+
+  /**
+   * Streaming face of [[graft.ops.Rfm.rfm]]: per-user carried
+   * (last-seen epoch, frequency, monetary) state via
+   * mapGroupsWithState, re-scored and emitted on every update. A
+   * stream has no "corpus max timestamp", so recency is measured
+   * against the caller's `asOfEpoch` reference (re-launch to move it —
+   * scores stay rerun-deterministic, the batch operator's property).
+   * Monetary accumulates in integer micros with the same half-up
+   * quantization as the batch DECIMAL cast, so a user's streamed score
+   * equals the batch score over the same events (spec-pinned).
+   * Deployments should add a GroupStateTimeout for idle users; state
+   * is 24 bytes per user here.
+   */
+  def rfmStream(events: Dataset[UserEvent], asOfEpoch: Long,
+                recencyDayBands: (Int, Int) = (2, 7),
+                freqBands: (Long, Long) = (20L, 5L),
+                monetaryBands: (BigDecimal, BigDecimal) = (BigDecimal(500), BigDecimal(100))): Dataset[RfmScore] = {
+    import events.sparkSession.implicits._
+    val mHi = (monetaryBands._1 * 1000000).toLongExact
+    val mLo = (monetaryBands._2 * 1000000).toLongExact
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[RfmState, RfmScore](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[RfmState]) =>
+          val next = batch.foldLeft(state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))) {
+            (acc, e) =>
+              val micro = BigDecimal(e.value)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .*(BigDecimal(10000)).toLongExact * 100L // 4dp quantize -> micros
+              RfmState(math.max(acc.last_epoch, e.ts.getTime / 1000L),
+                acc.frequency + 1, acc.monetary_micro + micro)
+          }
+          state.update(next)
+          val recencyDays = Math.floorDiv(asOfEpoch - next.last_epoch, 86400L)
+          val r = if (recencyDays <= recencyDayBands._1) 3
+            else if (recencyDays <= recencyDayBands._2) 2 else 1
+          val f = if (next.frequency >= freqBands._1) 3
+            else if (next.frequency >= freqBands._2) 2 else 1
+          val m = if (next.monetary_micro >= mHi) 3
+            else if (next.monetary_micro >= mLo) 2 else 1
+          val segment =
+            if (r == 3 && f == 3 && m == 3) "champion"
+            else if (r >= 2 && f >= 2) "loyal"
+            else if (r == 1 && f >= 2) "at_risk"
+            else if (r >= 2 && f == 1) "new_or_casual"
+            else "hibernating"
+          RfmScore(uid, recencyDays, next.frequency,
+            next.monetary_micro.toDouble / 1e6, r, f, m, segment)
+      }
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

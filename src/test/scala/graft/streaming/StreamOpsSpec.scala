@@ -515,4 +515,45 @@ class StreamOpsSpec extends SparkTestBase {
       assert(got.length == 3)
     } finally q.stop()
   }
+
+  test("rfmStream: cross-batch state carry, rescoring, batch-op parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val asOf = day(10).getTime / 1000L
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.rfmStream(mem.toDS(), asOf,
+      recencyDayBands = (2, 7), freqBands = (3L, 2L),
+      monetaryBands = (BigDecimal(500), BigDecimal(50)))
+    val q = out.writeStream.format("memory").queryName("rfm_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, "buy", 40.0, day(1)), UserEvent(1, "buy", 30.0, day(2)))
+      q.processAllAvailable()
+      val first = spark.table("rfm_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7)))
+      // after batch 1: last seen day 2 (8 days before asOf), freq 2 -> at_risk
+      assert(first.toSet == Set((1L, 8L, 2L, 70.0, "at_risk")))
+      mem.addData(UserEvent(1, "buy", 480.0, day(9))) // state carries: freq 3, m hits top band
+      q.processAllAvailable()
+      val last = spark.table("rfm_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+        .maxBy(_._3)
+      assert(last == ((1L, 1L, 3L, 550.0, 3, 3, 3, "champion")))
+      // parity with the batch operator over the same events and the
+      // same reference instant (asOf == corpus max there)
+      val batchEvents = Seq((1L, day(1), 40.0), (1L, day(2), 30.0),
+        (1L, day(9), 480.0), (9L, day(10), 0.01)) // u9 pins corpus max = asOf
+        .toDF("user_id", "ts", "value")
+      val b = graft.ops.Rfm.rfm(batchEvents, "user_id", "ts", "value",
+          recencyDayBands = (2, 7), freqBands = (3L, 2L),
+          monetaryBands = (BigDecimal(500), BigDecimal(50)))
+        .filter($"user_id" === 1L).collect().head
+      assert((b.getAs[Long]("recency_days"), b.getAs[Long]("frequency"),
+        b.getAs[Double]("monetary"), b.getAs[Int]("r_score"), b.getAs[Int]("f_score"),
+        b.getAs[Int]("m_score"), b.getAs[String]("segment")) ==
+        ((last._2, last._3, last._4, last._5, last._6, last._7, last._8)))
+    } finally q.stop()
+  }
 }
