@@ -821,5 +821,26 @@ object AnalyticsQueries {
                WHEN r_score >= 2 AND f_score = 1 THEN 'new_or_casual'
                ELSE 'hibernating' END AS segment
         FROM u CROSS JOIN c""")),
+
+    // Association rules over per-user event-type baskets: ordered
+    // (antecedent -> consequent) support/confidence/lift in exact
+    // integral micros (Associations.rules). Pair stage is per-basket
+    // and maxBasketSize-bounded; marginals broadcast.
+    Q("q_assoc_rules",
+      (s, dir) => graft.ops.Associations.rules(
+        t(s, dir, "events"), "user_id", "event_type"),
+      Some("""WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS item
+            FROM events WHERE event_type IS NOT NULL),
+        p AS (SELECT a.item AS a, b.item AS b, COUNT(*) AS n_ab
+          FROM ki a JOIN ki b ON a.k = b.k AND a.item <> b.item GROUP BY 1, 2),
+        m AS (SELECT item, COUNT(*) AS n_item FROM ki GROUP BY item),
+        n AS (SELECT COUNT(DISTINCT k) AS n_keys FROM ki)
+        SELECT p.a AS antecedent, p.b AS consequent, n_ab,
+          (n_ab * 1000000) // n_keys AS support_micro,
+          (n_ab * 1000000) // ma.n_item AS confidence_micro,
+          CAST((CAST(n_ab AS HUGEINT) * n_keys * 1000000)
+            // (CAST(ma.n_item AS HUGEINT) * mb.n_item) AS BIGINT) AS lift_micro
+        FROM p JOIN m ma ON ma.item = p.a JOIN m mb ON mb.item = p.b
+        CROSS JOIN n WHERE n_ab >= 1""")),
   )
 }
