@@ -106,4 +106,46 @@ object Stats {
         (sy - col("slope") * sx) / (nD * pow10(scale).cast(DoubleType)))
       .select(byCols.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
   }
+
+  /** Expected Benford share of leading digit d, in micros (quantized
+    * once here; the SQL oracle inlines the SAME literals). */
+  val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
+
+  /**
+   * Benford's-law first-digit audit per group: observed leading-digit
+   * counts and shares vs the log10(1+1/d) expectation — the classic
+   * fabricated-numbers / pipeline-corruption screen for financial-ish
+   * columns. The leading digit comes from INTEGER arithmetic on the
+   * micro value (a macro-expanded magnitude CASE, never a string
+   * render or FP log — both engine-divergent at boundaries); shares
+   * are integral micros over the group total. Zero/null values are
+   * excluded (no leading digit). One map-side-combined shuffle; the
+   * per-group share window runs on the 9-row-per-group aggregate.
+   */
+  def benford(df: DataFrame, valueCol: String, byCols: Seq[String],
+              scale: Int = 4): DataFrame = {
+    val pow = (0 to 18).map(i => BigInt(10).pow(i).toLong)
+    val m = micros(abs(col(valueCol)), scale).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("_m", m).filter(col("_m") > 0)
+    val digit = (17 to 1 by -1).foldLeft(when(lit(false), lit(0L))) { (acc, i) =>
+      acc.when(col("_m") >= pow(i), expr(s"_m div ${pow(i)}"))
+    }.otherwise(col("_m"))
+    val counts = base.withColumn("digit", digit.cast("int"))
+      .groupBy(byCols.map(col) :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(byCols.map(col): _*)
+    val expected = benfordMicro.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (d, p)) =>
+        acc.when(col("digit") === d, p)
+      }.otherwise(lit(0L))
+    counts
+      .withColumn("_tot", sum(col("n")).over(w))
+      .withColumn("share_micro", expr("n * 1000000 div _tot"))
+      .withColumn("benford_micro", expected)
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+      .select(byCols.map(col) ++ Seq(col("digit"), col("n"), col("share_micro"),
+        col("benford_micro"), col("dev_micro")): _*)
+  }
 }

@@ -16,6 +16,29 @@ import graft.queries.Queries.{t, dec}
  */
 object AnalyticsQueries {
 
+  /** Benford audit oracle, macro-built from the SAME magnitude powers
+    * and expectation micros the engine uses (Stats.benfordMicro). */
+  private val benfordOracle: String = {
+    val pow = (0 to 17).map(i => BigInt(10).pow(i))
+    val digitCase = (17 to 1 by -1)
+      .map(i => s"WHEN m >= ${pow(i)} THEN m // ${pow(i)}").mkString(" ")
+    val expCase = graft.ops.Stats.benfordMicro.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+    s"""WITH v AS (SELECT o_orderpriority,
+        CAST(CAST(abs(o_totalprice) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      d AS (SELECT o_orderpriority,
+        CAST(CASE $digitCase ELSE m END AS INTEGER) AS digit
+        FROM v WHERE m > 0),
+      c AS (SELECT o_orderpriority, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+      t AS (SELECT *, SUM(n) OVER (PARTITION BY o_orderpriority) AS tot FROM c)
+      SELECT o_orderpriority, digit, n,
+        (n * 1000000) // tot AS share_micro,
+        CAST(CASE digit $expCase ELSE 0 END AS BIGINT) AS benford_micro,
+        abs((n * 1000000) // tot - CASE digit $expCase ELSE 0 END) AS dev_micro
+      FROM t"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Star join: fact orders shuffles once on o_custkey; nation/region
@@ -842,5 +865,14 @@ object AnalyticsQueries {
             // (CAST(ma.n_item AS HUGEINT) * mb.n_item) AS BIGINT) AS lift_micro
         FROM p JOIN m ma ON ma.item = p.a JOIN m mb ON mb.item = p.b
         CROSS JOIN n WHERE n_ab >= 1""")),
+
+    // Benford first-digit audit per order priority: integer-arithmetic
+    // leading digit (macro-expanded magnitude CASE — no FP log10, no
+    // string render), integral-micro shares vs the inlined Benford
+    // expectation table.
+    Q("q_benford",
+      (s, dir) => graft.ops.Stats.benford(
+        t(s, dir, "orders"), "o_totalprice", Seq("o_orderpriority")),
+      Some(benfordOracle)),
   )
 }

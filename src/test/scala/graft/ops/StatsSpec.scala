@@ -56,4 +56,25 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(interceptA.get - 10.0) < 1e-9)
     assert(got("b")._2.isEmpty && got("b")._3.isEmpty)
   }
+
+  test("benford: integer leading digit incl. sub-1 values, shares, expectation table") {
+    import spark.implicits._
+    // 0.0234 -> micro 234 -> digit 2; 123.0 -> digit 1; 950 -> 9;
+    // 0 and null excluded
+    val df = Seq(
+      ("g", Some(123.0)), ("g", Some(150.0)), ("g", Some(0.0234)),
+      ("g", Some(950.0)), ("g", Some(0.0)), ("g", None)
+    ).toDF("grp", "v")
+    val got = Stats.benford(df, "v", Seq("grp"))
+      .collect().map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_micro"),
+          r.getAs[Long]("benford_micro"), r.getAs[Long]("dev_micro"))).toMap
+    assert(got(1) == ((2L, 500000L, 301030L, 198970L)))
+    assert(got(2) == ((1L, 250000L, 176091L, 73909L)))
+    assert(got(9) == ((1L, 250000L, 45757L, 204243L)))
+    assert(got.size == 3)
+    // the expectation table is the quantized closed form
+    assert(Stats.benfordMicro(1) == 301030L && Stats.benfordMicro(9) == 45757L)
+    assert(Stats.benfordMicro.values.sum == 1000000L) // quantization sums exactly to 1e6
+  }
 }
