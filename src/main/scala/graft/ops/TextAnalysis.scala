@@ -1122,6 +1122,37 @@ object TextAnalysis {
    * count — never a corpus-wide sort. Terms whose idf rounds to zero
    * weight (present in every doc) drop before the window.
    */
+  /**
+   * Flesch reading-ease in integral micros: 206.835 − 1.015·(words per
+   * sentence) − 84.6·(syllables per word), with the standard
+   * vowel-group syllable heuristic (each maximal `[aeiouy]+` run in
+   * the lowercased word counts one syllable, floor 1 per word — so
+   * numerals and symbol tokens count as monosyllables). Ratios are
+   * integral micros (exact in any engine); a doc without terminal
+   * punctuation reads as one sentence; empty-token docs drop. Pure
+   * row-local map — zero shuffle at any scale.
+   */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)), s => s =!= "")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val syls = transform(col("_toks"), t =>
+      greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1)).cast("long"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        greatest(size(sents), lit(1)).cast("long").as("n_sentences"),
+        toks.as("_toks"))
+      .withColumn("n_syllables", aggregate(syls, lit(0L), (a, x) => a + x))
+      .drop("_toks")
+      .filter(col("n_words") > 0)
+      .withColumn("wps_micro", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw_micro", expr("n_syllables * 1000000 div n_words"))
+      .withColumn("flesch_micro",
+        expr("206835000 - (1015 * wps_micro) div 1000 - (84600 * spw_micro) div 1000"))
+  }
+
   def keywords(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")

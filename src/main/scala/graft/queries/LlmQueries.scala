@@ -1675,6 +1675,29 @@ object LlmQueries {
         k = 24, bands = 4, threshold = 0.7),
       None),
 
+    // Flesch reading-ease in integral micros: vowel-group syllable
+    // heuristic (floor 1/word), words-per-sentence and syllables-per-
+    // word as exact micro ratios — row-local, zero shuffle.
+    Q("q_llm_readability",
+      (s, dir) => TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH s AS (SELECT doc_id,
+          len(list_filter(list_transform(
+            regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> x <> '')) AS n_sents_raw,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      v AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(greatest(n_sents_raw, 1) AS BIGINT) AS n_sentences,
+          CAST(coalesce(list_sum(list_transform(toks,
+            t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syllables
+        FROM s)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        (n_words * 1000000) // n_sentences AS wps_micro,
+        (n_syllables * 1000000) // n_words AS spw_micro,
+        206835000 - (1015 * ((n_words * 1000000) // n_sentences)) // 1000
+                  - (84600 * ((n_syllables * 1000000) // n_words)) // 1000 AS flesch_micro
+      FROM v WHERE n_words > 0""")),
+
     // Link prediction over the near-dup graph: non-adjacent pairs
     // sharing neighbors, scored by common-neighbor count + integral
     // Jaccard — the "same cluster, but the direct edge fell under the
