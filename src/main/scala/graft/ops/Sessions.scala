@@ -77,6 +77,33 @@ object Sessions {
    * from OOMing the collect). Path counting is map-side combined;
    * top-K is a TakeOrderedAndProject.
    */
+  /**
+   * Sequential pattern mining, fixed length n: per-key consecutive
+   * event-type n-grams (ordered by (ts, tiebreak) — a total order, so
+   * the lag chain is deterministic), counted corpus-wide with a
+   * deterministic (count desc, gram asc) top-K. One key shuffle for
+   * the lag windows (map-side-combined count after), and the top-K is
+   * TakeOrderedAndProject — never a global sort. The n−1 lag columns
+   * share one window spec, so Spark evaluates them in a single pass.
+   */
+  def eventNgrams(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+                  tiebreak: String, n: Int = 3, topK: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 8, "n must be in [2, 8]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreak))
+    val lagged = (n - 1 to 1 by -1).foldLeft(df.filter(col(typeCol).isNotNull)) {
+      (acc, i) => acc.withColumn(s"_p$i", lag(col(typeCol), i).over(w))
+    }
+    val parts = (n - 1 to 1 by -1).map(i => col(s"_p$i")) :+ col(typeCol)
+    lagged
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(">", parts: _*).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("gram").asc)))
+  }
+
   def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
                    typeCol: String, gapSeconds: Long, maxSteps: Int,
                    topK: Int, tiebreak: Seq[String] = Seq.empty,

@@ -107,6 +107,79 @@ object Stats {
       .select(byCols.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
   }
 
+  /**
+   * Equi-width value histogram: `nBuckets` buckets spanning the
+   * GLOBAL [min, max] of `valueCol` (micro-integer arithmetic — FP
+   * width computation flips bucket edges between engines; integral
+   * `div` never does). Bucket of value m is
+   * `min(nBuckets−1, (m−mn)·nBuckets div span)` with span =
+   * mx−mn+1 micros, so the top edge lands in the last bucket and a
+   * constant column degenerates to bucket 0. Bounds are emitted in
+   * micros (`lo_micro` inclusive, `hi_micro` exclusive). The 1-row
+   * min/max aggregate rides a broadcast; counting is one
+   * map-side-combined shuffle on (group, bucket). Groups share the
+   * global edges — that is what makes the per-group histograms
+   * comparable side by side.
+   */
+  def valueHistogram(df: DataFrame, valueCol: String, byCols: Seq[String] = Nil,
+                     nBuckets: Int = 20, scale: Int = 4): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("_m", micros(col(valueCol), scale).cast("long"))
+    val bounds = base.agg(min(col("_m")).as("_mn"), max(col("_m")).as("_mx"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1), expr(s"(_m - _mn) * $nBuckets div (_mx - _mn + 1)"))
+          .cast("int"))
+      .groupBy(byCols.map(col) ++ Seq(col("bucket"), col("_mn"), col("_mx")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_micro", expr(s"_mn + bucket * (_mx - _mn + 1) div $nBuckets"))
+      .withColumn("hi_micro", expr(s"_mn + (bucket + 1) * (_mx - _mn + 1) div $nBuckets"))
+      .select(byCols.map(col) ++ Seq(col("bucket"), col("n"),
+        col("lo_micro"), col("hi_micro")): _*)
+  }
+
+  /**
+   * Contingency-table chi-square independence report between two
+   * categorical columns: per observed cell, the count, the expected
+   * count under independence in micros (row_tot·col_tot·10⁶ div N),
+   * and the cell's chi-square contribution in micros via the
+   * integer-safe identity (o−e)²/e = (o·N − rt·ct)² / (N·rt·ct) —
+   * numerator and denominator in DECIMAL(38,0) (HUGEINT in the DuckDB
+   * twin), exact while row totals stay ≲ 3·10⁹ (beyond that,
+   * pre-bucket the categories; the quadratic magnitude is inherent to
+   * the statistic, not the implementation). `chi2_micro_total`
+   * repeats the full-table statistic on every row; the closing window
+   * runs over the CELL relation (category-cardinality sized), never
+   * the data.
+   *
+   * Scale shape: one map-side-combined shuffle for cell counts; row
+   * and column marginals derive from the cell relation (no second
+   * data scan); marginal joins broadcast.
+   */
+  def crosstabChi2(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("row_val"), col(colCol).as("col_val"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("row_val")).agg(sum(col("n")).as("rt"))
+    val colTot = cells.groupBy(col("col_val")).agg(sum(col("n")).as("ct"))
+    val total = cells.agg(sum(col("n")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .join(broadcast(rowTot), "row_val")
+      .join(broadcast(colTot), "col_val")
+      .crossJoin(broadcast(total))
+      .withColumn("expected_micro",
+        expr("cast(cast(rt as decimal(38,0)) * ct * 1000000 div nn as bigint)"))
+      .withColumn("contrib_micro",
+        expr("cast(cast(cast(n as decimal(38,0)) * nn - cast(rt as decimal(38,0)) * ct as decimal(38,0)) " +
+          "* cast(cast(n as decimal(38,0)) * nn - cast(rt as decimal(38,0)) * ct as decimal(38,0)) " +
+          "* 1000000 div (cast(nn as decimal(38,0)) * rt * ct) as bigint)"))
+      .withColumn("chi2_micro_total", sum(col("contrib_micro")).over(w))
+      .select(col("row_val"), col("col_val"), col("n"), col("expected_micro"),
+        col("contrib_micro"), col("chi2_micro_total"))
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

@@ -874,5 +874,66 @@ object AnalyticsQueries {
       (s, dir) => graft.ops.Stats.benford(
         t(s, dir, "orders"), "o_totalprice", Seq("o_orderpriority")),
       Some(benfordOracle)),
+
+    // Equi-width value histogram over global [min, max] in integral
+    // micro arithmetic (Stats.valueHistogram) — per-type distributions
+    // on shared edges; 1-row bounds broadcast, one count shuffle.
+    Q("q_value_histogram",
+      (s, dir) => graft.ops.Stats.valueHistogram(
+        t(s, dir, "events"), "value", Seq("event_type"), nBuckets = 20),
+      Some("""WITH b AS (SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+          FROM events WHERE value IS NOT NULL),
+        mm AS (SELECT min(m) AS mn, max(m) AS mx FROM b),
+        d AS (SELECT event_type,
+          least(19, ((m - mn) * 20) // (mx - mn + 1)) AS bucket, mn, mx
+          FROM b CROSS JOIN mm)
+        SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+          mn + (bucket * (mx - mn + 1)) // 20 AS lo_micro,
+          mn + ((bucket + 1) * (mx - mn + 1)) // 20 AS hi_micro
+        FROM d GROUP BY event_type, bucket, mn, mx""")),
+
+    // Chi-square independence report: event type x day-of-week
+    // (Sunday=1 in both engines), exact integral micros via the
+    // (o*N - rt*ct)^2 / (N*rt*ct) identity in int128.
+    Q("q_crosstab_chi2",
+      (s, dir) => graft.ops.Stats.crosstabChi2(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .withColumn("dow", dayofweek(col("ts"))),
+        "event_type", "dow"),
+      Some("""WITH c AS (SELECT event_type AS row_val,
+          CAST(date_part('dow', ts) AS INTEGER) + 1 AS col_val, COUNT(*) AS n
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        r AS (SELECT row_val, SUM(n) AS rt FROM c GROUP BY row_val),
+        k AS (SELECT col_val, SUM(n) AS ct FROM c GROUP BY col_val),
+        t AS (SELECT SUM(n) AS nn FROM c)
+        SELECT c.row_val, c.col_val, c.n,
+          CAST((CAST(rt AS HUGEINT) * ct * 1000000) // nn AS BIGINT) AS expected_micro,
+          CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+              * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
+            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT) AS contrib_micro,
+          SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+              * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
+            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS chi2_micro_total
+        FROM c JOIN r USING (row_val) JOIN k USING (col_val) CROSS JOIN t""")),
+
+    // Sequential pattern mining: consecutive event-type trigrams per
+    // user (total (ts, event_id) order), corpus top-20 with a
+    // deterministic rank — TakeOrderedAndProject, never a global sort.
+    Q("q_event_trigrams",
+      (s, dir) => graft.ops.Sessions.eventNgrams(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        n = 3, topK = 20),
+      Some("""WITH o AS (SELECT user_id, event_type,
+          lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+          lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1
+          FROM events WHERE event_type IS NOT NULL),
+        g AS (SELECT concat_ws('>', p2, p1, event_type) AS gram FROM o
+          WHERE p2 IS NOT NULL AND p1 IS NOT NULL),
+        c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+        rk AS (SELECT gram, n,
+          CAST(row_number() OVER (ORDER BY n DESC, gram) AS INTEGER) AS rank FROM c)
+        SELECT gram, n, rank FROM rk WHERE rank <= 20""")),
   )
 }

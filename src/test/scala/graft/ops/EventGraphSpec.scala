@@ -165,6 +165,28 @@ class EventGraphSpec extends SparkTestBase {
     assert(gotSq == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
   }
 
+  test("eventNgrams: per-key ordering, tiebreak determinism, topK rank") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a b c a b c -> trigrams a>b>c, b>c>a, c>a>b, a>b>c
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "c", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "a", 4L),
+      (1L, ts("2024-01-01 10:04:00"), "b", 5L),
+      (1L, ts("2024-01-01 10:05:00"), "c", 6L),
+      // u2: same-ts pair ordered by the event_id tiebreak: a (7) then b (8)
+      (2L, ts("2024-01-01 11:00:00"), "x", 9L),
+      (2L, ts("2024-01-01 11:01:00"), "a", 7L),
+      (2L, ts("2024-01-01 11:01:00"), "b", 8L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Sessions.eventNgrams(ev, "user_id", "ts", "event_type", "event_id",
+        n = 3, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // u2 wait: x at 11:00 comes first, then a,b at 11:01 -> x>a>b
+    assert(got.toSeq == Seq(("a>b>c", 2L, 1), ("b>c>a", 1L, 2)))
+  }
+
   test("linkPrediction: hub mid-nodes above maxDegree generate no wedges; reversed/dup edges collapse") {
     import spark.implicits._
     // star: center 9 with 4 leaves (deg 4 > maxDegree 3) -> no candidate pairs

@@ -77,4 +77,38 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.benfordMicro(1) == 301030L && Stats.benfordMicro(9) == 45757L)
     assert(Stats.benfordMicro.values.sum == 1000000L) // quantization sums exactly to 1e6
   }
+
+  test("valueHistogram: global edges, top-edge inclusion, constant column, group split") {
+    import spark.implicits._
+    // values 0..10: span = 10*1e4+1 micros; 4 buckets
+    val df = (0 to 10).map(v => (if (v < 5) "a" else "b", v.toDouble)).toDF("g", "v")
+    val got = Stats.valueHistogram(df, "v", Seq("g"), nBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // micro values m = v*10000 in 0..100000; bucket = min(3, m*4 div 100001):
+    // v 0-2 -> b0, v 3-5 -> b1, v 6-7 -> b2, v 8-10 -> b3 (top edge
+    // lands in the last bucket, not past it)
+    assert(got == Map(("a", 0) -> 3L, ("a", 1) -> 2L, ("b", 1) -> 1L,
+      ("b", 2) -> 2L, ("b", 3) -> 3L))
+    // constant column degenerates to bucket 0 with lo == value
+    val const = Seq(("x", 7.0), ("x", 7.0)).toDF("g", "v")
+    val c = Stats.valueHistogram(const, "v", Seq("g"), nBuckets = 5).collect()
+    assert(c.length == 1 && c.head.getInt(1) == 0 && c.head.getLong(2) == 2L)
+    assert(c.head.getAs[Long]("lo_micro") == 70000L)
+  }
+
+  test("crosstabChi2: closed-form 2x2 table") {
+    import spark.implicits._
+    val rows = Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++
+      Seq(("b", 1)) ++ Seq.fill(3)(("b", 2))
+    val got = Stats.crosstabChi2(rows.toDF("r", "c"), "r", "c")
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // rt = ct = 4, N = 8 -> e = 2 (2e6 micro) everywhere; each cell
+    // contributes (o-2)^2/2 = 0.5 -> chi2 total 2.0
+    assert(got.size == 4)
+    got.values.foreach { case (_, e, contrib, total) =>
+      assert(e == 2000000L && contrib == 500000L && total == 2000000L)
+    }
+    assert(got(("a", 1))._1 == 3L && got(("a", 2))._1 == 1L)
+  }
 }
