@@ -935,5 +935,45 @@ object AnalyticsQueries {
         rk AS (SELECT gram, n,
           CAST(row_number() OVER (ORDER BY n DESC, gram) AS INTEGER) AS rank FROM c)
         SELECT gram, n, rank FROM rk WHERE rank <= 20""")),
+
+    // GROUPING SETS via the Spark 4 Dataset API — the general form of
+    // rollup/cube (two single-level slices + the pair + the all row in
+    // ONE pass; the columns are non-null so the null pattern is the
+    // level marker, as in q_rollup_region).
+    Q("q_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY GROUPING SETS
+        ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())""")),
+
+    // Ranking-window battery: percent_rank / cume_dist / ntile /
+    // nth_value per event type over a TOTAL (value, event_id) order —
+    // unique tiebreak makes every function deterministic and the RANGE
+    // default frame peer-free; the two ratio functions are single
+    // IEEE divisions of exact integer ranks (engine-identical).
+    Q("q_window_battery",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("event_id"), 2).over(w).as("second_id"))
+      },
+      Some("""SELECT event_id, event_type, value,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        ntile(4) OVER w AS quartile,
+        nth_value(event_id, 2) OVER w AS second_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
   )
 }
