@@ -236,4 +236,50 @@ object Sampling {
         expr("CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 div _total AS BIGINT)"))
       .drop("_total")
   }
+
+  /**
+   * EXACT-count stratified sampling by largest-remainder (Hamilton)
+   * apportionment: selects exactly T = N·p div 10⁶ rows overall,
+   * with per-stratum quotas base_s = N_s·p div 10⁶ plus +1 for the
+   * (T − Σ base) strata of largest remainder (N_s·p mod 10⁶;
+   * stratum-asc tie-break) — the textbook apportionment, all integral.
+   * Rows within a stratum are taken by md5-hash rank (hash asc, key
+   * asc — the split/cap operators' rerun-deterministic ordering), so
+   * the sample is stable under repartitioning and reruns.
+   *
+   * Where [[stratifiedSample]]'s hash THRESHOLD gives each row an
+   * independent ~p chance (sample size varies run to run with the
+   * data), this pays one per-stratum rank window for an exactly-sized,
+   * exactly-apportioned sample — eval-set construction, fixed-budget
+   * extracts. Scale shape: stratum-count apportionment runs on the
+   * tiny count relation (windows over strata, not rows); the quota
+   * join broadcasts; the one data-volume cost is the per-stratum rank
+   * window. A stratum bigger than one executor's window partition is
+   * the quantileBuckets-style cue to sub-salt; quotas stay exact.
+   */
+  def exactProportionSample(df: DataFrame, keyCol: String, stratumCol: String,
+                            pMicro: Long): DataFrame = {
+    require(pMicro >= 0 && pMicro <= 1000000L, "pMicro must be in [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val one = Window.partitionBy(pmod(col("n_s"), lit(1)))
+    val counts = df.groupBy(col(stratumCol).as("_st")).agg(count(lit(1)).as("n_s"))
+      .withColumn("_n", sum(col("n_s")).over(one))
+      .withColumn("_base", expr(s"n_s * ${pMicro}L div 1000000"))
+      .withColumn("_rem", expr(s"n_s * ${pMicro}L % 1000000"))
+      .withColumn("_t", expr(s"_n * ${pMicro}L div 1000000"))
+      .withColumn("_leftover", col("_t") - sum(col("_base")).over(one))
+      .withColumn("_rr", row_number().over(
+        Window.partitionBy(pmod(col("n_s"), lit(1)))
+          .orderBy(col("_rem").desc, col("_st").asc)))
+      .withColumn("_quota",
+        col("_base") + when(col("_rr") <= col("_leftover"), 1L).otherwise(0L))
+      .select(col("_st"), col("_quota"))
+    val hv = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hv.asc, col(keyCol).asc)
+    df.withColumn("_rnk", row_number().over(w))
+      .join(broadcast(counts), col(stratumCol) === col("_st"))
+      .filter(col("_rnk") <= col("_quota"))
+      .drop("_rnk", "_st", "_quota")
+  }
 }

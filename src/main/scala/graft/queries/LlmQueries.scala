@@ -1675,6 +1675,27 @@ object LlmQueries {
         k = 24, bands = 4, threshold = 0.7),
       None),
 
+    // Exact-count stratified sample: largest-remainder apportionment
+    // across sources at p=0.25, md5-hash-rank row selection — exactly
+    // floor(N/4) rows, exactly apportioned, rerun-deterministic.
+    Q("q_llm_exact_sample",
+      (s, dir) => graft.ops.Sampling.exactProportionSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", pMicro = 250000L),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        t AS (SELECT SUM(n_s) AS n FROM c),
+        a AS (SELECT source, n_s, (n_s * 250000) // 1000000 AS base,
+          (n_s * 250000) % 1000000 AS rem FROM c),
+        r AS (SELECT a.*, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+          (SELECT (n * 250000) // 1000000 FROM t) - SUM(base) OVER () AS leftover FROM a),
+        q AS (SELECT source, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota FROM r),
+        h AS (SELECT doc_id, source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv FROM documents),
+        rk AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk FROM h)
+        SELECT rk.doc_id, rk.source FROM rk JOIN q USING (source)
+        WHERE rnk <= quota""")),
+
     // Flesch reading-ease in integral micros: vowel-group syllable
     // heuristic (floor 1/word), words-per-sentence and syllables-per-
     // word as exact micro ratios — row-local, zero shuffle.

@@ -738,6 +738,25 @@ class OpsSpec extends SparkTestBase {
     assert(out(1L).getAs[String]("fp") == fp2)
   }
 
+  test("exactProportionSample: Hamilton quotas, remainder tie-break, repartition stability") {
+    import spark.implicits._
+    // strata a: 3 rows, b: 3 rows, p = 0.5 -> T = 3, base 1+1,
+    // remainders tie at 500000 -> stratum-asc gives the +1 to 'a'
+    val df = (1 to 3).map(i => (i.toLong, "a")).++((4 to 6).map(i => (i.toLong, "b")))
+      .toDF("id", "st")
+    val got = Sampling.exactProportionSample(df, "id", "st", 500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 3)
+    assert(got.count(_._2 == "a") == 2 && got.count(_._2 == "b") == 1)
+    // deterministic under repartitioning
+    val again = Sampling.exactProportionSample(df.repartition(7), "id", "st", 500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == again.toSet)
+    // p = 0 -> empty; p = 1e6 -> everything
+    assert(Sampling.exactProportionSample(df, "id", "st", 0L).count() == 0)
+    assert(Sampling.exactProportionSample(df, "id", "st", 1000000L).count() == 6)
+  }
+
   test("imageEdgeEnergy: step edge, flat image, P6 luma, tiny and garbage inputs") {
     import spark.implicits._
     // 4x3 P5 step edge: cols 0-1 black, cols 2-3 white -> two interior
