@@ -61,4 +61,29 @@ object Profile {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
   }
+
+  /**
+   * Referential-integrity audit for one FK relation: total child
+   * rows, NULL foreign keys (reported separately — a NULL FK is a
+   * different defect than a dangling one), orphans (non-null keys
+   * with no parent), and the orphan rate in integral micros over the
+   * non-null population. The anti-join shuffles on the key (AQE
+   * broadcasts a small parent side); both 1-row aggregates combine
+   * map-side. Union several calls for a whole-schema audit report.
+   */
+  def refIntegrity(label: String, child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame = {
+    val totals = child.agg(count(lit(1)).as("n_rows"),
+      count(when(col(childKey).isNull, 1)).as("n_null_keys"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as("_pk")).distinct(),
+        col(childKey) === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(orphans)
+      .select(lit(label).as("relation"), col("n_rows"), col("n_null_keys"),
+        col("n_orphans"),
+        when(col("n_rows") > col("n_null_keys"),
+          expr("n_orphans * 1000000 div (n_rows - n_null_keys)"))
+          .otherwise(lit(0L)).as("orphan_micro"))
+  }
 }

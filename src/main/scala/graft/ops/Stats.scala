@@ -140,6 +140,67 @@ object Stats {
   }
 
   /**
+   * Mean imputation: NULLs in `valueCol` replaced by the per-group
+   * exact integral-micro mean (sum div n on micro longs — both
+   * engines floor identically; the imputed value is the micro mean
+   * divided back once, a single stated IEEE division). Groups with no
+   * observed value keep NULL (nothing to impute from). The group-mean
+   * relation is group-cardinality small and broadcast; the data is
+   * never shuffled.
+   */
+  def imputeMean(df: DataFrame, valueCol: String, byCols: Seq[String],
+                 scale: Int = 4): DataFrame = {
+    val m = micros(col(valueCol), scale)
+    val means = df.filter(col(valueCol).isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(sum(m).cast("decimal(38,0)").as("_sm"), count(lit(1)).as("_nv"))
+      .withColumn("_mean_micro", expr("cast(_sm div _nv as bigint)"))
+      .select(byCols.map(col) :+ col("_mean_micro"): _*)
+    df.join(broadcast(means), byCols, "left")
+      .withColumn(valueCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(col("_mean_micro").cast(DoubleType) / pow10(scale).cast(DoubleType)))
+      .drop("_mean_micro")
+  }
+
+  /**
+   * Winsorization at mean ± `sigmas`·σ per group: values outside the
+   * band clamp to the bound. Mean and σ come from the exact integral
+   * moment sums (population variance, the n divisor); the bounds are
+   * IEEE doubles computed by a stated expression tree —
+   * mean ± k·sqrt((n·Sxx − Sx²)/n²) in MICRO units, compared against
+   * the micro value cast to double, so both engines clamp the same
+   * rows. Output adds `<valueCol>_w` (clamped, in original units) and
+   * `was_clipped`. Group stats broadcast; no data shuffle.
+   */
+  def winsorize(df: DataFrame, valueCol: String, byCols: Seq[String],
+                sigmas: Double = 3.0, scale: Int = 4): DataFrame = {
+    val m = micros(col(valueCol), scale)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(m).as("_sx"), sum(m * m).as("_sxx"))
+      .withColumn("_mean", col("_sx").cast(DoubleType) / col("_n").cast(DoubleType))
+      .withColumn("_sd", sqrt(
+        (col("_n").cast(DoubleType) * col("_sxx").cast(DoubleType) -
+          col("_sx").cast(DoubleType) * col("_sx").cast(DoubleType)) /
+          (col("_n").cast(DoubleType) * col("_n").cast(DoubleType))))
+      .withColumn("_lo", col("_mean") - lit(sigmas) * col("_sd"))
+      .withColumn("_hi", col("_mean") + lit(sigmas) * col("_sd"))
+      .select(byCols.map(col) ++ Seq(col("_lo"), col("_hi")): _*)
+    val mv = col("_mv").cast(DoubleType)
+    df.withColumn("_mv", m.cast("long"))
+      .join(broadcast(stats), byCols, "left")
+      .withColumn("was_clipped",
+        col(valueCol).isNotNull && (mv < col("_lo") || mv > col("_hi")))
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null).cast(DoubleType))
+          .when(mv < col("_lo"), col("_lo") / pow10(scale).cast(DoubleType))
+          .when(mv > col("_hi"), col("_hi") / pow10(scale).cast(DoubleType))
+          .otherwise(col(valueCol)))
+      .drop("_mv", "_lo", "_hi")
+  }
+
+  /**
    * Contingency-table chi-square independence report between two
    * categorical columns: per observed cell, the count, the expected
    * count under independence in micros (row_tot·col_tot·10⁶ div N),

@@ -975,5 +975,92 @@ object AnalyticsQueries {
         nth_value(event_id, 2) OVER w AS second_id
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
+
+    // Mean imputation: NULLs (injected on a deterministic id rule,
+    // identically in the oracle) repaired with the per-type exact
+    // integral-micro mean; broadcast means, no data shuffle.
+    Q("q_impute",
+      (s, dir) => graft.ops.Stats.imputeMean(
+        t(s, dir, "events")
+          .withColumn("value",
+            when(expr("event_id % 10 = 0"), lit(null)).otherwise(col("value")))
+          .select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_type")),
+      Some("""WITH e AS (SELECT event_id, event_type,
+          CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value FROM events),
+        m AS (SELECT event_type,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT))
+            // COUNT(*) AS BIGINT) AS mean_micro
+          FROM e WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT event_id, e.event_type,
+          CASE WHEN e.value IS NOT NULL THEN e.value
+               ELSE CAST(mean_micro AS DOUBLE) / 10000 END AS value
+        FROM e LEFT JOIN m ON e.event_type = m.event_type""")),
+
+    // Winsorization at mean +- 2 sigma per event type: exact moment
+    // sums, stated IEEE bound arithmetic in micro units, row-local
+    // clamp; broadcast stats, no data shuffle.
+    Q("q_winsorize",
+      (s, dir) => graft.ops.Stats.winsorize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_type"), sigmas = 2.0),
+      Some("""WITH v AS (SELECT event_id, event_type, value,
+          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+          FROM events),
+        s AS (SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(m AS HUGEINT)) AS sx, SUM(CAST(m AS HUGEINT) * m) AS sxx
+          FROM v WHERE value IS NOT NULL GROUP BY event_type),
+        b AS (SELECT event_type,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+          FROM s)
+        SELECT event_id, v.event_type, v.value,
+          v.value IS NOT NULL AND (CAST(m AS DOUBLE) < mean - 2.0 * sd
+            OR CAST(m AS DOUBLE) > mean + 2.0 * sd) AS was_clipped,
+          CASE WHEN v.value IS NULL THEN NULL
+               WHEN CAST(m AS DOUBLE) < mean - 2.0 * sd THEN (mean - 2.0 * sd) / 10000
+               WHEN CAST(m AS DOUBLE) > mean + 2.0 * sd THEN (mean + 2.0 * sd) / 10000
+               ELSE v.value END AS value_w
+        FROM v LEFT JOIN b ON v.event_type = b.event_type""")),
+
+    // Referential-integrity audit: orphaned and NULL foreign keys per
+    // relation (defects injected on deterministic id rules, mirrored
+    // in the oracle, so the detection demonstrably fires).
+    Q("q_ref_integrity",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .withColumn("o_custkey",
+            when(expr("o_orderkey % 89 = 0"), lit(null))
+              .when(expr("o_orderkey % 97 = 0"), col("o_custkey") + 1000000)
+              .otherwise(col("o_custkey")))
+        graft.ops.Profile.refIntegrity("orders->customer",
+            orders, "o_custkey", t(s, dir, "customer"), "c_custkey")
+          .unionAll(graft.ops.Profile.refIntegrity("lineitem->orders",
+            t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN NULL
+               WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+               ELSE o_custkey END AS o_custkey FROM orders),
+        r1 AS (SELECT 'orders->customer' AS relation, COUNT(*) AS n_rows,
+          COUNT(*) FILTER (o_custkey IS NULL) AS n_null_keys,
+          COUNT(*) FILTER (o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+            AS n_orphans
+          FROM o),
+        r2 AS (SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_rows,
+          COUNT(*) FILTER (l_orderkey IS NULL) AS n_null_keys,
+          COUNT(*) FILTER (l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+            AS n_orphans
+          FROM lineitem),
+        u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        SELECT relation, n_rows, n_null_keys, n_orphans,
+          CASE WHEN n_rows > n_null_keys
+               THEN (n_orphans * 1000000) // (n_rows - n_null_keys)
+               ELSE 0 END AS orphan_micro
+        FROM u""")),
   )
 }

@@ -96,6 +96,47 @@ class StatsSpec extends SparkTestBase {
     assert(c.head.getAs[Long]("lo_micro") == 70000L)
   }
 
+  test("imputeMean: per-group exact mean fills nulls; empty group keeps null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None)
+    ).toDF("g", "v")
+    val got = Stats.imputeMean(df, "v", Seq("g")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // two originals survive, the null fills with the exact mean 2.0
+    assert(got.filter(_._1 == "a").flatMap(_._2).sorted.toSeq == Seq(1.0, 2.0, 3.0))
+    assert(got.filter(_._1 == "b").head._2.isEmpty)
+  }
+
+  test("winsorize: outlier clamps to the sigma bound, inliers and nulls pass through") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)),
+      ("a", Some(100.0)), ("a", None)
+    ).toDF("g", "v")
+    val got = Stats.winsorize(df, "v", Seq("g"), sigmas = 1.0).collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("was_clipped"), Option(r.getAs[Any]("v_w"))))
+    val outlier = got.find(_._1.contains(100.0)).get
+    assert(outlier._2)
+    val clamped = outlier._3.get.asInstanceOf[Double]
+    // mean 20.8, population sd ~39.6 -> bound ~60.4; clamp strictly below 100
+    assert(clamped > 20.8 && clamped < 100.0)
+    got.filter(_._1.contains(1.0)).foreach { r => assert(!r._2 && r._3.get == 1.0) }
+    val nullRow = got.find(_._1.isEmpty).get
+    assert(!nullRow._2 && nullRow._3.isEmpty)
+  }
+
+  test("refIntegrity: orphans, null keys, integral rate") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), None, Some(9L)).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Profile.refIntegrity("c->p", child, "fk", parent, "pk").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (("c->p", 4L, 1L, 1L, 333333L)))
+  }
+
   test("crosstabChi2: closed-form 2x2 table") {
     import spark.implicits._
     val rows = Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++
