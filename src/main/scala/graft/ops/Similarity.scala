@@ -787,4 +787,86 @@ object Similarity {
         expr(s"cos_micro * ${2L * k} * 1000000 div (sum_q + sum_n)")
           .as("margin_ppm"))
   }
+
+  /**
+   * PCA projection onto the top `k` principal components. Fit is
+   * DRIVER-side: power iteration with deflation on the covariance of
+   * a bounded deterministic sample (the [[ivfFit]] hash-mod policy —
+   * at 100 TB the eigenvector of a 20k-row sample is statistically
+   * indistinguishable from the full-corpus one for triage purposes,
+   * and the d×d covariance is metadata-sized). The full-corpus
+   * projection is a PURE MAP against literal-inlined component
+   * vectors (`score_j = vec_dot(v, w_j) − w_j·μ`, the centering
+   * constant folded at plan time) — zero shuffle, zero broadcast
+   * state. Components sign-normalize on their largest-|coordinate|
+   * entry, so reruns and repartitions are bit-identical.
+   *
+   * The classic uses downstream: variance triage (is the embedding
+   * space collapsing?), 2-D corpus maps, decorrelation before
+   * quantization ([[randomProjection]] is the data-oblivious cousin).
+   */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int = 2,
+                 maxFitVectors: Long = 20000L, iters: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(512L)).toLong.max(1L)
+    val fitSet =
+      if (estRows <= maxFitVectors) v
+      else v.filter(pmod(xxhash64(col("id")), lit(estRows / maxFitVectors + 1)) === 0)
+    // id-sorted accumulation: a bare collect returns partition order,
+    // and FP summation order would leak into the eigenvectors (ulp
+    // drift across repartitions — observed in the spec before the sort)
+    val sample = fitSet.select(col("id"), col("v")).collect()
+      .sortBy(_.get(0).toString)
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pcaProject: empty input")
+    val d = sample.head.length
+    val n = sample.length
+    val mean = Array.tabulate(d)(i => sample.map(_(i)).sum / n)
+    // population covariance of the centered sample
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { x =>
+      var i = 0
+      while (i < d) {
+        val xi = x(i) - mean(i)
+        var j = i
+        while (j < d) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until d; j <- i until d) {
+      cov(i)(j) /= n; cov(j)(i) = cov(i)(j)
+    }
+    def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * x(j)).sum)
+    val comps = Array.ofDim[Double](k, d)
+    for (c <- 0 until k) {
+      var w = Array.fill(d)(1.0 / math.sqrt(d))
+      var it = 0
+      var live = true
+      while (it < iters && live) {
+        val aw = matVec(cov, w)
+        val nrm = math.sqrt(aw.map(x => x * x).sum)
+        if (nrm < 1e-12) live = false // degenerate direction: keep w
+        else w = aw.map(_ / nrm)
+        it += 1
+      }
+      // deterministic sign: largest-|coordinate| entry positive
+      val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+      if (w(pivot) < 0) w = w.map(-_)
+      comps(c) = w
+      // deflate: cov -= lambda w w^T (lambda = w^T cov w)
+      val cw = matVec(cov, w)
+      val lambda = (0 until d).map(i => w(i) * cw(i)).sum
+      for (i <- 0 until d; j <- 0 until d) cov(i)(j) -= lambda * w(i) * w(j)
+    }
+    val scores = comps.zipWithIndex.map { case (w, c) =>
+      val centerConst = (0 until d).map(i => w(i) * mean(i)).sum
+      (dot(col("v"), array(w.map(lit).toIndexedSeq: _*)) - lit(centerConst))
+        .as(s"pc${c + 1}")
+    }
+    v.select(col("id") +: scores.toIndexedSeq: _*)
+  }
 }

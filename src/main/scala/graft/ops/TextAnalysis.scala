@@ -1123,6 +1123,41 @@ object TextAnalysis {
    * weight (present in every doc) drop before the window.
    */
   /**
+   * Deflate compression ratio per document — the Gopher-family
+   * "too-compressible" quality signal: templated/repeated text
+   * compresses far below prose, random keys barely compress at all.
+   * ratio_micro = compressed·10⁶ div raw over the UTF-8 bytes, zlib
+   * level 6 (java.util.zip.Deflater — deterministic for a given
+   * input, so reruns are stable; engine-local, no SQL oracle — the
+   * rows-only table documents it). Row-local `mapPartitions` with one
+   * Deflater per partition (the codec-handle pattern); empty docs
+   * keep their row with a NULL ratio.
+   */
+  def compressionRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            if (raw.length > 0) Some(compressed * 1000000L / raw.length) else None)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio_micro")
+  }
+
+  /**
    * Flesch reading-ease in integral micros: 206.835 − 1.015·(words per
    * sentence) − 84.6·(syllables per word), with the standard
    * vowel-group syllable heuristic (each maximal `[aeiouy]+` run in

@@ -1675,6 +1675,24 @@ object LlmQueries {
         k = 24, bands = 4, threshold = 0.7),
       None),
 
+    // PCA top-2 projection: driver power iteration on a bounded
+    // deterministic sample's covariance, literal-inlined component
+    // vectors, pure-map projection (rows-only: eigenvectors have no
+    // SQL restatement; the fit and projection algebra are spec-pinned
+    // on synthetic dominant-direction fixtures).
+    Q("q_llm_pca",
+      (s, dir) => graft.ops.Similarity.pcaProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 2),
+      None),
+
+    // Deflate compression-ratio quality signal (rows-only: zlib is
+    // engine-local; ordering/bounds spec-pinned). Templated text
+    // scores low, random keys near 1e6.
+    Q("q_llm_compress_ratio",
+      (s, dir) => graft.ops.TextAnalysis.compressionRatio(
+        t(s, dir, "documents"), "doc_id", "text"),
+      None),
+
     // Exact-count stratified sample: largest-remainder apportionment
     // across sources at p=0.25, md5-hash-rank row selection — exactly
     // floor(N/4) rows, exactly apportioned, rerun-deterministic.
