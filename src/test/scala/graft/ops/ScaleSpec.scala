@@ -480,4 +480,50 @@ class ScaleSpec extends SparkTestBase {
       threshold = 0.0, maxPostings = 5000)
     assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  // plan-shape tests read the sf0.001 parquet: a local Seq relation
+  // constant-folds to a LocalTableScan and no plan survives to assert on
+  private def docs0001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def events0001 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("ophSignatures production path: single native expression, zero exchanges") {
+    val sig = Dedup.ophSignatures(docs0001, "doc_id", "text")
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(plan.contains("oph_sig_x64"), s"expected the native expression:\n$plan")
+    assert(!plan.contains("Exchange"), s"signature stage must be a pure map:\n$plan")
+  }
+
+  test("pcaProject: the projection plan is a pure map (components are literals)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.pcaProject(emb, "vec_id", "embedding", k = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"projection must be shuffle- and join-free:\n$plan")
+  }
+
+  test("imputeMean / winsorize / exactProportionSample: stats join the data by BROADCAST") {
+    val ev = events0001.select(col("event_id").as("id"),
+      col("event_type").as("g"), col("value").as("v"))
+    for (out <- Seq(
+        Stats.imputeMean(ev, "v", Seq("g")),
+        Stats.winsorize(ev, "v", Seq("g")),
+        Sampling.exactProportionSample(ev, "id", "g", 500000L))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"group stats must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the data side must never co-shuffle with tiny stats:\n$plan")
+    }
+  }
+
+  test("eventNgrams: corpus top-K is TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i =>
+      (i.toLong % 5, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+        s"t${i % 4}", i.toLong)).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Sessions.eventNgrams(ev, "user_id", "ts", "event_type", "event_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be limit-bounded:\n$plan")
+  }
 }
