@@ -140,6 +140,40 @@ object Funnels {
   }
 
   /**
+   * Seasonal (day-of-week × hour) rate anomalies: each observed
+   * (type, date, hour) cell is z-tested against its OWN seasonal
+   * population — all cells of the same (type, weekday, hour) slot —
+   * with the same exact integer algebra as [[rateAnomalies]]
+   * ((n·N − S)² > z²(N·Q − S²) in DECIMAL(38,0); no FP, verdicts
+   * hash-identical cross-engine). This is the "is 3pm-on-Monday
+   * unusual *for a Monday 3pm*" report that a flat daily baseline
+   * can't express. Hours nobody logged are absent rows (observed-cell
+   * population, [[rateAnomalies]]' stance — an explicit calendar
+   * spine join would impute zeros; compose one upstream if silence
+   * itself is the anomaly). One event-volume shuffle (the hourly
+   * pre-agg); the stats windows run on the tiny cell relation.
+   */
+  def seasonalAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                        z: Int = 2): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("dow"), col("hour"))
+    val dev = d38(col("_nd")) * d38(col("n")) - d38(col("_s"))
+    df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"),
+        dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_nd", count(lit(1)).over(wt))
+      .withColumn("_s", sum(col("n")).over(wt))
+      .withColumn("_q", sum(d38(col("n")) * d38(col("n"))).over(wt))
+      .withColumn("mean_micro",
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) * 1000000 div _nd AS BIGINT)"))
+      .withColumn("is_anomaly",
+        dev * dev > lit(z.toLong * z) * (d38(col("_nd")) * col("_q") - d38(col("_s")) * d38(col("_s"))))
+      .select(col("event_type"), date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("hour"), col("n"), col("mean_micro"), col("is_anomaly"))
+  }
+
+  /**
    * Time-to-convert statistics per consecutive funnel step pair:
    * completions, mean latency in integral micros of a second
    * (`sum * 1e6 div n` — order-independent integer math, exact

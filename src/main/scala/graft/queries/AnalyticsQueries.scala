@@ -643,6 +643,28 @@ object AnalyticsQueries {
             > 4 * (CAST(nd AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_anomaly
         FROM s""")),
 
+    // Seasonal (dow x hour) anomalies: each (type, date, hour) cell
+    // z-tested against its own weekday-hour slot population — the
+    // same exact-integer z-test as q_rate_anomalies, one seasonal
+    // level deeper.
+    Q("q_seasonal_anomalies",
+      (s, dir) => graft.ops.Funnels.seasonalAnomalies(t(s, dir, "events"),
+        "event_type", "ts", z = 2),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(date_part('dow', ts) AS INTEGER) + 1 AS dow,
+          CAST(date_part('hour', ts) AS INTEGER) AS hour, COUNT(*) AS n
+          FROM events GROUP BY 1, 2, 3, 4),
+        s AS (SELECT event_type, d, dow, hour, n,
+            COUNT(*) OVER w AS nd,
+            CAST(SUM(n) OVER w AS BIGINT) AS sm,
+            SUM(CAST(n AS HUGEINT) * n) OVER w AS q
+          FROM d WINDOW w AS (PARTITION BY event_type, dow, hour))
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, dow, hour, n,
+          CAST(CAST(sm AS HUGEINT) * 1000000 // nd AS BIGINT) AS mean_micro,
+          (CAST(nd AS HUGEINT) * n - sm) * (CAST(nd AS HUGEINT) * n - sm)
+            > 4 * (CAST(nd AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_anomaly
+        FROM s""")),
+
     // CDC snapshot diff: two deterministic "versions" of orders
     // (old = keys not divisible by 7; new = prices bumped on keys
     // divisible by 5) -> added/removed/changed classification.

@@ -165,6 +165,27 @@ class EventGraphSpec extends SparkTestBase {
     assert(gotSq == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
   }
 
+  test("seasonalAnomalies: a spike is judged against its own weekday-hour slot") {
+    import spark.implicits._
+    // Mondays at 10:00 over 9 weeks: eight 2s then a 20 -> the spike
+    // clears the z=2 integer test ((9*20-36)^2 = 20736 > 4*(9*432-36^2)
+    // = 10368). Monday 11:00 steady 20s -> zero variance, NOT
+    // anomalous even though 20 equals the spiking count.
+    val mondays = (0 to 8).map(k =>
+      java.time.LocalDate.parse("2024-01-01").plusDays(7L * k).toString)
+    val ev = mondays.zipWithIndex.flatMap { case (d, i) =>
+      val at10 = if (i == 8) 20 else 2
+      (1 to at10).map(k => ("click", ts(s"$d 10:0${k % 6}:00"))) ++
+        (1 to 20).map(k => ("click", ts(s"$d 11:0${k % 6}:00")))
+    }.toDF("event_type", "ts")
+    val got = Funnels.seasonalAnomalies(ev, "event_type", "ts", z = 2)
+      .collect().map(r => (r.getString(1), r.getInt(3)) ->
+        (r.getLong(4), r.getBoolean(6))).toMap
+    assert(got(("2024-02-26", 10)) == ((20L, true)))
+    assert(got(("2024-01-01", 10)) == ((2L, false)))
+    mondays.foreach(d => assert(got((d, 11)) == ((20L, false))))
+  }
+
   test("eventNgrams: per-key ordering, tiebreak determinism, topK rank") {
     import spark.implicits._
     val ev = Seq(
