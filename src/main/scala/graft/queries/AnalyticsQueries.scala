@@ -716,6 +716,42 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // SCD2 point-in-time lookup: probe the dimension history at fixed
+    // instants — the "what was this user's state on the 15th" join.
+    // Versions are orders of magnitude fewer than events, one
+    // key-equi join + row-local interval filter.
+    Q("q_scd2_lookup",
+      (s, dir) => {
+        val dim = graft.ops.Snapshot.scd2(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_type", tiebreak = Seq("event_id"))
+        val probes = t(s, dir, "events").select(col("user_id")).distinct()
+          .withColumn("probe_ts", explode(array(
+            Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-25 00:00:00")
+              .map(x => to_timestamp(lit(x))): _*)))
+        dim.join(probes, Seq("user_id"))
+          .filter(col("probe_ts") >= col("effective_from") &&
+            (col("effective_to").isNull || col("probe_ts") < col("effective_to")))
+          .select(col("user_id"),
+            date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+            col("event_type").as("state_at"))
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+            lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id, event_type FROM o
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        v AS (SELECT user_id, event_type, ts AS f,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+          FROM s),
+        p AS (SELECT DISTINCT user_id FROM events),
+        pp AS (SELECT user_id, unnest([TIMESTAMP '2024-01-08 00:00:00',
+            TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-25 00:00:00']) AS probe_ts
+          FROM p)
+        SELECT v.user_id, strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+          event_type AS state_at
+        FROM v JOIN pp ON v.user_id = pp.user_id
+        WHERE probe_ts >= f AND (t IS NULL OR probe_ts < t)""")),
+
     // Tumbling-window aggregation (the batch face of the streaming
     // windowed agg — same window() operator Structured Streaming
     // uses; UTC day buckets align with DuckDB's date_trunc).

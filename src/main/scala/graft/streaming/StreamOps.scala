@@ -615,6 +615,35 @@ object StreamOps {
       .drop("_grams")
   }
 
+  /**
+   * Streaming seasonal-load ratio — the online face of
+   * [[graft.ops.Funnels.seasonalAnomalies]]: hourly windowed counts
+   * per type, each scored against a STATIC weekday-hour baseline
+   * (mean_micro per (event_type, dow, hour), typically the batch
+   * operator's output) as ratio_micro = n·10¹² div mean_micro
+   * (integral — n in micros over the baseline mean). The baseline
+   * joins BEFORE the windowed aggregation (stream-static broadcast,
+   * stateless), which keeps the plan inside Structured Streaming's
+   * supported stream-static-join-then-aggregate shape; state is the
+   * watermarked window store only. Unknown slots ratio NULL (no
+   * baseline is different from "on baseline").
+   */
+  def seasonalRatioStream(events: DataFrame, baseline: DataFrame,
+                          watermark: String = "2 hours"): DataFrame = {
+    val e = events
+      .withColumn("dow", dayofweek(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+      .join(broadcast(baseline), Seq("event_type", "dow", "hour"), "left")
+    e.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("mean_micro")).as("mean_micro"))
+      .withColumn("ratio_micro",
+        when(col("mean_micro").isNotNull && col("mean_micro") > 0,
+          expr("n * 1000000000000 div mean_micro")))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("mean_micro"), col("ratio_micro"))
+  }
+
   case class RfmState(last_epoch: Long, frequency: Long, monetary_micro: Long)
   case class RfmScore(user_id: Long, recency_days: Long, frequency: Long,
                       monetary: Double, r_score: Int, f_score: Int, m_score: Int,

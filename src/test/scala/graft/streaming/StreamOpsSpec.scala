@@ -516,6 +516,29 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("seasonalRatioStream: hourly counts scored against the static weekday-hour baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 2024-01-01 is a Monday -> Spark dayofweek = 2
+    val baseline = Seq(("click", 2, 10, 2000000L)).toDF("event_type", "dow", "hour", "mean_micro")
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = StreamOps.seasonalRatioStream(
+      mem.toDF().toDF("event_type", "ts"), baseline)
+    val q = out.writeStream.format("memory").queryName("seasonal_ratio")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        ("click", ts(10)), ("click", ts(11)), ("click", ts(12)), ("click", ts(13)),
+        ("view", ts(14))) // no baseline slot -> NULL ratio
+      q.processAllAvailable()
+      val got = spark.table("seasonal_ratio").collect()
+        .map(r => r.getString(1) -> (r.getLong(2), Option(r.get(4)))).toMap
+      // 4 clicks vs mean 2.0 -> ratio 2e6 (2x seasonal load)
+      assert(got("click") == ((4L, Some(2000000L))))
+      assert(got("view") == ((1L, None)))
+    } finally q.stop()
+  }
+
   test("rfmStream: cross-batch state carry, rescoring, batch-op parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
