@@ -45,7 +45,8 @@ object Bench {
       "q_llm_minhash_sig", "q_llm_minhash_pairs_md5", "q_llm_simhash_pairs_md5",
       "q_llm_dedup_clusters_md5", "q_llm_corpus_clean_md5",
       "q_llm_rolling_fp", "q_llm_winnowing", "q_llm_containment",
-      "q_llm_cross_source_dups", "q_llm_group_split", "q_llm_oph_pairs")
+      "q_llm_cross_source_dups", "q_llm_group_split", "q_llm_oph_pairs",
+      "q_llm_cms")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

@@ -78,6 +78,32 @@ object Sessions {
    * top-K is a TakeOrderedAndProject.
    */
   /**
+   * Recency-decayed engagement score per key: each event contributes
+   * 10⁶ div 2^(whole half-lives before the corpus max) — STEP decay
+   * on integral half-life periods, so the score is exact integer
+   * arithmetic in any engine (a continuous 2^(−Δ/h) would ride
+   * Math.pow, which is not correctly rounded and not engine-stable).
+   * Events older than 20 half-lives contribute 0 (10⁶ shifted away);
+   * the shift exponent clamps at 62 so the divisor never overflows.
+   * One key shuffle (map-side-combined sum); corpus max broadcast —
+   * rerun-deterministic like [[Rfm.rfm]].
+   */
+  def decayedEngagement(df: DataFrame, keyCol: String, tsCol: String,
+                        halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val corpusMax = df.agg(max(epoch).as("corpus_max_epoch"))
+    df.withColumn("_ep", epoch)
+      .crossJoin(broadcast(corpusMax))
+      .withColumn("_periods",
+        least(expr(s"(corpus_max_epoch - _ep) div ${86400L * halfLifeDays}"), lit(62L))
+          .cast("int"))
+      .withColumn("_w", expr("1000000 div shiftleft(cast(1 as bigint), _periods)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed_micro"))
+  }
+
+  /**
    * Sequential pattern mining, fixed length n: per-key consecutive
    * event-type n-grams (ordered by (ts, tiebreak) — a total order, so
    * the lag chain is deterministic), counted corpus-wide with a

@@ -716,6 +716,51 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // Recency-decayed engagement per user: step decay on whole
+    // 7-day half-lives before the corpus max — exact integer
+    // arithmetic (no Math.pow), one key shuffle.
+    Q("q_decayed_engagement",
+      (s, dir) => graft.ops.Sessions.decayedEngagement(
+        t(s, dir, "events"), "user_id", "ts", halfLifeDays = 7),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        c AS (SELECT max(ep) AS m FROM e),
+        w AS (SELECT user_id,
+          1000000 // ((1::BIGINT) << least((m - ep) // 604800, 62)) AS w
+          FROM e CROSS JOIN c)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(w) AS BIGINT) AS decayed_micro
+        FROM w GROUP BY user_id""")),
+
+    // Hierarchical share-of-parent: each nation's revenue share of
+    // its region in integral micros (DECIMAL(38,0) revenue micros;
+    // the share window runs on the tiny region-nation relation).
+    Q("q_share_of_parent",
+      (s, dir) => {
+        val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        val rev = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg((sum(dec(col("o_totalprice"))) * lit(10000))
+            .cast("decimal(38,0)").as("_rev"))
+        val w = Window.partitionBy(col("r_name"))
+        rev.withColumn("_tot", sum(col("_rev")).over(w))
+          .select(col("r_name"), col("n_name"),
+            col("_rev").cast("double").as("revenue_micro"),
+            expr("cast(_rev * 1000000 div _tot as bigint)").as("share_micro"))
+      },
+      Some("""WITH rev AS (SELECT r_name, n_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS rv
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name),
+        t AS (SELECT *, SUM(rv) OVER (PARTITION BY r_name) AS tot FROM rev)
+        SELECT r_name, n_name, CAST(rv AS DOUBLE) AS revenue_micro,
+          CAST((rv * 1000000) // tot AS BIGINT) AS share_micro
+        FROM t""")),
+
     // SCD2 point-in-time lookup: probe the dimension history at fixed
     // instants — the "what was this user's state on the 15th" join.
     // Versions are orders of magnitude fewer than events, one

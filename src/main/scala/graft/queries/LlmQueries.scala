@@ -1675,6 +1675,36 @@ object LlmQueries {
         k = 24, bands = 4, threshold = 0.7),
       None),
 
+    // Relational Count-Min sketch over document tokens: d=3 rows x
+    // w=256 buckets, estimate = min of the key's bucket counts. The
+    // seeded hashes make the WHOLE sketch exactly oracle-able (md5
+    // twin); the xxhash64 twin below is the benched production path.
+    Q("q_llm_cms",
+      (s, dir) => graft.ops.Sketches.countMinEstimates(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("tok")),
+        "tok", d = 3, w = 256, portableHashing = true),
+      Some("""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        b AS (SELECT j AS rw,
+            ('0x' || substr(md5(j || '|' || tok), 1, 15))::BIGINT % 256 AS bucket,
+            COUNT(*) AS cnt
+          FROM tk CROSS JOIN js GROUP BY 1, 2),
+        k AS (SELECT DISTINCT tok FROM tk),
+        kb AS (SELECT tok AS key, j AS rw,
+            ('0x' || substr(md5(j || '|' || tok), 1, 15))::BIGINT % 256 AS bucket
+          FROM k CROSS JOIN js)
+        SELECT key, min(cnt) AS est
+        FROM kb JOIN b USING (rw, bucket) GROUP BY key""")),
+
+    Q("q_llm_cms_x64",
+      (s, dir) => graft.ops.Sketches.countMinEstimates(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("tok")),
+        "tok", d = 3, w = 256),
+      None),
+
     // PCA top-2 projection: driver power iteration on a bounded
     // deterministic sample's covariance, literal-inlined component
     // vectors, pure-map projection (rows-only: eigenvectors have no

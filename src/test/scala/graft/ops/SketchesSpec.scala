@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Relational Count-Min sketch + decayed engagement. */
+class SketchesSpec extends SparkTestBase {
+
+  test("countMin: estimate >= truth always; sketch is d*w rows max; twins share the property") {
+    import spark.implicits._
+    val toks = (1 to 400).flatMap { i =>
+      val t = s"tok${i % 50}" // 50 distinct keys, 8 occurrences each
+      Seq(t)
+    } ++ Seq.fill(100)("heavy")
+    val df = toks.toDF("tok")
+    for (portable <- Seq(true, false)) {
+      val est = Sketches.countMinEstimates(df, "tok", d = 3, w = 64,
+          portableHashing = portable)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"CM estimate must never undercount ($k portable=$portable)")
+      }
+      // heavy key: 100 of 500 items over w=64 buckets -> collisions add
+      // at most a few buckets' worth; the bound e*N/w holds with room
+      assert(est("heavy") <= 100L + (3 * 500) / 64)
+      val sketch = Sketches.countMinTable(df, "tok", d = 3, w = 64,
+        portableHashing = portable)
+      assert(sketch.count() <= 3L * 64)
+    }
+  }
+
+  test("countMin: sketches merge by union + re-aggregate") {
+    import spark.implicits._
+    val a = Seq.fill(10)("x").toDF("tok")
+    val b = (Seq.fill(5)("x") ++ Seq.fill(7)("y")).toDF("tok")
+    val merged = Sketches.countMinTable(a, "tok", d = 2, w = 16, portableHashing = true)
+      .unionAll(Sketches.countMinTable(b, "tok", d = 2, w = 16, portableHashing = true))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMinTable(a.unionAll(b), "tok", d = 2, w = 16,
+      portableHashing = true)
+    assert(merged.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ==
+      whole.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("decayedEngagement: step decay on whole half-lives, exact weights") {
+    import spark.implicits._
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // corpus max = day 29. u1: events at 0, 7, 14 days before max ->
+    // weights 1e6, 5e5, 2.5e5. u2: one event 28 days back -> 62500.
+    val df = Seq(
+      (1L, day(29)), (1L, day(22)), (1L, day(15)),
+      (2L, day(1))
+    ).toDF("user_id", "ts")
+    val got = Sessions.decayedEngagement(df, "user_id", "ts", halfLifeDays = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 1750000L)))
+    assert(got(2L) == ((1L, 62500L)))
+  }
+}
