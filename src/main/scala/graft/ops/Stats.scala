@@ -241,6 +241,50 @@ object Stats {
         col("contrib_micro"), col("chi2_micro_total"))
   }
 
+  /**
+   * Two-proportion A/B significance test with an EXACT integer
+   * verdict: clearing the pooled z-test at level `z` is equivalent to
+   *
+   *   (c1·n2 − c2·n1)²·N  >  z²·n1·n2·C·(N−C)
+   *
+   * (N = n1+n2, C = c1+c2 — multiply the classic statistic through by
+   * its denominators), evaluated in DECIMAL(38,0)/HUGEINT, so the
+   * significance verdict is bit-identical cross-engine — no FP sqrt
+   * on the decision path. Rates are integral micros. Exact while
+   * per-variant unit counts stay ≲ 10⁷ (the cubic-in-counts RHS is
+   * inherent to the statistic; pre-scale beyond that). Unit = one
+   * `keyCol` value: variant by min, converted by max over the unit's
+   * rows. One unit-keyed shuffle + a 2-row closing fold. Exactly two
+   * variants required.
+   */
+  def abTest(df: DataFrame, keyCol: String, variantCol: String,
+             convCol: String, z: Int = 2): DataFrame = {
+    val per = df.groupBy(col(keyCol))
+      .agg(min(col(variantCol)).as("variant"),
+        max(col(convCol).cast("int")).as("conv"))
+    val v = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val two = v.agg(
+      min(struct(col("variant"), col("n"), col("c"))).as("a"),
+      max(struct(col("variant"), col("n"), col("c"))).as("b"),
+      count(lit(1)).as("_nv"))
+    two
+      .select(col("_nv"), col("a.variant").as("variant_a"), col("a.n").as("n_a"),
+        col("a.c").as("c_a"), col("b.variant").as("variant_b"), col("b.n").as("n_b"),
+        col("b.c").as("c_b"))
+      .withColumn("rate_a_micro", expr("c_a * 1000000 div n_a"))
+      .withColumn("rate_b_micro", expr("c_b * 1000000 div n_b"))
+      .withColumn("diff_micro", col("rate_a_micro") - col("rate_b_micro"))
+      .withColumn("significant", expr(
+        s"""_nv = 2 AND
+          (cast(c_a as decimal(38,0)) * n_b - cast(c_b as decimal(38,0)) * n_a)
+          * (cast(c_a as decimal(38,0)) * n_b - cast(c_b as decimal(38,0)) * n_a)
+          * (n_a + n_b)
+          > cast(${z.toLong * z} as decimal(38,0)) * n_a * n_b * (c_a + c_b)
+            * (n_a + n_b - c_a - c_b)"""))
+      .drop("_nv")
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

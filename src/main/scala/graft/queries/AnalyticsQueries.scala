@@ -716,6 +716,38 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // Two-proportion A/B test with the exact integer verdict
+    // ((c1n2-c2n1)^2 N > z^2 n1 n2 C (N-C) in int128): variant by
+    // user-id parity, conversion = any purchase event.
+    Q("q_ab_test",
+      (s, dir) => graft.ops.Stats.abTest(
+        t(s, dir, "events")
+          .withColumn("variant", expr("cast(user_id % 2 as int)"))
+          .withColumn("converted", (col("event_type") === "purchase").cast("int")),
+        "user_id", "variant", "converted"),
+      Some("""WITH per AS (SELECT user_id,
+          min(CAST(user_id % 2 AS INTEGER)) AS variant,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id),
+        v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+          FROM per GROUP BY variant),
+        t AS (SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+          COUNT(*) AS nv FROM v),
+        aa AS (SELECT t.*, va.n AS n_a, va.c AS c_a, vb.n AS n_b, vb.c AS c_b
+          FROM t JOIN v va ON va.variant = t.variant_a
+          JOIN v vb ON vb.variant = t.variant_b)
+        SELECT variant_a, n_a, c_a, variant_b, n_b, c_b,
+          (c_a * 1000000) // n_a AS rate_a_micro,
+          (c_b * 1000000) // n_b AS rate_b_micro,
+          (c_a * 1000000) // n_a - (c_b * 1000000) // n_b AS diff_micro,
+          nv = 2 AND
+            (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+            * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+            * (n_a + n_b)
+            > CAST(4 AS HUGEINT) * n_a * n_b * (c_a + c_b)
+              * (n_a + n_b - c_a - c_b) AS significant
+        FROM aa""")),
+
     // Recency-decayed engagement per user: step decay on whole
     // 7-day half-lives before the corpus max — exact integer
     // arithmetic (no Math.pow), one key shuffle.

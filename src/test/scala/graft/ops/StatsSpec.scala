@@ -137,6 +137,31 @@ class StatsSpec extends SparkTestBase {
       (("c->p", 4L, 1L, 1L, 333333L)))
   }
 
+  test("abTest: exact integer significance verdict on closed-form cohorts") {
+    import spark.implicits._
+    def cohort(variant: Int, users: Range, conv: Int) =
+      users.map(u => (u.toLong, variant, u - users.head < conv))
+    // 50% vs 20% over 100 users each -> clearly significant at z=2
+    val strong = (cohort(0, 0 until 100, 50) ++ cohort(1, 100 until 200, 20))
+      .toDF("user_id", "variant", "converted")
+    val s = Stats.abTest(strong, "user_id", "variant", "converted").collect().head
+    assert((s.getAs[Long]("n_a"), s.getAs[Long]("c_a"),
+      s.getAs[Long]("n_b"), s.getAs[Long]("c_b")) == ((100L, 50L, 100L, 20L)))
+    assert(s.getAs[Long]("rate_a_micro") == 500000L)
+    assert(s.getAs[Long]("diff_micro") == 300000L)
+    assert(s.getAs[Boolean]("significant"))
+    // 50% vs 48% -> inside noise
+    val weak = (cohort(0, 0 until 100, 50) ++ cohort(1, 100 until 200, 48))
+      .toDF("user_id", "variant", "converted")
+    assert(!Stats.abTest(weak, "user_id", "variant", "converted")
+      .collect().head.getAs[Boolean]("significant"))
+    // a unit with several rows counts once, converted if ever converted
+    val multi = Seq((1L, 0, false), (1L, 0, true), (2L, 1, false))
+      .toDF("user_id", "variant", "converted")
+    val m = Stats.abTest(multi, "user_id", "variant", "converted").collect().head
+    assert((m.getAs[Long]("n_a"), m.getAs[Long]("c_a")) == ((1L, 1L)))
+  }
+
   test("crosstabChi2: closed-form 2x2 table") {
     import spark.implicits._
     val rows = Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++
