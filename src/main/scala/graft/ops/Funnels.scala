@@ -240,6 +240,64 @@ object Funnels {
   }
 
   /**
+   * LINEAR (multi-touch) attribution: every touch strictly before a
+   * conversion shares the conversion's credit equally, in EXACT
+   * integral micros — base = 10⁶ div k per touch, and the
+   * 10⁶ mod k remainder goes one micro apiece to the EARLIEST
+   * touches (largest-remainder style), so each conversion's credit
+   * sums to exactly 10⁶ and the split is deterministic. Conversions
+   * with no prior touch credit 'none'. Completes the attribution
+   * family: [[attribution]] is the single-touch (first/last) form.
+   *
+   * Scale shape: conversions join touches per KEY (one co-partitioned
+   * equi join + row-local ts filter), so per-key work is
+   * touches×conversions — `maxEventsPerKey` drops hyperactive keys
+   * whole (the funnel operator's valve). Credit ranks ride a window
+   * keyed by conversion.
+   */
+  def linearAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, conversionType: String,
+                        touchTypes: Seq[String], tiebreak: String,
+                        maxEventsPerKey: Int = 100000): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val base = df.filter(col(typeCol).isin((touchTypes :+ conversionType): _*))
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(typeCol).as("_ty"), col(tiebreak).as("_tb"))
+      .withColumn("_nk", count(lit(1)).over(wk))
+      .filter(col("_nk") <= maxEventsPerKey)
+    val convs = base.filter(col("_ty") === conversionType)
+      .select(col("_k"), col("_ts").as("_cts"), col("_tb").as("_ctb"))
+    val touches = base.filter(col("_ty").isin(touchTypes: _*))
+      .select(col("_k"), col("_ts").as("_tts"), col("_tb").as("_ttb"),
+        col("_ty").as("channel"))
+    val pairs = convs.join(touches, Seq("_k"))
+      .filter(col("_tts") < col("_cts") ||
+        (col("_tts") === col("_cts") && col("_ttb") < col("_ctb")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k"), col("_cts"), col("_ctb"))
+    val wr = wc.orderBy(col("_tts").asc, col("_ttb").asc)
+    val credited = pairs
+      .withColumn("_kcnt", count(lit(1)).over(wc))
+      .withColumn("_rn", row_number().over(wr))
+      .withColumn("credit_micro",
+        expr("1000000 div _kcnt") +
+          when(col("_rn") <= expr("1000000 % _kcnt"), 1L).otherwise(0L))
+    val touched = credited.groupBy(col("channel"))
+      .agg(sum(col("credit_micro")).as("credit_micro"),
+        count_distinct(col("_k"), col("_cts"), col("_ctb")).as("n_conversions_touched"))
+    val untouched = convs.join(pairs.select(col("_k"), col("_cts"), col("_ctb")).distinct(),
+        Seq("_k", "_cts", "_ctb"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit("none").as("channel"), (col("n") * lit(1000000L)).as("credit_micro"),
+        col("n").as("n_conversions_touched"))
+    touched.unionAll(untouched)
+  }
+
+  /**
    * Cohort retention matrix: keys grouped by first-active day; for
    * each (cohort_day, day_offset <= maxOffsetDays) the number of
    * cohort keys active on that day. `cohort_day` is formatted

@@ -716,6 +716,40 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // Linear multi-touch attribution: each conversion's 1e6 micros of
+    // credit split equally across its prior touches, remainder one
+    // micro apiece to the earliest (credit sums EXACTLY per
+    // conversion); no-touch conversions credit 'none'.
+    Q("q_linear_attribution",
+      (s, dir) => graft.ops.Funnels.linearAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        tiebreak = "event_id"),
+      Some("""WITH b AS (SELECT user_id AS k, ts, event_type AS ty, event_id AS tb
+          FROM events WHERE event_type IN ('click', 'view', 'purchase')
+          QUALIFY COUNT(*) OVER (PARTITION BY user_id) <= 100000),
+        c AS (SELECT k, ts AS cts, tb AS ctb FROM b WHERE ty = 'purchase'),
+        t AS (SELECT k, ts AS tts, tb AS ttb, ty AS channel FROM b
+          WHERE ty IN ('click', 'view')),
+        p AS (SELECT c.k, cts, ctb, tts, ttb, channel FROM c JOIN t ON c.k = t.k
+          AND (tts < cts OR (tts = cts AND ttb < ctb))),
+        cr AS (SELECT *, COUNT(*) OVER (PARTITION BY k, cts, ctb) AS kcnt,
+            row_number() OVER (PARTITION BY k, cts, ctb ORDER BY tts, ttb) AS rn
+          FROM p),
+        cc AS (SELECT channel, k, cts, ctb,
+          (1000000 // kcnt) + CASE WHEN rn <= 1000000 % kcnt THEN 1 ELSE 0 END AS credit
+          FROM cr),
+        tc AS (SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_micro,
+            COUNT(DISTINCT (k, cts, ctb)) AS n_conversions_touched
+          FROM cc GROUP BY channel),
+        un AS (SELECT 'none' AS channel,
+            CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_micro,
+            COUNT(*) AS n_conversions_touched
+          FROM c WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.k = c.k AND p.cts = c.cts AND p.ctb = c.ctb)
+          HAVING COUNT(*) > 0)
+        SELECT * FROM tc UNION ALL SELECT * FROM un""")),
+
     // Two-proportion A/B test with the exact integer verdict
     // ((c1n2-c2n1)^2 N > z^2 n1 n2 C (N-C) in int128): variant by
     // user-id parity, conversion = any purchase event.

@@ -352,4 +352,30 @@ class FunnelsSpec extends SparkTestBase {
     assert(out("web") == (2L, 7L, 700000L))  // 7*1e6 div 10
     assert(out("book") == (1L, 3L, 300000L))
   }
+
+  test("linearAttribution: equal split, remainder to earliest, none channel, exact micro sums") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click, view, click then purchase -> 3 touches share 1e6:
+      // 333333 each + 1 remainder micro to the EARLIEST touch
+      (1L, ts("2024-01-01 10:00:00"), "click", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "view", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "click", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "purchase", 4L),
+      // u2: no touches -> none
+      (2L, ts("2024-01-01 11:00:00"), "purchase", 5L),
+      // u3: touch AFTER the purchase doesn't count
+      (3L, ts("2024-01-01 12:00:00"), "purchase", 6L),
+      (3L, ts("2024-01-01 12:01:00"), "click", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnels.linearAttribution(ev, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"), "event_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1: click gets 333334 (earliest, +1 remainder) + 333333 = 666667
+    assert(got("click") == ((666667L, 1L)))
+    assert(got("view") == ((333333L, 1L)))
+    assert(got("none") == ((2000000L, 2L))) // u2 and u3
+    assert(got.values.map(_._1).sum == 3000000L) // 3 conversions x 1e6 exactly
+  }
 }
