@@ -285,6 +285,30 @@ object Stats {
       .drop("_nv")
   }
 
+  /**
+   * Wilson score confidence interval per group for a boolean
+   * proportion: the interval that stays sane at small n and extreme
+   * rates (the normal approximation doesn't). Bounds are IEEE doubles
+   * from a STATED expression tree over exact integer (c, n) — center
+   * = (c + z²/2)/(n + z²), half-width = z·√(c(n−c)/n + z²/4)/(n + z²)
+   * — identical cross-engine because both engines compute the same
+   * tree over the same integers. One map-side-combined group shuffle.
+   */
+  def wilson(df: DataFrame, flagCol: String, byCols: Seq[String],
+             z: Double = 2.0): DataFrame = {
+    val agg = df.filter(col(flagCol).isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(flagCol).cast("long")).as("c"))
+    val nD = col("n").cast(DoubleType); val cD = col("c").cast(DoubleType)
+    val z2 = lit(z * z)
+    val center = (cD + z2 / lit(2.0)) / (nD + z2)
+    val half = lit(z) * sqrt(cD * (nD - cD) / nD + z2 / lit(4.0)) / (nD + z2)
+    agg
+      .withColumn("rate_micro", expr("c * 1000000 div n"))
+      .withColumn("wilson_lo", center - half)
+      .withColumn("wilson_hi", center + half)
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

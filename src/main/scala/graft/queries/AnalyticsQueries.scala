@@ -716,6 +716,28 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // Wilson score interval per event type for P(value > 100):
+    // exact integer (c, n), stated IEEE bound tree — the CI that
+    // doesn't collapse at small n or extreme rates.
+    Q("q_wilson_ci",
+      (s, dir) => graft.ops.Stats.wilson(
+        t(s, dir, "events").withColumn("flag", (col("value") > 100).cast("int")),
+        "flag", Seq("event_type")),
+      Some("""WITH a AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n, c,
+          (c * 1000000) // n AS rate_micro,
+          (CAST(c AS DOUBLE) + 4.0 / 2.0) / (CAST(n AS DOUBLE) + 4.0)
+            - 2.0 * sqrt(CAST(c AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
+                / CAST(n AS DOUBLE) + 4.0 / 4.0)
+              / (CAST(n AS DOUBLE) + 4.0) AS wilson_lo,
+          (CAST(c AS DOUBLE) + 4.0 / 2.0) / (CAST(n AS DOUBLE) + 4.0)
+            + 2.0 * sqrt(CAST(c AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
+                / CAST(n AS DOUBLE) + 4.0 / 4.0)
+              / (CAST(n AS DOUBLE) + 4.0) AS wilson_hi
+        FROM a""")),
+
     // Linear multi-touch attribution: each conversion's 1e6 micros of
     // credit split equally across its prior touches, remainder one
     // micro apiece to the earliest (credit sums EXACTLY per

@@ -162,6 +162,24 @@ class StatsSpec extends SparkTestBase {
     assert((m.getAs[Long]("n_a"), m.getAs[Long]("c_a")) == ((1L, 1L)))
   }
 
+  test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
+      Seq.fill(5)(("all", 1)) ++ Seq.fill(5)(("none", 0))).toDF("g", "f")
+    val got = Stats.wilson(df, "f", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))).toMap
+    val (n, c, lo, hi) = got("hot")
+    assert((n, c) == ((4L, 3L)))
+    assert(lo > 0.0 && hi < 1.0 && lo < 0.75 && hi > 0.75)
+    // all successes: upper bound stays <= 1, lower well below 1 at n=5
+    val (_, _, loA, hiA) = got("all")
+    assert(hiA <= 1.0 && loA < 0.9 && loA > 0.3)
+    // all failures: mirror
+    val (_, _, loN, hiN) = got("none")
+    assert(loN >= 0.0 && hiN > 0.1 && hiN < 0.7)
+  }
+
   test("crosstabChi2: closed-form 2x2 table") {
     import spark.implicits._
     val rows = Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++
