@@ -240,6 +240,55 @@ object Funnels {
   }
 
   /**
+   * Funnel drop-off report: one row per step with how many keys
+   * reached it, the share of step-1 entrants still alive
+   * (reach_micro), and the step-over-step conversion (conv_micro) —
+   * both integral micros over the exact step counts of [[funnel]]
+   * (whose one-shuffle shape this inherits; the closing explode runs
+   * on a 1-row aggregate). Step 1's conv is NULL (no previous step).
+   */
+  def funnelDropoff(df: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    maxEventsPerKey: Int = 1000000): DataFrame = {
+    val f = funnel(df, keyCol, tsCol, typeCol, steps, maxEventsPerKey)
+    val aggs = steps.map(s =>
+      sum(col(s"${s}_ts").isNotNull.cast("long")).as(s"_n_$s"))
+    val one = f.agg(aggs.head, aggs.tail: _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      val n = col(s"_n_$s")
+      val first = col(s"_n_${steps.head}")
+      val reach = when(first > 0, expr(s"_n_$s * 1000000 div _n_${steps.head}"))
+      val conv =
+        if (i == 0) lit(null).cast("long")
+        else when(col(s"_n_${steps(i - 1)}") > 0,
+          expr(s"_n_$s * 1000000 div _n_${steps(i - 1)}"))
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"), n.as("n_reached"),
+        reach.as("reach_micro"), conv.as("conv_micro"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /**
+   * Per-key inter-event gap histogram in log2 buckets: consecutive
+   * events of the same key, gap in whole seconds, bucket = bit length
+   * of the gap (`length(bin(gap))` — integer-exact where FP log2
+   * flips at powers of two; gap 0 shares bucket 1 with gap 1). The
+   * cadence fingerprint that separates humans from robots. One key
+   * shuffle (lag window), map-side-combined bucket agg.
+   */
+  def gapHistogram(df: DataFrame, keyCol: String, tsCol: String,
+                   tiebreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreak))
+    val ep = floor(unix_timestamp(col(tsCol))).cast("long")
+    df.withColumn("_gap", ep - lag(ep, 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(length(bin(col("_gap"))).as("gap_bits"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_gap")).as("min_gap_secs"), max(col("_gap")).as("max_gap_secs"))
+  }
+
+  /**
    * LINEAR (multi-touch) attribution: every touch strictly before a
    * conversion shares the conversion's credit equally, in EXACT
    * integral micros — base = 10⁶ div k per touch, and the

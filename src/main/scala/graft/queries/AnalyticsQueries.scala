@@ -494,6 +494,46 @@ object AnalyticsQueries {
         FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)""")),
 
+    // Funnel drop-off: per-step reach + step-over-step conversion in
+    // integral micros over the exact chain counts.
+    Q("q_funnel_dropoff",
+      (s, dir) => graft.ops.Funnels.funnelDropoff(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+          (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3)
+        SELECT 1 AS step_idx, 'view' AS step, n1 AS n_reached,
+          CASE WHEN n1 > 0 THEN (n1 * 1000000) // n1 END AS reach_micro,
+          CAST(NULL AS BIGINT) AS conv_micro FROM n
+        UNION ALL SELECT 2, 'click', n2,
+          CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 END,
+          CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 END FROM n
+        UNION ALL SELECT 3, 'purchase', n3,
+          CASE WHEN n1 > 0 THEN (n3 * 1000000) // n1 END,
+          CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 END FROM n""")),
+
+    // Inter-event gap histogram in log2 buckets (integer bit-length
+    // bucketing): the human-vs-robot cadence fingerprint.
+    Q("q_gap_histogram",
+      (s, dir) => graft.ops.Funnels.gapHistogram(
+        t(s, dir, "events"), "user_id", "ts", "event_id"),
+      Some("""WITH o AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT CAST(length(bin(gap)) AS INTEGER) AS gap_bits, COUNT(*) AS n,
+          min(gap) AS min_gap_secs, max(gap) AS max_gap_secs
+        FROM o WHERE gap IS NOT NULL GROUP BY 1""")),
+
     // Step-to-step conversion latency over the same 3-step funnel:
     // integral-micro mean + min/max seconds per consecutive pair.
     Q("q_funnel_latency",

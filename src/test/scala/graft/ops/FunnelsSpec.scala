@@ -353,6 +353,42 @@ class FunnelsSpec extends SparkTestBase {
     assert(out("book") == (1L, 3L, 300000L))
   }
 
+  test("funnelDropoff: per-step reach and conversion micros from the exact chain") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 completes all 3; u2 stops after a; u3 reaches b; u4 never enters
+    val ev = Seq(
+      (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "c"),
+      (2L, ts(1), "a"),
+      (3L, ts(1), "a"), (3L, ts(2), "b"),
+      (4L, ts(5), "b") // b without a does not enter the funnel
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnelDropoff(ev, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got("a") == ((3L, Some(1000000L), None)))
+    assert(got("b") == ((2L, Some(666666L), Some(666666L))))
+    assert(got("c") == ((1L, Some(333333L), Some(500000L))))
+  }
+
+  test("gapHistogram: log2 bucketing on whole-second gaps per key") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val at = (secs: Long) => new java.sql.Timestamp(base + secs * 1000)
+    val ev = Seq(
+      (1L, at(0), 1L), (1L, at(1), 2L), (1L, at(3), 3L), // gaps 1 (1 bit), 2 (2 bits)
+      (2L, at(0), 4L), (2L, at(8), 5L), // gap 8 -> 4 bits
+      (3L, at(100), 6L) // single event: no gap
+    ).toDF("user_id", "ts", "event_id")
+    val got = Funnels.gapHistogram(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1) == ((1L, 1L, 1L)))
+    assert(got(2) == ((1L, 2L, 2L)))
+    assert(got(4) == ((1L, 8L, 8L)))
+    assert(got.size == 3)
+  }
+
   test("linearAttribution: equal split, remainder to earliest, none channel, exact micro sums") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
