@@ -756,6 +756,50 @@ object AnalyticsQueries {
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         FROM s""")),
 
+    // Kaplan-Meier time-to-first-purchase: right-censored at the
+    // corpus max; ln-space survival in integral micros (exp left to
+    // the consumer -- libm last-ulp is not part of the contract).
+    Q("q_kaplan_meier",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val ep = floor(unix_timestamp(col("ts"))).cast("long")
+        val f = e.groupBy(col("user_id")).agg(min(ep).as("fe"))
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(ep).as("pe"))
+        val m = e.agg(max(ep).as("me"))
+        val subj = f.join(p, Seq("user_id"), "left").crossJoin(broadcast(m))
+          .withColumn("dur",
+            when(col("pe").isNotNull, col("pe") - col("fe"))
+              .otherwise(col("me") - col("fe")))
+          .withColumn("ev", col("pe").isNotNull.cast("int"))
+        graft.ops.Survival.kaplanMeier(subj, "dur", "ev")
+      },
+      Some("""WITH f AS (SELECT user_id,
+          min(CAST(floor(epoch(ts)) AS BIGINT)) AS fe FROM events GROUP BY 1),
+        p AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS pe
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        m AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS me FROM events),
+        s AS (SELECT f.user_id,
+            CASE WHEN pe IS NOT NULL THEN pe - fe ELSE me - fe END AS dur,
+            CASE WHEN pe IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM f LEFT JOIN p USING (user_id) CROSS JOIN m),
+        perT AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+            CAST(SUM(1 - ev) AS BIGINT) AS c, COUNT(*) AS all_t
+          FROM s GROUP BY dur),
+        e AS (SELECT *, coalesce(SUM(all_t) OVER
+            (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
+            SUM(all_t) OVER () AS nt FROM perT),
+        r AS (SELECT dur AS t, nt - bf AS n_at_risk, d AS n_events,
+            c AS n_censored,
+            CASE WHEN d < nt - bf THEN CAST(floor(
+              ln(CAST(nt - bf - d AS DOUBLE) / (nt - bf)) * 1e6 + 0.5) AS BIGINT)
+            END AS ln_step_micro
+          FROM e WHERE d > 0)
+        SELECT t, n_at_risk, n_events, n_censored, ln_step_micro,
+          SUM(ln_step_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_surv_micro
+        FROM r""")),
+
     // Wilson score interval per event type for P(value > 100):
     // exact integer (c, n), stated IEEE bound tree — the CI that
     // doesn't collapse at small n or extreme rates.
