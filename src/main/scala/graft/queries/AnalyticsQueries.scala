@@ -39,7 +39,50 @@ object AnalyticsQueries {
       FROM t"""
   }
 
+  /** Fellegi-Sunter m/u config shared by the query and its oracle. */
+  private val fsMu = Seq(("c_mktsegment", 0.95, 0.2), ("bal_band", 0.9, 0.1))
+  private val fsOracle: String = {
+    val w = graft.ops.Linkage.weightTable(fsMu)
+    val Seq((_, mktA, mktD), (_, bandA, bandD)) = w
+    s"""WITH a AS (SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS mkt,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+      b AS (SELECT c_custkey + 1000000 AS id, c_nationkey AS blk,
+        CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED' ELSE c_mktsegment END AS mkt,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+        (CASE WHEN a.mkt IS NULL OR b.mkt IS NULL THEN 0
+              WHEN a.mkt = b.mkt THEN $mktA ELSE $mktD END)
+        + (CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0
+                WHEN a.band = b.band THEN $bandA ELSE $bandD END) AS score_micro
+        FROM a JOIN b ON a.blk = b.blk)
+      SELECT id_a, id_b, score_micro,
+        CASE WHEN score_micro >= 3000000 THEN 'match'
+             WHEN score_micro <= -2000000 THEN 'non_match'
+             ELSE 'review' END AS verdict
+      FROM p"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Fellegi-Sunter record linkage: customer vs a deterministically
+    // perturbed twin, blocked on nation; integral-micro log-odds
+    // weights inlined identically in both plans.
+    Q("q_record_linkage",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val a = c.select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), floor(col("c_acctbal") / 1000).as("bal_band"))
+        val b = c.select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_nationkey"),
+          when(expr("c_custkey % 7 = 0"), lit("PERTURBED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_band"))
+        graft.ops.Linkage.fellegiSunter(a, b, "c_custkey", "c_nationkey",
+          Seq("c_mktsegment", "bal_band"), fsMu,
+          upperMicro = 3000000L, lowerMicro = -2000000L)
+      },
+      Some(fsOracle)),
+
 
     // Star join: fact orders shuffles once on o_custkey; nation/region
     // are broadcast (at 100 TB: customer bucketed on custkey avoids
