@@ -240,6 +240,41 @@ object Funnels {
   }
 
   /**
+   * Rolling (trailing k-day) mean and outlier bands over daily event
+   * counts per type: the windowed cousin of [[rateAnomalies]] — the
+   * same exact integer z-test ((n·W − S)² > z²(W·Q − S²), DECIMAL(38)
+   * throughout) evaluated against the TRAILING window's own
+   * population instead of the whole history, so a level shift stops
+   * polluting the baseline after k days. `n_window` counts the rows
+   * actually in the frame (the first k−1 days run on a shorter
+   * window, standard rolling semantics — gate on n_window == k
+   * downstream if warm-up rows should not alert). One event-volume
+   * shuffle (daily pre-agg); the rolling windows ride the small
+   * per-type day relation.
+   */
+  def rollingBands(df: DataFrame, typeCol: String, tsCol: String,
+                   k: Int = 7, z: Int = 2): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("_d"))
+      .rowsBetween(-(k - 1), 0)
+    val dev = d38(col("_nw")) * d38(col("n")) - d38(col("_s"))
+    df.groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_nw", count(lit(1)).over(w))
+      .withColumn("_s", sum(col("n")).over(w))
+      .withColumn("_q", sum(d38(col("n")) * d38(col("n"))).over(w))
+      .withColumn("mean_micro",
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) * 1000000 div _nw AS BIGINT)"))
+      .withColumn("is_outlier",
+        dev * dev > lit(z.toLong * z) *
+          (d38(col("_nw")) * col("_q") - d38(col("_s")) * d38(col("_s"))))
+      .select(col("event_type"), date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("_nw").as("n_window"), col("mean_micro"), col("is_outlier"))
+  }
+
+  /**
    * Funnel drop-off report: one row per step with how many keys
    * reached it, the share of step-1 entrants still alive
    * (reach_micro), and the step-over-step conversion (conv_micro) —

@@ -726,6 +726,26 @@ object AnalyticsQueries {
             > 4 * (CAST(nd AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_anomaly
         FROM s""")),
 
+    // Rolling 7-day bands over daily counts per type: the windowed
+    // form of the exact integer z-test (trailing-window population).
+    Q("q_rolling_bands",
+      (s, dir) => graft.ops.Funnels.rollingBands(t(s, dir, "events"),
+        "event_type", "ts", k = 7, z = 2),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, d, n,
+            COUNT(*) OVER w AS nw,
+            CAST(SUM(n) OVER w AS BIGINT) AS sm,
+            SUM(CAST(n AS HUGEINT) * n) OVER w AS q
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+          nw AS n_window,
+          CAST(CAST(sm AS HUGEINT) * 1000000 // nw AS BIGINT) AS mean_micro,
+          (CAST(nw AS HUGEINT) * n - sm) * (CAST(nw AS HUGEINT) * n - sm)
+            > 4 * (CAST(nw AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_outlier
+        FROM s""")),
+
     // Seasonal (dow x hour) anomalies: each (type, date, hour) cell
     // z-tested against its own weekday-hour slot population — the
     // same exact-integer z-test as q_rate_anomalies, one seasonal

@@ -165,6 +165,22 @@ class EventGraphSpec extends SparkTestBase {
     assert(gotSq == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
   }
 
+  test("rollingBands: spike flags against the trailing window; level shift stops alerting") {
+    import spark.implicits._
+    // 10 steady days of 2, one day of 20, then 10 steady days of 20:
+    // the spike day flags; after k=7 days at the new level the window
+    // population is all 20s and the alert clears
+    val days = (1 to 21).map(d => (d, if (d < 11) 2 else 20))
+    val ev = days.flatMap { case (d, n) =>
+      (1 to n).map(i => ("click", ts(f"2024-01-$d%02d ${10 + i % 3}%02d:00:00")))
+    }.toDF("event_type", "ts")
+    val got = Funnels.rollingBands(ev, "event_type", "ts", k = 7, z = 2)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getBoolean(5))).toMap
+    assert(got("2024-01-11") == ((20L, true))) // the jump day
+    assert(got("2024-01-10") == ((2L, false)))
+    assert(got("2024-01-21") == ((20L, false))) // window fully at the new level
+  }
+
   test("seasonalAnomalies: a spike is judged against its own weekday-hour slot") {
     import spark.implicits._
     // Mondays at 10:00 over 9 weeks: eight 2s then a 20 -> the spike
