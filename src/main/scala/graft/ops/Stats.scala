@@ -309,6 +309,50 @@ object Stats {
       .withColumn("wilson_hi", center + half)
   }
 
+  /**
+   * EXACT ROC-AUC (Mann–Whitney U) of a score column against a binary
+   * label, with average-rank tie handling, in integral micros — no
+   * sampling, no trapezoids, no FP on the decision path:
+   *
+   *   AUC = (S2 − P(P+1)) / (2·P·N),  S2 = Σ_{positives} 2·r̄_i
+   *
+   * where r̄ is the average rank of the row among ties — 2r̄ is always
+   * an integer (2·rank_min + ties − 1), so S2 is exact. Ranks come
+   * from cumulative counts over the DISTINCT-SCORE relation (one
+   * groupBy + an ordered window over score cardinality), never a
+   * corpus-wide row sort: for each distinct score, rows below it give
+   * rank_min, ties give the spread, positives at it weight the sum.
+   * Output is one row: n_pos, n_neg, auc_micro, gini_micro (2·AUC−1).
+   * Degenerate labels (P=0 or N=0) yield NULL metrics. The window
+   * runs over distinct scores — quantize the score first if its
+   * cardinality is data-sized (the binned-AUC standard practice).
+   */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("s"), col(labelCol).cast("int").as("y"))
+    val perScore = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("ties"), sum(col("y")).as("pos"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val enriched = perScore
+      .withColumn("_below", coalesce(sum(col("ties")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // 2*avg_rank = 2*(below+1) + ties - 1; weight by positives at s
+      .withColumn("_s2_part",
+        col("pos").cast("decimal(38,0)") * (lit(2) * (col("_below") + 1) + col("ties") - 1))
+    enriched.agg(
+        sum(col("_s2_part")).as("_s2"),
+        sum(col("pos")).as("n_pos"),
+        (sum(col("ties")) - sum(col("pos"))).as("n_neg"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""cast((_s2 - cast(n_pos as decimal(38,0)) * (n_pos + 1)) * 1000000
+            div (cast(2 as decimal(38,0)) * n_pos * n_neg) as bigint)""")))
+      .withColumn("gini_micro",
+        when(col("auc_micro").isNotNull, col("auc_micro") * 2 - 1000000L))
+      .select(col("n_pos"), col("n_neg"), col("auc_micro"), col("gini_micro"))
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

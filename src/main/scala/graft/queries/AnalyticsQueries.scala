@@ -726,6 +726,34 @@ object AnalyticsQueries {
             > 4 * (CAST(nd AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_anomaly
         FROM s""")),
 
+    // Exact ROC-AUC (Mann-Whitney with average-rank ties) of value
+    // predicting purchase, in integral micros — ranks from cumulative
+    // counts over the distinct-score relation, no row sort, no FP.
+    Q("q_auc",
+      (s, dir) => graft.ops.Stats.auc(
+        t(s, dir, "events")
+          .withColumn("label", (col("event_type") === "purchase").cast("int")),
+        "value", "label"),
+      Some("""WITH b AS (SELECT value AS s,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        p AS (SELECT s, COUNT(*) AS ties, CAST(SUM(y) AS BIGINT) AS pos
+          FROM b GROUP BY s),
+        e AS (SELECT *, coalesce(SUM(ties) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM p),
+        a AS (SELECT SUM(CAST(pos AS HUGEINT) * (2 * (below + 1) + ties - 1)) AS s2,
+          CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(SUM(ties) - SUM(pos) AS BIGINT) AS n_neg FROM e)
+        SELECT n_pos, n_neg,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST((s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+              // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) END AS auc_micro,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST((s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+              // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) * 2 - 1000000
+          END AS gini_micro
+        FROM a""")),
+
     // Rolling 7-day bands over daily counts per type: the windowed
     // form of the exact integer z-test (trailing-window population).
     Q("q_rolling_bands",

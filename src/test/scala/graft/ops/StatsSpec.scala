@@ -162,6 +162,28 @@ class StatsSpec extends SparkTestBase {
     assert((m.getAs[Long]("n_a"), m.getAs[Long]("c_a")) == ((1L, 1L)))
   }
 
+  test("auc: perfect separation, tie handling, inversion, degenerate labels") {
+    import spark.implicits._
+    def a(rows: Seq[(Double, Int)]): Option[Long] =
+      Option(Stats.auc(rows.toDF("s", "y"), "s", "y").collect().head.get(2))
+        .map(_.asInstanceOf[Long])
+    // positives strictly above negatives -> AUC 1
+    assert(a(Seq((0.1, 0), (0.2, 1), (0.3, 1))).contains(1000000L))
+    // anti-predictive -> 0
+    assert(a(Seq((0.9, 0), (0.2, 1), (0.1, 1))).contains(0L))
+    // a pos and a neg tied -> 0.5
+    assert(a(Seq((0.5, 0), (0.5, 1))).contains(500000L))
+    // textbook mixed case: scores 1..4, y = 0,1,0,1 -> U = (2-1)+(4-2)=3? hand:
+    // ranks 1,2,3,4; sum ranks of pos = 2+4 = 6; U = 6 - 2*3/2 = 3; PN = 4 -> 0.75
+    assert(a(Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1))).contains(750000L))
+    // degenerate: all positive -> NULL
+    assert(a(Seq((1.0, 1), (2.0, 1))).isEmpty)
+    // gini = 2*auc - 1
+    val g = Stats.auc(Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)).toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(g.getAs[Long]("gini_micro") == 500000L)
+  }
+
   test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
     import spark.implicits._
     val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
