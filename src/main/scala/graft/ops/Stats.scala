@@ -353,6 +353,66 @@ object Stats {
       .select(col("n_pos"), col("n_neg"), col("auc_micro"), col("gini_micro"))
   }
 
+  /**
+   * Reliability (calibration) table: scores bucketed on the global
+   * [min, max] equi-width grid (the [[valueHistogram]] integer
+   * arithmetic), each bin reporting its exact mean score and positive
+   * rate in integral micros — the "is a 0.8 score right 80% of the
+   * time" diagram as a relation. One bounds broadcast + one
+   * map-side-combined bin shuffle.
+   */
+  def reliability(df: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int = 10, scale: Int = 4): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_m", micros(col(scoreCol), scale).cast("long"))
+      .withColumn("_y", col(labelCol).cast("long"))
+    val bounds = base.agg(min(col("_m")).as("_mn"), max(col("_m")).as("_mx"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(nBins - 1), expr(s"(_m - _mn) * $nBins div (_mx - _mn + 1)"))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_m")).as("_sm"), sum(col("_y")).as("_sy"))
+      .withColumn("mean_score_micro",
+        expr(s"cast(cast(_sm as decimal(38,0)) * 100 div n as bigint)"))
+      .withColumn("pos_rate_micro", expr("_sy * 1000000 div n"))
+      .select(col("bin"), col("n"), col("mean_score_micro"), col("pos_rate_micro"))
+  }
+
+  /**
+   * Confusion matrix + precision/recall/F1 at each given threshold
+   * (score >= t predicts positive), all counts and ratios exact
+   * integral micros — F1 = 2·TP·10⁶ div (2·TP + FP + FN). Thresholds
+   * expand row-locally before ONE map-side-combined aggregate.
+   */
+  def confusion(df: DataFrame, scoreCol: String, labelCol: String,
+                thresholds: Seq[BigDecimal], scale: Int = 4): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_m", micros(col(scoreCol), scale).cast("long"))
+      .withColumn("_y", col(labelCol).cast("int"))
+    val tLits = thresholds.map(t =>
+      (t.setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(10).pow(scale)).toLongExact)
+    val exploded = base.withColumn("_t",
+      explode(array(tLits.map(lit): _*)))
+    exploded
+      .withColumn("_pred", (col("_m") >= col("_t")).cast("int"))
+      .groupBy(col("_t").as("threshold_units"))
+      .agg(sum(expr("_pred * _y")).as("tp"),
+        sum(expr("_pred * (1 - _y)")).as("fp"),
+        sum(expr("(1 - _pred) * (1 - _y)")).as("tn"),
+        sum(expr("(1 - _pred) * _y")).as("fn"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") > 0, expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") > 0, expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_micro",
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

@@ -754,6 +754,48 @@ object AnalyticsQueries {
           END AS gini_micro
         FROM a""")),
 
+    // Reliability (calibration) bins: equi-width score bins with exact
+    // mean score + positive rate in micros.
+    Q("q_reliability",
+      (s, dir) => graft.ops.Stats.reliability(
+        t(s, dir, "events")
+          .withColumn("label", (col("event_type") === "purchase").cast("int")),
+        "value", "label", nBins = 10),
+      Some("""WITH b AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        mm AS (SELECT min(m) AS mn, max(m) AS mx FROM b),
+        d AS (SELECT least(9, ((m - mn) * 10) // (mx - mn + 1)) AS bin, m, y
+          FROM b CROSS JOIN mm)
+        SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n,
+          CAST((SUM(CAST(m AS HUGEINT)) * 100) // COUNT(*) AS BIGINT) AS mean_score_micro,
+          (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_micro
+        FROM d GROUP BY bin""")),
+
+    // Confusion matrix + precision/recall/F1 at three thresholds,
+    // exact integral micros end to end.
+    Q("q_confusion",
+      (s, dir) => graft.ops.Stats.confusion(
+        t(s, dir, "events")
+          .withColumn("label", (col("event_type") === "purchase").cast("int")),
+        "value", "label", thresholds = Seq(BigDecimal(50), BigDecimal(100), BigDecimal(200))),
+      Some("""WITH b AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        x AS (SELECT m, y, unnest([500000, 1000000, 2000000]) AS t FROM b),
+        c AS (SELECT t AS threshold_units,
+          CAST(SUM(CASE WHEN m >= t THEN y ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN m >= t THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN m < t THEN 1 - y ELSE 0 END) AS BIGINT) AS tn,
+          CAST(SUM(CASE WHEN m < t THEN y ELSE 0 END) AS BIGINT) AS fn
+          FROM x GROUP BY t)
+        SELECT threshold_units, tp, fp, tn, fn,
+          CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS precision_micro,
+          CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS recall_micro,
+          CASE WHEN 2 * tp + fp + fn > 0
+               THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_micro
+        FROM c""")),
+
     // Rolling 7-day bands over daily counts per type: the windowed
     // form of the exact integer z-test (trailing-window population).
     Q("q_rolling_bands",

@@ -184,6 +184,31 @@ class StatsSpec extends SparkTestBase {
     assert(g.getAs[Long]("gini_micro") == 500000L)
   }
 
+  test("confusion: exact counts and PRF micros at each threshold") {
+    import spark.implicits._
+    // scores 1..4 with labels 0,0,1,1; threshold 3 -> tp=2 fp=0 tn=2 fn=0
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("s", "y")
+    val got = Stats.confusion(df, "s", "y", Seq(BigDecimal(3), BigDecimal(4)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]),
+          Option(r.get(7)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(30000L) == ((2L, 0L, 2L, 0L, Some(1000000L), Some(1000000L), Some(1000000L))))
+    // threshold 4: tp=1 fn=1 -> recall 0.5, precision 1, f1 = 2/3
+    assert(got(40000L) == ((1L, 0L, 2L, 1L, Some(1000000L), Some(500000L), Some(666666L))))
+  }
+
+  test("reliability: bins report exact mean score and positive rate") {
+    import spark.implicits._
+    // two clusters: low scores never positive, high scores always
+    val df = (Seq.fill(4)((1.0, 0)) ++ Seq.fill(4)((9.0, 1))).toDF("s", "y")
+    val got = Stats.reliability(df, "s", "y", nBins = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0) == ((4L, 1000000L, 0L)))
+    assert(got(1) == ((4L, 9000000L, 1000000L)))
+  }
+
   test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
     import spark.implicits._
     val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
