@@ -57,4 +57,36 @@ object Rfm {
       col("monetary_dec").cast("double").as("monetary"),
       col("r_score"), col("f_score"), col("m_score"), col("segment"))
   }
+
+  /**
+   * Train-ready churn labels with a LEAKAGE-DISCIPLINED temporal
+   * split: features come ONLY from events in the first
+   * `featureDays` whole days after the corpus min (frequency,
+   * exact-DECIMAL monetary, distinct types, last-seen offset); the
+   * label — churned = zero activity in the last `labelDays` whole
+   * days before the corpus max — comes ONLY from the label window.
+   * Users with no feature-window activity are excluded (nothing to
+   * train on); the two windows may not overlap. Min/max ride one
+   * broadcast row; one user-keyed shuffle per window.
+   */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, typeCol: String,
+                  featureDays: Int, labelDays: Int): DataFrame = {
+    require(featureDays >= 1 && labelDays >= 1, "windows must be >= 1 day")
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val bounds = events.agg(min(epoch).as("_mn"), max(epoch).as("_mx"))
+    val e = events.withColumn("_ep", epoch).crossJoin(broadcast(bounds))
+    val feat = e.filter(col("_ep") < col("_mn") + lit(featureDays.toLong * 86400))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("monetary"),
+        count_distinct(col(typeCol)).as("n_event_types"),
+        max(expr("(_ep - _mn) div 86400")).as("last_seen_day"))
+    val active = e.filter(col("_ep") >= col("_mx") - lit(labelDays.toLong * 86400) + 1)
+      .select(col(userCol).as("user_id")).distinct()
+      .withColumn("_active", lit(1))
+    feat.join(active, Seq("user_id"), "left")
+      .withColumn("churned", col("_active").isNull)
+      .drop("_active")
+  }
 }

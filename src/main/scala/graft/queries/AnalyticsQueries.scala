@@ -754,6 +754,27 @@ object AnalyticsQueries {
           END AS gini_micro
         FROM a""")),
 
+    // Train-ready churn labels with a leakage-disciplined temporal
+    // split: features from the first 20 days only, label = silent in
+    // the last 7 days — the windows never touch.
+    Q("q_churn_labels",
+      (s, dir) => graft.ops.Rfm.churnLabels(t(s, dir, "events"),
+        "user_id", "ts", "value", "event_type", featureDays = 20, labelDays = 7),
+      Some("""WITH b AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+            max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM events),
+        e AS (SELECT user_id, event_type, value,
+            CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        f AS (SELECT user_id, COUNT(*) AS frequency,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary,
+            COUNT(DISTINCT event_type) AS n_event_types,
+            max((ep - mn) // 86400) AS last_seen_day
+          FROM e CROSS JOIN b WHERE ep < mn + 20 * 86400 GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id FROM e CROSS JOIN b
+          WHERE ep >= mx - 7 * 86400 + 1)
+        SELECT f.user_id, frequency, monetary, n_event_types, last_seen_day,
+          a.user_id IS NULL AS churned
+        FROM f LEFT JOIN a ON f.user_id = a.user_id""")),
+
     // Reliability (calibration) bins: equi-width score bins with exact
     // mean score + positive rate in micros.
     Q("q_reliability",

@@ -35,6 +35,30 @@ class RfmSpec extends SparkTestBase {
     assert(got(4L) == ((8L, 1L, 1.0, 1, 1, 1, "hibernating")))
   }
 
+  test("churnLabels: feature window only feeds features, label window only feeds the label") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: active in features (day 1-2), silent in last 7 days -> churned
+      (1L, ts(1), 10.0, "a"), (1L, ts(2), 5.0, "b"),
+      // u2: active early AND on day 30 -> not churned
+      (2L, ts(3), 1.0, "a"), (2L, ts(30), 2.0, "a"),
+      // u3: appears ONLY after the 20-day feature window -> excluded
+      (3L, ts(25), 9.0, "a"),
+      // u4 pins corpus min/max edges
+      (4L, ts(1), 0.5, "a"), (4L, ts(30), 0.5, "a")
+    ).toDF("user_id", "ts", "value", "event_type")
+    val got = Rfm.churnLabels(df, "user_id", "ts", "value", "event_type",
+        featureDays = 20, labelDays = 7)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("frequency"), r.getAs[Double]("monetary"),
+          r.getAs[Long]("n_event_types"), r.getAs[Long]("last_seen_day"),
+          r.getAs[Boolean]("churned"))).toMap
+    assert(got(1L) == ((2L, 15.0, 2L, 1L, true)))
+    assert(got(2L) == ((1L, 1.0, 1L, 2L, false))) // day-30 event NOT in features
+    assert(!got.contains(3L))
+    assert(got(4L)._5 == false)
+  }
+
   test("rfm: new_or_casual covers recent-but-infrequent; monetary band edge is inclusive") {
     import spark.implicits._
     val df = Seq(
