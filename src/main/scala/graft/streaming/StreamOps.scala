@@ -644,6 +644,54 @@ object StreamOps {
         col("n"), col("mean_micro"), col("ratio_micro"))
   }
 
+  case class HeavyHitterOut(window_start: java.sql.Timestamp, token: String,
+                            est_count: Long)
+
+  /**
+   * Streaming heavy hitters (trending tokens) per tumbling window —
+   * the online face of [[graft.ops.TextAnalysis.heavyHitters]]: a
+   * Misra–Gries summary of `kInv` counters lives in
+   * flatMapGroupsWithState keyed by WINDOW START, so state per window
+   * is O(kInv) regardless of token volume, and any token with true
+   * count > N_window/(kInv+1) is guaranteed present (the batch
+   * operator's sketch guarantee; the estimate is a lower bound that
+   * undercounts by at most the total decrement). Every trigger emits
+   * the window's current counters ≥ `minEst` (Update-mode
+   * semantics — downstream keeps the latest row per (window, token)).
+   * Pair with a state TTL in deployments; here windows accumulate
+   * until the query stops.
+   */
+  def heavyHittersStream(docs: DataFrame, textCol: String, tsCol: String,
+                         windowDuration: String = "1 hour", kInv: Int = 10,
+                         minEst: Long = 1L): Dataset[HeavyHitterOut] = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(window(col(tsCol), windowDuration)("start").as("win"),
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .as[(java.sql.Timestamp, String)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], HeavyHitterOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (win: java.sql.Timestamp, rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var counters = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, t) =>
+            counters.get(t) match {
+              case Some(c) => counters = counters.updated(t, c + 1)
+              case None if counters.size < kInv => counters = counters.updated(t, 1L)
+              case None =>
+                // decrement-all: drop zeroed counters (classic MG step)
+                counters = counters.flatMap { case (k, c) =>
+                  if (c > 1) Some(k -> (c - 1)) else None
+                }
+            }
+          }
+          state.update(counters)
+          counters.toSeq.filter(_._2 >= minEst).sortBy { case (t, c) => (-c, t) }
+            .map { case (t, c) => HeavyHitterOut(win, t, c) }.iterator
+      }
+  }
+
   case class RfmState(last_epoch: Long, frequency: Long, monetary_micro: Long)
   case class RfmScore(user_id: Long, recency_days: Long, frequency: Long,
                       monetary: Double, r_score: Int, f_score: Int, m_score: Int,

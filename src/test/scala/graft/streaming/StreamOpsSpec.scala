@@ -571,6 +571,30 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: MG counters carry across batches per window; guarantee holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = StreamOps.heavyHittersStream(
+      mem.toDF().toDF("text", "ts"), "text", "ts",
+      windowDuration = "1 hour", kInv = 3)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(("the cat the dog the", ts(1)), ("cat the", ts(2)))
+      q.processAllAvailable()
+      mem.addData(("the the zebra quail fox", ts(3))) // state carries; decrements fire
+      q.processAllAvailable()
+      val latest = spark.table("hh_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2)).map { case (k, vs) => k._2 -> vs.map(_._3).max }
+      // 'the' truly occurs 6 times in 12 tokens > N/(k+1)=3 -> MUST be
+      // present, with an estimate within the MG undercount bound
+      assert(latest.contains("the"))
+      assert(latest("the") >= 3L && latest("the") <= 6L)
+    } finally q.stop()
+  }
+
   test("rfmStream: cross-batch state carry, rescoring, batch-op parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
