@@ -30,8 +30,9 @@ object Survival {
   def kaplanMeier(subjects: DataFrame, durationCol: String,
                   eventCol: String): DataFrame = {
     val base = subjects
-      .filter(col(durationCol).isNotNull && col(durationCol) >= 0)
-      .select(col(durationCol).cast("long").as("dur"),
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
+        col(eventCol).isNotNull) // a null flag would count at risk yet
+      .select(col(durationCol).cast("long").as("dur"), // neither event nor censor
         col(eventCol).cast("int").as("ev"))
     val perT = base.groupBy(col("dur"))
       .agg(sum(col("ev")).as("d"), sum(lit(1) - col("ev")).as("c"),

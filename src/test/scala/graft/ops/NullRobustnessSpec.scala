@@ -134,4 +134,28 @@ class NullRobustnessSpec extends SparkTestBase {
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!q8.contains(21L)) // no scale to encode
   }
+
+  test("r8b stats family: nulls drop before arithmetic, degenerate inputs yield NULL not garbage") {
+    import spark.implicits._
+    // auc: single tied score -> exactly 0.5; null scores/labels drop
+    val tied = Seq((Some(1.0), Some(1)), (Some(1.0), Some(0)),
+      (None, Some(1)), (Some(2.0), None)).toDF("s", "y")
+    val a = Stats.auc(tied, "s", "y").collect().head
+    assert((a.getLong(0), a.getLong(1), a.get(2)) == ((1L, 1L, 500000L)))
+    // correlationMatrix: an all-null column wipes the complete-case set
+    val allNull = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("x", "y")
+    val c = Stats.correlationMatrix(allNull, Seq("x", "y")).collect().head
+    assert(c.getLong(2) == 0L && c.isNullAt(3))
+    // kaplanMeier: null event flags are excluded from the risk set entirely
+    val km = Survival.kaplanMeier(
+      Seq((Some(1L), Some(1)), (Some(2L), Option.empty[Int]),
+        (Option.empty[Long], Some(1))).toDF("dur", "ev"), "dur", "ev")
+      .collect()
+    assert(km.length == 1 && km.head.getLong(1) == 1L) // only the valid subject at risk
+    // associations: null items never form baskets or marginals
+    val ar = Associations.rules(Seq((1L, Some("x")), (1L, Option.empty[String]),
+      (2L, Some("x"))).toDF("k", "item"), "k", "item")
+    assert(ar.count() == 0) // no pair partner exists
+  }
 }
