@@ -117,4 +117,47 @@ object Ranking {
       .select(col("qid"), col("id").as(idCol), col("rank"),
         col("n_matched"), col("bm25_micro"))
   }
+
+  /** 1/log2(r+1) in micros for ranks 1..k — the NDCG discount table,
+    * quantized ONCE so both engines state identical literals. */
+  def discountTable(k: Int): Seq[(Int, Long)] = (1 to k).map(r =>
+    r -> math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /**
+   * NDCG@k of a ranked result relation against graded relevance truth
+   * — search-quality evaluation in EXACT integers: the discount
+   * 1/log2(rank+1) is a k-entry literal table (micros, quantized once
+   * — no runtime log), DCG = Σ rel·discount over the top-k results
+   * (unjudged docs score 0, the standard convention), IDCG re-ranks
+   * the truth by (rel desc, doc asc), and ndcg_micro = DCG·10⁶ div
+   * IDCG. Queries with no positive truth yield NULL. One (qid, doc)
+   * join + two qid-keyed aggregates; the truth side is usually the
+   * small one — AQE broadcasts it.
+   */
+  def ndcg(results: DataFrame, truth: DataFrame, qidCol: String, docCol: String,
+           rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val disc = discountTable(k)
+    def discOf(rank: org.apache.spark.sql.Column) =
+      disc.foldLeft(when(lit(false), lit(0L))) { case (acc, (r, d)) =>
+        acc.when(rank === r, d)
+      }.otherwise(lit(0L))
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(qidCol).as("qid"), col(docCol).as("doc"), col(rankCol).as("rnk"))
+    val tru = truth.filter(col(relCol) > 0)
+      .select(col(qidCol).as("qid"), col(docCol).as("doc"), col(relCol).as("rel"))
+    val dcg = res.join(tru, Seq("qid", "doc"), "left")
+      .withColumn("_g", coalesce(col("rel"), lit(0L)) * discOf(col("rnk")))
+      .groupBy(col("qid")).agg(sum(col("_g")).as("dcg_micro"))
+    val wI = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc").asc)
+    val idcg = tru.withColumn("_ir", row_number().over(wI))
+      .filter(col("_ir") <= k)
+      .withColumn("_g", col("rel") * discOf(col("_ir")))
+      .groupBy(col("qid")).agg(sum(col("_g")).as("idcg_micro"))
+    dcg.join(idcg, Seq("qid"), "full")
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .withColumn("ndcg_micro",
+        when(col("idcg_micro") > 0, expr("dcg_micro * 1000000 div idcg_micro")))
+      .select(col("qid"), col("dcg_micro"), col("idcg_micro"), col("ndcg_micro"))
+  }
 }

@@ -1010,31 +1010,29 @@ object LlmQueries {
           docs.filter(col("doc_id") < 10), "doc_id", "text",
           docs, "doc_id", "text", topK = 5)
       },
-      Some("""WITH tk AS (SELECT doc_id,
-          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
-        dl AS (SELECT doc_id, term, tf,
-          SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
-        fr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
-          CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl FROM tf),
-        po AS (SELECT t.doc_id, t.term,
-            CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
-              * (t.tf * (1.2 + 1) /
-                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * (t.dl / st.avgdl))))
-              * 1000000 + 0.5) AS BIGINT) AS s_micro
-          FROM dl t JOIN fr f USING (term) CROSS JOIN st
-          WHERE f.df * 2 <= st.n_docs),
-        qt AS (SELECT doc_id AS qid,
-            unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term
-          FROM documents WHERE doc_id < 10),
-        pair AS (SELECT qt.qid, po.doc_id, COUNT(*) AS n_matched,
-            CAST(SUM(po.s_micro) AS BIGINT) AS bm25_micro
-          FROM qt JOIN po USING (term) GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id, n_matched, bm25_micro,
-            CAST(row_number() OVER (PARTITION BY qid
-              ORDER BY bm25_micro DESC, doc_id ASC) AS INT) AS rank FROM pair)
-        SELECT qid, doc_id, rank, n_matched, bm25_micro FROM rk WHERE rank <= 5""")),
+      Some(LlmOracles.bm25Retrieve)),
+
+    // NDCG@5 of the BM25 retrieval against graded truth (self = 2,
+    // same source = 1): exact integers end to end — the discount
+    // table is 5 quantized literals shared verbatim with the oracle.
+    Q("q_llm_ndcg",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val results = graft.ops.Ranking.bm25Retrieve(
+          docs.filter(col("doc_id") < 10), "doc_id", "text",
+          docs, "doc_id", "text", topK = 5)
+        val q = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), col("source").as("qsrc"))
+        val truth = q.join(
+            docs.select(col("doc_id").as("doc"), col("source")),
+            col("qid") === col("doc") || col("qsrc") === col("source"))
+          .select(col("qid"), col("doc"),
+            when(col("qid") === col("doc"), 2L).otherwise(1L).as("rel"))
+        graft.ops.Ranking.ndcg(
+          results.withColumnRenamed("doc_id", "doc"), truth,
+          "qid", "doc", "rank", "rel", k = 5)
+      },
+      Some(LlmOracles.ndcg)),
 
     // Per-label centroids of L2-normalized embeddings, long format
     // (nano-unit-quantized mean: order-independent, exact cross-engine).
@@ -1963,6 +1961,64 @@ object LlmOracles {
 
   val minhashPairsMd5: String =
     s"WITH ${minhashPairCtes("documents")} SELECT id_a, id_b, est_jaccard FROM cand"
+
+  /** BM25 retrieval CTE chain (ends at `rk`), shared by the retrieve
+    * query and the NDCG evaluation built on it. */
+  val bm25RetrieveCtes: String = """tk AS (SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      dl AS (SELECT doc_id, term, tf,
+        SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      fr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+        CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl FROM tf),
+      po AS (SELECT t.doc_id, t.term,
+          CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * (t.tf * (1.2 + 1) /
+               (t.tf + 1.2 * ((1 - 0.75) + 0.75 * (t.dl / st.avgdl))))
+            * 1000000 + 0.5) AS BIGINT) AS s_micro
+        FROM dl t JOIN fr f USING (term) CROSS JOIN st
+        WHERE f.df * 2 <= st.n_docs),
+      qt AS (SELECT doc_id AS qid,
+          unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term
+        FROM documents WHERE doc_id < 10),
+      pair AS (SELECT qt.qid, po.doc_id, COUNT(*) AS n_matched,
+          CAST(SUM(po.s_micro) AS BIGINT) AS bm25_micro
+        FROM qt JOIN po USING (term) GROUP BY 1, 2),
+      rk AS (SELECT qid, doc_id, n_matched, bm25_micro,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY bm25_micro DESC, doc_id ASC) AS INT) AS rank FROM pair)"""
+
+  val bm25Retrieve: String =
+    s"WITH $bm25RetrieveCtes SELECT qid, doc_id, rank, n_matched, bm25_micro FROM rk WHERE rank <= 5"
+
+  /** NDCG@5 over the BM25 results — discount literals macro-built from
+    * the SAME table the engine inlines (Ranking.discountTable). */
+  val ndcg: String = {
+    val discCase = (rc: String) => "CASE " +
+      graft.ops.Ranking.discountTable(5)
+        .map { case (r, d) => s"WHEN $rc = $r THEN $d" }.mkString(" ") + " ELSE 0 END"
+    s"""WITH $bm25RetrieveCtes,
+      res AS (SELECT qid, doc_id AS doc, rank FROM rk WHERE rank <= 5),
+      tru AS (SELECT q.doc_id AS qid, d.doc_id AS doc,
+          CASE WHEN q.doc_id = d.doc_id THEN 2 ELSE 1 END AS rel
+        FROM documents q JOIN documents d
+          ON q.doc_id = d.doc_id OR q.source = d.source
+        WHERE q.doc_id < 10),
+      dcg AS (SELECT res.qid,
+          CAST(SUM(coalesce(tru.rel, 0) * ${discCase("res.rank")}) AS BIGINT) AS dcg_micro
+        FROM res LEFT JOIN tru ON res.qid = tru.qid AND res.doc = tru.doc
+        GROUP BY res.qid),
+      ir AS (SELECT qid, doc, rel, row_number() OVER
+          (PARTITION BY qid ORDER BY rel DESC, doc ASC) AS irk FROM tru),
+      idcg AS (SELECT qid, CAST(SUM(rel * ${discCase("irk")}) AS BIGINT) AS idcg_micro
+        FROM ir WHERE irk <= 5 GROUP BY qid)
+      SELECT coalesce(d.qid, i.qid) AS qid, coalesce(dcg_micro, 0) AS dcg_micro,
+        idcg_micro,
+        CASE WHEN idcg_micro > 0
+             THEN (coalesce(dcg_micro, 0) * 1000000) // idcg_micro END AS ndcg_micro
+      FROM dcg d FULL JOIN idcg i ON d.qid = i.qid"""
+  }
 
   /** md5-portable one-permutation-hashing MinHash pairs — twin of
     * [[graft.ops.Dedup.ophPairs]] (portableHashing=true): one hash per

@@ -738,6 +738,28 @@ class OpsSpec extends SparkTestBase {
     assert(out(1L).getAs[String]("fp") == fp2)
   }
 
+  test("ndcg: perfect ranking scores 1e6, reversal discounts, unjudged docs score zero") {
+    import spark.implicits._
+    val disc = Ranking.discountTable(3).toMap
+    val truth = Seq((1L, 10L, 2L), (1L, 11L, 1L), (2L, 20L, 1L))
+      .toDF("qid", "doc", "rel")
+    // q1 ranked ideally (rel 2 first); q2 returns an unjudged doc first
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 99L, 1), (2L, 20L, 2))
+      .toDF("qid", "doc", "rank")
+    val got = Ranking.ndcg(results, truth, "qid", "doc", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L)._3.contains(1000000L)) // ideal order
+    // q2: dcg = 1*disc(2); idcg = 1*disc(1) -> ndcg = disc2/disc1
+    val expected = disc(2) * 1000000L / disc(1)
+    assert(got(2L) == ((disc(2), disc(1), Some(expected))))
+    // swapping q1's order drops ndcg below 1
+    val swapped = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("qid", "doc", "rank")
+    val s = Ranking.ndcg(swapped, truth, "qid", "doc", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) -> r.get(3)).toMap
+    assert(s(1L).asInstanceOf[Long] < 1000000L)
+  }
+
   test("exactProportionSample: Hamilton quotas, remainder tie-break, repartition stability") {
     import spark.implicits._
     // strata a: 3 rows, b: 3 rows, p = 0.5 -> T = 3, base 1+1,
