@@ -237,8 +237,17 @@ object Stats {
           "* cast(cast(n as decimal(38,0)) * nn - cast(rt as decimal(38,0)) * ct as decimal(38,0)) " +
           "* 1000000 div (cast(nn as decimal(38,0)) * rt * ct) as bigint)"))
       .withColumn("chi2_micro_total", sum(col("contrib_micro")).over(w))
+      // Cramér's V = sqrt(chi2 / (N·(min(r,c)−1))) — effect size on
+      // [0,1]; stated IEEE tree over the exact integer chi2
+      .withColumn("_r", size(collect_set(col("row_val")).over(w)))
+      .withColumn("_c", size(collect_set(col("col_val")).over(w)))
+      .withColumn("cramers_v",
+        when(least(col("_r"), col("_c")) > 1,
+          sqrt((col("chi2_micro_total").cast(DoubleType) / lit(1e6)) /
+            (col("nn").cast(DoubleType) *
+              (least(col("_r"), col("_c")) - lit(1)).cast(DoubleType)))))
       .select(col("row_val"), col("col_val"), col("n"), col("expected_micro"),
-        col("contrib_micro"), col("chi2_micro_total"))
+        col("contrib_micro"), col("chi2_micro_total"), col("cramers_v"))
   }
 
   /**

@@ -1344,7 +1344,14 @@ object AnalyticsQueries {
             // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT) AS contrib_micro,
           SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
               * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
-            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS chi2_micro_total
+            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS chi2_micro_total,
+          CASE WHEN least((SELECT COUNT(*) FROM r), (SELECT COUNT(*) FROM k)) > 1 THEN
+            sqrt((CAST(SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+                * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
+              // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS DOUBLE) / 1e6)
+              / (CAST(nn AS DOUBLE) *
+                 CAST(least((SELECT COUNT(*) FROM r), (SELECT COUNT(*) FROM k)) - 1 AS DOUBLE)))
+          END AS cramers_v
         FROM c JOIN r USING (row_val) JOIN k USING (col_val) CROSS JOIN t""")),
 
     // Sequential pattern mining: consecutive event-type trigrams per
