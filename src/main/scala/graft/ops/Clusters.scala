@@ -92,4 +92,43 @@ object Clusters {
       .select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /**
+   * Class-based TF-IDF (the BERTopic "explain the clusters" report):
+   * each near-dup component is treated as ONE mega-document —
+   * tf = term count across the cluster, idf = ln(1 + C/cf) over the
+   * cluster universe (cf = clusters containing the term, C = total
+   * clusters incl. singletons) — and the top-`k` terms per cluster are
+   * ranked by the same integer-micro weight as
+   * [[TextAnalysis.keywords]] ((weight desc, term asc) — the label a
+   * curator reads to decide what a duplicate cluster IS). Docs in no
+   * pair are their own singleton cluster (their id), so the cluster
+   * universe covers the corpus.
+   *
+   * Scale: the components relation is pair-derived (near-dup-sized);
+   * assignment joins it to docs by id; everything after is the
+   * keywords shuffle shape at cluster granularity.
+   */
+  def clusterTerms(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, pairACol: String, pairBCol: String,
+                   k: Int = 3): DataFrame = {
+    val comp = connectedComponents(pairs, pairACol, pairBCol)
+    val assigned = docs
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+    val tf = assigned
+      .select(col("cluster"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val nClusters = assigned.select(count_distinct(col("cluster")).as("n_clusters"))
+    val w = tf.join(cf, "term").crossJoin(broadcast(nClusters))
+      .withColumn("wn",
+        floor(col("tf") * log(lit(1.0) + col("n_clusters").cast("double") / col("cf"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("wn") > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("wn").desc, col("term").asc)
+    w.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select(col("cluster"), col("term"), col("wn"), col("rank"))
+  }
 }

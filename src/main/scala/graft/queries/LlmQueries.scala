@@ -1703,6 +1703,20 @@ object LlmQueries {
         "tok", d = 3, w = 256),
       None),
 
+    // c-TF-IDF cluster labels (BERTopic-style "what IS this duplicate
+    // cluster"): each md5-minhash component is one mega-document,
+    // top-3 distinctive terms per cluster by the keywords micro
+    // weight at cluster granularity; singletons are their own cluster.
+    Q("q_llm_cluster_terms",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPortablePairs(docs, "doc_id", "text",
+          shingleSize = 4, numHashes = 8, bands = 4, threshold = 0.5)
+        graft.ops.Clusters.clusterTerms(docs, "doc_id", "text",
+          pairs, "id_a", "id_b", k = 3)
+      },
+      Some(LlmOracles.clusterTermsMd5)),
+
     // PCA top-2 projection: driver power iteration on a bounded
     // deterministic sample's covariance, literal-inlined component
     // vectors, pure-map projection (rows-only: eigenvectors have no
@@ -2079,6 +2093,28 @@ object LlmOracles {
     $clusterCtes
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** c-TF-IDF cluster labels over the md5 minhash components — twin of
+    * [[graft.ops.Clusters.clusterTerms]]. */
+  val clusterTermsMd5: String = s"""
+    WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes,
+    asg AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster, d.text
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    ctk AS (SELECT cluster,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM asg),
+    ctf AS (SELECT cluster, term, COUNT(*) AS tf FROM ctk GROUP BY 1, 2),
+    ccf AS (SELECT term, COUNT(*) AS cf FROM ctf GROUP BY 1),
+    cnc AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM asg),
+    cwt AS (SELECT cluster, term,
+        CAST(floor(tf * ln(1.0 + CAST(n_clusters AS DOUBLE) / cf) * 1e6 + 0.5)
+          AS BIGINT) AS wn
+      FROM ctf JOIN ccf USING (term) CROSS JOIN cnc
+      WHERE floor(tf * ln(1.0 + CAST(n_clusters AS DOUBLE) / cf) * 1e6 + 0.5) > 0),
+    crk AS (SELECT cluster, term, wn,
+        row_number() OVER (PARTITION BY cluster ORDER BY wn DESC, term) AS rank
+      FROM cwt)
+    SELECT cluster, term, wn, rank FROM crk WHERE rank <= 3"""
 
   /** Closed-form dHash of [[LlmQueries.synthImages]] + the same
     * 4-band/16-bit pigeonhole blocking and bucket cap the engine's

@@ -162,4 +162,24 @@ class ClustersSpec extends SparkTestBase {
     assert((fps(1L) intersect fps(2L)).nonEmpty)
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
+
+  test("clusterTerms: merged cluster tf, singleton clusters, rank tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple pie"), (2L, "apple tart"), // clustered by the pair
+      (3L, "zebra zoo") // singleton
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Clusters.clusterTerms(docs, "doc_id", "text", pairs, "id_a", "id_b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2))).toMap
+    // universe: cluster 1 (docs 1+2) and singleton 3 -> C = 2
+    def w(tf: Int, cf: Int): Long =
+      math.floor(tf * math.log(1.0 + 2.0 / cf) * 1e6 + 0.5).toLong
+    // cluster 1: apple tf=3 cf=1; pie/tart tf=1 cf=1 -> apple first, pie by tie-break
+    assert(got((1L, 1)) == (("apple", w(3, 1))))
+    assert(got((1L, 2)) == (("pie", w(1, 1))))
+    // singleton cluster keyed by its own id; equal weights tie-break by term
+    assert(got((3L, 1)) == (("zebra", w(1, 1))))
+    assert(got((3L, 2)) == (("zoo", w(1, 1))))
+  }
 }
