@@ -1123,6 +1123,30 @@ object TextAnalysis {
    * weight (present in every doc) drop before the window.
    */
   /**
+   * Top referenced domains: extract every http(s) URL host from the
+   * text (lowercased, port and path stripped — the regex subset RE2
+   * and Java agree on), count docs and mentions per domain, and rank
+   * a deterministic corpus top-K — the "where does this corpus come
+   * from / link to" curation staple. One term-volume shuffle,
+   * TakeOrderedAndProject for the top-K.
+   */
+  def topDomains(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val urls = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(expr(
+          s"""regexp_extract_all(lower($textCol), 'https?://([a-z0-9.-]+)', 1)"""))
+          .as("domain"))
+    urls.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_mentions"), count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_mentions").desc, col("domain").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_mentions").desc, col("domain").asc)))
+  }
+
+  /**
    * Deflate compression ratio per document — the Gopher-family
    * "too-compressible" quality signal: templated/repeated text
    * compresses far below prose, random keys barely compress at all.

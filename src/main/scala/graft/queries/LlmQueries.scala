@@ -1703,6 +1703,29 @@ object LlmQueries {
         "tok", d = 3, w = 256),
       None),
 
+    // Top referenced domains over deterministically salted URLs (the
+    // corpus has none of its own): doc + mention counts per extracted
+    // host, deterministic top-20.
+    Q("q_llm_top_domains",
+      (s, dir) => graft.ops.TextAnalysis.topDomains(
+        t(s, dir, "documents").withColumn("text", concat(col("text"),
+          lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/page and HTTP://Mirror.example.org"))),
+        "doc_id", "text", topK = 20),
+      Some("""WITH s AS (SELECT doc_id,
+          text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.com/page and HTTP://Mirror.example.org' AS text
+          FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1)) AS domain
+          FROM s),
+        c AS (SELECT domain, COUNT(*) AS n_mentions,
+          COUNT(DISTINCT doc_id) AS n_docs FROM u GROUP BY domain),
+        rk AS (SELECT domain, n_mentions, n_docs,
+          CAST(row_number() OVER (ORDER BY n_mentions DESC, domain) AS INTEGER) AS rank
+          FROM c)
+        SELECT domain, n_mentions, n_docs, rank FROM rk WHERE rank <= 20""")),
+
     // c-TF-IDF cluster labels (BERTopic-style "what IS this duplicate
     // cluster"): each md5-minhash component is one mega-document,
     // top-3 distinctive terms per cluster by the keywords micro

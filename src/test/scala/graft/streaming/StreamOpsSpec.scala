@@ -595,6 +595,24 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compressionRatio gates a stream (stateless mapPartitions, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.ops.TextAnalysis.compressionRatio(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("ratio_micro") > 100000L)
+    val q = gated.writeStream.format("memory").queryName("compress_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "all work and no play " * 300), // boilerplate: gated out
+        (2L, "a genuinely varied sentence with many different words inside"))
+      q.processAllAvailable()
+      val kept = spark.table("compress_gate").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L))
+    } finally q.stop()
+  }
+
   test("rfmStream: cross-batch state carry, rescoring, batch-op parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
