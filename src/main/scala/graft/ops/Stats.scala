@@ -422,6 +422,42 @@ object Stats {
           expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
   }
 
+  /**
+   * EXACT per-group percentiles (nearest-rank definition: the
+   * smallest value whose cumulative count reaches ⌈p·n⌉) — order
+   * statistics without a global row sort and without sketches:
+   * the repo's distinct-value + cumulative-count machinery (AUC,
+   * Kaplan-Meier) pointed at quantiles. One map-side-combined
+   * (group, value) shuffle; the cumulative window rides the
+   * DISTINCT-VALUE relation per group. `approx_percentile` (see
+   * `quantileBuckets`) remains the one-pass-sketch alternative when
+   * value cardinality is data-sized; this is the exact answer when
+   * it isn't (latencies, prices, counts).
+   */
+  def exactPercentiles(df: DataFrame, valueCol: String, byCols: Seq[String],
+                       psMicro: Seq[Long] = Seq(500000L, 950000L, 990000L),
+                       scale: Int = 4): DataFrame = {
+    require(psMicro.nonEmpty && psMicro.forall(p => p > 0 && p <= 1000000L),
+      "percentiles must be in (0, 1e6]")
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .withColumn("_m", micros(col(valueCol), scale).cast("long"))
+      .groupBy(byCols.map(col) :+ col("_m"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*)
+    val cum = perValue
+      .withColumn("_cum", sum(col("_cnt")).over(wg.orderBy(col("_m"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("_n", sum(col("_cnt")).over(wg))
+    cum
+      .withColumn("p_micro", explode(array(psMicro.map(lit): _*)))
+      .withColumn("_r", expr("(_n * p_micro + 999999) div 1000000")) // ceil(n*p/1e6)
+      .filter(col("_cum") >= col("_r") && col("_cum") - col("_cnt") < col("_r"))
+      .withColumn("value", col("_m").cast(DoubleType) / pow10(scale).cast(DoubleType))
+      .select(byCols.map(col) ++ Seq(col("p_micro"), col("_n").as("n"),
+        col("_m").as("value_units"), col("value")): _*)
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

@@ -775,6 +775,27 @@ object AnalyticsQueries {
           a.user_id IS NULL AS churned
         FROM f LEFT JOIN a ON f.user_id = a.user_id""")),
 
+    // EXACT p50/p95/p99 per event type (nearest rank): distinct-value
+    // cumulative counts, never a global sort, never a sketch.
+    Q("q_exact_percentiles",
+      (s, dir) => graft.ops.Stats.exactPercentiles(
+        t(s, dir, "events"), "value", Seq("event_type")),
+      Some("""WITH v AS (SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+          FROM events WHERE value IS NOT NULL),
+        pv AS (SELECT event_type, m, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        cm AS (SELECT event_type, m, cnt,
+            SUM(cnt) OVER (PARTITION BY event_type ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM pv),
+        x AS (SELECT event_type, m, cnt, cum, n,
+            unnest([500000, 950000, 990000]) AS p_micro FROM cm),
+        r AS (SELECT *, (n * p_micro + 999999) // 1000000 AS rk FROM x)
+        SELECT event_type, p_micro, n, m AS value_units,
+          CAST(m AS DOUBLE) / 10000 AS value
+        FROM r WHERE cum >= rk AND cum - cnt < rk""")),
+
     // Reliability (calibration) bins: equi-width score bins with exact
     // mean score + positive rate in micros.
     Q("q_reliability",

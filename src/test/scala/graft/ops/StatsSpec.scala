@@ -209,6 +209,23 @@ class StatsSpec extends SparkTestBase {
     assert(got(1) == ((4L, 9000000L, 1000000L)))
   }
 
+  test("exactPercentiles: nearest-rank values, duplicates, multiple groups") {
+    import spark.implicits._
+    // group a: 1..10 -> p50 = 5 (rank 5), p90 = 9, p100 = 10
+    // group b: 1,1,1,9 -> p50 = rank 2 -> 1; p90 = rank ceil(3.6)=4 -> 9
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0))).toDF("g", "v")
+    val got = Stats.exactPercentiles(df, "v", Seq("g"),
+        psMicro = Seq(500000L, 900000L, 1000000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("value")).toMap
+    assert(got(("a", 500000L)) == 5.0)
+    assert(got(("a", 900000L)) == 9.0)
+    assert(got(("a", 1000000L)) == 10.0)
+    assert(got(("b", 500000L)) == 1.0)
+    assert(got(("b", 900000L)) == 9.0)
+    assert(got.size == 6)
+  }
+
   test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
     import spark.implicits._
     val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
