@@ -1740,6 +1740,19 @@ object LlmQueries {
       },
       Some(LlmOracles.clusterTermsMd5)),
 
+    // Production twin: same c-TF-IDF labeling over the xxhash64
+    // MinHash pair generator (benched; the md5 twin above is the
+    // oracle fixture, excluded from bench like every md5 twin).
+    Q("q_llm_cluster_terms_x64",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.7)
+        graft.ops.Clusters.clusterTerms(docs, "doc_id", "text",
+          pairs, "id_a", "id_b", k = 3)
+      },
+      None),
+
     // PCA top-2 projection: driver power iteration on a bounded
     // deterministic sample's covariance, literal-inlined component
     // vectors, pure-map projection (rows-only: eigenvectors have no
