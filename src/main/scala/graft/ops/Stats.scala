@@ -458,6 +458,39 @@ object Stats {
         col("_m").as("value_units"), col("value")): _*)
   }
 
+  /**
+   * Multiclass classification report: the confusion matrix in long
+   * format, each cell annotated with its ACTUAL class recall, its
+   * PREDICTED class precision, and the overall accuracy — every
+   * ratio integral micros over exact counts. The closing windows run
+   * on the label-cardinality cell relation; the one data-volume step
+   * is the id-keyed prediction/truth join.
+   */
+  def multiclassReport(pred: DataFrame, predIdCol: String, predLabelCol: String,
+                       truth: DataFrame, truthIdCol: String,
+                       truthLabelCol: String): DataFrame = {
+    val j = truth.select(col(truthIdCol).as("_id"), col(truthLabelCol).as("actual"))
+      .join(pred.select(col(predIdCol).as("_id"), col(predLabelCol).as("predicted")), "_id")
+    val cells = j.groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("actual"))
+    val wP = org.apache.spark.sql.expressions.Window.partitionBy(col("predicted"))
+    val diag = sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+    cells
+      .withColumn("_rt", sum(col("n")).over(wA))
+      .withColumn("_ct", sum(col("n")).over(wP))
+      .withColumn("_tot", sum(col("n")).over(wAll))
+      .withColumn("_diag_a", diag.over(wA))
+      .withColumn("_diag_p", diag.over(wP))
+      .withColumn("_diag_all", diag.over(wAll))
+      .withColumn("recall_micro", expr("_diag_a * 1000000 div _rt"))
+      .withColumn("precision_micro",
+        when(col("_ct") > 0, expr("_diag_p * 1000000 div _ct")))
+      .withColumn("accuracy_micro", expr("_diag_all * 1000000 div _tot"))
+      .select(col("actual"), col("predicted"), col("n"),
+        col("recall_micro"), col("precision_micro"), col("accuracy_micro"))
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

@@ -1084,6 +1084,59 @@ object LlmQueries {
         QUALIFY row_number() OVER (PARTITION BY vec_id
           ORDER BY score DESC, label) = 1""")),
 
+    // Multiclass report over the centroid classifier vs true labels:
+    // confusion cells + per-class recall/precision + accuracy, all
+    // integral micros over exact counts (the oracle re-derives the
+    // same predictions, then the same window algebra).
+    Q("q_llm_multiclass_report",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pred = Similarity.classifyByCentroid(e, "vec_id", "embedding",
+          Similarity.labelCentroids(e, "label", "embedding"))
+        graft.ops.Stats.multiclassReport(pred, "vec_id", "pred_label",
+          e.select(col("vec_id"), col("label")), "vec_id", "label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        d AS (SELECT label,
+            CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS dim,
+            CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS nano
+          FROM n WHERE nrm > 0),
+        c AS (SELECT label, dim,
+            (CAST(SUM(nano) AS DOUBLE) / COUNT(*)) / 1e9 AS centroid
+          FROM d GROUP BY 1, 2),
+        cn AS (SELECT label,
+            SUM(CAST(floor(centroid * centroid * 1e9 + 0.5) AS BIGINT)) AS n2
+          FROM c GROUP BY 1 HAVING n2 > 0),
+        q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT q.vec_id, c.label,
+            SUM(CAST(floor(v[c.dim + 1] * c.centroid * 1e9 + 0.5) AS BIGINT)) AS sn
+          FROM q CROSS JOIN c GROUP BY 1, 2),
+        sc AS (SELECT vec_id, p.label,
+            CAST(sn AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS score
+          FROM p JOIN cn USING (label)),
+        pr AS (SELECT vec_id, label AS predicted FROM sc
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, label) = 1),
+        jj AS (SELECT t.label AS actual, pr.predicted
+          FROM embeddings t JOIN pr ON t.vec_id = pr.vec_id),
+        cells AS (SELECT actual, predicted, COUNT(*) AS n FROM jj GROUP BY 1, 2),
+        w AS (SELECT actual, predicted, n,
+            SUM(n) OVER (PARTITION BY actual) AS rt,
+            SUM(n) OVER (PARTITION BY predicted) AS ct,
+            SUM(n) OVER () AS tot,
+            SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+              OVER (PARTITION BY actual) AS da,
+            SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+              OVER (PARTITION BY predicted) AS dp,
+            SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) OVER () AS dall
+          FROM cells)
+        SELECT actual, predicted, n,
+          (da * 1000000) // rt AS recall_micro,
+          CASE WHEN ct > 0 THEN (dp * 1000000) // ct END AS precision_micro,
+          (dall * 1000000) // tot AS accuracy_micro
+        FROM w""")),
+
     // Corpus-wide bigram vocabulary, deterministic top-100.
     Q("q_llm_ngram_vocab",
       (s, dir) => TextAnalysis.ngramVocabulary(t(s, dir, "documents"),

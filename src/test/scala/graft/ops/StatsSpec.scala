@@ -226,6 +226,28 @@ class StatsSpec extends SparkTestBase {
     assert(got.size == 6)
   }
 
+  test("multiclassReport: cell counts, per-class recall/precision, accuracy micros") {
+    import spark.implicits._
+    // truth: a,a,a,b,b,c ; pred: a,a,b,b,b,a
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "label")
+    val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"), (6L, "a"))
+      .toDF("id", "plabel")
+    val got = Stats.multiclassReport(pred, "id", "plabel", truth, "id", "label")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(5))).toMap
+    // accuracy = 4/6 everywhere
+    got.values.foreach { case (_, _, _, acc) => assert(acc == 666666L) }
+    // cell (a,a): n=2; recall(a) = 2/3; precision(a) = 2/3 (2 of 3 a-predictions)
+    assert(got(("a", "a")) == ((2L, 666666L, Some(666666L), 666666L)))
+    // cell (c,a): recall(c) = 0; precision(a) = 2/3
+    assert(got(("c", "a")) == ((1L, 0L, Some(666666L), 666666L)))
+    // cell (b,b): recall(b) = 2/2 = 1; precision(b) = 2/3
+    assert(got(("b", "b")) == ((2L, 1000000L, Some(666666L), 666666L)))
+    assert(got.size == 4) // (a,a),(a,b),(b,b),(c,a)
+  }
+
   test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
     import spark.implicits._
     val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
