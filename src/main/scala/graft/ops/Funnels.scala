@@ -394,6 +394,44 @@ object Funnels {
    * is tiny (days × offsets). The naive distinct-then-join form
    * shuffles event volume twice more.
    */
+  /**
+   * Cohort LTV curve — [[retention]]'s monetary companion: keys
+   * cohorted by first-active day; for each (cohort_day, day_offset)
+   * the revenue booked AT that offset, the CUMULATIVE revenue, and
+   * cumulative revenue per cohort user in integral micros (the
+   * "when does a cohort pay back" curve). Revenue sums ride DECIMAL
+   * micros (exact, order-independent); the cumulative window runs on
+   * the cohort×offset matrix (calendar-sized), keyed per cohort.
+   * One event-volume shuffle (per-key first-day + daily revenue
+   * share the key), cohort sizes derived from the same relation.
+   */
+  def cohortLtv(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, maxOffsetDays: Int): DataFrame = {
+    val byKeyDay = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"),
+        col(valueCol).cast("decimal(18,4)").as("v"))
+      .groupBy(col("k"), col("d")).agg(sum(col("v")).as("dv"))
+    val withCohort = byKeyDay
+      .withColumn("d0", min(col("d")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      .withColumn("day_offset", datediff(col("d"), col("d0")))
+      .filter(col("day_offset") <= maxOffsetDays)
+    val cohortSizes = withCohort.filter(col("day_offset") === 0)
+      .groupBy(col("d0")).agg(count(lit(1)).as("cohort_n"))
+    val cells = withCohort
+      .groupBy(col("d0"), col("day_offset"))
+      .agg((sum(col("dv")) * lit(10000)).cast("decimal(38,0)").as("rev_units"))
+      .join(cohortSizes, "d0")
+      .withColumn("cum_rev_units", sum(col("rev_units")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("d0"))
+          .orderBy(col("day_offset"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    cells.select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+      col("day_offset"), col("cohort_n"),
+      (col("rev_units") * lit(100)).cast("double").as("revenue_micro"),
+      (col("cum_rev_units") * lit(100)).cast("double").as("cum_revenue_micro"),
+      expr("cast(cum_rev_units * 100 div cohort_n as bigint)").as("ltv_per_user_micro"))
+  }
+
   def retention(df: DataFrame, keyCol: String, tsCol: String,
                 maxOffsetDays: Int): DataFrame = {
     val byKey = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))

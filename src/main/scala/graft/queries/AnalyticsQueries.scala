@@ -858,6 +858,31 @@ object AnalyticsQueries {
             > 4 * (CAST(nw AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_outlier
         FROM s""")),
 
+    // Cohort LTV curve (retention's monetary companion): per
+    // (first-active-day cohort, day offset) revenue, cumulative
+    // revenue, and cumulative per-user LTV in integral micros.
+    Q("q_cohort_ltv",
+      (s, dir) => graft.ops.Funnels.cohortLtv(t(s, dir, "events"),
+        "user_id", "ts", "value", maxOffsetDays = 35),
+      Some("""WITH kd AS (SELECT user_id AS k, CAST(ts AS DATE) AS d,
+          SUM(CAST(value AS DECIMAL(18,4))) AS dv FROM events GROUP BY 1, 2),
+        wc AS (SELECT *, min(d) OVER (PARTITION BY k) AS d0 FROM kd),
+        o AS (SELECT k, d0, date_diff('day', d0, d) AS day_offset, dv
+          FROM wc WHERE date_diff('day', d0, d) <= 35),
+        cs AS (SELECT d0, COUNT(*) AS cohort_n FROM o WHERE day_offset = 0
+          GROUP BY d0),
+        cells AS (SELECT d0, day_offset,
+          CAST(SUM(dv) * 10000 AS HUGEINT) AS rev_units FROM o GROUP BY 1, 2),
+        cc AS (SELECT cells.*, cohort_n,
+            SUM(rev_units) OVER (PARTITION BY d0 ORDER BY day_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM cells JOIN cs USING (d0))
+        SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, day_offset, cohort_n,
+          CAST(rev_units * 100 AS DOUBLE) AS revenue_micro,
+          CAST(cum * 100 AS DOUBLE) AS cum_revenue_micro,
+          CAST((cum * 100) // cohort_n AS BIGINT) AS ltv_per_user_micro
+        FROM cc""")),
+
     // Seasonal (dow x hour) anomalies: each (type, date, hour) cell
     // z-tested against its own weekday-hour slot population — the
     // same exact-integer z-test as q_rate_anomalies, one seasonal
