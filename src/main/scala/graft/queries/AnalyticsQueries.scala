@@ -858,6 +858,37 @@ object AnalyticsQueries {
             > 4 * (CAST(nw AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm) AS is_outlier
         FROM s""")),
 
+    // Composition: EXACT p50/p95/p99 of session durations — the
+    // sessionizer's output fed straight into the exact-percentile
+    // operator (scale = 0: durations are integer seconds).
+    Q("q_session_percentiles",
+      (s, dir) => graft.ops.Stats.exactPercentiles(
+        graft.ops.Sessions.sessionStats(t(s, dir, "events"),
+          "user_id", "ts", "value", gapSeconds = 3600, tiebreak = Seq("event_id"))
+          .withColumn("g", lit("all")),
+        "span_secs", Seq("g"), scale = 0),
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+               THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, ts,
+          CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM x),
+        sess AS (SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT)
+            - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS m
+          FROM y GROUP BY user_id, session_idx),
+        pv AS (SELECT m, COUNT(*) AS cnt FROM sess GROUP BY m),
+        cm AS (SELECT m, cnt,
+            SUM(cnt) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER () AS n FROM pv),
+        px AS (SELECT *, unnest([500000, 950000, 990000]) AS p_micro FROM cm),
+        r AS (SELECT *, (n * p_micro + 999999) // 1000000 AS rk FROM px)
+        SELECT 'all' AS g, p_micro, n, m AS value_units, CAST(m AS DOUBLE) AS value
+        FROM r WHERE cum >= rk AND cum - cnt < rk""")),
+
     // Cohort LTV curve (retention's monetary companion): per
     // (first-active-day cohort, day offset) revenue, cumulative
     // revenue, and cumulative per-user LTV in integral micros.

@@ -353,6 +353,26 @@ class FunnelsSpec extends SparkTestBase {
     assert(out("book") == (1L, 3L, 300000L))
   }
 
+  test("cohortLtv: cohort sizes, per-offset and cumulative revenue, per-user micros") {
+    import spark.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = Seq(
+      // cohort Jan-1: u1 and u2; u1 pays 10 on day0, 5 on day2; u2 pays 2 on day0
+      (1L, ts(1), 10.0), (1L, ts(3), 5.0), (2L, ts(1), 2.0),
+      // cohort Jan-2: u3 pays 1 on day0
+      (3L, ts(2), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Funnels.cohortLtv(ev, "user_id", "ts", "value", maxOffsetDays = 30)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    // Jan-1 day0: n=2, rev 12 -> 12e6; per-user 6e6
+    assert(got(("2024-01-01", 0)) == ((2L, 12e6, 12e6, 6000000L)))
+    // Jan-1 day2: rev 5 -> cum 17, per-user 8.5e6
+    assert(got(("2024-01-01", 2)) == ((2L, 5e6, 17e6, 8500000L)))
+    assert(got(("2024-01-02", 0)) == ((1L, 1e6, 1e6, 1000000L)))
+    assert(got.size == 3)
+  }
+
   test("funnelDropoff: per-step reach and conversion micros from the exact chain") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
