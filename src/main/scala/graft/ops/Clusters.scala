@@ -94,6 +94,29 @@ object Clusters {
   }
 
   /**
+   * Quality-aware near-dup resolution: like [[dedupByPairs]] but the
+   * survivor of each component is the member with the HIGHEST
+   * `scoreCol` (id-asc tie-break) instead of the smallest id — the
+   * curation default ("keep the longest / highest-quality duplicate,
+   * drop the rest"). Docs in no pair survive untouched. Same shapes
+   * as dedupByPairs plus one tiny keeper aggregate on the component
+   * relation.
+   */
+  def dedupByPairsBest(docs: DataFrame, idCol: String, scoreCol: String,
+                       pairs: DataFrame, pairACol: String, pairBCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, pairACol, pairBCol)
+    val assigned = docs
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("component"), col(idCol)))
+    val keepers = assigned.groupBy(col("_cl"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("_k"))
+      .select(col("_cl"), (-col("_k.negid")).as("_keep_id"))
+    assigned.join(keepers, "_cl")
+      .filter(col(idCol) === col("_keep_id"))
+      .drop("_cl", "_keep_id", "component")
+  }
+
+  /**
    * Class-based TF-IDF (the BERTopic "explain the clusters" report):
    * each near-dup component is treated as ONE mega-document —
    * tf = term count across the cluster, idf = ln(1 + C/cf) over the

@@ -1793,6 +1793,19 @@ object LlmQueries {
       },
       Some(LlmOracles.clusterTermsMd5)),
 
+    // Quality-aware dedup: keep the LONGEST member of each md5-minhash
+    // near-dup cluster (curation default) instead of the min-id.
+    Q("q_llm_dedup_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPortablePairs(docs, "doc_id", "text",
+          shingleSize = 4, numHashes = 8, bands = 4, threshold = 0.5)
+        graft.ops.Clusters.dedupByPairsBest(
+          docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", pairs, "id_a", "id_b")
+      },
+      Some(LlmOracles.dedupBestMd5)),
+
     // Production twin: same c-TF-IDF labeling over the xxhash64
     // MinHash pair generator (benched; the md5 twin above is the
     // oracle fixture, excluded from bench like every md5 twin).
@@ -2182,6 +2195,18 @@ object LlmOracles {
     $clusterCtes
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** Quality-keeper dedup over the md5 minhash components — twin of
+    * [[graft.ops.Clusters.dedupByPairsBest]] (score = n_chars). */
+  val dedupBestMd5: String = s"""
+    WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes,
+    asg AS (SELECT d.doc_id, d.lang, d.n_chars,
+        coalesce(c.component, d.doc_id) AS cl
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    kb AS (SELECT *, row_number() OVER (PARTITION BY cl
+        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM asg)
+    SELECT doc_id, lang, n_chars FROM kb WHERE rn = 1"""
 
   /** c-TF-IDF cluster labels over the md5 minhash components — twin of
     * [[graft.ops.Clusters.clusterTerms]]. */

@@ -163,6 +163,18 @@ class ClustersSpec extends SparkTestBase {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("dedupByPairsBest: highest score survives, id-asc tie-break, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    // cluster {1,2,3}: 2 and 3 tie on score 30 -> id-asc keeps 2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Clusters.dedupByPairsBest(docs, "doc_id", "n_chars",
+        pairs, "id_a", "id_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("clusterTerms: merged cluster tf, singleton clusters, rank tie-break") {
     import spark.implicits._
     val docs = Seq(
