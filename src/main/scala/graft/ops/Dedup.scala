@@ -506,6 +506,34 @@ object Dedup {
   }
 
   /**
+   * Sketch-then-verify: the OPH candidates re-scored with the EXACT
+   * shingle Jaccard (|A∩B|·10⁶ div |A∪B|, integral — union size by
+   * inclusion-exclusion on distinct shingle sets) and filtered at
+   * `exactThreshold` — the estimator proposes, the verifier decides,
+   * so banding noise cannot leak into downstream dedup. The shingle
+   * fetch is candidate-bounded (two id-keyed joins); only candidate
+   * pairs ever hold two shingle sets in one row.
+   */
+  def ophVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
+                       estThreshold: Double = 0.5, exactThreshold: Double = 0.5,
+                       maxBucketSize: Int = 1000,
+                       portableHashing: Boolean = false): DataFrame = {
+    val cand = ophPairs(df, idCol, textCol, shingleSize, k, bands,
+      estThreshold, maxBucketSize, portableHashing)
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_sid"), charShingles(col(textCol), shingleSize).as("_shs"))
+    cand
+      .join(sh.select(col("_sid").as("id_a"), col("_shs").as("_sha")), "id_a")
+      .join(sh.select(col("_sid").as("id_b"), col("_shs").as("_shb")), "id_b")
+      .withColumn("jaccard_micro", expr(
+        "cast(cast(size(array_intersect(_sha, _shb)) as bigint) * 1000000 div " +
+          "(size(_sha) + size(_shb) - size(array_intersect(_sha, _shb))) as bigint)"))
+      .filter(col("jaccard_micro") >= (exactThreshold * 1e6).toLong)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard_micro"))
+  }
+
+  /**
    * SimHash (64-bit): per token, a 64-bit hash; bit j contributes +1/-1
    * to accumulator j; simhash bit j = sign. Near-dups = hamming
    * distance ≤ k on the signature. Scale path: one explode + one

