@@ -1670,6 +1670,40 @@ object LlmQueries {
       },
       None),
 
+    // Heaps'-law exponent (vocabulary growth V = K·N^beta): per-doc
+    // (ln tokens, ln types) points in integral micros fed through the
+    // exact OLS machinery (scale 0: the inputs are already integers);
+    // slope ~ beta. The corpus-health companion to the Zipf fit.
+    Q("q_llm_heaps",
+      (s, dir) => {
+        val pts = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(size(Dedup.tokens(col("text"))).cast("long").as("_n"),
+            size(array_distinct(Dedup.tokens(col("text")))).cast("long").as("_v"))
+          .filter(col("_n") > 0 && col("_v") > 0)
+          .select(floor(log(col("_n").cast("double")) * lit(1e6) + lit(0.5)).as("x"),
+            floor(log(col("_v").cast("double")) * lit(1e6) + lit(0.5)).as("y"))
+          .withColumn("g", lit("all"))
+        graft.ops.Stats.olsFit(pts, "x", "y", Seq("g"), scale = 0)
+      },
+      Some("""WITH tk AS (SELECT
+          string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        nv AS (SELECT CAST(len(toks) AS BIGINT) AS n,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS v FROM tk),
+        pts AS (SELECT
+            CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x,
+            CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y
+          FROM nv WHERE n > 0 AND v > 0),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM pts)
+        SELECT 'all' AS g, n,
+          CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)-CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS slope,
+          (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(1 AS DOUBLE)) AS intercept
+        FROM s""")),
+
     // Per-source Zipf exponent (power-law MLE over token frequencies)
     // — corpus-health probe; exact via per-term integer-micro ln.
     Q("q_llm_zipf",
