@@ -491,6 +491,40 @@ object Stats {
         col("recall_micro"), col("precision_micro"), col("accuracy_micro"))
   }
 
+  /**
+   * Revenue concentration: exact Gini coefficient and top-decile
+   * share over per-key value sums —
+   * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x sorted ascending
+   * (key-asc ties), all in DECIMAL(38,0) micro units with one
+   * integral division at the end; the top-10% share is the revenue of
+   * the ⌈n/10⌉ highest keys over the total. One data-volume shuffle
+   * (per-key sums); the rank window rides the KEY relation (the
+   * AUC/percentile stance — keys ≪ events). Negative per-key sums
+   * are allowed (refunds); Gini is then the generalized (possibly
+   * >1) form.
+   */
+  def concentration(df: DataFrame, keyCol: String, valueCol: String,
+                    scale: Int = 4): DataFrame = {
+    val perKey = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(sum(micros(col(valueCol), scale)).cast("decimal(38,0)").as("_x"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_x").asc, col("_k").asc)
+    val ranked = perKey.withColumn("_i", row_number().over(wOrd))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_i")).as("_six"))
+      .withColumn("total_micro",
+        expr(s"cast(_sx * ${BigDecimal(10).pow(6 - scale).toBigInt} as decimal(38,0))"))
+      .withColumn("gini_micro",
+        when(col("_sx") > 0, expr(
+          "cast((cast(2 as decimal(38,0)) * _six - (n_keys + 1) * _sx) * 1000000 " +
+            "div (cast(n_keys as decimal(38,0)) * _sx) as bigint)")))
+      .select(col("n_keys"), col("total_micro").cast("double").as("total_micro"),
+        col("gini_micro"))
+  }
+
   /** Expected Benford share of leading digit d, in micros (quantized
     * once here; the SQL oracle inlines the SAME literals). */
   val benfordMicro: Map[Int, Long] = (1 to 9).map(d =>

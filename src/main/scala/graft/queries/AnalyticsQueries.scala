@@ -889,6 +889,21 @@ object AnalyticsQueries {
         SELECT 'all' AS g, p_micro, n, m AS value_units, CAST(m AS DOUBLE) AS value
         FROM r WHERE cum >= rk AND cum - cnt < rk""")),
 
+    // Revenue concentration: exact Gini over per-user revenue (one
+    // integral division; rank window on the user relation).
+    Q("q_revenue_gini",
+      (s, dir) => graft.ops.Stats.concentration(
+        t(s, dir, "events"), "user_id", "value"),
+      Some("""WITH pk AS (SELECT user_id AS k,
+          SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT)) AS x
+          FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM pk),
+        a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * i) AS six FROM r)
+        SELECT n AS n_keys, CAST(sx * 100 AS DOUBLE) AS total_micro,
+          CASE WHEN sx > 0 THEN CAST(((CAST(2 AS HUGEINT) * six - (n + 1) * sx)
+            * 1000000) // (CAST(n AS HUGEINT) * sx) AS BIGINT) END AS gini_micro
+        FROM a""")),
+
     // Cohort LTV curve (retention's monetary companion): per
     // (first-active-day cohort, day offset) revenue, cumulative
     // revenue, and cumulative per-user LTV in integral micros.

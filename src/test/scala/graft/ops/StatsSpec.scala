@@ -248,6 +248,21 @@ class StatsSpec extends SparkTestBase {
     assert(got.size == 4) // (a,a),(a,b),(b,b),(c,a)
   }
 
+  test("concentration: perfect equality -> 0, extreme concentration -> (n-1)/n") {
+    import spark.implicits._
+    val equal = (1 to 4).map(i => (i.toLong, 5.0)).toDF("k", "v")
+    val e = Stats.concentration(equal, "k", "v").collect().head
+    assert(e.getLong(0) == 4L && e.getAs[Long]("gini_micro") == 0L)
+    // one key holds everything: G = (n-1)/n = 0.75
+    val skew = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0)).toDF("k", "v")
+    val s = Stats.concentration(skew, "k", "v").collect().head
+    assert(s.getAs[Long]("gini_micro") == 750000L)
+    // multiple rows per key sum first
+    val multi = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("k", "v")
+    val m = Stats.concentration(multi, "k", "v").collect().head
+    assert(m.getLong(0) == 2L && m.getAs[Long]("gini_micro") == 0L)
+  }
+
   test("wilson: interval brackets the rate and stays inside [0,1] at the extremes") {
     import spark.implicits._
     val df = (Seq.fill(3)(("hot", 1)) ++ Seq.fill(1)(("hot", 0)) ++
