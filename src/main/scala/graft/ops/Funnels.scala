@@ -324,6 +324,43 @@ object Funnels {
   }
 
   /**
+   * Burstiness index per key over inter-event gaps (Goh & Barabási
+   * 2008): B = (σ−μ)/(σ+μ) of the gap distribution — B→−1 for
+   * metronomic (robot) cadence, ≈0 for Poisson, →+1 for bursty human
+   * behavior; the statistical sibling of [[gapHistogram]]'s visual.
+   * μ and σ (population) come from exact integer moment sums over
+   * whole-second gaps; B is a stated IEEE closing tree. Keys with <
+   * `minGaps` gaps are dropped (no distribution to speak of); a
+   * constant gap yields exactly −1. One key shuffle (lag window +
+   * map-side-combined agg on the same key).
+   */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+                 tiebreak: String, minGaps: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreak))
+    val ep = floor(unix_timestamp(col(tsCol))).cast("long")
+    val agg = df.withColumn("_gap", ep - lag(ep, 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap")).as("_s"),
+        sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("_q"))
+      .filter(col("n_gaps") >= minGaps)
+    val nD = col("n_gaps").cast("double")
+    val mean = col("_s").cast("double") / nD
+    val sd = sqrt((nD * col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double")) / (nD * nD))
+    agg
+      .withColumn("mean_gap", mean)
+      .withColumn("sd_gap", sd)
+      .withColumn("burstiness",
+        when(col("sd_gap") + col("mean_gap") > 0,
+          (col("sd_gap") - col("mean_gap")) / (col("sd_gap") + col("mean_gap"))))
+      .select(col(keyCol), col("n_gaps"), col("mean_gap"), col("sd_gap"),
+        col("burstiness"))
+  }
+
+  /**
    * LINEAR (multi-touch) attribution: every touch strictly before a
    * conversion shares the conversion's credit equally, in EXACT
    * integral micros — base = 10⁶ div k per touch, and the

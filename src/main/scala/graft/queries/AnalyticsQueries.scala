@@ -562,6 +562,32 @@ object AnalyticsQueries {
           CASE WHEN n1 > 0 THEN (n3 * 1000000) // n1 END,
           CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 END FROM n""")),
 
+    // Burstiness index per user (Goh-Barabasi): B = (sd-mean)/(sd+mean)
+    // over inter-event gaps — exact moment sums, stated IEEE closing.
+    Q("q_burstiness",
+      (s, dir) => graft.ops.Funnels.burstiness(
+        t(s, dir, "events"), "user_id", "ts", "event_id"),
+      Some("""WITH o AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        a AS (SELECT user_id, COUNT(*) AS n_gaps,
+            CAST(SUM(gap) AS BIGINT) AS s,
+            SUM(CAST(gap AS HUGEINT) * gap) AS q
+          FROM o WHERE gap IS NOT NULL GROUP BY user_id
+          HAVING COUNT(*) >= 2),
+        b AS (SELECT user_id, n_gaps,
+            CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+            sqrt((CAST(n_gaps AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))) AS sd_gap
+          FROM a)
+        SELECT user_id, n_gaps, mean_gap, sd_gap,
+          CASE WHEN sd_gap + mean_gap > 0
+               THEN (sd_gap - mean_gap) / (sd_gap + mean_gap) END AS burstiness
+        FROM b""")),
+
     // Inter-event gap histogram in log2 buckets (integer bit-length
     // bucketing): the human-vs-robot cadence fingerprint.
     Q("q_gap_histogram",

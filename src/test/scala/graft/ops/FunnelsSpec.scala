@@ -392,6 +392,28 @@ class FunnelsSpec extends SparkTestBase {
     assert(got("c") == ((1L, Some(333333L), Some(500000L))))
   }
 
+  test("burstiness: metronome -> -1, variable gaps -> greater, minGaps floor") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val at = (secs: Long) => new java.sql.Timestamp(base + secs * 1000)
+    val ev = (
+      // u1: perfectly periodic gaps of 10 -> sd 0 -> B = -1 exactly
+      Seq(0L, 10L, 20L, 30L).map(s => (1L, at(s))) ++
+      // u2: gaps 1 and 99 -> highly variable, B > 0... mean 50, sd 49 -> B < 0
+      Seq(0L, 1L, 100L).map(s => (2L, at(s))) ++
+      // u3: a single gap -> dropped by minGaps
+      Seq(0L, 5L).map(s => (3L, at(s)))
+    ).zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val got = Funnels.burstiness(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_gap"), r.getAs[Double]("burstiness"))).toMap
+    assert(got(1L) == ((3L, 10.0, -1.0)))
+    // u2: mean 50, population sd 49 -> B = (49-50)/99
+    assert(math.abs(got(2L)._3 - (49.0 - 50.0) / 99.0) < 1e-12)
+    assert(!got.contains(3L))
+  }
+
   test("gapHistogram: log2 bucketing on whole-second gaps per key") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
