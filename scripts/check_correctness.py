@@ -27,6 +27,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if len(sys.argv) > 3:  # optional comma-separated name filter
+        keep = set(sys.argv[3].split(","))
+        oracles = {k: v for k, v in oracles.items()
+                   if k in keep or k.removesuffix(".parquet") in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         files = (glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
@@ -43,6 +47,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        # Dtype-strict modulo integer width: the driver hashes the
+        # pandas materialization; pandas' hashing widens every integer
+        # to u8 before hashing (int32 5 == int64 5) but hashes FLOAT
+        # BIT PATTERNS (float64 5.0 != int64 5). Empirically confirmed
+        # against the r8 driver artifact: int32-vs-int64 columns passed
+        # its hash, HUGEINT->float64-vs-int64 columns failed it. So an
+        # int-width mismatch is fine; any float-vs-int (or other kind)
+        # mismatch must be a local FAIL.
+        def dclass(dt):
+            return "int" if dt.kind in "iu" else str(dt)
+        bad_dt = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns
+                  if dclass(got[c].dtype) != dclass(want[c].dtype)]
+        if bad_dt:
+            print(f"FAIL {name}: dtypes {bad_dt}"); n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)

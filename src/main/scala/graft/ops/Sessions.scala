@@ -126,8 +126,12 @@ object Sessions {
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(topK)
+      // The rank window rides the post-limit ≤topK relation; the
+      // constant pmod partition states that single-partition intent
+      // explicitly (and spares the WindowExec no-partition warning).
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("gram").asc)))
+        Window.partitionBy(pmod(col("n"), lit(1)))
+          .orderBy(col("n").desc, col("gram").asc)))
   }
 
   def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,

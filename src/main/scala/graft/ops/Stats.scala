@@ -141,12 +141,15 @@ object Stats {
 
   /**
    * Mean imputation: NULLs in `valueCol` replaced by the per-group
-   * exact integral-micro mean (sum div n on micro longs — both
-   * engines floor identically; the imputed value is the micro mean
-   * divided back once, a single stated IEEE division). Groups with no
-   * observed value keep NULL (nothing to impute from). The group-mean
-   * relation is group-cardinality small and broadcast; the data is
-   * never shuffled.
+   * exact integral-micro FLOOR mean. Spark's `div` truncates toward
+   * zero while DuckDB's `//` floors, so a naked `div` diverges by one
+   * micro on negative-sum groups; the pmod adjustment below
+   * (`(s − pmod(s, n)) div n`, exact floor for n > 0) keeps the two
+   * engines identical for any sign. The imputed value is the micro
+   * mean divided back once, a single stated IEEE division. Groups
+   * with no observed value keep NULL (nothing to impute from). The
+   * group-mean relation is group-cardinality small and broadcast; the
+   * data is never shuffled.
    */
   def imputeMean(df: DataFrame, valueCol: String, byCols: Seq[String],
                  scale: Int = 4): DataFrame = {
@@ -154,7 +157,8 @@ object Stats {
     val means = df.filter(col(valueCol).isNotNull)
       .groupBy(byCols.map(col): _*)
       .agg(sum(m).cast("decimal(38,0)").as("_sm"), count(lit(1)).as("_nv"))
-      .withColumn("_mean_micro", expr("cast(_sm div _nv as bigint)"))
+      .withColumn("_mean_micro", expr(
+        "cast((_sm - pmod(_sm, cast(_nv as decimal(38,0)))) div _nv as bigint)"))
       .select(byCols.map(col) :+ col("_mean_micro"): _*)
     df.join(broadcast(means), byCols, "left")
       .withColumn(valueCol,
@@ -332,20 +336,21 @@ object Stats {
    * corpus-wide row sort: for each distinct score, rows below it give
    * rank_min, ties give the spread, positives at it weight the sum.
    * Output is one row: n_pos, n_neg, auc_micro, gini_micro (2·AUC−1).
-   * Degenerate labels (P=0 or N=0) yield NULL metrics. The window
-   * runs over distinct scores — quantize the score first if its
-   * cardinality is data-sized (the binned-AUC standard practice).
+   * Degenerate labels (P=0 or N=0) yield NULL metrics. The cumulative
+   * rank counts run through [[Cumulative.runningSums]] (bucketed
+   * two-level prefix sums), so even a data-sized score cardinality
+   * never collapses the plan into one WindowExec task — quantizing
+   * first is still the right call for statistical reasons, but it is
+   * no longer load-bearing for the plan. Requires a numeric score.
    */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).as("s"), col(labelCol).cast("int").as("y"))
     val perScore = base.groupBy(col("s"))
       .agg(count(lit(1)).as("ties"), sum(col("y")).as("pos"))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-    val enriched = perScore
-      .withColumn("_below", coalesce(sum(col("ties")).over(
-        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val enriched = Cumulative.runningSums(perScore, "s", Nil,
+        Seq("_cum_ties" -> col("ties")))
+      .withColumn("_below", col("_cum_ties") - col("ties"))
       // 2*avg_rank = 2*(below+1) + ties - 1; weight by positives at s
       .withColumn("_s2_part",
         col("pos").cast("decimal(38,0)") * (lit(2) * (col("_below") + 1) + col("ties") - 1))
@@ -373,6 +378,7 @@ object Stats {
   def reliability(df: DataFrame, scoreCol: String, labelCol: String,
                   nBins: Int = 10, scale: Int = 4): DataFrame = {
     require(nBins >= 1, "nBins must be >= 1")
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6] (micro output)")
     val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .withColumn("_m", micros(col(scoreCol), scale).cast("long"))
       .withColumn("_y", col(labelCol).cast("long"))
@@ -384,7 +390,7 @@ object Stats {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_m")).as("_sm"), sum(col("_y")).as("_sy"))
       .withColumn("mean_score_micro",
-        expr(s"cast(cast(_sm as decimal(38,0)) * 100 div n as bigint)"))
+        expr(s"cast(cast(_sm as decimal(38,0)) * ${BigDecimal(10).pow(6 - scale).toBigInt} div n as bigint)"))
       .withColumn("pos_rate_micro", expr("_sy * 1000000 div n"))
       .select(col("bin"), col("n"), col("mean_score_micro"), col("pos_rate_micro"))
   }
@@ -501,16 +507,26 @@ object Stats {
    * (per-key sums); the rank window rides the KEY relation (the
    * AUC/percentile stance — keys ≪ events). Negative per-key sums
    * are allowed (refunds); Gini is then the generalized (possibly
-   * >1) form.
+   * >1) form. `total_micro` is emitted as DOUBLE for oracle parity:
+   * the cast is exact only up to 2^53 micros (~9·10⁹ currency
+   * units); beyond that both engines round identically (same IEEE
+   * decimal→double), so they still agree — but the column is then a
+   * rounded total, not an exact one. gini_micro is unaffected (its
+   * division happens on the exact DECIMAL values).
    */
   def concentration(df: DataFrame, keyCol: String, valueCol: String,
                     scale: Int = 4): DataFrame = {
     val perKey = df.filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("_k"))
       .agg(sum(micros(col(valueCol), scale)).cast("decimal(38,0)").as("_x"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_x").asc, col("_k").asc)
-    val ranked = perKey.withColumn("_i", row_number().over(wOrd))
+    // Ascending rank i over (sum, key) — unique keys make the inclusive
+    // running COUNT equal to row_number, so the rank comes from the
+    // bucketed two-level prefix sum instead of a single-partition
+    // row_number window over the (possibly data-sized) key relation.
+    // The double cast that buckets _x is monotone; (_x, _k) ties stay
+    // inside one bucket where the window's tiebreak resolves them.
+    val ranked = Cumulative.runningSums(perKey, "_x", Seq("_k"),
+      Seq("_i" -> lit(1L)))
     ranked.agg(
         count(lit(1)).as("n_keys"),
         sum(col("_x")).as("_sx"),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -37,26 +36,28 @@ object Survival {
     val perT = base.groupBy(col("dur"))
       .agg(sum(col("ev")).as("d"), sum(lit(1) - col("ev")).as("c"),
         count(lit(1)).as("all_t"))
-    val wOrd = Window.orderBy(col("dur"))
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val enriched = perT
-      .withColumn("_before", coalesce(sum(col("all_t")).over(wCum), lit(0L)))
-      .withColumn("_n_total", sum(col("all_t")).over(
-        Window.partitionBy(pmod(col("dur"), lit(1)))))
+    // n_at_risk = N − subjects finished strictly earlier: the prefix
+    // count comes from the bucketed two-level running sum (no
+    // single-partition WindowExec even at data-sized duration
+    // cardinality); N is a 1-row broadcast.
+    val totalRow = perT.agg(sum(col("all_t")).as("_n_total"))
+    val enriched = graft.ops.Cumulative.runningSums(perT, "dur", Nil,
+        Seq("_cum_all" -> col("all_t")))
+      .withColumn("_before", col("_cum_all") - col("all_t"))
+      .crossJoin(broadcast(totalRow))
       .withColumn("n_at_risk", col("_n_total") - col("_before"))
       .filter(col("d") > 0) // KM steps only at event times
     val lnTerm = floor(
       log((col("n_at_risk") - col("d")).cast("double") / col("n_at_risk").cast("double"))
         * lit(1e6) + lit(0.5)).cast("long")
-    enriched
+    val stepped = enriched
       // d == n_at_risk means survival hits exactly 0 at t (necessarily
       // the last event row): its ln step is NULL and its ln_surv_micro
       // reads as S(t−), the value just before extinction.
       .withColumn("ln_step_micro",
         when(col("d") < col("n_at_risk"), lnTerm))
-      .withColumn("ln_surv_micro",
-        sum(col("ln_step_micro")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.ops.Cumulative.runningSums(stepped, "dur", Nil,
+        Seq("ln_surv_micro" -> col("ln_step_micro")))
       .select(col("dur").as("t"), col("n_at_risk"), col("d").as("n_events"),
         col("c").as("n_censored"), col("ln_step_micro"), col("ln_surv_micro"))
   }

@@ -33,9 +33,9 @@ object AnalyticsQueries {
       c AS (SELECT o_orderpriority, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
       t AS (SELECT *, SUM(n) OVER (PARTITION BY o_orderpriority) AS tot FROM c)
       SELECT o_orderpriority, digit, n,
-        (n * 1000000) // tot AS share_micro,
+        CAST((n * 1000000) // tot AS BIGINT) AS share_micro,
         CAST(CASE digit $expCase ELSE 0 END AS BIGINT) AS benford_micro,
-        abs((n * 1000000) // tot - CASE digit $expCase ELSE 0 END) AS dev_micro
+        CAST(abs((n * 1000000) // tot - CASE digit $expCase ELSE 0 END) AS BIGINT) AS dev_micro
       FROM t"""
   }
 
@@ -818,7 +818,8 @@ object AnalyticsQueries {
         x AS (SELECT event_type, m, cnt, cum, n,
             unnest([500000, 950000, 990000]) AS p_micro FROM cm),
         r AS (SELECT *, (n * p_micro + 999999) // 1000000 AS rk FROM x)
-        SELECT event_type, p_micro, n, m AS value_units,
+        SELECT event_type, CAST(p_micro AS BIGINT) AS p_micro,
+          CAST(n AS BIGINT) AS n, m AS value_units,
           CAST(m AS DOUBLE) / 10000 AS value
         FROM r WHERE cum >= rk AND cum - cnt < rk""")),
 
@@ -912,7 +913,8 @@ object AnalyticsQueries {
             SUM(cnt) OVER () AS n FROM pv),
         px AS (SELECT *, unnest([500000, 950000, 990000]) AS p_micro FROM cm),
         r AS (SELECT *, (n * p_micro + 999999) // 1000000 AS rk FROM px)
-        SELECT 'all' AS g, p_micro, n, m AS value_units, CAST(m AS DOUBLE) AS value
+        SELECT 'all' AS g, CAST(p_micro AS BIGINT) AS p_micro,
+          CAST(n AS BIGINT) AS n, m AS value_units, CAST(m AS DOUBLE) AS value
         FROM r WHERE cum >= rk AND cum - cnt < rk""")),
 
     // Revenue concentration: exact Gini over per-user revenue (one
@@ -1061,15 +1063,15 @@ object AnalyticsQueries {
         e AS (SELECT *, coalesce(SUM(all_t) OVER
             (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
             SUM(all_t) OVER () AS nt FROM perT),
-        r AS (SELECT dur AS t, nt - bf AS n_at_risk, d AS n_events,
+        r AS (SELECT dur AS t, CAST(nt - bf AS BIGINT) AS n_at_risk, d AS n_events,
             c AS n_censored,
             CASE WHEN d < nt - bf THEN CAST(floor(
               ln(CAST(nt - bf - d AS DOUBLE) / (nt - bf)) * 1e6 + 0.5) AS BIGINT)
             END AS ln_step_micro
           FROM e WHERE d > 0)
         SELECT t, n_at_risk, n_events, n_censored, ln_step_micro,
-          SUM(ln_step_micro) OVER (ORDER BY t
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_surv_micro
+          CAST(SUM(ln_step_micro) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_surv_micro
         FROM r""")),
 
     // Wilson score interval per event type for P(value > 100):
@@ -1460,9 +1462,9 @@ object AnalyticsQueries {
           CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
               * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
             // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT) AS contrib_micro,
-          SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+          CAST(SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
               * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)
-            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS chi2_micro_total,
+            // (CAST(nn AS HUGEINT) * rt * ct) AS BIGINT)) OVER () AS BIGINT) AS chi2_micro_total,
           CASE WHEN least((SELECT COUNT(*) FROM r), (SELECT COUNT(*) FROM k)) > 1 THEN
             sqrt((CAST(SUM(CAST(((CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
                 * (CAST(c.n AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct) * 1000000)

@@ -1132,9 +1132,9 @@ object LlmQueries {
             SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) OVER () AS dall
           FROM cells)
         SELECT actual, predicted, n,
-          (da * 1000000) // rt AS recall_micro,
-          CASE WHEN ct > 0 THEN (dp * 1000000) // ct END AS precision_micro,
-          (dall * 1000000) // tot AS accuracy_micro
+          CAST((da * 1000000) // rt AS BIGINT) AS recall_micro,
+          CAST(CASE WHEN ct > 0 THEN (dp * 1000000) // ct END AS BIGINT) AS precision_micro,
+          CAST((dall * 1000000) // tot AS BIGINT) AS accuracy_micro
         FROM w""")),
 
     // Corpus-wide bigram vocabulary, deterministic top-100.
@@ -2768,8 +2768,8 @@ object LlmOracles {
         CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro
       FROM ranked WHERE rank <= 3),
     sums AS (SELECT qid, SUM(cos_micro) AS nbr_sum FROM knn GROUP BY 1)
-    SELECT k.qid, k.nid, k.rank, k.cos_micro,
-        (k.cos_micro * 6 * 1000000) // (sq.nbr_sum + sn.nbr_sum) AS margin_ppm
+    SELECT k.qid, k.nid, CAST(k.rank AS INTEGER) AS rank, k.cos_micro,
+        CAST((k.cos_micro * 6 * 1000000) // (sq.nbr_sum + sn.nbr_sum) AS BIGINT) AS margin_ppm
     FROM knn k
     JOIN sums sq ON k.qid = sq.qid
     JOIN sums sn ON k.nid = sn.qid
