@@ -1079,21 +1079,29 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("bucket"), col("cnt"), col("weight_micro"))
   }
 
-  /** Assemble [[hashEmbedLong]] into a dense array<float> column
+  /** Assemble [[hashEmbedLong]] into a dense array column
     * (id, embedding) for the ANN stack — collect the sparse buckets
     * per doc (bounded by `dims`) and scatter into a fixed-length
-    * vector; order-independent via the bucket-keyed map. */
+    * vector; order-independent via the bucket-keyed map. Float
+    * elements by default (the embeddings-table convention);
+    * `floatVecs = false` keeps exact doubles (weight_micro / 10⁶ with
+    * no float32 round-trip), which is what makes the md5-portable
+    * kNN twin value-identical to a DOUBLE[] SQL oracle. */
   def hashEmbedVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String, dims: Int = 64,
-                       portableHash: Boolean = false): org.apache.spark.sql.DataFrame =
+                       portableHash: Boolean = false,
+                       floatVecs: Boolean = true): org.apache.spark.sql.DataFrame =
     hashEmbedLong(df, idCol, textCol, dims, portableHash)
       .groupBy(col(idCol))
       .agg(map_from_arrays(collect_list(col("bucket")),
         collect_list(col("weight_micro"))).as("_m"))
       .select(col(idCol),
         transform(sequence(lit(0), lit(dims - 1)),
-          i => (coalesce(element_at(col("_m"), i.cast("long")), lit(0L))
-            .cast("double") / lit(1e6)).cast("float")).as("embedding"))
+          i => {
+            val d = coalesce(element_at(col("_m"), i.cast("long")), lit(0L))
+              .cast("double") / lit(1e6)
+            if (floatVecs) d.cast("float") else d
+          }).as("embedding"))
 
   /**
    * Repair double-encoded (UTF-8-read-as-cp1252) text via the fixed

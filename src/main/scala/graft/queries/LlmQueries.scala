@@ -1559,6 +1559,23 @@ object LlmQueries {
       },
       None),
 
+    // md5-portable oracle twin of the chain above: the same
+    // hash-embed → brute-force cosine → vote pipeline with the
+    // md5-prefix bucket hash and exact-double vectors, so the WHOLE
+    // text→embedding→kNN bridge (not just its two halves) is pinned
+    // by the DuckDB oracle end to end.
+    Q("q_llm_text_knn_md5",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vecs = TextAnalysis.hashEmbedVectors(docs, "doc_id", "text", dims = 64,
+          portableHash = true, floatVecs = false)
+        Similarity.knnClassifyFrom(
+          Similarity.bruteForceTopK(vecs.filter(col("doc_id") < 20), vecs,
+            "doc_id", "embedding", k = 5),
+          docs.select(col("doc_id"), col("lang")), "doc_id", "lang")
+      },
+      Some(LlmOracles.textKnnMd5)),
+
     // Printable-ASCII character entropy in micro-nats: the cheap
     // junk/padding/random-key detector; surprisal micro-quantized
     // row-wise, entropy an exact integral division.
@@ -2751,6 +2768,47 @@ object LlmOracles {
       FROM knn GROUP BY 1, 2),
     best AS (SELECT qid, pred_label, votes, best_rank,
         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, best_rank, pred_label) AS rn
+      FROM votes)
+    SELECT qid, pred_label, votes, best_rank FROM best WHERE rn = 1"""
+
+  /** The full text→hash-embed→cosine-kNN→vote chain with the
+    * md5-portable bucket hash and exact-double vectors. The first
+    * four CTEs are the q_llm_hash_embed oracle verbatim; the vote
+    * tail is the q_llm_knn_classify oracle verbatim — composition is
+    * the thing under test. */
+  val textKnnMd5: String = """
+    WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id,
+        (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 64 AS bucket FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    s AS (SELECT doc_id, bucket, cnt,
+        CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS ss FROM c),
+    wm AS (SELECT doc_id, bucket,
+        CAST(floor(cnt * 1000000 / sqrt(CAST(ss AS DOUBLE)) + 0.5) AS BIGINT) AS w
+      FROM s),
+    ids AS (SELECT DISTINCT doc_id FROM wm),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+    cell AS (SELECT ids.doc_id, d.bucket, coalesce(wm.w, 0) / 1000000.0 AS x
+      FROM ids CROSS JOIN dims d
+      LEFT JOIN wm ON wm.doc_id = ids.doc_id AND wm.bucket = d.bucket),
+    vec AS (SELECT doc_id, list(x ORDER BY bucket) AS v FROM cell GROUP BY doc_id),
+    scored AS (SELECT q.doc_id AS qid, n.doc_id AS nid,
+        list_dot_product(q.v, n.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+      FROM vec q CROSS JOIN vec n
+      WHERE q.doc_id < 20 AND q.doc_id <> n.doc_id),
+    ranked AS (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored),
+    knn AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5),
+    votes AS (SELECT qid, d.lang AS pred_label, COUNT(*) AS votes,
+        MIN(rank) AS best_rank
+      FROM knn JOIN documents d ON d.doc_id = knn.nid GROUP BY 1, 2),
+    best AS (SELECT qid, pred_label, votes, best_rank,
+        row_number() OVER (PARTITION BY qid
+          ORDER BY votes DESC, best_rank, pred_label) AS rn
       FROM votes)
     SELECT qid, pred_label, votes, best_rank FROM best WHERE rn = 1"""
 
