@@ -248,6 +248,75 @@ object Fingerprints {
     new GenericArrayData(out)
   }
 
+  /**
+   * Per-position rolling fingerprints of every `l`-token window —
+   * the long-window engine for ExactSubstr: O(T) per doc regardless
+   * of window length, where the [[wordGrams]] path materializes and
+   * hashes O(T·L) bytes of window strings. Tokenization is the exact
+   * [[wordGrams]] byte loop (SQL trim + Java split(limit=-1)); each
+   * token hashes ONCE with XXH64, and windows combine by a Rabin–Karp
+   * wraparound polynomial over those hashes (odd base, mod 2⁶⁴):
+   *
+   *   fp(i) = Σ_{j<L} h(tok_{i+j}) · B^{L−1−j}
+   *   fp(i+1) = (fp(i) − h(tok_i)·B^{L−1}) · B + h(tok_{i+L})
+   *
+   * Equal windows always agree. Distinct windows collide only at the
+   * 64-bit birthday bound for natural corpora — the same risk class
+   * consumers already accept for xxhash64 window keys — but the
+   * polynomial is LINEAR, so adversarially constructed token
+   * sequences can force collisions; use the wordGrams path when the
+   * input is attacker-controlled. Empty when the doc has fewer than
+   * `l` tokens (full windows only — the wordGrams step=1 contract).
+   */
+  def tokenWindowFp(s: UTF8String, l: Int): ArrayData = {
+    val bytesAll = s.toLowerCase.getBytes
+    var lo = 0
+    var hi = bytesAll.length
+    while (lo < hi && bytesAll(lo) == 0x20) lo += 1
+    while (hi > lo && bytesAll(hi - 1) == 0x20) hi -= 1
+    @inline def isWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytesAll(i))) {
+        starts.add(tokStart); ends.add(i)
+        while (i < hi && isWs(bytesAll(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    starts.add(tokStart); ends.add(hi)
+    val t = starts.size()
+    val n = t - l + 1
+    if (n < 1) return new GenericArrayData(new Array[Long](0))
+    val h = new Array[Long](t)
+    var j = 0
+    while (j < t) {
+      h(j) = XXH64.hashUnsafeBytes(bytesAll,
+        Platform.BYTE_ARRAY_OFFSET + starts.get(j),
+        ends.get(j) - starts.get(j), Seed)
+      j += 1
+    }
+    val B = -7046029254386353131L // 0x9E3779B97F4A7C15, odd
+    var bl = 1L // B^(l-1) mod 2^64
+    var e = 1
+    while (e < l) { bl *= B; e += 1 }
+    val out = new Array[Long](n)
+    var fp = 0L
+    i = 0
+    while (i < l) { fp = fp * B + h(i); i += 1 }
+    out(0) = fp
+    i = 1
+    while (i < n) {
+      fp = (fp - h(i - 1) * bl) * B + h(i + l - 1)
+      out(i) = fp
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD 2003): sorted distinct minima
     * of each w-window of consecutive positional shingle hashes. Empty
     * when the doc has fewer than `w` shingles (no full window). */
@@ -309,6 +378,21 @@ case class RollingFpX64(child: Expression, k: Int, modulus: Int)
   override protected def withNewChildInternal(newChild: Expression): RollingFpX64 =
     copy(child = newChild)
   override def prettyName: String = "rolling_fp_x64"
+}
+
+/** `token_window_fp_x64(text, l)` — per-position rolling L-token
+  * window fingerprints (ordered, non-distinct: position i of the
+  * array is the window starting at token i). */
+case class TokenWindowFpX64(child: Expression, l: Int)
+    extends FingerprintExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprints.tokenWindowFp(input.asInstanceOf[UTF8String], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Fingerprints.tokenWindowFp($c, $l);")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowFpX64 =
+    copy(child = newChild)
+  override def prettyName: String = "token_window_fp_x64"
 }
 
 /** `word_gram_hashes(text, n)` — distinct word n-gram hashes. */

@@ -873,7 +873,8 @@ object Dedup {
    * window string itself — identical grouping absent collisions.
    */
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
-                       windowTokens: Int = 50): DataFrame = {
+                       windowTokens: Int = 50,
+                       rollingFp: Boolean = false): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be at least 2")
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     val live = docs.filter(col(textCol).isNotNull)
@@ -882,10 +883,24 @@ object Dedup {
         posexplode(call_function("word_grams", col(textCol), lit(1), lit(1)))
           .as(Seq("pos0", "tok")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
-    val wins = live.select(col(idCol).cast("long").as("id"),
-        posexplode(call_function("word_grams", col(textCol), lit(windowTokens), lit(1)))
-          .as(Seq("pos0", "w")))
-      .select(col("id"), (col("pos0") + 1).as("pos"), xxhash64(col("w")).as("h"))
+    // Window keys: `rollingFp = true` switches to the Rabin–Karp
+    // per-position fingerprints ([[graft.expr.Fingerprints
+    // .tokenWindowFp]]) — O(T) per doc instead of O(T·L) window-string
+    // assembly, which is what makes LONG windows (hundreds of tokens,
+    // the "50-token spans" of real training-data ExactSubstr) affordable:
+    // window text never exists, not even row-locally. Same grouping
+    // semantics modulo hash collisions (both key schemes are 64-bit).
+    val wins =
+      if (rollingFp)
+        live.select(col(idCol).cast("long").as("id"),
+            posexplode(call_function("token_window_fp_x64",
+              col(textCol), lit(windowTokens))).as(Seq("pos0", "h")))
+          .select(col("id"), (col("pos0") + 1).as("pos"), col("h"))
+      else
+        live.select(col(idCol).cast("long").as("id"),
+            posexplode(call_function("word_grams", col(textCol), lit(windowTokens), lit(1)))
+              .as(Seq("pos0", "w")))
+          .select(col("id"), (col("pos0") + 1).as("pos"), xxhash64(col("w")).as("h"))
     val firsts = wins.groupBy(col("h")).agg(min(packed).as("first_key"))
     val covered = wins.join(firsts, "h")
       .filter(packed =!= col("first_key"))
@@ -990,5 +1005,114 @@ object Dedup {
       .filter(levenshtein(col("_sa"), col("_sb")) <= 1)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("_sa"), col("_sb")).as("dist"))
+  }
+
+  /** LSH band keys (as strings) for a MinHash signature column:
+    * band b's key is the rendered value slice when `portable` (the
+    * DuckDB-reproducible form) or an xxhash64 of the slice otherwise
+    * (8 bytes of entropy, the production form). */
+  private def sigBandKeys(sig: Column, numHashes: Int, bands: Int,
+                          portable: Boolean): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val sl = slice(sig, b * rowsPerBand + 1, rowsPerBand)
+      if (portable) array_join(transform(sl, _.cast(StringType)), ",")
+      else xxhash64(sl).cast(StringType)
+    }: _*)
+  }
+
+  /** Signature-agreement Jaccard estimate between two equal-length
+    * MinHash signature columns. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes
+
+  /**
+   * Near-dup STATE carry-forward between corpus versions. The state
+   * of a deduped corpus version is simply its MinHash signature
+   * relation (id, sig) — 8·numHashes bytes per kept doc, no text —
+   * produced by [[minhashSignatures]] (production) or
+   * [[minhashPortableValues]] (oracle twin) and persisted as an
+   * ordinary table. When corpus version N+1 lands, the NEW batch is
+   * classified against that state without re-reading or re-shuffling
+   * version N's text:
+   *
+   *   - `dup_of_ref`  — the new doc shares an LSH band bucket with a
+   *     state doc and their signature agreement ≥ `threshold`;
+   *     `match_id` = the smallest such reference id (deterministic).
+   *   - `dup_of_new`  — it survives the reference screen but lands in
+   *     a near-dup connected component among the surviving batch
+   *     whose canonical (min id) is a different doc; `match_id` = the
+   *     canonical id.
+   *   - `kept`        — neither; `match_id` is null. The kept rows'
+   *     signatures are exactly the state DELTA: state(N+1) =
+   *     state(N) ∪ sigs(kept), so successive batches chain without
+   *     ever touching old text (pair this with [[incrementalDedup]]
+   *     for the exact-key screen).
+   *
+   * The two-phase contract (reference screen FIRST, then new-new
+   * clustering among survivors) is the same one the streaming face
+   * ([[graft.streaming.StreamOps.incrementalDedupStream]]) states:
+   * duplication is resolved against the frozen reference before the
+   * batch is compared to itself, so a batch doc near a ref doc can
+   * never become the canonical of a new cluster. This is NOT always
+   * identical to one full-corpus CC pass (a chain a–b–c where only b
+   * touches ref resolves differently) — it is the incremental
+   * contract, stated, not an approximation error.
+   *
+   * Scale shape: banding is row-local on both sides; the ref screen
+   * is one (band, bucket) equi-join bounded by `maxBucketSize` on the
+   * REFERENCE bucket population (the boilerplate-bucket bound the
+   * batch paths use), and the new-new phase is the standard banded
+   * self-join + connected components on the candidate pairs. Nothing
+   * data-sized crosses the exchange but (bucket key, id, signature).
+   */
+  def incrementalNearDupVerdicts(newSig: DataFrame, refSig: DataFrame,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double,
+                                 maxBucketSize: Int = 1000,
+                                 portableBuckets: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val bandNew = newSig.select(col("id"), col("sig"),
+      posexplode(sigBandKeys(col("sig"), numHashes, bands, portableBuckets))
+        .as(Seq("band", "bucket")))
+    val bandRef = refSig.select(col("id").as("rid"), col("sig").as("rsig"),
+      posexplode(sigBandKeys(col("sig"), numHashes, bands, portableBuckets))
+        .as(Seq("band", "bucket")))
+    val refSizes = bandRef.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val dupRef = bandNew
+      .join(refSizes, Seq("band", "bucket")) // drops over-popular ref buckets
+      .join(bandRef, Seq("band", "bucket"))
+      .filter(sigAgreement(col("sig"), col("rsig"), numHashes) >= threshold)
+      .groupBy(col("id")).agg(min(col("rid")).as("match_id"))
+    val survivors = bandNew.join(dupRef.select(col("id")), Seq("id"), "left_anti")
+    val newBuckets = survivors
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val newPairs = newBuckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(sigAgreement(col("a.sig"), col("b.sig"), numHashes) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val comp = Clusters.connectedComponents(newPairs, "id_a", "id_b")
+    val newIds = newSig.select(col("id")).distinct()
+    newIds
+      .join(dupRef.withColumnRenamed("match_id", "_ref_match"), Seq("id"), "left")
+      .join(comp.withColumnRenamed("component", "_comp"), Seq("id"), "left")
+      .withColumn("status",
+        when(col("_ref_match").isNotNull, lit("dup_of_ref"))
+          .when(col("_comp").isNotNull && col("_comp") =!= col("id"),
+            lit("dup_of_new"))
+          .otherwise(lit("kept")))
+      .withColumn("match_id",
+        when(col("_ref_match").isNotNull, col("_ref_match"))
+          .when(col("_comp").isNotNull && col("_comp") =!= col("id"), col("_comp")))
+      .select(col("id"), col("status"), col("match_id"))
   }
 }

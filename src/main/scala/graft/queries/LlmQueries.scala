@@ -1434,6 +1434,54 @@ object LlmQueries {
         windowTokens = 8),
       Some(LlmOracles.exactSubstr)),
 
+    // ExactSubstr at a LONG window (r9): the Rabin–Karp rolling
+    // per-position fingerprints make window length free — O(T) per doc,
+    // window text never materializes. Oracled by the same rebuilt-text
+    // SQL at L = 30 (hashes are internal grouping either way).
+    Q("q_llm_exact_substr_long",
+      (s, dir) => Dedup.exactSubstrDedup(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 30, rollingFp = true),
+      Some(LlmOracles.exactSubstrOracle(30))),
+
+    // Corpus-version dedup-state carry-forward (r9): the new batch
+    // (doc_id % 3 == 0) classified against the FROZEN signature state
+    // of the reference corpus (the other two thirds) — dup_of_ref /
+    // dup_of_new / kept verdicts; kept rows' signatures are the next
+    // version's state delta. md5-portable face, fully oracled
+    // including the recursive-CTE new-new components.
+    Q("q_llm_incr_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ref = Dedup.minhashPortableValues(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          shingleSize = 4, numHashes = 8)
+        val nw = Dedup.minhashPortableValues(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          shingleSize = 4, numHashes = 8)
+        Dedup.incrementalNearDupVerdicts(nw, ref, numHashes = 8, bands = 4,
+          threshold = 0.5, portableBuckets = true)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(LlmOracles.incrNearDup)),
+
+    // Production twin: xxhash64 signatures and band buckets, the same
+    // two-phase verdict pipeline (rows-only; the algorithm is pinned
+    // by the md5 twin above).
+    Q("q_llm_incr_neardup_x64",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ref = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          shingleSize = 5, numHashes = 16)
+        val nw = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          shingleSize = 5, numHashes = 16)
+        Dedup.incrementalNearDupVerdicts(nw, ref, numHashes = 16, bands = 4,
+          threshold = 0.5, portableBuckets = false)
+          .withColumnRenamed("id", "doc_id")
+      },
+      None),
+
     // Temperature-resampled source mixing weights (α=0.5 via sqrt —
     // correctly-rounded, hence oracled exactly).
     Q("q_llm_temperature_mix",
@@ -2260,6 +2308,66 @@ object LlmOracles {
 
   /** Recursive min-label walk over symmetric edges: comp(id, component),
     * losers(id) = every node that is not its cluster's min id. */
+  /** Oracle of [[graft.ops.Dedup.incrementalNearDupVerdicts]] over the
+    * doc_id % 3 corpus-version split (ref = two thirds, new batch =
+    * one third): the md5 minhash signatures of BOTH sides, the
+    * reference band screen (min matching ref id), then recursive-CTE
+    * connected components among the surviving batch — the exact
+    * two-phase contract the engine states. */
+  val incrNearDup: String = {
+    val terms = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j|' || s), 1, 15))::BIGINT))")
+      .mkString(", ")
+    def agree(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 8), " +
+        s"i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 8"
+    s"""
+    WITH RECURSIVE mx AS (SELECT doc_id AS id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(1, length(lower(text)) - 3)),
+          i -> substr(lower(text), i, 4))) AS sh
+      FROM documents WHERE text IS NOT NULL),
+    msig AS (SELECT id, [$terms] AS sig FROM mx),
+    mb AS (SELECT id, sig, band,
+        array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), ',') AS bucket
+      FROM msig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    rb AS (SELECT * FROM mb WHERE id % 3 <> 0),
+    nb AS (SELECT * FROM mb WHERE id % 3 = 0),
+    rsz AS (SELECT band, bucket FROM rb GROUP BY band, bucket
+      HAVING COUNT(*) <= 1000),
+    dupref AS (SELECT n.id, MIN(r.id) AS ref_match
+      FROM nb n
+      JOIN rsz s ON s.band = n.band AND s.bucket = n.bucket
+      JOIN rb r ON r.band = n.band AND r.bucket = n.bucket
+      WHERE ${agree("n", "r")} >= 0.5
+      GROUP BY n.id),
+    sv AS (SELECT * FROM nb WHERE id NOT IN (SELECT id FROM dupref)),
+    ssz AS (SELECT band, bucket, COUNT(*) AS n FROM sv GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sv a
+      JOIN sv b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN ssz s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id
+        AND ${agree("a", "b")} >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    walk(id, comp) AS (SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    allnew AS (SELECT DISTINCT id FROM nb)
+    SELECT a.id AS doc_id,
+      CASE WHEN d.ref_match IS NOT NULL THEN 'dup_of_ref'
+           WHEN c.component IS NOT NULL AND c.component <> a.id THEN 'dup_of_new'
+           ELSE 'kept' END AS status,
+      CASE WHEN d.ref_match IS NOT NULL THEN d.ref_match
+           WHEN c.component IS NOT NULL AND c.component <> a.id THEN c.component
+      END AS match_id
+    FROM allnew a
+    LEFT JOIN dupref d ON d.id = a.id
+    LEFT JOIN comp c ON c.id = a.id"""
+  }
+
   private val clusterCtes: String = """
     edges AS (SELECT id_a AS a, id_b AS b FROM cand
               UNION SELECT id_b, id_a FROM cand),
@@ -2470,24 +2578,28 @@ object LlmOracles {
     FROM c"""
   }
 
-  /** Oracle of [[graft.ops.Dedup.exactSubstrDedup]] at L = 8 — the
-    * production path itself (output is rebuilt text; the engine's
-    * window hash is internal grouping only): windows grouped by their
-    * STRING, first occurrence by the same doc_id·10^9 + pos key,
-    * covered positions unioned, tokens rebuilt in position order. */
-  val exactSubstr: String = """
-    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  /** Oracle of [[graft.ops.Dedup.exactSubstrDedup]] at window length
+    * `l` — the production path itself (output is rebuilt text; the
+    * engine's window hash — xxhash64 of the string OR the r9 rolling
+    * polynomial — is internal grouping only): windows grouped by
+    * their STRING, first occurrence by the same doc_id·10^9 + pos
+    * key, covered positions unioned, tokens rebuilt in position
+    * order. */
+  def exactSubstrOracle(l: Int): String = {
+    val lm1 = l - 1
+    s"""
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE text IS NOT NULL),
     tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
         unnest(toks) AS tok FROM d),
     w AS (SELECT doc_id,
-        unnest(generate_series(1, len(toks) - 7)) AS pos,
-        unnest(list_transform(generate_series(1, len(toks) - 7),
-          i -> array_to_string(toks[i:i+7], ' '))) AS win
-      FROM d WHERE len(toks) >= 8),
+        unnest(generate_series(1, len(toks) - $lm1)) AS pos,
+        unnest(list_transform(generate_series(1, len(toks) - $lm1),
+          i -> array_to_string(toks[i:i+$lm1], ' '))) AS win
+      FROM d WHERE len(toks) >= $l),
     f AS (SELECT win, MIN(doc_id * 1000000000 + pos) AS first_key FROM w GROUP BY 1),
     cov AS (SELECT DISTINCT doc_id, pos FROM (
-        SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 7)) AS pos
+        SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + $lm1)) AS pos
         FROM w JOIN f ON w.win = f.win
         WHERE w.doc_id * 1000000000 + w.pos <> f.first_key)),
     kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
@@ -2500,6 +2612,9 @@ object LlmOracles {
     SELECT g.doc_id, g.clean_text, CAST(g.n_kept AS BIGINT) AS n_kept,
       CAST(t.n_total - g.n_kept AS BIGINT) AS n_dropped
     FROM g JOIN tot t ON g.doc_id = t.doc_id"""
+  }
+
+  val exactSubstr: String = exactSubstrOracle(8)
 
   /** Twin of [[graft.ops.Similarity.randomProjectInt8]]: the SAME
     * driver-computed ±1 sign literals inlined into the SQL, int8

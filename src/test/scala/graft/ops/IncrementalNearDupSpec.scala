@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.incrementalNearDupVerdicts]]: the corpus-version dedup-state
+  * carry-forward. Verdict semantics on closed-form fixtures, plus the
+  * property the operator exists for: the kept rows' signatures ARE the
+  * state delta — union them into the state and a re-sent duplicate of
+  * a kept doc resolves as dup_of_ref on the next batch with no access
+  * to any earlier text. */
+class IncrementalNearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sigs(rows: Seq[(Long, String)]) =
+    Dedup.minhashSignatures(rows.toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 4, numHashes = 8)
+
+  private val refText = "the quick brown fox jumps over the lazy dog again and again"
+  private val uniqueA = "completely different subject matter about spark physical plans"
+  private val uniqueB = "unrelated third topic entirely focused on parquet column pruning"
+
+  test("verdicts: dup_of_ref, dup_of_new canonical-min, kept") {
+    val ref = sigs(Seq(1L -> refText, 2L -> uniqueB))
+    val nw = sigs(Seq(
+      30L -> refText,   // exact copy of ref doc 1 -> dup_of_ref(1)
+      33L -> uniqueA,   // twin of 36 -> canonical (kept)
+      36L -> uniqueA,   // -> dup_of_new(33)
+      39L -> "singleton text with no relatives whatsoever in any corpus"))
+    val got = Dedup.incrementalNearDupVerdicts(nw, ref,
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got == Map(
+      30L -> (("dup_of_ref", 1L)),
+      33L -> (("kept", null)),
+      36L -> (("dup_of_new", 33L)),
+      39L -> (("kept", null))))
+  }
+
+  test("ref screen precedes new-new clustering: a ref-dup never anchors a new cluster") {
+    // 30 dups ref; 33 dups 30 (same text) — but 30 is removed by the
+    // ref screen FIRST, so 33 also resolves against ref (same sig),
+    // not against 30.
+    val ref = sigs(Seq(5L -> refText))
+    val nw = sigs(Seq(30L -> refText, 33L -> refText))
+    val got = Dedup.incrementalNearDupVerdicts(nw, ref,
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(30L -> (("dup_of_ref", 5L)), 33L -> (("dup_of_ref", 5L))))
+  }
+
+  test("state carry-forward: state' = state ∪ kept sigs catches the next batch's dups") {
+    val ref = sigs(Seq(1L -> refText))
+    val batch1 = sigs(Seq(30L -> uniqueA, 33L -> refText))
+    val v1 = Dedup.incrementalNearDupVerdicts(batch1, ref,
+      numHashes = 8, bands = 4, threshold = 0.5)
+    val keptIds = v1.filter(col("status") === "kept").select(col("id"))
+    val state2 = ref.unionByName(batch1.join(keptIds, Seq("id")))
+    // batch 2 re-sends uniqueA (kept in batch 1) and refText
+    val batch2 = sigs(Seq(60L -> uniqueA, 63L -> refText))
+    val v2 = Dedup.incrementalNearDupVerdicts(batch2, state2,
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(v2 == Map(
+      60L -> (("dup_of_ref", 30L)), // matched the carried batch-1 state
+      63L -> (("dup_of_ref", 1L))))
+  }
+
+  test("empty reference degenerates to plain batch near-dup clustering") {
+    val ref = sigs(Seq.empty[(Long, String)])
+    val nw = sigs(Seq(30L -> uniqueA, 33L -> uniqueA, 36L -> uniqueB))
+    val got = Dedup.incrementalNearDupVerdicts(nw, ref,
+        numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(30L -> "kept", 33L -> "dup_of_new", 36L -> "kept"))
+  }
+}
