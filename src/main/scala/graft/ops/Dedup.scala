@@ -1011,8 +1011,8 @@ object Dedup {
     * band b's key is the rendered value slice when `portable` (the
     * DuckDB-reproducible form) or an xxhash64 of the slice otherwise
     * (8 bytes of entropy, the production form). */
-  private def sigBandKeys(sig: Column, numHashes: Int, bands: Int,
-                          portable: Boolean): Column = {
+  private[graft] def sigBandKeys(sig: Column, numHashes: Int, bands: Int,
+                                 portable: Boolean): Column = {
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>
       val sl = slice(sig, b * rowsPerBand + 1, rowsPerBand)
@@ -1023,7 +1023,7 @@ object Dedup {
 
   /** Signature-agreement Jaccard estimate between two equal-length
     * MinHash signature columns. */
-  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+  private[graft] def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes
 

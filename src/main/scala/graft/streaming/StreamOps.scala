@@ -236,6 +236,64 @@ object StreamOps {
   }
 
   /**
+   * Streaming near-dup verdicts against a STATIC signature state —
+   * the online face of [[graft.ops.Dedup.incrementalNearDupVerdicts]]'
+   * reference screen. Each incoming doc computes its MinHash signature
+   * row-locally (native `minhash_sig_x64`), explodes its LSH band
+   * keys, and left-joins the state's band index (stream-static,
+   * append-safe); per doc the minimum matching reference id wins.
+   * Output: (id, status ∈ dup_of_ref|kept, match_id).
+   *
+   * The new-new phase is deliberately ABSENT here: in-flight rows are
+   * judged only against the frozen state — the same incremental
+   * contract the batch operator states (reference screen first), with
+   * intra-stream duplication resolved at the next state roll (batch
+   * the kept docs' signatures into state' and restart). The state
+   * band index is bucket-bounded (`maxBucketSize`, the boilerplate-
+   * bucket skew bound) and persists via CachedRelations.
+   */
+  def nearDupVerdictStream(stream: DataFrame, refSig: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleSize: Int, numHashes: Int, bands: Int,
+                           threshold: Double,
+                           maxBucketSize: Int = 1000): DataFrame = {
+    import graft.ops.{CachedRelations, Dedup}
+    import refSig.sparkSession.implicits._
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    graft.functions.Registry.ensure(refSig.sparkSession)
+    val bandRef0 = refSig.select(col("id").as("rid"), col("sig").as("rsig"),
+      posexplode(Dedup.sigBandKeys(col("sig"), numHashes, bands, portable = false))
+        .as(Seq("band", "bucket")))
+    val okBuckets = bandRef0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bandRef = CachedRelations.track(
+      bandRef0.join(okBuckets, Seq("band", "bucket")).persist())
+    val sigd = stream.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        call_function("minhash_sig_x64", col(textCol),
+          lit(shingleSize), lit(numHashes)).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(Dedup.sigBandKeys(col("sig"), numHashes, bands, portable = false))
+        .as(Seq("band", "bucket")))
+    banded.join(bandRef, Seq("band", "bucket"), "left_outer")
+      .select(col("id"),
+        when(col("rid").isNotNull &&
+          Dedup.sigAgreement(col("sig"), col("rsig"), numHashes) >= threshold,
+          col("rid")).as("m"))
+      .as[(Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, Option[Long])], _: GroupState[Boolean]) =>
+          val matches = rows.flatMap(_._2).toSeq
+          if (matches.isEmpty) Iterator((id, "kept", None))
+          else Iterator((id, "dup_of_ref", Some(matches.min)))
+      }
+      .toDF("id", "status", "match_id")
+  }
+
+  /**
    * Streaming boilerplate-line filter — the online face of
    * [[graft.ops.Dedup.boilerplateLineRemoval]]. The boilerplate set
    * (per-domain line hashes) comes from the batch pass over yesterday's

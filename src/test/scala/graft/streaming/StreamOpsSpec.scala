@@ -243,6 +243,42 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup verdicts: state matches flag dup_of_ref with min id, rest kept") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refText = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different subject matter about spark physical plans"
+    // two ref docs share the text: match_id must be the MIN (1)
+    val refSig = graft.ops.Dedup.minhashSignatures(
+      Seq(9L -> refText, 1L -> refText, 2L -> other).toDF("doc_id", "text"),
+      "doc_id", "text", shingleSize = 4, numHashes = 8)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.nearDupVerdictStream(
+      mem.toDF().toDF("doc_id", "text"), refSig, "doc_id", "text",
+      shingleSize = 4, numHashes = 8, bands = 4, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("near_dup_verdicts")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        30L -> refText, // dup of ref docs 1 and 9 -> match 1
+        33L -> "a singleton text with no relatives in the frozen state")
+      q.processAllAvailable()
+      // second batch: intra-stream duplication is NOT resolved (the
+      // stated incremental contract) — a re-sent kept text stays kept
+      // until the state rolls
+      mem.addData(36L -> "a singleton text with no relatives in the frozen state")
+      q.processAllAvailable()
+      val got = spark.table("near_dup_verdicts").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("status"),
+            if (r.isNullAt(2)) null else r.getAs[Long]("match_id")))).toMap
+      assert(got == Map(
+        30L -> (("dup_of_ref", 1L)),
+        33L -> (("kept", null)),
+        36L -> (("kept", null))))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: stream rows present in the static reference are dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
