@@ -229,7 +229,11 @@ object Stats {
     val rowTot = cells.groupBy(col("row_val")).agg(sum(col("n")).as("rt"))
     val colTot = cells.groupBy(col("col_val")).agg(sum(col("n")).as("ct"))
     val total = cells.agg(sum(col("n")).as("nn"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // corpus-wide windows ride the CELL relation (distinct row×col
+    // values — bounded small); the constant pmod partition states the
+    // single-partition intent (and spares the WindowExec warning)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("n"), lit(1)))
     cells
       .join(broadcast(rowTot), "row_val")
       .join(broadcast(colTot), "col_val")
@@ -449,12 +453,22 @@ object Stats {
       .withColumn("_m", micros(col(valueCol), scale).cast("long"))
       .groupBy(byCols.map(col) :+ col("_m"): _*)
       .agg(count(lit(1)).as("_cnt"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(byCols.map(col): _*)
-    val cum = perValue
-      .withColumn("_cum", sum(col("_cnt")).over(wg.orderBy(col("_m"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .withColumn("_n", sum(col("_cnt")).over(wg))
+    // Per-group cumulative counts via the bucketed two-level prefix
+    // sum: stays parallel even when a group's distinct-value relation
+    // is data-sized OR the group column is a constant (a literal
+    // partition column constant-folds out of a window spec and the
+    // plan silently collapses to one task — the q_session_percentiles
+    // g='all' shape). Group totals come from an aggregate + null-safe
+    // broadcast join, not a whole-partition window, for the same
+    // reason.
+    val cum0 = Cumulative.runningSums(perValue, "_m", Nil,
+      Seq("_cum" -> col("_cnt")), partitionCols = byCols)
+    val totals = perValue.groupBy(byCols.map(col): _*)
+      .agg(sum(col("_cnt")).as("_n"))
+      .select(byCols.map(k => col(k).as(s"_tp_$k")) :+ col("_n"): _*)
+    val cum = cum0.join(broadcast(totals),
+        byCols.map(k => col(k) <=> col(s"_tp_$k")).reduce(_ && _))
+      .drop(byCols.map(k => s"_tp_$k"): _*)
     cum
       .withColumn("p_micro", explode(array(psMicro.map(lit): _*)))
       .withColumn("_r", expr("(_n * p_micro + 999999) div 1000000")) // ceil(n*p/1e6)
@@ -478,7 +492,10 @@ object Stats {
     val j = truth.select(col(truthIdCol).as("_id"), col(truthLabelCol).as("actual"))
       .join(pred.select(col(predIdCol).as("_id"), col(predLabelCol).as("predicted")), "_id")
     val cells = j.groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // label-cardinality cell relation — single partition is the intent
+    // (constant pmod partition, not a bare spec, so WindowExec is quiet)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("n"), lit(1)))
     val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("actual"))
     val wP = org.apache.spark.sql.expressions.Window.partitionBy(col("predicted"))
     val diag = sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))

