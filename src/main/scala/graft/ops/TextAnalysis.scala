@@ -671,6 +671,81 @@ object TextAnalysis {
   }
 
   /**
+   * REFERENCE-TRAINED interpolated bigram LM score — the missing half
+   * of the CCNet perplexity filter next to [[bigramLogProb]] (which
+   * fits on the scored corpus itself): Wenzek 2020 trains the LM on
+   * TARGET-DOMAIN text and scores a DIFFERENT corpus, which means
+   * unseen words and unseen contexts must score finitely:
+   *
+   *   P(w_i | w_{i−1}) = 0.9 · c(w_{i−1}w_i)/c(w_{i−1}·)  [0 if unseen ctx]
+   *                    + 0.1 · (c(w_i)+1)/(N+V)           [add-one unigram]
+   *
+   * The add-one unigram floor keeps every token scoreable — an unseen
+   * word costs −ln(0.1/(N+V)), never a null — and the first token of
+   * a doc scores on the unigram term alone (no context), so EVERY doc
+   * gets a score, including single-token docs (which [[bigramLogProb]]
+   * necessarily omits). All probability arithmetic is a stated IEEE
+   * double tree over exact integer counts, then micro-quantized per
+   * scored unit (floor(−ln p·10⁶+½), the unigram-NLL oracle
+   * precedent); the closing mean is INTEGRAL division.
+   *
+   * Scale shape: transitions are ROW-LOCAL (zip_with over the token
+   * array — no per-token window, no position shuffle); the model
+   * tables are vocabulary/bigram-cardinality aggregates joined on
+   * their own keys (AQE broadcasts them when they fit); the one-row
+   * (N, V) aggregate broadcasts. Output: (id, n_tokens,
+   * sum_nll_micro, avg_nll_micro).
+   */
+  def bigramLogProbRef(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       train: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    val trainDf = Option(train).getOrElse(df)
+    def toked(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    def transitions(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
+        .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
+    val trainToks = toked(trainDf)
+    val uni = trainToks.select(explode(col("_toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_cu"))
+    val nv = uni.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
+    val big = transitions(trainToks)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_cab"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("_cab")).as("_ca"))
+    val scoreToks = toked(df)
+    val pUni = (coalesce(col("_cu"), lit(0L)) + lit(1)).cast("double") /
+      (col("_n") + col("_v")).cast("double")
+    val firstTok = scoreToks
+      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
+      .join(uni.withColumnRenamed("term", "cur"), Seq("cur"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("id"),
+        floor(-log(pUni) * lit(1e6) + lit(0.5))
+          .cast("long").as("_nll"))
+    val transNll = transitions(scoreToks)
+      .join(big, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uni.withColumnRenamed("term", "cur"), Seq("cur"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("_pb",
+        when(coalesce(col("_ca"), lit(0L)) > 0,
+          coalesce(col("_cab"), lit(0L)).cast("double") / col("_ca").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("id"),
+        floor(-log(lit(0.9) * col("_pb") + lit(0.1) * pUni) * lit(1e6) + lit(0.5))
+          .cast("long").as("_nll"))
+    firstTok.unionByName(transNll)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_nll")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Lexical-diversity stats per document: token count, distinct-type
    * count, hapax count (types occurring exactly once in the doc), and
    * the type-token / hapax ratios in integer micros (INTEGRAL division

@@ -1627,6 +1627,20 @@ object LlmQueries {
     // Printable-ASCII character entropy in micro-nats: the cheap
     // junk/padding/random-key detector; surprisal micro-quantized
     // row-wise, entropy an exact integral division.
+    // Reference-trained bigram LM perplexity (the CCNet production
+    // shape q_llm_bigram_nll's self-fit model can't express): model
+    // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
+    // words and unseen contexts in the odd half exercise the
+    // add-one/interpolation floors, and single-token docs get a
+    // first-token unigram score instead of vanishing.
+    Q("q_llm_bigram_ppl",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.bigramLogProbRef(docs, "doc_id", "text",
+          train = docs.filter(col("doc_id") % 2 === 0))
+      },
+      Some(LlmOracles.bigramPpl)),
+
     Q("q_llm_char_entropy",
       (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.charEntropy)),
@@ -2966,6 +2980,44 @@ object LlmOracles {
         ELSE 0 END AS BIGINT) AS mean_sent_tokens_micro,
       regexp_matches(rtrim(text), '[.!?]$') AS ends_terminal
     FROM tk"""
+
+  /** Oracle of [[graft.ops.TextAnalysis.bigramLogProbRef]] over the
+    * even-doc_id training split: identical count tables and the
+    * identical IEEE tree 0.9·c(ab)/c(a·) + 0.1·(c(b)+1)/(N+V),
+    * micro-quantized per scored unit. */
+  val bigramPpl: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    td AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    uni AS (SELECT tok AS term, COUNT(*) AS cu FROM
+      (SELECT unnest(toks) AS tok FROM td) GROUP BY 1),
+    nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+    ttr AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM
+      (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM td) x),
+    big AS (SELECT prev, cur, COUNT(*) AS cab FROM ttr GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(cu, 0) + 1) / CAST(n + v AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS cur FROM d) ft
+      LEFT JOIN uni ON uni.term = ft.cur CROSS JOIN nv),
+    str AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS cur FROM
+      (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM d) y),
+    ts AS (SELECT doc_id,
+        CAST(floor(-ln(
+          0.9 * (CASE WHEN coalesce(ca, 0) > 0
+                 THEN coalesce(cab, 0) / CAST(ca AS DOUBLE) ELSE 0.0 END)
+          + 0.1 * ((coalesce(cu, 0) + 1) / CAST(n + v AS DOUBLE)))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM str
+      LEFT JOIN big ON big.prev = str.prev AND big.cur = str.cur
+      LEFT JOIN ctx ON ctx.prev = str.prev
+      LEFT JOIN uni ON uni.term = str.cur CROSS JOIN nv),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
 
   val charEntropy: String = """
     WITH c AS (SELECT doc_id,
