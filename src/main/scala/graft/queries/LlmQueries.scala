@@ -28,6 +28,22 @@ object LlmQueries {
       }).toDF("doc_id", "content")
   }
 
+  /** Deterministic messy-URL synthesis shared by the URL queries and
+    * their oracles: 4 doc_id-keyed shapes (uppercase+www+default
+    * port+tracking+fragment+trailing slash / https+default port /
+    * non-http scheme whose port must survive / not-a-URL). */
+  private[queries] def synthUrl: org.apache.spark.sql.Column = {
+    val k = pmod(col("doc_id"), lit(5)).cast("string")
+    when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTP://WWW.Site"), k,
+          lit(".Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("https://Site"), k, lit(".example.com:443/A/b?a=1&b=2")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit("ftp://files.Example.org:80/x/"))
+      .otherwise(concat(lit("not a url "), k))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup on content, keep first in ingest order.
@@ -1641,6 +1657,33 @@ object LlmQueries {
       },
       Some(LlmOracles.bigramPpl)),
 
+    // URL canonicalization (r9): the crawl-curation front door — a
+    // deterministic messy-URL synthesis (case, www, default ports,
+    // tracking params, fragments, trailing slashes, a non-http scheme
+    // whose port must SURVIVE, and a not-a-URL row that must go null)
+    // pushed through the full normalizeUrl contract + the blocklist
+    // predicate, every branch oracled.
+    Q("q_llm_url_normalize",
+      (s, dir) => {
+        val url = LlmQueries.synthUrl
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"),
+            graft.ops.Urls.normalizeUrl(url).as("canonical_url"),
+            graft.ops.Urls.urlHost(url).as("host"),
+            graft.ops.Urls.hostBlocked(url,
+              Seq("site2.example.com", "example.org")).as("blocked"))
+      },
+      Some(LlmOracles.urlNormalize)),
+
+    // Canonical-URL dedup verdicts over the same synthesis: one
+    // canonical-key shuffle, text never moves — the cheapest dedup in
+    // the pipeline, run before any content pass.
+    Q("q_llm_url_dedup",
+      (s, dir) => graft.ops.Urls.urlDedupVerdicts(
+        t(s, dir, "documents").withColumn("url", LlmQueries.synthUrl),
+        "doc_id", "url"),
+      Some(LlmOracles.urlDedup)),
+
     Q("q_llm_char_entropy",
       (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.charEntropy)),
@@ -3018,6 +3061,69 @@ object LlmOracles {
       CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
     FROM al GROUP BY doc_id"""
+
+  /** Shared CTE chain for the URL queries: the deterministic messy-URL
+    * synthesis (4 shapes by doc_id: uppercase scheme/host + www +
+    * default port + tracking params + fragment + trailing slash;
+    * https + default port; non-http scheme whose port must survive;
+    * not-a-URL → null) and the FULL normalization contract of
+    * [[graft.ops.Urls.normalizeUrl]] restated in SQL. */
+  private val urlCtes: String = """
+    raw AS (SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+            || '.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag'
+          WHEN 1 THEN 'https://Site' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example.com:443/A/b?a=1&b=2'
+          WHEN 2 THEN 'ftp://files.Example.org:80/x/'
+          ELSE 'not a url ' || CAST(doc_id % 5 AS VARCHAR)
+        END AS url
+      FROM documents),
+    pieces AS (SELECT doc_id, url,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+      FROM raw),
+    hostc AS (SELECT *, CASE
+          WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+          ELSE regexp_replace(hostport, '^www\.', '') END AS host0
+      FROM pieces),
+    parts AS (SELECT doc_id, url, scheme,
+        CASE WHEN scheme <> '' AND host0 <> '' THEN host0 END AS host,
+        regexp_extract(regexp_replace(rest, '#.*$', ''), '^([^?]*)', 1) AS path0,
+        regexp_extract(regexp_replace(rest, '#.*$', ''), '\?(.*)$', 1) AS query
+      FROM hostc),
+    canon AS (SELECT doc_id, url, host,
+        CASE WHEN host IS NOT NULL THEN scheme || '://' || host
+          || (CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                   ELSE regexp_replace(path0, '/$', '') END)
+          || (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[^=]*|gclid|fbclid|msclkid)(=.*)?$')))) > 0
+              THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[^=]*|gclid|fbclid|msclkid)(=.*)?$'))), '&')
+              ELSE '' END)
+        END AS canonical_url
+      FROM parts)"""
+
+  val urlNormalize: String = s"""
+    WITH $urlCtes
+    SELECT doc_id, url, canonical_url, host,
+      host IS NOT NULL AND (host = 'site2.example.com'
+        OR host LIKE '%.site2.example.com'
+        OR host = 'example.org' OR host LIKE '%.example.org') AS blocked
+    FROM canon"""
+
+  val urlDedup: String = s"""
+    WITH $urlCtes,
+    keep AS (SELECT canonical_url, MIN(doc_id) AS keep_id FROM canon
+      WHERE canonical_url IS NOT NULL GROUP BY 1)
+    SELECT c.doc_id, c.canonical_url,
+      coalesce(k.keep_id, c.doc_id) AS keep_id,
+      c.doc_id <> coalesce(k.keep_id, c.doc_id) AS is_dup
+    FROM canon c LEFT JOIN keep k ON c.canonical_url = k.canonical_url"""
 
   val charEntropy: String = """
     WITH c AS (SELECT doc_id,
