@@ -237,6 +237,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /**
+   * Corpus datasheet: the per-(source, lang) data card a curation run
+   * publishes — doc/token/char volumes, the exact-duplicate rate
+   * (corpus-WIDE fingerprint collisions attributed to each cell — a
+   * mirror source shows a high rate even when its copies live
+   * elsewhere), and the mean composite quality in integral micros
+   * (per-doc micro quantization before the sum, the sourceQuality
+   * precedent, so the mean is exact in any engine).
+   *
+   * Scale shape: one fingerprint aggregate + one fp-keyed join back
+   * (both on the 16-byte fingerprint, never the text), then one
+   * map-side-combined cell aggregate. Null-text docs are excluded
+   * (they have no fingerprint and no tokens to count).
+   */
+  def corpusDatasheet(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                      langCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val live = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        col(textCol).as("_t"), fingerprint(col(textCol)).as("_fp"))
+    val fpCounts = live.groupBy(col("_fp")).agg(count(lit(1)).as("_fpn"))
+    live.join(fpCounts, "_fp")
+      .withColumn("_q", floor(qualityScore(col("_t")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("_t")).cast("long")).as("n_tokens"),
+        sum(length(col("_t")).cast("long")).as("n_chars"),
+        sum(when(col("_fpn") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(col("_q")).as("_sq"))
+      .withColumn("dup_rate_micro", expr("n_exact_dup_docs * 1000000 div n_docs"))
+      .withColumn("mean_quality_micro", expr("_sq div n_docs"))
+      .drop("_sq")
+  }
+
   /** BPE-ish token count: word runs AND standalone punctuation each
     * count as one token (the pre-tokenization shape BPE vocabularies
     * use), vs the whitespace count in [[tokenCount]]. RE2-safe pattern

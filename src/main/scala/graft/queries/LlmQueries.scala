@@ -1657,6 +1657,14 @@ object LlmQueries {
       },
       Some(LlmOracles.bigramPpl)),
 
+    // Corpus datasheet (r9): the per-(source, lang) data card —
+    // volumes, corpus-wide exact-dup rate attributed per cell, mean
+    // composite quality in exact integral micros.
+    Q("q_llm_datasheet",
+      (s, dir) => TextAnalysis.corpusDatasheet(
+        t(s, dir, "documents"), "source", "lang", "text"),
+      Some(LlmOracles.datasheet)),
+
     // URL canonicalization (r9): the crawl-curation front door — a
     // deterministic messy-URL synthesis (case, www, default ports,
     // tracking params, fragments, trailing slashes, a non-http scheme
@@ -3061,6 +3069,37 @@ object LlmOracles {
       CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
     FROM al GROUP BY doc_id"""
+
+  /** Oracle of [[graft.ops.TextAnalysis.corpusDatasheet]]: identical
+    * quality tree (the q_llm_quality CTEs), whitespace-normalized md5
+    * fingerprint, corpus-wide collision counts, per-cell integral
+    * rates. */
+  val datasheet: String = s"""
+    WITH x AS (SELECT doc_id, source, lang, text,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        length(text) AS n_chars,
+        string_split_regex(lower(trim(text)), '\\s+') AS toks,
+        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_ratio
+      FROM documents WHERE text IS NOT NULL),
+    y AS (SELECT doc_id, source, lang, fp, n_chars, punct_ratio,
+        CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS stop_ratio,
+        len(toks) AS n_toks FROM x),
+    q AS (SELECT source, lang, fp, n_chars, n_toks,
+        CAST(floor((least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + least(stop_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) AS BIGINT) AS qm
+      FROM y),
+    fpc AS (SELECT fp, COUNT(*) AS fpn FROM q GROUP BY 1)
+    SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+      CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        AS dup_rate_micro,
+      CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_micro
+    FROM q JOIN fpc USING (fp) GROUP BY source, lang"""
 
   /** Shared CTE chain for the URL queries: the deterministic messy-URL
     * synthesis (4 shapes by doc_id: uppercase scheme/host + www +

@@ -236,6 +236,26 @@ object StreamOps {
   }
 
   /**
+   * Streaming canonical-URL dedup — the online face of
+   * [[graft.ops.Urls.urlDedupVerdicts]]: first occurrence of each
+   * CANONICAL url within the watermark wins, later arrivals drop.
+   * Rows whose url does not canonicalize (null) bypass the dedup
+   * entirely — `dropDuplicates` would otherwise collapse ALL null
+   * keys into one surviving row, which is the opposite of the batch
+   * contract (a null never collides). State is keyed by the canonical
+   * string and bounded by the watermark.
+   */
+  def urlDedupStream(stream: DataFrame, urlCol: String, tsCol: String,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val canon = stream.withColumn("_canon",
+      graft.ops.Urls.normalizeUrl(col(urlCol)))
+    val deduped = canon.filter(col("_canon").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_canon"))
+    deduped.unionByName(canon.filter(col("_canon").isNull)).drop("_canon")
+  }
+
+  /**
    * Streaming near-dup verdicts against a STATIC signature state —
    * the online face of [[graft.ops.Dedup.incrementalNearDupVerdicts]]'
    * reference screen. Each incoming doc computes its MinHash signature

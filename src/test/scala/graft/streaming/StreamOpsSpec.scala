@@ -243,6 +243,27 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming url dedup: canonical collisions drop, null urls all pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamOps.urlDedupStream(
+      mem.toDF().toDF("id", "url", "ts"), "url", "ts")
+    val q = out.writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "http://WWW.a.com/x/?utm_source=s", ts(1)),
+        (2L, "http://a.com/x", ts(2)),      // same canonical as 1 -> dropped
+        (3L, "https://a.com/x", ts(3)),     // different scheme -> kept
+        (4L, "junk", ts(4)),                // null canonical -> kept
+        (5L, "junk", ts(5)))                // null canonical too -> ALSO kept
+      q.processAllAvailable()
+      val kept = spark.table("url_dedup").collect().map(_.getAs[Long]("id")).toSet
+      assert(kept == Set(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup verdicts: state matches flag dup_of_ref with min id, rest kept") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
