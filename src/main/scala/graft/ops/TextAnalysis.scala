@@ -253,16 +253,21 @@ object TextAnalysis {
    */
   def corpusDatasheet(df: org.apache.spark.sql.DataFrame, sourceCol: String,
                       langCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // all per-doc metrics are ROW-LOCAL and computed BEFORE the
+    // fp-keyed join, so only (source, lang, fp, three longs) ever
+    // cross an exchange — never the text
     val live = df.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), col(langCol).as("lang"),
-        col(textCol).as("_t"), fingerprint(col(textCol)).as("_fp"))
+        fingerprint(col(textCol)).as("_fp"),
+        tokenCount(col(textCol)).cast("long").as("_ntok"),
+        length(col(textCol)).cast("long").as("_nchr"),
+        floor(qualityScore(col(textCol)) * lit(1e6) + lit(0.5)).cast("long").as("_q"))
     val fpCounts = live.groupBy(col("_fp")).agg(count(lit(1)).as("_fpn"))
     live.join(fpCounts, "_fp")
-      .withColumn("_q", floor(qualityScore(col("_t")) * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col("_t")).cast("long")).as("n_tokens"),
-        sum(length(col("_t")).cast("long")).as("n_chars"),
+        sum(col("_ntok")).as("n_tokens"),
+        sum(col("_nchr")).as("n_chars"),
         sum(when(col("_fpn") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
         sum(col("_q")).as("_sq"))
       .withColumn("dup_rate_micro", expr("n_exact_dup_docs * 1000000 div n_docs"))

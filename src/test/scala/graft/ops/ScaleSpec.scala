@@ -526,4 +526,24 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must be limit-bounded:\n$plan")
   }
+
+  test("corpusDatasheet: document text never reaches the fingerprint join") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.StringType
+    val docs = (1L to 50L).map(i =>
+        (i, s"s${i % 3}", "en", s"some document body number ${i % 7} with words"))
+      .toDF("doc_id", "source", "lang", "text")
+    val joins = TextAnalysis.corpusDatasheet(docs, "source", "lang", "text")
+      .queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // only source/lang (grouping keys) and the md5 fp may be strings —
+    // the text column itself must be projected away before the join
+    joins.foreach { j =>
+      val strCols = j.output.filter(_.dataType == StringType).map(_.name)
+      assert(strCols.forall(n => n != "text" && n != "_t"),
+        s"text leaked into the fingerprint join: $strCols")
+    }
+  }
 }
