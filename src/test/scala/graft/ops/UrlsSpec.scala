@@ -52,6 +52,29 @@ class UrlsSpec extends SparkTestBase {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
+  test("normalizeUrl is idempotent over random messy URLs") {
+    import org.scalacheck.{Gen, rng}
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Site.Example.COM", "a.b.org", "X.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x%20y")
+      query <- Gen.oneOf("", "?a=1", "?utm_source=s&b=2&a=1", "?z=9&utm_x=1")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"$scheme://$www$host$port$path$query$frag"
+    val params = Gen.Parameters.default
+    val urls = (0 until 80).map(i => urlGen(params, rng.Seed(5L + i)).get)
+    val df = urls.toDF("u")
+      .select(col("u"), Urls.normalizeUrl(col("u")).as("once"))
+      .select(col("u"), col("once"), Urls.normalizeUrl(col("once")).as("twice"))
+    df.collect().foreach { r =>
+      assert(!r.isNullAt(1), s"URL failed to canonicalize: ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)} -> ${r.getString(2)}")
+    }
+  }
+
   test("urlDedupVerdicts: canonical collision dedups; null URLs never collide") {
     val df = Seq(
       (1L, "http://WWW.a.com/x/"),
