@@ -725,7 +725,10 @@ object TextAnalysis {
    * necessarily omits). All probability arithmetic is a stated IEEE
    * double tree over exact integer counts, then micro-quantized per
    * scored unit (floor(−ln p·10⁶+½), the unigram-NLL oracle
-   * precedent); the closing mean is INTEGRAL division.
+   * precedent); the closing mean is INTEGRAL division. An EMPTY
+   * training corpus has no model: every doc still appears, with its
+   * token count and NULL nll columns (spec-pinned) — silent zeros
+   * would read as "perfectly predictable".
    *
    * Scale shape: transitions are ROW-LOCAL (zip_with over the token
    * array — no per-token window, no position shuffle); the model

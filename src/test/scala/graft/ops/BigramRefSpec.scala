@@ -43,6 +43,14 @@ class BigramRefSpec extends SparkTestBase {
       (nllMicro(0.5) + expectedTrans) / 2)))
   }
 
+  test("empty training corpus: docs keep token counts, nll columns are null") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProbRef(
+        Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", empty)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("unseen context: bigram term zero via the null-ca guard") {
     // "z b": first z -> 1/6; (z,b): ca null -> p = 0.1*(2+1)/6 = 0.05
     assert(score("z b") == ((2L, nllMicro(1.0 / 6) + nllMicro(0.05),
