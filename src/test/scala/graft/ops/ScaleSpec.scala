@@ -527,6 +527,18 @@ class ScaleSpec extends SparkTestBase {
       s"top-K must be limit-bounded:\n$plan")
   }
 
+  test("bigramLogProbRef: transitions are row-local — zero Window operators in the plan") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} end"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbRef(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"transition construction must not use a position window:\n$plan")
+    assert(out.count() == 40)
+  }
+
   test("corpusDatasheet: document text never reaches the fingerprint join") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.Join
