@@ -110,6 +110,86 @@ object Multimodal {
     out
   }
 
+  /**
+   * REAL decode for uncompressed 24-bit BI_RGB Windows BMP — the
+   * second codec-free raster family next to netpbm: LE header fields,
+   * 4-byte row padding, bottom-up row order (top-down via negative
+   * height), BGR sample order converted to the [[ImageData]] RGB
+   * convention. Pure byte parsing, no library; anything else
+   * (palettes, RLE, 16/32 bpp) returns None.
+   */
+  def decodeBmp(bytes: Array[Byte]): Option[ImageData] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bpp = le16(28)
+    val comp = le32(30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = off + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        out(d) = bytes(s + 2) // R (file order is BGR)
+        out(d + 1) = bytes(s + 1)
+        out(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageData(w, h, 3, out))
+  }
+
+  /** Codec-free raster dispatch: netpbm (P5/P6) or uncompressed
+    * 24-bit BMP — every image pipeline decodes through this, so a
+    * corpus can mix the two families freely. */
+  def decodeRaster(bytes: Array[Byte]): Option[ImageData] =
+    decodeNetpbm(bytes).orElse(decodeBmp(bytes))
+
+  /** Deterministic bottom-up 24-bit BMP whose image row y holds
+    * (seed + y) % 256 in all three channels — closed-form sums for
+    * the oracle while the engine really parses headers, padding, row
+    * order, and BGR. */
+  def synthBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def putLe32(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(2, size); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h) // positive = bottom-up
+    putLe16(26, 1); putLe16(28, 24); putLe32(30, 0)
+    putLe32(34, rowBytes * h)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // bottom-up file order
+      val v = (((seed + y) % 256 + 256) % 256).toByte
+      val base = 54 + fy * rowBytes
+      var x = 0
+      while (x < w * 3) { b(base + x) = v; x += 1 }
+      fy += 1
+    }
+    b
+  }
+
   /** A decoded PCM clip: interleaved 16-bit samples. */
   case class AudioData(channels: Int, sampleRate: Int, samples: Array[Short])
 
@@ -205,7 +285,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeNetpbm(bytes) match {
+          decodeRaster(bytes) match {
             case Some(img) =>
               var s = 0L
               var i = 0
@@ -240,7 +320,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeNetpbm(bytes) match {
+          decodeRaster(bytes) match {
             case Some(img) =>
               val w = img.width; val h = img.height
               val g = grayResize(img, w, h)
@@ -543,7 +623,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeNetpbm(bytes) match {
+          decodeRaster(bytes) match {
             case Some(img) => ImageHashes(id, decoded = true, dHash64(img), aHash64(img))
             case None      => ImageHashes(id, decoded = false, 0L, 0L)
           }

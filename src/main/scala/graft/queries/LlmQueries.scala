@@ -934,6 +934,35 @@ object LlmQueries {
         FROM documents""")),
 
     // Multimodal plumbing: binary content + per-partition extraction.
+    // Mixed-format raster decode (r9): even docs carry a real 24-bit
+    // BMP (padding, bottom-up rows, BGR), odd docs a P5 netpbm — one
+    // pipeline decodes both through decodeRaster; the oracle computes
+    // each format's closed-form sample sum from doc_id.
+    Q("q_multimodal_bmp",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % 2 == 0) Multimodal.synthBmp(id, 5, 4)
+              else Multimodal.synthPgm(id, 5, 4)
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 5 AS width, 4 AS height,
+        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+        TRUE AS decoded,
+        CASE WHEN doc_id % 2 = 0 THEN
+          CAST(15 * list_sum(list_transform(generate_series(0, 3),
+            y -> (doc_id + y) % 256)) AS BIGINT)
+        ELSE
+          CAST(list_sum(list_transform(generate_series(0, 3),
+            y -> list_sum(list_transform(generate_series(0, 4),
+              x -> (x + y + doc_id) % 256)))) AS BIGINT)
+        END AS sum_luma
+        FROM documents""")),
+
     Q("q_multimodal_features",
       (s, dir) => {
         val df = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))

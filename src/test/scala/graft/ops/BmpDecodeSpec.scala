@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** [[Multimodal.decodeBmp]] byte-level semantics: BGR→RGB channel
+  * order, bottom-up vs top-down row order, 4-byte row padding, and
+  * rejection of unsupported variants. */
+class BmpDecodeSpec extends SparkTestBase {
+
+  /** Hand-build a 2×2 24-bit BMP: distinct RGB per pixel so channel
+    * and row order are unambiguous. `topDown` flips the height sign. */
+  private def bmp2x2(topDown: Boolean): Array[Byte] = {
+    // image coords: (0,0)=red (1,0)=green / (0,1)=blue (1,1)=white
+    val rows = Array( // per image row, file stores BGR
+      Array(0, 0, 255, 0, 255, 0), // y=0: red, green
+      Array(255, 0, 0, 255, 255, 255)) // y=1: blue, white
+    val rowBytes = 8 // 2*3 padded to 4-byte multiple
+    val b = new Array[Byte](54 + rowBytes * 2)
+    def le32(i: Int, v: Int): Unit = (0 to 3).foreach(k => b(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def le16(i: Int, v: Int): Unit = (0 to 1).foreach(k => b(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, b.length); le32(10, 54); le32(14, 40)
+    le32(18, 2); le32(22, if (topDown) -2 else 2)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, rowBytes * 2)
+    val fileRowForImageRow: Int => Int = y => if (topDown) y else 1 - y
+    for (y <- 0 to 1; i <- rows(y).indices)
+      b(54 + fileRowForImageRow(y) * rowBytes + i) = rows(y)(i).toByte
+    b
+  }
+
+  private val wantRgb = Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+
+  test("bottom-up BMP: padding skipped, rows unflipped, BGR becomes RGB") {
+    val img = Multimodal.decodeBmp(bmp2x2(topDown = false)).get
+    assert((img.width, img.height, img.channels) == ((2, 2, 3)))
+    assert(img.pixels.map(_ & 0xff).toSeq == wantRgb)
+  }
+
+  test("top-down BMP (negative height) decodes to the same image") {
+    val img = Multimodal.decodeBmp(bmp2x2(topDown = true)).get
+    assert(img.pixels.map(_ & 0xff).toSeq == wantRgb)
+  }
+
+  test("unsupported variants and truncation reject cleanly") {
+    val ok = bmp2x2(topDown = false)
+    val bpp16 = ok.clone(); bpp16(28) = 16
+    assert(Multimodal.decodeBmp(bpp16).isEmpty)
+    val rle = ok.clone(); rle(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+    assert(Multimodal.decodeBmp(ok.take(53)).isEmpty)
+    assert(Multimodal.decodeBmp(ok.take(60)).isEmpty) // pixel data truncated
+    assert(Multimodal.decodeBmp("P5\n1 1\n255\nx".getBytes).isEmpty)
+  }
+
+  test("decodeRaster dispatches both families; synthBmp round-trips its row pattern") {
+    assert(Multimodal.decodeRaster(Multimodal.synthPgm(3, 4, 2)).get.channels == 1)
+    val img = Multimodal.decodeRaster(Multimodal.synthBmp(7, 5, 4)).get
+    assert((img.width, img.height, img.channels) == ((5, 4, 3)))
+    // image row y must hold (7+y)%256 in every channel (bottom-up undone)
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+      assert((img.pixels((y * 5 + x) * 3 + c) & 0xff) == (7 + y) % 256)
+  }
+}
