@@ -226,6 +226,90 @@ object Multimodal {
     None
   }
 
+  /**
+   * REAL decode for uncompressed AIFF (IFF FORM/AIFF, COMM + SSND
+   * chunks, 16-bit PCM) — the big-endian audio family next to WAV:
+   * BE chunk sizes with word alignment, the COMM sample rate as an
+   * 80-bit extended float (sign/15-bit exponent/64-bit mantissa,
+   * parsed by integer shifts — no FP), SSND offset honored, BE
+   * samples. Pure byte parsing; AIFC/compressed variants return None.
+   */
+  def decodeAiff(bytes: Array[Byte]): Option[AudioData] = {
+    def be16(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def be32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    def ext80(i: Int): Int = { // 80-bit extended -> integer sample rate
+      val se = be16(i)
+      val exp = se & 0x7fff
+      var mant = 0L
+      var k = 0
+      while (k < 8) { mant = (mant << 8) | (bytes(i + 2 + k) & 0xff); k += 1 }
+      if (mant == 0) 0
+      else {
+        val shift = exp - 16383 - 63
+        val v = if (shift >= 0) mant << shift else mant >>> -shift
+        (if ((se & 0x8000) != 0) -v else v).toInt
+      }
+    }
+    if (bytes == null || bytes.length < 12 ||
+      tag(0) != "FORM" || tag(8) != "AIFF") return None
+    var i = 12
+    var comm: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var ssnd: Option[(Int, Int)] = None // sample start, byte length
+    while (i + 8 <= bytes.length) {
+      val id = tag(i); val size = be32(i + 4)
+      if (id == "COMM" && size >= 18 && i + 8 + 18 <= bytes.length)
+        comm = Some((be16(i + 8), ext80(i + 16), be16(i + 14)))
+      else if (id == "SSND" && size >= 8 && i + 8 + size <= bytes.length) {
+        val offset = be32(i + 8)
+        ssnd = Some((i + 16 + offset, size - 8 - offset))
+      }
+      i += 8 + size + (size & 1)
+    }
+    for {
+      (ch, rate, bits) <- comm
+      (start, len) <- ssnd
+      if bits == 16 && ch > 0 && len >= 0 && start + len <= bytes.length
+    } yield {
+      val n = len / 2
+      val out = new Array[Short](n)
+      var k = 0
+      while (k < n) { out(k) = be16(start + 2 * k).toShort; k += 1 }
+      AudioData(ch, rate, out)
+    }
+  }
+
+  /** Codec-free PCM dispatch: WAV (RIFF, LE) or AIFF (IFF, BE) —
+    * every audio pipeline decodes through this. */
+  def decodePcm(bytes: Array[Byte]): Option[AudioData] =
+    decodeWav(bytes).orElse(decodeAiff(bytes))
+
+  /** Synthesize a mono 16-bit AIFF with the SAME sample pattern as
+    * [[synthWav]] (sample(i) = ((i·7+seed) mod 65536) − 32768), so the
+    * two families share one closed-form oracle; the sample rate round-
+    * trips through a real 80-bit extended encoding. */
+  def synthAiff(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 16 + dataSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataSize)
+      .put("AIFF".getBytes("US-ASCII"))
+    bb.put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putInt(nSamples).putShort(16)
+    // 80-bit extended sample rate by integer normalization
+    val nlz = java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    bb.putShort((16383 + 63 - nlz).toShort).putLong(sampleRate.toLong << nlz)
+    bb.put("SSND".getBytes("US-ASCII")).putInt(8 + dataSize)
+      .putInt(0).putInt(0)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort(((((k * 7 + seed) % 65536 + 65536) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
   /** Synthesize a mono 16-bit PCM WAV: sample(i) = ((i*7+seed) mod
     * 65536) − 32768 — deterministic fixture with closed-form stats. */
   def synthWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
@@ -257,7 +341,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWav(bytes) match {
+          decodePcm(bytes) match {
             case Some(a) =>
               var s = 0L
               var k = 0
@@ -520,7 +604,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWav(bytes) match {
+          decodePcm(bytes) match {
             case Some(a) if a.samples.nonEmpty =>
               val pw = bank.map(hz => goertzelPower(a, hz))
               var best = 0
@@ -592,7 +676,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWav(bytes) match {
+          decodePcm(bytes) match {
             case Some(a) => AudioHashes(id, decoded = true, audioHash64(a))
             case None    => AudioHashes(id, decoded = false, 0L)
           }

@@ -912,6 +912,30 @@ object LlmQueries {
               FROM generate_series(0, 63) i(g)) AS BIGINT) AS sum_sq
         FROM documents""")),
 
+    // Mixed-container PCM decode (r9): even docs carry a real AIFF
+    // (big-endian IFF chunks, 80-bit extended sample rate), odd docs
+    // a RIFF WAV — both with the SAME sample pattern, so one
+    // closed-form oracle covers both while the engine proves the
+    // container dispatch.
+    Q("q_multimodal_aiff",
+      (s, dir) => {
+        import s.implicits._
+        val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % 2 == 0) Multimodal.synthAiff(id, 64)
+              else Multimodal.synthWav(id, 64)
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.audioFeatures(clips, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 1 AS channels, 16000 AS sample_rate,
+        64 AS n_samples, true AS decoded,
+        CAST((SELECT SUM(((i.g * 7 + doc_id) % 65536 - 32768)
+                       * ((i.g * 7 + doc_id) % 65536 - 32768))
+              FROM generate_series(0, 63) i(g)) AS BIGINT) AS sum_sq
+        FROM documents""")),
+
     // Dominant-frequency detection: each doc gets a synthesized sine
     // at a probe-bank frequency chosen by doc_id (integer cycle counts
     // at 256 samples/16 kHz, so the Goertzel peak IS the synth bin) —

@@ -378,7 +378,7 @@ object StreamOps {
   def audioDedupStream(df: DataFrame, contentCol: String, tsCol: String,
                        watermark: String = "10 minutes"): DataFrame = {
     val ahash = udf((bytes: Array[Byte]) =>
-      graft.ops.Multimodal.decodeWav(bytes).map(graft.ops.Multimodal.audioHash64))
+      graft.ops.Multimodal.decodePcm(bytes).map(graft.ops.Multimodal.audioHash64))
     val hashed = df.withColumn("_ahash", ahash(col(contentCol).cast("binary")))
     hashed.filter(col("_ahash").isNotNull)
       .withWatermark(tsCol, watermark)

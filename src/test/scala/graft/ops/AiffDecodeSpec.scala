@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** [[Multimodal.decodeAiff]] byte-level semantics: the 80-bit
+  * extended sample rate, big-endian samples, SSND offset, chunk
+  * walking, and rejection paths. */
+class AiffDecodeSpec extends SparkTestBase {
+
+  test("synthAiff round-trips: rate, count, and the exact sample pattern") {
+    val a = Multimodal.decodeAiff(Multimodal.synthAiff(5L, 10)).get
+    assert((a.channels, a.sampleRate, a.samples.length) == ((1, 16000, 10)))
+    for (i <- 0 until 10)
+      assert(a.samples(i) == ((((i * 7 + 5L) % 65536 + 65536) % 65536) - 32768).toShort)
+  }
+
+  test("non-power-of-two rates survive the 80-bit extended encoding") {
+    for (rate <- Seq(8000, 22050, 44100, 48000, 11025)) {
+      val a = Multimodal.decodeAiff(Multimodal.synthAiff(1L, 4, rate)).get
+      assert(a.sampleRate == rate, s"rate $rate mangled to ${a.sampleRate}")
+    }
+  }
+
+  test("SSND offset is honored") {
+    val base = Multimodal.synthAiff(3L, 4)
+    // rebuild with offset 2: shift samples right by 2 junk bytes
+    val bb = java.nio.ByteBuffer.allocate(base.length + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(java.util.Arrays.copyOfRange(base, 0, 12 + 26)) // FORM + COMM
+    bb.put("SSND".getBytes("US-ASCII")).putInt(8 + 2 + 8)
+      .putInt(2).putInt(0).putShort(0x7f7f.toShort) // 2 junk bytes
+    val samplesStart = base.length - 8
+    bb.put(java.util.Arrays.copyOfRange(base, samplesStart, base.length))
+    // patch FORM size
+    val arr = bb.array()
+    val formSize = arr.length - 8
+    for (k <- 0 to 3) arr(4 + k) = ((formSize >> (8 * (3 - k))) & 0xff).toByte
+    val a = Multimodal.decodeAiff(arr).get
+    assert(a.samples.length == 4)
+    assert(a.samples(0) == ((((0 * 7 + 3L) % 65536 + 65536) % 65536) - 32768).toShort)
+  }
+
+  test("rejects: wrong magic, truncation, non-16-bit; decodePcm dispatches both") {
+    val ok = Multimodal.synthAiff(1L, 4)
+    assert(Multimodal.decodeAiff("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeAiff(ok.take(30)).isEmpty)
+    val bad = ok.clone(); bad(12 + 8 + 6 + 1) = 8 // COMM sampleSize 16 -> 8
+    assert(Multimodal.decodeAiff(bad).isEmpty)
+    assert(Multimodal.decodePcm(Multimodal.synthWav(2L, 4)).get.samples.length == 4)
+    assert(Multimodal.decodePcm(ok).get.samples.length == 4)
+  }
+}
