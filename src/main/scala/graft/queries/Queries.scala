@@ -116,8 +116,14 @@ object Queries {
   val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all ++
     AnalyticsQueries.all ++ LlmQueries.all ++ IoQueries.all
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a name registered twice would silently shadow one query in the
+    // Map — the correctness surface would SHRINK with no red row
+    // (the r7 vanishing-rows failure class, at the registry level)
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query registrations: ${dups.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
