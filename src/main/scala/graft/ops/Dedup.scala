@@ -519,10 +519,26 @@ object Dedup {
                        estThreshold: Double = 0.5, exactThreshold: Double = 0.5,
                        maxBucketSize: Int = 1000,
                        portableHashing: Boolean = false): DataFrame = {
-    val cand = ophPairs(df, idCol, textCol, shingleSize, k, bands,
-      estThreshold, maxBucketSize, portableHashing)
-    val sh = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_sid"), charShingles(col(textCol), shingleSize).as("_shs"))
+    // The candidate relation is pairs-sized (tiny) but feeds THREE
+    // consumers (the verify chain + both id-prune branches) — persist
+    // it so the banded OPH pipeline runs once. Then prune the corpus
+    // to CANDIDATE DOCS before shingling: the exact-Jaccard verifier
+    // only ever needs the shingle sets of docs that appear in a
+    // candidate pair, so the expensive shingle materialization drops
+    // from 2× the corpus to 1× the candidate docs (persisted, reused
+    // by both join sides). Released via CachedRelations after the
+    // caller's action.
+    val cand = CachedRelations.track(
+      ophPairs(df, idCol, textCol, shingleSize, k, bands,
+        estThreshold, maxBucketSize, portableHashing)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sh = CachedRelations.track(
+      df.join(candIds, Seq(idCol), "left_semi")
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as("_sid"), charShingles(col(textCol), shingleSize).as("_shs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sh.select(col("_sid").as("id_a"), col("_shs").as("_sha")), "id_a")
       .join(sh.select(col("_sid").as("id_b"), col("_shs").as("_shb")), "id_b")
