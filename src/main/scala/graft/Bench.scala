@@ -47,7 +47,7 @@ object Bench {
       "q_llm_rolling_fp", "q_llm_winnowing", "q_llm_containment",
       "q_llm_cross_source_dups", "q_llm_group_split", "q_llm_oph_pairs",
       "q_llm_cms", "q_llm_cluster_terms", "q_llm_dedup_best",
-      "q_llm_oph_verified", "q_llm_incr_neardup")
+      "q_llm_oph_verified", "q_llm_incr_neardup", "q_llm_dsir_md5")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.
