@@ -121,7 +121,11 @@ object Bench {
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
-    try Files.write(Paths.get("BENCH_DETAIL.json"),
+    // A SPARK_GRAFT_ONLY local-iteration run must NOT clobber the
+    // committed full-surface detail — write a sidecar instead.
+    val detailPath =
+      if (only.isDefined) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
+    try Files.write(Paths.get(detailPath),
       detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
