@@ -269,6 +269,9 @@ object Fingerprints {
    * `l` tokens (full windows only — the wordGrams step=1 contract).
    */
   def tokenWindowFp(s: UTF8String, l: Int): ArrayData = {
+    // the registered SQL function is directly callable with any l —
+    // l < 1 would make n = t - l + 1 exceed the hash array and throw
+    if (l < 1) return new GenericArrayData(new Array[Long](0))
     val bytesAll = s.toLowerCase.getBytes
     var lo = 0
     var hi = bytesAll.length

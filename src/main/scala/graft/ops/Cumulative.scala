@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
  * sub-linear relations are the per-group bounds and the
  * totals/offsets (both broadcast, group-cardinality sized).
  *
- * Contract: `orderCol` must be numeric and non-null; the FULL
+ * Contract: `orderCol` must be numeric and non-null (non-FINITE
+ * values are handled: NaN and +Inf land in the last bucket, -Inf in
+ * the first, matching Spark's ascending sort where NaN is greatest —
+ * and they are excluded from the bucket bounds so they cannot poison
+ * the equi-width arithmetic for the finite rows); the FULL
  * ordering key (partitionCols…, orderCol, tieCols…) must be unique
  * per row (a running sum among exact ties is order-ambiguous in any
  * engine — the callers all ride per-distinct-value aggregate
@@ -62,10 +66,21 @@ object Cumulative {
     require(sums.nonEmpty, "need at least one running sum")
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val o = col(orderCol).cast("double")
+    // Non-finite ordering values would poison the whole bucket
+    // arithmetic (a NaN/Inf max makes every row's bucket NaN→null and
+    // the offset join silently drops prefixes): bounds are computed
+    // over FINITE values only, and non-finite rows are pinned to the
+    // bucket matching Spark's window sort order (NaN and +Inf last,
+    // -Inf first) — the within-bucket window then orders them exactly
+    // as a single-partition window would.
+    val oFinite = !isnan(o) && o =!= lit(Double.PositiveInfinity) &&
+      o =!= lit(Double.NegativeInfinity)
     val pCols = partitionCols.map(col)
     val bounds = (if (partitionCols.isEmpty) df.groupBy() else df.groupBy(pCols: _*))
-      .agg(min(o).as("_cum_mn"), max(o).as("_cum_mx"))
-    val bkt = when(col("_cum_mx") > col("_cum_mn"),
+      .agg(min(when(oFinite, o)).as("_cum_mn"), max(when(oFinite, o)).as("_cum_mx"))
+    val bkt = when(isnan(o) || o === lit(Double.PositiveInfinity), lit(nBuckets - 1))
+      .when(o === lit(Double.NegativeInfinity), lit(0))
+      .when(col("_cum_mx") > col("_cum_mn"),
         least(lit(nBuckets - 1),
           floor((o - col("_cum_mn")) * nBuckets / (col("_cum_mx") - col("_cum_mn")))))
       .otherwise(lit(0)).cast("int")

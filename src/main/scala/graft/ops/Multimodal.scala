@@ -129,12 +129,18 @@ object Multimodal {
     val hRaw = le32(22)
     val bpp = le16(28)
     val comp = le32(30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = (w * 3 + 3) & ~3
-    if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length) return None
-    val out = new Array[Byte](w * h * 3)
+    // all size arithmetic in Long: a crafted w near 2^31/3 overflows
+    // the Int rowBytes to a small/negative value that would pass the
+    // bounds check and then throw instead of returning None
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L
+    val outLenL = w.toLong * h * 3
+    if (off < 54 || outLenL > Int.MaxValue ||
+      off.toLong + rowBytesL * h > bytes.length) return None
+    val rowBytes = rowBytesL.toInt
+    val out = new Array[Byte](outLenL.toInt)
     var y = 0
     while (y < h) {
       val srcRow = off + (if (topDown) y else h - 1 - y) * rowBytes
@@ -204,16 +210,23 @@ object Multimodal {
       ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
     def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var i = 12
+    // Long cursor + size>=0 guard: decoders run on UNTRUSTED corpus
+    // bytes, and a crafted chunk size of -8/-9 (or one overflowing
+    // i+8+size in Int) would otherwise stall the chunk walk in an
+    // infinite loop or index out of bounds — contract is None on
+    // anything malformed.
+    var iL = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-    while (i + 8 <= bytes.length) {
+    while (iL + 8 <= bytes.length) {
+      val i = iL.toInt
       val id = tag(i); val size = le32(i + 4)
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && iL + 8 + 16 <= bytes.length) {
         if (le16(i + 8) != 1) return None // PCM only
         fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
       } else if (id == "data") {
         return fmt.collect { case (ch, rate, bits)
-            if bits == 16 && ch > 0 && i + 8 + size <= bytes.length =>
+            if bits == 16 && ch > 0 && iL + 8 + size <= bytes.length =>
           val n = size / 2
           val out = new Array[Short](n)
           var k = 0
@@ -221,7 +234,7 @@ object Multimodal {
           AudioData(ch, rate, out)
         }
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      iL += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }
@@ -254,23 +267,29 @@ object Multimodal {
     }
     if (bytes == null || bytes.length < 12 ||
       tag(0) != "FORM" || tag(8) != "AIFF") return None
-    var i = 12
+    // Long cursor + size/offset guards: same untrusted-bytes contract
+    // as decodeWav — a negative BE chunk size or SSND offset must
+    // yield None, never a hung executor or an AIOOBE.
+    var iL = 12L
     var comm: Option[(Int, Int, Int)] = None // channels, rate, bits
     var ssnd: Option[(Int, Int)] = None // sample start, byte length
-    while (i + 8 <= bytes.length) {
+    while (iL + 8 <= bytes.length) {
+      val i = iL.toInt
       val id = tag(i); val size = be32(i + 4)
-      if (id == "COMM" && size >= 18 && i + 8 + 18 <= bytes.length)
+      if (size < 0) return None
+      if (id == "COMM" && size >= 18 && iL + 8 + 18 <= bytes.length)
         comm = Some((be16(i + 8), ext80(i + 16), be16(i + 14)))
-      else if (id == "SSND" && size >= 8 && i + 8 + size <= bytes.length) {
+      else if (id == "SSND" && size >= 8 && iL + 8 + size <= bytes.length) {
         val offset = be32(i + 8)
+        if (offset < 0 || offset > size - 8) return None
         ssnd = Some((i + 16 + offset, size - 8 - offset))
       }
-      i += 8 + size + (size & 1)
+      iL += 8L + size + (size & 1)
     }
     for {
       (ch, rate, bits) <- comm
       (start, len) <- ssnd
-      if bits == 16 && ch > 0 && len >= 0 && start + len <= bytes.length
+      if bits == 16 && ch > 0 && len >= 0 && start.toLong + len <= bytes.length
     } yield {
       val n = len / 2
       val out = new Array[Short](n)

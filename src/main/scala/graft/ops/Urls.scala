@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
  * SQL, so the whole normalization CONTRACT is oracle-checkable:
  *
  *  1. scheme and host lowercase; path/query case preserved;
- *  2. leading `www.` stripped from the host;
- *  3. default ports stripped (`:80` for http, `:443` for https; other
- *     schemes untouched);
- *  4. fragment dropped;
- *  5. tracking params dropped (`utm_*`, `gclid`, `fbclid`, `msclkid`),
+ *  2. userinfo (`user:pw@`) stripped from the authority — it is
+ *     never part of the host, so `http://x@example.org/` collides
+ *     with `http://example.org/` and cannot evade a blocklist;
+ *  3. leading `www.` stripped from the host;
+ *  4. a numeric `:port` is separated from the host (the host NEVER
+ *     carries a port); the canonical form keeps the port unless it
+ *     is the scheme default (`:80` for http, `:443` for https) — a
+ *     non-numeric port-ish suffix stays in the host verbatim;
+ *  5. fragment dropped;
+ *  6. tracking params dropped (`utm_*`, `gclid`, `fbclid`, `msclkid`),
  *     remaining params SORTED (order-insensitive canonical form);
- *  6. one trailing slash stripped from the path; empty path → `/`;
- *  7. not an absolute `scheme://` URL → null (callers decide the
+ *  7. one trailing slash stripped from the path; empty path → `/`;
+ *  8. not an absolute `scheme://` URL → null (callers decide the
  *     disposition; a null never collides with a real canonical URL).
  *
  * Scale shape: normalization is a row-local map (zero exchanges); URL
@@ -30,18 +35,30 @@ object Urls {
 
   private val trackingParam = "^(utm_[^=]*|gclid|fbclid|msclkid)(=.*)?$"
 
-  /** Canonical host (lowercased, www/default-port stripped) of an
-    * absolute URL; null when `url` has no `scheme://host`. */
+  /** Lowercased authority with any `user:pw@` userinfo stripped —
+    * the shared front half of host/port extraction. */
+  private def authorityNoUser(url: Column): Column = {
+    val t = trim(url)
+    val hostport = lower(regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    regexp_replace(hostport, "^[^@]*@", "")
+  }
+
+  /** Canonical host (lowercased; userinfo, www and ANY numeric port
+    * stripped) of an absolute URL; null when `url` has no
+    * `scheme://host`. This is the column blocklists and per-domain
+    * stats key on — it never carries a port, so `:8080` and `user@`
+    * variants cannot evade a domain match. */
   def urlHost(url: Column): Column = {
     val t = trim(url)
     val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val noWww = regexp_replace(hostport, "^www\\.", "")
-    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
-      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
-      .otherwise(noWww)
+    val host = regexp_replace(
+      regexp_replace(authorityNoUser(url), ":[0-9]+$", ""), "^www\\.", "")
     when(scheme =!= "" && host =!= "", host)
   }
+
+  /** Numeric port of an absolute URL as a string (`""` when absent). */
+  private def urlPortStr(url: Column): Column =
+    regexp_extract(authorityNoUser(url), ":([0-9]+)$", 1)
 
   /** Canonical form of an absolute URL per the contract above; null
     * when not `scheme://host`-shaped. */
@@ -49,6 +66,13 @@ object Urls {
     val t = trim(url)
     val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = urlHost(url)
+    val port = urlPortStr(url)
+    // non-default ports survive in the canonical form (they address a
+    // different server); scheme defaults collapse
+    val portSuffix = when(port =!= "" &&
+        !(scheme === "http" && port === "80") &&
+        !(scheme === "https" && port === "443"),
+      concat(lit(":"), port)).otherwise(lit(""))
     val rest = regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
     val noFrag = regexp_replace(rest, "#.*$", "")
     val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
@@ -58,7 +82,7 @@ object Urls {
     val path1 = regexp_replace(path0, "/$", "")
     val path = when(path1 === "", lit("/")).otherwise(path1)
     when(host.isNotNull,
-      concat(scheme, lit("://"), host, path,
+      concat(scheme, lit("://"), host, portSuffix, path,
         when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
           .otherwise(lit(""))))
   }

@@ -29,18 +29,23 @@ object LlmQueries {
   }
 
   /** Deterministic messy-URL synthesis shared by the URL queries and
-    * their oracles: 4 doc_id-keyed shapes (uppercase+www+default
+    * their oracles: 5 doc_id-keyed shapes (uppercase+www+default
     * port+tracking+fragment+trailing slash / https+default port /
-    * non-http scheme whose port must survive / not-a-URL). */
+    * non-http scheme whose port must survive (and whose host must
+    * still blocklist-match without it) / userinfo + non-default port
+    * that must be stripped from the HOST but kept in the canonical
+    * form / not-a-URL). */
   private[queries] def synthUrl: org.apache.spark.sql.Column = {
-    val k = pmod(col("doc_id"), lit(5)).cast("string")
-    when(pmod(col("doc_id"), lit(4)) === 0,
+    val k = pmod(col("doc_id"), lit(3)).cast("string")
+    when(pmod(col("doc_id"), lit(5)) === 0,
         concat(lit("HTTP://WWW.Site"), k,
           lit(".Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag")))
-      .when(pmod(col("doc_id"), lit(4)) === 1,
+      .when(pmod(col("doc_id"), lit(5)) === 1,
         concat(lit("https://Site"), k, lit(".example.com:443/A/b?a=1&b=2")))
-      .when(pmod(col("doc_id"), lit(4)) === 2,
+      .when(pmod(col("doc_id"), lit(5)) === 2,
         lit("ftp://files.Example.org:80/x/"))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("http://u:p@WWW.Site"), k, lit(".example.com:8080/x/")))
       .otherwise(concat(lit("not a url "), k))
   }
 
@@ -3162,32 +3167,37 @@ object LlmOracles {
     * [[graft.ops.Urls.normalizeUrl]] restated in SQL. */
   private val urlCtes: String = """
     raw AS (SELECT doc_id,
-        CASE CAST(doc_id % 4 AS INTEGER)
-          WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 3 AS VARCHAR)
             || '.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag'
-          WHEN 1 THEN 'https://Site' || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 1 THEN 'https://Site' || CAST(doc_id % 3 AS VARCHAR)
             || '.example.com:443/A/b?a=1&b=2'
           WHEN 2 THEN 'ftp://files.Example.org:80/x/'
-          ELSE 'not a url ' || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 3 THEN 'http://u:p@WWW.Site' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.com:8080/x/'
+          ELSE 'not a url ' || CAST(doc_id % 3 AS VARCHAR)
         END AS url
       FROM documents),
     pieces AS (SELECT doc_id, url,
         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        regexp_replace(lower(regexp_extract(trim(url),
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '') AS auth,
         regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
       FROM raw),
-    hostc AS (SELECT *, CASE
-          WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
-          WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
-          ELSE regexp_replace(hostport, '^www\.', '') END AS host0
+    hostc AS (SELECT *,
+        regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS host0,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port
       FROM pieces),
     parts AS (SELECT doc_id, url, scheme,
         CASE WHEN scheme <> '' AND host0 <> '' THEN host0 END AS host,
+        CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+               AND NOT (scheme = 'https' AND port = '443')
+          THEN ':' || port ELSE '' END AS portsuffix,
         regexp_extract(regexp_replace(rest, '#.*$', ''), '^([^?]*)', 1) AS path0,
         regexp_extract(regexp_replace(rest, '#.*$', ''), '\?(.*)$', 1) AS query
       FROM hostc),
     canon AS (SELECT doc_id, url, host,
-        CASE WHEN host IS NOT NULL THEN scheme || '://' || host
+        CASE WHEN host IS NOT NULL THEN scheme || '://' || host || portsuffix
           || (CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
                    ELSE regexp_replace(path0, '/$', '') END)
           || (CASE WHEN len(list_sort(list_filter(string_split(query, '&'),

@@ -22,6 +22,11 @@ class TokenWindowFpSpec extends SparkTestBase {
     assert(fps("a b c", 3).length == 1)
   }
 
+  test("l < 1 from direct SQL yields empty, not AIOOBE") {
+    assert(fps("a b c", 0).isEmpty)
+    assert(fps("a b c", -2).isEmpty)
+  }
+
   test("equal windows agree, across positions and documents") {
     val f1 = fps("x y z a b c", 3)
     val f2 = fps("p q a b c r", 3)

@@ -49,4 +49,27 @@ class AiffDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodePcm(Multimodal.synthWav(2L, 4)).get.samples.length == 4)
     assert(Multimodal.decodePcm(ok).get.samples.length == 4)
   }
+
+  test("crafted chunk sizes / SSND offsets reject instead of hanging or throwing") {
+    def putBe32(a: Array[Byte], i: Int, v: Int): Unit =
+      for (k <- 0 to 3) a(i + k) = ((v >> (8 * (3 - k))) & 0xff).toByte
+    val ok = Multimodal.synthAiff(1L, 4)
+    // COMM chunk size -8: the old walk advanced by 0 forever
+    val negSize = ok.clone(); putBe32(negSize, 12 + 4, -8)
+    assert(Multimodal.decodeAiff(negSize).isEmpty)
+    // negative SSND offset -> negative sample start
+    val negOff = ok.clone(); putBe32(negOff, 12 + 26 + 8, -1000)
+    assert(Multimodal.decodeAiff(negOff).isEmpty)
+    // SSND offset past the chunk end
+    val bigOff = ok.clone(); putBe32(bigOff, 12 + 26 + 8, Int.MaxValue)
+    assert(Multimodal.decodeAiff(bigOff).isEmpty)
+    // huge chunk size that would overflow an Int cursor
+    val hugeSize = ok.clone(); putBe32(hugeSize, 12 + 4, Int.MaxValue - 4)
+    assert(Multimodal.decodeAiff(hugeSize).isEmpty)
+    // same class on the WAV walk (LE sizes)
+    val wav = Multimodal.synthWav(1L, 4)
+    val wavNeg = wav.clone()
+    for (k <- 0 to 3) wavNeg(16 + k) = (((-9) >> (8 * k)) & 0xff).toByte // fmt size -9
+    assert(Multimodal.decodeWav(wavNeg).isEmpty)
+  }
 }

@@ -52,6 +52,21 @@ class BmpDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodeBmp("P5\n1 1\n255\nx".getBytes).isEmpty)
   }
 
+  test("overflow-crafted headers reject instead of throwing") {
+    def putLe32(a: Array[Byte], i: Int, v: Int): Unit =
+      for (k <- 0 to 3) a(i + k) = ((v >> (8 * k)) & 0xff).toByte
+    val ok = bmp2x2(topDown = false)
+    // w ~ 2^31/3: Int rowBytes overflows small/negative, Long math must catch it
+    val hugeW = ok.clone(); putLe32(hugeW, 18, 0x2AAAAAAB)
+    assert(Multimodal.decodeBmp(hugeW).isEmpty)
+    // w*h*3 > Int.MaxValue with modest rowBytes*h
+    val bigWh = ok.clone(); putLe32(bigWh, 18, 40000); putLe32(bigWh, 22, 40000)
+    assert(Multimodal.decodeBmp(bigWh).isEmpty)
+    // h = Int.MinValue: abs() is still negative
+    val minH = ok.clone(); putLe32(minH, 22, Int.MinValue)
+    assert(Multimodal.decodeBmp(minH).isEmpty)
+  }
+
   test("decodeRaster dispatches both families; synthBmp round-trips its row pattern") {
     assert(Multimodal.decodeRaster(Multimodal.synthPgm(3, 4, 2)).get.channels == 1)
     val img = Multimodal.decodeRaster(Multimodal.synthBmp(7, 5, 4)).get

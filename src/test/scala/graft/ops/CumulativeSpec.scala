@@ -93,6 +93,24 @@ class CumulativeSpec extends SparkTestBase {
     assert(out.count() == 3)
   }
 
+  test("runningSums: non-finite order values sort like a window (NaN/+Inf last, -Inf first)") {
+    val df = Seq(
+      (Double.NegativeInfinity, 1L), (-5.0, 2L), (3.0, 4L),
+      (Double.PositiveInfinity, 8L), (Double.NaN, 16L)
+    ).toDF("k", "v")
+    val got = Cumulative.runningSums(df, "k", Nil, Seq("cum" -> col("v")),
+      nBuckets = 4)
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+    def m(d: DataFrame) = d.select("v", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(got) == m(want))
+    // in particular the finite rows must NOT be poisoned by the
+    // non-finite bounds: prefix at 3.0 is 1+2+4
+    assert(m(got)(4L) == 7L)
+  }
+
   test("runningSums: degenerate single distinct order value (mn == mx)") {
     val df = Seq((7, 1L)).toDF("k", "v")
     val got = Cumulative.runningSums(df, "k", Nil, Seq("cum" -> col("v")))

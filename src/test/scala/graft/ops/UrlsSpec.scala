@@ -34,6 +34,22 @@ class UrlsSpec extends SparkTestBase {
     assert(norm("http://a.com#top") == Some("http://a.com/"))
   }
 
+  test("userinfo strips; host never carries a port (blocklist can't be evaded)") {
+    assert(norm("http://u:p@a.com/x") == Some("http://a.com/x"))
+    assert(norm("http://x@WWW.a.com:80/") == Some("http://a.com/"))
+    val host = Seq("https://b.example.org:444/p").toDF("u")
+      .select(Urls.urlHost(col("u"))).collect().head.getString(0)
+    assert(host == "b.example.org")
+    val df = Seq(
+      ("http://example.org:8080/", true),   // non-default port
+      ("http://u@example.org/", true),      // userinfo
+      ("ftp://files.example.org:2121/", true), // non-http scheme + port
+      ("http://example.org.evil.com/", false)
+    ).toDF("u", "want")
+    df.select(col("want"), Urls.hostBlocked(col("u"), Seq("example.org")).as("got"))
+      .collect().foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
   test("not-a-URL and null are null") {
     assert(norm("example.com/no-scheme").isEmpty)
     assert(norm(null).isEmpty)
