@@ -47,7 +47,11 @@ object Bench {
       "q_llm_rolling_fp", "q_llm_winnowing", "q_llm_containment",
       "q_llm_cross_source_dups", "q_llm_group_split", "q_llm_oph_pairs",
       "q_llm_cms", "q_llm_cluster_terms", "q_llm_dedup_best",
-      "q_llm_oph_verified", "q_llm_incr_neardup", "q_llm_dsir_md5")
+      "q_llm_oph_verified", "q_llm_incr_neardup", "q_llm_dsir_md5",
+      // playbook result-twins of already-benched plans (the YAML adds a
+      // parse, not a plan): corpus_clean md5 / url_dedup / datasheet.
+      // q_playbook_join_agg and q_playbook_window are NEW plans — benched.
+      "q_playbook_corpus_clean", "q_playbook_url_dedup", "q_playbook_datasheet")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.
@@ -121,10 +125,18 @@ object Bench {
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
-    // A SPARK_GRAFT_ONLY local-iteration run must NOT clobber the
-    // committed full-surface detail — write a sidecar instead.
+    // NO run clobbers the committed full-surface detail by default:
+    // targeted (SPARK_GRAFT_ONLY) runs write BENCH_DETAIL_partial.json,
+    // full runs write BENCH_DETAIL_run.json (both gitignored), and the
+    // committed BENCH_DETAIL.json is only written on an explicit
+    // SPARK_GRAFT_BENCH_PROMOTE=1 run — so the driver's per-round bench
+    // leaves the working tree clean and per-query baseline comparison
+    // never needs `git show`.
+    val promote = sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1")
     val detailPath =
-      if (only.isDefined) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
+      if (only.isDefined) "BENCH_DETAIL_partial.json"
+      else if (promote) "BENCH_DETAIL.json"
+      else "BENCH_DETAIL_run.json"
     try Files.write(Paths.get(detailPath),
       detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -150,7 +162,7 @@ object Bench {
     val failedCompact = (failed.take(8).map("\"" + _ + "\"") ++
       (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

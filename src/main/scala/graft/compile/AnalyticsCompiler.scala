@@ -1,0 +1,205 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.{AnalyticsStage, SourceConfig}
+import graft.ops.{Clusters, Corpus, Dedup, TextAnalysis, Urls}
+
+/**
+ * The `analytics:` stage compiler — the config-file face of the
+ * engine's north-star operator surface (SURVEY §7 phase E). The
+ * reference's whole identity is config-driven (a user writes YAML,
+ * never Go — /root/reference/internal/config/types.go:39-64); this
+ * extends the same contract to the training-data/analytics operators,
+ * so a dedup-then-datasheet pipeline is drivable from a playbook file
+ * with zero Scala.
+ *
+ * Each stage is `DataFrame => DataFrame`, folded in order over the
+ * clean main branch after the six reference ETL sections. Everything
+ * compiles to the SAME declarative plans as the Scala API (the stages
+ * delegate to the verified operators in graft.ops), so one playbook
+ * still yields ONE Catalyst plan end-to-end — filters written as
+ * `where` stages after a parquet source still reach the scan as
+ * pushed filters, and a `corpus_clean` stage carries the operator's
+ * documented 100 TB shape unchanged.
+ *
+ * Generic relational stages (`where`, `derive`, `select`,
+ * `aggregate`, `join`) take Spark SQL expression strings — the
+ * beyond-reference surface speaks the engine's native language, while
+ * the reference-parity `filter:` section keeps its govaluate dialect.
+ * `derive` accepts window expressions (`... OVER (PARTITION BY ...)`)
+ * — the "windows exposed in the playbook schema" promise.
+ *
+ * Validation is accumulated-error at load time like every other
+ * playbook section: unknown op, missing required params, and
+ * unparseable SQL expressions are all reported together with their
+ * stage index before any Spark job runs.
+ */
+object AnalyticsCompiler {
+
+  /** op name -> (required params, short usage hint). */
+  private val ops: Map[String, (Seq[String], String)] = Map(
+    "quality_gate"   -> (Seq("textCol"), "textCol [minQuality=0.3] — adds `quality`, keeps rows >= threshold"),
+    "lang_filter"    -> (Seq("textCol", "langs"), "textCol langs[] — adds `lang_pred`, keeps listed languages"),
+    "text_metrics"   -> (Seq("textCol"), "textCol — adds quality, lang_pred, n_tokens columns"),
+    "exact_dedup"    -> (Seq("keys"), "keys[] [keep=first|last] — exact dedup in ingest order"),
+    "near_dup_dedup" -> (Seq("idCol", "textCol"),
+      "idCol textCol [threshold=0.7 shingleSize=5 numHashes=16 bands=4 portableHashing=false] — MinHash/LSH near-dup, canonical doc kept"),
+    "corpus_clean"   -> (Seq("idCol", "textCol"),
+      "idCol textCol [minQuality=0.3 langs=[] threshold=0.7 shingleSize=5 numHashes=16 bands=4 portableHashing=false] — quality gate -> exact dedup -> near-dup"),
+    "url_normalize"  -> (Seq("urlCol"), "urlCol [target=canonical_url] — adds the canonical URL column"),
+    "url_dedup"      -> (Seq("idCol", "urlCol"),
+      "idCol urlCol [mode=filter|verdicts] — canonical-URL dedup; filter keeps only keepers, verdicts returns the verdict relation"),
+    "host_blocklist" -> (Seq("urlCol", "blocked"), "urlCol blocked[] — drops rows whose host is a blocked domain or subdomain"),
+    "datasheet"      -> (Seq("sourceCol", "langCol", "textCol"), "sourceCol langCol textCol — per-(source,lang) corpus data card"),
+    "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
+    "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
+    "select"         -> (Seq("cols"), "cols[] — projection"),
+    "aggregate"      -> (Seq("aggs"), "[groupBy=[]] aggs{target: sqlExpr} — group-and-aggregate"),
+    "join"           -> (Seq("type", "file", "keys"),
+      "type file keys[] [how=inner broadcast=false] — join another source on same-named keys (named keys, not `on`: snakeyaml parses a bare `on` as YAML 1.1 boolean true)"))
+
+  /** Accumulated-error validation (load-time; no Spark session needed). */
+  def validate(stages: Seq[AnalyticsStage]): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    stages.zipWithIndex.foreach { case (st, i) =>
+      ops.get(st.op) match {
+        case None =>
+          errs += s"analytics[$i]: unknown op '${st.op}' (known: ${ops.keys.toSeq.sorted.mkString(", ")})"
+        case Some((required, usage)) =>
+          val missing = required.filterNot(st.params.contains)
+          if (missing.nonEmpty)
+            errs += s"analytics[$i] (${st.op}): missing ${missing.mkString(", ")} — usage: $usage"
+          // SQL expression params must parse at load time — expr() is
+          // lazy (Column construction defers the parse), so go through
+          // the Catalyst parser directly
+          def checkExpr(kind: String, sql: String): Unit =
+            try { org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql); () }
+            catch { case e: Exception =>
+              errs += s"analytics[$i] (${st.op}): bad $kind '$sql': ${e.getMessage.linesIterator.take(1).mkString}" }
+          st.op match {
+            case "where" => str(st.params, "condition").foreach(checkExpr("condition", _))
+            case "derive" => str(st.params, "expr").foreach(checkExpr("expr", _))
+            case "aggregate" => strMap(st.params, "aggs").foreach { case (t, sql) => checkExpr(s"agg '$t'", sql) }
+            case "url_dedup" =>
+              str(st.params, "mode").filterNot(Set("filter", "verdicts")).foreach(m =>
+                errs += s"analytics[$i] (url_dedup): mode '$m' not in filter,verdicts")
+            case "exact_dedup" =>
+              str(st.params, "keep").filterNot(Set("first", "last")).foreach(k =>
+                errs += s"analytics[$i] (exact_dedup): keep '$k' not in first,last")
+            case _ => ()
+          }
+      }
+    }
+    errs.toSeq
+  }
+
+  /** Fold the stages over the pipeline's clean main branch. */
+  def apply(spark: SparkSession, df: DataFrame, stages: Seq[AnalyticsStage]): DataFrame =
+    stages.foldLeft(df)((acc, st) => applyStage(spark, acc, st))
+
+  private def applyStage(spark: SparkSession, df: DataFrame, st: AnalyticsStage): DataFrame = {
+    val p = st.params
+    st.op match {
+      case "quality_gate" =>
+        df.withColumn("quality", TextAnalysis.qualityScore(col(str(p, "textCol").get)))
+          .filter(col("quality") >= lit(dbl(p, "minQuality").getOrElse(0.3)))
+      case "lang_filter" =>
+        df.withColumn("lang_pred", TextAnalysis.langId(col(str(p, "textCol").get)))
+          .filter(col("lang_pred").isin(strs(p, "langs"): _*))
+      case "text_metrics" =>
+        val t = col(str(p, "textCol").get)
+        df.withColumn("quality", TextAnalysis.qualityScore(t))
+          .withColumn("lang_pred", TextAnalysis.langId(t))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+      case "exact_dedup" =>
+        Dedup.byIngestOrder(df, strs(p, "keys"),
+          keepFirst = !str(p, "keep").contains("last"))
+      case "near_dup_dedup" =>
+        val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
+        val threshold = dbl(p, "threshold").getOrElse(0.7)
+        val bands = int(p, "bands").getOrElse(4)
+        val pairs =
+          if (bool(p, "portableHashing"))
+            Dedup.minhashPortablePairs(df, id, text, shingleSize = 4,
+              numHashes = 8, bands = bands, threshold = threshold)
+          else
+            Dedup.minhashNearDupPairs(df, id, text,
+              int(p, "shingleSize").getOrElse(5), int(p, "numHashes").getOrElse(16),
+              bands, threshold)
+        Clusters.dedupByPairs(df, id, pairs, "id_a", "id_b")
+      case "corpus_clean" =>
+        Corpus.clean(df, str(p, "idCol").get, str(p, "textCol").get,
+          Corpus.CleanConfig(
+            minQuality = dbl(p, "minQuality").getOrElse(0.3),
+            langs = strs(p, "langs").toSet,
+            nearDupThreshold = dbl(p, "threshold").getOrElse(0.7),
+            shingleSize = int(p, "shingleSize").getOrElse(5),
+            numHashes = int(p, "numHashes").getOrElse(16),
+            bands = int(p, "bands").getOrElse(4),
+            portableHashing = bool(p, "portableHashing")))
+      case "url_normalize" =>
+        df.withColumn(str(p, "target").getOrElse("canonical_url"),
+          Urls.normalizeUrl(col(str(p, "urlCol").get)))
+      case "url_dedup" =>
+        val (id, url) = (str(p, "idCol").get, str(p, "urlCol").get)
+        val verdicts = Urls.urlDedupVerdicts(df, id, url)
+        if (str(p, "mode").contains("verdicts")) verdicts
+        else df.join(verdicts.filter(!col("is_dup")).select(col(id)), Seq(id), "left_semi")
+      case "host_blocklist" =>
+        // null-host rows (no URL to judge) pass through: the blocklist
+        // drops rows it can PROVE are on a blocked domain
+        df.filter(!coalesce(
+          Urls.hostBlocked(col(str(p, "urlCol").get), strs(p, "blocked")), lit(false)))
+      case "datasheet" =>
+        TextAnalysis.corpusDatasheet(df,
+          str(p, "sourceCol").get, str(p, "langCol").get, str(p, "textCol").get)
+      case "where" =>
+        df.filter(expr(str(p, "condition").get))
+      case "derive" =>
+        df.withColumn(str(p, "target").get, expr(str(p, "expr").get))
+      case "select" =>
+        df.select(strs(p, "cols").map(col): _*)
+      case "aggregate" =>
+        val aggs = strMap(p, "aggs").toSeq.sortBy(_._1)
+          .map { case (t, sql) => expr(sql).as(t) }
+        val keys = strs(p, "groupBy")
+        val grouped = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+        grouped.agg(aggs.head, aggs.tail: _*)
+      case "join" =>
+        val right0 = graft.io.Readers.read(spark,
+          SourceConfig(`type` = str(p, "type").get, file = str(p, "file").get))
+        // explicit broadcast hint for provably-small dims; otherwise the
+        // planner/AQE picks the strategy from stats
+        val right = if (bool(p, "broadcast")) broadcast(right0) else right0
+        df.join(right, strs(p, "keys"), str(p, "how").getOrElse("inner"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown analytics op '$other'")
+    }
+  }
+
+  // ---- param decoding over snakeyaml's raw java values ----
+  private def str(p: Map[String, Any], k: String): Option[String] =
+    p.get(k).collect { case s: String if s.nonEmpty => s }
+  private def dbl(p: Map[String, Any], k: String): Option[Double] =
+    p.get(k).collect { case n: Number => n.doubleValue }
+  private def int(p: Map[String, Any], k: String): Option[Int] =
+    p.get(k).collect { case n: Number => n.intValue }
+  private def bool(p: Map[String, Any], k: String): Boolean =
+    p.get(k).collect { case b: java.lang.Boolean => b.booleanValue }.getOrElse(false)
+  private def strs(p: Map[String, Any], k: String): Seq[String] = p.get(k) match {
+    case Some(l: java.util.List[_]) =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.map(_.toString)
+    case Some(l: Seq[_]) => l.map(_.toString)
+    case Some(s: String) if s.nonEmpty => Seq(s)
+    case _ => Seq.empty
+  }
+  private def strMap(p: Map[String, Any], k: String): Map[String, String] = p.get(k) match {
+    case Some(m: java.util.Map[_, _]) =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (kk, v) => kk.toString -> String.valueOf(v) }.toMap
+    case Some(m: Map[_, _]) => m.map { case (kk, v) => kk.toString -> String.valueOf(v) }
+    case _ => Map.empty
+  }
+}

@@ -148,7 +148,13 @@ object PipelineCompiler {
       }
     }
 
-    Compiled(main.drop(SEQ, "_seq", ERR, ORIG), errorsDf)
+    // ---- ANALYTICS (north star, §7E): config-driven operator chain
+    // over the clean branch, after the reference's six sections ----
+    val cleanMain = main.drop(SEQ, "_seq", ERR, ORIG)
+    val finalMain =
+      if (pb.analytics.isEmpty) cleanMain
+      else AnalyticsCompiler(src.sparkSession, cleanMain, pb.analytics)
+    Compiled(finalMain, errorsDf)
   }
 
   /** Explode with the reference's flatten semantics (processor.go:170-230). */

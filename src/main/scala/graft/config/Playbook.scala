@@ -16,7 +16,23 @@ case class Playbook(
     mappings: Seq[MappingRule] = Seq.empty,
     flattening: Option[FlatteningConfig] = None,
     dedup: Option[DedupConfig] = None,
-    errorHandling: ErrorHandlingConfig = ErrorHandlingConfig())
+    errorHandling: ErrorHandlingConfig = ErrorHandlingConfig(),
+    analytics: Seq[AnalyticsStage] = Seq.empty)
+
+/**
+ * One stage of the `analytics:` section — the config-file face of the
+ * engine's north-star operator surface (SURVEY §7 phase E: "joins/
+ * aggregations/windows exposed in the playbook schema"). Runs AFTER
+ * the reference's six ETL sections, on the clean main branch. `op`
+ * names an operator registered in
+ * [[graft.compile.AnalyticsCompiler]] (corpus_clean, near_dup_dedup,
+ * url_dedup, datasheet, aggregate, join, derive, where, …); `params`
+ * carries the op-specific keys (everything in the YAML map except
+ * `op`). Unknown ops and missing/parse-failing params are rejected at
+ * load time by the accumulated-error validator, like every other
+ * playbook section.
+ */
+case class AnalyticsStage(op: String, params: Map[String, Any] = Map.empty)
 
 /** types.go:67-101 — `type` in {csv,json,xlsx,xml,yaml,postgres,parquet}. */
 case class SourceConfig(

@@ -25,7 +25,9 @@ object PlaybookLoader {
       mappings = m.get("mappings").map(listOfMaps).getOrElse(Seq.empty).map(ruleOf),
       flattening = section(m, "flattening").map(flattenOf),
       dedup = section(m, "deduplication").orElse(section(m, "dedup")).map(dedupOf),
-      errorHandling = section(m, "errorHandling").map(errOf).getOrElse(ErrorHandlingConfig()))
+      errorHandling = section(m, "errorHandling").map(errOf).getOrElse(ErrorHandlingConfig()),
+      analytics = m.get("analytics").orElse(m.get("pipeline"))
+        .map(listOfMaps).getOrElse(Seq.empty).map(stageOf))
     val errs = Validator.validate(pb)
     if (errs.nonEmpty)
       throw new IllegalArgumentException("invalid playbook:\n  " + errs.mkString("\n  "))
@@ -98,6 +100,10 @@ object PlaybookLoader {
     strategy = str(m, "strategy").getOrElse("first").toLowerCase,
     strategyField = str(m, "strategyField"))
 
+  private def stageOf(m: Map[String, Any]) = AnalyticsStage(
+    op = str(m, "op").getOrElse("").toLowerCase,
+    params = m - "op")
+
   private def errOf(m: Map[String, Any]) = ErrorHandlingConfig(
     mode = str(m, "mode").getOrElse("halt").toLowerCase,
     logErrors = bool(m, "logErrors", dflt = true),
@@ -156,6 +162,8 @@ object Validator {
 
     if (!modes(pb.errorHandling.mode))
       errs += s"errorHandling.mode '${pb.errorHandling.mode}' not in halt,skip"
+
+    errs ++= graft.compile.AnalyticsCompiler.validate(pb.analytics)
     errs.toSeq
   }
 }

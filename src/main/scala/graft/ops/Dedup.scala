@@ -1131,4 +1131,47 @@ object Dedup {
           .when(col("_comp").isNotNull && col("_comp") =!= col("id"), col("_comp")))
       .select(col("id"), col("status"), col("match_id"))
   }
+
+  /**
+   * Versioned state chain for [[incrementalNearDupVerdicts]] across N
+   * corpus versions. State schema: `(id, sig, version)` — each kept
+   * doc's signature stamped with the batch version that admitted it.
+   * Chain usage (batch n, compacted state S):
+   *
+   *   val v = incrementalNearDupVerdicts(batchSig, S.select("id","sig"), …)
+   *   S = nearDupStateCompact(nearDupStateAppend(S, batchSig, v, n))
+   *
+   * [[nearDupStateAppend]] unions batch `version`'s kept signatures
+   * into the state (no shuffle — a union of already-computed
+   * relations). [[nearDupStateCompact]] keeps ONE row per id, highest
+   * version wins: a doc id re-registered with NEW accepted content in
+   * a later version supersedes its older signature — new batches then
+   * screen against the content the corpus actually carries, not a
+   * stale fingerprint — and the state's size stays bounded by the
+   * number of distinct kept ids, not by the number of versions.
+   * Contract note: a re-sent id whose new content resolves as a DUP
+   * does not touch the state — state rows describe accepted content
+   * only.
+   *
+   * Scale shape: compact is one id-keyed shuffle over the signature
+   * relation (8·numHashes bytes per doc — state-sized, never
+   * text-sized) with a WindowGroupLimit top-1 per id; at 100 TB the
+   * state is the only relation that persists across versions, and
+   * compaction amortizes to one pass per ingested batch.
+   */
+  def nearDupStateAppend(state: DataFrame, newSig: DataFrame,
+                         verdicts: DataFrame, version: Int): DataFrame = {
+    val kept = verdicts.filter(col("status") === "kept").select(col("id"))
+    state.unionByName(
+      newSig.join(kept, Seq("id"), "left_semi")
+        .select(col("id"), col("sig"), lit(version).as("version")))
+  }
+
+  /** One state row per id — the highest (latest) version wins. */
+  def nearDupStateCompact(state: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("version").desc)
+    state.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

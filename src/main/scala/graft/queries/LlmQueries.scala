@@ -1556,6 +1556,47 @@ object LlmQueries {
       },
       None),
 
+    // N-version state chain (r10): three corpus versions ingested in
+    // sequence against a compacted versioned signature state — the
+    // full incremental-dedup lifecycle (screen → verdicts → append →
+    // compact → next batch) as ONE query. Output = every batch's
+    // verdicts tagged with its version. Rows-only: the chain contract
+    // (incl. id re-registration supersession) is pinned by
+    // IncrementalNearDupSpec; the per-batch verdict algorithm by the
+    // oracled md5 twin above. Batch signatures persist across their
+    // three consumers (screen, state lineage, next screen) — without
+    // it the whole sig computation re-runs per version.
+    Q("q_llm_incr_neardup_chain_x64",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def sigOf(m: Int) = graft.ops.CachedRelations.track(
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === m),
+            "doc_id", "text", shingleSize = 5, numHashes = 16)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val Seq(b0, b1, b2) = Seq(0, 1, 2).map(sigOf)
+        // verdicts and the compacted state persist per version: each is
+        // consumed by the next version's screen AND the final output /
+        // state lineage — in production the state is a materialized
+        // table between versions, so the persist IS the honest contract
+        def mat(d: org.apache.spark.sql.DataFrame) = graft.ops.CachedRelations.track(
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val v0 = mat(Dedup.incrementalNearDupVerdicts(b0, b0.limit(0),
+          numHashes = 16, bands = 4, threshold = 0.5))
+        var state = mat(Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(
+          b0.limit(0).select(col("id"), col("sig"), lit(0).as("version")),
+          b0, v0, 0)))
+        val v1 = mat(Dedup.incrementalNearDupVerdicts(b1, state.select("id", "sig"),
+          numHashes = 16, bands = 4, threshold = 0.5))
+        state = mat(Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(state, b1, v1, 1)))
+        val v2 = Dedup.incrementalNearDupVerdicts(b2, state.select("id", "sig"),
+          numHashes = 16, bands = 4, threshold = 0.5)
+        v0.withColumn("batch", lit(0))
+          .unionByName(v1.withColumn("batch", lit(1)))
+          .unionByName(v2.withColumn("batch", lit(2)))
+          .withColumnRenamed("id", "doc_id")
+      },
+      None),
+
     // Temperature-resampled source mixing weights (α=0.5 via sqrt —
     // correctly-rounded, hence oracled exactly).
     Q("q_llm_temperature_mix",

@@ -114,7 +114,7 @@ object Queries {
   )
 
   val all: Seq[Q] = core ++ TransformQueries.all ++ EtlQueries.all ++
-    AnalyticsQueries.all ++ LlmQueries.all ++ IoQueries.all
+    AnalyticsQueries.all ++ LlmQueries.all ++ IoQueries.all ++ PlaybookQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     // a name registered twice would silently shadow one query in the

@@ -1,0 +1,140 @@
+package graft.compile
+
+import graft.SparkTestBase
+import graft.config.{AnalyticsStage, PlaybookLoader}
+import org.apache.spark.sql.functions._
+
+/** The `analytics:` playbook section (SURVEY §7E): load-time
+  * validation, stage semantics, and the full YAML-file → cli.Main →
+  * parquet-out round trip. */
+class AnalyticsCompilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stage(op: String, params: (String, Any)*) =
+    AnalyticsStage(op, params.toMap)
+
+  test("validation accumulates: unknown op, missing params, bad SQL, bad enums") {
+    val errs = AnalyticsCompiler.validate(Seq(
+      stage("frobnicate"),
+      stage("corpus_clean", "idCol" -> "id"),              // missing textCol
+      stage("where", "condition" -> "SELEC broken ("),     // unparseable
+      stage("url_dedup", "idCol" -> "id", "urlCol" -> "u", "mode" -> "purge"),
+      stage("exact_dedup", "keys" -> Seq("k"), "keep" -> "newest")))
+    assert(errs.size == 5, errs.mkString("\n"))
+    assert(errs(0).contains("unknown op 'frobnicate'"))
+    assert(errs(1).contains("missing textCol"))
+    assert(errs(2).contains("bad condition"))
+    assert(errs(3).contains("mode 'purge'"))
+    assert(errs(4).contains("keep 'newest'"))
+  }
+
+  test("where/derive/select/aggregate stages compile to the plain relational plan") {
+    val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 1.0))
+      .toDF("id", "g", "v")
+    val out = AnalyticsCompiler(spark, df, Seq(
+      stage("where", "condition" -> "v > 2"),
+      stage("derive", "target" -> "v2", "expr" -> "v * 2"),
+      stage("aggregate", "groupBy" -> Seq("g"),
+        "aggs" -> Map("n" -> "COUNT(*)", "sum_v2" -> "SUM(v2)")),
+      stage("select", "cols" -> Seq("g", "n", "sum_v2"))))
+    val got = out.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((2L, 60.0)), "b" -> ((1L, 10.0))))
+  }
+
+  test("derive supports window expressions (partitioned — plan hygiene holds)") {
+    val df = Seq((1, "a", 3.0), (2, "a", 9.0), (3, "b", 4.0)).toDF("id", "g", "v")
+    val out = AnalyticsCompiler(spark, df, Seq(
+      stage("derive", "target" -> "rk",
+        "expr" -> "row_number() OVER (PARTITION BY g ORDER BY v DESC)"),
+      stage("where", "condition" -> "rk = 1")))
+    assert(out.select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("join stage: same-name keys, how and broadcast honored") {
+    val dims = Seq((1, "x"), (2, "y")).toDF("k", "name")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    dims.write.mode("overwrite").parquet(s"$tmp/dim.parquet")
+    val facts = Seq((1, 10.0), (1, 5.0), (2, 1.0), (3, 7.0)).toDF("k", "v")
+    val out = AnalyticsCompiler(spark, facts, Seq(
+      stage("join", "type" -> "parquet", "file" -> s"$tmp/dim.parquet",
+        "keys" -> Seq("k"), "how" -> "left", "broadcast" -> java.lang.Boolean.TRUE)))
+    assert(out.count() == 4)
+    assert(out.filter(col("name").isNull).select("k").as[Int].collect().toSeq == Seq(3))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("url stages: normalize adds the canonical column; dedup filter keeps keepers; blocklist drops") {
+    val df = Seq(
+      (1L, "http://WWW.a.com/x/"), (2L, "http://a.com/x"),
+      (3L, "http://bad.org/y"), (4L, "junk")).toDF("doc_id", "url")
+    val out = AnalyticsCompiler(spark, df, Seq(
+      stage("host_blocklist", "urlCol" -> "url", "blocked" -> Seq("bad.org")),
+      stage("url_normalize", "urlCol" -> "url"),
+      stage("url_dedup", "idCol" -> "doc_id", "urlCol" -> "url")))
+    // blocklist drops 3; url dedup collapses 1/2 to keeper 1; junk (null canonical) survives
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(out.columns.contains("canonical_url"))
+  }
+
+  test("text stages: quality gate filters, metrics add columns, exact dedup keeps first") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the quiet river bank today."),
+      (2L, "The quick brown fox jumps over the lazy dog near the quiet river bank today."),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = AnalyticsCompiler(spark, df, Seq(
+      stage("quality_gate", "textCol" -> "text", "minQuality" -> 0.35),
+      stage("text_metrics", "textCol" -> "text"),
+      stage("exact_dedup", "keys" -> Seq("text"))))
+    val rows = out.select("doc_id").as[Long].collect().toSet
+    assert(rows == Set(1L)) // 3 fails quality; 2 is an exact dup of 1
+    assert(Seq("quality", "lang_pred", "n_tokens").forall(out.columns.contains))
+  }
+
+  test("YAML fixture through cli.Main end to end: quality gate -> dedup -> parquet out") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pb_e2e").toString
+    Seq(
+      (1L, "en", "The quick brown fox jumps over the lazy dog near the river bank."),
+      (2L, "en", "The quick brown fox jumps over the lazy dog near the river bank."),
+      (3L, "en", "Completely different sentence about shipping modes and freight costs."),
+      (4L, "xx", "zzzz")
+    ).toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$tmp/docs.parquet")
+    val yaml = s"""
+      |source:
+      |  type: parquet
+      |  file: $tmp/docs.parquet
+      |destination:
+      |  type: parquet
+      |  file: $tmp/out.parquet
+      |analytics:
+      |  - op: quality_gate
+      |    textCol: text
+      |    minQuality: 0.35
+      |  - op: exact_dedup
+      |    keys: [text]
+      |  - op: derive
+      |    target: n_chars
+      |    expr: "length(text)"
+      |""".stripMargin
+    val cfg = s"$tmp/playbook.yaml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfg),
+      yaml.getBytes("UTF-8"))
+    graft.cli.Main.run(spark, graft.cli.Main.Args(config = cfg))
+    val out = spark.read.parquet(s"$tmp/out.parquet")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(out.columns.contains("n_chars") && out.columns.contains("quality"))
+  }
+
+  test("invalid analytics YAML fails at load with accumulated stage errors") {
+    val yaml = """
+      |source: {type: parquet, file: /tmp/in.parquet}
+      |destination: {type: parquet, file: /tmp/out.parquet}
+      |analytics:
+      |  - op: aggregate
+      |  - op: mystery
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](PlaybookLoader.fromString(yaml))
+    assert(e.getMessage.contains("missing aggs"))
+    assert(e.getMessage.contains("unknown op 'mystery'"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.Cross
+
+/**
+ * Registry-wide plan-hygiene sweep (VERDICT r9 ask #4): compile EVERY
+ * registered query against sf0.001 and assert the standing invariants
+ * the per-operator specs established one at a time:
+ *
+ *  1. no partition-less Window — the class `ops/Cumulative` exists to
+ *     eliminate (a bare `Window.orderBy` moves the WHOLE relation
+ *     into one task; a foldable partition spec like `lit("all")`
+ *     constant-folds into the same trap, which is why the check runs
+ *     on the OPTIMIZED plan where only the surviving non-foldable
+ *     expressions remain);
+ *  2. no unbounded cartesian product — a Cross/condition-less join is
+ *     only acceptable when one side carries an explicit broadcast
+ *     hint (the documented one-row-bounds pattern: a 1-row aggregate
+ *     broadcast against the corpus).
+ *
+ * The sweep inspects the optimized LOGICAL plan, so it costs one
+ * analysis+optimization pass per query, not an execution — queries
+ * whose CONSTRUCTION runs bounded driver-side fits (MLlib LR, sampled
+ * codebooks, BPE merge loop) still run those, which at sf0.001 keeps
+ * the sweep in test-suite budget.
+ */
+class PlanHygieneSweepSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Documented brute-force cosine baselines: their pair generator is
+    * an intentional conditioned cross join (`cos(a,b) >= t, id_a <
+    * id_b`) — the exact-oracle instantiation the scale paths (LSH /
+    * IVF / banded) are verified against (see the "oracle baseline, not
+    * a perf claim" scaladoc at each site). Everything else in the
+    * registry must justify a cartesian with a broadcast hint or a
+    * provably one-row side. */
+  private val bruteForceBaselines = Set(
+    "q_llm_cosine_neardup", "q_llm_pagerank_dups", "q_llm_triangles",
+    "q_llm_link_pred")
+
+  private def windowViolations(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: LWindow if w.partitionSpec.forall(_.foldable) =>
+        s"partition-less Window (spec=${w.partitionSpec.mkString(",")})"
+    }
+
+  private def cartesianViolations(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case j: Join if j.condition.isEmpty || j.joinType == Cross =>
+        val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined)
+        // a broadcast-hinted cross join is the documented one-row-bounds
+        // pattern; a 1-row LocalRelation/aggregate side is equally bounded
+        // even when the hint was folded away
+        val oneRowSide = Seq(j.left, j.right).exists(side =>
+          side.maxRows.exists(_ <= 1))
+        if (hinted || oneRowSide) None
+        else Some(s"unhinted cartesian join (${j.joinType})")
+    }.flatten
+
+  test("every registered query: no partition-less Window, no unhinted cartesian") {
+    graft.functions.Registry.ensure(spark)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.queries.Queries.all.foreach { q =>
+      try {
+        val df = q.fn(spark, sfDir)
+        val plan = df.queryExecution.optimizedPlan
+        val cart =
+          if (bruteForceBaselines(q.name)) Nil else cartesianViolations(plan)
+        (windowViolations(plan) ++ cart).foreach { v =>
+          failures += s"${q.name}: $v"
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"${q.name}: failed to compile plan: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+      } finally CachedRelations.releaseAll()
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} plan-hygiene violations:\n  " + failures.mkString("\n  "))
+  }
+}
