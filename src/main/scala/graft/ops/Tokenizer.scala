@@ -112,6 +112,21 @@ object Tokenizer {
   }
 
   /**
+   * Column face of the native min-rank encoder
+   * ([[graft.expr.BpeEncode]]): array<string> BPE tokens of `word`
+   * under the learned merge table. Equivalent to [[applyMerges]]
+   * (spec-pinned) but O(firing-merges · len) per word instead of
+   * O(tableSize · len) — the production path once tables reach the
+   * 1k+ merges a real tokenizer carries. Codegen-native: the rank
+   * table rides in as a referenced object, one call per row.
+   */
+  def bpeEncodeCol(word: org.apache.spark.sql.Column,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.BpeEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(word), merges))
+
+  /**
    * Corpus-wide BPE segmentation statistics on the VOCABULARY relation:
    * (word, freq, n_tokens, n_chars). The same scale split as training —
    * the corpus-volume stage is the word-frequency count (one map-side-
@@ -149,14 +164,18 @@ object Tokenizer {
    * choice.
    */
   def bpeFertility(df: DataFrame, textCol: String, sourceCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   nativeEncode: Boolean = false): DataFrame = {
     val m = merges.toIndexedSeq
     val nTok = udf((w: String) => applyMerges(w, m).length)
     val sw = df.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val tokLen =
+      if (nativeEncode) size(bpeEncodeCol(col("w"), m))
+      else nTok(col("w"))
     val enc = sw.select(col("w")).distinct()
-      .withColumn("n_tok", nTok(col("w")).cast("long"))
+      .withColumn("n_tok", tokLen.cast("long"))
       .withColumn("n_chr", length(col("w")).cast("long"))
     sw.join(enc, "w")
       .groupBy(col("source"))

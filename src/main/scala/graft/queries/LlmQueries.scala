@@ -466,6 +466,24 @@ object LlmQueries {
       },
       None),
 
+    // Tokenizer encode at production table size (r10): 1000 learned
+    // merges applied through the NATIVE min-rank encoder
+    // (expr/BpeExprs — O(firing-merges·len) per word vs applyMerges'
+    // O(tableSize·len) rescan; equivalence spec-pinned in
+    // BpeEncodeSpec) over the full fertility pipeline. Rows-only like
+    // the other iterative-BPE queries; the 40-merge UDF twin above
+    // stays as the contract instantiation.
+    Q("q_llm_bpe_encode_1k",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bpeTrain(docs, "text", numMerges = 1000)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Tokenizer.bpeFertility(docs, "text", "source", merges,
+          nativeEncode = true)
+      },
+      None),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -1755,6 +1773,26 @@ object LlmQueries {
           train = docs.filter(col("doc_id") % 2 === 0))
       },
       Some(LlmOracles.bigramPpl)),
+
+    // OOV-tail instantiation of the reference-trained bigram LM (r10):
+    // the synthetic corpus shares ~100% of its vocabulary across docs,
+    // so no train/test split can produce unseen mass — instead the
+    // SCORED stream is deterministically mutated (2 of every 3 tokens
+    // get a 'zzqq' prefix absent from the corpus) while training stays
+    // unmutated. >60% of scored words AND contexts are then unseen,
+    // pinning the add-one unigram floor and the zero-bigram fallback
+    // AT VOLUME against the oracle, not just in the closed-form spec.
+    Q("q_llm_bigram_ppl_oov",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mutated = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), array_join(
+            transform(TextAnalysis.tokens(col("text")),
+              (tok, i) => when(i % 3 =!= 0, concat(lit("zzqq"), tok)).otherwise(tok)),
+            " ").as("text"))
+        TextAnalysis.bigramLogProbRef(mutated, "doc_id", "text", train = docs)
+      },
+      Some(LlmOracles.bigramPplOov)),
 
     // Corpus datasheet (r9): the per-(source, lang) data card —
     // volumes, corpus-wide exact-dup rate attributed per cell, mean
@@ -3139,6 +3177,50 @@ object LlmOracles {
     WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
       FROM documents WHERE text IS NOT NULL),
     td AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    uni AS (SELECT tok AS term, COUNT(*) AS cu FROM
+      (SELECT unnest(toks) AS tok FROM td) GROUP BY 1),
+    nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+    ttr AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM
+      (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM td) x),
+    big AS (SELECT prev, cur, COUNT(*) AS cab FROM ttr GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca FROM big GROUP BY 1),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(cu, 0) + 1) / CAST(n + v AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS cur FROM d) ft
+      LEFT JOIN uni ON uni.term = ft.cur CROSS JOIN nv),
+    str AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS cur FROM
+      (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM d) y),
+    ts AS (SELECT doc_id,
+        CAST(floor(-ln(
+          0.9 * (CASE WHEN coalesce(ca, 0) > 0
+                 THEN coalesce(cab, 0) / CAST(ca AS DOUBLE) ELSE 0.0 END)
+          + 0.1 * ((coalesce(cu, 0) + 1) / CAST(n + v AS DOUBLE)))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM str
+      LEFT JOIN big ON big.prev = str.prev AND big.cur = str.cur
+      LEFT JOIN ctx ON ctx.prev = str.prev
+      LEFT JOIN uni ON uni.term = str.cur CROSS JOIN nv),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
+
+  /** Oracle of q_llm_bigram_ppl_oov: training counts over the
+    * UNMUTATED corpus, scoring over the zzqq-mutated token stream
+    * (token i, 0-based, prefixed when i % 3 != 0 — the same
+    * `transform` lambda the Spark side applies), so >60% of scored
+    * words/contexts are provably unseen and both fallback branches
+    * carry the bulk of the mass. */
+  val bigramPplOov: String = """
+    WITH d0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id,
+        list_transform(range(len(toks)),
+          i -> CASE WHEN i % 3 != 0 THEN 'zzqq' || toks[i+1] ELSE toks[i+1] END) AS toks
+      FROM d0),
+    td AS (SELECT * FROM d0),
     uni AS (SELECT tok AS term, COUNT(*) AS cu FROM
       (SELECT unnest(toks) AS tok FROM td) GROUP BY 1),
     nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
