@@ -51,7 +51,8 @@ object Bench {
       // playbook result-twins of already-benched plans (the YAML adds a
       // parse, not a plan): corpus_clean md5 / url_dedup / datasheet.
       // q_playbook_join_agg and q_playbook_window are NEW plans — benched.
-      "q_playbook_corpus_clean", "q_playbook_url_dedup", "q_playbook_datasheet")
+      "q_playbook_corpus_clean", "q_playbook_url_dedup", "q_playbook_datasheet",
+      "q_playbook_split")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

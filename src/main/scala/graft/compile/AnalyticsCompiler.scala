@@ -52,6 +52,9 @@ object AnalyticsCompiler {
       "idCol urlCol [mode=filter|verdicts] — canonical-URL dedup; filter keeps only keepers, verdicts returns the verdict relation"),
     "host_blocklist" -> (Seq("urlCol", "blocked"), "urlCol blocked[] — drops rows whose host is a blocked domain or subdomain"),
     "datasheet"      -> (Seq("sourceCol", "langCol", "textCol"), "sourceCol langCol textCol — per-(source,lang) corpus data card"),
+    "split"          -> (Seq("keyCol"), "keyCol [trainPct=90 valPct=5] — adds a deterministic hash-bucket train/val/test `split` column"),
+    "sample"         -> (Seq("keyCol", "pct"), "keyCol pct — keeps a deterministic pct% sample by key hash"),
+    "sessionize"     -> (Seq("keyCol", "tsCol"), "keyCol tsCol [gapSeconds=3600 tiebreak=[]] — gap-based session ids"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
     "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
     "select"         -> (Seq("cols"), "cols[] — projection"),
@@ -67,7 +70,14 @@ object AnalyticsCompiler {
         case None =>
           errs += s"analytics[$i]: unknown op '${st.op}' (known: ${ops.keys.toSeq.sorted.mkString(", ")})"
         case Some((required, usage)) =>
-          val missing = required.filterNot(st.params.contains)
+          // a required list/map param present but EMPTY is as missing as
+          // an absent one — fail at load, not with an opaque runtime error
+          val listParams = Set("keys", "cols", "blocked", "langs")
+          val missing = required.filter { k =>
+            if (k == "aggs") strMap(st.params, k).isEmpty
+            else if (listParams(k)) strs(st.params, k).isEmpty
+            else !st.params.contains(k)
+          }
           if (missing.nonEmpty)
             errs += s"analytics[$i] (${st.op}): missing ${missing.mkString(", ")} — usage: $usage"
           // SQL expression params must parse at load time — expr() is
@@ -154,6 +164,18 @@ object AnalyticsCompiler {
       case "datasheet" =>
         TextAnalysis.corpusDatasheet(df,
           str(p, "sourceCol").get, str(p, "langCol").get, str(p, "textCol").get)
+      case "split" =>
+        graft.ops.Sampling.withSplit(df, str(p, "keyCol").get,
+          trainPct = int(p, "trainPct").getOrElse(90),
+          valPct = int(p, "valPct").getOrElse(5))
+      case "sample" =>
+        graft.ops.Sampling.deterministicSample(df, str(p, "keyCol").get,
+          int(p, "pct").get)
+      case "sessionize" =>
+        graft.ops.Sessions.sessionize(df, str(p, "keyCol").get,
+          str(p, "tsCol").get,
+          gapSeconds = int(p, "gapSeconds").getOrElse(3600).toLong,
+          tiebreak = strs(p, "tiebreak"))
       case "where" =>
         df.filter(expr(str(p, "condition").get))
       case "derive" =>

@@ -130,6 +130,34 @@ object PlaybookQueries {
         WHERE o_orderstatus = 'O'
         GROUP BY c_mktsegment""")),
 
+    // Deterministic train/val/test split + rollup from config — the
+    // same md5 hash-bucket contract as q_llm_split, same oracle shape.
+    Q("q_playbook_split",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: select
+        |    cols: [doc_id, lang]
+        |  - op: split
+        |    keyCol: doc_id
+        |  - op: aggregate
+        |    groupBy: [split, lang]
+        |    aggs:
+        |      n: "COUNT(*)"
+        |""".stripMargin),
+      Some("""WITH b AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split, lang, COUNT(*) AS n
+        FROM b GROUP BY 1, 2""")),
+
     // Window functions from config: top line per order by quantity —
     // the "windows exposed in the playbook schema" promise, verified.
     Q("q_playbook_window",

@@ -90,6 +90,30 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(Seq("quality", "lang_pred", "n_tokens").forall(out.columns.contains))
   }
 
+  test("split/sample/sessionize stages wrap the sampling and session operators") {
+    val df = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+    val split = AnalyticsCompiler(spark, df, Seq(stage("split", "keyCol" -> "id")))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 200 && counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 150) // ~90%
+    val sampled = AnalyticsCompiler(spark, df, Seq(
+      stage("sample", "keyCol" -> "id", "pct" -> 10)))
+    val n = sampled.count()
+    assert(n > 0 && n < 60) // ~10% deterministic
+    assert(sampled.count() == n) // rerun-stable
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 05:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDF("uid", "ts")
+    val sess = AnalyticsCompiler(spark, ev, Seq(
+      stage("sessionize", "keyCol" -> "uid", "tsCol" -> "ts")))
+    val got = sess.groupBy("uid").agg(max("session_idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L)) // the 5h gap opens session 2
+  }
+
   test("YAML fixture through cli.Main end to end: quality gate -> dedup -> parquet out") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pb_e2e").toString
     Seq(
