@@ -56,6 +56,20 @@ object Main {
 
     val compiled = PipelineCompiler.compile(spark, pb, EngineConfig(fipsMode = args.fips))
 
+    if (pb.source.streaming) {
+      // streaming mode (validator enforced: parquet/jsonl, checkpoint,
+      // skip errors, streaming-safe stages). One invocation = one
+      // AvailableNow catch-up pass with exactly-once checkpointing.
+      if (args.dryRun) {
+        println("[dry-run] streaming pipeline (no sink started); output schema:")
+        compiled.main.schema.fields.foreach(f =>
+          println(s"[dry-run]   ${f.name}: ${f.dataType.simpleString}"))
+        return
+      }
+      graft.io.Writers.writeStream(compiled.main, pb.destination)
+      return
+    }
+
     if (args.dryRun) {
       // dry-run: no load; log a 5-record masked sample (app.go:174-177)
       println("[dry-run] sample of up to 5 output records:")

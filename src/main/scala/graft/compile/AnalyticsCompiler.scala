@@ -123,7 +123,8 @@ object AnalyticsCompiler {
           .withColumn("lang_pred", TextAnalysis.langId(t))
           .withColumn("n_tokens", TextAnalysis.tokenCount(t))
       case "exact_dedup" =>
-        Dedup.byIngestOrder(df, strs(p, "keys"),
+        if (df.isStreaming) df.dropDuplicates(strs(p, "keys")) // first arrival
+        else Dedup.byIngestOrder(df, strs(p, "keys"),
           keepFirst = !str(p, "keep").contains("last"))
       case "near_dup_dedup" =>
         val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)

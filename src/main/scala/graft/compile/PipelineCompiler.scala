@@ -81,7 +81,13 @@ object PipelineCompiler {
     // app.go:98 writes the ORIGINAL record alongside the message).
     // Relative order of surviving rows equals ingest order, so dedup
     // first/last semantics are unchanged by filtering first.
-    var df = Dedup.withIngestSeq(filtered, SEQ)
+    // Streaming: monotonically_increasing_id is not stream-executable
+    // and dedup runs as dropDuplicates (first ARRIVAL, the streaming
+    // statement of "first in ingest order") — the seq column is a
+    // placeholder there.
+    val streaming = src.isStreaming
+    var df = (if (streaming) filtered.withColumn(SEQ, lit(null).cast(StringType))
+              else Dedup.withIngestSeq(filtered, SEQ))
       .withColumn(ORIG, struct(srcCols.map(col): _*))
       .withColumn(ERR, lit(null).cast(StringType))
 
@@ -139,12 +145,20 @@ object PipelineCompiler {
 
     // ---- DEDUPLICATION (§2.5) ----
     pb.dedup.foreach { d =>
-      main = main.withColumnRenamed(SEQ, "_seq") // Dedup ops consume "_seq"
-      main = d.strategy match {
-        case "last" => Dedup.byIngestOrder(main, d.keys, keepFirst = false)
-        case "min"  => Dedup.byExtreme(main, d.keys, d.strategyField.get, max = false)
-        case "max"  => Dedup.byExtreme(main, d.keys, d.strategyField.get, max = true)
-        case _      => Dedup.byIngestOrder(main, d.keys, keepFirst = true)
+      if (streaming) {
+        // validator guarantees strategy == "first"; dropDuplicates on
+        // a stream keeps the first arrival per key (unbounded state —
+        // the batch operators remain the bounded-state tool for
+        // full-corpus dedup)
+        main = main.dropDuplicates(d.keys)
+      } else {
+        main = main.withColumnRenamed(SEQ, "_seq") // Dedup ops consume "_seq"
+        main = d.strategy match {
+          case "last" => Dedup.byIngestOrder(main, d.keys, keepFirst = false)
+          case "min"  => Dedup.byExtreme(main, d.keys, d.strategyField.get, max = false)
+          case "max"  => Dedup.byExtreme(main, d.keys, d.strategyField.get, max = true)
+          case _      => Dedup.byIngestOrder(main, d.keys, keepFirst = true)
+        }
       }
     }
 

@@ -34,7 +34,12 @@ case class Playbook(
  */
 case class AnalyticsStage(op: String, params: Map[String, Any] = Map.empty)
 
-/** types.go:67-101 — `type` in {csv,json,xlsx,xml,yaml,postgres,parquet}. */
+/** types.go:67-101 — `type` in {csv,json,xlsx,xml,yaml,postgres,parquet}.
+  * `streaming: true` (extension) compiles the pipeline over
+  * `readStream` instead of a batch scan — parquet/jsonl sources only
+  * (the splittable formats Structured Streaming monitors as file
+  * sources); schema comes from a one-time static read of the same
+  * path. */
 case class SourceConfig(
     `type`: String,
     file: String = "",
@@ -44,7 +49,8 @@ case class SourceConfig(
     commentChar: Option[String] = None,   // csv
     sheetName: Option[String] = None,     // xlsx
     sheetIndex: Option[Int] = None,       // xlsx
-    xmlRecordTag: Option[String] = None)  // xml
+    xmlRecordTag: Option[String] = None,  // xml
+    streaming: Boolean = false)
 
 /** types.go:104-142. */
 case class DestinationConfig(
@@ -57,7 +63,8 @@ case class DestinationConfig(
     xmlRecordTag: Option[String] = None,
     xmlRootTag: Option[String] = None,
     sheetName: Option[String] = None,
-    partitionBy: Seq[String] = Seq.empty)         // parquet layout at scale
+    partitionBy: Seq[String] = Seq.empty,         // parquet layout at scale
+    checkpoint: String = "")                      // streaming sink state dir
 
 /** types.go:118-141 — one projection/transform rule. */
 case class MappingRule(

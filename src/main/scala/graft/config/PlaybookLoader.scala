@@ -61,7 +61,8 @@ object PlaybookLoader {
     sheetName = str(m, "sheetName"),
     sheetIndex = int(m, "sheetIndex"),
     xmlRecordTag = str(m, "xmlRecordTag"),
-    conn = str(m, "conn").getOrElse(""))
+    conn = str(m, "conn").getOrElse(""),
+    streaming = bool(m, "streaming", dflt = false))
 
   private def destOf(m: Map[String, Any]) = DestinationConfig(
     `type` = str(m, "type").getOrElse("").toLowerCase,
@@ -76,7 +77,8 @@ object PlaybookLoader {
     partitionBy = m.get("partitionBy") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
       case _ => Seq.empty
-    })
+    },
+    checkpoint = str(m, "checkpoint").getOrElse(""))
 
   private def ruleOf(m: Map[String, Any]) = MappingRule(
     source = str(m, "source").getOrElse(""),
@@ -113,7 +115,7 @@ object PlaybookLoader {
 /** Accumulated-error playbook validation (validation.go:52-688 shape). */
 object Validator {
 
-  private val sourceTypes = Set("csv", "json", "xlsx", "xml", "yaml", "postgres", "parquet")
+  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet")
   private val strategies = Set("first", "last", "min", "max")
   private val modes = Set("halt", "skip")
 
@@ -164,6 +166,33 @@ object Validator {
       errs += s"errorHandling.mode '${pb.errorHandling.mode}' not in halt,skip"
 
     errs ++= graft.compile.AnalyticsCompiler.validate(pb.analytics)
+
+    // streaming mode: the pipeline compiles over readStream, so every
+    // section must have a streaming-executable form — reject the rest
+    // at load with a reason, not at runtime with an AnalysisException
+    if (pb.source.streaming) {
+      if (!Set("parquet", "jsonl")(pb.source.`type`))
+        errs += s"streaming source.type '${pb.source.`type`}' not in parquet,jsonl (file-monitorable splittable formats)"
+      if (!Set("parquet", "jsonl")(pb.destination.`type`))
+        errs += s"streaming destination.type '${pb.destination.`type`}' not in parquet,jsonl"
+      if (pb.destination.checkpoint.isEmpty)
+        errs += "streaming destination.checkpoint is required (exactly-once sink state)"
+      pb.dedup.foreach { d =>
+        if (d.strategy != "first")
+          errs += s"streaming deduplication.strategy '${d.strategy}' unsupported — only 'first' (dropDuplicates keeps first arrival)"
+      }
+      if (pb.errorHandling.mode != "skip")
+        errs += "streaming errorHandling.mode must be 'skip' (a stream cannot halt on a future record)"
+      if (pb.errorHandling.errorFile.isDefined)
+        errs += "streaming errorFile is not supported (error records are dropped; route them with a second playbook filtering _err patterns)"
+      val streamSafe = Set("quality_gate", "lang_filter", "text_metrics",
+        "exact_dedup", "url_normalize", "host_blocklist", "where", "derive",
+        "select", "split", "sample", "join")
+      pb.analytics.zipWithIndex.foreach { case (st, i) =>
+        if (!streamSafe(st.op))
+          errs += s"analytics[$i]: op '${st.op}' is not streaming-executable (needs a full-corpus pass); streaming-safe ops: ${streamSafe.toSeq.sorted.mkString(", ")}"
+      }
+    }
     errs.toSeq
   }
 }

@@ -16,7 +16,28 @@ import scala.jdk.CollectionConverters._
  */
 object Readers {
 
-  def read(spark: SparkSession, src: SourceConfig): DataFrame = src.`type` match {
+  /** Streaming scan (source.streaming: true): parquet/jsonl file
+    * sources monitored by Structured Streaming. Schema comes from one
+    * static read of the same path — file-source streams require an
+    * explicit schema, and the path's existing files define it. */
+  def readStream(spark: SparkSession, src: SourceConfig): DataFrame = {
+    src.`type` match {
+      case "parquet" =>
+        val schema = spark.read.parquet(src.file).schema
+        spark.readStream.schema(schema).parquet(src.file)
+      case "jsonl" =>
+        val schema = spark.read.json(src.file).schema
+        spark.readStream.schema(schema).json(src.file)
+      case other =>
+        throw new IllegalArgumentException(
+          s"streaming source type '$other' unsupported (parquet, jsonl)")
+    }
+  }
+
+  def read(spark: SparkSession, src: SourceConfig): DataFrame =
+    if (src.streaming) readStream(spark, src) else readBatch(spark, src)
+
+  private def readBatch(spark: SparkSession, src: SourceConfig): DataFrame = src.`type` match {
     case "csv"     => readCsv(spark, src)
     case "json"    => spark.read.option("multiLine", "true").json(src.file)
     // newline-delimited JSON: the training-data interchange format.

@@ -17,6 +17,27 @@ import graft.transforms.Transforms
  */
 object Writers {
 
+  /** Streaming sink: parquet/jsonl file sinks with the mandatory
+    * checkpoint, Trigger.AvailableNow — process everything currently
+    * available, then stop. That makes one CLI invocation a bounded
+    * catch-up run (the production incremental-ingest pattern) while
+    * the checkpoint gives exactly-once across invocations. */
+  def writeStream(df: DataFrame, dest: DestinationConfig): Unit = {
+    val fmt = dest.`type` match {
+      case "parquet" => "parquet"
+      case "jsonl"   => "json"
+      case other => throw new IllegalArgumentException(
+        s"streaming destination type '$other' unsupported (parquet, jsonl)")
+    }
+    val w = df.writeStream.format(fmt)
+      .option("checkpointLocation", dest.checkpoint)
+      .option("path", dest.file)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    (if (dest.partitionBy.nonEmpty) w.partitionBy(dest.partitionBy: _*) else w)
+      .start().awaitTermination()
+  }
+
   def write(df: DataFrame, dest: DestinationConfig): Unit = dest.`type` match {
     case "csv"     => writeCsv(df, dest.file)
     case "json"    => writeJsonArray(df, dest.file)
