@@ -34,17 +34,22 @@ object Multimodal {
   case class ImageData(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
   /**
-   * REAL decode for the codec-free binary netpbm formats — P5
-   * (grayscale) and P6 (RGB), maxval ≤ 255: magic, whitespace/comment
-   * tokens, width/height/maxval header, then raw samples. Pure byte
-   * parsing, no library. Returns None for anything else (incl.
-   * compressed formats — see [[decodeImage]]).
+   * REAL decode for the codec-free netpbm formats — binary P5
+   * (grayscale) / P6 (RGB) and ASCII P2 / P3, maxval ≤ 255: magic,
+   * whitespace/comment tokens, width/height/maxval header, then raw
+   * bytes (P5/P6) or whitespace-separated decimal samples (P2/P3).
+   * Pure byte parsing, no library; untrusted-bytes contract — a digit
+   * run longer than 9 chars or dimensions whose product overflows an
+   * Int return None instead of throwing. Returns None for anything
+   * else (incl. compressed formats — see [[decodeImage]]).
    */
   def decodeNetpbm(bytes: Array[Byte]): Option[ImageData] = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
-    val channels = bytes(1) match {
-      case '5' => 1
-      case '6' => 3
+    val (channels, ascii) = bytes(1) match {
+      case '2' => (1, true)
+      case '3' => (3, true)
+      case '5' => (1, false)
+      case '6' => (3, false)
       case _   => return None
     }
     var i = 2
@@ -57,17 +62,58 @@ object Multimodal {
       }
       val start = i
       while (i < bytes.length && bytes(i).toChar.isDigit) i += 1
-      if (i == start) None else Some(new String(bytes, start, i - start).toInt)
+      // a crafted 10+-digit run would throw NumberFormatException
+      if (i == start || i - start > 9) None
+      else Some(new String(bytes, start, i - start).toInt)
     }
     for {
       w <- nextInt(); h <- nextInt(); maxval <- nextInt()
       if maxval > 0 && maxval <= 255 && w > 0 && h > 0
-      // exactly ONE whitespace byte separates header from samples
-      if i < bytes.length && bytes(i).toChar.isWhitespace
-      n = w * h * channels
-      if bytes.length - (i + 1) >= n
-    } yield ImageData(w, h, channels,
-      java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + n))
+      nL = w.toLong * h * channels
+      if nL <= Int.MaxValue
+      n = nL.toInt
+      pixels <- {
+        if (ascii) {
+          // whitespace-separated decimal samples; each must exist and
+          // fit the declared maxval
+          val out = new Array[Byte](n)
+          var k = 0
+          var ok = true
+          while (ok && k < n) {
+            nextInt() match {
+              case Some(v) if v >= 0 && v <= maxval => out(k) = v.toByte; k += 1
+              case _ => ok = false
+            }
+          }
+          if (ok) Some(out) else None
+        } else if (i < bytes.length && bytes(i).toChar.isWhitespace &&
+          bytes.length - (i + 1) >= n) {
+          // exactly ONE whitespace byte separates header from raw samples
+          Some(java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + n))
+        } else None
+      }
+    } yield ImageData(w, h, channels, pixels)
+  }
+
+  /** Synthesize a P2 (ASCII grayscale) image with [[synthPgm]]'s exact
+    * pixel pattern — (x+y+seed) mod 256 — so the two share an oracle. */
+  def synthPgmAscii(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val sb = new StringBuilder(s"P2\n# ascii fixture\n$w $h\n255\n")
+    for (y <- 0 until h; x <- 0 until w)
+      sb.append(((x + y + seed) % 256 + 256) % 256).append(if (x == w - 1) "\n" else " ")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** Synthesize a P3 (ASCII RGB) image with the same per-pixel value in
+    * all three channels — luma sums are exactly 3× the P2 fixture's. */
+  def synthPpmAscii(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val sb = new StringBuilder(s"P3\n$w $h\n255\n")
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x + y + seed) % 256 + 256) % 256
+      sb.append(v).append(' ').append(v).append(' ').append(v)
+        .append(if (x == w - 1) "\n" else " ")
+    }
+    sb.toString.getBytes("US-ASCII")
   }
 
   /** Nearest-neighbor resize (the batched-preprocessing primitive). */
@@ -199,10 +245,24 @@ object Multimodal {
   /** A decoded PCM clip: interleaved 16-bit samples. */
   case class AudioData(channels: Int, sampleRate: Int, samples: Array[Short])
 
+  /** G.711 μ-law byte → 16-bit linear sample (the Sun/CCITT
+    * ulaw2linear reference arithmetic): complement, split into
+    * sign/exponent/mantissa, expand with the 0x84 bias. Max magnitude
+    * ±32124; 0xFF decodes to 0. */
+  def ulawToLinear(u: Byte): Short = {
+    val b = (~u) & 0xff
+    var t = ((b & 0x0f) << 3) + 0x84
+    t <<= (b >> 4) & 0x07
+    (if ((b & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
   /**
-   * REAL decode for canonical PCM WAV (RIFF/WAVE, fmt audioFormat=1,
-   * 16-bit) — pure byte parsing of the chunk structure, no codec.
-   * Compressed audio (MP3/AAC/FLAC) would need codecs absent here.
+   * REAL decode for canonical WAV (RIFF/WAVE): fmt audioFormat=1
+   * 16-bit linear PCM, or audioFormat=7 8-bit G.711 μ-law (telephony
+   * audio — the one "compressed" family that needs arithmetic, not a
+   * codec library; expanded through [[ulawToLinear]]). Pure byte
+   * parsing of the chunk structure. Other compressed audio (MP3/AAC/
+   * FLAC) would need codecs absent here.
    */
   def decodeWav(bytes: Array[Byte]): Option[AudioData] = {
     def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
@@ -216,22 +276,28 @@ object Multimodal {
     // infinite loop or index out of bounds — contract is None on
     // anything malformed.
     var iL = 12L
-    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
     while (iL + 8 <= bytes.length) {
       val i = iL.toInt
       val id = tag(i); val size = le32(i + 4)
       if (size < 0) return None
       if (id == "fmt " && size >= 16 && iL + 8 + 16 <= bytes.length) {
-        if (le16(i + 8) != 1) return None // PCM only
-        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+        val f = le16(i + 8)
+        if (f != 1 && f != 7) return None // linear PCM or μ-law only
+        fmt = Some((f, le16(i + 10), le32(i + 12), le16(i + 22)))
       } else if (id == "data") {
-        return fmt.collect { case (ch, rate, bits)
-            if bits == 16 && ch > 0 && iL + 8 + size <= bytes.length =>
-          val n = size / 2
-          val out = new Array[Short](n)
-          var k = 0
-          while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
-          AudioData(ch, rate, out)
+        return fmt.collect {
+          case (1, ch, rate, 16) if ch > 0 && iL + 8 + size <= bytes.length =>
+            val n = size / 2
+            val out = new Array[Short](n)
+            var k = 0
+            while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
+            AudioData(ch, rate, out)
+          case (7, ch, rate, 8) if ch > 0 && iL + 8 + size <= bytes.length =>
+            val out = new Array[Short](size)
+            var k = 0
+            while (k < size) { out(k) = ulawToLinear(bytes(i + 8 + k)); k += 1 }
+            AudioData(ch, rate, out)
         }
       }
       iL += 8L + size + (size & 1) // chunks are word-aligned
@@ -324,6 +390,27 @@ object Multimodal {
     var k = 0
     while (k < nSamples) {
       bb.putShort(((((k * 7 + seed) % 65536 + 65536) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Synthesize a mono 8-bit G.711 μ-law WAV (audioFormat=7): code
+    * byte i = (i·7+seed) mod 256 — the decoded samples are
+    * `ulawToLinear` of a closed-form byte stream, restatable in
+    * oracle SQL as pure integer arithmetic. */
+  def synthUlawWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var k = 0
+    while (k < nSamples) {
+      bb.put(((((k * 7 + seed) % 256 + 256) % 256) & 0xff).toByte)
       k += 1
     }
     bb.array()

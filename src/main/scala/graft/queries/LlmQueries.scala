@@ -959,6 +959,65 @@ object LlmQueries {
               FROM generate_series(0, 63) i(g)) AS BIGINT) AS sum_sq
         FROM documents""")),
 
+    // G.711 μ-law decode (r10): even docs carry an 8-bit μ-law WAV
+    // (audioFormat=7 — telephony audio, expanded through the CCITT
+    // arithmetic, no codec library), odd docs 16-bit linear PCM; one
+    // pipeline, both formats, the μ-law expansion restated as pure
+    // integer arithmetic in the oracle (parity over all 256 code
+    // bytes pinned in the spec).
+    Q("q_multimodal_ulaw",
+      (s, dir) => {
+        import s.implicits._
+        val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % 2 == 0) Multimodal.synthUlawWav(id, 64)
+              else Multimodal.synthWav(id, 64)
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.audioFeatures(clips, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 1 AS channels, 16000 AS sample_rate,
+        64 AS n_samples, true AS decoded,
+        CAST(list_sum(list_transform(
+          list_transform(generate_series(0, 63), g ->
+            CASE WHEN doc_id % 2 = 0 THEN
+              CASE WHEN 255 - ((g * 7 + doc_id) % 256) >= 128
+                THEN 132 - ((((255 - ((g * 7 + doc_id) % 256)) & 15) * 8 + 132)
+                            << (((255 - ((g * 7 + doc_id) % 256)) >> 4) & 7))
+                ELSE ((((255 - ((g * 7 + doc_id) % 256)) & 15) * 8 + 132)
+                      << (((255 - ((g * 7 + doc_id) % 256)) >> 4) & 7)) - 132 END
+            ELSE (g * 7 + doc_id) % 65536 - 32768 END),
+          s -> s * s)) AS BIGINT) AS sum_sq
+        FROM documents""")),
+
+    // ASCII netpbm decode (r10): P2 / P3 ASCII-sample rasters next to
+    // the binary P5 — all three share one closed-form oracle (the P3
+    // writes the same value in all three channels, so its luma sum is
+    // exactly 3×).
+    Q("q_multimodal_ascii_pnm",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = (id % 3) match {
+              case 0 => Multimodal.synthPgmAscii(id, 5, 4)
+              case 1 => Multimodal.synthPpmAscii(id, 5, 4)
+              case _ => Multimodal.synthPgm(id, 5, 4)
+            }
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 5 AS width, 4 AS height,
+        CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END AS channels,
+        TRUE AS decoded,
+        CAST((CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END) *
+          list_sum(list_transform(generate_series(0, 3),
+            y -> list_sum(list_transform(generate_series(0, 4),
+              x -> (x + y + doc_id) % 256)))) AS BIGINT) AS sum_luma
+        FROM documents""")),
+
     // Dominant-frequency detection: each doc gets a synthesized sine
     // at a probe-bank frequency chosen by doc_id (integer cycle counts
     // at 256 samples/16 kHz, so the Goertzel peak IS the synth bin) —

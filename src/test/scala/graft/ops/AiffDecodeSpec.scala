@@ -50,6 +50,27 @@ class AiffDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodePcm(ok).get.samples.length == 4)
   }
 
+  test("μ-law WAV: CCITT expansion, extremes, dispatch, rejects") {
+    // reference anchors of the Sun/CCITT table
+    assert(Multimodal.ulawToLinear(0x00.toByte) == -32124)
+    assert(Multimodal.ulawToLinear(0xFF.toByte) == 0)
+    assert(Multimodal.ulawToLinear(0x7F.toByte) == 0)
+    assert(Multimodal.ulawToLinear(0x80.toByte) == 32124)
+    // monotone within the positive half (codes 0x80..0xFF descend)
+    val pos = (0x80 to 0xFF).map(u => Multimodal.ulawToLinear(u.toByte).toInt)
+    assert(pos == pos.sorted.reverse)
+    val a = Multimodal.decodeWav(Multimodal.synthUlawWav(3L, 10)).get
+    assert((a.channels, a.sampleRate, a.samples.length) == ((1, 16000, 10)))
+    for (i <- 0 until 10)
+      assert(a.samples(i) ==
+        Multimodal.ulawToLinear((((i * 7 + 3L) % 256 + 256) % 256).toByte))
+    assert(Multimodal.decodePcm(Multimodal.synthUlawWav(1L, 4)).isDefined)
+    // μ-law declared with 16 bits, or linear with 8, rejects
+    val bad = Multimodal.synthUlawWav(1L, 4)
+    bad(34) = 16 // bitsPerSample 8 -> 16
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
   test("crafted chunk sizes / SSND offsets reject instead of hanging or throwing") {
     def putBe32(a: Array[Byte], i: Int, v: Int): Unit =
       for (k <- 0 to 3) a(i + k) = ((v >> (8 * (3 - k))) & 0xff).toByte

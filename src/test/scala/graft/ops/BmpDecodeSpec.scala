@@ -52,6 +52,26 @@ class BmpDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodeBmp("P5\n1 1\n255\nx".getBytes).isEmpty)
   }
 
+  test("ASCII netpbm (P2/P3): samples parse, comments skip, rejects are clean") {
+    val p2 = Multimodal.decodeNetpbm(Multimodal.synthPgmAscii(9L, 5, 4)).get
+    assert((p2.width, p2.height, p2.channels) == ((5, 4, 1)))
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((p2.pixels(y * 5 + x) & 0xff) == (x + y + 9) % 256)
+    val p3 = Multimodal.decodeNetpbm(Multimodal.synthPpmAscii(9L, 3, 2)).get
+    assert((p3.width, p3.height, p3.channels) == ((3, 2, 3)))
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      assert((p3.pixels((y * 3 + x) * 3 + c) & 0xff) == (x + y + 9) % 256)
+    // ASCII == binary for the same pattern
+    val bin = Multimodal.decodeNetpbm(Multimodal.synthPgm(9L, 5, 4)).get
+    assert(p2.pixels.toSeq == bin.pixels.toSeq)
+    // rejects: missing samples, sample > maxval, 10+-digit run
+    assert(Multimodal.decodeNetpbm("P2\n2 2\n255\n1 2 3".getBytes).isEmpty)
+    assert(Multimodal.decodeNetpbm("P2\n2 2\n255\n1 2 3 999".getBytes).isEmpty)
+    assert(Multimodal.decodeNetpbm("P2\n2 99999999999\n255\n1".getBytes).isEmpty)
+    // decodeRaster dispatches the ASCII family too
+    assert(Multimodal.decodeRaster(Multimodal.synthPpmAscii(1L, 2, 2)).get.channels == 3)
+  }
+
   test("overflow-crafted headers reject instead of throwing") {
     def putLe32(a: Array[Byte], i: Int, v: Int): Unit =
       for (k <- 0 to 3) a(i + k) = ((v >> (8 * k)) & 0xff).toByte

@@ -61,7 +61,24 @@ class PlanHygieneSweepSpec extends SparkTestBase {
         else Some(s"unhinted cartesian join (${j.joinType})")
     }.flatten
 
-  test("every registered query: no partition-less Window, no unhinted cartesian") {
+  /** Queries allowed to carry an interpreted Scala UDF, each with the
+    * reason the UDF is off the corpus-volume path:
+    *  - bpe_fertility / bpe_merges-family: the iterative merge
+    *    application runs on the DISTINCT-WORD relation
+    *    (vocabulary-bounded), not per corpus row; the 1k-merge
+    *    production path (`q_llm_bpe_encode_1k`) is the native
+    *    expression instead.
+    *  - the IVF ANN family: the two UDFs per plan are MLlib's
+    *    `array_to_vector` boundary adapter — the mandatory input
+    *    format for the KMeans codebook/cell fit on the ONE-TIME
+    *    index-build path; the per-candidate scoring path is native
+    *    codegen expressions (vec_dot / vec_dot_i8 / pq_adc).
+    */
+  private val udfAllowlist = Set("q_llm_bpe_fertility",
+    "q_llm_ann_ivf", "q_llm_ann_ivf8", "q_llm_ann_pq", "q_llm_ann_lookup",
+    "q_llm_knn_classify_ivf", "q_llm_margin_ivf")
+
+  test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.queries.Queries.all.foreach { q =>
@@ -70,7 +87,15 @@ class PlanHygieneSweepSpec extends SparkTestBase {
         val plan = df.queryExecution.optimizedPlan
         val cart =
           if (bruteForceBaselines(q.name)) Nil else cartesianViolations(plan)
-        (windowViolations(plan) ++ cart).foreach { v =>
+        val udfs =
+          if (udfAllowlist(q.name)) Nil
+          else plan.collect { case p =>
+            p.expressions.flatMap(_.collect {
+              case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+                s"interpreted ScalaUDF ${u.udfName.getOrElse("<anon>")}"
+            })
+          }.flatten
+        (windowViolations(plan) ++ cart ++ udfs).foreach { v =>
           failures += s"${q.name}: $v"
         }
       } catch {
