@@ -21,7 +21,14 @@ def main() -> int:
     while args:
         a = args.pop(0)
         if a == "--factor":
-            factor = float(args.pop(0))
+            if not args:
+                print(__doc__)
+                return 1
+            try:
+                factor = float(args.pop(0))
+            except ValueError:
+                print(__doc__)
+                return 1
         else:
             run_path = a
     base = json.loads(subprocess.check_output(

@@ -44,7 +44,7 @@ object AnalyticsCompiler {
     "text_metrics"   -> (Seq("textCol"), "textCol — adds quality, lang_pred, n_tokens columns"),
     "exact_dedup"    -> (Seq("keys"), "keys[] [keep=first|last] — exact dedup in ingest order"),
     "near_dup_dedup" -> (Seq("idCol", "textCol"),
-      "idCol textCol [threshold=0.7 shingleSize=5 numHashes=16 bands=4 portableHashing=false] — MinHash/LSH near-dup, canonical doc kept"),
+      "idCol textCol [threshold=0.7 shingleSize=5 numHashes=16 bands=4|auto portableHashing=false] — MinHash/LSH near-dup, canonical doc kept; bands=auto picks the S-curve plan for the threshold"),
     "corpus_clean"   -> (Seq("idCol", "textCol"),
       "idCol textCol [minQuality=0.3 langs=[] threshold=0.7 shingleSize=5 numHashes=16 bands=4 portableHashing=false] — quality gate -> exact dedup -> near-dup"),
     "url_normalize"  -> (Seq("urlCol"), "urlCol [target=canonical_url] — adds the canonical URL column"),
@@ -70,13 +70,18 @@ object AnalyticsCompiler {
         case None =>
           errs += s"analytics[$i]: unknown op '${st.op}' (known: ${ops.keys.toSeq.sorted.mkString(", ")})"
         case Some((required, usage)) =>
-          // a required list/map param present but EMPTY is as missing as
-          // an absent one — fail at load, not with an opaque runtime error
+          // required params are checked with the SAME typed decoders
+          // applyStage uses — a present-but-empty list, an empty
+          // string, or a quoted number would otherwise pass here and
+          // crash mid-compile with a bare None.get, exactly the
+          // opaque runtime error this validator exists to prevent
           val listParams = Set("keys", "cols", "blocked", "langs")
+          val intParams = Set("pct")
           val missing = required.filter { k =>
             if (k == "aggs") strMap(st.params, k).isEmpty
             else if (listParams(k)) strs(st.params, k).isEmpty
-            else !st.params.contains(k)
+            else if (intParams(k)) int(st.params, k).isEmpty
+            else str(st.params, k).isEmpty
           }
           if (missing.nonEmpty)
             errs += s"analytics[$i] (${st.op}): missing ${missing.mkString(", ")} — usage: $usage"
@@ -129,15 +134,22 @@ object AnalyticsCompiler {
       case "near_dup_dedup" =>
         val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
         val threshold = dbl(p, "threshold").getOrElse(0.7)
-        val bands = int(p, "bands").getOrElse(4)
+        val portable = bool(p, "portableHashing")
+        // user-supplied shingleSize/numHashes are honored on BOTH hash
+        // paths; only the defaults differ (md5-portable twins use the
+        // cheaper 4-char/8-seed shape)
+        val nh = int(p, "numHashes").getOrElse(if (portable) 8 else 16)
+        val sh = int(p, "shingleSize").getOrElse(if (portable) 4 else 5)
+        // `bands: auto` = the MMDS S-curve plan for (numHashes, threshold)
+        val bands =
+          if (str(p, "bands").contains("auto")) Dedup.lshPlan(nh, threshold).bands
+          else int(p, "bands").getOrElse(4)
         val pairs =
-          if (bool(p, "portableHashing"))
-            Dedup.minhashPortablePairs(df, id, text, shingleSize = 4,
-              numHashes = 8, bands = bands, threshold = threshold)
+          if (portable)
+            Dedup.minhashPortablePairs(df, id, text, shingleSize = sh,
+              numHashes = nh, bands = bands, threshold = threshold)
           else
-            Dedup.minhashNearDupPairs(df, id, text,
-              int(p, "shingleSize").getOrElse(5), int(p, "numHashes").getOrElse(16),
-              bands, threshold)
+            Dedup.minhashNearDupPairs(df, id, text, sh, nh, bands, threshold)
         Clusters.dedupByPairs(df, id, pairs, "id_a", "id_b")
       case "corpus_clean" =>
         Corpus.clean(df, str(p, "idCol").get, str(p, "textCol").get,

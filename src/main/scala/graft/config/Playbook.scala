@@ -50,7 +50,10 @@ case class SourceConfig(
     sheetName: Option[String] = None,     // xlsx
     sheetIndex: Option[Int] = None,       // xlsx
     xmlRecordTag: Option[String] = None,  // xml
-    streaming: Boolean = false)
+    streaming: Boolean = false,
+    // streaming jsonl: declared DDL schema ("doc_id LONG, text STRING");
+    // when empty, the schema is inferred from ONE existing file
+    schema: String = "")
 
 /** types.go:104-142. */
 case class DestinationConfig(

@@ -62,7 +62,8 @@ object PlaybookLoader {
     sheetIndex = int(m, "sheetIndex"),
     xmlRecordTag = str(m, "xmlRecordTag"),
     conn = str(m, "conn").getOrElse(""),
-    streaming = bool(m, "streaming", dflt = false))
+    streaming = bool(m, "streaming", dflt = false),
+    schema = str(m, "schema").getOrElse(""))
 
   private def destOf(m: Map[String, Any]) = DestinationConfig(
     `type` = str(m, "type").getOrElse("").toLowerCase,
@@ -188,9 +189,30 @@ object Validator {
       val streamSafe = Set("quality_gate", "lang_filter", "text_metrics",
         "exact_dedup", "url_normalize", "host_blocklist", "where", "derive",
         "select", "split", "sample", "join")
+      val streamJoins = Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti")
       pb.analytics.zipWithIndex.foreach { case (st, i) =>
         if (!streamSafe(st.op))
           errs += s"analytics[$i]: op '${st.op}' is not streaming-executable (needs a full-corpus pass); streaming-safe ops: ${streamSafe.toSeq.sorted.mkString(", ")}"
+        // a derive carrying a window function and a right/full
+        // stream-static join both pass the generic checks but fail at
+        // runtime with AnalysisException — reject them here with the
+        // reason instead
+        if (st.op == "derive") st.params.get("expr").collect { case s: String => s }.foreach { sql =>
+          try {
+            val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+            val windowed = parsed.collectFirst {
+              case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => ()
+              case _: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition => ()
+            }.isDefined
+            if (windowed)
+              errs += s"analytics[$i]: derive '$sql' uses a window function — non-time windows are not streaming-executable"
+          } catch { case _: Exception => () } // parse errors already reported
+        }
+        if (st.op == "join")
+          st.params.get("how").collect { case s: String => s.toLowerCase }
+            .filterNot(streamJoins).foreach(h =>
+              errs += s"analytics[$i]: join how '$h' is not supported for stream-static joins (use ${streamJoins.toSeq.sorted.mkString(", ")})")
       }
     }
     errs.toSeq

@@ -17,16 +17,38 @@ import scala.jdk.CollectionConverters._
 object Readers {
 
   /** Streaming scan (source.streaming: true): parquet/jsonl file
-    * sources monitored by Structured Streaming. Schema comes from one
-    * static read of the same path — file-source streams require an
-    * explicit schema, and the path's existing files define it. */
+    * sources monitored by Structured Streaming. File-source streams
+    * require an explicit schema: a declared `source.schema` DDL wins;
+    * otherwise it is inferred from ONE existing file (jsonl inference
+    * over the whole folder would re-parse the entire accumulated drop
+    * history on EVERY catch-up invocation — unbounded I/O for a
+    * bounded run; parquet schema reads are footer-only). An empty
+    * drop folder with no declared schema is a named error, not
+    * Spark's opaque 'Unable to infer schema'. */
   def readStream(spark: SparkSession, src: SourceConfig): DataFrame = {
+    def declared: Option[org.apache.spark.sql.types.StructType] =
+      Option(src.schema).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+    def firstFile(suffix: String): String = {
+      val dir = new java.io.File(src.file)
+      if (dir.isFile) return src.file
+      val all = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getPath).sorted
+      val preferred = all.filter(_.endsWith(suffix))
+      (if (preferred.nonEmpty) preferred.headOption else all.headOption).getOrElse(
+        throw new IllegalArgumentException(
+          s"streaming source '${src.file}' has no files yet and no declared " +
+            "source.schema — declare one (DDL, e.g. \"doc_id LONG, text STRING\") " +
+            "to start a stream against an empty drop folder"))
+    }
     src.`type` match {
       case "parquet" =>
-        val schema = spark.read.parquet(src.file).schema
+        val schema = declared.getOrElse(spark.read.parquet(src.file).schema)
         spark.readStream.schema(schema).parquet(src.file)
       case "jsonl" =>
-        val schema = spark.read.json(src.file).schema
+        val schema = declared.getOrElse(
+          spark.read.json(firstFile(".jsonl")).schema)
         spark.readStream.schema(schema).json(src.file)
       case other =>
         throw new IllegalArgumentException(

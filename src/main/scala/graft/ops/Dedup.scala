@@ -1174,4 +1174,39 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** A banding choice for an n-hash signature: candidate probability
+    * for a pair at Jaccard s is p(s) = 1 − (1 − s^r)^b; `midpoint` =
+    * (1/b)^(1/r) is the S-curve's similarity of steepest ascent, where
+    * p ≈ 1 − 1/e. */
+  case class LshPlan(bands: Int, rowsPerBand: Int,
+                     midpoint: Double, pAtThreshold: Double) {
+    def candidateProb(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+  }
+
+  /**
+   * Choose (bands, rowsPerBand) for `numHashes` MinHash rows so the
+   * LSH S-curve midpoint `(1/b)^(1/r)` lands closest to the target
+   * near-dup `threshold` (the standard MMDS banding heuristic: pairs
+   * above the midpoint are caught with probability > 1 − 1/e ≈ 0.63,
+   * pairs well below it are mostly never candidates). Enumerates the
+   * divisors of `numHashes`; ties break toward FEWER bands (fewer
+   * bucket keys shuffled per doc). Driver-side arithmetic over ≤
+   * d(numHashes) divisors — use it to pick the `bands` argument of
+   * [[minhashNearDupPairs]] / [[incrementalNearDupVerdicts]] instead
+   * of guessing.
+   */
+  def lshPlan(numHashes: Int, threshold: Double): LshPlan = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(mid - threshold), b, r, mid)
+    }
+    val (_, b, r, mid) = candidates.minBy { case (d, b, _, _) => (d, b) }
+    LshPlan(b, r, mid,
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b))
+  }
 }

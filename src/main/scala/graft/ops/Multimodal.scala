@@ -72,6 +72,11 @@ object Multimodal {
       nL = w.toLong * h * channels
       if nL <= Int.MaxValue
       n = nL.toInt
+      // the declared pixel count must be plausible for the remaining
+      // input BEFORE any allocation: a ~25-byte 'P2\n40000 40000\n255\n'
+      // header would otherwise allocate 1.6 GB per task — each ASCII
+      // sample needs at least one byte, raw samples exactly n
+      if n <= bytes.length - i
       pixels <- {
         if (ascii) {
           // whitespace-separated decimal samples; each must exist and

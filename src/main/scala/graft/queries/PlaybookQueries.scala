@@ -16,11 +16,11 @@ import graft.config.PlaybookLoader
  * (/root/reference/internal/config/types.go:39-64); these queries
  * prove the north-star analytics surface is too.
  *
- * Three of the five are result-twins of already-benched plans
- * (corpus_clean md5, url_dedup, datasheet) and are excluded from the
- * bench like every other twin — the playbook adds a YAML parse, not a
- * new plan. join_agg and window are NEW plans (the generic relational
- * stages) and are benched.
+ * Four of the six are result-twins of already-benched plans
+ * (corpus_clean md5, url_dedup, datasheet, split) and are excluded
+ * from the bench like every other twin — the playbook adds a YAML
+ * parse, not a new plan. join_agg and window are NEW plans (the
+ * generic relational stages) and are benched.
  */
 object PlaybookQueries {
 

@@ -28,6 +28,21 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(errs(4).contains("keep 'newest'"))
   }
 
+  test("validation uses the typed decoders: empty strings, wrong types, empty lists all fail at load") {
+    val errs = AnalyticsCompiler.validate(Seq(
+      stage("where", "condition" -> ""),            // empty string
+      stage("quality_gate", "textCol" -> 123),      // wrong type
+      stage("sample", "keyCol" -> "id", "pct" -> "10"), // quoted number
+      stage("exact_dedup", "keys" -> Seq.empty[String]), // empty list
+      stage("aggregate", "aggs" -> Map.empty[String, String])))
+    assert(errs.size == 5, errs.mkString("\n"))
+    assert(errs(0).contains("missing condition"))
+    assert(errs(1).contains("missing textCol"))
+    assert(errs(2).contains("missing pct"))
+    assert(errs(3).contains("missing keys"))
+    assert(errs(4).contains("missing aggs"))
+  }
+
   test("where/derive/select/aggregate stages compile to the plain relational plan") {
     val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 1.0))
       .toDF("id", "g", "v")
@@ -147,6 +162,33 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     val out = spark.read.parquet(s"$tmp/out.parquet")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
     assert(out.columns.contains("n_chars") && out.columns.contains("quality"))
+  }
+
+  test("null robustness: null text/url/key rows flow through every stage without throwing") {
+    val df = Seq(
+      (1L, Option("The quick brown fox jumps over the lazy dog near the river bank today ok."),
+        Option("http://a.com/x")),
+      (2L, None: Option[String], None: Option[String]),
+      (3L, Option("Another normal sentence with plenty of common stopwords in the middle of it."),
+        Option("junk"))).toDF("id", "text", "url")
+    // row-local text stages: null text scores null -> quality gate drops
+    val gated = AnalyticsCompiler(spark, df, Seq(
+      stage("quality_gate", "textCol" -> "text", "minQuality" -> 0.1),
+      stage("text_metrics", "textCol" -> "text")))
+    assert(gated.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // url stages: null url -> null canonical -> own keeper; blocklist passes null through
+    val urls = AnalyticsCompiler(spark, df, Seq(
+      stage("host_blocklist", "urlCol" -> "url", "blocked" -> Seq("bad.org")),
+      stage("url_normalize", "urlCol" -> "url"),
+      stage("url_dedup", "idCol" -> "id", "urlCol" -> "url")))
+    assert(urls.count() == 3)
+    // dedup on a nullable key: null keys form their own group, no throw
+    val dd = AnalyticsCompiler(spark, df, Seq(
+      stage("exact_dedup", "keys" -> Seq("text"))))
+    assert(dd.count() == 3)
+    // split/sample on the non-null key column
+    assert(AnalyticsCompiler(spark, df, Seq(
+      stage("split", "keyCol" -> "id"))).count() == 3)
   }
 
   test("invalid analytics YAML fails at load with accumulated stage errors") {

@@ -30,6 +30,20 @@ class StreamingPlaybookSpec extends SparkTestBase {
     assert(msg.contains("'datasheet' is not streaming-executable"))
   }
 
+  test("streaming rejects window-derives and right/full joins at load, not at runtime") {
+    val yaml = """
+      |source: {type: parquet, file: /tmp/in.parquet, streaming: true}
+      |destination: {type: parquet, file: /tmp/out, checkpoint: /tmp/ck}
+      |errorHandling: {mode: skip}
+      |analytics:
+      |  - {op: derive, target: rk, expr: "row_number() OVER (PARTITION BY k ORDER BY v)"}
+      |  - {op: join, type: parquet, file: /tmp/dim.parquet, keys: [k], how: full}
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](PlaybookLoader.fromString(yaml))
+    assert(e.getMessage.contains("uses a window function"))
+    assert(e.getMessage.contains("join how 'full' is not supported"))
+  }
+
   test("jsonl drop folder -> quality gate + dedup + derive -> parquet, exactly once per file") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val in = s"$tmp/in"

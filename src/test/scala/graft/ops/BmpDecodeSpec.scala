@@ -68,6 +68,9 @@ class BmpDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodeNetpbm("P2\n2 2\n255\n1 2 3".getBytes).isEmpty)
     assert(Multimodal.decodeNetpbm("P2\n2 2\n255\n1 2 3 999".getBytes).isEmpty)
     assert(Multimodal.decodeNetpbm("P2\n2 99999999999\n255\n1".getBytes).isEmpty)
+    // a tiny header declaring a huge raster must reject BEFORE any
+    // allocation (the n > remaining-bytes bound), not OOM
+    assert(Multimodal.decodeNetpbm("P2\n40000 40000\n255\n1".getBytes).isEmpty)
     // decodeRaster dispatches the ASCII family too
     assert(Multimodal.decodeRaster(Multimodal.synthPpmAscii(1L, 2, 2)).get.channels == 3)
   }
