@@ -4,9 +4,12 @@ import org.apache.spark.sql.DataFrame
 
 /**
  * Postgres/JDBC loader surface (reference internal/io/postgres.go).
- * No JDBC driver jar ships in this environment, so these paths are
- * exercised only when a driver is on the classpath — but the loader
- * semantics the reference defines are implemented, not stubbed:
+ * No POSTGRES driver jar ships in this environment, but the loader
+ * semantics the reference defines are database-agnostic and are
+ * exercised for real against embedded Derby (on Spark's own
+ * classpath) in JdbcDerbySpec — binding order, batching, transaction
+ * isolation, bulk write, scan, and a playbook e2e. Only the Postgres
+ * wire dialect itself awaits a driver jar:
  *
  *  - COPY-role bulk load -> Spark's JDBC batch writer (postgres.go:266-314)
  *  - custom-SQL per-record load with $1..$N placeholders bound in
