@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout operators: multi-dimensional Z-order (Morton)
+ * clustering and a layout-quality report that measures, file by
+ * file, how much of a table a box predicate would have to scan.
+ *
+ * WHY THIS EXISTS AT 100 TB: Spark prunes parquet at two levels —
+ * partition directories, and per-file/row-group min-max stats pushed
+ * into the scan. Both only help if rows with nearby key values sit in
+ * the same files. A table sorted by one column prunes perfectly on
+ * that column and not at all on any other; Z-order interleaves the
+ * bits of several columns so every interleaved dimension gets
+ * partial locality, which is the layout Delta/Iceberg `OPTIMIZE
+ * ZORDER BY` produces. This module computes the same clustering key
+ * with pure Column algebra (whole-stage codegen, no UDF):
+ *
+ *  1. equi-width bucket each dimension into 2^bits cells — bounds
+ *     come from ONE broadcast min/max aggregate (the Cumulative
+ *     idiom), the bucket function is row-local;
+ *  2. bit-interleave the bucket numbers into a single long `zval`
+ *     (dimension d contributes bit b to position b*nDims+d);
+ *  3. range-repartition + sort within partitions on `zval`, so each
+ *     output file covers a compact Z-curve segment.
+ *
+ * Everything shuffles once (the range exchange); the only auxiliary
+ * relations are the one-row bounds and (for the report) the
+ * file-count rollups, all broadcast-sized.
+ */
+object Layout {
+
+  /** Bit-interleave already-bucketed non-negative longs: bucket bit b
+    * of `buckets(d)` lands at result bit `b*n + d`. Bits are disjoint
+    * so OR == sum; stays inside whole-stage codegen (shift/and/or
+    * only). `n*bits` must fit a non-negative long. */
+  def interleaveBits(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 1 && bits >= 1 && n * bits <= 62,
+      s"interleave of $n dims x $bits bits exceeds 62 bits")
+    val terms = for { d <- buckets.indices; b <- 0 until bits } yield
+      shiftleft(shiftright(buckets(d), b).bitwiseAND(lit(1L)), b * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Equi-width bucket of `x` into [0, 2^bits) given broadcast bounds
+    * columns `mn`/`mx` (doubles). IEEE-portable: the same
+    * subtract/multiply/divide/floor sequence is restated verbatim in
+    * the DuckDB oracles, so bucket values hash-match cross-engine.
+    * A constant dimension (mx == mn) collapses to bucket 0. */
+  def equiWidthBucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val cells = (1L << bits).toDouble
+    when(mx > mn,
+      least(lit((1L << bits) - 1),
+        floor((x.cast("double") - mn) * cells / (mx - mn))))
+      .otherwise(lit(0L)).cast("long")
+  }
+
+  /**
+   * Adds `zval`: the Z-order key over `dims` (numeric columns), each
+   * equi-width bucketed into 2^bits cells over its global min/max.
+   * One broadcast bounds aggregate; the key itself is row-local.
+   * Null or non-finite dimension values pin to cell 0 (they carry no
+   * locality to preserve; callers that care filter first).
+   */
+  def zorderValue(df: DataFrame, dims: Seq[String], bits: Int = 16): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val boundAggs = dims.flatMap { d =>
+      val v = col(d).cast("double")
+      val finite = v.isNotNull && !isnan(v) &&
+        v =!= lit(Double.PositiveInfinity) && v =!= lit(Double.NegativeInfinity)
+      Seq(min(when(finite, v)).as(s"_z_mn_$d"), max(when(finite, v)).as(s"_z_mx_$d"))
+    }
+    val bounds = df.groupBy().agg(boundAggs.head, boundAggs.tail: _*)
+    val withBounds = df.crossJoin(broadcast(bounds))
+    val cells = dims.map { d =>
+      val v = col(d).cast("double")
+      val finite = v.isNotNull && !isnan(v) &&
+        v =!= lit(Double.PositiveInfinity) && v =!= lit(Double.NegativeInfinity)
+      when(finite, equiWidthBucket(v, col(s"_z_mn_$d"), col(s"_z_mx_$d"), bits))
+        .otherwise(lit(0L))
+    }
+    withBounds
+      .withColumn("zval", interleaveBits(cells, bits))
+      .drop(dims.flatMap(d => Seq(s"_z_mn_$d", s"_z_mx_$d")): _*)
+  }
+
+  /**
+   * Cluster for writing: range-repartition on `zval` (equal keys
+   * co-locate; ranges are sampled by Spark's RangePartitioner, so
+   * partitions are equi-DEPTH even when the Z-curve is skewed) and
+   * sort within partitions, so every output file covers one compact
+   * Z-segment and parquet min-max stats prune on every dimension.
+   */
+  def clusterByZorder(df: DataFrame, dims: Seq[String], bits: Int = 16,
+                      partitions: Int = 0): DataFrame = {
+    val z = zorderValue(df, dims, bits)
+    val ranged =
+      if (partitions > 0) z.repartitionByRange(partitions, col("zval"))
+      else z.repartitionByRange(col("zval"))
+    ranged.sortWithinPartitions(col("zval"))
+  }
+
+  /** Write `df` as parquet clustered on the Z-curve: one file per
+    * range partition, each covering a compact zval segment. */
+  def writeClustered(df: DataFrame, path: String, dims: Seq[String],
+                     bits: Int = 16, files: Int = 8): Unit =
+    clusterByZorder(df, dims, bits, files).drop("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Deterministic equi-depth file assignment for layout analysis:
+   * rows ordered by (`orderCols` asc, `tieCols` asc) are cut into
+   * `nFiles` files of ceil(N/nFiles) rows. The global rank rides
+   * [[Cumulative.runningSums]] (bucketed two-level prefix sums — no
+   * single-task window), the row count is one broadcast one-row
+   * aggregate; `orderCols.head` must be numeric and the full
+   * (orderCols, tieCols) key unique per row.
+   */
+  def fileAssignment(df: DataFrame, orderCols: Seq[String], tieCols: Seq[String],
+                     nFiles: Int): DataFrame = {
+    require(orderCols.nonEmpty && nFiles >= 1)
+    val ranked = Cumulative.runningSums(df, orderCols.head,
+      orderCols.tail ++ tieCols, Seq(("_rk", lit(1L))))
+    val nRow = df.groupBy().agg(count(lit(1)).as("_n_total"))
+    ranked.crossJoin(broadcast(nRow))
+      .withColumn("file_id",
+        floor((col("_rk") - 1) / ceil(col("_n_total").cast("double") / nFiles).cast("long")))
+      .drop("_rk", "_n_total")
+  }
+
+  /**
+   * Layout-quality report: for each candidate layout, cut the table
+   * into equi-depth files, collect per-file min/max of every
+   * dimension (exactly the stats a parquet footer carries), and count
+   * how many files — and how many rows inside them — a box predicate
+   * `lo(d) <= d <= hi(d)` cannot prune. One row per layout:
+   * (layout, n_files, files_hit, rows_in_hit_files, rows_matching).
+   * `rows_matching` is layout-invariant (the true result size);
+   * `rows_in_hit_files / rows_matching` is the read amplification the
+   * layout costs at 100 TB, where "files" are whatever unit the store
+   * prunes by (parquet row groups, Iceberg data files).
+   *
+   * Layouts compared: `zorder` (Z-curve over `dims`) and `linear`
+   * (lexicographic by `dims` in the given order) — the two layouts a
+   * table maintenance job actually chooses between.
+   */
+  def pruningReport(df: DataFrame, dims: Seq[String], keyCols: Seq[String],
+                    box: Seq[(String, Double, Double)], bits: Int = 16,
+                    nFiles: Int = 64): DataFrame = {
+    require(dims.size >= 2, "a layout comparison needs >= 2 dimensions")
+    val z = zorderValue(df, dims, bits)
+    val layouts = Seq(
+      ("zorder", fileAssignment(z, Seq("zval"), dims ++ keyCols, nFiles)),
+      ("linear", fileAssignment(df, Seq(dims.head), dims.tail ++ keyCols, nFiles)))
+    val inBox = box.map { case (d, lo, hi) =>
+      col(d).cast("double") >= lo && col(d).cast("double") <= hi
+    }.reduce(_ && _)
+    layouts.map { case (name, assigned) =>
+      val statAggs = dims.flatMap(d =>
+        Seq(min(col(d).cast("double")).as(s"_mn_$d"), max(col(d).cast("double")).as(s"_mx_$d"))) ++
+        Seq(count(lit(1)).as("_rows"), sum(when(inBox, 1L).otherwise(0L)).as("_match"))
+      val perFile = assigned.groupBy(col("file_id")).agg(statAggs.head, statAggs.tail: _*)
+      val hit = box.map { case (d, lo, hi) =>
+        col(s"_mx_$d") >= lo && col(s"_mn_$d") <= hi
+      }.reduce(_ && _)
+      perFile.agg(
+        lit(name).as("layout"),
+        count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+        sum(when(hit, col("_rows")).otherwise(0L)).as("rows_in_hit_files"),
+        sum(col("_match")).as("rows_matching"))
+        .select("layout", "n_files", "files_hit", "rows_in_hit_files", "rows_matching")
+    }.reduce(_ unionAll _)
+  }
+}

@@ -1618,5 +1618,89 @@ object AnalyticsQueries {
                THEN (n_orphans * 1000000) // (n_rows - n_null_keys)
                ELSE 0 END AS orphan_micro
         FROM u""")),
+
+    // Z-order clustering key (the Delta/Iceberg OPTIMIZE ZORDER BY
+    // layout): equi-width bucket each dimension over broadcast
+    // min/max bounds, bit-interleave the buckets. Pure shift/and/or
+    // Column algebra (whole-stage codegen); the oracle restates the
+    // identical IEEE bucket arithmetic and the same 16-bit interleave.
+    Q("q_zorder_value",
+      (s, dir) => graft.ops.Layout.zorderValue(
+          t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zval")),
+      Some("""WITH bd AS (SELECT
+          min(CAST(l_partkey AS DOUBLE)) AS mnx, max(CAST(l_partkey AS DOUBLE)) AS mxx,
+          min(CAST(l_suppkey AS DOUBLE)) AS mny, max(CAST(l_suppkey AS DOUBLE)) AS mxy
+          FROM lineitem),
+        c AS (SELECT l_orderkey, l_linenumber,
+          CASE WHEN mxx > mnx THEN least(65535, CAST(floor(
+            (CAST(l_partkey AS DOUBLE) - mnx) * 65536.0 / (mxx - mnx)) AS BIGINT))
+            ELSE 0 END AS zx,
+          CASE WHEN mxy > mny THEN least(65535, CAST(floor(
+            (CAST(l_suppkey AS DOUBLE) - mny) * 65536.0 / (mxy - mny)) AS BIGINT))
+            ELSE 0 END AS zy
+          FROM lineitem, bd)
+        SELECT l_orderkey, l_linenumber,
+          CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i + 1))))
+            AS BIGINT) AS zval
+        FROM c""")),
+
+    // Layout-quality report: cut the table into 64 equi-depth files
+    // under (a) Z-order and (b) lexicographic order, roll up per-file
+    // min/max (what a parquet footer stores), and count the files +
+    // rows a box predicate cannot prune. The global rank rides the
+    // distributed two-level runningSums — no single-task window (the
+    // r8 class) anywhere in the plan. rows_in_hit_files vs
+    // rows_matching is the layout's read amplification at 100 TB.
+    Q("q_zorder_pruning",
+      (s, dir) => graft.ops.Layout.pruningReport(
+        t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(("l_partkey", 400.0, 700.0), ("l_suppkey", 20.0, 40.0)),
+        bits = 16, nFiles = 64),
+      Some("""WITH bd AS (SELECT
+          min(CAST(l_partkey AS DOUBLE)) AS mnx, max(CAST(l_partkey AS DOUBLE)) AS mxx,
+          min(CAST(l_suppkey AS DOUBLE)) AS mny, max(CAST(l_suppkey AS DOUBLE)) AS mxy,
+          count(*) AS n FROM lineitem),
+        c AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, n,
+          CASE WHEN mxx > mnx THEN least(65535, CAST(floor(
+            (CAST(l_partkey AS DOUBLE) - mnx) * 65536.0 / (mxx - mnx)) AS BIGINT))
+            ELSE 0 END AS zx,
+          CASE WHEN mxy > mny THEN least(65535, CAST(floor(
+            (CAST(l_suppkey AS DOUBLE) - mny) * 65536.0 / (mxy - mny)) AS BIGINT))
+            ELSE 0 END AS zy
+          FROM lineitem, bd),
+        z AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i + 1))))
+            AS BIGINT) AS zval FROM c),
+        az AS (SELECT 'zorder' AS layout, l_partkey, l_suppkey,
+          CAST(floor((row_number() OVER (ORDER BY zval, l_partkey, l_suppkey,
+              l_orderkey, l_linenumber) - 1)
+            / CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT)) AS BIGINT) AS file_id
+          FROM z),
+        al AS (SELECT 'linear' AS layout, l_partkey, l_suppkey,
+          CAST(floor((row_number() OVER (ORDER BY l_partkey, l_suppkey,
+              l_orderkey, l_linenumber) - 1)
+            / CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT)) AS BIGINT) AS file_id
+          FROM z),
+        a AS (SELECT * FROM az UNION ALL SELECT * FROM al),
+        pf AS (SELECT layout, file_id,
+          min(CAST(l_partkey AS DOUBLE)) AS mn_p, max(CAST(l_partkey AS DOUBLE)) AS mx_p,
+          min(CAST(l_suppkey AS DOUBLE)) AS mn_s, max(CAST(l_suppkey AS DOUBLE)) AS mx_s,
+          count(*) AS rows_f,
+          sum(CASE WHEN CAST(l_partkey AS DOUBLE) BETWEEN 400 AND 700
+                    AND CAST(l_suppkey AS DOUBLE) BETWEEN 20 AND 40
+                   THEN 1 ELSE 0 END) AS match_f
+          FROM a GROUP BY layout, file_id)
+        SELECT layout, count(*) AS n_files,
+          CAST(sum(CASE WHEN mx_p >= 400 AND mn_p <= 700
+                    AND mx_s >= 20 AND mn_s <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+            AS files_hit,
+          CAST(sum(CASE WHEN mx_p >= 400 AND mn_p <= 700
+                    AND mx_s >= 20 AND mn_s <= 40 THEN rows_f ELSE 0 END) AS BIGINT)
+            AS rows_in_hit_files,
+          CAST(sum(match_f) AS BIGINT) AS rows_matching
+        FROM pf GROUP BY layout""")),
   )
 }
