@@ -23,9 +23,11 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Compressed-format decoding (JPEG/PNG/video) would go here —
-    * those need libjpeg/ffmpeg, absent in this container. Deliberately
-    * unimplemented; the codec-FREE netpbm path below is real. */
+  /** Transform-coded media (JPEG/MP3/video) would go here — those
+    * need libjpeg/ffmpeg, absent in this container. Deliberately
+    * unimplemented. PNG is NOT in this stub: its DEFLATE stream
+    * decodes through the JDK's own Inflater — see [[decodePng]] —
+    * and netpbm/BMP/WAV/AIFF/G.711 are codec-free and real. */
   def decodeImage(bytes: Array[Byte]): Nothing =
     throw new NotImplementedError(
       "decodeImage: compressed-media codecs unavailable in this environment (stub)")
@@ -209,11 +211,225 @@ object Multimodal {
     Some(ImageData(w, h, 3, out))
   }
 
-  /** Codec-free raster dispatch: netpbm (P5/P6) or uncompressed
-    * 24-bit BMP — every image pipeline decodes through this, so a
-    * corpus can mix the two families freely. */
+  /**
+   * REAL decode for 8-bit-depth non-interlaced PNG — gray, RGB,
+   * gray+alpha, RGBA. PNG's only compression is zlib DEFLATE, which
+   * the JDK itself ships (`java.util.zip.Inflater`), so unlike
+   * JPEG/MP3 no external codec library is needed: parse the chunk
+   * stream (CRC-32 verified per chunk), inflate the concatenated IDAT
+   * payload, reverse the five per-row filters (None/Sub/Up/Average/
+   * Paeth), and drop alpha to the [[ImageData]] gray/RGB convention.
+   *
+   * Untrusted-bytes contract (this runs on raw corpus bytes): bad
+   * signature/CRC, short or negative chunk lengths, non-8-bit depth,
+   * palette or interlaced images, dimension products that overflow an
+   * Int, and decompression bombs (declared raw size implausible for
+   * the available IDAT bytes — DEFLATE's hard ratio bound is 1032:1)
+   * all return None before any large allocation, never throw.
+   */
+  def decodePng(bytes: Array[Byte]): Option[ImageData] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes == null || bytes.length < 8 + 25 + 12 ||
+      !sig.indices.forall(i => bytes(i) == sig(i))) return None
+    def be32(i: Int): Long = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+      ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    var pos = 8L
+    var w, h, cIn = 0
+    var sawIhdr, sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      if (pos + 12 > bytes.length) return None
+      val len = be32(pos.toInt)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val typ = new String(bytes, pos.toInt + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos.toInt + 4, 4 + len.toInt)
+      if (crc.getValue != be32((pos + 8 + len).toInt)) return None
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return None
+          sawIhdr = true
+          val d = pos.toInt + 8
+          val wL = be32(d); val hL = be32(d + 4)
+          val depth = bytes(d + 8) & 0xff
+          val ctype = bytes(d + 9) & 0xff
+          val comp = bytes(d + 10) & 0xff
+          val filt = bytes(d + 11) & 0xff
+          val ilace = bytes(d + 12) & 0xff
+          cIn = ctype match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return None // palette (3) needs PLTE; reject
+          }
+          if (wL <= 0 || hL <= 0 || depth != 8 || comp != 0 || filt != 0 ||
+            ilace != 0) return None
+          // cap dims BEFORE the product so the Long guard itself
+          // cannot overflow ((2^32*4+1)*2^32 wraps a Long)
+          if (wL > (1 << 24) || hL > (1 << 24) ||
+            (wL * cIn + 1) * hL > Int.MaxValue) return None
+          w = wL.toInt; h = hL.toInt
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(bytes, pos.toInt + 8, len.toInt)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr) return None
+    val comp = idat.toByteArray
+    val rowLen = w * cIn + 1
+    val rawLen = rowLen * h
+    // bomb guard BEFORE allocation: DEFLATE expands at most ~1032x
+    if (rawLen.toLong > comp.length.toLong * 1040L + 4096L) return None
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var got = 0
+      var stalled = false
+      while (got < rawLen && !inf.finished() && !stalled) {
+        val n = try inf.inflate(raw, got, rawLen - got)
+        catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        got += n
+      }
+      if (got != rawLen) return None
+    } finally inf.end()
+    // reverse per-row filters in place (spec: recon bytes feed the
+    // predictors of subsequent pixels/rows)
+    val bpp = cIn
+    var y = 0
+    while (y < h) {
+      val rs = y * rowLen
+      val f = raw(rs) & 0xff
+      if (f > 4) return None
+      var x = 1
+      while (x < rowLen) {
+        val a = if (x > bpp) raw(rs + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(rs - rowLen + x) & 0xff else 0
+        val c = if (x > bpp && y > 0) raw(rs - rowLen + x - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => raw(rs + x) & 0xff
+          case 1 => (raw(rs + x) & 0xff) + a
+          case 2 => (raw(rs + x) & 0xff) + b
+          case 3 => (raw(rs + x) & 0xff) + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (raw(rs + x) & 0xff) + pred
+        }
+        raw(rs + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // drop alpha to the gray/RGB ImageData convention
+    val cOut = if (cIn == 2) 1 else if (cIn == 4) 3 else cIn
+    val out = new Array[Byte](w * h * cOut)
+    var p = 0
+    while (p < w * h) {
+      val src = (p / w) * rowLen + 1 + (p % w) * cIn
+      var ch = 0
+      while (ch < cOut) { out(p * cOut + ch) = raw(src + ch); ch += 1 }
+      p += 1
+    }
+    Some(ImageData(w, h, cOut, out))
+  }
+
+  /** Deterministic 8-bit PNG whose image row y holds (seed + y) % 256
+    * in every color channel (alpha, when present, is 255 and dropped
+    * by decode) — the synthBmp closed form, produced through a REAL
+    * zlib Deflater stream with the row filter cycling 0..4 so every
+    * unfilter branch is exercised. `colorType` ∈ {0 gray, 2 RGB,
+    * 4 gray+alpha, 6 RGBA}. */
+  def synthPng(seed: Long, w: Int, h: Int, colorType: Int = 2): Array[Byte] = {
+    val cIn = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val hasAlpha = colorType == 4 || colorType == 6
+    val rowLen = w * cIn + 1
+    val raw = new Array[Byte](rowLen * h)
+    var y = 0
+    while (y < h) {
+      val v = (((seed + y) % 256 + 256) % 256).toInt
+      val f = y % 5
+      raw(y * rowLen) = f.toByte
+      // build the RECON row, then filter it forward
+      val recon = new Array[Int](w * cIn)
+      var i = 0
+      while (i < w * cIn) {
+        recon(i) = if (hasAlpha && (i % cIn) == cIn - 1) 255 else v
+        i += 1
+      }
+      val prev = new Array[Int](w * cIn)
+      if (y > 0) {
+        val pv = (((seed + y - 1) % 256 + 256) % 256).toInt
+        var j = 0
+        while (j < w * cIn) {
+          prev(j) = if (hasAlpha && (j % cIn) == cIn - 1) 255 else pv
+          j += 1
+        }
+      }
+      var x = 0
+      while (x < w * cIn) {
+        val a = if (x >= cIn) recon(x - cIn) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= cIn && y > 0) prev(x - cIn) else 0
+        val filtered = f match {
+          case 0 => recon(x)
+          case 1 => recon(x) - a
+          case 2 => recon(x) - b
+          case 3 => recon(x) - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            recon(x) - pred
+        }
+        raw(y * rowLen + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val compBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) compBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val comp = compBuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Codec-free raster dispatch: netpbm (P2/P3/P5/P6), uncompressed
+    * 24-bit BMP, or 8-bit PNG (DEFLATE via the JDK's own Inflater) —
+    * every image pipeline decodes through this, so a corpus can mix
+    * the three families freely. */
   def decodeRaster(bytes: Array[Byte]): Option[ImageData] =
-    decodeNetpbm(bytes).orElse(decodeBmp(bytes))
+    decodeNetpbm(bytes).orElse(decodeBmp(bytes)).orElse(decodePng(bytes))
 
   /** Deterministic bottom-up 24-bit BMP whose image row y holds
     * (seed + y) % 256 in all three channels — closed-form sums for

@@ -1069,6 +1069,33 @@ object LlmQueries {
         END AS sum_luma
         FROM documents""")),
 
+    // Real PNG decode (JDK Inflater — DEFLATE + the five row filters,
+    // CRC-verified chunks): doc_id%3 picks PNG-RGBA (alpha dropped),
+    // PNG-gray, or 24-bit BMP; one pipeline decodes all three through
+    // decodeRaster and the oracle computes each family's closed-form
+    // sample sum from doc_id (row y holds (doc_id+y)%256 everywhere).
+    Q("q_multimodal_png",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = (id % 3) match {
+              case 0 => Multimodal.synthPng(id, 5, 4, colorType = 6)
+              case 1 => Multimodal.synthPng(id, 5, 4, colorType = 0)
+              case _ => Multimodal.synthBmp(id, 5, 4)
+            }
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 5 AS width, 4 AS height,
+        CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
+        TRUE AS decoded,
+        CAST((CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 15 END)
+          * list_sum(list_transform(generate_series(0, 3),
+            y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
+        FROM documents""")),
+
     Q("q_multimodal_features",
       (s, dir) => {
         val df = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
