@@ -58,4 +58,33 @@ object Sketches {
     keys.join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy(col("key")).agg(min(col("cnt")).as("est"))
   }
+
+  /**
+   * Mergeable HLL distinct-count partials (Apache DataSketches HLL
+   * via Spark's native `hll_sketch_agg`) — THE 100 TB cardinality
+   * pattern: scan the fact table ONCE at the finest key, materialize
+   * a sketch table of (keys…, hll_sketch) rows, and answer every
+   * coarser rollup — region, month, global, any subset — by unioning
+   * sketches ([[hllRollup]]) without ever rescanning the data. A
+   * sketch row is ≤ ~2^lgK bytes regardless of cardinality, so the
+   * partial table is key-cardinality sized and broadcastable; the
+   * standard error is ~1.04/sqrt(2^lgK) (~1.6% at the default 12).
+   */
+  def hllPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll_sketch"))
+
+  /** Roll partials up to coarser `keys` by sketch union — no rescan;
+    * input and output are both sketch tables, so rollups chain
+    * (nation → region → global). */
+  def hllRollup(partials: DataFrame, keys: Seq[String]): DataFrame = {
+    val agg = hll_union_agg(col("hll_sketch")).as("hll_sketch")
+    if (keys.isEmpty) partials.groupBy().agg(agg)
+    else partials.groupBy(keys.map(col): _*).agg(agg)
+  }
+
+  /** Estimated distinct count of a sketch column (long). */
+  def hllEstimate(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hll_sketch_estimate(sketch)
 }

@@ -295,6 +295,52 @@ object AnalyticsQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
         TRUE AS hll_within_10pct FROM events GROUP BY event_type""")),
 
+    // Mergeable-sketch distinct rollup (Sketches.hllPartials/hllRollup):
+    // ONE fact pass builds per-nation DataSketches HLL sketches; region
+    // AND global cardinalities then come from chained sketch UNIONS —
+    // no rescan, the 100 TB cube pattern. The sketch VALUE is
+    // engine-specific, so the oracle pins the exact counts plus the
+    // "estimate within 5% of exact" claim (lgK=12 → ~1.6% standard
+    // error; 5% is ~3σ, and at sf cardinalities the sketch is near
+    // exact). Exact region/global counts ride the disjointness of
+    // nations (each customer has one nation), so they too are one pass.
+    Q("q_agg_hll_rollup_check",
+      (s, dir) => {
+        val facts = t(s, dir, "orders").select(col("o_custkey"))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+        val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        val perNation = facts.groupBy(col("c_nationkey"))
+          .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("hll_sketch"),
+            countDistinct(col("o_custkey")).as("exact_n"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        val perRegion = graft.ops.Sketches.hllRollup(
+            perNation.select(col("n_regionkey"), col("hll_sketch")), Seq("n_regionkey"))
+          .join(perNation.groupBy(col("n_regionkey").as("_rk"))
+              .agg(sum(col("exact_n")).as("n_cust_exact")),
+            col("n_regionkey") === col("_rk"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val globalSk = graft.ops.Sketches.hllRollup(
+          perRegion.select(col("hll_sketch")), Nil)
+        val global = globalSk.crossJoin(
+            perRegion.agg(sum(col("n_cust_exact")).as("n_cust_exact")))
+          .withColumn("r_name", lit("ALL"))
+        val claim = (abs(hll_sketch_estimate(col("hll_sketch")).cast("double")
+          - col("n_cust_exact")) / col("n_cust_exact") <= 0.05).as("hll_within_5pct")
+        perRegion.select(col("r_name"), col("n_cust_exact"), claim)
+          .unionByName(global.select(col("r_name"), col("n_cust_exact"), claim))
+      },
+      Some("""WITH f AS (SELECT o_custkey, c_nationkey FROM orders
+          JOIN customer ON o_custkey = c_custkey),
+        reg AS (SELECT r_name, COUNT(DISTINCT o_custkey) AS n_cust_exact
+          FROM f JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey GROUP BY r_name),
+        tot AS (SELECT 'ALL' AS r_name, COUNT(DISTINCT o_custkey) AS n_cust_exact
+          FROM f)
+        SELECT r_name, n_cust_exact, TRUE AS hll_within_5pct FROM reg
+        UNION ALL SELECT r_name, n_cust_exact, TRUE FROM tot""")),
+
     // Approx-quantile check (the q_agg_approx_distinct_check pattern):
     // the GK sketch VALUE is engine-specific, but "within 5% of the
     // exact interpolated percentile" is a hard cross-engine claim —

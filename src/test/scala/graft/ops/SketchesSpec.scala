@@ -43,6 +43,27 @@ class SketchesSpec extends SparkTestBase {
       whole.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("hllPartials/hllRollup: chained unions estimate within tolerance") {
+    import spark.implicits._
+    // 3 groups x 400 distinct values with 50% overlap between groups:
+    // union cardinality is NOT the sum, so a correct rollup must union
+    // sketches, not add estimates
+    val rows = for (g <- 0 until 3; i <- 0 until 400) yield (g, g * 200 + i)
+    val df = rows.toDF("g", "v")
+    val partials = Sketches.hllPartials(df, Seq("g"), "v", lgK = 12)
+    assert(partials.count() == 3)
+    val perGroup = partials
+      .select(col("g"), Sketches.hllEstimate(col("hll_sketch")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(g => assert(math.abs(perGroup(g) - 400L) <= 20, s"g=$g"))
+    // chain: groups -> global (distinct values = 0..799+2*200 = 800)
+    val global = Sketches.hllRollup(partials, Nil)
+      .select(Sketches.hllEstimate(col("hll_sketch")).as("est"))
+      .head().getLong(0)
+    val exact = rows.map(_._2).distinct.size
+    assert(math.abs(global - exact) <= exact / 20, s"global $global vs $exact")
+  }
+
   test("decayedEngagement: step decay on whole half-lives, exact weights") {
     import spark.implicits._
     val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
