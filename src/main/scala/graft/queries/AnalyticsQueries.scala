@@ -1665,6 +1665,60 @@ object AnalyticsQueries {
                ELSE 0 END AS orphan_micro
         FROM u""")),
 
+    // Gap-fill resample (Resample.gapFillResample): irregular per-user
+    // events onto a daily grid between each user's first and last day —
+    // per-bucket decimal-exact mean, forward fill, and linear
+    // interpolation restated as the literal IEEE sequence in the
+    // oracle. Windows partition BY USER; the grid is sequence+explode
+    // over a per-key span aggregate, never a data-volume operation.
+    Q("q_resample_daily",
+      (s, dir) => graft.ops.Resample.gapFillResample(
+        t(s, dir, "events"), Seq("user_id"), "ts", "value", stepSeconds = 86400L),
+      Some("""WITH e AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b, value FROM events),
+        agg AS (SELECT user_id, b, COUNT(*) AS n_obs,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg
+          FROM e GROUP BY 1, 2),
+        span AS (SELECT user_id, min(b) AS mnb, max(b) AS mxb FROM agg GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(mnb, mxb)) AS b FROM span),
+        j AS (SELECT g.user_id, g.b, a.n_obs, a.v_avg
+          FROM grid g LEFT JOIN agg a USING (user_id, b)),
+        w AS (SELECT *,
+          last_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+          first_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM j)
+        SELECT user_id, b * 86400 AS bucket_start,
+          coalesce(n_obs, 0) AS n_obs, v_avg, pv AS v_ffill,
+          CASE WHEN v_avg IS NOT NULL THEN v_avg
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+               ELSE coalesce(pv, nv) END AS v_interp
+        FROM w""")),
+
+    // Gap report companion: per-user observed/empty bucket counts and
+    // the longest empty run — the signal that decides whether
+    // interpolation is defensible for a key.
+    Q("q_gap_report",
+      (s, dir) => graft.ops.Resample.gapReport(
+        t(s, dir, "events"), Seq("user_id"), "ts", stepSeconds = 86400L),
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b FROM events),
+        g AS (SELECT user_id, b,
+          b - lag(b) OVER (PARTITION BY user_id ORDER BY b) - 1 AS gap FROM e)
+        SELECT user_id, min(b) AS first_bucket, max(b) AS last_bucket,
+          count(*) AS n_observed_buckets,
+          max(b) - min(b) + 1 - count(*) AS n_empty_buckets,
+          coalesce(max(gap), 0) AS longest_gap_buckets
+        FROM g GROUP BY user_id""")),
+
     // Z-order clustering key (the Delta/Iceberg OPTIMIZE ZORDER BY
     // layout): equi-width bucket each dimension over broadcast
     // min/max bounds, bit-interleave the buckets. Pure shift/and/or
