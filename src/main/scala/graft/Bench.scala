@@ -52,7 +52,11 @@ object Bench {
       // parse, not a plan): corpus_clean md5 / url_dedup / datasheet.
       // q_playbook_join_agg and q_playbook_window are NEW plans — benched.
       "q_playbook_corpus_clean", "q_playbook_url_dedup", "q_playbook_datasheet",
-      "q_playbook_split")
+      "q_playbook_split",
+      // result-twin of the benched q_resample_daily plan (YAML parse
+      // only). q_playbook_zorder IS benched: its range exchange is the
+      // clustering cost, a genuinely new plan.
+      "q_playbook_resample")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

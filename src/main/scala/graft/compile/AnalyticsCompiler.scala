@@ -3,7 +3,7 @@ package graft.compile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.config.{AnalyticsStage, SourceConfig}
-import graft.ops.{Clusters, Corpus, Dedup, TextAnalysis, Urls}
+import graft.ops.{Clusters, Corpus, Dedup, Layout, Resample, TextAnalysis, Urls}
 
 /**
  * The `analytics:` stage compiler — the config-file face of the
@@ -55,6 +55,12 @@ object AnalyticsCompiler {
     "split"          -> (Seq("keyCol"), "keyCol [trainPct=90 valPct=5] — adds a deterministic hash-bucket train/val/test `split` column"),
     "sample"         -> (Seq("keyCol", "pct"), "keyCol pct — keeps a deterministic pct% sample by key hash"),
     "sessionize"     -> (Seq("keyCol", "tsCol"), "keyCol tsCol [gapSeconds=3600 tiebreak=[]] — gap-based session ids"),
+    "resample"       -> (Seq("keys", "tsCol", "valueCol"),
+      "keys[] tsCol valueCol [stepSeconds=86400] — fixed-grid gap-fill resample: per-bucket mean, forward fill, linear interpolation"),
+    "gap_report"     -> (Seq("keys", "tsCol"),
+      "keys[] tsCol [stepSeconds=86400] — per-key observed/empty bucket counts and longest empty run"),
+    "zorder_cluster" -> (Seq("dims"),
+      "dims[] [bits=16 partitions=0] — adds `zval` and range-clusters on the Z-curve so the destination write prunes on every listed dimension"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
     "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
     "select"         -> (Seq("cols"), "cols[] — projection"),
@@ -75,7 +81,7 @@ object AnalyticsCompiler {
           // string, or a quoted number would otherwise pass here and
           // crash mid-compile with a bare None.get, exactly the
           // opaque runtime error this validator exists to prevent
-          val listParams = Set("keys", "cols", "blocked", "langs")
+          val listParams = Set("keys", "cols", "blocked", "langs", "dims")
           val intParams = Set("pct")
           val missing = required.filter { k =>
             if (k == "aggs") strMap(st.params, k).isEmpty
@@ -189,6 +195,17 @@ object AnalyticsCompiler {
           str(p, "tsCol").get,
           gapSeconds = int(p, "gapSeconds").getOrElse(3600).toLong,
           tiebreak = strs(p, "tiebreak"))
+      case "resample" =>
+        Resample.gapFillResample(df, strs(p, "keys"), str(p, "tsCol").get,
+          str(p, "valueCol").get,
+          stepSeconds = int(p, "stepSeconds").getOrElse(86400).toLong)
+      case "gap_report" =>
+        Resample.gapReport(df, strs(p, "keys"), str(p, "tsCol").get,
+          stepSeconds = int(p, "stepSeconds").getOrElse(86400).toLong)
+      case "zorder_cluster" =>
+        Layout.clusterByZorder(df, strs(p, "dims"),
+          bits = int(p, "bits").getOrElse(16),
+          partitions = int(p, "partitions").getOrElse(0))
       case "where" =>
         df.filter(expr(str(p, "condition").get))
       case "derive" =>

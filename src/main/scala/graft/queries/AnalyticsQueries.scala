@@ -16,6 +16,62 @@ import graft.queries.Queries.{t, dec}
  */
 object AnalyticsQueries {
 
+  /** Daily gap-fill resample oracle — shared by `q_resample_daily` and
+    * its playbook-compiled twin `q_playbook_resample`; the fill
+    * arithmetic is the literal IEEE sequence the engine computes. */
+  private[queries] val resampleDailyOracle: String =
+    """WITH e AS (SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b, value FROM events),
+        agg AS (SELECT user_id, b, COUNT(*) AS n_obs,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg
+          FROM e GROUP BY 1, 2),
+        span AS (SELECT user_id, min(b) AS mnb, max(b) AS mxb FROM agg GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(mnb, mxb)) AS b FROM span),
+        j AS (SELECT g.user_id, g.b, a.n_obs, a.v_avg
+          FROM grid g LEFT JOIN agg a USING (user_id, b)),
+        w AS (SELECT *,
+          last_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+          first_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM j)
+        SELECT user_id, b * 86400 AS bucket_start,
+          coalesce(n_obs, 0) AS n_obs, v_avg, pv AS v_ffill,
+          CASE WHEN v_avg IS NOT NULL THEN v_avg
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+               ELSE coalesce(pv, nv) END AS v_interp
+        FROM w"""
+
+  /** Z-order key oracle over lineitem (l_partkey, l_suppkey) at 16
+    * bits — shared by `q_zorder_value` and the playbook-compiled
+    * `q_playbook_zorder`; restates the engine's exact IEEE bucket
+    * arithmetic and bit interleave. */
+  private[queries] val zorderValueOracle: String =
+    """WITH bd AS (SELECT
+          min(CAST(l_partkey AS DOUBLE)) AS mnx, max(CAST(l_partkey AS DOUBLE)) AS mxx,
+          min(CAST(l_suppkey AS DOUBLE)) AS mny, max(CAST(l_suppkey AS DOUBLE)) AS mxy
+          FROM lineitem),
+        c AS (SELECT l_orderkey, l_linenumber,
+          CASE WHEN mxx > mnx THEN least(65535, CAST(floor(
+            (CAST(l_partkey AS DOUBLE) - mnx) * 65536.0 / (mxx - mnx)) AS BIGINT))
+            ELSE 0 END AS zx,
+          CASE WHEN mxy > mny THEN least(65535, CAST(floor(
+            (CAST(l_suppkey AS DOUBLE) - mny) * 65536.0 / (mxy - mny)) AS BIGINT))
+            ELSE 0 END AS zy
+          FROM lineitem, bd)
+        SELECT l_orderkey, l_linenumber,
+          CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i + 1))))
+            AS BIGINT) AS zval
+        FROM c"""
+
   /** Benford audit oracle, macro-built from the SAME magnitude powers
     * and expectation micros the engine uses (Stats.benfordMicro). */
   private val benfordOracle: String = {
@@ -1674,34 +1730,7 @@ object AnalyticsQueries {
     Q("q_resample_daily",
       (s, dir) => graft.ops.Resample.gapFillResample(
         t(s, dir, "events"), Seq("user_id"), "ts", "value", stepSeconds = 86400L),
-      Some("""WITH e AS (SELECT user_id,
-          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b, value FROM events),
-        agg AS (SELECT user_id, b, COUNT(*) AS n_obs,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg
-          FROM e GROUP BY 1, 2),
-        span AS (SELECT user_id, min(b) AS mnb, max(b) AS mxb FROM agg GROUP BY 1),
-        grid AS (SELECT user_id, unnest(generate_series(mnb, mxb)) AS b FROM span),
-        j AS (SELECT g.user_id, g.b, a.n_obs, a.v_avg
-          FROM grid g LEFT JOIN agg a USING (user_id, b)),
-        w AS (SELECT *,
-          last_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-          last_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY b
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-          first_value(v_avg IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-          first_value(CASE WHEN v_avg IS NOT NULL THEN b END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY b
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
-          FROM j)
-        SELECT user_id, b * 86400 AS bucket_start,
-          coalesce(n_obs, 0) AS n_obs, v_avg, pv AS v_ffill,
-          CASE WHEN v_avg IS NOT NULL THEN v_avg
-               WHEN pv IS NOT NULL AND nv IS NOT NULL
-               THEN pv + (nv - pv) * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
-               ELSE coalesce(pv, nv) END AS v_interp
-        FROM w""")),
+      Some(resampleDailyOracle)),
 
     // Gap report companion: per-user observed/empty bucket counts and
     // the longest empty run — the signal that decides whether
@@ -1728,23 +1757,7 @@ object AnalyticsQueries {
       (s, dir) => graft.ops.Layout.zorderValue(
           t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval")),
-      Some("""WITH bd AS (SELECT
-          min(CAST(l_partkey AS DOUBLE)) AS mnx, max(CAST(l_partkey AS DOUBLE)) AS mxx,
-          min(CAST(l_suppkey AS DOUBLE)) AS mny, max(CAST(l_suppkey AS DOUBLE)) AS mxy
-          FROM lineitem),
-        c AS (SELECT l_orderkey, l_linenumber,
-          CASE WHEN mxx > mnx THEN least(65535, CAST(floor(
-            (CAST(l_partkey AS DOUBLE) - mnx) * 65536.0 / (mxx - mnx)) AS BIGINT))
-            ELSE 0 END AS zx,
-          CASE WHEN mxy > mny THEN least(65535, CAST(floor(
-            (CAST(l_suppkey AS DOUBLE) - mny) * 65536.0 / (mxy - mny)) AS BIGINT))
-            ELSE 0 END AS zy
-          FROM lineitem, bd)
-        SELECT l_orderkey, l_linenumber,
-          CAST(list_sum(list_transform(generate_series(0, 15),
-            i -> (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i + 1))))
-            AS BIGINT) AS zval
-        FROM c""")),
+      Some(zorderValueOracle)),
 
     // Layout-quality report: cut the table into 64 equi-depth files
     // under (a) Z-order and (b) lexicographic order, roll up per-file

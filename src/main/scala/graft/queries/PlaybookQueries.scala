@@ -183,6 +183,47 @@ object PlaybookQueries {
             row_number() OVER (PARTITION BY l_orderkey
               ORDER BY l_quantity DESC, l_linenumber) AS qty_rank
           FROM lineitem) t
-        WHERE qty_rank = 1"""))
+        WHERE qty_rank = 1""")),
+
+    // Daily gap-fill resample from config — q_resample_daily's oracle.
+    // Result-twin of the benched Scala-API plan (the YAML adds a
+    // parse); excluded from the bench with the other twins.
+    Q("q_playbook_resample",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/events.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: resample
+        |    keys: [user_id]
+        |    tsCol: ts
+        |    valueCol: value
+        |    stepSeconds: 86400
+        |""".stripMargin),
+      Some(AnalyticsQueries.resampleDailyOracle)),
+
+    // Z-order clustering from config: zorder_cluster adds `zval` and
+    // range-clusters; the select projects the key columns so the
+    // result is q_zorder_value's oracle. A NEW plan (the range
+    // exchange is the clustering cost) — benched.
+    Q("q_playbook_zorder",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/lineitem.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: zorder_cluster
+        |    dims: [l_partkey, l_suppkey]
+        |    bits: 16
+        |  - op: select
+        |    cols: [l_orderkey, l_linenumber, zval]
+        |""".stripMargin),
+      Some(AnalyticsQueries.zorderValueOracle))
   )
 }

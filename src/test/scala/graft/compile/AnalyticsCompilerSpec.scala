@@ -43,6 +43,33 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(errs(4).contains("missing aggs"))
   }
 
+  test("resample/gap_report/zorder_cluster stages: validation and semantics") {
+    val errs = AnalyticsCompiler.validate(Seq(
+      stage("resample", "keys" -> Seq("k")),          // missing tsCol, valueCol
+      stage("gap_report", "tsCol" -> "ts"),           // missing keys
+      stage("zorder_cluster")))                       // missing dims
+    assert(errs.size == 3, errs.mkString("\n"))
+    assert(errs(0).contains("missing tsCol, valueCol"))
+    assert(errs(1).contains("missing keys"))
+    assert(errs(2).contains("missing dims"))
+
+    val day = (d: Int) => new java.sql.Timestamp(1704067200000L + d * 86400000L)
+    val events = Seq((1L, day(0), 10.0), (1L, day(2), 30.0)).toDF("k", "ts", "v")
+    val resampled = AnalyticsCompiler(spark, events, Seq(
+      stage("resample", "keys" -> Seq("k"), "tsCol" -> "ts", "valueCol" -> "v")))
+    assert(resampled.count() == 3)
+    assert(resampled.filter(col("n_obs") === 0).select("v_interp")
+      .head().getDouble(0) == 20.0)
+    val rep = AnalyticsCompiler(spark, events, Seq(
+      stage("gap_report", "keys" -> Seq("k"), "tsCol" -> "ts")))
+    assert(rep.select("longest_gap_buckets").head().getLong(0) == 1L)
+
+    val pts = (0 until 100).map(i => (i.toLong, (i * 37 % 100).toLong)).toDF("x", "y")
+    val clustered = AnalyticsCompiler(spark, pts, Seq(
+      stage("zorder_cluster", "dims" -> Seq("x", "y"), "bits" -> 6)))
+    assert(clustered.columns.contains("zval") && clustered.count() == 100)
+  }
+
   test("where/derive/select/aggregate stages compile to the plain relational plan") {
     val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 1.0))
       .toDF("id", "g", "v")
