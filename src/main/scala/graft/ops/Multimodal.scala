@@ -424,12 +424,286 @@ object Multimodal {
     out.toByteArray
   }
 
+  /**
+   * REAL decode for GIF87a/GIF89a (first frame): LZW is plain integer
+   * arithmetic — variable-width codes 3..12 bits LSB-first, a 4096-
+   * entry string table with clear/EOI codes and the KwKwK case — so
+   * like PNG no codec library is needed. Global and local color
+   * tables, interlaced images (the 8/8/4/2 four-pass row order), and
+   * sub-block framing are handled; palette indices expand to RGB.
+   * Interop is pinned in the spec against the JDK's own javax.imageio
+   * GIF reader/writer, not just this file's encoder.
+   *
+   * Untrusted-bytes contract: truncated streams, out-of-range codes,
+   * palette-index overflow, oversized dimension products and
+   * pixel-count mismatches all return None, never throw; the output
+   * allocation is bounded by the declared frame size (≤ 2^24 pixels).
+   */
+  def decodeGif(bytes: Array[Byte]): Option[ImageData] = {
+    if (bytes == null || bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val flags = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (pos + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          var sz = if (pos < bytes.length) bytes(pos) & 0xff else return None
+          while (sz != 0) {
+            pos += 1 + sz
+            if (pos >= bytes.length) return None
+            sz = bytes(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          val iflags = bytes(pos + 9) & 0xff
+          pos += 10
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1 << 24)) return None
+          var palette = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 3 * (1 << ((iflags & 7) + 1))
+            if (pos + n > bytes.length) return None
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+            pos += n
+          }
+          if (palette == null || pos >= bytes.length) return None
+          val minCodeSize = bytes(pos) & 0xff; pos += 1
+          // concat the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var sz = if (pos < bytes.length) bytes(pos) & 0xff else return None
+          while (sz != 0) {
+            if (pos + 1 + sz > bytes.length) return None
+            data.write(bytes, pos + 1, sz)
+            pos += 1 + sz
+            if (pos >= bytes.length) return None
+            sz = bytes(pos) & 0xff
+          }
+          val idx = lzwDecode(data.toByteArray, minCodeSize, iw * ih)
+            .getOrElse(return None)
+          val ordered =
+            if ((iflags & 0x40) != 0) deinterlace(idx, iw, ih) else idx
+          val entries = palette.length / 3
+          val out = new Array[Byte](iw * ih * 3)
+          var p = 0
+          while (p < iw * ih) {
+            val ci = ordered(p) & 0xff
+            if (ci >= entries) return None
+            out(p * 3) = palette(ci * 3)
+            out(p * 3 + 1) = palette(ci * 3 + 1)
+            out(p * 3 + 2) = palette(ci * 3 + 2)
+            p += 1
+          }
+          return Some(ImageData(iw, ih, 3, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF interlace: sequential rows arrive in four passes (start 0
+    * step 8, start 4 step 8, start 2 step 4, start 1 step 2). */
+  private def deinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(idx, src * w, out, y * w, w)
+        src += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  /** GIF LZW decode: `minCodeSize`-rooted variable-width codes,
+    * LSB-first bit order, clear/EOI, KwKwK. Returns exactly
+    * `nPixels` index bytes or None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        nPixels: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val first = new Array[Byte](4096)
+    val len = new Array[Int](4096)
+    var i = 0
+    while (i < clear) { suffix(i) = i.toByte; first(i) = i.toByte; len(i) = 1; i += 1 }
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var b = 0
+      while (b < width) {
+        val bit = (data(((bitPos + b) >> 3).toInt) >> ((bitPos + b) & 7).toInt) & 1
+        v |= bit << b
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) {
+        // stream ended without EOI: accept only a fully-filled frame
+        return if (outPos == nPixels) Some(out) else None
+      } else if (code == clear) {
+        width = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val kwkwk = code == next && prev != -1
+        if (code > next || (code == next && prev == -1)) return None
+        // new entry = prevSeq + first(code) — for KwKwK first(code) is
+        // first(prev) since the entry being defined IS prev+first(prev)
+        val f = if (kwkwk) first(prev) else first(code)
+        if (prev != -1 && next < 4096) {
+          prefix(next) = prev; suffix(next) = f
+          first(next) = first(prev); len(next) = len(prev) + 1
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        val l = len(code)
+        if (outPos + l > nPixels) return None
+        var j = outPos + l - 1
+        var c = code
+        while (c >= clear) { out(j) = suffix(c); j -= 1; c = prefix(c) }
+        out(j) = suffix(c)
+        outPos += l
+        prev = code
+      }
+    }
+    if (outPos == nPixels) Some(out) else None
+  }
+
+  /** GIF LZW encode (the dictionary-building encoder, not a
+    * literal-spam shortcut): greedy longest-match against a chained
+    * hash of (prefixCode, byte), clear-and-reset at 4096 entries,
+    * code width growing in lockstep with the decoder's rule. */
+  private[ops] def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var curBits = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << curBits
+      curBits += width
+      while (curBits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; curBits -= 8 }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var w = -1
+    var i = 0
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      if (w < 0) w = k
+      else {
+        val key = w.toLong << 8 | k
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue
+        else {
+          emit(w)
+          if (next < 4096) {
+            // the width check runs BEFORE the add (one step later in
+            // stream time than a post-add check): the decoder learns
+            // each entry one code later than the encoder creates it,
+            // so the de facto GIF convention has the encoder keep the
+            // old width for exactly one emission past the table
+            // crossing 2^width — pinned by the ImageIO interop specs
+            // (a post-add bump here desyncs every decoder at entry
+            // 2^width and scrambles all later rows)
+            if (next == (1 << width) && width < 12) width += 1
+            dict.put(key, next)
+            next += 1
+          } else {
+            emit(clear)
+            dict.clear(); next = eoi + 1; width = minCodeSize + 1
+          }
+          w = k
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) emit(w)
+    emit(eoi)
+    if (curBits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Deterministic first-frame GIF whose image row y holds
+    * (seed + y) % 256 through a 256-entry grayscale palette — the
+    * synthBmp/synthPng closed form, produced through the real LZW
+    * encoder (row-constant data exercises the KwKwK path heavily). */
+  def synthGif(seed: Long, w: Int, h: Int, interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | 0x07) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    val rowFor = new Array[Int](h)
+    if (interlaced) {
+      var src = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var y = start
+        while (y < h) { rowFor(src) = y; src += 1; y += step }
+      }
+    } else (0 until h).foreach(y => rowFor(y) = y)
+    val idx = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val v = (((seed + rowFor(r)) % 256 + 256) % 256).toByte
+      java.util.Arrays.fill(idx, r * w, (r + 1) * w, v)
+      r += 1
+    }
+    out.write(8) // min LZW code size
+    val lzw = lzwEncode(idx, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Codec-free raster dispatch: netpbm (P2/P3/P5/P6), uncompressed
-    * 24-bit BMP, or 8-bit PNG (DEFLATE via the JDK's own Inflater) —
-    * every image pipeline decodes through this, so a corpus can mix
-    * the three families freely. */
+    * 24-bit BMP, 8-bit PNG (DEFLATE via the JDK's own Inflater), or
+    * GIF (LZW is plain integer arithmetic) — every image pipeline
+    * decodes through this, so a corpus can mix the four families
+    * freely. */
   def decodeRaster(bytes: Array[Byte]): Option[ImageData] =
     decodeNetpbm(bytes).orElse(decodeBmp(bytes)).orElse(decodePng(bytes))
+      .orElse(decodeGif(bytes))
 
   /** Deterministic bottom-up 24-bit BMP whose image row y holds
     * (seed + y) % 256 in all three channels — closed-form sums for

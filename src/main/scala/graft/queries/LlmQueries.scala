@@ -1096,6 +1096,35 @@ object LlmQueries {
             y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // Real GIF decode (LZW integer arithmetic, ImageIO-interop-pinned):
+    // doc_id%4 picks GIF, interlaced GIF, PNG-gray, or BMP; one
+    // pipeline decodes all four through decodeRaster. GIF expands
+    // through its 256-gray palette to 3 channels, so its closed form
+    // is the BMP one; interlacing reorders rows, which a row-keyed
+    // sum is invariant to — the oracle is one CASE on doc_id%4.
+    Q("q_multimodal_gif",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = (id % 4) match {
+              case 0 => Multimodal.synthGif(id, 5, 4)
+              case 1 => Multimodal.synthGif(id, 5, 4, interlaced = true)
+              case 2 => Multimodal.synthPng(id, 5, 4, colorType = 0)
+              case _ => Multimodal.synthBmp(id, 5, 4)
+            }
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 5 AS width, 4 AS height,
+        CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 3 END AS channels,
+        TRUE AS decoded,
+        CAST((CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 15 END)
+          * list_sum(list_transform(generate_series(0, 3),
+            y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
+        FROM documents""")),
+
     Q("q_multimodal_features",
       (s, dir) => {
         val df = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))
