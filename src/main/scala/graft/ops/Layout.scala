@@ -175,4 +175,91 @@ object Layout {
         .select("layout", "n_files", "files_hit", "rows_in_hit_files", "rows_matching")
     }.reduce(_ unionAll _)
   }
+
+  /** One planned compaction bin: the ADJACENT (name-ordered, which for
+    * a sorted write is zval-ordered) small files it merges. */
+  case class CompactionBin(bin: Int, files: Seq[String], bytes: Long)
+
+  /**
+   * Small-file compaction plan for a parquet directory — the
+   * `OPTIMIZE` maintenance half of the layout story: streaming and
+   * incremental appends accumulate kilobyte part files whose per-file
+   * open/footer/seek overhead dominates a 100 TB scan long before
+   * data volume does. Files smaller than `smallBytes` are packed into
+   * bins of ≈`targetBytes` by walking the listing in NAME order and
+   * cutting greedily — adjacency is deliberate: a clustered write
+   * names files in zval order, so merging neighbors preserves the
+   * layout's locality (a first-fit-decreasing pack would maximize bin
+   * fill but interleave distant curve segments). Driver-side METADATA
+   * only (one directory listing — exactly what table-format OPTIMIZE
+   * implementations do); no data moves until [[compactFiles]].
+   * Singleton bins are dropped (rewriting one file buys nothing).
+   */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long, smallBytes: Long): Seq[CompactionBin] = {
+    require(targetBytes > 0 && smallBytes <= targetBytes)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val bins = scala.collection.mutable.ArrayBuffer[CompactionBin]()
+    var cur = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.size > 1)
+        bins += CompactionBin(bins.size, cur.map(_._1).toSeq, curBytes)
+      cur = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      curBytes = 0L
+    }
+    parts.foreach { s =>
+      val len = s.getLen
+      if (len >= smallBytes) flush() // a big file breaks adjacency
+      else {
+        if (curBytes + len > targetBytes && cur.nonEmpty) flush()
+        cur += ((s.getPath.toString, len))
+        curBytes += len
+      }
+    }
+    flush()
+    bins.toSeq
+  }
+
+  /** Executed compaction outcome. */
+  case class CompactionStats(binsCompacted: Int, filesRemoved: Int, filesWritten: Int)
+
+  /**
+   * Execute [[compactionPlan]]: each bin's files are read together and
+   * rewritten as ONE `compact-…` parquet file in the same directory;
+   * originals are deleted only after their replacement is fully
+   * written and moved in (crash mid-run leaves extra data at worst
+   * transiently duplicated in the staging dir, never lost). Row
+   * contents, schema, and the name-order adjacency of the directory
+   * are preserved; readers of the directory see the same table.
+   */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long, smallBytes: Long = Long.MaxValue): CompactionStats = {
+    val plan = compactionPlan(spark, path,
+      targetBytes, math.min(smallBytes, targetBytes))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var removed = 0
+    plan.foreach { bin =>
+      val staging = new org.apache.hadoop.fs.Path(path, s"_compact_staging_${bin.bin}")
+      spark.read.parquet(bin.files: _*).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging).toSeq
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no staging output for bin ${bin.bin}"))
+      val dest = new org.apache.hadoop.fs.Path(hPath,
+        f"compact-${bin.bin}%05d-${part.getName}")
+      if (!fs.rename(part, dest))
+        throw new IllegalStateException(s"rename failed: $part -> $dest")
+      bin.files.foreach { f =>
+        if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
+      }
+      fs.delete(staging, true)
+    }
+    CompactionStats(plan.size, removed, plan.size)
+  }
 }

@@ -104,6 +104,39 @@ class LayoutSpec extends SparkTestBase {
     assert(zRows < lRows)
   }
 
+  test("compaction: adjacent small files merge to target-size bins, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val df = (0 until 4000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    df.repartitionByRange(40, col("id")).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before.size == 40)
+    val target = before.map(_.getLen).sum / 5
+    val plan = Layout.compactionPlan(spark, dir, target, smallBytes = target)
+    assert(plan.nonEmpty && plan.forall(_.files.size > 1))
+    assert(plan.forall(_.bytes <= target))
+    // adjacency: each bin's files are consecutive in name order
+    val names = before.map(_.getPath.getName).sorted
+    plan.foreach { b =>
+      val idxs = b.files.map(f => names.indexOf(f.split("/").last)).sorted
+      assert(idxs == (idxs.head to idxs.last), s"bin ${b.bin} not adjacent")
+    }
+    val stats = Layout.compactFiles(spark, dir, target, smallBytes = target)
+    assert(stats.binsCompacted == plan.size && stats.filesWritten == plan.size)
+    val after = parquetFiles
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    // table contents unchanged
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 4000L * 3999 / 2)
+    // idempotent: a second pass finds (almost) nothing small left
+    val plan2 = Layout.compactionPlan(spark, dir, target, smallBytes = target)
+    assert(plan2.map(_.files.size).sum < plan.map(_.files.size).sum / 2)
+  }
+
   test("writeClustered produces files with near-disjoint zval segments") {
     val rows = (0 until 4096).map(i => ((i * 37) % 1024L, (i * 91) % 1024L, i.toLong))
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
