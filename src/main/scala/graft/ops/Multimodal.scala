@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
  * analogue of a batched Pandas UDF: one iterator per partition, codec
  * state initialized once per partition, records streamed through).
  *
- * The actual media codecs are NOT present in this environment, so
- * `decodeImage` is a clearly-marked stub and `extractFeatures` uses a
+ * Image decoding is REAL for all five mainstream raster families
+ * (netpbm, BMP, PNG, GIF, baseline JPEG — see [[decodeRaster]]), as
+ * is codec-free audio (WAV/AIFF/G.711). Audio/video transform codecs
+ * (MP3/AAC/H.264) need ffmpeg-class libraries absent here, so
+ * `decodeVideo` is a clearly-marked stub and `extractFeatures` uses a
  * deterministic byte-level fake — the Spark-side contract (binary
  * schema, partition iteration, typed output) is real and tested.
  */
@@ -23,14 +26,16 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Transform-coded media (JPEG/MP3/video) would go here — those
-    * need libjpeg/ffmpeg, absent in this container. Deliberately
-    * unimplemented. PNG is NOT in this stub: its DEFLATE stream
-    * decodes through the JDK's own Inflater — see [[decodePng]] —
-    * and netpbm/BMP/WAV/AIFF/G.711 are codec-free and real. */
-  def decodeImage(bytes: Array[Byte]): Nothing =
+  /** Audio/video transform codecs (MP3/AAC/video) would go here —
+    * those need ffmpeg-class libraries, absent in this container.
+    * Deliberately unimplemented. The IMAGE families are all real:
+    * netpbm/BMP are codec-free, PNG inflates through the JDK's own
+    * Inflater ([[decodePng]]), GIF's LZW and baseline JPEG's
+    * Huffman+IDCT are implemented directly ([[decodeGif]],
+    * [[Jpeg.decode]]); WAV/AIFF/G.711 cover the codec-free audio. */
+  def decodeVideo(bytes: Array[Byte]): Nothing =
     throw new NotImplementedError(
-      "decodeImage: compressed-media codecs unavailable in this environment (stub)")
+      "decodeVideo: audio/video transform codecs unavailable in this environment (stub)")
 
   /** A decoded raster: interleaved unsigned bytes, `channels` per pixel. */
   case class ImageData(width: Int, height: Int, channels: Int, pixels: Array[Byte])
@@ -43,7 +48,7 @@ object Multimodal {
    * Pure byte parsing, no library; untrusted-bytes contract — a digit
    * run longer than 9 chars or dimensions whose product overflows an
    * Int return None instead of throwing. Returns None for anything
-   * else (incl. compressed formats — see [[decodeImage]]).
+   * else (video/audio payloads — see [[decodeVideo]]).
    */
   def decodeNetpbm(bytes: Array[Byte]): Option[ImageData] = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
@@ -696,14 +701,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Codec-free raster dispatch: netpbm (P2/P3/P5/P6), uncompressed
-    * 24-bit BMP, 8-bit PNG (DEFLATE via the JDK's own Inflater), or
-    * GIF (LZW is plain integer arithmetic) — every image pipeline
-    * decodes through this, so a corpus can mix the four families
-    * freely. */
+  /** Library-free raster dispatch: netpbm (P2/P3/P5/P6), uncompressed
+    * 24-bit BMP, 8-bit PNG (DEFLATE via the JDK's own Inflater), GIF
+    * (LZW integer arithmetic), or baseline JPEG (Huffman + IDCT — see
+    * [[Jpeg]]) — every image pipeline decodes through this, so a
+    * corpus can mix the five families freely. */
   def decodeRaster(bytes: Array[Byte]): Option[ImageData] =
     decodeNetpbm(bytes).orElse(decodeBmp(bytes)).orElse(decodePng(bytes))
-      .orElse(decodeGif(bytes))
+      .orElse(decodeGif(bytes)).orElse(Jpeg.decode(bytes))
 
   /** Deterministic bottom-up 24-bit BMP whose image row y holds
     * (seed + y) % 256 in all three channels — closed-form sums for

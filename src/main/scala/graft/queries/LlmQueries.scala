@@ -1125,6 +1125,50 @@ object LlmQueries {
             y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // Real baseline-JPEG decode (Huffman + double IDCT, ImageIO-
+    // interop-pinned): each doc is a uniform 16x16 grayscale JPEG
+    // (value doc_id%256) encoded through the JDK's own writer inside
+    // the pipeline. JPEG is lossy, so the oracle pins structure
+    // exactly and the pixel content as a CLAIM — a uniform image is
+    // DC-only, its decode error is bounded by the DC quant step
+    // (<=1 at quality 0.95), and the claimed |mean - v| <= 2 holds
+    // with slack while any real decode defect (wrong predictor,
+    // dequant, IDCT scale) blows it by orders of magnitude.
+    Q("q_multimodal_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+            val out = it.map { id =>
+              val v = (id % 256).toInt
+              val img = new java.awt.image.BufferedImage(16, 16,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = img.getRaster
+              for (y <- 0 until 16; x <- 0 until 16) g.setSample(x, y, 0, v)
+              val buf = new java.io.ByteArrayOutputStream()
+              val param = writer.getDefaultWriteParam
+              param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              param.setCompressionQuality(0.95f)
+              val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+              writer.setOutput(ios)
+              writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+              ios.close()
+              (id, buf.toByteArray)
+            }.toArray
+            writer.dispose()
+            out.iterator
+          }.toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            col("decoded"),
+            (abs(col("sum_luma").cast("double") / 256.0
+              - pmod(col("doc_id"), lit(256)).cast("double")) <= 2.0)
+              .as("mean_err_le2"))
+      },
+      Some("""SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
+        TRUE AS decoded, TRUE AS mean_err_le2 FROM documents""")),
+
     Q("q_multimodal_features",
       (s, dir) => {
         val df = t(s, dir, "documents").withColumn("content", col("text").cast(BinaryType))

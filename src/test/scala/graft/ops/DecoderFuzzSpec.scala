@@ -15,6 +15,7 @@ class DecoderFuzzSpec extends SparkTestBase {
     "bmp" -> Multimodal.decodeBmp _,
     "png" -> Multimodal.decodePng _,
     "gif" -> Multimodal.decodeGif _,
+    "jpeg" -> Jpeg.decode _,
     "rasterDispatch" -> Multimodal.decodeRaster _,
     "wav" -> Multimodal.decodeWav _,
     "aiff" -> Multimodal.decodeAiff _,
@@ -29,7 +30,15 @@ class DecoderFuzzSpec extends SparkTestBase {
     "gifI" -> Multimodal.synthGif(3, 6, 5, interlaced = true),
     "wav" -> Multimodal.synthWav(3, 64),
     "ulaw" -> Multimodal.synthUlawWav(3, 64),
-    "aiff" -> Multimodal.synthAiff(3, 64))
+    "aiff" -> Multimodal.synthAiff(3, 64),
+    "jpeg" -> {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (x * 16 + y) * 789)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    })
 
   private def assertNoThrow(tag: String, bytes: Array[Byte]): Unit =
     rasterDecoders.foreach { case (name, dec) =>

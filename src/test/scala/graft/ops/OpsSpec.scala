@@ -692,7 +692,7 @@ class OpsSpec extends SparkTestBase {
     assert(feats(2L).n_bytes == 0 && feats(2L).head_byte == -1)
     assert(Multimodal.sampleFrames(df.filter(col("doc_id") === 1), "doc_id", "content", 2)
       .collect().length == 2)
-    assertThrows[NotImplementedError](Multimodal.decodeImage(Array[Byte](1)))
+    assertThrows[NotImplementedError](Multimodal.decodeVideo(Array[Byte](1)))
   }
 
   test("stripMarkup: script/style content dropped, tags spaced, entities decoded in order") {
