@@ -67,6 +67,7 @@ case class DestinationConfig(
     xmlRootTag: Option[String] = None,
     sheetName: Option[String] = None,
     partitionBy: Seq[String] = Seq.empty,         // parquet layout at scale
+    compression: String = "",                     // jsonl/parquet codec (gzip, snappy, zstd, none)
     checkpoint: String = "")                      // streaming sink state dir
 
 /** types.go:118-141 — one projection/transform rule. */

@@ -79,6 +79,7 @@ object PlaybookLoader {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
       case _ => Seq.empty
     },
+    compression = str(m, "compression").getOrElse(""),
     checkpoint = str(m, "checkpoint").getOrElse(""))
 
   private def ruleOf(m: Map[String, Any]) = MappingRule(

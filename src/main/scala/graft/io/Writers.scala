@@ -41,14 +41,15 @@ object Writers {
   def write(df: DataFrame, dest: DestinationConfig): Unit = dest.`type` match {
     case "csv"     => writeCsv(df, dest.file)
     case "json"    => writeJsonArray(df, dest.file)
-    case "jsonl"   => writeJsonl(df, dest.file)
+    case "jsonl"   => writeJsonl(df, dest.file, dest.compression)
     case "xml"     => writeXml(df, dest)
     case "yaml"    => writeYaml(df, dest.file)
     case "xlsx"    => Xlsx.write(df, dest)
     case "parquet" =>
-      val w = df.write.mode("overwrite")
-      (if (dest.partitionBy.nonEmpty) w.partitionBy(dest.partitionBy: _*) else w)
-        .parquet(dest.file)
+      var w = df.write.mode("overwrite")
+      if (dest.partitionBy.nonEmpty) w = w.partitionBy(dest.partitionBy: _*)
+      if (dest.compression.nonEmpty) w = w.option("compression", dest.compression)
+      w.parquet(dest.file)
     case "postgres" =>
       val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
       if (dest.loaderCommand.nonEmpty)
@@ -102,10 +103,12 @@ object Writers {
     * format. Distributed `df.write.json` (each task writes its own
     * part, no single-file funnel: JSONL consumers glob directories),
     * nulls kept explicit for round-trip schema stability. */
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  def writeJsonl(df: DataFrame, path: String, compression: String = ""): Unit = {
+    var w = df.write.mode("overwrite")
       .option("ignoreNullFields", "false")
-      .json(path)
+    if (compression.nonEmpty) w = w.option("compression", compression)
+    w.json(path)
+  }
 
   /** Indented (2-space) JSON ARRAY file — the reference's shape
     * (json.go:51-87) — streamed via toLocalIterator (never a full

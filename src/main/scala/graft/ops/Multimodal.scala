@@ -756,6 +756,18 @@ object Multimodal {
     (if ((b & 0x80) != 0) 0x84 - t else t - 0x84).toShort
   }
 
+  /** G.711 A-law → 16-bit linear (CCITT): invert the even bits
+    * (XOR 0x55), then mantissa·16 (+8 bias in segment 0, +0x108 and a
+    * segment-1 shift above); sign bit SET means positive. Extremes
+    * ±32256. */
+  def alawToLinear(a: Byte): Short = {
+    val b = (a ^ 0x55) & 0xff
+    val seg = (b >> 4) & 0x07
+    val t0 = (b & 0x0f) << 4
+    val t = if (seg == 0) t0 + 8 else (t0 + 0x108) << (seg - 1)
+    (if ((b & 0x80) != 0) t else -t).toShort
+  }
+
   /**
    * REAL decode for canonical WAV (RIFF/WAVE): fmt audioFormat=1
    * 16-bit linear PCM, or audioFormat=7 8-bit G.711 μ-law (telephony
@@ -783,7 +795,7 @@ object Multimodal {
       if (size < 0) return None
       if (id == "fmt " && size >= 16 && iL + 8 + 16 <= bytes.length) {
         val f = le16(i + 8)
-        if (f != 1 && f != 7) return None // linear PCM or μ-law only
+        if (f != 1 && f != 6 && f != 7) return None // linear PCM, A-law, μ-law
         fmt = Some((f, le16(i + 10), le32(i + 12), le16(i + 22)))
       } else if (id == "data") {
         return fmt.collect {
@@ -793,10 +805,15 @@ object Multimodal {
             var k = 0
             while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
             AudioData(ch, rate, out)
-          case (7, ch, rate, 8) if ch > 0 && iL + 8 + size <= bytes.length =>
+          case (f, ch, rate, 8) if (f == 6 || f == 7) && ch > 0 &&
+            iL + 8 + size <= bytes.length =>
             val out = new Array[Short](size)
             var k = 0
-            while (k < size) { out(k) = ulawToLinear(bytes(i + 8 + k)); k += 1 }
+            while (k < size) {
+              out(k) = if (f == 7) ulawToLinear(bytes(i + 8 + k))
+                       else alawToLinear(bytes(i + 8 + k))
+              k += 1
+            }
             AudioData(ch, rate, out)
         }
       }
@@ -906,6 +923,26 @@ object Multimodal {
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(7).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var k = 0
+    while (k < nSamples) {
+      bb.put(((((k * 7 + seed) % 256 + 256) % 256) & 0xff).toByte)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Synthesize a mono 8-bit G.711 A-law WAV (audioFormat=6): code
+    * byte (i*7+seed) mod 256 — the synthUlawWav fixture shape with
+    * the other companding law. */
+  def synthAlawWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(6).putShort(1).putInt(sampleRate)
       .putInt(sampleRate).putShort(1).putShort(8)
       .put("data".getBytes("US-ASCII")).putInt(nSamples)
     var k = 0

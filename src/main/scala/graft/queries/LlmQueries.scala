@@ -991,6 +991,42 @@ object LlmQueries {
           s -> s * s)) AS BIGINT) AS sum_sq
         FROM documents""")),
 
+    // Both G.711 companding laws through one pipeline: even docs carry
+    // A-law (audioFormat=6), odd docs mu-law (7); the oracle restates
+    // each law's expansion as pure integer SQL (A-law: XOR 0x55,
+    // segment shift, +8/+0x108 bias, sign bit SET = positive).
+    Q("q_multimodal_alaw",
+      (s, dir) => {
+        import s.implicits._
+        val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % 2 == 0) Multimodal.synthAlawWav(id, 64)
+              else Multimodal.synthUlawWav(id, 64)
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.audioFeatures(clips, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 1 AS channels, 16000 AS sample_rate,
+        64 AS n_samples, true AS decoded,
+        CAST(list_sum(list_transform(
+          list_transform(generate_series(0, 63), g ->
+            CASE WHEN doc_id % 2 = 0 THEN
+              CASE WHEN xor((g * 7 + doc_id) % 256, 85) >= 128 THEN 1 ELSE -1 END *
+              CASE WHEN ((xor((g * 7 + doc_id) % 256, 85) >> 4) & 7) = 0
+                THEN (xor((g * 7 + doc_id) % 256, 85) & 15) * 16 + 8
+                ELSE ((xor((g * 7 + doc_id) % 256, 85) & 15) * 16 + 264)
+                     << (((xor((g * 7 + doc_id) % 256, 85) >> 4) & 7) - 1) END
+            ELSE
+              CASE WHEN 255 - ((g * 7 + doc_id) % 256) >= 128
+                THEN 132 - ((((255 - ((g * 7 + doc_id) % 256)) & 15) * 8 + 132)
+                            << (((255 - ((g * 7 + doc_id) % 256)) >> 4) & 7))
+                ELSE ((((255 - ((g * 7 + doc_id) % 256)) & 15) * 8 + 132)
+                      << (((255 - ((g * 7 + doc_id) % 256)) >> 4) & 7)) - 132 END
+            END),
+          s -> s * s)) AS BIGINT) AS sum_sq
+        FROM documents""")),
+
     // ASCII netpbm decode (r10): P2 / P3 ASCII-sample rasters next to
     // the binary P5 — all three share one closed-form oracle (the P3
     // writes the same value in all three channels, so its luma sum is

@@ -191,6 +191,31 @@ class IoSpec extends SparkTestBase {
     assert(lines.get(1) == "boom,r1" && lines.get(2) == "bang,r2")
   }
 
+  test("jsonl gzip round trip: .json.gz part files, transparent read-back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gz").toString + "/out"
+    val df = (1 to 500).map(i => (i.toLong, s"doc $i", if (i % 7 == 0) null else s"v$i"))
+      .toDF("id", "text", "opt")
+    Writers.write(df, DestinationConfig("jsonl", file = dir, compression = "gzip"))
+    val fs = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(fs.nonEmpty, "expected gzip part files")
+    val back = Readers.read(spark, SourceConfig("jsonl", file = dir))
+    assert(back.count() == 500)
+    assert(back.filter(org.apache.spark.sql.functions.col("opt").isNull).count()
+      == 500 / 7, "explicit nulls survive the gzip round trip")
+  }
+
+  test("parquet destination honors the compression codec option") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zstd").toString + "/out"
+    val df = (1 to 100).map(i => (i.toLong, s"payload $i")).toDF("id", "text")
+    Writers.write(df, DestinationConfig("parquet", file = dir, compression = "zstd"))
+    val fs = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(fs.nonEmpty && fs.forall(_.getName.contains(".zstd.")),
+      s"expected zstd parquet parts: ${fs.map(_.getName).toSeq}")
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("env expansion: $VAR, ${VAR}, %VAR%; unset -> empty (util.go:12-34)") {
     import graft.cli.Util
     val k = sys.env.keys.headOption.getOrElse("HOME")

@@ -50,6 +50,37 @@ class AiffDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodePcm(ok).get.samples.length == 4)
   }
 
+  test("A-law WAV: CCITT expansion, extremes, parity with the reference switch") {
+    // reference anchors of the Sun/CCITT g711 arithmetic
+    assert(Multimodal.alawToLinear(0x55.toByte) == -8)
+    assert(Multimodal.alawToLinear(0xD5.toByte) == 8)
+    assert(Multimodal.alawToLinear(0x2A.toByte) == -32256)
+    assert(Multimodal.alawToLinear(0xAA.toByte) == 32256)
+    // independent restatement of the reference decoder (the g711.c
+    // switch shape) over ALL 256 codes
+    def ref(code: Int): Int = {
+      val a = code ^ 0x55
+      var t = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      seg match {
+        case 0 => t += 8
+        case 1 => t += 0x108
+        case _ => t += 0x108; t <<= seg - 1
+      }
+      if ((a & 0x80) != 0) t else -t
+    }
+    (0 until 256).foreach(c =>
+      assert(Multimodal.alawToLinear(c.toByte).toInt == ref(c), s"code $c"))
+    // monotone within the positive half
+    val pos = (0 until 256).map(c => Multimodal.alawToLinear(c.toByte).toInt)
+      .filter(_ > 0).sorted
+    assert(pos == pos.distinct.sorted && pos.last == 32256)
+    val a = Multimodal.decodeWav(Multimodal.synthAlawWav(3L, 10)).get
+    assert(a.samples.length == 10 && a.sampleRate == 16000)
+    assert(a.samples.toSeq == (0 until 10).map(k =>
+      Multimodal.alawToLinear((((k * 7 + 3) % 256) & 0xff).toByte)))
+  }
+
   test("μ-law WAV: CCITT expansion, extremes, dispatch, rejects") {
     // reference anchors of the Sun/CCITT table
     assert(Multimodal.ulawToLinear(0x00.toByte) == -32124)
