@@ -703,12 +703,14 @@ object Multimodal {
 
   /** Library-free raster dispatch: netpbm (P2/P3/P5/P6), uncompressed
     * 24-bit BMP, 8-bit PNG (DEFLATE via the JDK's own Inflater), GIF
-    * (LZW integer arithmetic), or baseline JPEG (Huffman + IDCT — see
-    * [[Jpeg]]) — every image pipeline decodes through this, so a
-    * corpus can mix the five families freely. */
+    * (LZW integer arithmetic), baseline JPEG (Huffman + IDCT — see
+    * [[Jpeg]]), or TIFF (none/PackBits — see [[Tiff]]) — every image
+    * pipeline decodes through this, so a corpus can mix the six
+    * families freely. */
   def decodeRaster(bytes: Array[Byte]): Option[ImageData] =
     decodeNetpbm(bytes).orElse(decodeBmp(bytes)).orElse(decodePng(bytes))
       .orElse(decodeGif(bytes)).orElse(Jpeg.decode(bytes))
+      .orElse(Tiff.decode(bytes))
 
   /** Deterministic bottom-up 24-bit BMP whose image row y holds
     * (seed + y) % 256 in all three channels — closed-form sums for

@@ -1161,6 +1161,30 @@ object LlmQueries {
             y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
         FROM documents""")),
 
+    // Real TIFF decode (IFD tag walk + PackBits RLE, ImageIO-interop-
+    // pinned, lossless): even docs carry a PackBits grayscale TIFF,
+    // odd docs a 24-bit BMP — both row-constant (doc_id+y)%256, so the
+    // closed form is exact.
+    Q("q_multimodal_tiff",
+      (s, dir) => {
+        import s.implicits._
+        val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % 2 == 0) graft.ops.Tiff.synth(id, 5, 4)
+              else Multimodal.synthBmp(id, 5, 4)
+            (id, bytes)
+          }).toDF("doc_id", "content")
+        Multimodal.imageFeatures(payload, "doc_id", "content").toDF()
+      },
+      Some("""SELECT doc_id, 5 AS width, 4 AS height,
+        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels,
+        TRUE AS decoded,
+        CAST((CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 15 END)
+          * list_sum(list_transform(generate_series(0, 3),
+            y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
+        FROM documents""")),
+
     // Real baseline-JPEG decode (Huffman + double IDCT, ImageIO-
     // interop-pinned): each doc is a uniform 16x16 grayscale JPEG
     // (value doc_id%256) encoded through the JDK's own writer inside

@@ -16,6 +16,7 @@ class DecoderFuzzSpec extends SparkTestBase {
     "png" -> Multimodal.decodePng _,
     "gif" -> Multimodal.decodeGif _,
     "jpeg" -> Jpeg.decode _,
+    "tiff" -> Tiff.decode _,
     "rasterDispatch" -> Multimodal.decodeRaster _,
     "wav" -> Multimodal.decodeWav _,
     "aiff" -> Multimodal.decodeAiff _,
@@ -31,6 +32,8 @@ class DecoderFuzzSpec extends SparkTestBase {
     "wav" -> Multimodal.synthWav(3, 64),
     "ulaw" -> Multimodal.synthUlawWav(3, 64),
     "aiff" -> Multimodal.synthAiff(3, 64),
+    "alaw" -> Multimodal.synthAlawWav(3, 64),
+    "tiff" -> Tiff.synth(3, 9, 7),
     "jpeg" -> {
       val img = new java.awt.image.BufferedImage(16, 16,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
