@@ -56,7 +56,13 @@ object Bench {
       // result-twin of the benched q_resample_daily plan (YAML parse
       // only). q_playbook_zorder IS benched: its range exchange is the
       // clustering cost, a genuinely new plan.
-      "q_playbook_resample")
+      "q_playbook_resample",
+      // md5 oracle face of the KMV estimator; q_kmv_overlap_x64 is the
+      // benched production path
+      "q_kmv_overlap",
+      // md5 oracle face of the star-CC engine; q_llm_cc_star_x64 is the
+      // benched production path
+      "q_llm_cc_star")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
  * Jaccard/cosine blocking) -> connected components -> one canonical
  * representative per cluster.
  *
- * Components via iterative min-label propagation: each round every
- * node takes the min label among itself and its neighbors; O(diameter)
- * rounds. Each round is one shuffle-join; lineage is cut with
- * localCheckpoint so 20 rounds don't stack 20 plans. Dup-cluster
- * graphs are near-cliques (tiny diameter), so this converges in 2-3
- * rounds in practice.
+ * Three component engines, chosen by scale/shape:
+ *  - driver union-find under `driverEdgeLimit` (one job);
+ *  - min-label propagation — O(diameter) shuffle-join rounds, ideal
+ *    for the near-clique graphs dup clusters actually are;
+ *  - alternating large-star/small-star ([[connectedComponentsStar]],
+ *    Kiveris et al. 2014) — O(log² n) rounds REGARDLESS of diameter,
+ *    the right engine when the graph can be chain-shaped (URL redirect
+ *    chains, citation paths) and label propagation's round count
+ *    would equal the longest path.
+ * Lineage is cut with localCheckpoint each round so iterations don't
+ * stack plans.
  */
 object Clusters {
 
@@ -59,6 +64,84 @@ object Clusters {
 
   /** In-memory union-find over a collected (already-checkpointed)
     * edge list; result distributed back as a DataFrame. */
+  /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR
+   * contractions (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014):
+   * each undirected edge is processed from one endpoint's
+   * neighborhood, which rewires it toward the neighborhood minimum —
+   * large-star attaches STRICTLY LARGER neighbors to the min,
+   * small-star the rest. The edge set provably converges to stars
+   * rooted at each component's minimum id in O(log² n) rounds
+   * regardless of graph diameter — the property label propagation
+   * lacks on chain-shaped graphs, where its round count equals the
+   * longest path.
+   *
+   * Each half-round is one groupBy (the per-node neighborhood min,
+   * map-side combined) and one join, both keyed on node id; the
+   * convergence probe is two anti-joins on the checkpointed edge
+   * sets. Output: (id, component) for every node appearing in
+   * `edges`, component = min reachable id — identical to
+   * [[connectedComponents]] by construction (property-pinned in the
+   * spec).
+   */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 30,
+                              requireConvergence: Boolean = true): DataFrame = {
+    val cast = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // nodes BEFORE the self-loop drop: an id appearing only as (x, x)
+    // still labels itself
+    val nodes = cast.select(col("a").as("id"))
+      .union(cast.select(col("b").as("id"))).distinct().localCheckpoint()
+    val e0 = cast.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    // one star half-round: every edge, viewed from endpoint u (large:
+    // the SMALLER endpoint's view covers its larger neighbors; small:
+    // the larger endpoint's view covers the rest), is rewired to
+    // (m, v) where m = min(N(u) ∪ {u})
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("_nmin"))
+        .select(col("u"), least(col("_nmin"), col("u")).as("m"))
+      val side = sym.join(mins, col("a") === col("u"))
+      val kept =
+        if (large) side.filter(col("b") > col("a"))
+          .select(col("m").as("a"), col("b"))
+        else
+          // small-star MUST also emit (u, m) per node: every edge
+          // (x, y), x < y is rewired from y's view to (x, m_y), so
+          // without its own edge to the minimum, y itself would
+          // detach (a single edge (0,1) collapses to the filtered
+          // self-loop (0,0) and the component vanishes)
+          side.filter(col("b") < col("a"))
+            .select(col("m").as("a"), col("b"))
+            .unionAll(mins.select(col("m").as("a"), col("u").as("b")))
+      kept.filter(col("a") =!= col("b")).distinct()
+    }
+    var e = e0
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged && requireConvergence)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(theoretical bound is O(log^2 n)); raise maxIter or pass " +
+        "requireConvergence=false to accept partial labels")
+    // converged edges are stars (root, v): root = component min
+    nodes.join(e.select(col("b").as("id"), col("a").as("_root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_root"), col("id")).as("component"))
+  }
+
   private def driverUnionFind(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._

@@ -87,4 +87,101 @@ object Sketches {
   /** Estimated distinct count of a sketch column (long). */
   def hllEstimate(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hll_sketch_estimate(sketch)
+
+  // ---------------------------------------------------------------
+  // K-Minimum-Values sketches — the mergeable summary HLL can't be:
+  // KMV supports set INTERSECTION (audience overlap), because the k
+  // smallest hashes of A ∪ B are a uniform sample of the union on
+  // which A- and B-membership can be tested exactly (Beyer et al.
+  // 2007). est(|A∪B|) = (k-1)/U_(k); Jaccard = |common among the
+  // union's k minima|/k; est(|A∩B|) = Jaccard · est(|A∪B|). With
+  // fewer than k distinct hashes the sketch IS the set and every
+  // estimate is exact — which also makes the whole operator
+  // DuckDB-oracle-able at test scale with integer-exact arithmetic.
+  // ---------------------------------------------------------------
+
+  /** Uniform 16-char lowercase hex hash: lexicographic order == the
+    * unsigned numeric order the estimator needs. `portable` = md5
+    * (DuckDB-restatable), default = xxhash64 (the scale path). */
+  private def kmvHash(v: org.apache.spark.sql.Column, portable: Boolean) =
+    if (portable) md5(v.cast("string").cast("binary"))
+    else lower(lpad(hex(xxhash64(v.cast("string"))), 16, "0"))
+
+  /**
+   * KMV sketch table: ≤ `k` rows per group — the k smallest distinct
+   * value hashes, rank included. One map-side-combined distinct plus a
+   * per-group top-k (WindowGroupLimit: no full sort); the sketch is
+   * k·groups rows total regardless of data volume, broadcastable, and
+   * mergeable by union + re-rank.
+   */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+                portableHashing: Boolean = false): DataFrame = {
+    require(k >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), kmvHash(col(valueCol), portableHashing).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** 52-bit integer value of a hex hash's first 13 chars — exact in
+    * BIGINT and in an IEEE double, so (k-1)·2^52/v divides identically
+    * in every engine. */
+  private def hex13(h: org.apache.spark.sql.Column) =
+    conv(substring(h, 1, 13), 16, 10).cast("long")
+
+  /** Per-group distinct-count estimates from a [[kmvSketch]]:
+    * (g, n_sketch, est) — exact when the group had < k distinct. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("_kth"))
+      .select(col("g"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble * 4503599627370496.0)
+            / greatest(hex13(col("_kth")), lit(1L))))
+          .cast("long").as("est"))
+
+  /**
+   * Pairwise overlap of every group pair (g1 < g2) from ONE sketch
+   * table: merge the two sketches, keep the union's k minima with
+   * exact A/B membership, and read off Jaccard and intersection
+   * estimates — integer-exact arithmetic end to end (micros for the
+   * ratio), so the portable-hash path hash-matches its oracle. The
+   * pair fan-out is sketch-sized (k rows per group), never data-sized:
+   * overlap of two 10-billion-row audiences costs 2k rows.
+   */
+  def kmvOverlap(sketch: DataFrame, k: Int): DataFrame = {
+    val groups = sketch.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g1"))
+      .join(broadcast(groups.select(col("g").as("g2"))), col("g1") < col("g2"))
+    val a = pairs.join(sketch.select(col("g").as("g1"), col("h")), Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = pairs.join(sketch.select(col("g").as("g2"), col("h")), Seq("g2"))
+      .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = a.unionByName(b)
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g1"), col("g2")).orderBy(col("h"))
+    val kept = merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    kept.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("common_k"),
+        max(col("h")).as("_kth"))
+      .select(col("g1"), col("g2"), col("n_union_sketch"), col("common_k"),
+        when(col("n_union_sketch") < k, col("n_union_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble * 4503599627370496.0)
+            / greatest(hex13(col("_kth")), lit(1L))))
+          .cast("long").as("est_union"))
+      // floor(), never a bare cast: Spark's double→long cast truncates
+      // while DuckDB's CAST rounds — the classic cross-engine hash killer
+      .withColumn("jaccard_micro",
+        floor(col("common_k") * 1000000.0
+          / least(lit(k.toLong), col("n_union_sketch"))).cast("long"))
+      .withColumn("est_intersection",
+        floor(col("jaccard_micro") * col("est_union") / lit(1000000.0)).cast("long"))
+  }
 }

@@ -397,6 +397,66 @@ object AnalyticsQueries {
         SELECT r_name, n_cust_exact, TRUE AS hll_within_5pct FROM reg
         UNION ALL SELECT r_name, n_cust_exact, TRUE FROM tot""")),
 
+    // KMV (k-minimum-values) audience overlap — the mergeable sketch
+    // HLL can't be: the union's k smallest hashes are a uniform sample
+    // on which A/B membership is exact, giving Jaccard and
+    // INTERSECTION estimates between every event_type pair from one
+    // sketch-sized table (k rows per group, never data-sized). The
+    // md5-portable face is integer-exact end to end (52-bit hash
+    // prefix, floor()-not-cast everywhere), so the WHOLE estimator —
+    // not just a tolerance claim — hash-matches DuckDB.
+    Q("q_kmv_overlap",
+      (s, dir) => {
+        val sk = graft.ops.Sketches.kmvSketch(
+          t(s, dir, "events"), "event_type", "user_id", k = 256,
+          portableHashing = true)
+        graft.ops.Sketches.kmvOverlap(sk, k = 256)
+      },
+      Some("""WITH s0 AS (SELECT DISTINCT event_type AS g,
+          md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+          FROM s0 QUALIFY rk <= 256),
+        gs AS (SELECT DISTINCT g FROM sk),
+        pr AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g),
+        m AS (SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT p.g1, p.g2, s.h, 1 AS in_a, 0 AS in_b
+              FROM pr p JOIN sk s ON s.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, s.h, 0, 1 FROM pr p JOIN sk s ON s.g = p.g2)
+          GROUP BY g1, g2, h),
+        kept AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+          FROM m QUALIFY rk <= 256),
+        agg AS (SELECT g1, g2, count(*) AS n_union_sketch,
+            CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS common_k,
+            max(h) AS kth FROM kept GROUP BY g1, g2),
+        est AS (SELECT g1, g2, n_union_sketch, common_k,
+            CASE WHEN n_union_sketch < 256 THEN n_union_sketch
+                 ELSE CAST(floor(255.0 * 4503599627370496.0 / greatest(
+                   CAST(list_sum(list_transform(generate_series(1, 13),
+                     i -> CAST(strpos('0123456789abcdef',
+                            substr(kth, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                          << (4 * (13 - CAST(i AS INT))))) AS BIGINT), 1))
+                   AS BIGINT) END AS est_union
+          FROM agg),
+        j AS (SELECT *, CAST(floor(common_k * 1000000.0
+            / least(256, n_union_sketch)) AS BIGINT) AS jaccard_micro FROM est)
+        SELECT g1, g2, n_union_sketch, common_k, est_union, jaccard_micro,
+          CAST(floor(jaccard_micro * est_union / 1000000.0) AS BIGINT)
+            AS est_intersection
+        FROM j""")),
+
+    // The xxhash64 scale twin of the same estimator (rows-only: DuckDB
+    // has no xxhash64; the algorithm is hash-verified via the md5 face).
+    Q("q_kmv_overlap_x64",
+      (s, dir) => {
+        val sk = graft.ops.Sketches.kmvSketch(
+          t(s, dir, "events"), "event_type", "user_id", k = 256)
+        graft.ops.Sketches.kmvOverlap(sk, k = 256)
+      },
+      None),
+
     // Approx-quantile check (the q_agg_approx_distinct_check pattern):
     // the GK sketch VALUE is engine-specific, but "within 5% of the
     // exact interpolated percentile" is a hard cross-engine claim —

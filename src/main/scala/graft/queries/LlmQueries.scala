@@ -556,6 +556,29 @@ object LlmQueries {
       },
       Some(LlmOracles.dedupClustersMd5)),
 
+    // Large-star/small-star connected components (Kiveris 2014) — the
+    // O(log² n) scale engine whose round count is independent of graph
+    // diameter (label propagation's weakness on chain graphs). The md5
+    // face hash-matches the DuckDB recursive-CTE min-label walk; the
+    // x64 twin below benches the engine on the production pair graph.
+    Q("q_llm_cc_star",
+      (s, dir) => {
+        val pairs = Dedup.minhashPortablePairs(t(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 4, numHashes = 8, bands = 4,
+          threshold = 0.5)
+        graft.ops.Clusters.connectedComponentsStar(pairs, "id_a", "id_b")
+      },
+      Some(LlmOracles.ccStarMd5)),
+
+    Q("q_llm_cc_star_x64",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDupPairs(t(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 5, numHashes = 16, bands = 4,
+          threshold = 0.5)
+        graft.ops.Clusters.connectedComponentsStar(pairs, "id_a", "id_b")
+      },
+      None),
+
     // IVF ANN (k-means coarse quantizer + probe + exact re-rank) —
     // rows-only (k-means cells are seed-deterministic but engine-local).
     // nlist=16/nprobe=8 is the r8 RecallCheck operating point on the
@@ -2805,6 +2828,14 @@ object LlmOracles {
     $clusterCtes
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** (id, component = min reachable) of the md5 minhash pair graph —
+    * engine-independent truth that oracles
+    * [[graft.ops.Clusters.connectedComponentsStar]]. */
+  val ccStarMd5: String = s"""
+    WITH RECURSIVE ${minhashPairCtes("documents")},
+    $clusterCtes
+    SELECT id, component FROM comp"""
 
   /** Quality-keeper dedup over the md5 minhash components — twin of
     * [[graft.ops.Clusters.dedupByPairsBest]] (score = n_chars). */

@@ -64,6 +64,45 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(global - exact) <= exact / 20, s"global $global vs $exact")
   }
 
+  test("kmv: exact regime (distinct < k) reproduces true union/intersection") {
+    import spark.implicits._
+    // A = 0..99, B = 50..149 -> union 150, intersection 50, J = 1/3
+    val rows = (0 until 100).map(v => ("A", v.toLong)) ++
+      (50 until 150).map(v => ("B", v.toLong))
+    for (portable <- Seq(true, false)) {
+      val sk = Sketches.kmvSketch(rows.toDF("g", "v"), "g", "v", k = 256,
+        portableHashing = portable)
+      val est = Sketches.kmvEstimate(sk, 256)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(est == Map("A" -> 100L, "B" -> 100L), s"portable=$portable")
+      val ov = Sketches.kmvOverlap(sk, 256).collect()
+      assert(ov.length == 1)
+      val r = ov.head
+      assert(r.getLong(4) == 150L, "est_union exact")
+      assert(r.getLong(3) == 50L, "common_k")
+      assert(r.getLong(5) == 50L * 1000000L / 150L, "jaccard micro")
+      assert(r.getLong(6) == 49L || r.getLong(6) == 50L, s"est_intersection ${r.getLong(6)}")
+    }
+  }
+
+  test("kmv: estimation regime within sketch-error bounds on both hash paths") {
+    import spark.implicits._
+    // A = 0..3999, B = 2000..5999: union 6000, intersection 2000, J=1/3
+    val rows = (0 until 4000).map(v => ("A", v.toLong)) ++
+      (2000 until 6000).map(v => ("B", v.toLong))
+    for (portable <- Seq(true, false)) {
+      val k = 256
+      val sk = Sketches.kmvSketch(rows.toDF("g", "v"), "g", "v", k, portable)
+      assert(sk.groupBy("g").count().collect().forall(_.getLong(1) == k))
+      val r = Sketches.kmvOverlap(sk, k).head()
+      val (estU, jMicro, estI) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      // KMV relative error ~1/sqrt(k) ~ 6%; allow 4 sigma
+      assert(math.abs(estU - 6000) <= 1500, s"portable=$portable est_union $estU")
+      assert(math.abs(jMicro - 333333) <= 120000, s"portable=$portable J $jMicro")
+      assert(math.abs(estI - 2000) <= 800, s"portable=$portable est_inter $estI")
+    }
+  }
+
   test("decayedEngagement: step decay on whole half-lives, exact weights") {
     import spark.implicits._
     val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
