@@ -61,6 +61,8 @@ object AnalyticsCompiler {
       "keys[] tsCol [stepSeconds=86400] — per-key observed/empty bucket counts and longest empty run"),
     "zorder_cluster" -> (Seq("dims"),
       "dims[] [bits=16 partitions=0] — adds `zval` and range-clusters on the Z-curve so the destination write prunes on every listed dimension"),
+    "audience_overlap" -> (Seq("groupCol", "valueCol"),
+      "groupCol valueCol [k=256 portableHashing=false] — KMV sketch overlap: distinct-count, Jaccard, and intersection estimates for every group pair"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
     "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
     "select"         -> (Seq("cols"), "cols[] — projection"),
@@ -195,6 +197,11 @@ object AnalyticsCompiler {
           str(p, "tsCol").get,
           gapSeconds = int(p, "gapSeconds").getOrElse(3600).toLong,
           tiebreak = strs(p, "tiebreak"))
+      case "audience_overlap" =>
+        val k = int(p, "k").getOrElse(256)
+        graft.ops.Sketches.kmvOverlap(
+          graft.ops.Sketches.kmvSketch(df, str(p, "groupCol").get,
+            str(p, "valueCol").get, k, bool(p, "portableHashing")), k)
       case "resample" =>
         Resample.gapFillResample(df, strs(p, "keys"), str(p, "tsCol").get,
           str(p, "valueCol").get,

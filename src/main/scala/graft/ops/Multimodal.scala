@@ -758,6 +758,50 @@ object Multimodal {
     (if ((b & 0x80) != 0) 0x84 - t else t - 0x84).toShort
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) and index adjustments
+    * — published constants (IMA ADPCM reference, Intel/DVI 1992). */
+  private[graft] val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+  private[graft] val imaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble through the decoder state machine:
+    * (newPred, newIndex). The magnitude reconstruction uses the
+    * shift-add form (step/8 + bit-gated step, step/2, step/4) that is
+    * exact for every table entry. */
+  private[ops] def imaStepNibble(n: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = imaStep(index)
+    var delta = step >> 3
+    if ((n & 4) != 0) delta += step
+    if ((n & 2) != 0) delta += step >> 1
+    if ((n & 1) != 0) delta += step >> 2
+    val p0 = if ((n & 8) != 0) pred - delta else pred + delta
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + imaIndexAdj(n & 7)))
+    (p, i)
+  }
+
+  /** One IMA ADPCM ENCODER step: choose the nibble for `sample` given
+    * (pred, index), return (nibble, newPred, newIndex). The decoder
+    * run on the emitted nibbles reproduces exactly the encoder's
+    * predictor sequence — which is what makes ADPCM oracle-able. */
+  private[ops] def imaEncodeStep(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+    val step = imaStep(index)
+    var diff = sample - pred
+    var n = 0
+    if (diff < 0) { n = 8; diff = -diff }
+    if (diff >= step) { n |= 4; diff -= step }
+    if (diff >= (step >> 1)) { n |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) { n |= 1 }
+    val (p, i) = imaStepNibble(n, pred, index)
+    (n, p, i)
+  }
+
   /** G.711 A-law → 16-bit linear (CCITT): invert the even bits
     * (XOR 0x55), then mantissa·16 (+8 bias in segment 0, +0x108 and a
     * segment-1 shift above); sign bit SET means positive. Extremes
@@ -790,24 +834,26 @@ object Multimodal {
     // infinite loop or index out of bounds — contract is None on
     // anything malformed.
     var iL = 12L
-    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    // format, channels, rate, bits, blockAlign
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
     while (iL + 8 <= bytes.length) {
       val i = iL.toInt
       val id = tag(i); val size = le32(i + 4)
       if (size < 0) return None
       if (id == "fmt " && size >= 16 && iL + 8 + 16 <= bytes.length) {
         val f = le16(i + 8)
-        if (f != 1 && f != 6 && f != 7) return None // linear PCM, A-law, μ-law
-        fmt = Some((f, le16(i + 10), le32(i + 12), le16(i + 22)))
+        // linear PCM, A-law, μ-law, IMA ADPCM
+        if (f != 1 && f != 6 && f != 7 && f != 0x11) return None
+        fmt = Some((f, le16(i + 10), le32(i + 12), le16(i + 22), le16(i + 20)))
       } else if (id == "data") {
         return fmt.collect {
-          case (1, ch, rate, 16) if ch > 0 && iL + 8 + size <= bytes.length =>
+          case (1, ch, rate, 16, _) if ch > 0 && iL + 8 + size <= bytes.length =>
             val n = size / 2
             val out = new Array[Short](n)
             var k = 0
             while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
             AudioData(ch, rate, out)
-          case (f, ch, rate, 8) if (f == 6 || f == 7) && ch > 0 &&
+          case (f, ch, rate, 8, _) if (f == 6 || f == 7) && ch > 0 &&
             iL + 8 + size <= bytes.length =>
             val out = new Array[Short](size)
             var k = 0
@@ -817,6 +863,42 @@ object Multimodal {
               k += 1
             }
             AudioData(ch, rate, out)
+          case (0x11, 1, rate, 4, blockAlign) if blockAlign > 4 &&
+            iL + 8 + size <= bytes.length =>
+            // mono IMA ADPCM: per block a 4-byte header (int16 LE
+            // predictor = first sample, uint8 step index, reserved),
+            // then nibble pairs LOW FIRST — the DVI/WAV convention
+            val out = new java.io.ByteArrayOutputStream() // 2 bytes/sample LE
+            def emit(s: Int): Unit = { out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+            var pos = 0
+            while (pos + 4 <= size) {
+              var pred = le16(i + 8 + pos).toShort.toInt
+              var index = math.max(0, math.min(88, bytes(i + 8 + pos + 2) & 0xff))
+              emit(pred)
+              val body = math.min(blockAlign, size - pos) - 4
+              var b = 0
+              while (b < body) {
+                val byte = bytes(i + 8 + pos + 4 + b) & 0xff
+                var half = 0
+                while (half < 2) {
+                  val n = if (half == 0) byte & 0x0f else byte >> 4
+                  val (p2, i2) = imaStepNibble(n, pred, index)
+                  pred = p2; index = i2
+                  emit(pred)
+                  half += 1
+                }
+                b += 1
+              }
+              pos += blockAlign
+            }
+            val raw = out.toByteArray
+            val samples = new Array[Short](raw.length / 2)
+            var k = 0
+            while (k < samples.length) {
+              samples(k) = ((raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8)).toShort
+              k += 1
+            }
+            AudioData(1, rate, samples)
         }
       }
       iL += 8L + size + (size & 1) // chunks are word-aligned
@@ -951,6 +1033,50 @@ object Multimodal {
     while (k < nSamples) {
       bb.put(((((k * 7 + seed) % 256 + 256) % 256) & 0xff).toByte)
       k += 1
+    }
+    bb.array()
+  }
+
+  /** Mono IMA ADPCM WAV through the REAL encoder: source sample k =
+    * ((k·327+seed) mod 65536) − 32768, quantized block by block
+    * (4-byte header: int16 predictor = the block's first sample,
+    * step index, reserved; then nibble pairs LOW FIRST). Decoding
+    * reproduces the encoder's predictor sequence exactly, which is
+    * what lets a recursive-CTE oracle re-derive every decoded sample
+    * from doc_id alone. fmt is the 20-byte ADPCM shape (cbSize=2,
+    * samplesPerBlock). */
+  def synthImaAdpcmWav(seed: Long, nBlocks: Int = 1, sampleRate: Int = 16000,
+                       blockAlign: Int = 36): Array[Byte] = {
+    require(nBlocks >= 1 && blockAlign > 4)
+    val spb = (blockAlign - 4) * 2 + 1
+    val dataSize = nBlocks * blockAlign
+    def src(k: Int): Int = (((k * 327 + seed) % 65536 + 65536) % 65536 - 32768).toInt
+    val bb = java.nio.ByteBuffer.allocate(48 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var index = 0
+    var k = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      var pred = src(k)
+      bb.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+      k += 1
+      var b = 0
+      while (b < blockAlign - 4) {
+        val (lo, p1, i1) = imaEncodeStep(src(k), pred, index)
+        pred = p1; index = i1; k += 1
+        val (hi, p2, i2) = imaEncodeStep(src(k), pred, index)
+        pred = p2; index = i2; k += 1
+        bb.put(((hi << 4) | lo).toByte)
+        b += 1
+      }
+      blk += 1
     }
     bb.array()
   }

@@ -1050,6 +1050,23 @@ object LlmQueries {
           s -> s * s)) AS BIGINT) AS sum_sq
         FROM documents""")),
 
+    // IMA ADPCM decode (WAV format 0x11) — a true adaptive-predictive
+    // codec, oracled COMPLETELY: decoding reproduces the encoder's own
+    // predictor sequence, so a recursive CTE re-runs the published
+    // state machine (89-entry step table, shift-add magnitude, clamped
+    // predictor/index) from doc_id alone and sums the squares of every
+    // decoded sample.
+    Q("q_multimodal_adpcm",
+      (s, dir) => {
+        import s.implicits._
+        val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.synthImaAdpcmWav(id, nBlocks = 1))
+          }).toDF("doc_id", "content")
+        Multimodal.audioFeatures(clips, "doc_id", "content").toDF()
+      },
+      Some(LlmOracles.adpcm)),
+
     // ASCII netpbm decode (r10): P2 / P3 ASCII-sample rasters next to
     // the binary P5 — all three share one closed-form oracle (the P3
     // writes the same value in all three channels, so its luma sum is
@@ -2836,6 +2853,56 @@ object LlmOracles {
     WITH RECURSIVE ${minhashPairCtes("documents")},
     $clusterCtes
     SELECT id, component FROM comp"""
+
+  /** IMA ADPCM re-derivation: one recursion per doc over the 64
+    * encoded nibbles of the single-block fixture (source sample k =
+    * ((k·327+doc_id) mod 65536) − 32768; header predictor = sample 0,
+    * index 0). Each recursive step runs the published encoder state
+    * machine — quantize the residual against the step table, then the
+    * shift-add reconstruction with clamped predictor/index — whose
+    * predictor sequence IS the decoded output. */
+  val adpcm: String = {
+    val stepList = graft.ops.Multimodal.imaStep.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE enc(doc_id, k, pred, idx, ssq) AS (
+      SELECT doc_id, 0, (doc_id % 65536) - 32768, 0,
+        CAST(((doc_id % 65536) - 32768) * ((doc_id % 65536) - 32768) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, k + 1,
+        greatest(-32768, least(32767,
+          CASE WHEN neg THEN pred - delta ELSE pred + delta END)),
+        greatest(0, least(88, idx + ia)),
+        ssq + CAST(greatest(-32768, least(32767,
+            CASE WHEN neg THEN pred - delta ELSE pred + delta END)) AS BIGINT)
+          * greatest(-32768, least(32767,
+            CASE WHEN neg THEN pred - delta ELSE pred + delta END))
+      FROM (
+        SELECT doc_id, k, pred, idx, ssq, neg,
+          stp // 8 + CASE WHEN b4 THEN stp ELSE 0 END
+            + CASE WHEN b2 THEN stp // 2 ELSE 0 END
+            + CASE WHEN b1 THEN stp // 4 ELSE 0 END AS delta,
+          CASE (CASE WHEN b4 THEN 4 ELSE 0 END + CASE WHEN b2 THEN 2 ELSE 0 END
+                + CASE WHEN b1 THEN 1 ELSE 0 END)
+            WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+            ELSE -1 END AS ia
+        FROM (
+          SELECT *, r2 >= stp // 4 AS b1 FROM (
+            SELECT *, r4 >= stp // 2 AS b2,
+              r4 - CASE WHEN r4 >= stp // 2 THEN stp // 2 ELSE 0 END AS r2
+            FROM (
+              SELECT *, ad >= stp AS b4,
+                ad - CASE WHEN ad >= stp THEN stp ELSE 0 END AS r4
+              FROM (
+                SELECT doc_id, k, pred, idx, ssq,
+                  x - pred < 0 AS neg, abs(x - pred) AS ad,
+                  $stepList[idx + 1] AS stp
+                FROM (SELECT *,
+                    (((k + 1) * 327 + doc_id) % 65536) - 32768 AS x
+                  FROM enc WHERE k < 64)))))))
+    SELECT doc_id, 1 AS channels, 16000 AS sample_rate, 65 AS n_samples,
+      true AS decoded, ssq AS sum_sq
+    FROM enc WHERE k = 64"""
+  }
 
   /** Quality-keeper dedup over the md5 minhash components — twin of
     * [[graft.ops.Clusters.dedupByPairsBest]] (score = n_chars). */

@@ -68,6 +68,17 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     val clustered = AnalyticsCompiler(spark, pts, Seq(
       stage("zorder_cluster", "dims" -> Seq("x", "y"), "bits" -> 6)))
     assert(clustered.columns.contains("zval") && clustered.count() == 100)
+
+    // audience_overlap: exact regime, one pair
+    val aud = (Seq.tabulate(30)(v => ("x", v.toLong)) ++
+      Seq.tabulate(30)(v => ("y", v.toLong + 15))).toDF("seg", "uid")
+    val ov = AnalyticsCompiler(spark, aud, Seq(
+      stage("audience_overlap", "groupCol" -> "seg", "valueCol" -> "uid")))
+    val r = ov.head()
+    assert(r.getLong(4) == 45L && r.getLong(3) == 15L,
+      s"union ${r.getLong(4)} common ${r.getLong(3)}")
+    assert(AnalyticsCompiler.validate(Seq(stage("audience_overlap")))
+      .head.contains("missing groupCol, valueCol"))
   }
 
   test("where/derive/select/aggregate stages compile to the plain relational plan") {

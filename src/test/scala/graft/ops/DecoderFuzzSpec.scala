@@ -33,6 +33,7 @@ class DecoderFuzzSpec extends SparkTestBase {
     "ulaw" -> Multimodal.synthUlawWav(3, 64),
     "aiff" -> Multimodal.synthAiff(3, 64),
     "alaw" -> Multimodal.synthAlawWav(3, 64),
+    "adpcm" -> Multimodal.synthImaAdpcmWav(3, 2),
     "tiff" -> Tiff.synth(3, 9, 7),
     "jpeg" -> {
       val img = new java.awt.image.BufferedImage(16, 16,
