@@ -61,6 +61,10 @@ object AnalyticsCompiler {
       "keys[] tsCol [stepSeconds=86400] — per-key observed/empty bucket counts and longest empty run"),
     "zorder_cluster" -> (Seq("dims"),
       "dims[] [bits=16 partitions=0] — adds `zval` and range-clusters on the Z-curve so the destination write prunes on every listed dimension"),
+    "image_features" -> (Seq("idCol", "contentCol"),
+      "idCol contentCol — REAL raster decode (netpbm/BMP/PNG/GIF/JPEG/TIFF) to width/height/channels/decoded/sum_luma; idCol must be numeric (derive one first, e.g. xxhash64(path) over a binary source)"),
+    "audio_features" -> (Seq("idCol", "contentCol"),
+      "idCol contentCol — REAL audio decode (WAV/AIFF/G.711 u-law+A-law/IMA ADPCM) to channels/sample_rate/n_samples/decoded/sum_sq"),
     "audience_overlap" -> (Seq("groupCol", "valueCol"),
       "groupCol valueCol [k=256 portableHashing=false] — KMV sketch overlap: distinct-count, Jaccard, and intersection estimates for every group pair"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
@@ -197,6 +201,12 @@ object AnalyticsCompiler {
           str(p, "tsCol").get,
           gapSeconds = int(p, "gapSeconds").getOrElse(3600).toLong,
           tiebreak = strs(p, "tiebreak"))
+      case "image_features" =>
+        graft.ops.Multimodal.imageFeatures(df,
+          str(p, "idCol").get, str(p, "contentCol").get).toDF()
+      case "audio_features" =>
+        graft.ops.Multimodal.audioFeatures(df,
+          str(p, "idCol").get, str(p, "contentCol").get).toDF()
       case "audience_overlap" =>
         val k = int(p, "k").getOrElse(256)
         graft.ops.Sketches.kmvOverlap(

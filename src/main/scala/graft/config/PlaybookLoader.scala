@@ -117,7 +117,7 @@ object PlaybookLoader {
 /** Accumulated-error playbook validation (validation.go:52-688 shape). */
 object Validator {
 
-  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet")
+  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet", "binary")
   private val strategies = Set("first", "last", "min", "max")
   private val modes = Set("halt", "skip")
 
@@ -127,8 +127,9 @@ object Validator {
       errs += s"source.type '${pb.source.`type`}' not in ${sourceTypes.toSeq.sorted.mkString(",")}"
     if (pb.source.`type` != "postgres" && pb.source.file.isEmpty)
       errs += "source.file is required"
-    if (!sourceTypes(pb.destination.`type`))
-      errs += s"destination.type '${pb.destination.`type`}' not in ${sourceTypes.toSeq.sorted.mkString(",")}"
+    val destTypes = sourceTypes - "binary" // raw media is ingest-only
+    if (!destTypes(pb.destination.`type`))
+      errs += s"destination.type '${pb.destination.`type`}' not in ${destTypes.toSeq.sorted.mkString(",")}"
     if (pb.destination.`type` != "postgres" && pb.destination.file.isEmpty)
       errs += "destination.file is required"
 

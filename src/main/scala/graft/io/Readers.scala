@@ -73,6 +73,12 @@ object Readers {
     case "yaml"    => readYaml(spark, src.file)
     case "xlsx"    => Xlsx.read(spark, src)
     case "parquet" => spark.read.parquet(src.file)
+    // raw media/document ingestion: one row per file with its bytes -
+    // the front door for image/audio corpora feeding the multimodal
+    // decode stages. Columns: path, modificationTime, length, content.
+    // binaryFile never splits a file, so parallelism = file count -
+    // right for media corpora (many small objects).
+    case "binary" => spark.read.format("binaryFile").load(src.file)
     case "postgres" => spark.read.format("jdbc")
       .option("url", if (src.conn.nonEmpty) src.conn else sys.env.getOrElse("DB_CREDENTIALS", ""))
       .option("query", src.query)

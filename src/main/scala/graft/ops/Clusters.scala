@@ -123,13 +123,30 @@ object Clusters {
             .unionAll(mins.select(col("m").as("a"), col("u").as("b")))
       kept.filter(col("a") =!= col("b")).distinct()
     }
+    // convergence probe: (count, order-independent hash-xor) of the
+    // edge set — ONE aggregate per round instead of two exceptAll
+    // anti-joins (4 shuffles). Both rounds' sets are distinct, so
+    // equal count + equal 64-bit xor means equal sets up to a
+    // vanishing collision probability; a false "converged" would need
+    // two different same-size edge sets whose xxhash64 xors collide
+    // in the same run (xor, not sum: ANSI mode faults a long-sum
+    // overflow). The final state must also be a contraction fixpoint,
+    // which maxIter + requireConvergence guard regardless.
+    def probe(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = e0
+    var sig = probe(e0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nextSig = probe(next)
+      converged = nextSig == sig
       e = next
+      sig = nextSig
       iter += 1
     }
     if (!converged && requireConvergence)

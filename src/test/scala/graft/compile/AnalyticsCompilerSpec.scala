@@ -81,6 +81,36 @@ class AnalyticsCompilerSpec extends SparkTestBase {
       .head.contains("missing groupCol, valueCol"))
   }
 
+  test("binary source -> derive id -> image_features: media ingestion from config") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-media").toString
+    Files.write(Paths.get(dir, "a.png"), graft.ops.Multimodal.synthPng(1, 6, 4, 2))
+    Files.write(Paths.get(dir, "b.gif"), graft.ops.Multimodal.synthGif(2, 6, 4))
+    Files.write(Paths.get(dir, "c.tif"), graft.ops.Tiff.synth(3, 6, 4))
+    Files.write(Paths.get(dir, "junk.bin"), Array[Byte](1, 2, 3))
+    val yaml = s"""
+      |source:
+      |  type: binary
+      |  file: $dir
+      |destination:
+      |  type: parquet
+      |  file: /tmp/graft_playbook_unused
+      |analytics:
+      |  - op: derive
+      |    target: doc_id
+      |    expr: "xxhash64(path)"
+      |  - op: image_features
+      |    idCol: doc_id
+      |    contentCol: content
+      |""".stripMargin
+    val out = PipelineCompiler.compile(spark,
+      PlaybookLoader.fromString(yaml)).main.collect()
+    assert(out.length == 4)
+    val decoded = out.filter(_.getAs[Boolean]("decoded"))
+    assert(decoded.length == 3, "three real rasters, one junk")
+    assert(decoded.forall(r => r.getAs[Int]("width") == 6 && r.getAs[Int]("height") == 4))
+  }
+
   test("where/derive/select/aggregate stages compile to the plain relational plan") {
     val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 1.0))
       .toDF("id", "g", "v")
