@@ -114,6 +114,13 @@ object AnalyticsCompiler {
             case "exact_dedup" =>
               str(st.params, "keep").filterNot(Set("first", "last")).foreach(k =>
                 errs += s"analytics[$i] (exact_dedup): keep '$k' not in first,last")
+            case "zorder_cluster" =>
+              // the interleave's 62-bit budget must fail at LOAD, not
+              // as a bare require() mid-compile
+              val dims = strs(st.params, "dims").size
+              val bits = int(st.params, "bits").getOrElse(16)
+              if (dims >= 1 && (bits < 1 || dims * bits > 62))
+                errs += s"analytics[$i] (zorder_cluster): $dims dims x $bits bits exceeds the 62-bit interleave budget — lower bits (${62 / math.max(dims, 1)} fits) or drop dimensions"
             case _ => ()
           }
       }

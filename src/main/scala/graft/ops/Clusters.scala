@@ -154,9 +154,15 @@ object Clusters {
         s"connectedComponentsStar did not converge in $maxIter rounds " +
         "(theoretical bound is O(log^2 n)); raise maxIter or pass " +
         "requireConvergence=false to accept partial labels")
-    // converged edges are stars (root, v): root = component min
-    nodes.join(e.select(col("b").as("id"), col("a").as("_root")), Seq("id"), "left")
+    // converged edges are stars (root, v): root = component min — one
+    // row per node. A NON-converged residual can attach a node to
+    // several roots, so the partial-labels escape hatch must still
+    // honor the one-label-per-id shape: take the min.
+    val labeled = nodes
+      .join(e.select(col("b").as("id"), col("a").as("_root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_root"), col("id")).as("component"))
+    if (converged) labeled
+    else labeled.groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
   private def driverUnionFind(sym: DataFrame): DataFrame = {

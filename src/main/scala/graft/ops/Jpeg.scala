@@ -247,6 +247,7 @@ object Jpeg {
     val preds = new Array[Int](scan.length)
     val coef = new Array[Int](64)
     val pix = new Array[Int](64)
+    val dctTmp = new Array[Double](64)
     var nextRst = 0
     val nMcus = mcusX * mcusY
     var m = 0
@@ -266,7 +267,7 @@ object Jpeg {
           var bx = 0
           while (bx < c.hs) {
             decodeBlock(r, huff(0)(dcT), huff(1)(acT), qt(c.tq), preds, ci, coef)
-            idct(coef, pix)
+            idct(coef, pix, dctTmp)
             // place the 8x8 block into the component plane
             val px0 = (mx * c.hs + bx) * 8
             val py0 = (my * c.vs + by) * 8
@@ -347,9 +348,9 @@ object Jpeg {
 
   /** Separable double-precision 8x8 IDCT; output level-shifted +128
     * and clamped to 0..255. `c` is in natural order (row = vertical
-    * frequency). */
-  private def idct(c: Array[Int], out: Array[Int]): Unit = {
-    val tmp = new Array[Double](64)
+    * frequency); `tmp` is caller-provided scratch (a per-block
+    * allocation here would be the hot loop's only garbage). */
+  private def idct(c: Array[Int], out: Array[Int], tmp: Array[Double]): Unit = {
     var v = 0
     while (v < 8) { // rows: horizontal IDCT per vertical frequency v
       var x = 0

@@ -67,6 +67,13 @@ object Layout {
    */
   def zorderValue(df: DataFrame, dims: Seq[String], bits: Int = 16): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
+    // fail loudly instead of silently replacing caller columns: a
+    // frame that already carries zval (e.g. a second zorder_cluster
+    // stage) would otherwise have it clobbered with no diagnostic
+    val reserved = "zval" +: dims.flatMap(d => Seq(s"_z_mn_$d", s"_z_mx_$d"))
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"zorderValue output would clobber existing column(s): ${clash.mkString(", ")} — rename or drop them first")
     val boundAggs = dims.flatMap { d =>
       val v = col(d).cast("double")
       val finite = v.isNotNull && !isnan(v) &&
@@ -251,8 +258,14 @@ object Layout {
       val part = fs.listStatus(staging).toSeq
         .map(_.getPath).find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no staging output for bin ${bin.bin}"))
-      val dest = new org.apache.hadoop.fs.Path(hPath,
-        f"compact-${bin.bin}%05d-${part.getName}")
+      // the merged file takes its NAME POSITION from the bin's first
+      // member, so the directory's name order (zval order for a
+      // clustered write) survives compaction and a SECOND maintenance
+      // pass still sees adjacent files as adjacent — a "compact-..."
+      // prefix would sort every merged segment to the front and make
+      // the next pass merge distant curve segments
+      val headBase = bin.files.head.split("/").last.stripSuffix(".parquet")
+      val dest = new org.apache.hadoop.fs.Path(hPath, s"$headBase-compact.parquet")
       if (!fs.rename(part, dest))
         throw new IllegalStateException(s"rename failed: $part -> $dest")
       bin.files.foreach { f =>

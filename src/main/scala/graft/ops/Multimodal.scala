@@ -867,14 +867,20 @@ object Multimodal {
             iL + 8 + size <= bytes.length =>
             // mono IMA ADPCM: per block a 4-byte header (int16 LE
             // predictor = first sample, uint8 step index, reserved),
-            // then nibble pairs LOW FIRST — the DVI/WAV convention
-            val out = new java.io.ByteArrayOutputStream() // 2 bytes/sample LE
-            def emit(s: Int): Unit = { out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+            // then nibble pairs LOW FIRST — the DVI/WAV convention.
+            // Sample count is computable per block (1 + 2·body), so
+            // decode writes the Short array directly.
+            val nFull = size / blockAlign
+            val rem = size % blockAlign
+            val total = nFull * ((blockAlign - 4) * 2 + 1) +
+              (if (rem >= 4) 1 + 2 * (rem - 4) else 0)
+            val samples = new Array[Short](total)
+            var k = 0
             var pos = 0
             while (pos + 4 <= size) {
               var pred = le16(i + 8 + pos).toShort.toInt
               var index = math.max(0, math.min(88, bytes(i + 8 + pos + 2) & 0xff))
-              emit(pred)
+              samples(k) = pred.toShort; k += 1
               val body = math.min(blockAlign, size - pos) - 4
               var b = 0
               while (b < body) {
@@ -884,19 +890,12 @@ object Multimodal {
                   val n = if (half == 0) byte & 0x0f else byte >> 4
                   val (p2, i2) = imaStepNibble(n, pred, index)
                   pred = p2; index = i2
-                  emit(pred)
+                  samples(k) = pred.toShort; k += 1
                   half += 1
                 }
                 b += 1
               }
               pos += blockAlign
-            }
-            val raw = out.toByteArray
-            val samples = new Array[Short](raw.length / 2)
-            var k = 0
-            while (k < samples.length) {
-              samples(k) = ((raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8)).toShort
-              k += 1
             }
             AudioData(1, rate, samples)
         }

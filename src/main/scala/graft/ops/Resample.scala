@@ -35,26 +35,38 @@ object Resample {
    * (linear interpolation between the surrounding observed buckets;
    * forward/backward fill at the edges).
    */
+  /** Output/internal names are reserved: a config-facing op must fail
+    * loudly on a clash, not throw AMBIGUOUS_REFERENCE mid-plan. */
+  private def checkNames(keys: Seq[String], reserved: Seq[String], op: String): Unit = {
+    val clash = keys.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$op: key column(s) ${clash.mkString(", ")} collide with the operator's " +
+        s"output/internal columns (${reserved.mkString(", ")}) — rename them first")
+  }
+
   def gapFillResample(df: DataFrame, keys: Seq[String], tsCol: String,
                       valueCol: String, stepSeconds: Long): DataFrame = {
     require(keys.nonEmpty && stepSeconds > 0)
+    checkNames(keys, Seq("_rs_b", "bucket_start", "n_obs", "v_avg", "v_ffill",
+      "v_interp", "_v", "_pv", "_pb", "_nv", "_nb", "_mnb", "_mxb"),
+      "gapFillResample")
     val kCols = keys.map(col)
-    val b = expr(s"unix_timestamp($tsCol) div $stepSeconds").as("b")
+    val b = expr(s"unix_timestamp($tsCol) div $stepSeconds").as("_rs_b")
     val obs = df.select(kCols :+ b :+ col(valueCol).as("_v"): _*)
-      .groupBy(kCols :+ col("b"): _*)
+      .groupBy(kCols :+ col("_rs_b"): _*)
       .agg(count(lit(1)).as("n_obs"),
         (sum(col("_v").cast("decimal(18,4)")).cast("double") / count(lit(1)))
           .as("v_avg"))
     val span = obs.groupBy(kCols: _*)
-      .agg(min(col("b")).as("_mnb"), max(col("b")).as("_mxb"))
+      .agg(min(col("_rs_b")).as("_mnb"), max(col("_rs_b")).as("_mxb"))
     val grid = span.select(kCols :+
-      explode(sequence(col("_mnb"), col("_mxb"))).as("b"): _*)
-    val joined = grid.join(obs, keys :+ "b", "left")
-    val wUp = Window.partitionBy(kCols: _*).orderBy(col("b"))
+      explode(sequence(col("_mnb"), col("_mxb"))).as("_rs_b"): _*)
+    val joined = grid.join(obs, keys :+ "_rs_b", "left")
+    val wUp = Window.partitionBy(kCols: _*).orderBy(col("_rs_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDown = Window.partitionBy(kCols: _*).orderBy(col("b"))
+    val wDown = Window.partitionBy(kCols: _*).orderBy(col("_rs_b"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsB = when(col("v_avg").isNotNull, col("b"))
+    val obsB = when(col("v_avg").isNotNull, col("_rs_b"))
     val filled = joined
       .withColumn("_pv", last(col("v_avg"), ignoreNulls = true).over(wUp))
       .withColumn("_pb", last(obsB, ignoreNulls = true).over(wUp))
@@ -63,11 +75,11 @@ object Resample {
     val interp = when(col("v_avg").isNotNull, col("v_avg"))
       .when(col("_pv").isNotNull && col("_nv").isNotNull,
         col("_pv") + (col("_nv") - col("_pv")) *
-          (col("b") - col("_pb")).cast("double") /
+          (col("_rs_b") - col("_pb")).cast("double") /
           (col("_nb") - col("_pb")).cast("double"))
       .otherwise(coalesce(col("_pv"), col("_nv")))
     filled.select(kCols ++ Seq(
-      (col("b") * stepSeconds).as("bucket_start"),
+      (col("_rs_b") * stepSeconds).as("bucket_start"),
       coalesce(col("n_obs"), lit(0L)).as("n_obs"),
       col("v_avg"),
       col("_pv").as("v_ffill"),
@@ -82,15 +94,17 @@ object Resample {
   def gapReport(df: DataFrame, keys: Seq[String], tsCol: String,
                 stepSeconds: Long): DataFrame = {
     require(keys.nonEmpty && stepSeconds > 0)
+    checkNames(keys, Seq("_rs_b", "_gap", "first_bucket", "last_bucket",
+      "n_observed_buckets", "n_empty_buckets", "longest_gap_buckets"), "gapReport")
     val kCols = keys.map(col)
-    val b = expr(s"unix_timestamp($tsCol) div $stepSeconds").as("b")
+    val b = expr(s"unix_timestamp($tsCol) div $stepSeconds").as("_rs_b")
     val obs = df.select(kCols :+ b: _*).distinct()
-    val w = Window.partitionBy(kCols: _*).orderBy(col("b"))
-    obs.withColumn("_gap", col("b") - lag(col("b"), 1).over(w) - 1)
+    val w = Window.partitionBy(kCols: _*).orderBy(col("_rs_b"))
+    obs.withColumn("_gap", col("_rs_b") - lag(col("_rs_b"), 1).over(w) - 1)
       .groupBy(kCols: _*)
-      .agg(min(col("b")).as("first_bucket"), max(col("b")).as("last_bucket"),
+      .agg(min(col("_rs_b")).as("first_bucket"), max(col("_rs_b")).as("last_bucket"),
         count(lit(1)).as("n_observed_buckets"),
-        (max(col("b")) - min(col("b")) + 1 - count(lit(1))).as("n_empty_buckets"),
+        (max(col("_rs_b")) - min(col("_rs_b")) + 1 - count(lit(1))).as("n_empty_buckets"),
         coalesce(max(col("_gap")), lit(0L)).as("longest_gap_buckets"))
   }
 }
