@@ -190,7 +190,10 @@ object Validator {
         errs += "streaming errorFile is not supported (error records are dropped; route them with a second playbook filtering _err patterns)"
       val streamSafe = Set("quality_gate", "lang_filter", "text_metrics",
         "exact_dedup", "url_normalize", "host_blocklist", "where", "derive",
-        "select", "split", "sample", "join")
+        "select", "split", "sample", "join",
+        // stateless per-partition decodes — no cross-row state, so the
+        // micro-batch and batch semantics coincide
+        "image_features", "audio_features")
       val streamJoins = Set("inner", "left", "left_outer", "leftouter",
         "left_semi", "leftsemi", "left_anti", "leftanti")
       pb.analytics.zipWithIndex.foreach { case (st, i) =>

@@ -825,6 +825,44 @@ object StreamOps {
       }
   }
 
+  case class KmvGroupSketch(group: String, n_sketch: Int, est_distinct: Long)
+
+  /**
+   * Streaming face of [[graft.ops.Sketches.kmvSketch]]: per-group KMV
+   * state (the k smallest value hashes seen so far) maintained in
+   * flatMapGroupsWithState and re-estimated on every update — the
+   * incremental form of the batch sketch, and the property that makes
+   * KMV the right streaming summary: merging a batch into the state
+   * is just "k smallest of the union", so the streamed sketch equals
+   * the batch sketch over the same prefix (spec-pinned). State is
+   * ≤ k longs per group (the 52-bit hex-prefix values the batch
+   * estimator uses), never the values themselves.
+   */
+  def kmvSketchStream(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Int = 256): Dataset[KmvGroupSketch] = {
+    import df.sparkSession.implicits._
+    require(k >= 2)
+    val hashed = df.select(col(groupCol).cast("string").as("g"),
+      // the batch op's hash: lowercase 16-hex xxhash64; keep the
+      // 52-bit prefix as a long (order-preserving, estimator-ready)
+      conv(substring(lower(lpad(hex(xxhash64(col(valueCol).cast("string"))), 16, "0")),
+        1, 13), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], KmvGroupSketch](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else math.floor((k - 1).toDouble * 4503599627370496.0 /
+              math.max(merged.last, 1L)).toLong
+          Iterator.single(KmvGroupSketch(g, merged.length, est))
+      }
+  }
+
   /** Output-mode helper for tests/callers. */
   def updateMode: OutputMode = OutputMode.Update()
 }

@@ -710,4 +710,58 @@ class StreamOpsSpec extends SparkTestBase {
         ((last._2, last._3, last._4, last._5, last._6, last._7, last._8)))
     } finally q.stop()
   }
+
+  test("imageFeatures runs stateless on a stream (decode per micro-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val out = graft.ops.Multimodal.imageFeatures(
+      mem.toDF().toDF("doc_id", "content"), "doc_id", "content")
+    val q = out.writeStream.format("memory").queryName("img_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, graft.ops.Multimodal.synthPng(1, 6, 4, 2)),
+        (2L, Array[Byte](9, 9, 9)))
+      q.processAllAvailable()
+      mem.addData((3L, graft.ops.Tiff.synth(3, 6, 4)))
+      q.processAllAvailable()
+      val rows = spark.table("img_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("decoded")).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
+  test("kmvSketchStream: state carries k minima across batches, matches batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val out = StreamOps.kmvSketchStream(
+      mem.toDF().toDF("seg", "uid"), "seg", "uid", k = 32)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: 20 distinct (< k -> exact); batch 2: +30 more incl.
+      // 10 repeats -> 40 distinct total, sketch saturates at k=32
+      mem.addData((0 until 20).map(v => ("a", v.toLong)): _*)
+      q.processAllAvailable()
+      val first = spark.table("kmv_stream").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).last
+      assert(first == ((20, 20L)), s"exact regime: $first")
+      mem.addData((10 until 40).map(v => ("a", v.toLong)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("kmv_stream").collect()
+        .filter(_.getString(0) == "a").map(r => (r.getInt(1), r.getLong(2)))
+      val last = rows.last
+      assert(last._1 == 32, s"sketch saturates at k: $last")
+      // 40 distinct total; KMV error at k=32 ~ 18%; allow 3 sigma
+      assert(math.abs(last._2 - 40L) <= 22, s"estimate ${last._2} vs 40")
+      // streamed estimate == the batch estimator over the same prefix
+      val batch = graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvSketch(
+          (0 until 40).map(v => ("a", v.toLong)).toDF("seg", "uid"),
+          "seg", "uid", k = 32), 32)
+        .head().getLong(2)
+      assert(last._2 == batch, s"stream ${last._2} vs batch $batch")
+    } finally q.stop()
+  }
 }
