@@ -62,7 +62,9 @@ object Bench {
       "q_kmv_overlap",
       // md5 oracle face of the star-CC engine; q_llm_cc_star_x64 is the
       // benched production path
-      "q_llm_cc_star")
+      "q_llm_cc_star",
+      // result-twin of the benched q_expectations plan (YAML parse only)
+      "q_playbook_expect")
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs
     // just those queries. The driver never sets it — full surface.

@@ -61,6 +61,8 @@ object AnalyticsCompiler {
       "keys[] tsCol [stepSeconds=86400] — per-key observed/empty bucket counts and longest empty run"),
     "zorder_cluster" -> (Seq("dims"),
       "dims[] [bits=16 partitions=0] — adds `zval` and range-clusters on the Z-curve so the destination write prunes on every listed dimension"),
+    "expect"         -> (Seq("rules"),
+      "rules[{type: not_null|in_range|accepted_values|matches_regex|satisfies|unique|ref_integrity, ...}] — data-contract report: one row per rule with exact violation counts"),
     "image_features" -> (Seq("idCol", "contentCol"),
       "idCol contentCol — REAL raster decode (netpbm/BMP/PNG/GIF/JPEG/TIFF) to width/height/channels/decoded/sum_luma; idCol must be numeric (derive one first, e.g. xxhash64(path) over a binary source)"),
     "audio_features" -> (Seq("idCol", "contentCol"),
@@ -91,6 +93,7 @@ object AnalyticsCompiler {
           val intParams = Set("pct")
           val missing = required.filter { k =>
             if (k == "aggs") strMap(st.params, k).isEmpty
+            else if (k == "rules") maps(st.params, k).isEmpty
             else if (listParams(k)) strs(st.params, k).isEmpty
             else if (intParams(k)) int(st.params, k).isEmpty
             else str(st.params, k).isEmpty
@@ -114,6 +117,28 @@ object AnalyticsCompiler {
             case "exact_dedup" =>
               str(st.params, "keep").filterNot(Set("first", "last")).foreach(k =>
                 errs += s"analytics[$i] (exact_dedup): keep '$k' not in first,last")
+            case "expect" =>
+              maps(st.params, "rules").zipWithIndex.foreach { case (m, ri) =>
+                str(m, "type") match {
+                  case None =>
+                    errs += s"analytics[$i] (expect) rule[$ri]: missing type"
+                  case Some(t) => expectRuleParams.get(t) match {
+                    case None => errs += s"analytics[$i] (expect) rule[$ri]: unknown type '$t' (known: ${expectRuleParams.keys.toSeq.sorted.mkString(", ")})"
+                    case Some(req) =>
+                      val listP = Set("cols", "values")
+                      val dblP = Set("lo", "hi")
+                      val miss = req.filter { k =>
+                        if (listP(k)) strs(m, k).isEmpty
+                        else if (dblP(k)) dbl(m, k).isEmpty
+                        else str(m, k).isEmpty
+                      }
+                      if (miss.nonEmpty)
+                        errs += s"analytics[$i] (expect) rule[$ri] ($t): missing ${miss.mkString(", ")}"
+                      if (t == "satisfies")
+                        str(m, "predicate").foreach(checkExpr(s"rule[$ri] predicate", _))
+                  }
+                }
+              }
             case "zorder_cluster" =>
               // the interleave's 62-bit budget must fail at LOAD, not
               // as a bare require() mid-compile
@@ -208,6 +233,8 @@ object AnalyticsCompiler {
           str(p, "tsCol").get,
           gapSeconds = int(p, "gapSeconds").getOrElse(3600).toLong,
           tiebreak = strs(p, "tiebreak"))
+      case "expect" =>
+        graft.ops.Expectations.check(df, maps(p, "rules").map(expectRule(spark, _)))
       case "image_features" =>
         graft.ops.Multimodal.imageFeatures(df,
           str(p, "idCol").get, str(p, "contentCol").get).toDF()
@@ -254,6 +281,34 @@ object AnalyticsCompiler {
     }
   }
 
+  /** One `expect` rule from its YAML map. */
+  private def expectRule(spark: SparkSession, m: Map[String, Any]): graft.ops.Expectations.Rule = {
+    import graft.ops.Expectations._
+    str(m, "type").getOrElse("") match {
+      case "not_null" => NotNull(str(m, "col").get)
+      case "in_range" => InRange(str(m, "col").get, dbl(m, "lo").get, dbl(m, "hi").get)
+      case "accepted_values" => AcceptedValues(str(m, "col").get, strs(m, "values"))
+      case "matches_regex" => MatchesRegex(str(m, "col").get, str(m, "regex").get)
+      case "satisfies" => Satisfies(str(m, "predicate").get, str(m, "name").get)
+      case "unique" => Unique(strs(m, "cols"))
+      case "ref_integrity" => RefIntegrity(str(m, "col").get,
+        graft.io.Readers.read(spark, SourceConfig(
+          `type` = str(m, "refType").get, file = str(m, "refFile").get)),
+        str(m, "refCol").get)
+      case other => throw new IllegalArgumentException(s"unknown expect rule '$other'")
+    }
+  }
+
+  /** Load-time requirements per expect-rule type. */
+  private[compile] val expectRuleParams: Map[String, Seq[String]] = Map(
+    "not_null" -> Seq("col"),
+    "in_range" -> Seq("col", "lo", "hi"),
+    "accepted_values" -> Seq("col", "values"),
+    "matches_regex" -> Seq("col", "regex"),
+    "satisfies" -> Seq("predicate", "name"),
+    "unique" -> Seq("cols"),
+    "ref_integrity" -> Seq("col", "refType", "refFile", "refCol"))
+
   // ---- param decoding over snakeyaml's raw java values ----
   private def str(p: Map[String, Any], k: String): Option[String] =
     p.get(k).collect { case s: String if s.nonEmpty => s }
@@ -271,6 +326,18 @@ object AnalyticsCompiler {
     case Some(s: String) if s.nonEmpty => Seq(s)
     case _ => Seq.empty
   }
+  private def maps(p: Map[String, Any], k: String): Seq[Map[String, Any]] = p.get(k) match {
+    case Some(l: java.util.List[_]) =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
+        m.asScala.map { case (kk, v) => kk.toString -> (v: Any) }.toMap
+      }
+    case Some(l: Seq[_]) => l.collect { case m: Map[_, _] =>
+      m.map { case (kk, v) => kk.toString -> (v: Any) }.toMap
+    }
+    case _ => Seq.empty
+  }
+
   private def strMap(p: Map[String, Any], k: String): Map[String, String] = p.get(k) match {
     case Some(m: java.util.Map[_, _]) =>
       import scala.jdk.CollectionConverters._

@@ -72,6 +72,38 @@ object AnalyticsQueries {
             AS BIGINT) AS zval
         FROM c"""
 
+  /** Data-contract report oracle over lineitem (7 rule types) — shared
+    * by `q_expectations` and the playbook twin `q_playbook_expect`.
+    * Each violation count restated exactly; labels match the Rule
+    * `label` strings verbatim. */
+  private[queries] val expectationsOracle: String =
+    """WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+      r AS (
+        SELECT 'not_null(l_orderkey)' AS rule,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS v
+        UNION ALL SELECT 'in_range(l_quantity,1.0,30.0)',
+          (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+            AND (CAST(l_quantity AS DOUBLE) < 1.0 OR CAST(l_quantity AS DOUBLE) > 30.0))
+        UNION ALL SELECT 'accepted_values(l_returnflag)',
+          (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N', 'R'))
+        UNION ALL SELECT 'matches_regex(l_linestatus)',
+          (SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL
+            AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+        UNION ALL SELECT 'satisfies(nonneg_price)',
+          (SELECT count(*) FROM lineitem
+            WHERE NOT coalesce(l_extendedprice >= 0, false))
+        UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+          (SELECT coalesce(sum(c), 0) FROM (
+            SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        UNION ALL SELECT 'ref_integrity(l_orderkey)',
+          (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+      SELECT rule, n_rows, CAST(v AS BIGINT) AS n_violations,
+        v = 0 AS pass
+      FROM r, n"""
+
   /** Benford audit oracle, macro-built from the SAME magnitude powers
     * and expectation micros the engine uses (Stats.benfordMicro). */
   private val benfordOracle: String = {
@@ -396,6 +428,25 @@ object AnalyticsQueries {
           FROM f)
         SELECT r_name, n_cust_exact, TRUE AS hll_within_5pct FROM reg
         UNION ALL SELECT r_name, n_cust_exact, TRUE FROM tot""")),
+
+    // Data contracts (Expectations.check): 7 rule types over lineitem
+    // in one report — row-local rules fold into ONE aggregate pass,
+    // unique adds a keyed groupBy, ref_integrity one anti-join. The
+    // in_range rule is deliberately violated (l_quantity tops out at
+    // 50) so the report proves it counts, not just passes.
+    Q("q_expectations",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        check(t(s, dir, "lineitem"), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1.0, 30.0),
+          AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+          MatchesRegex("l_linestatus", "^[OF]$"),
+          Satisfies("l_extendedprice >= 0", "nonneg_price"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+      },
+      Some(expectationsOracle)),
 
     // KMV (k-minimum-values) audience overlap — the mergeable sketch
     // HLL can't be: the union's k smallest hashes are a uniform sample

@@ -205,6 +205,45 @@ object PlaybookQueries {
         |""".stripMargin),
       Some(AnalyticsQueries.resampleDailyOracle)),
 
+    // Data contracts from config: the same 7-rule report as
+    // q_expectations, declared in YAML (incl. a cross-source
+    // ref_integrity rule). Result-twin — bench-excluded.
+    Q("q_playbook_expect",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/lineitem.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: expect
+        |    rules:
+        |      - type: not_null
+        |        col: l_orderkey
+        |      - type: in_range
+        |        col: l_quantity
+        |        lo: 1.0
+        |        hi: 30.0
+        |      - type: accepted_values
+        |        col: l_returnflag
+        |        values: [A, N, R]
+        |      - type: matches_regex
+        |        col: l_linestatus
+        |        regex: "^[OF]$$"
+        |      - type: satisfies
+        |        predicate: "l_extendedprice >= 0"
+        |        name: nonneg_price
+        |      - type: unique
+        |        cols: [l_orderkey, l_linenumber]
+        |      - type: ref_integrity
+        |        col: l_orderkey
+        |        refType: parquet
+        |        refFile: $dir/orders.parquet
+        |        refCol: o_orderkey
+        |""".stripMargin),
+      Some(AnalyticsQueries.expectationsOracle)),
+
     // Z-order clustering from config: zorder_cluster adds `zval` and
     // range-clusters; the select projects the key columns so the
     // result is q_zorder_value's oracle. A NEW plan (the range
