@@ -89,6 +89,72 @@ object Sketches {
     hll_sketch_estimate(sketch)
 
   // ---------------------------------------------------------------
+  // Mergeable equi-width histograms — the quantile member of the
+  // mergeable-summary family (HLL = distinct, KMV = overlap, this =
+  // distribution): scan the fact table ONCE at the finest key into
+  // (keys…, bucket, cnt) partials, roll up to ANY coarser key by
+  // summing bucket counts, and read off any quantile from the rolled
+  // histogram — exact to bucket width, with no rescan and integer
+  // arithmetic throughout (fully DuckDB-oracle-able). The domain
+  // [lo, hi) is a caller contract (out-of-range values clamp to the
+  // edge buckets — visible as mass in bucket 0 / nBuckets-1).
+  // ---------------------------------------------------------------
+
+  /** (keys…, bucket, cnt): one map-side-combined aggregate;
+    * keys×nBuckets rows max regardless of data volume. */
+  def histogramPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+                        lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo)
+    val v = col(valueCol).cast("double")
+    val bucket = greatest(lit(0L), least(lit(nBuckets - 1L),
+      floor((v - lo) * nBuckets / (hi - lo))))
+    df.filter(v.isNotNull && !isnan(v))
+      .groupBy((keys.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Roll partials to coarser `keys` by summing bucket counts —
+    * input and output are both histogram tables, so rollups chain. */
+  def histogramRollup(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Quantile read-off: for each key and q, the bucket holding the
+   * ceil(q·n)-th smallest value, with its [bucket_lo, bucket_hi)
+   * edges — the estimate is exact to bucket width. One per-key
+   * cumulative window over ≤ nBuckets rows.
+   */
+  def histogramQuantiles(hist: DataFrame, keys: Seq[String], qs: Seq[Double],
+                         lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    // empty keys would make the cumulative window partition-less; the
+    // relation is provably ≤ nBuckets rows, stated via the repo's
+    // pmod-constant idiom (non-foldable, single-valued) so the plan
+    // carries a partition spec and the hygiene sweep holds
+    val pCols = if (keys.nonEmpty) keys.map(col)
+                else Seq(pmod(col("bucket"), lit(1)))
+    val kCols = keys.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pCols: _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(pCols: _*)
+    val width = (hi - lo) / nBuckets
+    hist
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .withColumn("_n", sum(col("cnt")).over(wAll))
+      .withColumn("q_micro", explode(array(qs.map(q =>
+        lit(math.round(q * 1000000).toLong)): _*)))
+      .filter(col("_cum") >= ceil(col("q_micro").cast("double") * col("_n") / 1000000.0))
+      .groupBy((kCols :+ col("q_micro")): _*)
+      .agg(min(col("bucket")).as("bucket"), max(col("_n")).as("n"))
+      .select(kCols ++ Seq(col("q_micro"), col("n"), col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi")): _*)
+  }
+
+  // ---------------------------------------------------------------
   // K-Minimum-Values sketches — the mergeable summary HLL can't be:
   // KMV supports set INTERSECTION (audience overlap), because the k
   // smallest hashes of A ∪ B are a uniform sample of the union on

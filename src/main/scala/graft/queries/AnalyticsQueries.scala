@@ -448,6 +448,46 @@ object AnalyticsQueries {
       },
       Some(expectationsOracle)),
 
+    // Mergeable histogram rollup (Sketches.histogramPartials/Rollup/
+    // Quantiles) — the quantile member of the mergeable-summary family:
+    // one fact pass builds per-event_type bucket counts; p50/p95 per
+    // type AND globally read off the partials with no rescan, exact to
+    // bucket width and integer-arithmetic oracled at both levels.
+    Q("q_hist_rollup",
+      (s, dir) => {
+        val parts = graft.ops.Sketches.histogramPartials(
+          t(s, dir, "events"), Seq("event_type"), "value", 0.0, 1000.0, 100)
+        val per = graft.ops.Sketches.histogramQuantiles(
+          parts, Seq("event_type"), Seq(0.5, 0.95), 0.0, 1000.0, 100)
+        val global = graft.ops.Sketches.histogramQuantiles(
+            graft.ops.Sketches.histogramRollup(parts, Nil), Nil,
+            Seq(0.5, 0.95), 0.0, 1000.0, 100)
+          .withColumn("event_type", lit("ALL"))
+        per.unionByName(global.select(per.columns.map(col): _*))
+      },
+      Some("""WITH p AS (SELECT event_type,
+          greatest(0, least(99, CAST(floor(
+            (CAST(value AS DOUBLE) - 0.0) * 100 / 1000.0) AS BIGINT))) AS bucket,
+          count(*) AS cnt
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY 1, 2),
+        lv AS (SELECT event_type, bucket, cnt FROM p
+          UNION ALL
+          SELECT 'ALL', bucket, sum(cnt) FROM p GROUP BY 2),
+        c AS (SELECT *,
+          sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(cnt) OVER (PARTITION BY event_type) AS n FROM lv),
+        x AS (SELECT *, unnest([500000, 950000]) AS q_micro FROM c),
+        f AS (SELECT event_type, q_micro, min(bucket) AS bucket, max(n) AS n
+          FROM x
+          WHERE cum >= CAST(ceil(CAST(q_micro AS DOUBLE) * n / 1000000.0) AS BIGINT)
+          GROUP BY 1, 2)
+        SELECT event_type, q_micro, CAST(n AS BIGINT) AS n, bucket,
+          0.0 + bucket * 10.0 AS bucket_lo,
+          0.0 + (bucket + 1) * 10.0 AS bucket_hi
+        FROM f""")),
+
     // KMV (k-minimum-values) audience overlap — the mergeable sketch
     // HLL can't be: the union's k smallest hashes are a uniform sample
     // on which A/B membership is exact, giving Jaccard and

@@ -64,6 +64,42 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(global - exact) <= exact / 20, s"global $global vs $exact")
   }
 
+  test("histogram partials/rollup/quantiles: merge equals direct, read-off is bucket-exact") {
+    import spark.implicits._
+    // two groups over [0,100) in 10 buckets; known bucket placement
+    val rows = (0 until 100).map(v => ("a", v.toDouble)) ++
+      (0 until 50).map(v => ("b", v.toDouble * 2))
+    val df = rows.toDF("g", "v")
+    val parts = Sketches.histogramPartials(df, Seq("g"), "v", 0.0, 100.0, 10)
+    // direct global histogram == rolled-up partials, bucket for bucket
+    val direct = Sketches.histogramPartials(df, Nil, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rolled = Sketches.histogramRollup(parts, Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled == direct)
+    // group a: uniform 0..99 -> p50 in bucket 4 (ceil(0.5*100)=50th value=49),
+    // p95 in bucket 9 (95th value = 94)
+    val q = Sketches.histogramQuantiles(parts, Seq("g"), Seq(0.5, 0.95), 0.0, 100.0, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(q(("a", 500000L)) == 4L && q(("a", 950000L)) == 9L, q.toString)
+    // group b: values 0,2,..,98 -> 50 values; p50 = 25th = 48 -> bucket 4
+    assert(q(("b", 500000L)) == 4L)
+    // global quantiles from the ROLLED histogram (empty keys: the
+    // pmod-partition path) agree with a direct global computation
+    val g1 = Sketches.histogramQuantiles(rolled.toSeq.map(kv => (kv._1, kv._2))
+      .toDF("bucket", "cnt"), Nil, Seq(0.5), 0.0, 100.0, 10)
+      .collect().map(_.getLong(2)).toSeq
+    val g2 = Sketches.histogramQuantiles(
+      Sketches.histogramPartials(df, Nil, "v", 0.0, 100.0, 10),
+      Nil, Seq(0.5), 0.0, 100.0, 10).collect().map(_.getLong(2)).toSeq
+    assert(g1 == g2 && g1.nonEmpty)
+    // clamping: out-of-domain mass lands in the edge buckets
+    val clamped = Sketches.histogramPartials(
+      Seq(("x", -5.0), ("x", 500.0)).toDF("g", "v"), Seq("g"), "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(clamped == Map(0L -> 1L, 9L -> 1L))
+  }
+
   test("kmv: exact regime (distinct < k) reproduces true union/intersection") {
     import spark.implicits._
     // A = 0..99, B = 50..149 -> union 150, intersection 50, J = 1/3
