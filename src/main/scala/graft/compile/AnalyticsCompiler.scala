@@ -118,7 +118,15 @@ object AnalyticsCompiler {
               str(st.params, "keep").filterNot(Set("first", "last")).foreach(k =>
                 errs += s"analytics[$i] (exact_dedup): keep '$k' not in first,last")
             case "expect" =>
-              maps(st.params, "rules").zipWithIndex.foreach { case (m, ri) =>
+              // a non-map entry in the rules list (a bare string from
+              // a YAML indentation slip) would be silently DROPPED by
+              // the maps() decoder — a contract that looks configured
+              // but never runs; reject it instead
+              val decoded = maps(st.params, "rules")
+              val raw = rawListSize(st.params, "rules")
+              if (raw > decoded.size)
+                errs += s"analytics[$i] (expect): ${raw - decoded.size} rules entr${if (raw - decoded.size == 1) "y is" else "ies are"} not a mapping (check YAML indentation)"
+              decoded.zipWithIndex.foreach { case (m, ri) =>
                 str(m, "type") match {
                   case None =>
                     errs += s"analytics[$i] (expect) rule[$ri]: missing type"
@@ -136,6 +144,9 @@ object AnalyticsCompiler {
                         errs += s"analytics[$i] (expect) rule[$ri] ($t): missing ${miss.mkString(", ")}"
                       if (t == "satisfies")
                         str(m, "predicate").foreach(checkExpr(s"rule[$ri] predicate", _))
+                      if (t == "ref_integrity")
+                        str(m, "refType").filterNot(expectRefTypes).foreach(rt =>
+                          errs += s"analytics[$i] (expect) rule[$ri]: refType '$rt' not in ${expectRefTypes.toSeq.sorted.mkString(",")} (file-based sources only)")
                   }
                 }
               }
@@ -299,6 +310,11 @@ object AnalyticsCompiler {
     }
   }
 
+  /** File-based source types an expect ref_integrity rule may read
+    * (postgres is excluded: only `file` is forwarded, never query/conn). */
+  private[compile] val expectRefTypes: Set[String] =
+    Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "parquet")
+
   /** Load-time requirements per expect-rule type. */
   private[compile] val expectRuleParams: Map[String, Seq[String]] = Map(
     "not_null" -> Seq("col"),
@@ -326,6 +342,14 @@ object AnalyticsCompiler {
     case Some(s: String) if s.nonEmpty => Seq(s)
     case _ => Seq.empty
   }
+  /** Raw entry count of a list param, regardless of element shape —
+    * lets validation detect entries the typed [[maps]] decoder drops. */
+  private def rawListSize(p: Map[String, Any], k: String): Int = p.get(k) match {
+    case Some(l: java.util.List[_]) => l.size
+    case Some(l: Seq[_]) => l.size
+    case _ => 0
+  }
+
   private def maps(p: Map[String, Any], k: String): Seq[Map[String, Any]] = p.get(k) match {
     case Some(l: java.util.List[_]) =>
       import scala.jdk.CollectionConverters._

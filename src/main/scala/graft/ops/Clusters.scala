@@ -79,9 +79,10 @@ object Clusters {
    *
    * Each half-round is one groupBy (the per-node neighborhood min,
    * map-side combined) and one join, both keyed on node id; the
-   * convergence probe is two anti-joins on the checkpointed edge
-   * sets. Output: (id, component) for every node appearing in
-   * `edges`, component = min reachable id — identical to
+   * convergence probe is ONE (count, bit_xor-of-hash) aggregate per
+   * round — probabilistic set equality, rationale at the probe.
+   * Output: (id, component) for every node appearing in `edges`,
+   * component = min reachable id — identical to
    * [[connectedComponents]] by construction (property-pinned in the
    * spec).
    */

@@ -23,7 +23,8 @@ object Expectations {
   sealed trait Rule { def label: String }
   /** Violation = null value. */
   case class NotNull(col: String) extends Rule { def label = s"not_null($col)" }
-  /** Violation = non-null value outside [lo, hi]. */
+  /** Violation = non-null value outside [lo, hi] — including non-null
+    * values that fail the numeric cast (garbage in a stringly column). */
   case class InRange(col: String, lo: Double, hi: Double) extends Rule {
     def label = s"in_range($col,$lo,$hi)"
   }
@@ -52,21 +53,34 @@ object Expectations {
   /** One report row per rule: (rule, n_rows, n_violations, pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
-    val rowLocal: Seq[(String, Column)] = rules.collect {
+    // the same rule declared twice would alias two aggregate columns
+    // identically and die mid-plan with AMBIGUOUS_REFERENCE; the
+    // report is identical either way, so dedupe by label
+    val distinctRules = rules.distinctBy(_.label)
+    val rowLocal: Seq[(String, Column)] = distinctRules.collect {
       case r @ NotNull(c) => r.label -> col(c).isNull
       case r @ InRange(c, lo, hi) =>
-        r.label -> (col(c).isNotNull &&
-          (col(c).cast("double") < lo || col(c).cast("double") > hi))
+        // a non-null value that fails the double cast (e.g. "N/A" in a
+        // string column) IS a violation — cast-null must not sail
+        // through the range gate. try_cast, not cast: ANSI mode makes
+        // a plain cast THROW on the very garbage this rule exists to count
+        val cv = expr(s"try_cast(`$c` as double)")
+        r.label -> (col(c).isNotNull && (cv.isNull || cv < lo || cv > hi))
       case r @ AcceptedValues(c, vs) =>
         r.label -> (col(c).isNotNull && !col(c).cast("string").isin(vs: _*))
       case r @ MatchesRegex(c, re) =>
-        r.label -> (col(c).isNotNull && !col(c).cast("string").rlike(re))
+        // FULL match per the contract: rlike alone is substring search
+        // and would count "junk1234junk" as matching "[0-9]{4}"
+        r.label -> (col(c).isNotNull &&
+          !col(c).cast("string").rlike(s"^(?:$re)$$"))
       case r @ Satisfies(p, _) => r.label -> !coalesce(expr(p), lit(false))
     }
     val reports = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (rowLocal.nonEmpty) {
+      // coalesce each sum: on an EMPTY table sum() is null and a
+      // null pass would silently satisfy neither a gate nor an alert
       val aggs = count(lit(1)).as("_n") +: rowLocal.map { case (label, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(label)
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(label)
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       // one driver row (rules wide) unpivoted to the report shape
@@ -78,21 +92,27 @@ object Expectations {
         col("_n").as("n_rows"))
         .select(col("rule"), col("n_rows"), col("n_violations"))
     }
-    rules.foreach {
+    distinctRules.foreach {
       case r @ Unique(cols0) =>
-        val total = df.groupBy().agg(count(lit(1)).as("n_rows"))
-        val dups = df.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("_c"))
-          .filter(col("_c") > 1)
-          .groupBy().agg(coalesce(sum(col("_c")), lit(0L)).as("n_violations"))
-        reports += total.crossJoin(dups)
+        // ONE pass: the per-key group sizes yield both the row total
+        // (sum of all sizes) and the violation count (rows in groups
+        // of >1) — no separate full-table recount
+        reports += df.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("_c"))
+          .groupBy().agg(
+            coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("_c") > 1, col("_c")).otherwise(0L)), lit(0L))
+              .as("n_violations"))
           .select(lit(r.label).as("rule"), col("n_rows"), col("n_violations"))
       case r @ RefIntegrity(c, ref, refC) =>
-        val total = df.groupBy().agg(count(lit(1)).as("n_rows"))
-        val orphans = df.filter(col(c).isNotNull)
+        // ONE pass over df: a left join keeps every row, so the same
+        // aggregate counts rows and non-null keys without a reference
+        reports += df.select(col(c).as("_k"))
           .join(ref.select(col(refC).as("_ref_k")).distinct(),
-            col(c) === col("_ref_k"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("n_violations"))
-        reports += total.crossJoin(orphans)
+            col("_k") === col("_ref_k"), "left")
+          .groupBy().agg(
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(when(col("_k").isNotNull && col("_ref_k").isNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_violations"))
           .select(lit(r.label).as("rule"), col("n_rows"), col("n_violations"))
       case _ => ()
     }

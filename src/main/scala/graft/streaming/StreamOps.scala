@@ -842,7 +842,8 @@ object StreamOps {
                       k: Int = 256): Dataset[KmvGroupSketch] = {
     import df.sparkSession.implicits._
     require(k >= 2)
-    val hashed = df.select(col(groupCol).cast("string").as("g"),
+    val hashed = df.filter(col(valueCol).isNotNull) // match the batch op
+      .select(col(groupCol).cast("string").as("g"),
       // the batch op's hash: lowercase 16-hex xxhash64; keep the
       // 52-bit prefix as a long (order-preserving, estimator-ready)
       conv(substring(lower(lpad(hex(xxhash64(col(valueCol).cast("string"))), 16, "0")),

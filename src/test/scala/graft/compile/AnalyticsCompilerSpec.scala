@@ -81,6 +81,27 @@ class AnalyticsCompilerSpec extends SparkTestBase {
       .head.contains("missing groupCol, valueCol"))
   }
 
+  test("expect validation: dropped non-map rules, unknown types, bad refType all error") {
+    def jl(items: Any*): java.util.List[Any] = {
+      val l = new java.util.ArrayList[Any](); items.foreach(l.add); l
+    }
+    def jm(kv: (String, Any)*): java.util.Map[String, Any] = {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      kv.foreach { case (k, v) => m.put(k, v) }; m
+    }
+    val errs = AnalyticsCompiler.validate(Seq(stage("expect",
+      "rules" -> jl(
+        "not_null", // bare string: a YAML indentation slip
+        jm("type" -> "frob", "col" -> "x"),
+        jm("type" -> "in_range", "col" -> "x"), // missing lo, hi
+        jm("type" -> "ref_integrity", "col" -> "k", "refType" -> "parqet",
+          "refFile" -> "/tmp/x", "refCol" -> "c")))))
+    assert(errs.exists(_.contains("not a mapping")), errs.mkString("\n"))
+    assert(errs.exists(_.contains("unknown type 'frob'")))
+    assert(errs.exists(_.contains("missing lo, hi")))
+    assert(errs.exists(_.contains("refType 'parqet'")))
+  }
+
   test("binary source -> derive id -> image_features: media ingestion from config") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-media").toString

@@ -40,6 +40,32 @@ class ExpectationsSpec extends SparkTestBase {
     assert(rep("ref_integrity(ref_k)") == ((4L, 1L, false)))
   }
 
+  test("empty table: every rule reports 0 violations and pass=true, never null") {
+    import Expectations._
+    val empty = df.filter(lit(false))
+    val rep = check(empty, Seq(NotNull("id"), InRange("v", 0, 1),
+      Unique(Seq("id")), RefIntegrity("ref_k", refTable, "k")))
+      .collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) == 0L, s"null/nonzero violations: $r")
+      assert(!r.isNullAt(3) && r.getBoolean(3), s"null/false pass: $r")
+    }
+  }
+
+  test("duplicate rules dedupe instead of AMBIGUOUS_REFERENCE; cast-garbage violates in_range; regex is full-match") {
+    import Expectations._
+    val d = Seq(("1", "junk1234junk"), ("N/A", "1234")).toDF("amount", "code")
+    val rep = check(d, Seq(
+      InRange("amount", 0.0, 100.0),
+      InRange("amount", 0.0, 100.0), // duplicate declaration
+      MatchesRegex("code", "[0-9]{4}")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep.size == 2, "duplicate rule deduped")
+    assert(rep("in_range(amount,0.0,100.0)") == 1L, "'N/A' fails the cast AND the gate")
+    assert(rep("matches_regex(code)") == 1L, "substring hit is not a full match")
+  }
+
   test("clean table passes every rule; empty-group aggregates yield 0 not null") {
     import Expectations._
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
