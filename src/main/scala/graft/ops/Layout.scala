@@ -232,6 +232,64 @@ object Layout {
     bins.toSeq
   }
 
+  /** One parquet column-chunk's footer statistics. */
+  case class ColumnChunkStats(file: String, row_group: Int, column: String,
+                              n_values: Long, n_nulls: Long,
+                              min_value: String, max_value: String)
+
+  /**
+   * REAL parquet footer statistics — the min/max/null-count metadata
+   * the engine's scan pruning actually reads — surfaced as a relation:
+   * one row per (file, row group, column). This is what
+   * [[pruningReport]] SIMULATES with equi-depth cuts; pointed at a
+   * directory written by [[writeClustered]] it shows the physical
+   * layout a store would prune by.
+   *
+   * Scale shape: the file LISTING is driver-side metadata (one RPC);
+   * footer reads distribute — one task per batch of files, each
+   * opening only the footer bytes (no data pages). Values render
+   * through parquet's own typed stringifier, UTF-8 decoded for string
+   * columns.
+   */
+  def parquetStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.spark.sql.Dataset[ColumnChunkStats] = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    spark.createDataset(files).repartition(math.max(1, files.size / 16))
+      .mapPartitions { it =>
+        // executor-side default conf: footer reads only need the
+        // filesystem the path itself names (file:// / hdfs:// defaults)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            (0 until blocks.size()).flatMap { bi =>
+              val cols = blocks.get(bi).getColumns
+              (0 until cols.size()).map { ci =>
+                val c = cols.get(ci)
+                val st = c.getStatistics
+                val (mn, mx) =
+                  if (st == null || !st.hasNonNullValue) ("", "")
+                  else (st.minAsString(), st.maxAsString())
+                ColumnChunkStats(f.split("/").last, bi,
+                  c.getPath.toDotString,
+                  c.getValueCount,
+                  if (st == null) -1L else st.getNumNulls,
+                  mn, mx)
+              }
+            }.iterator
+          } finally reader.close()
+        }
+      }
+  }
+
   /** Executed compaction outcome. */
   case class CompactionStats(binsCompacted: Int, filesRemoved: Int, filesWritten: Int)
 

@@ -137,6 +137,29 @@ class LayoutSpec extends SparkTestBase {
     assert(plan2.map(_.files.size).sum < plan.map(_.files.size).sum / 2)
   }
 
+  test("parquetStats reads real footers; range-partitioned ids are file-disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-footers").toString + "/t"
+    val df = (0 until 5000).map(i => (i.toLong, s"p_$i")).toDF("id", "payload")
+    df.repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+      .write.parquet(dir)
+    val stats = Layout.parquetStats(spark, dir).collect()
+    val idStats = stats.filter(_.column == "id")
+    assert(idStats.nonEmpty && idStats.map(_.n_values).sum == 5000L)
+    assert(idStats.forall(_.n_nulls == 0L))
+    // the footer min/max of a range-partitioned sorted write form
+    // disjoint intervals — the physical evidence min-max pruning uses
+    val ranges = idStats.map(s => (s.min_value.toLong, s.max_value.toLong))
+      .sortBy(_._1)
+    assert(ranges.length >= 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    // string stats decode through parquet's own stringifier
+    assert(stats.filter(_.column == "payload")
+      .forall(s => s.min_value.startsWith("p_") && s.max_value.startsWith("p_")))
+  }
+
   test("writeClustered produces files with near-disjoint zval segments") {
     val rows = (0 until 4096).map(i => ((i * 37) % 1024L, (i * 91) % 1024L, i.toLong))
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
