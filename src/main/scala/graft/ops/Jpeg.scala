@@ -7,11 +7,14 @@ import Multimodal.ImageData
  * the "transform coding" in sequential JPEG is Huffman entropy coding
  * (pure bit arithmetic), dequantization (integer multiply), and an
  * 8×8 inverse DCT (64 cosine multiplies), all implementable directly.
- * Supported: SOF0/SOF1 Huffman-sequential, 8-bit precision, grayscale
- * and 3-component YCbCr with any 1–4 sampling factors (4:4:4, 4:2:2,
- * 4:2:0 …), byte stuffing, restart intervals (DRI/RSTn), APPn/COM
- * skip. Rejected with None: progressive (SOF2+), arithmetic coding,
- * 12-bit, CMYK, truncated or corrupt streams.
+ * Supported: SOF0/SOF1 Huffman-sequential AND SOF2 progressive
+ * (spectral selection + successive approximation: DC first/refine,
+ * AC bands with EOB runs, AC refinement correction bits —
+ * coefficients accumulate across scans, rendered once at EOI), 8-bit
+ * precision, grayscale and 3-component YCbCr with any 1–4 sampling
+ * factors (4:4:4, 4:2:2, 4:2:0 …), byte stuffing, restart intervals
+ * (DRI/RSTn), APPn/COM skip. Rejected with None: arithmetic coding,
+ * 12-bit, CMYK, hierarchical, truncated or corrupt streams.
  *
  * JPEG is lossy and the standard permits small per-decoder IDCT
  * variation, so unlike PNG/GIF the output is NOT bit-identical to
@@ -30,7 +33,7 @@ import Multimodal.ImageData
  */
 object Jpeg {
 
-  private final class Malformed extends RuntimeException(null, null, false, false)
+  private final class Malformed extends RuntimeException(null, null, false, sys.props.contains("graft.jpeg.debug"))
   private def fail(): Nothing = throw new Malformed
 
   /** Natural-order index of each zigzag position (ITU T.81 Figure 5). */
@@ -118,6 +121,16 @@ object Jpeg {
         (b(pos + 1) & 0xff) != (0xd0 + expect)) fail()
       pos += 2
     }
+    /** After a scan's last MCU: advance to the next marker (skipping
+      * stuffed 0xFF00 pairs) and return its 0xFF position — how the
+      * multi-scan progressive walk resumes segment parsing. */
+    def skipToMarker(): Int = {
+      var p = pos
+      while (p + 1 < b.length &&
+        !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00)) p += 1
+      if (p + 1 >= b.length) fail()
+      p
+    }
   }
 
   private def extend(v: Int, t: Int): Int =
@@ -128,7 +141,9 @@ object Jpeg {
       (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     try Some(decodeImpl(bytes))
     catch {
-      case _: Malformed => None
+      case e: Malformed =>
+        if (sys.props.contains("graft.jpeg.debug")) throw e
+        None
       case _: ArrayIndexOutOfBoundsException => None // cursor ran off a truncated stream
     }
   }
@@ -144,6 +159,9 @@ object Jpeg {
     var h = 0
     var comps: Array[Comp] = null
     var dri = 0
+    var progressive = false
+    var progCoefs: Array[Array[Int]] = null
+    var sawScan = false
     while (true) {
       if (u8(pos) != 0xff) fail()
       var marker = u8(pos + 1)
@@ -152,7 +170,10 @@ object Jpeg {
       marker match {
         case 0xd8 | 0x01 => () // stray SOI / TEM: no payload
         case m if m >= 0xd0 && m <= 0xd7 => () // stray RST: no payload
-        case 0xd9 => fail() // EOI before any scan completed
+        case 0xd9 => // EOI: a finished progressive frame renders now
+          if (progressive && sawScan)
+            return composeProgressive(w, h, comps, progCoefs, qt, qtSeen)
+          fail() // EOI before any complete frame
         case 0xdb => // DQT
           val end = pos + u16(pos)
           var p = pos + 2
@@ -185,7 +206,9 @@ object Jpeg {
             p += 17 + total
           }
           pos = end
-        case 0xc0 | 0xc1 => // baseline / extended sequential (Huffman)
+        case 0xc0 | 0xc1 | 0xc2 => // sequential (c0/c1) or progressive (c2), Huffman
+          if (comps != null) fail() // one frame only
+          progressive = marker == 0xc2
           val len = u16(pos)
           if (u8(pos + 2) != 8) fail()
           h = u16(pos + 3); w = u16(pos + 5)
@@ -199,17 +222,29 @@ object Jpeg {
             if (c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4 || c.tq > 3) fail()
             c
           }
+          if (progressive) {
+            // coefficients accumulate ACROSS scans on the interleaved
+            // block canvas; allocation bounded by the SOF dim guard
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            progCoefs = comps.map { c =>
+              val sz = mcusX.toLong * c.hs * mcusY * c.vs * 64
+              if (sz > (1L << 26)) fail()
+              new Array[Int](sz.toInt)
+            }
+          }
           pos += len
-        case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-          fail() // progressive / arithmetic / lossless / hierarchical
+        case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          fail() // arithmetic / lossless / hierarchical
         case 0xdd =>
           dri = u16(pos + 2)
           pos += u16(pos)
-        case 0xda => // SOS — decode the (single) scan and return
+        case 0xda => // SOS
           if (comps == null) fail()
           val len = u16(pos)
           val ns = u8(pos + 2)
-          if (ns != comps.length) fail()
           val scan = Array.tabulate(ns) { i =>
             val o = pos + 3 + 2 * i
             val cid = u8(o)
@@ -217,8 +252,19 @@ object Jpeg {
             val c = comps.find(_.id == cid).getOrElse(fail())
             (c, tabs >> 4, tabs & 15)
           }
-          pos += len
-          return decodeScan(b, pos, w, h, scan, qt, qtSeen, huff, dri)
+          if (!progressive) {
+            if (ns != comps.length) fail()
+            return decodeScan(b, pos + len, w, h, scan, qt, qtSeen, huff, dri)
+          }
+          // progressive: spectral band + successive approximation
+          val ss = u8(pos + 3 + 2 * ns)
+          val se = u8(pos + 4 + 2 * ns)
+          val ahAl = u8(pos + 5 + 2 * ns)
+          pos = decodeProgressiveScan(b, pos + len, w, h, comps,
+            scan.map { case (c, dcT, acT) =>
+              (comps.indexWhere(_.id == c.id), c, dcT, acT)
+            }, ss, se, ahAl >> 4, ahAl & 15, huff, dri, progCoefs)
+          sawScan = true
         case _ => // APPn / COM / anything else with a length field
           pos += u16(pos)
       }
@@ -288,8 +334,15 @@ object Jpeg {
       }
       m += 1
     }
-    // compose: crop/upsample planes to w x h
-    if (scan.length == 1) {
+    composePlanes(planes, scan.map(_._1), pw, w, h, hmax, vmax)
+  }
+
+  /** Crop/upsample decoded component planes to the output image
+    * (shared by the sequential and progressive paths). */
+  private def composePlanes(planes: Array[Array[Byte]], cs: Array[Comp],
+                            pw: Array[Int], w: Int, h: Int,
+                            hmax: Int, vmax: Int): ImageData = {
+    if (cs.length == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
@@ -299,7 +352,7 @@ object Jpeg {
       ImageData(w, h, 1, out)
     } else {
       val out = new Array[Byte](w * h * 3)
-      val cY = scan(0)._1; val cB = scan(1)._1; val cR = scan(2)._1
+      val cY = cs(0); val cB = cs(1); val cR = cs(2)
       var y = 0
       while (y < h) {
         var x = 0
@@ -375,5 +428,240 @@ object Jpeg {
       }
       y += 1
     }
+  }
+
+  // ----------------------------------------------------------------
+  // Progressive (SOF2): coefficients accumulate across scans — DC
+  // first/refinement, AC spectral bands with EOB runs, AC successive-
+  // approximation refinement (the T.81 G.1.2 algorithms, structured
+  // after the well-known libjpeg control flow) — then one dequant +
+  // IDCT + compose at EOI.
+  // ----------------------------------------------------------------
+
+  /** Decode one progressive scan into the coefficient canvas; returns
+    * the byte position of the next marker. `scanComps` carries each
+    * component's index in SOF order. */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[Comp], scanComps: Array[(Int, Comp, Int, Int)],
+      ss: Int, se: Int, ah: Int, al: Int,
+      huff: Array[Array[HuffTable]], dri: Int,
+      coefs: Array[Array[Int]]): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13 || ah > 14) fail()
+    val dcScan = ss == 0
+    if (dcScan && se != 0) fail()
+    if (!dcScan && scanComps.length != 1) fail() // AC scans are per-component
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val r = new BitReader(b, start)
+    val preds = new Array[Int](scanComps.length)
+    var eobrun = 0
+    var nextRst = 0
+    if (dcScan && scanComps.length > 1) {
+      // interleaved DC: the standard MCU walk
+      scanComps.foreach { case (_, _, dcT, _) =>
+        if (ah == 0 && huff(0)(dcT) == null) fail()
+      }
+      val nMcus = mcusX * mcusY
+      var m = 0
+      while (m < nMcus) {
+        if (dri > 0 && m > 0 && m % dri == 0) {
+          r.restart(nextRst); nextRst = (nextRst + 1) & 7
+          java.util.Arrays.fill(preds, 0); eobrun = 0
+        }
+        val mx = m % mcusX
+        val my = m / mcusX
+        var si = 0
+        while (si < scanComps.length) {
+          val (ci, c, dcT, _) = scanComps(si)
+          val cbw = mcusX * c.hs
+          var by = 0
+          while (by < c.vs) {
+            var bx = 0
+            while (bx < c.hs) {
+              val off = ((my * c.vs + by) * cbw + mx * c.hs + bx) * 64
+              dcProg(r, coefs(ci), off, ah, al, huff(0)(dcT), preds, si)
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        m += 1
+      }
+    } else {
+      // single-component scan (all AC scans; DC scans may also be
+      // non-interleaved): blocks cover the component's DATA area
+      // (ceil(compDim/8)), not the MCU-padded canvas
+      val (ci, c, dcT, acT) = scanComps(0)
+      if (dcScan) { if (ah == 0 && huff(0)(dcT) == null) fail() }
+      else if (huff(1)(acT) == null) fail()
+      val cbw = mcusX * c.hs
+      val dataBW = ((w * c.hs + hmax - 1) / hmax + 7) / 8
+      val dataBH = ((h * c.vs + vmax - 1) / vmax + 7) / 8
+      val total = dataBW * dataBH
+      var m = 0
+      while (m < total) {
+        if (dri > 0 && m > 0 && m % dri == 0) {
+          r.restart(nextRst); nextRst = (nextRst + 1) & 7
+          java.util.Arrays.fill(preds, 0); eobrun = 0
+        }
+        val off = ((m / dataBW) * cbw + m % dataBW) * 64
+        if (dcScan) dcProg(r, coefs(ci), off, ah, al, huff(0)(dcT), preds, 0)
+        else if (ah == 0) eobrun = acFirst(r, coefs(ci), off, ss, se, al, huff(1)(acT), eobrun)
+        else eobrun = acRefine(r, coefs(ci), off, ss, se, al, huff(1)(acT), eobrun)
+        m += 1
+      }
+    }
+    r.skipToMarker()
+  }
+
+  /** DC coefficient, first pass (difference + point transform) or
+    * refinement (one appended bit). */
+  private def dcProg(r: BitReader, coef: Array[Int], off: Int, ah: Int,
+                     al: Int, dc: HuffTable, preds: Array[Int], si: Int): Unit =
+    if (ah == 0) {
+      val t = dc.decode(r)
+      if (t > 11) fail()
+      preds(si) += (if (t == 0) 0 else extend(r.receive(t), t))
+      coef(off) = preds(si) << al
+    } else {
+      if (r.receive(1) == 1) coef(off) |= 1 << al
+    }
+
+  /** AC band, first pass: run/size symbols with EOBn run codes; new
+    * coefficients enter at magnitude << al. */
+  private def acFirst(r: BitReader, coef: Array[Int], off: Int, ss: Int,
+                      se: Int, al: Int, ac: HuffTable, eobrunIn: Int): Int = {
+    var eobrun = eobrunIn
+    if (eobrun > 0) return eobrun - 1
+    var k = ss
+    while (k <= se) {
+      val rs = ac.decode(r)
+      val run = rs >> 4
+      val s = rs & 15
+      if (s == 0) {
+        if (run == 15) k += 16 // ZRL
+        else {
+          eobrun = (1 << run) - 1
+          if (run > 0) eobrun += r.receive(run)
+          return eobrun
+        }
+      } else {
+        k += run
+        if (k > se) fail()
+        coef(off + zigzag(k)) = extend(r.receive(s), s) << al
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** AC band, successive-approximation refinement: one correction bit
+    * per already-nonzero coefficient along the way; new coefficients
+    * enter at ±2^al; EOBn runs still carry correction bits. */
+  private def acRefine(r: BitReader, coef: Array[Int], off: Int, ss: Int,
+                       se: Int, al: Int, ac: HuffTable, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    if (eobrun == 0) {
+      var break = false
+      while (k <= se && !break) {
+        val rs = ac.decode(r)
+        var run = rs >> 4
+        val s = rs & 15
+        var newval = 0
+        if (s == 0) {
+          if (run != 15) {
+            // refinement EOBn counts the CURRENT block too — its
+            // correction pass below still runs, and the shared
+            // `eobrun -= 1` after it consumes this block's unit (a
+            // -1 here would double-count and desync the bit stream)
+            eobrun = 1 << run
+            if (run > 0) eobrun += r.receive(run)
+            break = true
+          }
+          // run == 15 (ZRL): pass over 16 zero-history coefficients
+        } else {
+          if (s != 1) fail()
+          newval = if (r.receive(1) == 1) p1 else -p1
+        }
+        if (!break) {
+          var placed = false
+          while (k <= se && !placed) {
+            val p = off + zigzag(k)
+            val v = coef(p)
+            if (v != 0) {
+              if (r.receive(1) == 1 && (v & p1) == 0)
+                coef(p) = if (v >= 0) v + p1 else v - p1
+            } else {
+              if (run == 0) {
+                if (newval != 0) coef(p) = newval
+                placed = true
+              } else run -= 1
+            }
+            k += 1
+          }
+        }
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= se) {
+        val p = off + zigzag(k)
+        val v = coef(p)
+        if (v != 0 && r.receive(1) == 1 && (v & p1) == 0)
+          coef(p) = if (v >= 0) v + p1 else v - p1
+        k += 1
+      }
+      eobrun -= 1
+    }
+    eobrun
+  }
+
+  /** Dequantize the accumulated coefficients, IDCT every block, and
+    * compose — the progressive frame's single rendering pass at EOI. */
+  private def composeProgressive(w: Int, h: Int, comps: Array[Comp],
+      coefs: Array[Array[Int]], qt: Array[Array[Int]],
+      qtSeen: Array[Boolean]): ImageData = {
+    comps.foreach(c => if (!qtSeen(c.tq)) fail())
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val pw = comps.map(c => mcusX * 8 * c.hs)
+    val planes = comps.map(c => new Array[Byte](mcusX * 8 * c.hs * mcusY * 8 * c.vs))
+    val deq = new Array[Int](64)
+    val pix = new Array[Int](64)
+    val dctTmp = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      val cbw = mcusX * c.hs
+      val cbh = mcusY * c.vs
+      var bi = 0
+      while (bi < cbw * cbh) {
+        val off = bi * 64
+        var k = 0
+        while (k < 64) { deq(zigzag(k)) = coefs(ci)(off + zigzag(k)) * q(k); k += 1 }
+        idct(deq, pix, dctTmp)
+        val px0 = (bi % cbw) * 8
+        val py0 = (bi / cbw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((py0 + yy) * pw(ci) + px0 + xx) = pix(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
+      }
+      ci += 1
+    }
+    composePlanes(planes, comps, pw, w, h, hmax, vmax)
   }
 }

@@ -1225,15 +1225,18 @@ object LlmQueries {
             y -> (doc_id + y) % 256)) AS BIGINT) AS sum_luma
         FROM documents""")),
 
-    // Real baseline-JPEG decode (Huffman + double IDCT, ImageIO-
-    // interop-pinned): each doc is a uniform 16x16 grayscale JPEG
-    // (value doc_id%256) encoded through the JDK's own writer inside
-    // the pipeline. JPEG is lossy, so the oracle pins structure
-    // exactly and the pixel content as a CLAIM — a uniform image is
-    // DC-only, its decode error is bounded by the DC quant step
-    // (<=1 at quality 0.95), and the claimed |mean - v| <= 2 holds
-    // with slack while any real decode defect (wrong predictor,
-    // dequant, IDCT scale) blows it by orders of magnitude.
+    // Real JPEG decode (Huffman + double IDCT, ImageIO-interop-
+    // pinned): each doc is a uniform 16x16 grayscale JPEG (value
+    // doc_id%256) encoded through the JDK's own writer inside the
+    // pipeline — SEQUENTIAL for even ids, PROGRESSIVE (SOF2
+    // multi-scan) for odd, so both entropy structures decode through
+    // one oracled pipeline. JPEG is lossy, so the oracle pins
+    // structure exactly and the pixel content as a CLAIM — a uniform
+    // image is DC-only, its decode error is bounded by the DC quant
+    // step (<=1 at quality 0.95), and the claimed |mean - v| <= 2
+    // holds with slack while any real decode defect (wrong predictor,
+    // dequant, IDCT scale, scan bookkeeping) blows it by orders of
+    // magnitude.
     Q("q_multimodal_jpeg",
       (s, dir) => {
         import s.implicits._
@@ -1250,6 +1253,8 @@ object LlmQueries {
               val param = writer.getDefaultWriteParam
               param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
               param.setCompressionQuality(0.95f)
+              if (id % 2 == 1)
+                param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
               val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
               writer.setOutput(ios)
               writer.write(null, new javax.imageio.IIOImage(img, null, null), param)

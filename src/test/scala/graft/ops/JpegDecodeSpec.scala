@@ -148,14 +148,52 @@ class JpegDecodeSpec extends SparkTestBase {
     assert(worst <= 2, s"max deviation $worst")
   }
 
-  test("progressive JPEG rejects with None") {
-    val src = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 32; x <- 0 until 32) src.setRGB(x, y, x * 8 * 65536 + y * 8)
-    val bytes = writeJpeg(src, 0.8f, progressive = true)
-    // sanity: it really is progressive (SOF2 marker present)
+  test("progressive grayscale: decode within +-2 of ImageIO") {
+    val rnd = new scala.util.Random(21)
+    val src = new BufferedImage(72, 48, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 48; x <- 0 until 72) {
+      val v = rnd.nextInt(256)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.9f, progressive = true)
     assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
       "writer did not produce progressive output")
-    assert(Jpeg.decode(bytes).isEmpty)
+    val mine = Jpeg.decode(bytes).getOrElse(fail("progressive grayscale rejected"))
+    assert(mine.width == 72 && mine.height == 48 && mine.channels == 1)
+    val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until 48; x <- 0 until 72)
+      worst = math.max(worst, math.abs(
+        (mine.pixels(y * 72 + x) & 0xff) - theirs.getRaster.getSample(x, y, 0)))
+    assert(worst <= 2, s"max progressive grayscale deviation $worst")
+  }
+
+  test("progressive color (4:2:0, multi-scan AC refinement): close to ImageIO") {
+    val src = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      src.setRGB(x, y, ((x * 4) << 16) | ((y * 4) << 8) | (((x + y) * 2) & 0xff))
+    val bytes = writeJpeg(src, 0.9f, progressive = true)
+    val mine = Jpeg.decode(bytes).getOrElse(fail("progressive color rejected"))
+    assert(mine.width == 64 && mine.height == 64 && mine.channels == 3)
+    val theirs = ImageIO.read(new ByteArrayInputStream(bytes))
+    val (worst, mean) = maxAndMeanDiff(mine, theirs)
+    assert(worst <= 8, s"max progressive color deviation $worst")
+    assert(mean <= 1.0, s"mean progressive color deviation $mean")
+  }
+
+  test("progressive equals sequential decode of the same source within +-3") {
+    val rnd = new scala.util.Random(5)
+    val src = new BufferedImage(40, 40, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 40; x <- 0 until 40) {
+      val v = 64 + rnd.nextInt(128)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val seq = Jpeg.decode(writeJpeg(src, 0.92f)).get
+    val prog = Jpeg.decode(writeJpeg(src, 0.92f, progressive = true)).get
+    var worst = 0
+    for (i <- 0 until 1600)
+      worst = math.max(worst, math.abs((seq.pixels(i) & 0xff) - (prog.pixels(i) & 0xff)))
+    assert(worst <= 3, s"sequential-vs-progressive deviation $worst")
   }
 
   test("malformed JPEGs return None, never throw") {
