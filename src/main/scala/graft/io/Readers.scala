@@ -29,12 +29,18 @@ object Readers {
     def declared: Option[org.apache.spark.sql.types.StructType] =
       Option(src.schema).filter(_.nonEmpty)
         .map(org.apache.spark.sql.types.StructType.fromDDL)
+    // listing goes through Hadoop's FileSystem (as Layout's maintenance
+    // does), so hdfs:// / s3a:// drop folders resolve exactly like the
+    // batch path — java.io.File returned null for any non-local URI and
+    // the stream aborted with a misleading "has no files yet"
     def firstFile(suffix: String): String = {
-      val dir = new java.io.File(src.file)
-      if (dir.isFile) return src.file
-      val all = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(_.getPath).sorted
+      val hPath = new org.apache.hadoop.fs.Path(src.file)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath) && fs.getFileStatus(hPath).isFile) return src.file
+      val all = (if (fs.exists(hPath)) fs.listStatus(hPath).toSeq else Seq.empty)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".")
+          && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
       val preferred = all.filter(_.endsWith(suffix))
       (if (preferred.nonEmpty) preferred.headOption else all.headOption).getOrElse(
         throw new IllegalArgumentException(

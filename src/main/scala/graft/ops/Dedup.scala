@@ -878,11 +878,21 @@ object Dedup {
    * Scale shape: windows hash row-locally (native `word_grams` +
    * xxhash64 — window text never rides an exchange); three
    * corpus-volume shuffles (first-occurrence agg on the window hash,
-   * the dup-window join back, the per-doc rebuild) — the honest
-   * relational cost of ExactSubstr. Duplicate windows add L covered
-   * positions each to the rebuild. First-occurrence order packs as
-   * doc_id·10^9 + pos: positions must stay under 10^9 tokens per doc
-   * and ids under ~9.2·10^9 (both safe for real corpora).
+   * the dup-window join back, one id-keyed exchange shared by the
+   * coverage window AND the rebuild agg) — the honest relational cost
+   * of ExactSubstr. Coverage is INTERVAL arithmetic, not a position
+   * set: dup-window starts ride a per-doc running-max window
+   * (`lastStart + L - 1 >= pos` ⟺ covered), so window length L never
+   * multiplies row volume — the r10 plan exploded every dup window
+   * into L positions and hash-distinct'ed them, a 30× row blowup at
+   * L=30 whose dedup table was the query's contention/GC hot spot
+   * (22× degradation on a busy host vs ~2× for its peers). The
+   * running-max frame is streaming (sort-based, spillable, O(1)
+   * state), and because the rebuild groups by the window's own
+   * partition key, Catalyst reuses the exchange — no second id
+   * shuffle and no separate n_total join. First-occurrence order
+   * packs as doc_id·10^9 + pos: positions must stay under 10^9 tokens
+   * per doc and ids under ~9.2·10^9 (both safe for real corpora).
    *
    * The output is REBUILT TEXT, so this xxhash64 path is directly
    * oracle-able (the boilerplate precedent): an oracle groups by the
@@ -918,17 +928,37 @@ object Dedup {
               .as(Seq("pos0", "w")))
           .select(col("id"), (col("pos0") + 1).as("pos"), xxhash64(col("w")).as("h"))
     val firsts = wins.groupBy(col("h")).agg(min(packed).as("first_key"))
-    val covered = wins.join(firsts, "h")
+    // Start positions of duplicate windows (each covers [pos, pos+L-1]).
+    // One row per (id, pos) by construction — a position has one window.
+    val dupStarts = wins.join(firsts, "h")
       .filter(packed =!= col("first_key"))
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1))).as("pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
-    kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+      .select(col("id"), col("pos"))
+    // Interleave tokens with dup-window starts; per doc, in position
+    // order (starts before the token at the same position — a window
+    // starting AT p covers p), a running max of start positions tells
+    // each token the latest dup window opening at or before it. The
+    // token is covered iff that window reaches it.
+    val tagged = toks.select(col("id"), col("pos"), col("tok"), lit(1).as("is_tok"))
+      .unionByName(dupStarts.select(col("id"), col("pos"),
+        lit(null).cast("string").as("tok"), lit(0).as("is_tok")))
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"), col("is_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tagged
+      .withColumn("_last_start", max(when(col("is_tok") === 0, col("pos"))).over(byPos))
+      .filter(col("is_tok") === 1)
+      .withColumn("_keep",
+        col("_last_start").isNull || col("_last_start") + lit(windowTokens - 1) < col("pos"))
+    // The groupBy key IS the window's partition key: the id exchange is
+    // reused, so the rebuild (and n_total — counted in the same agg, no
+    // join) adds zero shuffles. collect_list skips nulls, so the
+    // un-kept branch of the `when` drops covered tokens from the text.
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(array_sort(collect_list(
+          when(col("_keep"), struct(col("pos"), col("tok")))))
           .getField("tok"), " ").as("clean_text"))
-      .join(toks.groupBy(col("id")).agg(count(lit(1)).as("n_total")), "id")
+      .filter(col("n_kept") > 0) // docs losing every token vanish (C4 convention)
       .withColumn("n_dropped", col("n_total") - col("n_kept"))
       .select(col("id").as(idCol), col("clean_text"), col("n_kept"), col("n_dropped"))
   }

@@ -253,6 +253,10 @@ object Jpeg {
             (c, tabs >> 4, tabs & 15)
           }
           if (!progressive) {
+            // one interleaved scan covering every component is the only
+            // sequential organization supported — a per-component
+            // multi-scan sequential file (legal but vanishingly rare)
+            // is rejected here, not desynced
             if (ns != comps.length) fail()
             return decodeScan(b, pos + len, w, h, scan, qt, qtSeen, huff, dri)
           }
@@ -295,6 +299,42 @@ object Jpeg {
     val pix = new Array[Int](64)
     val dctTmp = new Array[Double](64)
     var nextRst = 0
+    if (scan.length == 1) {
+      // T.81 A.2: a NON-interleaved scan's MCU is a single data unit
+      // and the scan covers only the component's data area —
+      // ceil(compW/8) x ceil(compH/8) blocks — NOT the MCU-padded
+      // canvas. A grayscale SOF whose sole component declares sampling
+      // factors > 1 pads mcusX*hs past the data area; walking the pad
+      // desyncs the entropy stream (the progressive path already
+      // computes the data area correctly).
+      val (c, dcT, acT) = scan(0)
+      val dataBW = (w * c.hs + 8 * hmax - 1) / (8 * hmax)
+      val dataBH = (h * c.vs + 8 * vmax - 1) / (8 * vmax)
+      val n = dataBW * dataBH
+      var m = 0
+      while (m < n) {
+        if (dri > 0 && m > 0 && m % dri == 0) {
+          r.restart(nextRst)
+          nextRst = (nextRst + 1) & 7
+          preds(0) = 0
+        }
+        decodeBlock(r, huff(0)(dcT), huff(1)(acT), qt(c.tq), preds, 0, coef)
+        idct(coef, pix, dctTmp)
+        val px0 = (m % dataBW) * 8
+        val py0 = (m / dataBW) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(0)((py0 + yy) * pw(0) + px0 + xx) = pix(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        m += 1
+      }
+      return composePlanes(planes, scan.map(_._1), pw, w, h, hmax, vmax)
+    }
     val nMcus = mcusX * mcusY
     var m = 0
     while (m < nMcus) {

@@ -295,19 +295,34 @@ object Layout {
 
   /**
    * Execute [[compactionPlan]]: each bin's files are read together and
-   * rewritten as ONE `compact-…` parquet file in the same directory;
-   * originals are deleted only after their replacement is fully
-   * written and moved in (crash mid-run leaves extra data at worst
-   * transiently duplicated in the staging dir, never lost). Row
-   * contents, schema, and the name-order adjacency of the directory
-   * are preserved; readers of the directory see the same table.
+   * rewritten as ONE merged parquet file in the same directory.
+   *
+   * Crash safety (the swap is manifest-journaled): before the merged
+   * file becomes visible, a hidden `.…-compact.manifest` listing the
+   * bin's source files is written; originals are deleted only after
+   * their replacement is renamed in, and the manifest is removed last.
+   * A reader listing the directory between the rename and the deletes
+   * transiently sees the bin's rows TWICE — that window is bounded
+   * (one bin's deletes), and a crash inside it is NOT permanent:
+   * [[recoverCompaction]] runs before every plan and finishes the
+   * journaled swap (merged file present + manifest present → delete
+   * the listed originals; merged file absent → the swap never
+   * published, so only the manifest and staging leftovers are
+   * removed). Without the journal, a crash there left the originals
+   * AND the merged file live forever — a re-run re-merged the
+   * originals and the duplicates were never reconciled. Single
+   * concurrent maintainer per directory assumed (the OPTIMIZE
+   * convention). Row contents, schema, and the name-order adjacency
+   * of the directory are preserved; readers of a quiescent directory
+   * see the same table.
    */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                    targetBytes: Long, smallBytes: Long = Long.MaxValue): CompactionStats = {
-    val plan = compactionPlan(spark, path,
-      targetBytes, math.min(smallBytes, targetBytes))
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, hPath)
+    val plan = compactionPlan(spark, path,
+      targetBytes, math.min(smallBytes, targetBytes))
     var removed = 0
     plan.foreach { bin =>
       val staging = new org.apache.hadoop.fs.Path(path, s"_compact_staging_${bin.bin}")
@@ -324,13 +339,58 @@ object Layout {
       // the next pass merge distant curve segments
       val headBase = bin.files.head.split("/").last.stripSuffix(".parquet")
       val dest = new org.apache.hadoop.fs.Path(hPath, s"$headBase-compact.parquet")
-      if (!fs.rename(part, dest))
+      // journal BEFORE publishing: from here on a crash is recoverable
+      val manifest = new org.apache.hadoop.fs.Path(hPath, s".$headBase-compact.manifest")
+      val out = fs.create(manifest, true)
+      try out.write(bin.files.map(_.split("/").last)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(part, dest)) {
+        fs.delete(manifest, false)
         throw new IllegalStateException(s"rename failed: $part -> $dest")
+      }
       bin.files.foreach { f =>
         if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
       }
+      fs.delete(manifest, false)
       fs.delete(staging, true)
     }
     CompactionStats(plan.size, removed, plan.size)
+  }
+
+  /**
+   * Finish any compaction swap a crash left half-done (see
+   * [[compactFiles]]): for each leftover `.…-compact.manifest`, if the
+   * merged file it journals is present, the listed source files still
+   * in the directory are deleted (completing the swap — this is what
+   * un-duplicates a crash between rename and deletes); if the merged
+   * file never published, the manifest alone is dropped. Leftover
+   * `_compact_staging_*` dirs are removed either way. Returns the
+   * number of source files deleted during recovery.
+   */
+  def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(dir)) return 0
+    var removed = 0
+    fs.listStatus(dir).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isFile && name.startsWith(".") && name.endsWith("-compact.manifest")) {
+        val dest = new org.apache.hadoop.fs.Path(dir,
+          name.stripPrefix(".").stripSuffix(".manifest") + ".parquet")
+        if (fs.exists(dest)) {
+          val in = fs.open(s.getPath)
+          val members =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          members.filter(_.nonEmpty).foreach { m =>
+            if (fs.delete(new org.apache.hadoop.fs.Path(dir, m), false)) removed += 1
+          }
+        }
+        fs.delete(s.getPath, false)
+      } else if (s.isDirectory && name.startsWith("_compact_staging_")) {
+        fs.delete(s.getPath, true)
+      }
+    }
+    removed
   }
 }

@@ -127,6 +127,35 @@ class JpegDecodeSpec extends SparkTestBase {
       s"fidelity gap: mine $mineVsSrc vs ImageIO $theirsVsSrc")
   }
 
+  test("grayscale with sampling factors 2x2: data-area walk, not the MCU pad") {
+    // T.81 A.2: a single-component (non-interleaved) scan covers
+    // ceil(w/8) x ceil(h/8) data-area blocks regardless of the SOF's
+    // declared sampling factors — so patching a 1x1 grayscale file's
+    // sampling byte to 2x2 yields a DIFFERENT legal file with the SAME
+    // entropy stream and the same pixels. The r10 decoder walked the
+    // MCU-padded canvas (mcusX*hs blocks), desynced, and returned None.
+    val rnd = new scala.util.Random(7)
+    val src = new BufferedImage(52, 36, BufferedImage.TYPE_BYTE_GRAY) // not multiples of 16
+    for (y <- 0 until 36; x <- 0 until 52) {
+      val v = rnd.nextInt(256)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = writeJpeg(src, 0.9f)
+    val ref = Jpeg.decode(bytes).getOrElse(fail("baseline 1x1 decode failed"))
+    // locate SOF0 and its sole component's sampling byte
+    val sof = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xc0).get
+    assert((bytes(sof + 9) & 0xff) == 1, "expected single-component SOF")
+    assert((bytes(sof + 11) & 0xff) == 0x11, "expected 1x1 sampling")
+    val patched = bytes.clone()
+    patched(sof + 11) = 0x22.toByte
+    val out = Jpeg.decode(patched)
+      .getOrElse(fail("2x2-sampled grayscale must decode"))
+    assert((out.width, out.height, out.channels) == (ref.width, ref.height, ref.channels))
+    assert(out.pixels.sameElements(ref.pixels),
+      "same entropy stream must yield identical pixels under 2x2 sampling")
+  }
+
   test("restart markers decode (explicit DRI stream)") {
     // hand-patch is brittle; instead rely on a large image where some
     // writers emit DRI — and verify our DRI path directly by checking

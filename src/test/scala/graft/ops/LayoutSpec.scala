@@ -137,6 +137,47 @@ class LayoutSpec extends SparkTestBase {
     assert(plan2.map(_.files.size).sum < plan.map(_.files.size).sum / 2)
   }
 
+  test("compaction recovery: a crash between rename and deletes never duplicates rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    df.repartitionByRange(10, col("id")).write.mode("overwrite").parquet(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files = fs.listStatus(hDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+    // forge the post-rename pre-delete crash state for the first two
+    // files: merged file live, manifest live, originals STILL live
+    val members = files.take(2)
+    val headBase = members.head.stripSuffix(".parquet")
+    spark.read.parquet(members.map(m => s"$dir/$m"): _*).coalesce(1)
+      .write.parquet(s"$dir/_compact_staging_crash")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_compact_staging_crash"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(hDir, s"$headBase-compact.parquet")))
+    val man = fs.create(new org.apache.hadoop.fs.Path(hDir, s".$headBase-compact.manifest"), true)
+    man.write(members.mkString("\n").getBytes("UTF-8")); man.close()
+    // the crashed directory double-counts the two merged members
+    assert(spark.read.parquet(dir).count() == 1000 + 200)
+    // recovery (run implicitly by compactFiles before planning)
+    val stats = Layout.compactFiles(spark, dir, targetBytes = Long.MaxValue / 2,
+      smallBytes = 1L) // smallBytes=1: plan nothing, exercise recovery only
+    assert(stats.binsCompacted == 0)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000, "recovery must delete the journaled originals")
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 1000L * 999 / 2)
+    assert(!files.exists(members.contains), "originals must be gone")
+    assert(files.contains(s"$headBase-compact.parquet"))
+    // manifest and staging leftovers cleaned
+    assert(fs.listStatus(hDir).forall(s => !s.getPath.getName.endsWith(".manifest")
+      && !s.getPath.getName.startsWith("_compact_staging_")))
+    // a manifest WITHOUT a published merged file rolls back harmlessly
+    val man2 = fs.create(new org.apache.hadoop.fs.Path(hDir, ".nonexistent-compact.manifest"), true)
+    man2.write(files.head.getBytes("UTF-8")); man2.close()
+    assert(Layout.recoverCompaction(fs, hDir) == 0)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("parquetStats reads real footers; range-partitioned ids are file-disjoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-footers").toString + "/t"
     val df = (0 until 5000).map(i => (i.toLong, s"p_$i")).toDF("id", "payload")

@@ -61,6 +61,52 @@ class OpsSpec extends SparkTestBase {
     assert(out.size == 3)
   }
 
+  test("exactSubstrDedup: interval-coverage plan matches a position-set reference") {
+    import spark.implicits._
+    // Randomized-ish fixture with heavy shared runs: docs draw from a
+    // tiny token alphabet so duplicate windows appear at arbitrary
+    // offsets, overlap, chain, and fully cover some docs. The
+    // production interval/running-max plan must agree EXACTLY with an
+    // independent driver-side position-set implementation (explode
+    // every dup window into its L positions, set-subtract).
+    val rng = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 200L).map { i =>
+      val n = 3 + rng.nextInt(40)
+      (i, (0 until n).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+    }
+    val l = 4
+    // reference: first occurrence per window string in (doc, pos) order
+    val firstOf = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, text) <- docs; toks = text.split(" ");
+         p <- 0 to toks.length - l) {
+      val w = toks.slice(p, p + l).mkString(" ")
+      // iteration is already in increasing (doc, pos) order
+      if (!firstOf.contains(w)) firstOf(w) = (id, p)
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val covered = (0 to toks.length - l).filter { p =>
+        firstOf(toks.slice(p, p + l).mkString(" ")) != ((id, p))
+      }.flatMap(p => p until p + l).toSet
+      val kept = toks.indices.filterNot(covered)
+      if (kept.isEmpty) None
+      else Some(id -> (kept.map(toks).mkString(" "), kept.size.toLong,
+        (toks.length - kept.size).toLong))
+    }.toMap
+    val out = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        windowTokens = l)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == expected)
+    // and the rolling-fp key scheme groups identically on the same fixture
+    val outFp = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        windowTokens = l, rollingFp = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(outFp == expected)
+  }
+
   test("crossSourceDupReport: pair counts and integral rates per source pair") {
     import spark.implicits._
     val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "A"))

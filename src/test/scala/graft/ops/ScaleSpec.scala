@@ -211,6 +211,34 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("exactSubstrDedup: rebuild agg reuses the coverage window's id exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = (1L to 30L).map(i => (i, s"t${i % 4} shared run of words t$i tail"))
+      .toDF("doc_id", "text")
+    val df = Dedup.exactSubstrDedup(docs, "doc_id", "text", windowTokens = 4)
+    df.collect() // finalize AQE
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (nested ++ p.children.flatMap(flatten))
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the final rebuild groups by the coverage window's own partition
+    // key (id) — if a ShuffleExchange ever appears ABOVE the window,
+    // the zero-extra-shuffle rebuild contract broke
+    val winIdx = nodes.indexWhere(_.isInstanceOf[WindowExec])
+    assert(winIdx >= 0, s"no WindowExec in plan:\n${nodes.head}")
+    assert(!nodes.take(winIdx).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"rebuild agg re-shuffled above the coverage window:\n${nodes.head}")
+  }
+
   test("vocabulary: the rank window input is bounded by the top-K limit") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
