@@ -48,11 +48,20 @@ object Bench {
       "q_llm_cross_source_dups", "q_llm_group_split", "q_llm_oph_pairs",
       "q_llm_cms", "q_llm_cluster_terms", "q_llm_dedup_best",
       "q_llm_oph_verified", "q_llm_incr_neardup", "q_llm_dsir_md5",
+      // md5 oracle face of the 3-version chain; the x64 chain is benched
+      "q_llm_incr_neardup_chain",
       // playbook result-twins of already-benched plans (the YAML adds a
       // parse, not a plan): corpus_clean md5 / url_dedup / datasheet.
       // q_playbook_join_agg and q_playbook_window are NEW plans — benched.
       "q_playbook_corpus_clean", "q_playbook_url_dedup", "q_playbook_datasheet",
       "q_playbook_split",
+      // r11 playbook faces of the remaining LLM op families: all exact
+      // result-twins of already-benched plans (gopher_rules, redact_pii,
+      // decontaminate, dsir_md5, pack_windows, chunk, length_batches,
+      // ann_ivf, bpe_fertility) — the YAML adds a parse, not a plan
+      "q_playbook_gopher", "q_playbook_pii", "q_playbook_decontam",
+      "q_playbook_dsir", "q_playbook_pack", "q_playbook_chunk",
+      "q_playbook_length_batches", "q_playbook_ann", "q_playbook_bpe",
       // result-twin of the benched q_resample_daily plan (YAML parse
       // only). q_playbook_zorder IS benched: its range exchange is the
       // clustering cost, a genuinely new plan.

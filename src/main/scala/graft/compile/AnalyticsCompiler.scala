@@ -37,8 +37,11 @@ import graft.ops.{Clusters, Corpus, Dedup, Layout, Resample, TextAnalysis, Urls}
  */
 object AnalyticsCompiler {
 
-  /** op name -> (required params, short usage hint). */
-  private val ops: Map[String, (Seq[String], String)] = Map(
+  /** op name -> (required params, short usage hint). Package-visible:
+    * [[graft.tools.PlaybookDoc]] renders the ops reference in
+    * docs/playbook.md from this map, and PlaybookDocSpec fails the
+    * build when the committed doc drifts from it. */
+  private[graft] val ops: Map[String, (Seq[String], String)] = Map(
     "quality_gate"   -> (Seq("textCol"), "textCol [minQuality=0.3] — adds `quality`, keeps rows >= threshold"),
     "lang_filter"    -> (Seq("textCol", "langs"), "textCol langs[] — adds `lang_pred`, keeps listed languages"),
     "text_metrics"   -> (Seq("textCol"), "textCol — adds quality, lang_pred, n_tokens columns"),
@@ -69,6 +72,24 @@ object AnalyticsCompiler {
       "idCol contentCol — REAL audio decode (WAV/AIFF/G.711 u-law+A-law/IMA ADPCM) to channels/sample_rate/n_samples/decoded/sum_sq"),
     "audience_overlap" -> (Seq("groupCol", "valueCol"),
       "groupCol valueCol [k=256 portableHashing=false] — KMV sketch overlap: distinct-count, Jaccard, and intersection estimates for every group pair"),
+    "gopher_rules"   -> (Seq("idCol", "textCol"),
+      "idCol textCol [mode=report|filter minWords=10 maxWords=100000 minMeanLen=2.0 maxMeanLen=12.0 maxSymbolRatio=0.1 minAlphaFrac=0.8 minStopHits=2] — Gopher heuristic quality rules; report = per-rule booleans, filter keeps passing rows"),
+    "pii_redact"     -> (Seq("textCol"),
+      "textCol [target=<textCol>] — email/phone/SSN redaction to placeholder tokens (RE2-safe patterns)"),
+    "decontaminate"  -> (Seq("idCol", "textCol", "refType", "refFile"),
+      "idCol textCol refType refFile [refWhere refTextCol=<textCol> n=3 minOverlap=1 mode=flags|score|filter] — benchmark n-gram contamination against a second (file) source; filter keeps uncontaminated rows"),
+    "dsir_weight"    -> (Seq("idCol", "textCol", "refType", "refFile"),
+      "idCol textCol refType refFile [refWhere refTextCol=<textCol> buckets=8192 portableHashing=false] — DSIR importance weights of this frame against the target (file) corpus"),
+    "ann_topk"       -> (Seq("idCol", "vecCol", "vecDims", "k"),
+      "idCol vecCol vecDims k [method=ivf|lsh nlist=16 nprobe=2 planes=8 tables=4] — approximate nearest neighbors over an embedding column (cosine; LSH is the multi-table path)"),
+    "bpe_fertility"  -> (Seq("textCol", "sourceCol"),
+      "textCol sourceCol [numMerges=40 nativeEncode=false] — train BPE merges on this frame (eager, vocabulary-bounded) and report per-source tokenizer fertility"),
+    "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
+      "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
+    "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
+      "idCol textCol batchSize [shards=64] — per-shard length-sorted inference batches with pad-waste report"),
+    "chunk_docs"     -> (Seq("idCol", "textCol", "chunkTokens"),
+      "idCol textCol chunkTokens [overlap=0] — overlapping token chunking for long documents (row-local)"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
     "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
     "select"         -> (Seq("cols"), "cols[] — projection"),
@@ -90,7 +111,7 @@ object AnalyticsCompiler {
           // crash mid-compile with a bare None.get, exactly the
           // opaque runtime error this validator exists to prevent
           val listParams = Set("keys", "cols", "blocked", "langs", "dims")
-          val intParams = Set("pct")
+          val intParams = Set("pct", "k", "vecDims", "capacity", "batchSize", "chunkTokens")
           val missing = required.filter { k =>
             if (k == "aggs") strMap(st.params, k).isEmpty
             else if (k == "rules") maps(st.params, k).isEmpty
@@ -114,6 +135,33 @@ object AnalyticsCompiler {
             case "url_dedup" =>
               str(st.params, "mode").filterNot(Set("filter", "verdicts")).foreach(m =>
                 errs += s"analytics[$i] (url_dedup): mode '$m' not in filter,verdicts")
+            case "gopher_rules" =>
+              str(st.params, "mode").filterNot(Set("report", "filter")).foreach(m =>
+                errs += s"analytics[$i] (gopher_rules): mode '$m' not in report,filter")
+            case "decontaminate" | "dsir_weight" =>
+              // second-source reads are FILE types only, like expect's
+              // ref_integrity — `refFile` is the only forwarded field,
+              // never a connection string or arbitrary SQL
+              str(st.params, "refType").filterNot(expectRefTypes).foreach(rt =>
+                errs += s"analytics[$i] (${st.op}): refType '$rt' not in ${expectRefTypes.toSeq.sorted.mkString(",")} (file-based sources only)")
+              str(st.params, "refWhere").foreach(checkExpr("refWhere", _))
+              if (st.op == "decontaminate")
+                str(st.params, "mode").filterNot(Set("flags", "score", "filter")).foreach(m =>
+                  errs += s"analytics[$i] (decontaminate): mode '$m' not in flags,score,filter")
+            case "ann_topk" =>
+              str(st.params, "method").filterNot(Set("ivf", "lsh")).foreach(m =>
+                errs += s"analytics[$i] (ann_topk): method '$m' not in ivf,lsh")
+            case "chunk_docs" =>
+              for (ct <- int(st.params, "chunkTokens");
+                   ov = int(st.params, "overlap").getOrElse(0))
+                if (ov < 0 || ov >= ct)
+                  errs += s"analytics[$i] (chunk_docs): need 0 <= overlap < chunkTokens (got overlap=$ov, chunkTokens=$ct)"
+            case "pack_windows" =>
+              int(st.params, "capacity").filter(_ < 1).foreach(c =>
+                errs += s"analytics[$i] (pack_windows): capacity must be >= 1 (got $c)")
+            case "length_batches" =>
+              int(st.params, "batchSize").filter(_ < 1).foreach(b =>
+                errs += s"analytics[$i] (length_batches): batchSize must be >= 1 (got $b)")
             case "exact_dedup" =>
               str(st.params, "keep").filterNot(Set("first", "last")).foreach(k =>
                 errs += s"analytics[$i] (exact_dedup): keep '$k' not in first,last")
@@ -268,6 +316,74 @@ object AnalyticsCompiler {
         Layout.clusterByZorder(df, strs(p, "dims"),
           bits = int(p, "bits").getOrElse(16),
           partitions = int(p, "partitions").getOrElse(0))
+      case "gopher_rules" =>
+        val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
+        val rules = TextAnalysis.gopherRules(df, id, text,
+          minWords = int(p, "minWords").getOrElse(10),
+          maxWords = int(p, "maxWords").getOrElse(100000),
+          minMeanLen = dbl(p, "minMeanLen").getOrElse(2.0),
+          maxMeanLen = dbl(p, "maxMeanLen").getOrElse(12.0),
+          maxSymbolRatio = dbl(p, "maxSymbolRatio").getOrElse(0.1),
+          minAlphaFrac = dbl(p, "minAlphaFrac").getOrElse(0.8),
+          minStopHits = int(p, "minStopHits").getOrElse(2))
+        if (str(p, "mode").contains("filter"))
+          df.join(rules.filter(col("pass")).select(col(id)), Seq(id), "left_semi")
+        else rules
+      case "pii_redact" =>
+        val text = str(p, "textCol").get
+        df.withColumn(str(p, "target").getOrElse(text),
+          TextAnalysis.redactPii(col(text)))
+      case "decontaminate" =>
+        val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
+        val ref = refFrame(spark, p, text)
+        val n = int(p, "n").getOrElse(3)
+        str(p, "mode").getOrElse("flags") match {
+          case "score" => graft.ops.Decontaminate.score(df, ref, id, text, n)
+          case "filter" =>
+            val f = graft.ops.Decontaminate.flags(df, ref, id, text, n,
+              minOverlap = int(p, "minOverlap").getOrElse(1))
+            df.join(f.filter(!col("contaminated")).select(col(id)), Seq(id), "left_semi")
+          case _ => graft.ops.Decontaminate.flags(df, ref, id, text, n,
+            minOverlap = int(p, "minOverlap").getOrElse(1))
+        }
+      case "dsir_weight" =>
+        graft.ops.Dsir.importanceWeights(df,
+          refFrame(spark, p, str(p, "textCol").get),
+          str(p, "idCol").get, str(p, "textCol").get,
+          buckets = int(p, "buckets").getOrElse(8192),
+          portableHashing = bool(p, "portableHashing"))
+      case "ann_topk" =>
+        val (id, vec) = (str(p, "idCol").get, str(p, "vecCol").get)
+        val dims = int(p, "vecDims").get
+        val k = int(p, "k").get
+        str(p, "method").getOrElse("ivf") match {
+          case "lsh" => graft.ops.Similarity.lshTopK(df, id, vec, dims, k,
+            planes = int(p, "planes").getOrElse(8),
+            tables = int(p, "tables").getOrElse(4))
+          case _ => graft.ops.Similarity.ivfTopK(df, id, vec, dims, k,
+            nlist = int(p, "nlist").getOrElse(16),
+            nprobe = int(p, "nprobe").getOrElse(2))
+        }
+      case "bpe_fertility" =>
+        // training is EAGER at stage-apply (the trainer's one bounded
+        // collect over the vocabulary relation — same as the Scala API)
+        val text = str(p, "textCol").get
+        val merges = graft.ops.Tokenizer.bpeTrain(df, text,
+            numMerges = int(p, "numMerges").getOrElse(40))
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Tokenizer.bpeFertility(df, text, str(p, "sourceCol").get,
+          merges, nativeEncode = bool(p, "nativeEncode"))
+      case "pack_windows" =>
+        graft.ops.Packing.packWindows(df, str(p, "idCol").get, str(p, "textCol").get,
+          capacity = int(p, "capacity").get, shards = int(p, "shards").getOrElse(64))
+      case "length_batches" =>
+        graft.ops.Packing.lengthBatches(df, str(p, "idCol").get, str(p, "textCol").get,
+          batchSize = int(p, "batchSize").get, shards = int(p, "shards").getOrElse(64))
+      case "chunk_docs" =>
+        graft.ops.Packing.chunkDocs(df, str(p, "idCol").get, str(p, "textCol").get,
+          chunkTokens = int(p, "chunkTokens").get,
+          overlap = int(p, "overlap").getOrElse(0))
       case "where" =>
         df.filter(expr(str(p, "condition").get))
       case "derive" =>
@@ -290,6 +406,19 @@ object AnalyticsCompiler {
       case other =>
         throw new IllegalArgumentException(s"unknown analytics op '$other'")
     }
+  }
+
+  /** Second-source frame for decontaminate/dsir_weight: a file-typed
+    * read (validated against [[expectRefTypes]]), optionally filtered
+    * by a `refWhere` SQL predicate, with `refTextCol` renamed to the
+    * stage's own text column so the two-sided operator sees one name. */
+  private def refFrame(spark: SparkSession, p: Map[String, Any],
+                       textCol: String): DataFrame = {
+    val r0 = graft.io.Readers.read(spark, SourceConfig(
+      `type` = str(p, "refType").get, file = str(p, "refFile").get))
+    val r1 = str(p, "refWhere").map(w => r0.filter(expr(w))).getOrElse(r0)
+    str(p, "refTextCol").filter(_ != textCol)
+      .map(c => r1.withColumnRenamed(c, textCol)).getOrElse(r1)
   }
 
   /** One `expect` rule from its YAML map. */

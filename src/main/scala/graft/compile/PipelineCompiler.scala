@@ -146,11 +146,20 @@ object PipelineCompiler {
     // ---- DEDUPLICATION (§2.5) ----
     pb.dedup.foreach { d =>
       if (streaming) {
-        // validator guarantees strategy == "first"; dropDuplicates on
-        // a stream keeps the first arrival per key (unbounded state —
-        // the batch operators remain the bounded-state tool for
-        // full-corpus dedup)
-        main = main.dropDuplicates(d.keys)
+        // first = dropDuplicates (first arrival per key; unbounded
+        // state — the batch operators remain the bounded-state tool
+        // for full-corpus dedup); min/max = keyed-state extreme with
+        // quiet-period emission. The internal SEQ/ERR/ORIG columns ride
+        // through the state row and come off after, as in batch.
+        // Validator rejects 'last' with its reason.
+        d.strategy match {
+          case "min" | "max" =>
+            main = graft.streaming.StreamOps.dedupExtremeStream(
+              main, d.keys, d.strategyField.get,
+              max = d.strategy == "max", tsCol = d.tsCol.get,
+              quiet = d.quietPeriod, watermarkDelay = d.watermarkDelay)
+          case _ => main = main.dropDuplicates(d.keys)
+        }
       } else {
         main = main.withColumnRenamed(SEQ, "_seq") // Dedup ops consume "_seq"
         main = d.strategy match {

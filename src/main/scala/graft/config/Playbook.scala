@@ -68,7 +68,19 @@ case class DestinationConfig(
     sheetName: Option[String] = None,
     partitionBy: Seq[String] = Seq.empty,         // parquet layout at scale
     compression: String = "",                     // jsonl/parquet codec (gzip, snappy, zstd, none)
-    checkpoint: String = "")                      // streaming sink state dir
+    checkpoint: String = "",                      // streaming sink state dir
+    // parquet physical-layout extensions (mutually exclusive):
+    // bucketBy writes a metastore-registered bucketed table (reuses
+    // `table` as the name) so recurring joins/aggs on the keys run
+    // shuffle-free; zorderBy range-clusters rows on the interleaved
+    // Z-curve of the listed dimensions before writing, so min/max
+    // footer pruning works on EVERY listed dimension
+    bucketBy: Seq[String] = Seq.empty,
+    buckets: Int = 0,
+    sortBy: Seq[String] = Seq.empty,
+    zorderBy: Seq[String] = Seq.empty,
+    zorderBits: Int = 16,
+    zorderFiles: Int = 0)
 
 /** types.go:118-141 — one projection/transform rule. */
 case class MappingRule(
@@ -86,11 +98,19 @@ case class FlatteningConfig(
     conditionField: Option[String] = None,
     conditionValue: Option[String] = None)
 
-/** types.go:169-180 — strategy in {first,last,min,max}. */
+/** types.go:169-180 — strategy in {first,last,min,max}.
+  * `tsCol`/`quietPeriod`/`watermarkDelay` are streaming-only: min/max
+  * on a stream emit a key's extreme once the watermark on `tsCol`
+  * (delayed by `watermarkDelay`) passes the key's last event +
+  * `quietPeriod` (ignored in batch, where the full relation is in
+  * hand). */
 case class DedupConfig(
     keys: Seq[String],
     strategy: String = "first",
-    strategyField: Option[String] = None)
+    strategyField: Option[String] = None,
+    tsCol: Option[String] = None,
+    quietPeriod: String = "30 seconds",
+    watermarkDelay: String = "0 seconds")
 
 /** types.go:203-215 — mode in {halt,skip}. */
 case class ErrorHandlingConfig(

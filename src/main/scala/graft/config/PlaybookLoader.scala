@@ -80,7 +80,18 @@ object PlaybookLoader {
       case _ => Seq.empty
     },
     compression = str(m, "compression").getOrElse(""),
-    checkpoint = str(m, "checkpoint").getOrElse(""))
+    checkpoint = str(m, "checkpoint").getOrElse(""),
+    bucketBy = strList(m, "bucketBy"),
+    buckets = int(m, "buckets").getOrElse(0),
+    sortBy = strList(m, "sortBy"),
+    zorderBy = strList(m, "zorderBy"),
+    zorderBits = int(m, "zorderBits").getOrElse(16),
+    zorderFiles = int(m, "zorderFiles").getOrElse(0))
+
+  private def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+    case _ => Seq.empty
+  }
 
   private def ruleOf(m: Map[String, Any]) = MappingRule(
     source = str(m, "source").getOrElse(""),
@@ -102,7 +113,10 @@ object PlaybookLoader {
       case _ => Seq.empty
     },
     strategy = str(m, "strategy").getOrElse("first").toLowerCase,
-    strategyField = str(m, "strategyField"))
+    strategyField = str(m, "strategyField"),
+    tsCol = str(m, "tsCol"),
+    quietPeriod = str(m, "quietPeriod").getOrElse("30 seconds"),
+    watermarkDelay = str(m, "watermarkDelay").getOrElse("0 seconds"))
 
   private def stageOf(m: Map[String, Any]) = AnalyticsStage(
     op = str(m, "op").getOrElse("").toLowerCase,
@@ -132,6 +146,28 @@ object Validator {
       errs += s"destination.type '${pb.destination.`type`}' not in ${destTypes.toSeq.sorted.mkString(",")}"
     if (pb.destination.`type` != "postgres" && pb.destination.file.isEmpty)
       errs += "destination.file is required"
+
+    // parquet physical-layout options: every constraint surfaces at
+    // LOAD time with the other errors, never as a bare require() after
+    // the pipeline already ran
+    val d = pb.destination
+    if (d.bucketBy.nonEmpty || d.zorderBy.nonEmpty) {
+      if (d.`type` != "parquet")
+        errs += s"destination: bucketBy/zorderBy require type parquet (got '${d.`type`}')"
+      if (d.bucketBy.nonEmpty && d.zorderBy.nonEmpty)
+        errs += "destination: bucketBy and zorderBy are mutually exclusive (bucketed tables hash rows; Z-order range-clusters them)"
+      if (d.bucketBy.nonEmpty && d.buckets < 1)
+        errs += s"destination: bucketBy needs buckets >= 1 (got ${d.buckets})"
+      if (d.bucketBy.nonEmpty && d.table.isEmpty)
+        errs += "destination: bucketBy needs `table` (the metastore name the bucketed layout is registered and re-read under)"
+      if (d.bucketBy.nonEmpty && d.partitionBy.nonEmpty)
+        errs += "destination: bucketBy with partitionBy is unsupported (one physical layout per write)"
+      if (d.zorderBy.nonEmpty &&
+          (d.zorderBits < 1 || d.zorderBy.size * d.zorderBits > 62))
+        errs += s"destination: ${d.zorderBy.size} zorderBy dims x ${d.zorderBits} bits exceeds the 62-bit interleave budget (${62 / math.max(d.zorderBy.size, 1)} bits fits)"
+    }
+    if (d.sortBy.nonEmpty && d.bucketBy.isEmpty)
+      errs += "destination: sortBy requires bucketBy (it orders rows within bucket files)"
 
     // filter must translate (syntax check at compile time — validation.go:62-66)
     pb.filter.foreach { f =>
@@ -181,8 +217,25 @@ object Validator {
       if (pb.destination.checkpoint.isEmpty)
         errs += "streaming destination.checkpoint is required (exactly-once sink state)"
       pb.dedup.foreach { d =>
-        if (d.strategy != "first")
-          errs += s"streaming deduplication.strategy '${d.strategy}' unsupported — only 'first' (dropDuplicates keeps first arrival)"
+        // first = dropDuplicates (first arrival is FINAL — append-safe);
+        // min/max = keyed-state extreme with quiet-period emission
+        // (StreamOps.dedupExtremeStream). 'last' stays rejected: on an
+        // unbounded stream every arrival supersedes, so nothing is ever
+        // final under an append-only file sink.
+        if (d.strategy == "last")
+          errs += "streaming deduplication.strategy 'last' unsupported — no arrival is ever final on an unbounded stream (use min/max on a version field, or batch)"
+        if (Set("min", "max")(d.strategy)) {
+          if (d.tsCol.isEmpty)
+            errs += "streaming min/max deduplication needs tsCol (the event-time column whose watermark drives quiet-period emission)"
+          // fail bad durations at LOAD, not per-key at runtime
+          Seq("quietPeriod" -> d.quietPeriod, "watermarkDelay" -> d.watermarkDelay)
+            .foreach { case (k, v) =>
+              val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+                org.apache.spark.unsafe.types.UTF8String.fromString(v))
+              if (iv == null)
+                errs += s"streaming deduplication.$k '$v' unparseable (use e.g. '30 seconds', '5 minutes')"
+            }
+        }
       }
       if (pb.errorHandling.mode != "skip")
         errs += "streaming errorHandling.mode must be 'skip' (a stream cannot halt on a future record)"

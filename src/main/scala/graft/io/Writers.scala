@@ -45,8 +45,20 @@ object Writers {
     case "xml"     => writeXml(df, dest)
     case "yaml"    => writeYaml(df, dest.file)
     case "xlsx"    => Xlsx.write(df, dest)
+    case "parquet" if dest.bucketBy.nonEmpty =>
+      // metastore-registered bucketed table: recurring joins/aggs on
+      // the bucket keys read it back shuffle-free (io.Bucketed)
+      Bucketed.writeTable(df, dest.table, dest.file,
+        dest.bucketBy, dest.buckets, dest.sortBy)
     case "parquet" =>
-      var w = df.write.mode("overwrite")
+      // zorderBy range-clusters on the interleaved Z-curve FIRST, so
+      // the standard write below lays files out in curve order and
+      // min/max footer pruning works on every listed dimension
+      val clustered =
+        if (dest.zorderBy.isEmpty) df
+        else graft.ops.Layout.clusterByZorder(df, dest.zorderBy,
+          bits = dest.zorderBits, partitions = dest.zorderFiles).drop("zval")
+      var w = clustered.write.mode("overwrite")
       if (dest.partitionBy.nonEmpty) w = w.partitionBy(dest.partitionBy: _*)
       if (dest.compression.nonEmpty) w = w.option("compression", dest.compression)
       w.parquet(dest.file)

@@ -1879,6 +1879,38 @@ object LlmQueries {
       },
       None),
 
+    // md5-portable oracle twin of the chain above (r11): the SAME
+    // screen → verdicts → append → compact lifecycle over the three
+    // id-disjoint corpus versions, with portable md5 signatures and
+    // band buckets — so the WHOLE chain (every version's reference
+    // screen against the accumulated kept state, plus each batch's
+    // new-new components) is pinned end-to-end by a DuckDB oracle,
+    // not just the single-batch step. Oracle-only fixture; the x64
+    // chain above is the benched production path.
+    Q("q_llm_incr_neardup_chain",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def sigOf(m: Int) = Dedup.minhashPortableValues(
+          docs.filter(col("doc_id") % 3 === m), "doc_id", "text",
+          shingleSize = 4, numHashes = 8)
+        val Seq(b0, b1, b2) = Seq(0, 1, 2).map(sigOf)
+        val v0 = Dedup.incrementalNearDupVerdicts(b0, b0.limit(0),
+          numHashes = 8, bands = 4, threshold = 0.5, portableBuckets = true)
+        var state = Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(
+          b0.limit(0).select(col("id"), col("sig"), lit(0).as("version")),
+          b0, v0, 0))
+        val v1 = Dedup.incrementalNearDupVerdicts(b1, state.select("id", "sig"),
+          numHashes = 8, bands = 4, threshold = 0.5, portableBuckets = true)
+        state = Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(state, b1, v1, 1))
+        val v2 = Dedup.incrementalNearDupVerdicts(b2, state.select("id", "sig"),
+          numHashes = 8, bands = 4, threshold = 0.5, portableBuckets = true)
+        v0.withColumn("batch", lit(0))
+          .unionByName(v1.withColumn("batch", lit(1)))
+          .unionByName(v2.withColumn("batch", lit(2)))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(LlmOracles.incrNearDupChain)),
+
     // Temperature-resampled source mixing weights (α=0.5 via sqrt —
     // correctly-rounded, hence oracled exactly).
     Q("q_llm_temperature_mix",
@@ -2832,6 +2864,84 @@ object LlmOracles {
     FROM allnew a
     LEFT JOIN dupref d ON d.id = a.id
     LEFT JOIN comp c ON c.id = a.id"""
+  }
+
+  /** Oracle of the FULL N-version incremental near-dup lifecycle
+    * ([[graft.ops.Dedup.incrementalNearDupVerdicts]] +
+    * [[graft.ops.Dedup.nearDupStateAppend]] /
+    * [[graft.ops.Dedup.nearDupStateCompact]]) over the doc_id % 3
+    * three-way corpus-version split: batch k screens against the
+    * accumulated KEPT state of batches < k (append ∪ compact — the
+    * batches are id-disjoint, so compact's latest-version-wins is the
+    * identity and the state is exactly the union of kept signatures),
+    * then resolves new-new duplicates among its own survivors with a
+    * recursive-CTE min-label walk. Three chained instantiations of the
+    * single-batch contract [[incrNearDup]] pins, sharing one banded
+    * signature relation. */
+  val incrNearDupChain: String = {
+    val terms = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j|' || s), 1, 15))::BIGINT))")
+      .mkString(", ")
+    def agree(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 8), " +
+        s"i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 8"
+    // one full verdict pipeline per batch; refPred selects the banded
+    // rows of the state the batch screens against. The multiply-
+    // referenced CTEs are MATERIALIZED: left inline, DuckDB re-opens
+    // the documents parquet once per reference per recursive-walk
+    // iteration — three walks deep that exhausts the fd limit.
+    def batch(k: Int, refPred: String): String = s"""
+    nb$k AS MATERIALIZED (SELECT * FROM mb WHERE id % 3 = $k),
+    rb$k AS MATERIALIZED (SELECT mb.* FROM mb WHERE $refPred),
+    rsz$k AS (SELECT band, bucket FROM rb$k GROUP BY band, bucket
+      HAVING COUNT(*) <= 1000),
+    dupref$k AS MATERIALIZED (SELECT n.id, MIN(r.id) AS ref_match
+      FROM nb$k n
+      JOIN rsz$k s ON s.band = n.band AND s.bucket = n.bucket
+      JOIN rb$k r ON r.band = n.band AND r.bucket = n.bucket
+      WHERE ${agree("n", "r")} >= 0.5
+      GROUP BY n.id),
+    sv$k AS MATERIALIZED (SELECT * FROM nb$k WHERE id NOT IN (SELECT id FROM dupref$k)),
+    ssz$k AS (SELECT band, bucket, COUNT(*) AS n FROM sv$k GROUP BY 1, 2),
+    cand$k AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sv$k a
+      JOIN sv$k b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN ssz$k s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.n BETWEEN 2 AND 1000 AND a.id < b.id
+        AND ${agree("a", "b")} >= 0.5),
+    edges$k AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM cand$k
+                UNION SELECT id_b, id_a FROM cand$k),
+    walk$k(id, comp) AS (SELECT DISTINCT a, a FROM edges$k
+      UNION
+      SELECT e.b, w.comp FROM walk$k w JOIN edges$k e ON e.a = w.id),
+    comp$k AS (SELECT id, MIN(comp) AS component FROM walk$k GROUP BY id),
+    v$k AS (SELECT a.id,
+        CASE WHEN d.ref_match IS NOT NULL THEN 'dup_of_ref'
+             WHEN c.component IS NOT NULL AND c.component <> a.id THEN 'dup_of_new'
+             ELSE 'kept' END AS status,
+        CASE WHEN d.ref_match IS NOT NULL THEN d.ref_match
+             WHEN c.component IS NOT NULL AND c.component <> a.id THEN c.component
+        END AS match_id
+      FROM (SELECT DISTINCT id FROM nb$k) a
+      LEFT JOIN dupref$k d ON d.id = a.id
+      LEFT JOIN comp$k c ON c.id = a.id),
+    kept$k AS MATERIALIZED (SELECT id FROM v$k WHERE status = 'kept')"""
+    s"""
+    WITH RECURSIVE mx AS (SELECT doc_id AS id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(1, length(lower(text)) - 3)),
+          i -> substr(lower(text), i, 4))) AS sh
+      FROM documents WHERE text IS NOT NULL),
+    msig AS MATERIALIZED (SELECT id, [$terms] AS sig FROM mx),
+    mb AS MATERIALIZED (SELECT id, sig, band,
+        array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), ',') AS bucket
+      FROM msig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    ${batch(0, "FALSE")},
+    ${batch(1, "mb.id IN (SELECT id FROM kept0)")},
+    ${batch(2, "mb.id IN (SELECT id FROM kept0 UNION ALL SELECT id FROM kept1)")}
+    SELECT id AS doc_id, status, match_id, 0 AS batch FROM v0
+    UNION ALL SELECT id, status, match_id, 1 FROM v1
+    UNION ALL SELECT id, status, match_id, 2 FROM v2"""
   }
 
   private val clusterCtes: String = """

@@ -27,6 +27,12 @@ object PlaybookQueries {
   private def run(s: SparkSession, yaml: String): DataFrame =
     PipelineCompiler.compile(s, PlaybookLoader.fromString(yaml)).main
 
+  /** The oracled Scala-API twin's own oracle — playbook faces are
+    * result-twins by construction, so sharing the string guarantees
+    * the two stay pinned to the SAME contract. */
+  private def oracleOf(name: String): Option[String] =
+    LlmQueries.all.find(_.name == name).flatMap(_.oracle)
+
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
   private val synthUrlSql: String =
@@ -243,6 +249,193 @@ object PlaybookQueries {
         |        refCol: o_orderkey
         |""".stripMargin),
       Some(AnalyticsQueries.expectationsOracle)),
+
+    // Gopher quality rules from config — q_llm_gopher_rules' oracle,
+    // default thresholds. Result-twin — bench-excluded.
+    Q("q_playbook_gopher",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: gopher_rules
+        |    idCol: doc_id
+        |    textCol: text
+        |""".stripMargin),
+      oracleOf("q_llm_gopher_rules")),
+
+    // PII redaction from config: the deterministic PII injection is a
+    // `derive` SQL stage (same string the Scala twin builds), then
+    // pii_redact into `clean` — q_llm_redact_pii's oracle.
+    Q("q_playbook_pii",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: derive
+        |    target: injected
+        |    expr: "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or 555.123.4567 id 123-45-', lpad(CAST(pmod(doc_id, 10000) AS STRING), 4, '0'))"
+        |  - op: pii_redact
+        |    textCol: injected
+        |    target: clean
+        |  - op: select
+        |    cols: [doc_id, clean]
+        |""".stripMargin),
+      oracleOf("q_llm_redact_pii")),
+
+    // Benchmark decontamination from config: the corpus/benchmark
+    // split is a `where` stage + `refWhere` on the SAME file —
+    // q_llm_decontaminate's oracle (flags, 3-grams, minOverlap 2).
+    Q("q_playbook_decontam",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: where
+        |    condition: "doc_id % 97 <> 0"
+        |  - op: decontaminate
+        |    idCol: doc_id
+        |    textCol: text
+        |    refType: parquet
+        |    refFile: $dir/documents.parquet
+        |    refWhere: "doc_id % 97 = 0"
+        |    n: 3
+        |    minOverlap: 2
+        |""".stripMargin),
+      oracleOf("q_llm_decontaminate")),
+
+    // DSIR importance weights from config (md5-portable face) —
+    // q_llm_dsir_md5's oracle: src0 is the target distribution.
+    Q("q_playbook_dsir",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: where
+        |    condition: "source <> 'src0'"
+        |  - op: dsir_weight
+        |    idCol: doc_id
+        |    textCol: text
+        |    refType: parquet
+        |    refFile: $dir/documents.parquet
+        |    refWhere: "source = 'src0'"
+        |    portableHashing: true
+        |""".stripMargin),
+      oracleOf("q_llm_dsir_md5")),
+
+    // Sequence packing from config — q_llm_pack_windows' oracle
+    // (2048-token windows, 16 shards).
+    Q("q_playbook_pack",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: pack_windows
+        |    idCol: doc_id
+        |    textCol: text
+        |    capacity: 2048
+        |    shards: 16
+        |""".stripMargin),
+      oracleOf("q_llm_pack_windows")),
+
+    // Long-document chunking from config — q_llm_chunk's oracle
+    // (20-token chunks, 4-token overlap).
+    Q("q_playbook_chunk",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: chunk_docs
+        |    idCol: doc_id
+        |    textCol: text
+        |    chunkTokens: 20
+        |    overlap: 4
+        |""".stripMargin),
+      oracleOf("q_llm_chunk")),
+
+    // Length-bucketed batches from config — q_llm_length_batches'
+    // oracle (batchSize 8, 16 shards).
+    Q("q_playbook_length_batches",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: length_batches
+        |    idCol: doc_id
+        |    textCol: text
+        |    batchSize: 8
+        |    shards: 16
+        |""".stripMargin),
+      oracleOf("q_llm_length_batches")),
+
+    // IVF ANN from config over the embeddings table — result-twin of
+    // q_llm_ann_ivf (rows-only: the k-means cells are engine-local;
+    // the operating point's recall is RecallCheck-pinned on the twin).
+    Q("q_playbook_ann",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/embeddings.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: ann_topk
+        |    idCol: vec_id
+        |    vecCol: embedding
+        |    vecDims: 64
+        |    k: 3
+        |    method: ivf
+        |    nlist: 16
+        |    nprobe: 8
+        |""".stripMargin),
+      None),
+
+    // BPE fertility from config — result-twin of q_llm_bpe_fertility
+    // (rows-only: iterative merge application; the trainer and encoder
+    // are spec-pinned on closed forms in TokenizerSpec/BpeEncodeSpec).
+    Q("q_playbook_bpe",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: bpe_fertility
+        |    textCol: text
+        |    sourceCol: source
+        |    numMerges: 40
+        |""".stripMargin),
+      None),
 
     // Z-order clustering from config: zorder_cluster adds `zval` and
     // range-clusters; the select projects the key columns so the

@@ -42,6 +42,141 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /**
+   * Streaming min/max dedup — the online face of
+   * [[graft.ops.Dedup.byExtreme]]: keep, per key, the single record
+   * whose `strategyField` is the extreme under the reference's
+   * CompareValues order (transform.go:1052-1117 as driven by the
+   * processor's strict-improvement fold, processor.go:295-307):
+   * nil smallest; numbers AND numeric strings compare as float64
+   * (the shared [[graft.functions.GoFloatParse]] parser — the exact
+   * JVM code the batch path's `go_parse_float` expression calls, so
+   * the two faces cannot drift); non-numeric strings compare
+   * lexicographically among themselves and rank above all numerics;
+   * ties and incomparables keep the EARLIEST arrival (streaming's
+   * statement of "earliest ingested", same caveat as the `first`
+   * strategy's dropDuplicates).
+   *
+   * Emission contract (Append mode, file-sink compatible): a key's
+   * current extreme row is held in keyed state and emitted once the
+   * key has been QUIET for `quiet` of EVENT time — the watermark on
+   * `tsCol` (delayed by `watermarkDelay`) passing the key's last-seen
+   * event time + `quiet` fires an EventTimeTimeout, the row is
+   * appended, the state dropped: the session-close pattern. A key
+   * that keeps receiving rows keeps improving silently; a
+   * re-appearing key after emission starts a fresh round (may emit
+   * again — downstream min/max compaction is associative, so the
+   * extreme of extremes is still THE extreme). Event-time (not
+   * processing-time) timers are load-bearing here: they make the
+   * operator deterministic under replay AND terminate under
+   * Trigger.AvailableNow — a processing-time timer keeps scheduling
+   * wall-clock batches, so a bounded catch-up run would either hang
+   * or race its own clock.
+   *
+   * Scale shape: one shuffle on the key; state is exactly one row per
+   * live key (the current extreme — not the arrivals), bounded by the
+   * quiet-period turnover, per-partition in the state store.
+   */
+  def dedupExtremeStream(df: DataFrame, keys: Seq[String], strategyField: String,
+                         max: Boolean, tsCol: String,
+                         quiet: String = "30 seconds",
+                         watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wm = df.withWatermark(tsCol, watermarkDelay)
+    val schema = wm.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val fIdx = schema.fieldIndex(strategyField)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val isString = schema(fIdx).dataType.isInstanceOf[StringType]
+    val keySchema = StructType(keyIdx.map(schema(_)).toArray)
+    val quietMs = intervalMs(quiet)
+    // state = the extreme row's fields + the key's max seen event time
+    val stateSchema = StructType(schema.fields :+ StructField("_graft_seen_ts", LongType))
+    val rowEnc = Encoders.row(schema)
+    wm.groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)))(Encoders.row(keySchema))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[Row]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Row.fromSeq(s.toSeq.dropRight(1)))
+          } else {
+            var (cur, seenTs) = state.getOption match {
+              case Some(s) => (Row.fromSeq(s.toSeq.dropRight(1)), s.getLong(schema.length))
+              case None => (null: Row, Long.MinValue)
+            }
+            rows.foreach { r =>
+              val ts = r.get(tsIdx) match {
+                case t: java.sql.Timestamp => t.getTime
+                case t: java.time.Instant => t.toEpochMilli
+                case _ => Long.MinValue // null ts rows still compete on value
+              }
+              if (ts > seenTs) seenTs = ts
+              if (cur == null ||
+                  strictlyBetter(r.get(fIdx), cur.get(fIdx), isString, max))
+                cur = r
+            }
+            if (cur != null) {
+              state.update(Row.fromSeq(cur.toSeq :+ seenTs))
+              // a late batch can put seenTs+quiet at or behind the
+              // watermark (setTimeoutTimestamp rejects that) — clamp a
+              // hair past it so the key emits on the next advance
+              state.setTimeoutTimestamp(
+                math.max(seenTs + quietMs, state.getCurrentWatermarkMs + 1))
+            }
+            Iterator.empty
+          }
+      }(Encoders.row(stateSchema), rowEnc)
+      .toDF()
+  }
+
+  /** CalendarInterval string ("30 seconds", "5 minutes") to millis. */
+  private def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv != null && iv.months == 0, s"unparseable interval '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** CompareValues strict improvement: true iff `cand` strictly beats
+    * `inc` for the requested extreme (ties keep the incumbent = the
+    * earlier arrival). String columns use the 3-class order the batch
+    * [[graft.ops.Dedup.byExtreme]] states (nil < numeric < non-numeric
+    * lex); native types use natural order with nil smallest. */
+  private[streaming] def strictlyBetter(cand: Any, inc: Any,
+                                        isString: Boolean, max: Boolean): Boolean = {
+    val c = compareGo(cand, inc, isString)
+    if (max) c > 0 else c < 0
+  }
+
+  private def compareGo(a: Any, b: Any, isString: Boolean): Int =
+    if (isString) {
+      def numOf(v: Any): java.lang.Double =
+        if (v == null) null
+        else graft.functions.GoFloatParse.parse(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+      val (na, nb) = (numOf(a), numOf(b))
+      def cls(v: Any, n: java.lang.Double) = if (v == null) 0 else if (n != null) 1 else 2
+      val (ca, cb) = (cls(a, na), cls(b, nb))
+      if (ca != cb) ca - cb
+      else if (ca == 1) java.lang.Double.compare(na, nb)
+      else if (ca == 2) a.toString.compareTo(b.toString)
+      else 0
+    } else (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: Number, y: Number) => java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x: Comparable[_], y) if x.getClass == y.getClass =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      case _ => 0 // incomparable -> tie -> earliest arrival wins
+    }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double,
                        ts: java.sql.Timestamp)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double,

@@ -280,6 +280,126 @@ class AnalyticsCompilerSpec extends SparkTestBase {
       stage("split", "keyCol" -> "id"))).count() == 3)
   }
 
+  test("r11 LLM-family stages: validation catches bad refs, modes, bounds") {
+    val errs = AnalyticsCompiler.validate(Seq(
+      stage("decontaminate", "idCol" -> "id", "textCol" -> "t",
+        "refType" -> "postgres", "refFile" -> "x", "mode" -> "nuke"),
+      stage("dsir_weight", "idCol" -> "id", "textCol" -> "t",
+        "refType" -> "parquet", "refFile" -> "x", "refWhere" -> "SELEC broken ("),
+      stage("ann_topk", "idCol" -> "id", "vecCol" -> "v", "k" -> 3), // missing vecDims
+      stage("ann_topk", "idCol" -> "id", "vecCol" -> "v", "vecDims" -> 64,
+        "k" -> 3, "method" -> "hnsw"),
+      stage("chunk_docs", "idCol" -> "id", "textCol" -> "t",
+        "chunkTokens" -> 10, "overlap" -> 10),
+      stage("gopher_rules", "idCol" -> "id", "textCol" -> "t", "mode" -> "purge"),
+      stage("pack_windows", "idCol" -> "id", "textCol" -> "t", "capacity" -> 0)))
+    assert(errs.size == 8, errs.mkString("\n")) // decontaminate trips refType AND mode
+    assert(errs.exists(_.contains("refType 'postgres'")))
+    assert(errs.exists(_.contains("mode 'nuke'")))
+    assert(errs.exists(_.contains("bad refWhere")))
+    assert(errs.exists(_.contains("missing vecDims")))
+    assert(errs.exists(_.contains("method 'hnsw'")))
+    assert(errs.exists(_.contains("overlap < chunkTokens")))
+    assert(errs.exists(_.contains("mode 'purge'")))
+    assert(errs.exists(_.contains("capacity must be >= 1")))
+  }
+
+  test("r11 LLM-family stages: gopher filter, pii redact, decontaminate filter, packing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_llm_stages").toString
+    val good = "The quick brown fox jumps over the lazy dog and that dog will have a nap with the fox."
+    val docs = Seq(
+      (1L, good),
+      (2L, s"$good Totally unique middle sentence here. Email me at a@b.co now."),
+      (3L, "zz # yy # xx # ww # vv # uu # tt # ss # rr # qq")) // fails gopher symbol/stop rules
+      .toDF("doc_id", "text")
+    // gopher report has the rule columns; filter keeps only passers
+    val rep = AnalyticsCompiler(spark, docs, Seq(
+      stage("gopher_rules", "idCol" -> "doc_id", "textCol" -> "text")))
+    assert(rep.columns.contains("pass") && rep.count() == 3)
+    val kept = AnalyticsCompiler(spark, docs, Seq(
+      stage("gopher_rules", "idCol" -> "doc_id", "textCol" -> "text",
+        "mode" -> "filter")))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(kept.columns.contains("text")) // filter keeps the ORIGINAL rows
+    // pii_redact: default overwrites in place, target adds a column
+    val red = AnalyticsCompiler(spark,
+      Seq((1L, "mail x@y.org or 555.123.4567")).toDF("id", "text"),
+      Seq(stage("pii_redact", "textCol" -> "text")))
+    assert(red.select("text").as[String].head() == "mail <EMAIL> or <PHONE>")
+    // decontaminate filter mode against a file benchmark
+    docs.filter($"doc_id" === 1L).write.mode("overwrite").parquet(s"$tmp/bench.parquet")
+    val clean = AnalyticsCompiler(spark, docs, Seq(
+      stage("decontaminate", "idCol" -> "doc_id", "textCol" -> "text",
+        "refType" -> "parquet", "refFile" -> s"$tmp/bench.parquet",
+        "mode" -> "filter")))
+    // doc 1 IS the benchmark; doc 2 contains it verbatim -> both flagged
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(3L))
+    // packing stages delegate (schema sanity)
+    val pw = AnalyticsCompiler(spark, docs, Seq(
+      stage("pack_windows", "idCol" -> "doc_id", "textCol" -> "text",
+        "capacity" -> 8, "shards" -> 2)))
+    assert(pw.columns.toSet == Set("doc_id", "shard", "n_tokens", "window_id", "straddles"))
+    val ch = AnalyticsCompiler(spark, docs, Seq(
+      stage("chunk_docs", "idCol" -> "doc_id", "textCol" -> "text",
+        "chunkTokens" -> 5, "overlap" -> 1)))
+    assert(ch.columns.contains("chunk_text") && ch.count() > 3)
+  }
+
+  test("destination bucketBy/zorderBy: load-time validation and the physical write") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dest_layout").toString
+    // validation: every layout constraint is an accumulated load error
+    def destErrs(destYaml: String): String =
+      intercept[IllegalArgumentException](PlaybookLoader.fromString(s"""
+        |source: {type: parquet, file: /tmp/in.parquet}
+        |destination:
+        |$destYaml
+        |""".stripMargin)).getMessage
+    assert(destErrs("""  type: csv
+      |  file: /tmp/o
+      |  bucketBy: [k]
+      |  buckets: 4""".stripMargin).contains("require type parquet"))
+    assert(destErrs("""  type: parquet
+      |  file: /tmp/o
+      |  bucketBy: [k]
+      |  buckets: 4""".stripMargin).contains("needs `table`"))
+    assert(destErrs("""  type: parquet
+      |  file: /tmp/o
+      |  zorderBy: [a, b, c, d]
+      |  zorderBits: 16""".stripMargin).contains("62-bit interleave budget"))
+    assert(destErrs("""  type: parquet
+      |  file: /tmp/o
+      |  sortBy: [k]""".stripMargin).contains("sortBy requires bucketBy"))
+    // bucketBy write: metastore table exists and joins shuffle-free
+    val df = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    df.write.mode("overwrite").parquet(s"$tmp/in.parquet")
+    graft.io.Writers.write(spark.read.parquet(s"$tmp/in.parquet"),
+      graft.config.DestinationConfig(`type` = "parquet", file = s"$tmp/bkt",
+        table = "graft_r11_bucketed", bucketBy = Seq("k"), buckets = 4))
+    val back = spark.table("graft_r11_bucketed")
+    assert(back.count() == 2000)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val agg = back.groupBy("k").count()
+    agg.collect()
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case _ => 0
+      }
+      self + nested + p.children.map(shuffles).sum
+    }
+    assert(shuffles(agg.queryExecution.executedPlan) == 0,
+      "groupBy on the bucket key must not exchange")
+    // zorderBy write: rows intact, multiple files in curve order
+    graft.io.Writers.write(spark.read.parquet(s"$tmp/in.parquet"),
+      graft.config.DestinationConfig(`type` = "parquet", file = s"$tmp/zo",
+        zorderBy = Seq("k", "v"), zorderBits = 8, zorderFiles = 4))
+    val zo = spark.read.parquet(s"$tmp/zo")
+    assert(zo.count() == 2000 && !zo.columns.contains("zval"))
+  }
+
   test("invalid analytics YAML fails at load with accumulated stage errors") {
     val yaml = """
       |source: {type: parquet, file: /tmp/in.parquet}

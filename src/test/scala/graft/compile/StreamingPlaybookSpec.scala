@@ -14,7 +14,7 @@ class StreamingPlaybookSpec extends SparkTestBase {
     val yaml = """
       |source: {type: csv, file: /tmp/in.csv, streaming: true}
       |destination: {type: xlsx, file: /tmp/out.xlsx}
-      |deduplication: {keys: [k], strategy: max, strategyField: v}
+      |deduplication: {keys: [k], strategy: last, strategyField: v}
       |errorHandling: {mode: halt, errorFile: /tmp/errs.csv}
       |analytics:
       |  - {op: datasheet, sourceCol: s, langCol: l, textCol: t}
@@ -24,10 +24,80 @@ class StreamingPlaybookSpec extends SparkTestBase {
     assert(msg.contains("streaming source.type 'csv'"))
     assert(msg.contains("streaming destination.type 'xlsx'"))
     assert(msg.contains("checkpoint is required"))
-    assert(msg.contains("strategy 'max' unsupported"))
+    assert(msg.contains("strategy 'last' unsupported"))
     assert(msg.contains("mode must be 'skip'"))
     assert(msg.contains("errorFile is not supported"))
     assert(msg.contains("'datasheet' is not streaming-executable"))
+  }
+
+  test("streaming min/max dedup: missing tsCol and bad durations rejected at load") {
+    val bad = """
+      |source: {type: parquet, file: /tmp/in.parquet, streaming: true}
+      |destination: {type: parquet, file: /tmp/out, checkpoint: /tmp/ck}
+      |deduplication: {keys: [k], strategy: min, strategyField: v, quietPeriod: whenever}
+      |errorHandling: {mode: skip}
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](PlaybookLoader.fromString(bad))
+    assert(e.getMessage.contains("needs tsCol"))
+    assert(e.getMessage.contains("quietPeriod 'whenever' unparseable"))
+    // max with tsCol and sane periods loads clean
+    PlaybookLoader.fromString("""
+      |source: {type: parquet, file: /tmp/in.parquet, streaming: true}
+      |destination: {type: parquet, file: /tmp/out, checkpoint: /tmp/ck}
+      |deduplication: {keys: [k], strategy: max, strategyField: v, tsCol: ts, quietPeriod: 5 seconds}
+      |errorHandling: {mode: skip}
+      |""".stripMargin)
+  }
+
+  test("streaming min dedup chains drop files: state carries, watermark-quiet keys emit the extreme") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_minmax").toString
+    val in = s"$tmp/in"
+    new java.io.File(in).mkdirs()
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    // strategyField is a STRING column: "10" vs "9" must compare
+    // numerically (CompareValues), and the quiet-period emission must
+    // span drop files — key a's extreme combines b1 and b2 arrivals.
+    // All timing is EVENT time, so the test is deterministic.
+    writeBatch("b1.jsonl", Seq(
+      """{"k": "a", "v": "10", "tag": "a-ten",   "ts": "2024-01-01T10:00:00Z"}""",
+      """{"k": "a", "v": "9",  "tag": "a-nine",  "ts": "2024-01-01T10:01:00Z"}""",
+      """{"k": "b", "v": "7",  "tag": "b-seven", "ts": "2024-01-01T10:02:00Z"}"""))
+    val yaml = s"""
+      |source:
+      |  type: jsonl
+      |  file: $in
+      |  streaming: true
+      |  schema: "k STRING, v STRING, tag STRING, ts TIMESTAMP"
+      |destination:
+      |  type: parquet
+      |  file: $tmp/out
+      |  checkpoint: $tmp/ckpt
+      |deduplication: {keys: [k], strategy: min, strategyField: v, tsCol: ts, quietPeriod: 2 minutes}
+      |errorHandling: {mode: skip}
+      |""".stripMargin
+    val cfg = s"$tmp/pb.yaml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfg), yaml.getBytes("UTF-8"))
+    // run 1: watermark ends at 10:02; a is quiet until 10:03, b until
+    // 10:04 -> both keys still in state, no output rows
+    graft.cli.Main.run(spark, graft.cli.Main.Args(config = cfg))
+    // run 2: key a receives a numerically smaller "2" at 10:30 (its
+    // quiet clock resets to 10:32); the watermark advances to 10:30,
+    // so the untouched key b (quiet since 10:04) emits its 7
+    writeBatch("b2.jsonl", Seq(
+      """{"k": "a", "v": "2", "tag": "a-two", "ts": "2024-01-01T10:30:00Z"}"""))
+    graft.cli.Main.run(spark, graft.cli.Main.Args(config = cfg))
+    // run 3: sentinel key c advances the watermark to 11:00 past a's
+    // 10:32 -> a emits its cross-file numeric min "2" (not "10"/"9")
+    writeBatch("b3.jsonl", Seq(
+      """{"k": "c", "v": "99", "tag": "c-sentinel", "ts": "2024-01-01T11:00:00Z"}"""))
+    graft.cli.Main.run(spark, graft.cli.Main.Args(config = cfg))
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("b", "7", "b-seven"), ("a", "2", "a-two")),
+      s"got $out")
   }
 
   test("streaming rejects window-derives and right/full joins at load, not at runtime") {

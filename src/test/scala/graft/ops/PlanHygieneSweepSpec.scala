@@ -76,7 +76,11 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     */
   private val udfAllowlist = Set("q_llm_bpe_fertility",
     "q_llm_ann_ivf", "q_llm_ann_ivf8", "q_llm_ann_pq", "q_llm_ann_lookup",
-    "q_llm_knn_classify_ivf", "q_llm_margin_ivf")
+    "q_llm_knn_classify_ivf", "q_llm_margin_ivf",
+    // playbook result-twins of the two rows above: same delegated op,
+    // same documented UDF (MLlib fit adapter / vocabulary-bounded
+    // merge application), the YAML adds a parse, not a plan
+    "q_playbook_ann", "q_playbook_bpe")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)

@@ -764,4 +764,30 @@ class StreamOpsSpec extends SparkTestBase {
       assert(last._2 == batch, s"stream ${last._2} vs batch $batch")
     } finally q.stop()
   }
+
+  test("dedupExtremeStream ordering: CompareValues classes, ties keep the incumbent") {
+    import StreamOps.strictlyBetter
+    // numeric strings compare as float64, never lexicographically
+    assert(strictlyBetter("10", "9", isString = true, max = true))
+    assert(!strictlyBetter("9", "10", isString = true, max = true))
+    assert(strictlyBetter("9", "10", isString = true, max = false))
+    // nil smallest: wins min, loses max
+    assert(strictlyBetter(null, "0", isString = true, max = false))
+    assert(!strictlyBetter(null, "zebra", isString = true, max = true))
+    // non-numeric strings rank above all numerics, lex among themselves
+    assert(strictlyBetter("apple", "999", isString = true, max = true))
+    assert(strictlyBetter("banana", "apple", isString = true, max = true))
+    assert(strictlyBetter("999", "apple", isString = true, max = false))
+    // float-equal numeric strings ("1.0" vs "1") are a TIE in both
+    // directions -> the earlier arrival stays
+    assert(!strictlyBetter("1.0", "1", isString = true, max = true))
+    assert(!strictlyBetter("1.0", "1", isString = true, max = false))
+    // native types: natural order, nil smallest
+    assert(strictlyBetter(java.lang.Long.valueOf(5), java.lang.Long.valueOf(3),
+      isString = false, max = true))
+    assert(strictlyBetter(null, java.lang.Long.valueOf(3), isString = false, max = false))
+    assert(!strictlyBetter(null, java.lang.Long.valueOf(3), isString = false, max = true))
+    assert(strictlyBetter(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), isString = false, max = true))
+  }
 }
