@@ -1,0 +1,110 @@
+package graft.cli
+
+import graft.SparkTestBase
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/**
+ * Every shipped example playbook (the examples dir) runs end-to-end
+ * against the sf0.001 testdata through the real CLI path — the
+ * examples are living documentation, so a surface change that breaks
+ * one fails the build here, not in a user's terminal. `${GRAFT_*}`
+ * placeholders are substituted the way the CLI's env expansion would.
+ */
+class ExamplePlaybooksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val data = "/root/testdata/sf0.001"
+
+  /** Substitute placeholders, write the config, run it; returns outDir. */
+  private def runExample(name: String, extra: Map[String, String] = Map.empty): String = {
+    val out = Files.createTempDirectory(s"graft_ex_${name.stripSuffix(".yaml")}").toString
+    var yaml = new String(Files.readAllBytes(Paths.get(s"examples/$name")), UTF_8)
+    (extra ++ Map("GRAFT_DATA" -> data, "GRAFT_OUT" -> out)).foreach { case (k, v) =>
+      yaml = yaml.replace("${" + k + "}", v)
+    }
+    val cfg = s"$out/pb.yaml"
+    Files.write(Paths.get(cfg), yaml.getBytes(UTF_8))
+    Main.run(spark, Main.Args(config = cfg))
+    out
+  }
+
+  test("every example playbook file is covered by a test here") {
+    val shipped = new java.io.File("examples").listFiles()
+      .filter(_.getName.endsWith(".yaml")).map(_.getName).toSet
+    val covered = Set("corpus_clean_datasheet.yaml", "crawl_url_dedup.yaml",
+      "decontaminate_dsir.yaml", "bucketed_orders.yaml", "zorder_events.yaml",
+      "streaming_ingest.yaml", "classic_etl.yaml")
+    assert(shipped == covered,
+      s"examples/ and this spec disagree: ${(shipped diff covered) ++ (covered diff shipped)}")
+  }
+
+  test("corpus_clean_datasheet: cleaned corpus data card per (source, lang)") {
+    val out = runExample("corpus_clean_datasheet.yaml")
+    val card = spark.read.parquet(s"$out/datasheet")
+    assert(card.count() > 0)
+    assert(Set("source", "lang").subsetOf(card.columns.toSet))
+  }
+
+  test("crawl_url_dedup: blocked host gone, one doc per canonical URL") {
+    val out = runExample("crawl_url_dedup.yaml")
+    val kept = spark.read.parquet(s"$out/crawl_deduped")
+    val n = kept.count()
+    val input = spark.read.parquet(s"$data/documents.parquet").count()
+    assert(n > 0 && n < input)
+    assert(kept.filter($"url".contains("src0.example.com")).count() == 0)
+    assert(kept.select("url").distinct().count() == n)
+  }
+
+  test("decontaminate_dsir: contaminated docs dropped, DSIR weights attached") {
+    val out = runExample("decontaminate_dsir.yaml")
+    val w = spark.read.parquet(s"$out/weighted_corpus")
+    assert(w.count() > 0)
+    assert(w.columns.contains("logw"))
+    // the benchmark slice (doc_id % 97 = 0) can never survive the filter
+    assert(w.filter($"id" % 97 === 0).count() == 0)
+  }
+
+  test("bucketed_orders: metastore bucketed table registered and complete") {
+    val out = runExample("bucketed_orders.yaml")
+    val back = spark.table("examples_orders_bucketed")
+    assert(back.count() == spark.read.parquet(s"$data/orders.parquet").count())
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("examples_orders_bucketed"))
+      .bucketSpec
+    assert(bucketSpec.exists(b => b.numBuckets == 8 && b.bucketColumnNames == Seq("o_custkey")))
+  }
+
+  test("zorder_events: rows intact, zval internal column not leaked") {
+    val out = runExample("zorder_events.yaml")
+    val zo = spark.read.parquet(s"$out/events_zorder")
+    assert(zo.count() == spark.read.parquet(s"$data/events.parquet").count())
+    assert(!zo.columns.contains("zval"))
+  }
+
+  test("streaming_ingest: two invocations drain two drop files exactly once") {
+    val in = Files.createTempDirectory("graft_ex_stream_in").toString
+    val good = "The quick brown fox jumps over the lazy dog and that dog naps happily near the river."
+    Files.write(Paths.get(s"$in/b1.jsonl"),
+      s"""{"doc_id": 1, "text": "$good"}\n{"doc_id": 2, "text": "$good"}""".getBytes(UTF_8))
+    val out = runExample("streaming_ingest.yaml", Map("GRAFT_IN" -> in))
+    assert(spark.read.parquet(s"$out/stream_out").count() == 1) // exact dedup on text
+    // second invocation processes ONLY the new file; dedup state carries
+    Files.write(Paths.get(s"$in/b2.jsonl"),
+      (s"""{"doc_id": 3, "text": "$good"}\n""" +
+       s"""{"doc_id": 4, "text": "A different sentence about freight costs and shipping modes today."}""").getBytes(UTF_8))
+    Main.run(spark, Main.Args(config = s"$out/pb.yaml"))
+    val ids = spark.read.parquet(s"$out/stream_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L), s"got $ids")
+  }
+
+  test("classic_etl: filter + transforms + max-dedup + error sidecar") {
+    val out = runExample("classic_etl.yaml")
+    val res = spark.read.option("header", "true").csv(s"$out/events_clean.csv")
+    assert(res.count() > 0)
+    // one row per user, event_type uppercased
+    assert(res.select("user_id").distinct().count() == res.count())
+    assert(res.filter($"event_type" =!= org.apache.spark.sql.functions.upper($"event_type")).count() == 0)
+  }
+}

@@ -790,4 +790,41 @@ class StreamOpsSpec extends SparkTestBase {
     assert(strictlyBetter(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), isString = false, max = true))
   }
+
+  test("streaming comparator parity: random mixed-class strings pick the SAME row as batch byExtreme") {
+    // CompareValues now lives in two implementations — the batch
+    // Window ordering (Dedup.byExtreme) and the streaming JVM fold
+    // (strictlyBetter). A randomized corpus of every value class
+    // (nil / int strings / float strings / non-numeric / digit-prefixed
+    // non-numeric) pins them to each other: for every key and both
+    // extremes, the streaming strict-improvement fold in arrival order
+    // must select exactly the row the batch operator keeps.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4211)
+    val classes: Seq[Int => String] = Seq(
+      _ => null,
+      i => (rnd.nextInt(200) - 100).toString,
+      i => f"${rnd.nextDouble() * 20 - 10}%.3f",
+      i => Seq("apple", "pear", "zebra", "Kiwi")(rnd.nextInt(4)),
+      i => s"${rnd.nextInt(9)}x${rnd.nextInt(9)}") // digit-prefixed non-numeric
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"k${rnd.nextInt(25)}", classes(rnd.nextInt(classes.size))(i))
+    }
+    val df = rows.toDF("arrival", "g", "s")
+    for (max <- Seq(true, false)) {
+      val batch = graft.ops.Dedup.byExtreme(
+        graft.ops.Dedup.withIngestSeq(df.orderBy("arrival").coalesce(1)),
+        Seq("g"), "s", max = max)
+        .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+      val stream = rows.groupBy(_._2).map { case (g, rs) =>
+        var cur: (Long, String, String) = null
+        rs.sortBy(_._1).foreach { r =>
+          if (cur == null || StreamOps.strictlyBetter(r._3, cur._3, isString = true, max = max))
+            cur = r
+        }
+        g -> cur._1
+      }
+      assert(stream == batch, s"max=$max")
+    }
+  }
 }
