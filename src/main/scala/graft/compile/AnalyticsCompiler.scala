@@ -318,17 +318,18 @@ object AnalyticsCompiler {
           partitions = int(p, "partitions").getOrElse(0))
       case "gopher_rules" =>
         val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
-        val rules = TextAnalysis.gopherRules(df, id, text,
-          minWords = int(p, "minWords").getOrElse(10),
-          maxWords = int(p, "maxWords").getOrElse(100000),
-          minMeanLen = dbl(p, "minMeanLen").getOrElse(2.0),
-          maxMeanLen = dbl(p, "maxMeanLen").getOrElse(12.0),
-          maxSymbolRatio = dbl(p, "maxSymbolRatio").getOrElse(0.1),
-          minAlphaFrac = dbl(p, "minAlphaFrac").getOrElse(0.8),
-          minStopHits = int(p, "minStopHits").getOrElse(2))
+        val (minW, maxW) = (int(p, "minWords").getOrElse(10),
+          int(p, "maxWords").getOrElse(100000))
+        val (minML, maxML) = (dbl(p, "minMeanLen").getOrElse(2.0),
+          dbl(p, "maxMeanLen").getOrElse(12.0))
+        val (maxSym, minAlpha, minStop) = (dbl(p, "maxSymbolRatio").getOrElse(0.1),
+          dbl(p, "minAlphaFrac").getOrElse(0.8), int(p, "minStopHits").getOrElse(2))
         if (str(p, "mode").contains("filter"))
-          df.join(rules.filter(col("pass")).select(col(id)), Seq(id), "left_semi")
-        else rules
+          // row-local predicate (no join back) — streaming-executable
+          TextAnalysis.gopherFilter(df, text, minW, maxW, minML, maxML,
+            maxSym, minAlpha, minStop)
+        else TextAnalysis.gopherRules(df, id, text, minW, maxW, minML, maxML,
+          maxSym, minAlpha, minStop)
       case "pii_redact" =>
         val text = str(p, "textCol").get
         df.withColumn(str(p, "target").getOrElse(text),

@@ -80,7 +80,13 @@ case class DestinationConfig(
     sortBy: Seq[String] = Seq.empty,
     zorderBy: Seq[String] = Seq.empty,
     zorderBits: Int = 16,
-    zorderFiles: Int = 0)
+    zorderFiles: Int = 0,
+    // per-file bloom data-skipping side index (parquet only, composes
+    // with any layout above): one index per listed column, written to
+    // `<file>_bloomidx_<col>` after the data lands
+    bloomIndexBy: Seq[String] = Seq.empty,
+    bloomItemsPerFile: Long = 1000000L,
+    bloomFpp: Double = 0.01)
 
 /** types.go:118-141 — one projection/transform rule. */
 case class MappingRule(

@@ -86,7 +86,13 @@ object PlaybookLoader {
     sortBy = strList(m, "sortBy"),
     zorderBy = strList(m, "zorderBy"),
     zorderBits = int(m, "zorderBits").getOrElse(16),
-    zorderFiles = int(m, "zorderFiles").getOrElse(0))
+    zorderFiles = int(m, "zorderFiles").getOrElse(0),
+    bloomIndexBy = strList(m, "bloomIndexBy"),
+    bloomItemsPerFile = int(m, "bloomItemsPerFile").map(_.toLong).getOrElse(1000000L),
+    bloomFpp = m.get("bloomFpp") match {
+      case Some(d: java.lang.Number) => d.doubleValue()
+      case _ => 0.01
+    })
 
   private def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
     case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
@@ -168,6 +174,16 @@ object Validator {
     }
     if (d.sortBy.nonEmpty && d.bucketBy.isEmpty)
       errs += "destination: sortBy requires bucketBy (it orders rows within bucket files)"
+    if (d.bloomIndexBy.nonEmpty) {
+      if (d.`type` != "parquet")
+        errs += s"destination: bloomIndexBy requires type parquet (got '${d.`type`}')"
+      if (d.bucketBy.nonEmpty)
+        errs += "destination: bloomIndexBy with bucketBy is unsupported (bucketed tables prune via the bucket hash already; the side index reads `file`, not metastore buckets)"
+      if (d.bloomFpp <= 0.0 || d.bloomFpp >= 1.0)
+        errs += s"destination: bloomFpp must be in (0, 1) (got ${d.bloomFpp})"
+      if (d.bloomItemsPerFile < 1)
+        errs += s"destination: bloomItemsPerFile must be >= 1 (got ${d.bloomItemsPerFile})"
+    }
 
     // filter must translate (syntax check at compile time — validation.go:62-66)
     pb.filter.foreach { f =>
@@ -244,6 +260,10 @@ object Validator {
       val streamSafe = Set("quality_gate", "lang_filter", "text_metrics",
         "exact_dedup", "url_normalize", "host_blocklist", "where", "derive",
         "select", "split", "sample", "join",
+        // row-local r11 ops: PII redaction, token chunking, and the
+        // Gopher gate (filter mode is one predicate; report mode one
+        // projection — no join, no cross-row state)
+        "pii_redact", "chunk_docs", "gopher_rules",
         // stateless per-partition decodes — no cross-row state, so the
         // micro-batch and batch semantics coincide
         "image_features", "audio_features")

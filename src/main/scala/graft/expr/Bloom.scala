@@ -35,3 +35,38 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 
   override def prettyName: String = "bloom_might_contain"
 }
+
+/**
+ * Membership probe of a 64-bit hash against a SERIALIZED bloom sketch
+ * carried in a BINARY column — the row-varying counterpart of
+ * [[BloomMightContain]] (whose sketch is one plan-constant object).
+ * This is what a per-file data-skipping INDEX needs: each index row
+ * carries its own file's sketch, so the probe deserializes the row's
+ * bytes and tests the hash. Deserialization cost is one
+ * `BloomFilter.readFrom` per INDEX row per lookup — index relations
+ * are metadata-scale (one row per data file), never corpus-scale, so
+ * the probe never sits on a per-record hot path.
+ *
+ * Spark's own `BloomFilterMightContain` cannot express this: it
+ * requires its bloom side to be foldable or a scalar subquery
+ * (deserialized once), by design for row-level runtime filters.
+ */
+case class BloomBytesMightContain(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // left = serialized sketch (BINARY), right = 64-bit hash (LONG)
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(bytes: Any, h: Any): Any =
+    graft.functions.BloomProbe.mightContain(
+      bytes.asInstanceOf[Array[Byte]], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.BloomProbe.mightContain($b, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomBytesMightContain =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bloom_bytes_might_contain"
+}

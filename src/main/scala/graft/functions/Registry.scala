@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{BloomBytesMightContain, GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. The same
@@ -87,7 +87,11 @@ object Registry {
     (FunctionIdentifier("token_window_fp_x64"),
       new ExpressionInfo(classOf[TokenWindowFpX64].getName, "token_window_fp_x64"),
       (children: Seq[Expression]) =>
-        TokenWindowFpX64(children(0), asInt(children(1)))))
+        TokenWindowFpX64(children(0), asInt(children(1)))),
+    (FunctionIdentifier("bloom_bytes_might_contain"),
+      new ExpressionInfo(classOf[BloomBytesMightContain].getName, "bloom_bytes_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomBytesMightContain(children(0), children(1))))
 
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())

@@ -62,6 +62,13 @@ object Writers {
       if (dest.partitionBy.nonEmpty) w = w.partitionBy(dest.partitionBy: _*)
       if (dest.compression.nonEmpty) w = w.option("compression", dest.compression)
       w.parquet(dest.file)
+      // side data-skipping indexes AFTER the data lands: one bloom
+      // sketch per data file per listed column (Layout.bloomIndex)
+      dest.bloomIndexBy.foreach { c =>
+        graft.ops.Layout.writeBloomIndex(df.sparkSession, dest.file,
+          s"${dest.file}_bloomidx_$c", c,
+          itemsPerFile = dest.bloomItemsPerFile, fpp = dest.bloomFpp)
+      }
     case "postgres" =>
       val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
       if (dest.loaderCommand.nonEmpty)

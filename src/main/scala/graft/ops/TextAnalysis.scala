@@ -111,13 +111,14 @@ object TextAnalysis {
    * Ratio intermediates are single IEEE divides of integer counts, so
    * rule boundaries decide identically in any engine.
    */
-  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String,
-                  minWords: Int = 10, maxWords: Int = 100000,
-                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
-                  maxSymbolRatio: Double = 0.1,
-                  minAlphaFrac: Double = 0.8,
-                  minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+  /** The Gopher rule columns over a text column — shared by the
+    * report relation ([[gopherRules]]) and the row-local filter
+    * ([[gopherFilter]]), so the two can never disagree on a verdict. */
+  private def gopherCols(textCol: String,
+                         minWords: Int, maxWords: Int,
+                         minMeanLen: Double, maxMeanLen: Double,
+                         maxSymbolRatio: Double, minAlphaFrac: Double,
+                         minStopHits: Int) = {
     val toks = tokens(col(textCol))
     val nw = size(toks)
     val nwSafe = greatest(nw, lit(1))
@@ -132,6 +133,19 @@ object TextAnalysis {
     val rSymbol = symbolRatio <= maxSymbolRatio
     val rAlpha = alphaFrac >= minAlphaFrac
     val rStop = stopHits >= minStopHits
+    (nw, meanLen, alphaFrac, stopHits, rWords, rMean, rSymbol, rAlpha, rStop)
+  }
+
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (nw, meanLen, alphaFrac, stopHits, rWords, rMean, rSymbol, rAlpha, rStop) =
+      gopherCols(textCol, minWords, maxWords, minMeanLen, maxMeanLen,
+        maxSymbolRatio, minAlphaFrac, minStopHits)
     // a null doc has no tokens to judge: Spark's size(null) = -1 would
     // yield FALSE verdicts here while a SQL oracle yields NULL booleans
     // — exclude null text so both engines agree (mirror in any oracle).
@@ -143,6 +157,23 @@ object TextAnalysis {
       rWords.as("r_words"), rMean.as("r_mean_len"), rSymbol.as("r_symbol"),
       rAlpha.as("r_alpha"), rStop.as("r_stop"),
       (rWords && rMean && rSymbol && rAlpha && rStop).as("pass"))
+  }
+
+  /** Row-local Gopher gate: keeps the original rows (all columns) that
+    * pass every rule — the same verdicts as [[gopherRules]] by shared
+    * construction, but as ONE filter expression (no join back), so it
+    * is streaming-executable and adds nothing to the plan but a
+    * predicate. Null-text rows fail (nothing to judge). */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minWords: Int = 10, maxWords: Int = 100000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minAlphaFrac: Double = 0.8,
+                   minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (_, _, _, _, rWords, rMean, rSymbol, rAlpha, rStop) =
+      gopherCols(textCol, minWords, maxWords, minMeanLen, maxMeanLen,
+        maxSymbolRatio, minAlphaFrac, minStopHits)
+    df.filter(col(textCol).isNotNull && rWords && rMean && rSymbol && rAlpha && rStop)
   }
 
   /**

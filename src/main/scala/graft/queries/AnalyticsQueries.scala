@@ -1966,5 +1966,28 @@ object AnalyticsQueries {
             AS rows_in_hit_files,
           CAST(sum(match_f) AS BIGINT) AS rows_matching
         FROM pf GROUP BY layout""")),
+
+    // Per-file bloom data-skipping index (the Delta/Hudi bloom-index
+    // story): hash-partition events by user_id into 8 files (min/max
+    // footer stats CANNOT prune a point lookup on that layout), build
+    // one bloom sketch per file over xxhash64(user_id) with Spark's
+    // own BloomFilterAggregate, then answer a 3-key point lookup by
+    // scanning ONLY the might-contain files + the exact predicate.
+    // The oracle is the plain IN-list — the pruned read must lose
+    // nothing (no false negatives) and pass nothing extra (exact
+    // post-filter); the files-scanned pruning property is pinned in
+    // LayoutSpec.
+    Q("q_bloom_skipping",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_bloom_skip_${math.abs(dir.hashCode)}"
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+          .repartition(8, col("user_id"))
+          .write.mode("overwrite").parquet(s"$tmp/tbl")
+        graft.ops.Layout.writeBloomIndex(s, s"$tmp/tbl", s"$tmp/idx",
+          "user_id", itemsPerFile = 100000L, fpp = 0.01)
+        graft.ops.Layout.bloomPrunedRead(s, s"$tmp/tbl", s"$tmp/idx",
+          "user_id", Seq(7L, 19L, 42L))
+      },
+      Some("SELECT event_id, user_id, value FROM events WHERE user_id IN (7, 19, 42)")),
   )
 }

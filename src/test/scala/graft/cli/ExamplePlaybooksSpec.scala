@@ -75,11 +75,18 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     assert(bucketSpec.exists(b => b.numBuckets == 8 && b.bucketColumnNames == Seq("o_custkey")))
   }
 
-  test("zorder_events: rows intact, zval internal column not leaked") {
+  test("zorder_events: rows intact, zval not leaked, bloom side index prunes a point lookup") {
     val out = runExample("zorder_events.yaml")
     val zo = spark.read.parquet(s"$out/events_zorder")
     assert(zo.count() == spark.read.parquet(s"$data/events.parquet").count())
     assert(!zo.columns.contains("zval"))
+    val idxPath = s"$out/events_zorder_bloomidx_event_id"
+    val anId = zo.select("event_id").head().getLong(0)
+    val hit = graft.ops.Layout.bloomPrunedRead(spark,
+      s"$out/events_zorder", idxPath, "event_id", Seq(anId))
+    assert(hit.count() == 1)
+    val nFiles = spark.read.parquet(idxPath).count()
+    assert(graft.ops.Layout.bloomPrunedFiles(spark, idxPath, Seq(anId)).size < nFiles)
   }
 
   test("streaming_ingest: two invocations drain two drop files exactly once") {

@@ -400,6 +400,34 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(zo.count() == 2000 && !zo.columns.contains("zval"))
   }
 
+  test("destination bloomIndexBy: validation, side-index write, point-lookup pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dest_bloom").toString
+    // validation: wrong type / bad fpp / bucketBy conflict
+    val e = intercept[IllegalArgumentException](PlaybookLoader.fromString(s"""
+      |source: {type: parquet, file: /tmp/in.parquet}
+      |destination:
+      |  type: csv
+      |  file: /tmp/o
+      |  bloomIndexBy: [k]
+      |  bloomFpp: 1.5
+      |""".stripMargin)).getMessage
+    assert(e.contains("bloomIndexBy requires type parquet"))
+    assert(e.contains("bloomFpp must be in (0, 1)"))
+    // write with a bloom side index from config; prune a point lookup
+    val df = (0 until 4000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+      .repartition(4, col("k"))
+    graft.io.Writers.write(df, graft.config.DestinationConfig(
+      `type` = "parquet", file = s"$tmp/tbl", bloomIndexBy = Seq("k"),
+      bloomItemsPerFile = 10000L))
+    val idx = spark.read.parquet(s"$tmp/tbl_bloomidx_k")
+    assert(idx.count() >= 1 && idx.columns.contains("bloom"))
+    val got = graft.ops.Layout.bloomPrunedRead(spark, s"$tmp/tbl",
+      s"$tmp/tbl_bloomidx_k", "k", Seq(17L))
+    assert(got.count() == 40)
+    assert(graft.ops.Layout.bloomPrunedFiles(spark, s"$tmp/tbl_bloomidx_k",
+      Seq(17L)).size <= 2)
+  }
+
   test("invalid analytics YAML fails at load with accumulated stage errors") {
     val yaml = """
       |source: {type: parquet, file: /tmp/in.parquet}

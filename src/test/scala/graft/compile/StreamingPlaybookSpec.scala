@@ -49,6 +49,41 @@ class StreamingPlaybookSpec extends SparkTestBase {
       |""".stripMargin)
   }
 
+  test("row-local r11 ops run on a stream: gopher filter -> pii redact -> chunk") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_rowlocal").toString
+    val in = s"$tmp/in"
+    new java.io.File(in).mkdirs()
+    val good = "The quick brown fox jumps over the lazy dog and that dog " +
+      "will then take a very long nap with the happy fox near the river bank today"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.jsonl"), Seq(
+      s"""{"doc_id": 1, "text": "$good mail me at a@b.co"}""",
+      """{"doc_id": 2, "text": "zz # yy # xx # ww # vv # uu # tt # ss"}""" // fails gopher
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml = s"""
+      |source:
+      |  type: jsonl
+      |  file: $in
+      |  streaming: true
+      |  schema: "doc_id LONG, text STRING"
+      |destination: {type: parquet, file: $tmp/out, checkpoint: $tmp/ckpt}
+      |errorHandling: {mode: skip}
+      |analytics:
+      |  - {op: gopher_rules, idCol: doc_id, textCol: text, mode: filter}
+      |  - {op: pii_redact, textCol: text}
+      |  - {op: chunk_docs, idCol: doc_id, textCol: text, chunkTokens: 12, overlap: 2}
+      |""".stripMargin
+    val cfg = s"$tmp/pb.yaml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfg), yaml.getBytes("UTF-8"))
+    graft.cli.Main.run(spark, graft.cli.Main.Args(config = cfg))
+    val out = spark.read.parquet(s"$tmp/out")
+    // doc 2 fell to the gopher gate; doc 1 chunked with the email redacted
+    assert(out.select("doc_id").distinct().as[Long].collect().toSet == Set(1L))
+    assert(out.count() > 1) // multiple chunks
+    // chunk_docs tokenizes lowercased, so the placeholder arrives as <email>
+    val joined = out.select("chunk_text").as[String].collect().mkString(" ")
+    assert(joined.contains("<email>") && !joined.contains("a@b.co"))
+  }
+
   test("streaming min dedup chains drop files: state carries, watermark-quiet keys emit the extreme") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_minmax").toString
     val in = s"$tmp/in"

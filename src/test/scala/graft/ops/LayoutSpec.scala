@@ -225,4 +225,33 @@ class LayoutSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("bloom index: point lookups scan only might-contain files, results exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+    // hash-partition by k: every file's (min,max) k-range overlaps all
+    // others (footer stats prune NOTHING), but each k lives in exactly
+    // one file — the bloom index's home turf
+    val df = (0 until 20000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
+    df.repartition(8, col("k")).write.parquet(s"$tmp/tbl")
+    Layout.writeBloomIndex(spark, s"$tmp/tbl", s"$tmp/idx", "k",
+      itemsPerFile = 10000L, fpp = 0.01)
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.count() == 8)
+    assert(idx.columns.toSet == Set("file", "n_rows", "min_val", "max_val", "bloom"))
+    // two probe keys -> at most 2 true files (+ tiny fp slack)
+    val probes = Seq(7L, 123L)
+    val files = Layout.bloomPrunedFiles(spark, s"$tmp/idx", probes)
+    assert(files.nonEmpty && files.size <= 3, s"pruning failed: ${files.size} of 8 files")
+    // exact result parity with the full-scan predicate
+    val got = Layout.bloomPrunedRead(spark, s"$tmp/tbl", s"$tmp/idx", "k", probes)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$tmp/tbl")
+      .filter(col("k").isin(probes: _*))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got == want && got.size == 80)
+    // absent key: definitely-absent files all pruned; result empty but typed
+    val none = Layout.bloomPrunedRead(spark, s"$tmp/tbl", s"$tmp/idx", "k", Seq(99999L))
+    assert(none.count() == 0 && none.columns.sameElements(Array("k", "v")))
+    assert(Layout.bloomPrunedFiles(spark, s"$tmp/idx", Seq(99999L)).size <= 1) // fp slack
+  }
 }

@@ -33,7 +33,7 @@ class PlaybookDocSpec extends AnyFunSuite {
     Seq("## `source:`", "## `destination:`", "## `filter:`", "## `mappings:`",
       "## `flattening:`", "## `deduplication:`", "## `errorHandling:`",
       "## `analytics:`", "## Streaming mode", "## CLI",
-      "bucketBy", "zorderBy", "quietPeriod").foreach { h =>
+      "bucketBy", "zorderBy", "bloomIndexBy", "quietPeriod").foreach { h =>
       assert(doc.contains(h), s"docs/playbook.md is missing: $h")
     }
   }
