@@ -62,6 +62,8 @@ object Bench {
       "q_playbook_gopher", "q_playbook_pii", "q_playbook_decontam",
       "q_playbook_dsir", "q_playbook_pack", "q_playbook_chunk",
       "q_playbook_length_batches", "q_playbook_ann", "q_playbook_bpe",
+      // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
+      "q_playbook_incr_neardup",
       // result-twin of the benched q_resample_daily plan (YAML parse
       // only). q_playbook_zorder IS benched: its range exchange is the
       // clustering cost, a genuinely new plan.

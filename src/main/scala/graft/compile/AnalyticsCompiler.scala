@@ -90,6 +90,8 @@ object AnalyticsCompiler {
       "idCol textCol batchSize [shards=64] — per-shard length-sorted inference batches with pad-waste report"),
     "chunk_docs"     -> (Seq("idCol", "textCol", "chunkTokens"),
       "idCol textCol chunkTokens [overlap=0] — overlapping token chunking for long documents (row-local)"),
+    "incr_neardup"   -> (Seq("idCol", "textCol", "stateDir"),
+      "idCol textCol stateDir [version=auto mode=verdicts|filter updateState=true numHashes=16 bands=4 threshold=0.5 shingleSize=5|4 maxBucketSize=1000 portableHashing=false] — classify this batch against the persisted signature state of prior corpus versions (dup_of_ref/dup_of_new/kept), then append+compact the kept signatures as the next version"),
     "where"          -> (Seq("condition"), "condition — Spark SQL predicate"),
     "derive"         -> (Seq("target", "expr"), "target expr — Spark SQL expression; window functions allowed"),
     "select"         -> (Seq("cols"), "cols[] — projection"),
@@ -151,6 +153,17 @@ object AnalyticsCompiler {
             case "ann_topk" =>
               str(st.params, "method").filterNot(Set("ivf", "lsh")).foreach(m =>
                 errs += s"analytics[$i] (ann_topk): method '$m' not in ivf,lsh")
+            case "incr_neardup" =>
+              str(st.params, "mode").filterNot(Set("verdicts", "filter")).foreach(m =>
+                errs += s"analytics[$i] (incr_neardup): mode '$m' not in verdicts,filter")
+              st.params.get("version").foreach {
+                case "auto" => ()
+                case v: java.lang.Number if v.intValue() >= 0 => ()
+                case v => errs += s"analytics[$i] (incr_neardup): version '$v' must be 'auto' or a non-negative integer"
+              }
+              for (nh <- int(st.params, "numHashes"); b <- int(st.params, "bands"))
+                if (b < 1 || nh % b != 0)
+                  errs += s"analytics[$i] (incr_neardup): numHashes ($nh) must be divisible by bands ($b)"
             case "chunk_docs" =>
               for (ct <- int(st.params, "chunkTokens");
                    ov = int(st.params, "overlap").getOrElse(0))
@@ -353,6 +366,50 @@ object AnalyticsCompiler {
           str(p, "idCol").get, str(p, "textCol").get,
           buckets = int(p, "buckets").getOrElse(8192),
           portableHashing = bool(p, "portableHashing"))
+      case "incr_neardup" =>
+        // the corpus-version lifecycle from config: screen this batch
+        // against the persisted kept-signature state, then append +
+        // compact the new version — Dedup.nearDupState* is the same
+        // machinery the oracled chain query pins. The signature and
+        // verdict relations persist for the stage (each feeds both the
+        // output and the state write; in production the state IS a
+        // materialized table between versions), released by the
+        // caller's CachedRelations.releaseAll.
+        val (id, text) = (str(p, "idCol").get, str(p, "textCol").get)
+        val stateDir = str(p, "stateDir").get
+        val nh = int(p, "numHashes").getOrElse(16)
+        val bands = int(p, "bands").getOrElse(4)
+        val portable = bool(p, "portableHashing")
+        def mat(d: DataFrame) = graft.ops.CachedRelations.track(
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sig = mat(
+          if (portable) Dedup.minhashPortableValues(df, id, text,
+            shingleSize = int(p, "shingleSize").getOrElse(4), numHashes = nh)
+          else Dedup.minhashSignatures(df, id, text,
+            shingleSize = int(p, "shingleSize").getOrElse(5), numHashes = nh))
+        val prev = Dedup.nearDupStateLatest(spark, stateDir)
+        val prevState = prev.map(_._2).getOrElse(
+          sig.limit(0).select(col("id"), col("sig"), lit(0).as("version")))
+        val version = p.get("version") match {
+          case Some(v: java.lang.Number) => v.intValue()
+          case _ => prev.map(_._1 + 1).getOrElse(0) // "auto"
+        }
+        val verdicts = mat(Dedup.incrementalNearDupVerdicts(
+          sig, prevState.select("id", "sig"), numHashes = nh, bands = bands,
+          threshold = dbl(p, "threshold").getOrElse(0.5),
+          maxBucketSize = int(p, "maxBucketSize").getOrElse(1000),
+          portableBuckets = portable))
+        if (p.get("updateState").forall(_ == true))
+          Dedup.nearDupStateWrite(
+            Dedup.nearDupStateCompact(
+              Dedup.nearDupStateAppend(prevState, sig, verdicts, version)),
+            stateDir, version)
+        if (str(p, "mode").contains("filter"))
+          df.join(verdicts.filter(col("status") === "kept")
+            .select(col("id").as(id)), Seq(id), "left_semi")
+        else verdicts
+          .withColumnRenamed("id", id)
+          .withColumn("version", lit(version))
       case "ann_topk" =>
         val (id, vec) = (str(p, "idCol").get, str(p, "vecCol").get)
         val dims = int(p, "vecDims").get

@@ -61,6 +61,15 @@ object Writers {
       var w = clustered.write.mode("overwrite")
       if (dest.partitionBy.nonEmpty) w = w.partitionBy(dest.partitionBy: _*)
       if (dest.compression.nonEmpty) w = w.option("compression", dest.compression)
+      // bloomIndexBy columns also get parquet's NATIVE row-group bloom
+      // filters in the data files themselves: the side index prunes
+      // whole FILES before tasks are scheduled; the native filter then
+      // prunes row groups inside the files that do get scanned
+      dest.bloomIndexBy.foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c",
+            dest.bloomItemsPerFile.toString)
+      }
       w.parquet(dest.file)
       // side data-skipping indexes AFTER the data lands: one bloom
       // sketch per data file per listed column (Layout.bloomIndex)

@@ -1205,6 +1205,36 @@ object Dedup {
       .drop("_rn")
   }
 
+  /**
+   * Versioned on-disk persistence for the incremental chain's state
+   * (`(id, sig, version)` parquet). Each ingested version writes a NEW
+   * immutable subdirectory `v<N>` and never mutates an earlier one —
+   * crash-safe by construction (a failed write leaves at worst a
+   * partial `v<N>` that the next attempt's overwrite replaces; readers
+   * always resolve the highest COMMITTED version, i.e. one with a
+   * `_SUCCESS` marker). Old versions are lineage; prune them like any
+   * retention policy.
+   */
+  def nearDupStateLatest(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Option[(Int, DataFrame)] = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return None
+    val versions = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toInt)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      Some((v, spark.read.parquet(s"$dir/v$v")))
+    }
+  }
+
+  /** Persist one compacted state version (see [[nearDupStateLatest]]). */
+  def nearDupStateWrite(state: DataFrame, dir: String, version: Int): Unit =
+    state.write.mode("overwrite").parquet(s"$dir/v$version")
+
   /** A banding choice for an n-hash signature: candidate probability
     * for a pair at Jaccard s is p(s) = 1 − (1 − s^r)^b; `midpoint` =
     * (1/b)^(1/r) is the S-curve's similarity of steepest ascent, where

@@ -414,6 +414,14 @@ object Layout {
    * 1M-row file costs ~1.2 MB of index. Lookups touch only the index
    * relation; the probe deserializes one sketch per index ROW
    * ([[graft.expr.BloomBytesMightContain]]), not per record.
+   *
+   * STALENESS: the index is file-granular, so any operation that
+   * renames or merges data files ([[compactFiles]], a rewrite) makes
+   * it stale — [[bloomPrunedFiles]] would name files that no longer
+   * exist and the read fails LOUDLY (by design; silently intersecting
+   * with the live listing would hide lost coverage). Rebuild with
+   * [[writeBloomIndex]] after maintenance; it is idempotent and costs
+   * one table scan.
    */
   def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  column: String, itemsPerFile: Long = 1000000L,
@@ -468,7 +476,9 @@ object Layout {
     val files = bloomPrunedFiles(spark, indexPath, values)
     val base =
       if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
-      else spark.read.parquet(files: _*)
+      // basePath keeps hive-style partition columns resolvable when the
+      // read names leaf files of a partitioned table directly
+      else spark.read.option("basePath", tablePath).parquet(files: _*)
     base.filter(col(column).isin(values: _*))
   }
 }

@@ -437,6 +437,47 @@ object PlaybookQueries {
         |""".stripMargin),
       None),
 
+    // The FULL incremental corpus-version lifecycle from config: three
+    // playbook invocations ingest the doc_id % 3 batches in sequence
+    // against the SAME versioned stateDir (version auto-increments;
+    // each run screens against the prior runs' kept-signature state,
+    // then appends + compacts its own) — and the unioned verdicts are
+    // exactly q_llm_incr_neardup_chain's DuckDB oracle. This pins the
+    // config path's state persistence (nearDupStateLatest/Write) to
+    // the same contract the Scala chain proves. md5-portable face;
+    // bench-excluded like its twins.
+    Q("q_playbook_incr_neardup",
+      (s, dir) => {
+        val state = java.nio.file.Files
+          .createTempDirectory("graft_pb_incr").toString + "/state"
+        def runBatch(m: Int) = run(s, s"""
+          |source:
+          |  type: parquet
+          |  file: $dir/documents.parquet
+          |destination:
+          |  type: parquet
+          |  file: /tmp/graft_playbook_unused
+          |analytics:
+          |  - op: where
+          |    condition: "doc_id % 3 = $m"
+          |  - op: incr_neardup
+          |    idCol: doc_id
+          |    textCol: text
+          |    stateDir: $state
+          |    portableHashing: true
+          |    shingleSize: 4
+          |    numHashes: 8
+          |    bands: 4
+          |    threshold: 0.5
+          |""".stripMargin)
+        val v0 = runBatch(0)
+        val v1 = runBatch(1) // compiled AFTER v0's state landed
+        val v2 = runBatch(2)
+        v0.unionByName(v1).unionByName(v2)
+          .withColumnRenamed("version", "batch")
+      },
+      oracleOf("q_llm_incr_neardup_chain")),
+
     // Z-order clustering from config: zorder_cluster adds `zval` and
     // range-clusters; the select projects the key columns so the
     // result is q_zorder_value's oracle. A NEW plan (the range

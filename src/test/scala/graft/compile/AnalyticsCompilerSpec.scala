@@ -400,6 +400,44 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(zo.count() == 2000 && !zo.columns.contains("zval"))
   }
 
+  test("incr_neardup stage: versioned state lifecycle, verdicts and filter modes, validation") {
+    val state = java.nio.file.Files.createTempDirectory("graft_incr_stage").toString + "/st"
+    def ingest(df: org.apache.spark.sql.DataFrame, extra: (String, Any)*) =
+      AnalyticsCompiler(spark, df, Seq(stage("incr_neardup",
+        (Seq[(String, Any)]("idCol" -> "doc_id", "textCol" -> "text",
+          "stateDir" -> state) ++ extra): _*)))
+    // version 0 against no state: everything kept
+    val v0 = ingest(Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg"),
+      (2L, "totally different text lives here now")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(v0 == Set((1L, "kept", 0), (2L, "kept", 0)))
+    // version 1 (auto): doc 3 repeats doc 1's text -> dup_of_ref(1); doc 4 new
+    val v1 = ingest(Seq(
+      (3L, "aaaa bbbb cccc dddd eeee ffff gggg"),
+      (4L, "another unique sentence appears in v1")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).toSet
+    assert(v1 == Set((3L, "dup_of_ref", 1L, 1), (4L, "kept", -1L, 1)))
+    // filter mode: doc 5 dups doc 4 (dropped), doc 6 survives with its columns
+    val kept = ingest(Seq(
+      (5L, "another unique sentence appears in v1"),
+      (6L, "fresh and unrelated content entirely")).toDF("doc_id", "text"),
+      "mode" -> "filter")
+    assert(kept.columns.toSet == Set("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(6L))
+    // three committed state versions on disk, latest compacted
+    assert(graft.ops.Dedup.nearDupStateLatest(spark, state).exists(_._1 == 2))
+    // validation: bad mode / version / banding
+    val errs = AnalyticsCompiler.validate(Seq(
+      stage("incr_neardup", "idCol" -> "id", "textCol" -> "t",
+        "stateDir" -> "/tmp/x", "mode" -> "nuke", "version" -> -3,
+        "numHashes" -> 10, "bands" -> 4)))
+    assert(errs.exists(_.contains("mode 'nuke'")))
+    assert(errs.exists(_.contains("version '-3'")))
+    assert(errs.exists(_.contains("divisible by bands")))
+  }
+
   test("destination bloomIndexBy: validation, side-index write, point-lookup pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dest_bloom").toString
     // validation: wrong type / bad fpp / bucketBy conflict
