@@ -161,7 +161,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\]", "'").take(160) + "\"" }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep-min-of-$maxPasses","queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
     // NO run clobbers the committed full-surface detail by default:
     // targeted (SPARK_GRAFT_ONLY) runs write BENCH_DETAIL_partial.json,
     // full runs write BENCH_DETAIL_run.json (both gitignored), and the
@@ -199,7 +199,7 @@ object Bench {
     val failedCompact = (failed.take(8).map("\"" + _ + "\"") ++
       (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep-min-of-$maxPasses","queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -34,7 +34,7 @@ class ExamplePlaybooksSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".yaml")).map(_.getName).toSet
     val covered = Set("corpus_clean_datasheet.yaml", "crawl_url_dedup.yaml",
       "decontaminate_dsir.yaml", "bucketed_orders.yaml", "zorder_events.yaml",
-      "streaming_ingest.yaml", "classic_etl.yaml")
+      "streaming_ingest.yaml", "classic_etl.yaml", "incremental_ingest.yaml")
     assert(shipped == covered,
       s"examples/ and this spec disagree: ${(shipped diff covered) ++ (covered diff shipped)}")
   }
@@ -104,6 +104,29 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     val ids = spark.read.parquet(s"$out/stream_out")
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 4L), s"got $ids")
+  }
+
+  test("incremental_ingest: two -input batches chain through the versioned state") {
+    val tmp = Files.createTempDirectory("graft_ex_incr").toString
+    val docs = spark.read.parquet(s"$data/documents.parquet")
+      .select("doc_id", "text").filter("text IS NOT NULL")
+    docs.filter("doc_id % 2 = 0").write.parquet(s"$tmp/batch0")
+    // batch 1 = fresh odd ids, PLUS a re-sent even doc's exact text
+    // under a new id (a cross-version duplicate)
+    val dupText = docs.filter("doc_id % 2 = 0").select("text").head().getString(0)
+    docs.filter("doc_id % 2 = 1").unionByName(
+      spark.createDataFrame(Seq((999999L, dupText))).toDF("doc_id", "text"))
+      .write.parquet(s"$tmp/batch1")
+    val out = runExample("incremental_ingest.yaml", Map("GRAFT_IN" -> s"$tmp/batch0"))
+    val v0 = spark.read.parquet(s"$out/verdicts")
+    assert(v0.filter($"version" =!= 0).count() == 0)
+    Main.run(spark, Main.Args(config = s"$out/pb.yaml", input = Some(s"$tmp/batch1")))
+    val v1 = spark.read.parquet(s"$out/verdicts")
+    assert(v1.filter($"version" =!= 1).count() == 0) // destination overwritten per run
+    // the re-sent text is a dup OF THE REFERENCE state, not of batch 1
+    val resent = v1.filter($"doc_id" === 999999L).head()
+    assert(resent.getAs[String]("status") == "dup_of_ref", resent.toString)
+    assert(graft.ops.Dedup.nearDupStateLatest(spark, s"$out/dedup_state").exists(_._1 == 1))
   }
 
   test("classic_etl: filter + transforms + max-dedup + error sidecar") {
