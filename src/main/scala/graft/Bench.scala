@@ -87,14 +87,15 @@ object Bench {
     // BENCH_r06 recorded 123.8 s for a surface that runs in ~81 s
     // exclusively, entirely from 12 queries inflated 4-8x by CPU
     // contention; rounds 8-10 each needed a contention adjudication.
-    // Every query now gets a FULL three passes (min-of-3 reported),
-    // and the passes are whole-surface SWEEPS in three different
-    // deterministic orders (sorted / reversed / name-hash) rather
-    // than back-to-back repeats — a contention burst that lasts
-    // minutes lands on DIFFERENT queries in each sweep, so no query
-    // can have all its passes eaten by one burst. JIT/file-cache
-    // warmth survives across a sweep (same JVM), so interleaving
-    // costs nothing. The first-sweep total is kept for transparency.
+    // Every query now gets three whole-surface SWEEPS in different
+    // deterministic orders (sorted / reversed / name-hash) — a
+    // contention burst that lasts minutes lands on DIFFERENT queries
+    // in each sweep, so no query can have all its passes eaten by one
+    // burst — plus a back-to-back double in the FINAL sweep (4
+    // executions total, min reported): sweep-separated reruns alone
+    // under-warm the JIT/caches by ~1.3-1.7x on sub-second queries
+    // (r11 10-pass probe, BASELINE.md), and the warm rerun is the
+    // engine-truth number. First-sweep total kept for transparency.
     val maxPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     // r7 postmortem: timeOnce used to swallow the exception and return the
     // elapsed time OF THE CRASH — 39 dead queries were timed at ~0.1 s each
@@ -133,11 +134,22 @@ object Bench {
           scala.util.hashing.MurmurHash3.stringHash(n) }
       }
       order.foreach { case (name, fn) =>
-        if (!failedQueries.contains(name)) // a failed query fails every pass — don't pay 3x
-          timeOnce(name, fn).foreach { t =>
-            if (pass == 0) firstPass(name) = t
-            best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (!failedQueries.contains(name)) { // a failed query fails every pass — don't pay 3x
+          // the FINAL sweep measures each query twice back-to-back: a
+          // 10-pass probe showed sweep-separated reruns under-warm the
+          // JIT/caches by ~1.3-1.7x on sub-second queries (r11,
+          // BASELINE.md), and the warm back-to-back rerun is the
+          // engine-truth number the pre-r11 protocol recorded. The
+          // sweep minima keep the contention robustness: a burst on
+          // the back-to-back pair still leaves sweeps 1..N-1.
+          val reps = if (pass == maxPasses - 1) 2 else 1
+          (0 until reps).foreach { _ =>
+            timeOnce(name, fn).foreach { t =>
+              if (pass == 0 && !firstPass.contains(name)) firstPass(name) = t
+              best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+            }
           }
+        }
       }
     }
     val timed = surface.collect { case (name, _) if best.contains(name) =>
@@ -161,7 +173,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\]", "'").take(160) + "\"" }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep-min-of-$maxPasses","queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedJson,"failed_errors":$failDetail,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep$maxPasses-warmfinal","queries":$detail,"first_pass":$firstPassDetail,"sf":"$sfDir","excluded_oracle_fixtures":$excluded}"""
     // NO run clobbers the committed full-surface detail by default:
     // targeted (SPARK_GRAFT_ONLY) runs write BENCH_DETAIL_partial.json,
     // full runs write BENCH_DETAIL_run.json (both gitignored), and the
@@ -199,7 +211,7 @@ object Bench {
     val failedCompact = (failed.take(8).map("\"" + _ + "\"") ++
       (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep-min-of-$maxPasses","queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"rc":$rc,"failed":$failedCompact,"first_pass_total":${r3(totalFirstPass)},"protocol":"sweep$maxPasses-warmfinal","queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }
