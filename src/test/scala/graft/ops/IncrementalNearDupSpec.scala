@@ -124,4 +124,26 @@ class IncrementalNearDupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(30L -> "kept", 33L -> "dup_of_new", 36L -> "kept"))
   }
+
+  test("nearDupStateLatest: resolves highest COMMITTED version, ignores crashed writes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_commit").toString + "/st"
+    assert(Dedup.nearDupStateLatest(spark, dir).isEmpty) // absent dir
+    val s0 = sigs(Seq(1L -> uniqueA)).withColumn("version", lit(0))
+    Dedup.nearDupStateWrite(s0, dir, 0)
+    Dedup.nearDupStateWrite(s0.withColumn("version", lit(3)), dir, 3)
+    // forge a crashed v7: parquet bytes present, no _SUCCESS marker
+    val v7 = new java.io.File(s"$dir/v7"); v7.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(s"$dir/v3").listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(v7, "part-crashed.parquet").toPath)
+    // and an unrelated non-version dir that must not confuse the listing
+    new java.io.File(s"$dir/scratch").mkdirs()
+    val Some((v, df)) = Dedup.nearDupStateLatest(spark, dir)
+    assert(v == 3, s"resolved v$v")
+    assert(df.select("version").distinct().head().getInt(0) == 3)
+    // the next committed write supersedes the crashed leftover's slot
+    Dedup.nearDupStateWrite(s0.withColumn("version", lit(7)), dir, 7)
+    assert(Dedup.nearDupStateLatest(spark, dir).exists(_._1 == 7))
+  }
 }
