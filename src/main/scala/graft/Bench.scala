@@ -64,6 +64,9 @@ object Bench {
       "q_playbook_length_batches", "q_playbook_ann", "q_playbook_bpe",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
+      // result-twins of benched plans (q_sessionize / q_gap_report /
+      // q_kmv_overlap_x64's production path)
+      "q_playbook_sessionize", "q_playbook_gap_report", "q_playbook_audience",
       // result-twin of the benched q_resample_daily plan (YAML parse
       // only). q_playbook_zorder IS benched: its range exchange is the
       // clustering cost, a genuinely new plan.

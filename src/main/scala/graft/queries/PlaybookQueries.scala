@@ -29,9 +29,13 @@ object PlaybookQueries {
 
   /** The oracled Scala-API twin's own oracle — playbook faces are
     * result-twins by construction, so sharing the string guarantees
-    * the two stay pinned to the SAME contract. */
+    * the two stay pinned to the SAME contract. (Searches the two
+    * independent registries directly — going through Queries.all
+    * would be a circular object initialization, since this list is
+    * part of it.) */
   private def oracleOf(name: String): Option[String] =
-    LlmQueries.all.find(_.name == name).flatMap(_.oracle)
+    (LlmQueries.all.iterator ++ AnalyticsQueries.all.iterator)
+      .find(_.name == name).flatMap(_.oracle)
 
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
@@ -436,6 +440,68 @@ object PlaybookQueries {
         |    numMerges: 40
         |""".stripMargin),
       None),
+
+    // Gap-based sessionization + the exact per-session aggregate from
+    // config (sessionize stage + aggregate stage restating
+    // sessionStats' arithmetic) — q_sessionize's oracle. Result-twin.
+    Q("q_playbook_sessionize",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/events.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: sessionize
+        |    keyCol: user_id
+        |    tsCol: ts
+        |    gapSeconds: 3600
+        |    tiebreak: [event_id]
+        |  - op: aggregate
+        |    groupBy: [user_id, session_idx]
+        |    aggs:
+        |      n_events: "count(1)"
+        |      span_secs: "unix_timestamp(max(ts)) - unix_timestamp(min(ts))"
+        |      total_value: "cast(sum(cast(value as decimal(18,4))) as double)"
+        |""".stripMargin),
+      oracleOf("q_sessionize")),
+
+    // Gap report from config — q_gap_report's oracle. Result-twin.
+    Q("q_playbook_gap_report",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/events.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: gap_report
+        |    keys: [user_id]
+        |    tsCol: ts
+        |    stepSeconds: 86400
+        |""".stripMargin),
+      oracleOf("q_gap_report")),
+
+    // KMV audience overlap from config (portable face) —
+    // q_kmv_overlap's oracle. Result-twin.
+    Q("q_playbook_audience",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/events.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: audience_overlap
+        |    groupCol: event_type
+        |    valueCol: user_id
+        |    k: 256
+        |    portableHashing: true
+        |""".stripMargin),
+      oracleOf("q_kmv_overlap")),
 
     // The FULL incremental corpus-version lifecycle from config: three
     // playbook invocations ingest the doc_id % 3 batches in sequence
