@@ -41,7 +41,17 @@ object Main {
     } finally spark.stop()
   }
 
-  def run(spark: SparkSession, args: Args): Unit = {
+  // Stage-persisted relations (incr_neardup's signatures/verdicts, the
+  // chain state) are tracked in CachedRelations; every outcome of a run
+  // — normal, dry-run early return, halt exception — must release
+  // them, or a library caller invoking run() repeatedly in one session
+  // accumulates persisted blocks. Everything user-visible is written
+  // before the body returns, so the release is always safe.
+  def run(spark: SparkSession, args: Args): Unit =
+    try runBody(spark, args)
+    finally graft.ops.CachedRelations.releaseAll()
+
+  private def runBody(spark: SparkSession, args: Args): Unit = {
     val pb0 = PlaybookLoader.fromFile(Util.expandEnv(args.config))
     // flag > config precedence for paths (app.go:103-109)
     val db = args.db.map(Util.expandEnv)

@@ -232,6 +232,14 @@ object Validator {
         errs += s"streaming destination.type '${pb.destination.`type`}' not in parquet,jsonl"
       if (pb.destination.checkpoint.isEmpty)
         errs += "streaming destination.checkpoint is required (exactly-once sink state)"
+      // physical-layout options are batch-write features: the
+      // streaming file sink appends incrementally, so a global
+      // cluster/bucket/index step has no well-defined point to run —
+      // reject instead of silently ignoring (maintain layout with a
+      // periodic batch OPTIMIZE pass over the sink directory)
+      if (pb.destination.bucketBy.nonEmpty || pb.destination.zorderBy.nonEmpty ||
+          pb.destination.bloomIndexBy.nonEmpty)
+        errs += "streaming destination: bucketBy/zorderBy/bloomIndexBy are batch-write layouts (run a periodic batch compact/cluster/index pass over the sink directory instead)"
       pb.dedup.foreach { d =>
         // first = dropDuplicates (first arrival is FINAL — append-safe);
         // min/max = keyed-state extreme with quiet-period emission

@@ -40,6 +40,13 @@ class StreamingPlaybookSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](PlaybookLoader.fromString(bad))
     assert(e.getMessage.contains("needs tsCol"))
     assert(e.getMessage.contains("quietPeriod 'whenever' unparseable"))
+    // batch-only physical layouts are rejected on a streaming sink
+    val layoutErr = intercept[IllegalArgumentException](PlaybookLoader.fromString("""
+      |source: {type: parquet, file: /tmp/in.parquet, streaming: true}
+      |destination: {type: parquet, file: /tmp/out, checkpoint: /tmp/ck, zorderBy: [a, b]}
+      |errorHandling: {mode: skip}
+      |""".stripMargin))
+    assert(layoutErr.getMessage.contains("batch-write layouts"))
     // max with tsCol and sane periods loads clean
     PlaybookLoader.fromString("""
       |source: {type: parquet, file: /tmp/in.parquet, streaming: true}
