@@ -291,7 +291,8 @@ object Layout {
   }
 
   /** Executed compaction outcome. */
-  case class CompactionStats(binsCompacted: Int, filesRemoved: Int, filesWritten: Int)
+  case class CompactionStats(binsCompacted: Int, filesRemoved: Int,
+                             filesWritten: Int, indexesRebuilt: Int = 0)
 
   /**
    * Execute [[compactionPlan]]: each bin's files are read together and
@@ -355,7 +356,37 @@ object Layout {
       fs.delete(manifest, false)
       fs.delete(staging, true)
     }
-    CompactionStats(plan.size, removed, plan.size)
+    // compaction renamed/merged data files, so every bloom side index
+    // over this table is now stale (file-granular sketches naming dead
+    // files). Rebuild the ones discoverable under the sibling
+    // `<table>_bloomidx_<col>` convention from their own self-describing
+    // meta stamps — a maintenance pass must not leave a poisoned index
+    // for a later bloomPrunedRead to trip over (r11 verdict #1).
+    val rebuilt =
+      if (plan.isEmpty) 0
+      else siblingBloomIndexes(fs, hPath).count { idx =>
+        readBloomIndexMeta(fs, idx) match {
+          case Some(meta) =>
+            writeBloomIndex(spark, path, idx.toString, meta.column,
+              meta.itemsPerFile, meta.fpp)
+            true
+          case None => false // stampless (foreign) index: the read's
+                             // meta check fails loudly, never silently
+        }
+      }
+    CompactionStats(plan.size, removed, plan.size, rebuilt)
+  }
+
+  /** Side bloom indexes of `table` under the `<table>_bloomidx_<col>`
+    * naming convention ([[graft.io.Writers]] destination layout). */
+  private def siblingBloomIndexes(fs: org.apache.hadoop.fs.FileSystem,
+                                  table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val parent = table.getParent
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(table.getName + "_bloomidx_"))
+      .map(_.getPath)
   }
 
   /**
@@ -417,11 +448,14 @@ object Layout {
    *
    * STALENESS: the index is file-granular, so any operation that
    * renames or merges data files ([[compactFiles]], a rewrite) makes
-   * it stale — [[bloomPrunedFiles]] would name files that no longer
-   * exist and the read fails LOUDLY (by design; silently intersecting
-   * with the live listing would hide lost coverage). Rebuild with
-   * [[writeBloomIndex]] after maintenance; it is idempotent and costs
-   * one table scan.
+   * it stale. [[writeBloomIndex]] therefore stamps the index with the
+   * table's file-listing fingerprint; [[bloomPrunedRead]] verifies the
+   * stamp against the live listing and fails BEFORE planning a scan
+   * with a precise "index stale: rebuild with writeBloomIndex" error
+   * (silently intersecting with the live listing would hide lost
+   * coverage). [[compactFiles]] rebuilds stamped sibling indexes
+   * automatically from their own meta; a manual rebuild is one
+   * idempotent [[writeBloomIndex]] call (one table scan).
    */
   def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  column: String, itemsPerFile: Long = 1000000L,
@@ -444,35 +478,156 @@ object Layout {
         bloomAgg.as("bloom"))
   }
 
-  /** Build [[bloomIndex]] and persist it as the table's side index. */
+  /**
+   * Fingerprint of the table's CURRENT data-file listing: sha-256 over
+   * the sorted (relative path, length) pairs of every non-hidden file
+   * under `tablePath`. This is the coherence stamp a side index carries
+   * — any rename/merge/rewrite of data files ([[compactFiles]], an
+   * overwrite) changes the listing and therefore the fingerprint, so a
+   * stamped index can be verified against the live table in one
+   * metadata-scale listing (the same class of call the scan planner
+   * makes anyway; no data is read).
+   */
+  def tableFingerprint(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.getFileStatus(hPath).getPath // qualified, for relativize
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = base.toUri.relativize(s.getPath.toUri).getPath
+      // skip hidden files (_SUCCESS, .crc, compaction manifests) and
+      // anything inside a hidden directory — they are not table data
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) entries += s"$rel:${s.getLen}"
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The self-describing coherence stamp written beside a bloom index
+    * (`_graft_index_meta.json`, hidden from the parquet reader): enough
+    * to VERIFY the index against the live table ([[bloomPrunedRead]])
+    * and to REBUILD it without external knowledge ([[compactFiles]]). */
+  case class BloomIndexMeta(column: String, itemsPerFile: Long,
+                            fpp: Double, tableFp: String)
+
+  private val bloomMetaName = "_graft_index_meta.json"
+
+  private def writeBloomIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexPath: org.apache.hadoop.fs.Path,
+                                  meta: BloomIndexMeta): Unit = {
+    val json =
+      s"""{"column":"${meta.column}","items_per_file":${meta.itemsPerFile},""" +
+        s""""fpp":${meta.fpp},"table_fp":"${meta.tableFp}"}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexPath, bloomMetaName), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read an index's coherence stamp; None if the sidecar is absent
+    * (an index not produced by [[writeBloomIndex]]). Fixed four-field
+    * schema, so the parse is a deliberate micro-matcher — no JSON
+    * library dependency for a 4-field sidecar. */
+  def readBloomIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                         indexPath: org.apache.hadoop.fs.Path): Option[BloomIndexMeta] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, bloomMetaName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def strField(k: String) =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
+    def numField(k: String) =
+      ("\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(text).map(_.group(1))
+    for {
+      c <- strField("column"); n <- numField("items_per_file")
+      f <- numField("fpp"); fp <- strField("table_fp")
+    } yield BloomIndexMeta(c, n.toDouble.toLong, f.toDouble, fp)
+  }
+
+  /** Build [[bloomIndex]] and persist it as the table's side index,
+    * stamped with the table's file-listing fingerprint so readers can
+    * verify coherence ([[bloomPrunedRead]]) and maintenance can
+    * rebuild it without external parameters ([[compactFiles]]). */
   def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       indexPath: String, column: String,
-                      itemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit =
+                      itemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
     bloomIndex(spark, tablePath, column, itemsPerFile, fpp)
       .write.mode("overwrite").parquet(indexPath)
+    val hIdx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeBloomIndexMeta(fs, hIdx,
+      BloomIndexMeta(column, itemsPerFile, fpp,
+        tableFingerprint(spark, tablePath)))
+  }
 
-  /** Data files whose sketches might contain ANY of `values`
-    * (column-typed literals, hashed with the same xxhash64 as the
-    * build). The collect is one row per SURVIVING file — metadata
-    * scale, the same class as a partition listing. */
+  /**
+   * Verify the side index at `indexPath` is coherent with the live
+   * table BEFORE any scan is planned through it. Throws
+   * IllegalStateException with a precise reason when the index (a) has
+   * no coherence stamp, (b) indexes a different column than the lookup
+   * asks for, or (c) is STALE — the table's data files changed since
+   * the build (compaction, overwrite), so the file-granular sketches
+   * name files that no longer exist or miss files that now do.
+   */
+  def verifyBloomIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                       indexPath: String, column: String): BloomIndexMeta = {
+    val hIdx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readBloomIndexMeta(fs, hIdx).getOrElse(throw new IllegalStateException(
+      s"bloom index at $indexPath has no $bloomMetaName coherence stamp — " +
+        s"rebuild it with Layout.writeBloomIndex($tablePath, $indexPath, ...)"))
+    if (meta.column != column) throw new IllegalStateException(
+      s"bloom index at $indexPath indexes column '${meta.column}', not '$column' — " +
+        "wrong index for this lookup")
+    val live = tableFingerprint(spark, tablePath)
+    if (live != meta.tableFp) throw new IllegalStateException(
+      s"bloom index at $indexPath is STALE: the data files of $tablePath changed " +
+        s"since the index was built (listing fingerprint ${meta.tableFp.take(12)}… " +
+        s"at build vs ${live.take(12)}… now — a compaction or rewrite). Rebuild " +
+        "with Layout.writeBloomIndex; Layout.compactFiles rebuilds stamped " +
+        "sibling indexes automatically.")
+    meta
+  }
+
+  /** Data files whose sketches might contain ANY of `values`. Each
+    * probe literal is CAST to the indexed column's own type before
+    * hashing (the index stores min_val/max_val, so the type is in its
+    * schema) — an Int probe against a LONG column must hash like the
+    * build did, not silently prune every file away. The collect is one
+    * row per SURVIVING file — metadata scale, the same class as a
+    * partition listing. */
   def bloomPrunedFiles(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "bloomPrunedFiles needs at least one probe value")
     graft.functions.Registry.ensure(spark)
-    val pred = values.map(v =>
-        call_function("bloom_bytes_might_contain", col("bloom"), xxhash64(lit(v))))
+    val idx = spark.read.parquet(indexPath)
+    val colType = idx.schema("min_val").dataType
+    val pred = values.map { v =>
+        val probe = lit(v).cast(colType)
+        call_function("bloom_bytes_might_contain", col("bloom"), xxhash64(probe))
+      }
       .reduce(_ || _)
-    spark.read.parquet(indexPath).filter(pred)
+    idx.filter(pred)
       .select(col("file")).collect().map(_.getString(0)).toSeq
   }
 
-  /** Point-lookup read through the index: scan ONLY the files that
-    * might contain a probe value, then apply the exact predicate
-    * (bloom positives are candidates, not answers). Returns exactly
+  /** Point-lookup read through the index: verify the index is coherent
+    * with the live table ([[verifyBloomIndex]] — a stale index fails
+    * loudly BEFORE any scan), keep ONLY the files that might contain a
+    * probe value, then apply the exact predicate (bloom positives are
+    * candidates, not answers). Returns exactly
     * `SELECT * FROM table WHERE column IN (values)`. */
   def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       indexPath: String, column: String,
                       values: Seq[Any]): DataFrame = {
+    verifyBloomIndex(spark, tablePath, indexPath, column)
     val files = bloomPrunedFiles(spark, indexPath, values)
     val base =
       if (files.isEmpty) spark.read.parquet(tablePath).limit(0)

@@ -254,4 +254,83 @@ class LayoutSpec extends SparkTestBase {
     assert(none.count() == 0 && none.columns.sameElements(Array("k", "v")))
     assert(Layout.bloomPrunedFiles(spark, s"$tmp/idx", Seq(99999L)).size <= 1) // fp slack
   }
+
+  test("bloom index coherence: compaction under a live index rebuilds it, reads stay exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomcoh").toString
+    val tbl = s"$tmp/tbl"
+    val idx = s"$tmp/tbl_bloomidx_k" // the Writers sibling convention
+    val df = (0 until 8000).map(i => (i.toLong % 200, i.toLong)).toDF("k", "v")
+    df.repartition(16, col("k")).write.parquet(tbl)
+    Layout.writeBloomIndex(spark, tbl, idx, "k", itemsPerFile = 10000L, fpp = 0.01)
+    val probes = Seq(7L, 123L)
+    val before = Layout.bloomPrunedRead(spark, tbl, idx, "k", probes)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(before.size == 80)
+    // merge everything into big bins — every data file is renamed away
+    val total = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(tbl)).getLength
+    val stats = Layout.compactFiles(spark, tbl, targetBytes = total,
+      smallBytes = total)
+    assert(stats.binsCompacted > 0)
+    assert(stats.indexesRebuilt == 1, s"sibling index not rebuilt: $stats")
+    // the read verifies coherence and must return the same exact rows
+    val after = Layout.bloomPrunedRead(spark, tbl, idx, "k", probes)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(after == before)
+    // the rebuilt index is file-granular over the NEW listing
+    val files = Layout.bloomPrunedFiles(spark, idx, probes)
+    files.foreach(f => assert(f.contains("-compact"), s"stale file ref: $f"))
+  }
+
+  test("bloom index coherence: out-of-band rewrite fails loudly BEFORE scanning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomstale").toString
+    val tbl = s"$tmp/tbl"
+    val idx = s"$tmp/standalone_idx" // NOT the sibling convention: no auto-rebuild
+    val df = (0 until 2000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    df.repartition(4, col("k")).write.parquet(tbl)
+    Layout.writeBloomIndex(spark, tbl, idx, "k", itemsPerFile = 1000L, fpp = 0.01)
+    // out-of-band rewrite: different partitioning, index never told
+    df.repartition(2, col("v")).write.mode("overwrite").parquet(tbl)
+    val e = intercept[IllegalStateException](
+      Layout.bloomPrunedRead(spark, tbl, idx, "k", Seq(7L)))
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    assert(e.getMessage.contains("writeBloomIndex"), e.getMessage)
+    // the named recovery heals it
+    Layout.writeBloomIndex(spark, tbl, idx, "k", itemsPerFile = 1000L, fpp = 0.01)
+    assert(Layout.bloomPrunedRead(spark, tbl, idx, "k", Seq(7L)).count() == 40)
+  }
+
+  test("bloom index coherence: stampless or wrong-column index rejected with a reason") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloommeta").toString
+    val (tbl, idx) = (s"$tmp/tbl", s"$tmp/idx")
+    (0 until 500).map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+      .repartition(2, col("k")).write.parquet(tbl)
+    Layout.writeBloomIndex(spark, tbl, idx, "k", itemsPerFile = 1000L)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // wrong column for this lookup
+    val eCol = intercept[IllegalStateException](
+      Layout.bloomPrunedRead(spark, tbl, idx, "v", Seq(3L)))
+    assert(eCol.getMessage.contains("indexes column 'k'"), eCol.getMessage)
+    // stampless (meta sidecar removed out-of-band)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_graft_index_meta.json"), false)
+    val eMeta = intercept[IllegalStateException](
+      Layout.bloomPrunedRead(spark, tbl, idx, "k", Seq(3L)))
+    assert(eMeta.getMessage.contains("coherence stamp"), eMeta.getMessage)
+  }
+
+  test("bloom index: Int probes against a LONG column hash like the build (typed cast)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomtype").toString
+    val (tbl, idx) = (s"$tmp/tbl", s"$tmp/idx")
+    (0 until 2000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(tbl)
+    Layout.writeBloomIndex(spark, tbl, idx, "k", itemsPerFile = 1000L)
+    // Int probes on the LONG column: the untyped-literal hash would
+    // differ from the build and silently prune every file away
+    val got = Layout.bloomPrunedRead(spark, tbl, idx, "k", Seq(7, 19))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got.size == 80, s"typed-cast probe lost rows: ${got.size}")
+    assert(got.forall { case (k, _) => k == 7L || k == 19L })
+  }
 }
