@@ -391,7 +391,20 @@ object AnalyticsCompiler {
         val prevState = prev.map(_._2).getOrElse(
           sig.limit(0).select(col("id"), col("sig"), lit(0).as("version")))
         val version = p.get("version") match {
-          case Some(v: java.lang.Number) => v.intValue()
+          case Some(v: java.lang.Number) =>
+            val ver = v.intValue()
+            // an explicit version <= the latest committed one either
+            // overwrites the v<N> dir prevState is lazily reading
+            // (runtime failure after the batch already did its work) or
+            // writes a dir latest-wins resolution ignores while the
+            // verdicts are still labeled with it (r11 advisory)
+            prev.foreach { case (latest, _) =>
+              if (ver <= latest) throw new IllegalArgumentException(
+                s"incr_neardup: explicit version $ver <= latest committed version " +
+                  s"$latest in $stateDir — it would overwrite or shadow committed " +
+                  s"state; use version: auto (or any version > $latest)")
+            }
+            ver
           case _ => prev.map(_._1 + 1).getOrElse(0) // "auto"
         }
         val verdicts = mat(Dedup.incrementalNearDupVerdicts(

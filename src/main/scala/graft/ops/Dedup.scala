@@ -1220,10 +1220,24 @@ object Dedup {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return None
-    val versions = fs.listStatus(hPath).toSeq
+    val versionDirs = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+    val versions = versionDirs
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(1).toInt)
+    // version dirs exist but NONE carries the commit marker: either a
+    // committer configured with marksuccessfuljobs=false (common on
+    // S3A) or every write crashed pre-commit. Returning None here would
+    // silently restart the chain at v0 and OVERWRITE it — quiet loss of
+    // the dedup state lineage — so refuse and name the recovery.
+    if (versions.isEmpty && versionDirs.nonEmpty)
+      throw new IllegalStateException(
+        s"near-dup state dir $dir has ${versionDirs.size} version dir(s) " +
+          s"(${versionDirs.map(_.getPath.getName).sorted.mkString(", ")}) but none " +
+          "with a _SUCCESS marker. If the committer runs with " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=false, re-enable it for " +
+          "the state dir; if a write crashed pre-commit, delete the partial v<N> " +
+          "dir(s). Refusing to silently restart the state chain at v0.")
     if (versions.isEmpty) None
     else {
       val v = versions.max

@@ -428,6 +428,16 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(6L))
     // three committed state versions on disk, latest compacted
     assert(graft.ops.Dedup.nearDupStateLatest(spark, state).exists(_._1 == 2))
+    // explicit version <= latest committed: rejected BEFORE any write —
+    // it would overwrite the v<N> dir prevState lazily reads, or write
+    // a dir latest-wins resolution ignores (r11 advisory)
+    val eVer = intercept[IllegalArgumentException](ingest(
+      Seq((7L, "any new content at all")).toDF("doc_id", "text"),
+      "version" -> 2))
+    assert(eVer.getMessage.contains("latest committed version 2"), eVer.getMessage)
+    assert(eVer.getMessage.contains("auto"), eVer.getMessage)
+    assert(graft.ops.Dedup.nearDupStateLatest(spark, state).exists(_._1 == 2),
+      "rejected ingest must not have touched the state chain")
     // validation: bad mode / version / banding
     val errs = AnalyticsCompiler.validate(Seq(
       stage("incr_neardup", "idCol" -> "id", "textCol" -> "t",
@@ -451,6 +461,18 @@ class AnalyticsCompilerSpec extends SparkTestBase {
       |""".stripMargin)).getMessage
     assert(e.contains("bloomIndexBy requires type parquet"))
     assert(e.contains("bloomFpp must be in (0, 1)"))
+    // a QUOTED number must parse like the bare one (r11 advisory: it
+    // silently fell back to the 0.01 default) …
+    assert(PlaybookLoader.fromString("""
+      |source: {type: parquet, file: /tmp/in.parquet}
+      |destination: {type: parquet, file: /tmp/o, bloomIndexBy: [k], bloomFpp: "0.05"}
+      |""".stripMargin).destination.bloomFpp == 0.05)
+    // … and a non-numeric value is a load-time error, not a default
+    val eNaN = intercept[IllegalArgumentException](PlaybookLoader.fromString("""
+      |source: {type: parquet, file: /tmp/in.parquet}
+      |destination: {type: parquet, file: /tmp/o, bloomIndexBy: [k], bloomFpp: lots}
+      |""".stripMargin)).getMessage
+    assert(eNaN.contains("bloomFpp must be a number"), eNaN)
     // write with a bloom side index from config; prune a point lookup
     val df = (0 until 4000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
       .repartition(4, col("k"))

@@ -146,4 +146,26 @@ class IncrementalNearDupSpec extends SparkTestBase {
     Dedup.nearDupStateWrite(s0.withColumn("version", lit(7)), dir, 7)
     assert(Dedup.nearDupStateLatest(spark, dir).exists(_._1 == 7))
   }
+
+  test("nearDupStateLatest: version dirs with NO commit marker anywhere fail loudly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_nomark").toString + "/st"
+    Dedup.nearDupStateWrite(
+      sigs(Seq(1L -> uniqueA)).withColumn("version", lit(0)), dir, 0)
+    Dedup.nearDupStateWrite(
+      sigs(Seq(1L -> uniqueA)).withColumn("version", lit(1)), dir, 1)
+    // strip every _SUCCESS marker: the marksuccessfuljobs=false /
+    // all-writes-crashed ambiguity. Returning None here would silently
+    // restart the chain at v0 and overwrite committed state.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v/_SUCCESS"), false))
+    val e = intercept[IllegalStateException](Dedup.nearDupStateLatest(spark, dir))
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    assert(e.getMessage.contains("marksuccessfuljobs"), e.getMessage)
+    // restoring a marker restores normal latest-wins resolution
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/v1/_SUCCESS"), true).close()
+    assert(Dedup.nearDupStateLatest(spark, dir).exists(_._1 == 1))
+  }
 }
