@@ -62,6 +62,10 @@ object Bench {
       "q_playbook_gopher", "q_playbook_pii", "q_playbook_decontam",
       "q_playbook_dsir", "q_playbook_pack", "q_playbook_chunk",
       "q_playbook_length_batches", "q_playbook_ann", "q_playbook_bpe",
+      // r12 equivalence oracles: each runs its op TWICE (config path +
+      // API twin) purely to compare them — correctness fixtures; both
+      // underlying plans are already benched via their twins
+      "q_playbook_ann_check", "q_playbook_bpe_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /
@@ -155,8 +159,12 @@ object Bench {
         }
       }
     }
-    val timed = surface.collect { case (name, _) if best.contains(name) =>
-      (name, best(name), firstPass.getOrElse(name, best(name)))
+    // a query that succeeded in an early sweep but failed later is a
+    // FAILURE, not a timing: keep it out of results/total so every name
+    // appears in exactly one of queries/failed (r11 advisory)
+    val timed = surface.collect {
+      case (name, _) if best.contains(name) && !failedQueries.contains(name) =>
+        (name, best(name), firstPass.getOrElse(name, best(name)))
     }
     val results = timed.map { case (name, b, _) => name -> b }
     val total = results.map(_._2).sum
