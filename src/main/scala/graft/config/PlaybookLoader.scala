@@ -8,130 +8,156 @@ import scala.jdk.CollectionConverters._
  * (reference: internal/config/load.go:12-122 + validation.go:52-688).
  */
 object PlaybookLoader {
+  import Decode._
 
   def fromFile(path: String): Playbook =
     fromString(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
 
   def fromString(yamlText: String): Playbook = {
-    val root = Option(new Yaml().load[java.util.Map[String, Any]](yamlText))
-      .getOrElse(throw new IllegalArgumentException("empty playbook"))
-    val m = root.asScala.toMap
+    val loaded =
+      try Option(new Yaml().load[Any](yamlText))
+      catch { case e: org.yaml.snakeyaml.error.YAMLException =>
+        // malformed YAML is still ONE IllegalArgumentException, like
+        // every other load failure — callers handle a single class
+        throw new IllegalArgumentException(
+          s"invalid playbook:\n  YAML parse error: ${e.getMessage}", e)
+      }
+    val root = loaded.getOrElse(throw new IllegalArgumentException("empty playbook"))
+    val m = root match {
+      case j: java.util.Map[_, _] => toScalaMap(j)
+      case other => throw new IllegalArgumentException(
+        s"invalid playbook:\n  playbook root must be a mapping (got ${render(other)})")
+    }
+    implicit val dec: DecodeErrors = new DecodeErrors
+    known(m, Set("source", "destination", "filter", "mappings", "flattening",
+      "deduplication", "dedup", "errorHandling", "analytics", "pipeline"), "playbook")
+    // a missing/mistyped source or destination accumulates with every
+    // other error (placeholder configs keep validation running) instead
+    // of masking them behind a first-failure throw
+    val srcMap = section(m, "source", "playbook")
+    if (srcMap.isEmpty && !m.contains("source")) dec.add("playbook: missing 'source'")
+    val dstMap = section(m, "destination", "playbook")
+    if (dstMap.isEmpty && !m.contains("destination")) dec.add("playbook: missing 'destination'")
     val pb = Playbook(
-      source = sourceOf(section(m, "source")
-        .getOrElse(throw new IllegalArgumentException("playbook: missing 'source'"))),
-      destination = destOf(section(m, "destination")
-        .getOrElse(throw new IllegalArgumentException("playbook: missing 'destination'"))),
-      filter = str(m, "filter"),
-      mappings = m.get("mappings").map(listOfMaps).getOrElse(Seq.empty).map(ruleOf),
-      flattening = section(m, "flattening").map(flattenOf),
-      dedup = section(m, "deduplication").orElse(section(m, "dedup")).map(dedupOf),
-      errorHandling = section(m, "errorHandling").map(errOf).getOrElse(ErrorHandlingConfig()),
-      analytics = m.get("analytics").orElse(m.get("pipeline"))
-        .map(listOfMaps).getOrElse(Seq.empty).map(stageOf))
-    val errs = Validator.validate(pb)
+      source = sourceOf(srcMap.getOrElse(Map("type" -> "parquet", "file" -> "/"))),
+      destination = destOf(dstMap.getOrElse(Map("type" -> "parquet", "file" -> "/"))),
+      filter = str(m, "filter", "playbook"),
+      mappings = listOfMaps(m, "mappings", "mappings").map(ruleOf),
+      flattening = section(m, "flattening", "playbook").map(flattenOf),
+      dedup = section(m, "deduplication", "playbook")
+        .orElse(section(m, "dedup", "playbook")).map(dedupOf),
+      errorHandling = section(m, "errorHandling", "playbook").map(errOf)
+        .getOrElse(ErrorHandlingConfig()),
+      analytics = listOfMaps(m,
+        if (m.contains("analytics")) "analytics" else "pipeline", "analytics")
+        .map(stageOf))
+    val errs = dec.errs.toSeq ++ Validator.validate(pb)
     if (errs.nonEmpty)
       throw new IllegalArgumentException("invalid playbook:\n  " + errs.mkString("\n  "))
     pb
   }
 
-  // ---- section decoding ----
-  private def section(m: Map[String, Any], k: String): Option[Map[String, Any]] =
-    m.get(k).collect { case j: java.util.Map[_, _] =>
-      j.asScala.map { case (kk, v) => kk.toString -> (v: Any) }.toMap
-    }
-  private def listOfMaps(v: Any): Seq[Map[String, Any]] = v match {
-    case l: java.util.List[_] => l.asScala.toSeq.collect {
-      case j: java.util.Map[_, _] => j.asScala.map { case (k, vv) => k.toString -> (vv: Any) }.toMap
-    }
-    case _ => Seq.empty
-  }
-  private def str(m: Map[String, Any], k: String): Option[String] =
-    m.get(k).collect { case s: String if s.nonEmpty => s }
-  private def int(m: Map[String, Any], k: String): Option[Int] =
-    m.get(k).collect { case n: Number => n.intValue }
-  private def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
-    m.get(k).collect { case b: java.lang.Boolean => b.booleanValue }.getOrElse(dflt)
-
-  private def sourceOf(m: Map[String, Any]) = SourceConfig(
-    `type` = str(m, "type").getOrElse("").toLowerCase,
-    file = str(m, "file").getOrElse(""),
-    query = str(m, "query").getOrElse(""),
-    delimiter = str(m, "delimiter"),
-    commentChar = str(m, "commentChar"),
-    sheetName = str(m, "sheetName"),
-    sheetIndex = int(m, "sheetIndex"),
-    xmlRecordTag = str(m, "xmlRecordTag"),
-    conn = str(m, "conn").getOrElse(""),
-    streaming = bool(m, "streaming", dflt = false),
-    schema = str(m, "schema").getOrElse(""))
-
-  private def destOf(m: Map[String, Any]) = DestinationConfig(
-    `type` = str(m, "type").getOrElse("").toLowerCase,
-    file = str(m, "file").getOrElse(""),
-    table = str(m, "table").getOrElse(""),
-    conn = str(m, "conn").getOrElse(""),
-    loaderCommand = section(m, "loader").flatMap(l => str(l, "command")).getOrElse(""),
-    loaderBatchSize = section(m, "loader").flatMap(l => int(l, "batch_size")).getOrElse(0),
-    xmlRecordTag = str(m, "xmlRecordTag"),
-    xmlRootTag = str(m, "xmlRootTag"),
-    sheetName = str(m, "sheetName"),
-    partitionBy = m.get("partitionBy") match {
-      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
-      case _ => Seq.empty
-    },
-    compression = str(m, "compression").getOrElse(""),
-    checkpoint = str(m, "checkpoint").getOrElse(""),
-    bucketBy = strList(m, "bucketBy"),
-    buckets = int(m, "buckets").getOrElse(0),
-    sortBy = strList(m, "sortBy"),
-    zorderBy = strList(m, "zorderBy"),
-    zorderBits = int(m, "zorderBits").getOrElse(16),
-    zorderFiles = int(m, "zorderFiles").getOrElse(0),
-    bloomIndexBy = strList(m, "bloomIndexBy"),
-    bloomItemsPerFile = int(m, "bloomItemsPerFile").map(_.toLong).getOrElse(1000000L),
-    bloomFpp = m.get("bloomFpp") match {
-      case Some(d: java.lang.Number) => d.doubleValue()
-      case _ => 0.01
-    })
-
-  private def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
-    case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
-    case _ => Seq.empty
+  private def sourceOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "source"
+    known(m, Set("type", "file", "query", "delimiter", "commentChar", "sheetName",
+      "sheetIndex", "xmlRecordTag", "conn", "streaming", "schema"), w)
+    SourceConfig(
+      `type` = str(m, "type", w).getOrElse("").toLowerCase,
+      file = str(m, "file", w).getOrElse(""),
+      query = str(m, "query", w).getOrElse(""),
+      delimiter = str(m, "delimiter", w),
+      commentChar = str(m, "commentChar", w),
+      sheetName = str(m, "sheetName", w),
+      sheetIndex = int(m, "sheetIndex", w),
+      xmlRecordTag = str(m, "xmlRecordTag", w),
+      conn = str(m, "conn", w).getOrElse(""),
+      streaming = bool(m, "streaming", w, dflt = false),
+      schema = str(m, "schema", w).getOrElse(""))
   }
 
-  private def ruleOf(m: Map[String, Any]) = MappingRule(
-    source = str(m, "source").getOrElse(""),
-    target = str(m, "target").getOrElse(""),
-    transform = str(m, "transform"),
-    params = section(m, "params").getOrElse(Map.empty))
+  private def destOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "destination"
+    known(m, Set("type", "file", "table", "conn", "loader", "xmlRecordTag",
+      "xmlRootTag", "sheetName", "partitionBy", "compression", "checkpoint",
+      "bucketBy", "buckets", "sortBy", "zorderBy", "zorderBits", "zorderFiles",
+      "bloomIndexBy", "bloomItemsPerFile", "bloomFpp"), w)
+    val loader = section(m, "loader", w)
+    loader.foreach(l => known(l, Set("command", "batch_size"), s"$w.loader"))
+    DestinationConfig(
+      `type` = str(m, "type", w).getOrElse("").toLowerCase,
+      file = str(m, "file", w).getOrElse(""),
+      table = str(m, "table", w).getOrElse(""),
+      conn = str(m, "conn", w).getOrElse(""),
+      loaderCommand = loader.flatMap(l => str(l, "command", s"$w.loader")).getOrElse(""),
+      loaderBatchSize = loader.flatMap(l => int(l, "batch_size", s"$w.loader")).getOrElse(0),
+      xmlRecordTag = str(m, "xmlRecordTag", w),
+      xmlRootTag = str(m, "xmlRootTag", w),
+      sheetName = str(m, "sheetName", w),
+      partitionBy = strList(m, "partitionBy", w),
+      compression = str(m, "compression", w).getOrElse(""),
+      checkpoint = str(m, "checkpoint", w).getOrElse(""),
+      bucketBy = strList(m, "bucketBy", w),
+      buckets = int(m, "buckets", w).getOrElse(0),
+      sortBy = strList(m, "sortBy", w),
+      zorderBy = strList(m, "zorderBy", w),
+      zorderBits = int(m, "zorderBits", w).getOrElse(16),
+      zorderFiles = int(m, "zorderFiles", w).getOrElse(0),
+      bloomIndexBy = strList(m, "bloomIndexBy", w),
+      bloomItemsPerFile = long(m, "bloomItemsPerFile", w).getOrElse(1000000L),
+      bloomFpp = dbl(m, "bloomFpp", w).getOrElse(0.01))
+  }
 
-  private def flattenOf(m: Map[String, Any]) = FlatteningConfig(
-    sourceField = str(m, "sourceField").getOrElse(""),
-    targetField = str(m, "targetField").getOrElse(""),
-    includeParent = bool(m, "includeParent", dflt = true),
-    errorOnNonList = bool(m, "errorOnNonList", dflt = false),
-    conditionField = str(m, "conditionField"),
-    conditionValue = m.get("conditionValue").map(v => String.valueOf(v)))
+  private def ruleOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "mappings"
+    known(m, Set("source", "target", "transform", "params"), w)
+    MappingRule(
+      source = str(m, "source", w).getOrElse(""),
+      target = str(m, "target", w).getOrElse(""),
+      transform = str(m, "transform", w),
+      // transform params are free-form per transform name — the
+      // transform registry validates them, not the schema
+      params = section(m, "params", w).getOrElse(Map.empty))
+  }
 
-  private def dedupOf(m: Map[String, Any]) = DedupConfig(
-    keys = m.get("keys") match {
-      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
-      case _ => Seq.empty
-    },
-    strategy = str(m, "strategy").getOrElse("first").toLowerCase,
-    strategyField = str(m, "strategyField"),
-    tsCol = str(m, "tsCol"),
-    quietPeriod = str(m, "quietPeriod").getOrElse("30 seconds"),
-    watermarkDelay = str(m, "watermarkDelay").getOrElse("0 seconds"))
+  private def flattenOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "flattening"
+    known(m, Set("sourceField", "targetField", "includeParent", "errorOnNonList",
+      "conditionField", "conditionValue"), w)
+    FlatteningConfig(
+      sourceField = str(m, "sourceField", w).getOrElse(""),
+      targetField = str(m, "targetField", w).getOrElse(""),
+      includeParent = bool(m, "includeParent", w, dflt = true),
+      errorOnNonList = bool(m, "errorOnNonList", w, dflt = false),
+      conditionField = str(m, "conditionField", w),
+      conditionValue = m.get("conditionValue").map(v => String.valueOf(v)))
+  }
 
-  private def stageOf(m: Map[String, Any]) = AnalyticsStage(
-    op = str(m, "op").getOrElse("").toLowerCase,
+  private def dedupOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "deduplication"
+    known(m, Set("keys", "strategy", "strategyField", "tsCol",
+      "quietPeriod", "watermarkDelay"), w)
+    DedupConfig(
+      keys = strList(m, "keys", w),
+      strategy = str(m, "strategy", w).getOrElse("first").toLowerCase,
+      strategyField = str(m, "strategyField", w),
+      tsCol = str(m, "tsCol", w),
+      quietPeriod = str(m, "quietPeriod", w).getOrElse("30 seconds"),
+      watermarkDelay = str(m, "watermarkDelay", w).getOrElse("0 seconds"))
+  }
+
+  private def stageOf(m: Map[String, Any])(implicit d: DecodeErrors) = AnalyticsStage(
+    // stage params are op-specific — AnalyticsCompiler.validate owns them
+    op = str(m, "op", "analytics").getOrElse("").toLowerCase,
     params = m - "op")
 
-  private def errOf(m: Map[String, Any]) = ErrorHandlingConfig(
-    mode = str(m, "mode").getOrElse("halt").toLowerCase,
-    logErrors = bool(m, "logErrors", dflt = true),
-    errorFile = str(m, "errorFile"))
+  private def errOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
+    val w = "errorHandling"
+    known(m, Set("mode", "logErrors", "errorFile"), w)
+    ErrorHandlingConfig(
+      mode = str(m, "mode", w).getOrElse("halt").toLowerCase,
+      logErrors = bool(m, "logErrors", w, dflt = true),
+      errorFile = str(m, "errorFile", w))
+  }
 }
 
 /** Accumulated-error playbook validation (validation.go:52-688 shape). */
