@@ -167,6 +167,31 @@ class TransformsSpec extends SparkTestBase {
     assert(hash("md5", Seq("name", "nope")) == expMissing)
   }
 
+  test("hash sha512: NIST FIPS 180-4 known-answer vectors through the transform") {
+    import spark.implicits._
+    // the two published SHA-512 KATs (FIPS 180-4 / CSRC example values):
+    // a one-block and a two-block message. A single-field hash feeds the
+    // field value through unmodified (no '||' joins), so the transform's
+    // digest must equal the fixed vector byte for byte — pinning Spark's
+    // sha2(…, 512) builtin, the cast path, and our canonicalization.
+    val vectors = Seq(
+      "abc" ->
+        ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+         "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"),
+      ("abcdefghbcdefghicdefghijdefghijkefghijklfghijklmghijklmnhijklmno" +
+       "ijklmnopjklmnopqklmnopqrlmnopqrsmnopqrstnopqrstu") ->
+        ("8e959b75dae313da8cf4f72814fc143f8f7779c6eb9f7fa17299aeadb6889018" +
+         "501d289e4900f7e4331b99dec4b5433ac7d329eeb6dd26545e96e55b874be909"))
+    vectors.foreach { case (msg, want) =>
+      val df = Seq(msg).toDF("data")
+      val out = Transforms("hash", Transforms.Ctx(lit(null), NullType, "h",
+        n => df.schema.fields.find(_.name == n).map(f => (col(n), f.dataType)),
+        Map("algorithm" -> "sha512", "fields" -> Seq("data"))))
+      assert(df.select(out.value).collect().head.getString(0) == want,
+        s"sha512 KAT failed for ${msg.take(12)}…")
+    }
+  }
+
   test("hash: md5 rejected in FIPS mode (transform.go:633-634)") {
     assertThrows[IllegalArgumentException] {
       Transforms("hash", Transforms.Ctx(lit(null), NullType, "h", _ => None,
