@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.compile.PipelineCompiler
 import graft.config.PlaybookLoader
 
@@ -36,6 +37,51 @@ object PlaybookQueries {
   private def oracleOf(name: String): Option[String] =
     (LlmQueries.all.iterator ++ AnalyticsQueries.all.iterator)
       .find(_.name == name).flatMap(_.oracle)
+
+  /** The registered twin's own plan function — the `_check` queries
+    * compare the config path against EXACTLY the graded API query, not
+    * a restatement of it. */
+  private def twinFn(name: String): (SparkSession, String) => DataFrame =
+    (LlmQueries.all.iterator ++ AnalyticsQueries.all.iterator)
+      .find(_.name == name)
+      .getOrElse(throw new IllegalStateException(s"no registered twin $name")).fn
+
+  /** Shared YAML for q_playbook_ann and its equivalence check — one
+    * string, so the two can never drift apart. Params mirror
+    * q_llm_ann_ivf's operating point exactly. */
+  private def annYaml(dir: String): String = s"""
+    |source:
+    |  type: parquet
+    |  file: $dir/embeddings.parquet
+    |destination:
+    |  type: parquet
+    |  file: /tmp/graft_playbook_unused
+    |analytics:
+    |  - op: ann_topk
+    |    idCol: vec_id
+    |    vecCol: embedding
+    |    vecDims: 64
+    |    k: 3
+    |    method: ivf
+    |    nlist: 16
+    |    nprobe: 8
+    |""".stripMargin
+
+  /** Shared YAML for q_playbook_bpe and its equivalence check; params
+    * mirror q_llm_bpe_fertility (40 merges, iterative encoder). */
+  private def bpeYaml(dir: String): String = s"""
+    |source:
+    |  type: parquet
+    |  file: $dir/documents.parquet
+    |destination:
+    |  type: parquet
+    |  file: /tmp/graft_playbook_unused
+    |analytics:
+    |  - op: bpe_fertility
+    |    textCol: text
+    |    sourceCol: source
+    |    numMerges: 40
+    |""".stripMargin
 
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
@@ -401,45 +447,66 @@ object PlaybookQueries {
 
     // IVF ANN from config over the embeddings table — result-twin of
     // q_llm_ann_ivf (rows-only: the k-means cells are engine-local;
-    // the operating point's recall is RecallCheck-pinned on the twin).
-    Q("q_playbook_ann",
-      (s, dir) => run(s, s"""
-        |source:
-        |  type: parquet
-        |  file: $dir/embeddings.parquet
-        |destination:
-        |  type: parquet
-        |  file: /tmp/graft_playbook_unused
-        |analytics:
-        |  - op: ann_topk
-        |    idCol: vec_id
-        |    vecCol: embedding
-        |    vecDims: 64
-        |    k: 3
-        |    method: ivf
-        |    nlist: 16
-        |    nprobe: 8
-        |""".stripMargin),
-      None),
+    // the operating point's recall is RecallCheck-pinned on the twin,
+    // and q_playbook_ann_check pins config-path ≡ API-path exactly).
+    Q("q_playbook_ann", (s, dir) => run(s, annYaml(dir)), None),
+
+    // Engine-internal equivalence oracle for the config path: the
+    // playbook-compiled ann_topk stage must produce EXACTLY the rows of
+    // its direct-API twin (same seeded k-means, same probes, same
+    // deterministic (cos desc, nid) tie-break) — one full-outer join on
+    // (qid, rank), zero tolerance on neighbor ids, 1e-9 on the score.
+    // The oracle pins the verdict: every embedding row appears as a
+    // query and not one (qid, rank) slot disagrees.
+    Q("q_playbook_ann_check",
+      (s, dir) => {
+        val pb = run(s, annYaml(dir))
+          .select(col("qid"), col("rank"),
+            col("nid").as("p_nid"), col("cos").as("p_cos"))
+        val api = twinFn("q_llm_ann_ivf")(s, dir)
+          .select(col("qid"), col("rank"),
+            col("nid").as("a_nid"), col("cos").as("a_cos"))
+        pb.join(api, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("p_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("p_nid").isNull || col("a_nid").isNull ||
+                col("p_nid") =!= col("a_nid") ||
+                abs(col("p_cos") - col("a_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
 
     // BPE fertility from config — result-twin of q_llm_bpe_fertility
     // (rows-only: iterative merge application; the trainer and encoder
-    // are spec-pinned on closed forms in TokenizerSpec/BpeEncodeSpec).
-    Q("q_playbook_bpe",
-      (s, dir) => run(s, s"""
-        |source:
-        |  type: parquet
-        |  file: $dir/documents.parquet
-        |destination:
-        |  type: parquet
-        |  file: /tmp/graft_playbook_unused
-        |analytics:
-        |  - op: bpe_fertility
-        |    textCol: text
-        |    sourceCol: source
-        |    numMerges: 40
-        |""".stripMargin),
-      None),
+    // are spec-pinned on closed forms in TokenizerSpec/BpeEncodeSpec,
+    // and q_playbook_bpe_check pins config-path ≡ API-path exactly).
+    Q("q_playbook_bpe", (s, dir) => run(s, bpeYaml(dir)), None),
+
+    // Engine-internal equivalence oracle for the config path: the
+    // playbook-compiled bpe_fertility stage (train + encode + report)
+    // must match its direct-API twin row for row — all five per-source
+    // counters are integer-exact, so the compare is zero-tolerance.
+    Q("q_playbook_bpe_check",
+      (s, dir) => {
+        val metrics = Seq("n_words", "n_tokens", "n_chars",
+          "fertility_micro", "chars_per_token_micro")
+        val pb = run(s, bpeYaml(dir)).select(col("source") +:
+          metrics.map(m => col(m).as(s"p_$m")): _*)
+        val api = twinFn("q_llm_bpe_fertility")(s, dir).select(col("source") +:
+          metrics.map(m => col(m).as(s"a_$m")): _*)
+        val diff = metrics
+          .map(m => col(s"p_$m").isNull || col(s"a_$m").isNull ||
+            col(s"p_$m") =!= col(s"a_$m"))
+          .reduce(_ || _)
+        pb.join(api, Seq("source"), "full_outer")
+          .agg(
+            countDistinct(when(col("p_n_words").isNotNull, col("source"))).as("n_sources"),
+            sum(when(diff, 1L).otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT source) FROM documents
+          WHERE text IS NOT NULL) AS n_sources,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
 
     // Gap-based sessionization + the exact per-session aggregate from
     // config (sessionize stage + aggregate stage restating

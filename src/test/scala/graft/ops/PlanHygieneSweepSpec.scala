@@ -80,7 +80,11 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // playbook result-twins of the two rows above: same delegated op,
     // same documented UDF (MLlib fit adapter / vocabulary-bounded
     // merge application), the YAML adds a parse, not a plan
-    "q_playbook_ann", "q_playbook_bpe")
+    "q_playbook_ann", "q_playbook_bpe",
+    // r12 equivalence oracles: each plan UNIONS the config path with
+    // its twin above to compare them, so it carries both twins'
+    // already-allowlisted UDFs (and nothing else)
+    "q_playbook_ann_check", "q_playbook_bpe_check")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
