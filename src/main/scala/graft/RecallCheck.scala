@@ -3,29 +3,69 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
-/** Measures recall@k of the ANN paths vs brute force on real embeddings. */
+/**
+ * Measures recall@k of the ANN paths vs brute force on real
+ * embeddings, at the PRODUCTION operating points (the exact configs
+ * the q_llm_ann_* queries run). Two faces:
+ *
+ *  - `main` with an output path writes a RECALL artifact
+ *    (`RECALL_r{N}.json`) covering every testdata SF, so a recall
+ *    regression surfaces between rounds like a red correctness row —
+ *    not just in an ad-hoc console run;
+ *  - `headline` is the shared computation, also asserted per-build by
+ *    RecallFloorSpec (recall ≥ [[floor]] at sf0.001 for all five
+ *    paths).
+ *
+ * Usage: RecallCheck [sfDir] — console line + config sweeps;
+ *        RecallCheck --artifact OUT.json sfDir1 [sfDir2 ...]
+ */
 object RecallCheck {
-  def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[8]")
+
+  /** The pinned floor: every ANN operating point must retrieve at
+    * least this fraction of the brute-force top-k pairs. */
+  val floor = 0.8
+
+  /** recall@k per production ANN path + |truth|. */
+  def headline(spark: SparkSession, dir: String, k: Int = 3): (Map[String, Double], Int) = {
+    val e = graft.queries.Queries.t(spark, dir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
+    def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
+    val recalls = Map(
+      "lsh" -> rec(pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k,
+        planes = 5, tables = 6))),
+      "ivf" -> rec(pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k,
+        nlist = 16, nprobe = 8))),
+      "ivf_int8" -> rec(pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k,
+        nlist = 16, nprobe = 8))),
+      "ivf_pq" -> rec(pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
+        nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))),
+      "binary" -> rec(pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k,
+        rerank = 96))))
+    (recalls, truth.size)
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--artifact")) { artifact(args(1), args.drop(2)); return }
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = session()
     val e = graft.queries.Queries.t(spark, dir, "embeddings")
     val k = 3
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
-    // headline lines use the PRODUCTION configs (the ones the
-    // q_llm_ann_* queries run); the sweeps below map the tradeoff
-    val lsh = pairs(Similarity.lshTopK(e, "vec_id", "embedding", 64, k, planes = 5, tables = 6))
-    val ivf = pairs(Similarity.ivfTopK(e, "vec_id", "embedding", 64, k, nlist = 16, nprobe = 8))
-    val ivf8 = pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k, nlist = 16, nprobe = 8))
-    val pq = pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
-      nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))
-    val bin = pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k, rerank = 96))
-    println(f"RECALL lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_int8=${rec(ivf8)}%.3f ivf_pq=${rec(pq)}%.3f binary=${rec(bin)}%.3f n=${truth.size}")
+    val (h, n) = headline(spark, dir, k)
+    println(f"RECALL lsh=${h("lsh")}%.3f ivf=${h("ivf")}%.3f ivf_int8=${h("ivf_int8")}%.3f ivf_pq=${h("ivf_pq")}%.3f binary=${h("binary")}%.3f n=$n")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
                             (6, true, 6), (8, true, 6), (6, true, 7), (4, true, 5))) {
@@ -49,6 +89,30 @@ object RecallCheck {
       val r = rec(pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k, rerank = rf)))
       println(f"RECALL_SWEEP binary rerank=$rf%d recall=$r%.3f")
     }
+    spark.stop()
+  }
+
+  /** Write the per-round recall artifact over the given SF dirs. */
+  def artifact(outPath: String, dirs: Seq[String]): Unit = {
+    val spark = session()
+    val k = 3
+    val perSf = dirs.map { dir =>
+      val (h, n) = headline(spark, dir, k)
+      val sfName = dir.split("/").last
+      println(s"RECALL $sfName " + h.toSeq.sortBy(_._1)
+        .map { case (p, r) => f"$p=$r%.3f" }.mkString(" ") + s" n=$n")
+      val fields = h.toSeq.sortBy(_._1)
+        .map { case (p, r) => s""""$p":${f"$r%.4f"}""" }.mkString(",")
+      val ok = h.values.forall(_ >= floor)
+      (sfName, s""""$sfName":{$fields,"n_truth":$n,"pass":$ok}""", ok)
+    }
+    val allPass = perSf.forall(_._3)
+    val json =
+      s"""{"k":$k,"floor":$floor,"paths":["binary","ivf","ivf_int8","ivf_pq","lsh"],""" +
+        s""""sfs":{${perSf.map(_._2).mkString(",")}},"all_pass":$allPass}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"RECALL_ARTIFACT $outPath all_pass=$allPass")
     spark.stop()
   }
 }
