@@ -42,7 +42,7 @@ object RecallCheck {
       "ivf_pq" -> rec(pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
         nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))),
       "binary" -> rec(pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k,
-        rerank = 96))))
+        rerank = 96, rerankFrac = 0.2))))
     (recalls, truth.size)
   }
 

@@ -353,14 +353,17 @@ object LlmQueries {
     // hash tables, no k-means), so unlike the other ANN paths it is
     // exactly oracle-able END TO END, approximation included.
     // RecallCheck rerank sweep on the 2026-08-13 sf0.01 embeddings:
-    // 24->0.556, 48->0.725, 64->0.785, 96->0.867, 128->0.917 — 96 is
-    // the recall>=0.8 operating point; rerank is an ABSOLUTE candidate
-    // count, so the reranked fraction shrinks as the corpus grows.
+    // 24->0.556, 48->0.725, 64->0.785, 96->0.867, 128->0.917. An
+    // ABSOLUTE rerank dilutes as the corpus grows (r12 RECALL artifact:
+    // 0.67 at 2000 vectors with rerank=96), so the production operating
+    // point keeps the reranked FRACTION constant: max(96, ceil(0.2·N)),
+    // N counted over the same qid window the ranking shuffles on — the
+    // oracle restates the scaled threshold exactly.
     Q("q_llm_ann_binary",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.binaryTopK(e.filter(col("vec_id") < 20), e,
-          "vec_id", "embedding", dims = 64, k = 3, rerank = 96)
+          "vec_id", "embedding", dims = 64, k = 3, rerank = 96, rerankFrac = 0.2)
       },
       Some(LlmOracles.binaryTopK)),
 
@@ -3451,13 +3454,14 @@ object LlmOracles {
       FROM e q CROSS JOIN e n
       WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
     cand AS (SELECT qid, nid, ham,
-        row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rr
+        row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rr,
+        COUNT(*) OVER (PARTITION BY qid) AS nc
       FROM ham),
     scored AS (SELECT c.qid, c.nid, c.ham,
         list_dot_product(q.v, n.v)
           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
       FROM cand c JOIN e q ON c.qid = q.vec_id JOIN e n ON c.nid = n.vec_id
-      WHERE c.rr <= 96),
+      WHERE c.rr <= GREATEST(96, CAST(CEIL(nc * 0.2) AS INT))),
     ranked AS (SELECT qid, nid, ham, cos,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
       FROM scored)
