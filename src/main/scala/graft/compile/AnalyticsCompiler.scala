@@ -99,6 +99,42 @@ object AnalyticsCompiler {
     "join"           -> (Seq("type", "file", "keys"),
       "type file keys[] [how=inner broadcast=false] — join another source on same-named keys (named keys, not `on`: snakeyaml parses a bare `on` as YAML 1.1 boolean true)"))
 
+  /** op name -> the params the stage reads BEYOND its required ones
+    * (exactly the keys applyStage/refFrame consult — the bracketed
+    * part of each usage string). The validator rejects any other key:
+    * a typo'd optional param (`treshold: 0.9`) would otherwise
+    * silently fall back to its default, which is the config mistake a
+    * user cannot see. */
+  private[graft] val optionalParams: Map[String, Set[String]] = Map(
+    "quality_gate"   -> Set("minQuality"),
+    "exact_dedup"    -> Set("keep"),
+    "near_dup_dedup" -> Set("threshold", "shingleSize", "numHashes", "bands", "portableHashing"),
+    "corpus_clean"   -> Set("minQuality", "langs", "threshold", "shingleSize",
+      "numHashes", "bands", "portableHashing"),
+    "url_normalize"  -> Set("target"),
+    "url_dedup"      -> Set("mode"),
+    "split"          -> Set("trainPct", "valPct"),
+    "sessionize"     -> Set("gapSeconds", "tiebreak"),
+    "resample"       -> Set("stepSeconds"),
+    "gap_report"     -> Set("stepSeconds"),
+    "zorder_cluster" -> Set("bits", "partitions"),
+    "audience_overlap" -> Set("k", "portableHashing"),
+    "gopher_rules"   -> Set("mode", "minWords", "maxWords", "minMeanLen",
+      "maxMeanLen", "maxSymbolRatio", "minAlphaFrac", "minStopHits"),
+    "pii_redact"     -> Set("target"),
+    "decontaminate"  -> Set("refWhere", "refTextCol", "n", "minOverlap", "mode"),
+    "dsir_weight"    -> Set("refWhere", "refTextCol", "buckets", "portableHashing"),
+    "ann_topk"       -> Set("method", "nlist", "nprobe", "planes", "tables"),
+    "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
+    "pack_windows"   -> Set("shards"),
+    "length_batches" -> Set("shards"),
+    "chunk_docs"     -> Set("overlap"),
+    "incr_neardup"   -> Set("version", "mode", "updateState", "numHashes",
+      "bands", "threshold", "shingleSize", "maxBucketSize", "portableHashing"),
+    "aggregate"      -> Set("groupBy"),
+    "join"           -> Set("how", "broadcast"),
+  ).withDefaultValue(Set.empty)
+
   /** Accumulated-error validation (load-time; no Spark session needed). */
   def validate(stages: Seq[AnalyticsStage]): Seq[String] = {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
@@ -123,6 +159,11 @@ object AnalyticsCompiler {
           }
           if (missing.nonEmpty)
             errs += s"analytics[$i] (${st.op}): missing ${missing.mkString(", ")} — usage: $usage"
+          // a key the stage never reads is a typo, not configuration —
+          // reject it instead of letting a default silently apply
+          (st.params.keySet -- required -- optionalParams(st.op)).toSeq.sorted
+            .foreach(k =>
+              errs += s"analytics[$i] (${st.op}): unknown param '$k' — usage: $usage")
           // SQL expression params must parse at load time — expr() is
           // lazy (Column construction defers the parse), so go through
           // the Catalyst parser directly
@@ -203,6 +244,8 @@ object AnalyticsCompiler {
                       }
                       if (miss.nonEmpty)
                         errs += s"analytics[$i] (expect) rule[$ri] ($t): missing ${miss.mkString(", ")}"
+                      (m.keySet -- req - "type").toSeq.sorted.foreach(k =>
+                        errs += s"analytics[$i] (expect) rule[$ri] ($t): unknown key '$k'")
                       if (t == "satisfies")
                         str(m, "predicate").foreach(checkExpr(s"rule[$ri] predicate", _))
                       if (t == "ref_integrity")

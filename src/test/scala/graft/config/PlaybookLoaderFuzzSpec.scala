@@ -214,6 +214,29 @@ class PlaybookLoaderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics stage params: a typo'd key is an 'unknown param' error, not a silent default") {
+    def loadErr(analytics: String): String =
+      intercept[IllegalArgumentException](PlaybookLoader.fromString(s"""
+        |source: {type: parquet, file: /tmp/in.parquet}
+        |destination: {type: parquet, file: /tmp/o}
+        |analytics:
+        |$analytics
+        |""".stripMargin)).getMessage
+    // a misspelled OPTIONAL param would silently fall back to its
+    // default — the invisible config mistake this check exists for
+    val e1 = loadErr("""  - {op: near_dup_dedup, idCol: a, textCol: b, treshold: 0.9}""")
+    assert(e1.contains("unknown param 'treshold'"), e1)
+    // a misspelled REQUIRED param reports both faces
+    val e2 = loadErr("""  - {op: where, conditionx: "a > 1"}""")
+    assert(e2.contains("missing condition") && e2.contains("unknown param 'conditionx'"), e2)
+    // expect rules get the same treatment per rule map
+    val e3 = loadErr(
+      """  - op: expect
+        |    rules:
+        |      - {type: in_range, col: a, lo: 0, hi: 9, hii: 10}""".stripMargin)
+    assert(e3.contains("unknown key 'hii'"), e3)
+  }
+
   test("randomized multi-mutation storm: only IllegalArgumentException ever escapes") {
     val params = Gen.Parameters.default
     val pathGen = Gen.oneOf(strictPaths)
