@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Clusters, Dedup, Layout, Similarity}
+
+/**
+ * Empirical scaling probe for the top-cost operator families: run each
+ * at the base SF and at an N×-synthesized corpus, exclusively, and
+ * report the time ratio. The 100 TB arguments elsewhere in this repo
+ * are plan-shape arguments (bounded buckets, no cartesians, metadata-
+ * scale collects); this probe grounds them with one measured curve —
+ * a family whose ratio grows far beyond the corpus ratio has a hidden
+ * superlinear term the plan inspection missed.
+ *
+ * Corpus synthesis (deterministic, no RNG): `factor` copies of the
+ * base tables with id offsets. Document copies get copy-specific
+ * tokens appended (fresh NEAR-dups of their originals — realistic
+ * verdict/pair load for the dedup families, not degenerate identical
+ * signatures); embedding copies get a copy-scaled nudge on dimension 0
+ * (distinct vectors, same geometry); events copy verbatim under new
+ * ids (bloom-index load is file-count-shaped).
+ *
+ * Operating points are the benched production ones. ONE deliberate
+ * exception: IVF cell count scales with the corpus (nlist 16 at base,
+ * 16·factor at N×, nprobe fixed) — the deployment recipe that keeps
+ * per-query candidate volume constant; holding nlist fixed while N
+ * grows makes candidate volume O(N²/nlist), which is a CONFIG error
+ * at scale, not an engine property. Both configs are reported.
+ *
+ * Usage: ScaleProbe [baseSfDir] [factor] [outJson]
+ */
+object ScaleProbe {
+
+  private def copies(df: DataFrame, factor: Int): Seq[(Int, DataFrame)] =
+    (0 until factor).map(c => c -> df)
+
+  def synthDocuments(base: DataFrame, factor: Int): DataFrame =
+    copies(base, factor).map { case (c, df) =>
+      if (c == 0) df
+      else df
+        .withColumn("doc_id", col("doc_id") + lit(c.toLong * 100000000L))
+        // two appended copy-tokens: signatures differ per copy, but
+        // shingle overlap with the original stays near 1 — a planted
+        // near-dup family of size `factor` per base doc
+        .withColumn("text", concat(col("text"),
+          lit(s" zqcopytok${c}a zqcopytok${c}b")))
+    }.reduce(_ unionByName _)
+
+  def synthEmbeddings(base: DataFrame, factor: Int): DataFrame =
+    copies(base, factor).map { case (c, df) =>
+      if (c == 0) df
+      else df
+        .withColumn("vec_id", col("vec_id") + lit(c.toLong * 100000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x + ${c}e0 * 0.001e0 ELSE x END AS FLOAT))"))
+    }.reduce(_ unionByName _)
+
+  def synthEvents(base: DataFrame, factor: Int): DataFrame =
+    copies(base, factor).map { case (c, df) =>
+      if (c == 0) df
+      else df
+        .withColumn("event_id", col("event_id") + lit(c.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(c.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+
+  /** The q_llm_incr_neardup_chain_x64 lifecycle over an arbitrary
+    * documents relation (3 batches by doc_id mod 3). */
+  private def nearDupChain(docs: DataFrame): DataFrame = {
+    def sigOf(m: Int) = graft.ops.CachedRelations.track(
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === m),
+        "doc_id", "text", shingleSize = 5, numHashes = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val Seq(b0, b1, b2) = Seq(0, 1, 2).map(sigOf)
+    def mat(d: DataFrame) = graft.ops.CachedRelations.track(
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val v0 = mat(Dedup.incrementalNearDupVerdicts(b0, b0.limit(0),
+      numHashes = 16, bands = 4, threshold = 0.5))
+    var state = mat(Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(
+      b0.limit(0).select(col("id"), col("sig"), lit(0).as("version")),
+      b0, v0, 0)))
+    val v1 = mat(Dedup.incrementalNearDupVerdicts(b1, state.select("id", "sig"),
+      numHashes = 16, bands = 4, threshold = 0.5))
+    state = mat(Dedup.nearDupStateCompact(Dedup.nearDupStateAppend(state, b1, v1, 1)))
+    val v2 = Dedup.incrementalNearDupVerdicts(b2, state.select("id", "sig"),
+      numHashes = 16, bands = 4, threshold = 0.5)
+    v0.withColumn("batch", lit(0))
+      .unionByName(v1.withColumn("batch", lit(1)))
+      .unionByName(v2.withColumn("batch", lit(2)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("SCALE_PROBE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
+
+    val work = s"/tmp/graft_scale_probe_${factor}x"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+
+    // materialize BOTH scales to parquet so every probe starts from the
+    // same kind of scan (synthesis cost is excluded from timings)
+    def t(name: String) = graft.queries.Queries.t(spark, baseDir, name)
+    synthDocuments(t("documents"), factor).write.parquet(s"$work/documents")
+    synthEmbeddings(t("embeddings"), factor).write.parquet(s"$work/embeddings")
+    synthEvents(t("events"), factor).write.parquet(s"$work/events")
+    def big(name: String) = spark.read.parquet(s"$work/$name")
+    val nDocs = (big("documents").count(), t("documents").count())
+    val nVecs = (big("embeddings").count(), t("embeddings").count())
+    val nEvts = (big("events").count(), t("events").count())
+    println(s"[probe] synthesized ${factor}x: docs=${nDocs._1} vecs=${nVecs._1} events=${nEvts._1}")
+
+    def time(fn: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn.write.format("noop").mode("overwrite").save()
+      finally graft.ops.CachedRelations.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** min of `passes` exclusive runs (JIT-warm engine truth, the
+      * committed-bench convention). */
+    def best(passes: Int)(fn: => DataFrame): Double =
+      (0 until passes).map(_ => time(fn)).min
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def probe(op: String)(base: => DataFrame)(scaled: => DataFrame): Unit = {
+      val t1 = best(2)(base)
+      val tN = best(2)(scaled)
+      results(op) = (t1, tN)
+      println(f"[probe] $op%-22s base=$t1%8.2fs ${factor}x=$tN%8.2fs ratio=${tN / t1}%6.2f")
+    }
+
+    probe("exact_substr") {
+      Dedup.exactSubstrDedup(t("documents"), "doc_id", "text",
+        windowTokens = 30, rollingFp = true)
+    } {
+      Dedup.exactSubstrDedup(big("documents"), "doc_id", "text",
+        windowTokens = 30, rollingFp = true)
+    }
+
+    probe("incr_neardup_chain") {
+      nearDupChain(t("documents"))
+    } {
+      nearDupChain(big("documents"))
+    }
+
+    probe("cc_star") {
+      Clusters.connectedComponentsStar(
+        Dedup.minhashNearDupPairs(t("documents"), "doc_id", "text",
+          shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    } {
+      Clusters.connectedComponentsStar(
+        Dedup.minhashNearDupPairs(big("documents"), "doc_id", "text",
+          shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    }
+
+    // IVF: cells scale with the corpus (constant nprobe, constant
+    // expected candidates per query) — the deployment recipe
+    probe("ann_ivf_scaled_cells") {
+      Similarity.ivfTopK(t("embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 16, nprobe = 8)
+    } {
+      Similarity.ivfTopK(big("embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 16 * factor, nprobe = 8)
+    }
+    // …and the config error for contrast: fixed cells at N× means each
+    // query probes nprobe/nlist of a factor× corpus — O(N²) candidates
+    probe("ann_ivf_fixed_cells") {
+      Similarity.ivfTopK(t("embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 16, nprobe = 8)
+    } {
+      Similarity.ivfTopK(big("embeddings"), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 16, nprobe = 8)
+    }
+
+    probe("bloom_index_lifecycle") {
+      val dir = s"$work/bloom1x"
+      t("events").select(col("event_id"), col("user_id"), col("value"))
+        .repartition(8, col("user_id")).write.mode("overwrite").parquet(s"$dir/tbl")
+      Layout.writeBloomIndex(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+        itemsPerFile = 100000L, fpp = 0.01)
+      Layout.bloomPrunedRead(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+        Seq(7L, 19L, 42L))
+    } {
+      val dir = s"$work/bloom${factor}x"
+      big("events").select(col("event_id"), col("user_id"), col("value"))
+        .repartition(8 * factor, col("user_id")).write.mode("overwrite").parquet(s"$dir/tbl")
+      Layout.writeBloomIndex(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+        itemsPerFile = 100000L, fpp = 0.01)
+      Layout.bloomPrunedRead(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+        Seq(7L, 19L, 42L))
+    }
+
+    val fields = results.map { case (op, (t1, tN)) =>
+      f""""$op":{"base_sec":$t1%.3f,"${factor}x_sec":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+    }.mkString(",")
+    val json = s"""{"base_sf":"$baseDir","factor":$factor,""" +
+      s""""rows":{"documents":${nDocs._1},"embeddings":${nVecs._1},"events":${nEvts._1}},""" +
+      s""""ops":{$fields}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE_PROBE $outJson")
+    spark.stop()
+  }
+}
