@@ -66,6 +66,10 @@ object Bench {
       // API twin) purely to compare them — correctness fixtures; both
       // underlying plans are already benched via their twins
       "q_playbook_ann_check", "q_playbook_bpe_check",
+      // r12 property-verdict checks: re-run already-benched engine-local
+      // ops (pca / deflate / classifier) purely to pin their
+      // definitional properties in the DuckDB gate
+      "q_llm_pca_check", "q_llm_compress_check", "q_llm_quality_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

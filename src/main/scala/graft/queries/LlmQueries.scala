@@ -2236,6 +2236,31 @@ object LlmQueries {
       },
       None),
 
+    // Gate-visible check for the engine-local classifier: score the
+    // WHOLE corpus (scoreOn), then pin separation — the positive
+    // class (src0, the training target) must score strictly higher on
+    // average than the rest, with every probability a valid sigmoid
+    // output. Exact doc count anchors the row.
+    Q("q_llm_quality_check",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.ops.QualityClassifier.trainScore(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          scoreOn = Some(d))
+        val verdict = scored
+          .join(d.select(col("doc_id").as("id"), col("source")), "id")
+          .agg(
+            (avg(when(col("source") === "src0", col("p_target"))) >
+              avg(when(col("source") =!= "src0", col("p_target"))))
+              .as("target_scores_higher"),
+            (min(col("p_target")) >= 0.0 && max(col("p_target")) <= 1.0)
+              .as("probs_bounded"))
+        d.agg(count(lit(1)).as("n_docs")).crossJoin(verdict)
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        TRUE AS target_scores_higher, TRUE AS probs_bounded""")),
+
     // Heaps'-law exponent (vocabulary growth V = K·N^beta): per-doc
     // (ln tokens, ln types) points in integral micros fed through the
     // exact OLS machinery (scale 0: the inputs are already integers);
@@ -2436,19 +2461,65 @@ object LlmQueries {
     // deterministic sample's covariance, literal-inlined component
     // vectors, pure-map projection (rows-only: eigenvectors have no
     // SQL restatement; the fit and projection algebra are spec-pinned
-    // on synthetic dominant-direction fixtures).
+    // on synthetic dominant-direction fixtures, and the _check row
+    // below pins the definitional PCA properties on the REAL data in
+    // the DuckDB gate).
     Q("q_llm_pca",
       (s, dir) => graft.ops.Similarity.pcaProject(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 2),
       None),
 
+    // Gate-visible check for the engine-local PCA: every vector
+    // projected, variance along pc1 dominates pc2 (top-eigen
+    // ordering), and the two projections are (near-)uncorrelated —
+    // the definitional properties of principal components, computed
+    // over the REAL embeddings and pinned by the oracle.
+    Q("q_llm_pca_check",
+      (s, dir) => graft.ops.Similarity.pcaProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 2)
+        .agg(count(lit(1)).as("n_vecs"),
+          (var_pop(col("pc1")) >= var_pop(col("pc2"))).as("pc1_dominates"),
+          (abs(corr(col("pc1"), col("pc2"))) < 0.05).as("pcs_uncorrelated")),
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE embedding IS NOT NULL)
+          AS n_vecs, TRUE AS pc1_dominates, TRUE AS pcs_uncorrelated""")),
+
     // Deflate compression-ratio quality signal (rows-only: zlib is
-    // engine-local; ordering/bounds spec-pinned). Templated text
-    // scores low, random keys near 1e6.
+    // engine-local; ordering/bounds spec-pinned, and the _check row
+    // below pins the bounds + the repetition-compresses property on
+    // the REAL corpus in the DuckDB gate). Templated text scores low,
+    // random keys near 1e6.
     Q("q_llm_compress_ratio",
       (s, dir) => graft.ops.TextAnalysis.compressionRatio(
         t(s, dir, "documents"), "doc_id", "text"),
       None),
+
+    // Gate-visible check for the engine-local deflate signal: exact
+    // doc coverage, every compressed size inside zlib's worst-case
+    // envelope (stored-block framing: ≤ 11 bytes header/adler plus
+    // 5 bytes per block — a FIXED ratio bound is wrong for short
+    // docs, where the framing dominates), and doubling every text
+    // never hurts the mean per-byte ratio (self-similar input
+    // compresses better — the property that makes the signal a
+    // boilerplate detector).
+    Q("q_llm_compress_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val single = graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_bytes"), col("n_compressed"),
+            col("ratio_micro").as("r1"))
+        val doubled = graft.ops.TextAnalysis.compressionRatio(
+            docs.withColumn("text", concat(col("text"), col("text"))), "doc_id", "text")
+          .select(col("doc_id"), col("ratio_micro").as("r2"))
+        single.join(doubled, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            (min(col("r1")) > 0L &&
+              max(col("n_compressed") - col("n_bytes") - lit(16L)
+                - (col("n_bytes") / lit(16384L)) * lit(5L)) <= 0L)
+              .as("ratios_bounded"),
+            (avg(col("r2")) < avg(col("r1"))).as("doubling_compresses"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)
+          AS n_docs, TRUE AS ratios_bounded, TRUE AS doubling_compresses""")),
 
     // Exact-count stratified sample: largest-remainder apportionment
     // across sources at p=0.25, md5-hash-rank row selection — exactly
