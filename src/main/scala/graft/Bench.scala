@@ -70,6 +70,10 @@ object Bench {
       // ops (pca / deflate / classifier) purely to pin their
       // definitional properties in the DuckDB gate
       "q_llm_pca_check", "q_llm_compress_check", "q_llm_quality_check",
+      // r12 native-vs-iterative BPE equivalence (runs both encoders over
+      // the vocabulary purely to compare; the native path is benched
+      // via q_llm_bpe_encode_1k)
+      "q_llm_bpe_native_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

@@ -487,6 +487,34 @@ object LlmQueries {
       },
       None),
 
+    // Gate-visible equivalence for the native encoder: the 1000-merge
+    // table learned on the REAL corpus, applied to the REAL distinct
+    // vocabulary through BOTH encoders — the O(tableSize·len)
+    // iterative reference (applyMerges) and the O(firing·len) native
+    // min-rank expression — must agree token-sequence for
+    // token-sequence on every word. The oracle pins full vocabulary
+    // coverage (DuckDB restates the tokenization) and zero mismatches.
+    Q("q_llm_bpe_native_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bpeTrain(docs, "text", numMerges = 1000)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+        val iterative = udf((w: String) =>
+          graft.ops.Tokenizer.applyMerges(w, merges).toSeq)
+        docs.filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+          .select(col("w"), iterative(col("w")).as("t_iter"),
+            graft.ops.Tokenizer.bpeEncodeCol(col("w"), merges).as("t_native"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("t_iter") =!= col("t_native"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT w) FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)) AS n_words,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

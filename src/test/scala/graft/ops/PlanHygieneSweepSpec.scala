@@ -84,7 +84,12 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // r12 equivalence oracles: each plan UNIONS the config path with
     // its twin above to compare them, so it carries both twins'
     // already-allowlisted UDFs (and nothing else)
-    "q_playbook_ann_check", "q_playbook_bpe_check")
+    "q_playbook_ann_check", "q_playbook_bpe_check",
+    // r12 native-vs-iterative BPE equivalence: the iterative reference
+    // encoder is deliberately a UDF, applied only to the DISTINCT-WORD
+    // relation (vocabulary-bounded, same documented boundary as
+    // q_llm_bpe_fertility)
+    "q_llm_bpe_native_check")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
