@@ -18,6 +18,7 @@ object Main {
   case class Args(config: String = "", input: Option[String] = None,
                   output: Option[String] = None, db: Option[String] = None,
                   logLevel: String = "info", dryRun: Boolean = false,
+                  explain: Boolean = false,
                   fips: Boolean = false, help: Boolean = false)
 
   def main(argv: Array[String]): Unit = {
@@ -65,6 +66,22 @@ object Main {
         conn = db.getOrElse(Util.expandEnv(pb0.destination.conn))))
 
     val compiled = PipelineCompiler.compile(spark, pb, EngineConfig(fipsMode = args.fips))
+
+    if (args.explain) {
+      // -explain: print the physical plan Spark would execute, without
+      // reading or writing any data. The operator-facing window into
+      // plan hygiene: PushedFilters on the scan, broadcast vs shuffle
+      // joins, exchange count. Streaming pipelines show the plan over
+      // the unstarted StreamingRelation (the micro-batch planner
+      // re-plans per trigger, so this is the shape, not the instance).
+      println(s"[explain] pipeline plan for ${args.config}:")
+      println(Util.maskCredentials(explainString(compiled.main)))
+      if (pb.errorHandling.errorFile.nonEmpty || pb.errorHandling.mode == "halt") {
+        println("[explain] error-routing plan:")
+        println(Util.maskCredentials(explainString(compiled.errors)))
+      }
+      return
+    }
 
     if (pb.source.streaming) {
       // streaming mode (validator enforced: parquet/jsonl, checkpoint,
@@ -121,11 +138,18 @@ object Main {
     case "-db" :: v :: rest      => parse(rest, acc.copy(db = Some(v)))
     case "-loglevel" :: v :: rest => parse(rest, acc.copy(logLevel = v))
     case "-dry-run" :: rest      => parse(rest, acc.copy(dryRun = true))
+    case "-explain" :: rest      => parse(rest, acc.copy(explain = true))
     case "-fips" :: rest         => parse(rest, acc.copy(fips = true))
     case ("-help" | "--help" | "-h") :: rest => parse(rest, acc.copy(help = true))
     case other :: rest =>
       System.err.println(s"[warn] unknown flag: $other"); parse(rest, acc)
   }
+
+  /** Formatted physical plan of an UNEXECUTED frame (streaming
+    * relations plan to their explain-only placeholder node). */
+  private def explainString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   private def sparkLevel(l: String): String = l.toLowerCase match {
     case "none" | "error" => "ERROR"
@@ -142,6 +166,7 @@ object Main {
       |  -db <conn>        override database connection string
       |  -loglevel <lvl>   none|error|warn|info|debug (default info)
       |  -dry-run          run the pipeline, skip the load, print a sample
+      |  -explain          print the physical plan, execute nothing
       |  -fips             reject non-FIPS algorithms (md5)
       |  -help             this message""".stripMargin
 }

@@ -16,8 +16,8 @@ class ExamplePlaybooksSpec extends SparkTestBase {
 
   private val data = "/root/testdata/sf0.001"
 
-  /** Substitute placeholders, write the config, run it; returns outDir. */
-  private def runExample(name: String, extra: Map[String, String] = Map.empty): String = {
+  /** Substitute placeholders and write the config; returns (cfg, outDir). */
+  private def prepareExample(name: String, extra: Map[String, String]): (String, String) = {
     val out = Files.createTempDirectory(s"graft_ex_${name.stripSuffix(".yaml")}").toString
     var yaml = new String(Files.readAllBytes(Paths.get(s"examples/$name")), UTF_8)
     (extra ++ Map("GRAFT_DATA" -> data, "GRAFT_OUT" -> out)).foreach { case (k, v) =>
@@ -25,6 +25,12 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     }
     val cfg = s"$out/pb.yaml"
     Files.write(Paths.get(cfg), yaml.getBytes(UTF_8))
+    (cfg, out)
+  }
+
+  /** Substitute placeholders, write the config, run it; returns outDir. */
+  private def runExample(name: String, extra: Map[String, String] = Map.empty): String = {
+    val (cfg, out) = prepareExample(name, extra)
     Main.run(spark, Main.Args(config = cfg))
     out
   }
@@ -127,6 +133,39 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     val resent = v1.filter($"doc_id" === 999999L).head()
     assert(resent.getAs[String]("status") == "dup_of_ref", resent.toString)
     assert(graft.ops.Dedup.nearDupStateLatest(spark, s"$out/dedup_state").exists(_._1 == 1))
+  }
+
+  test("-explain prints the physical plan and executes nothing") {
+    val (cfg, out) = prepareExample("classic_etl.yaml", Map.empty)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, Main.Args(config = cfg, explain = true))
+    }
+    val text = buf.toString("UTF-8")
+    assert(text.contains("[explain] pipeline plan"), text.take(400))
+    assert(text.contains("Physical Plan"), text.take(400))
+    // the playbook filters on a column, so the parquet scan must show
+    // pushdown — the whole point of the operator-facing plan window
+    assert(text.contains("PushedFilters: ["), text.take(2000))
+    assert(text.contains("[explain] error-routing plan"), text.take(400))
+    // nothing executed: the destination was never written
+    assert(!new java.io.File(s"$out/events_clean.csv").exists())
+  }
+
+  test("-explain on a streaming playbook shows the plan without starting a sink") {
+    val in = Files.createTempDirectory("graft_ex_explain_in").toString
+    Files.write(Paths.get(s"$in/b1.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}""".getBytes(UTF_8))
+    val (cfg, out) = prepareExample("streaming_ingest.yaml", Map("GRAFT_IN" -> in))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, Main.Args(config = cfg, explain = true))
+    }
+    val text = buf.toString("UTF-8")
+    assert(text.contains("Physical Plan"), text.take(400))
+    assert(text.contains("StreamingRelation"), text.take(2000))
+    assert(!new java.io.File(s"$out/stream_out").exists())
+    assert(!new java.io.File(s"$out/checkpoint").exists())
   }
 
   test("classic_etl: filter + transforms + max-dedup + error sidecar") {
