@@ -36,7 +36,7 @@ case class AnalyticsStage(op: String, params: Map[String, Any] = Map.empty)
 
 /** types.go:67-101 — `type` in {csv,json,xlsx,xml,yaml,postgres,parquet}.
   * `streaming: true` (extension) compiles the pipeline over
-  * `readStream` instead of a batch scan — parquet/jsonl sources only
+  * `readStream` instead of a batch scan — parquet/orc/jsonl sources only
   * (the splittable formats Structured Streaming monitors as file
   * sources); schema comes from a one-time static read of the same
   * path. */
@@ -67,7 +67,7 @@ case class DestinationConfig(
     xmlRootTag: Option[String] = None,
     sheetName: Option[String] = None,
     partitionBy: Seq[String] = Seq.empty,         // parquet layout at scale
-    compression: String = "",                     // jsonl/parquet codec (gzip, snappy, zstd, none)
+    compression: String = "",                     // jsonl/parquet/orc codec (gzip, snappy, zstd, none)
     checkpoint: String = "",                      // streaming sink state dir
     // parquet physical-layout extensions (mutually exclusive):
     // bucketBy writes a metastore-registered bucketed table (reuses

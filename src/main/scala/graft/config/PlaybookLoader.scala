@@ -163,7 +163,7 @@ object PlaybookLoader {
 /** Accumulated-error playbook validation (validation.go:52-688 shape). */
 object Validator {
 
-  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet", "binary")
+  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet", "orc", "binary")
   private val strategies = Set("first", "last", "min", "max")
   private val modes = Set("halt", "skip")
 
@@ -252,10 +252,10 @@ object Validator {
     // section must have a streaming-executable form — reject the rest
     // at load with a reason, not at runtime with an AnalysisException
     if (pb.source.streaming) {
-      if (!Set("parquet", "jsonl")(pb.source.`type`))
-        errs += s"streaming source.type '${pb.source.`type`}' not in parquet,jsonl (file-monitorable splittable formats)"
-      if (!Set("parquet", "jsonl")(pb.destination.`type`))
-        errs += s"streaming destination.type '${pb.destination.`type`}' not in parquet,jsonl"
+      if (!Set("parquet", "orc", "jsonl")(pb.source.`type`))
+        errs += s"streaming source.type '${pb.source.`type`}' not in parquet,orc,jsonl (file-monitorable splittable formats)"
+      if (!Set("parquet", "orc", "jsonl")(pb.destination.`type`))
+        errs += s"streaming destination.type '${pb.destination.`type`}' not in parquet,orc,jsonl"
       if (pb.destination.checkpoint.isEmpty)
         errs += "streaming destination.checkpoint is required (exactly-once sink state)"
       // physical-layout options are batch-write features: the

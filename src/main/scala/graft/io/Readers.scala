@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 /**
  * Source readers (reference: /root/reference/internal/io/factory.go:13-49).
  *
- * Scale notes: csv/json/xml/parquet are Spark-native partitioned scans.
+ * Scale notes: csv/json/xml/parquet/orc are Spark-native partitioned scans.
  * yaml and xlsx are whole-file interchange formats (non-splittable by
  * nature); they parse driver-side and parallelize the rows — correct
  * for config-driven ETL inputs, while the columnar path (parquet) is
@@ -52,13 +52,17 @@ object Readers {
       case "parquet" =>
         val schema = declared.getOrElse(spark.read.parquet(src.file).schema)
         spark.readStream.schema(schema).parquet(src.file)
+      case "orc" =>
+        // footer-only schema read, same as parquet
+        val schema = declared.getOrElse(spark.read.orc(src.file).schema)
+        spark.readStream.schema(schema).orc(src.file)
       case "jsonl" =>
         val schema = declared.getOrElse(
           spark.read.json(firstFile(".jsonl")).schema)
         spark.readStream.schema(schema).json(src.file)
       case other =>
         throw new IllegalArgumentException(
-          s"streaming source type '$other' unsupported (parquet, jsonl)")
+          s"streaming source type '$other' unsupported (parquet, orc, jsonl)")
     }
   }
 
@@ -79,6 +83,10 @@ object Readers {
     case "yaml"    => readYaml(spark, src.file)
     case "xlsx"    => Xlsx.read(spark, src)
     case "parquet" => spark.read.parquet(src.file)
+    // ORC: the other splittable columnar format (built into spark-sql).
+    // Same scale posture as parquet: footer stats, predicate pushdown,
+    // column pruning, per-stripe task assignment.
+    case "orc"     => spark.read.orc(src.file)
     // raw media/document ingestion: one row per file with its bytes -
     // the front door for image/audio corpora feeding the multimodal
     // decode stages. Columns: path, modificationTime, length, content.

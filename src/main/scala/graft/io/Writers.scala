@@ -25,9 +25,10 @@ object Writers {
   def writeStream(df: DataFrame, dest: DestinationConfig): Unit = {
     val fmt = dest.`type` match {
       case "parquet" => "parquet"
+      case "orc"     => "orc"
       case "jsonl"   => "json"
       case other => throw new IllegalArgumentException(
-        s"streaming destination type '$other' unsupported (parquet, jsonl)")
+        s"streaming destination type '$other' unsupported (parquet, orc, jsonl)")
     }
     val w = df.writeStream.format(fmt)
       .option("checkpointLocation", dest.checkpoint)
@@ -78,6 +79,19 @@ object Writers {
           s"${dest.file}_bloomidx_$c", c,
           itemsPerFile = dest.bloomItemsPerFile, fpp = dest.bloomFpp)
       }
+    // ORC sink: columnar alternative to parquet. `gzip` maps to ORC's
+    // zlib codec name so the config vocabulary stays uniform across
+    // sinks; snappy/zstd/lz4/none pass through. Physical-layout options
+    // (bucketBy/zorderBy/bloomIndexBy) stay parquet-only — the side
+    // index and the Z-order stats contract are written against parquet
+    // footers — and the validator rejects them at load time.
+    case "orc" =>
+      var w = df.write.mode("overwrite")
+      if (dest.partitionBy.nonEmpty) w = w.partitionBy(dest.partitionBy: _*)
+      if (dest.compression.nonEmpty)
+        w = w.option("compression",
+          if (dest.compression == "gzip") "zlib" else dest.compression)
+      w.orc(dest.file)
     case "postgres" =>
       val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
       if (dest.loaderCommand.nonEmpty)

@@ -72,6 +72,18 @@ object IoQueries {
       },
       Some("SELECT doc_id, lang, n_chars FROM documents")),
 
+    // ORC sink -> ORC source: the second splittable columnar format.
+    // Typed roundtrip (like parquet), zstd-compressed to exercise the
+    // codec option through the config vocabulary.
+    Q("q_io_orc_roundtrip",
+      (s, dir) => {
+        val p = tmpDir() + "/docs.orc"
+        Writers.write(docs3(s, dir), DestinationConfig("orc", file = p,
+          compression = "zstd"))
+        Readers.read(s, SourceConfig("orc", file = p))
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents")),
+
     // XLSX sink -> hand-rolled OOXML source: all strings.
     Q("q_io_xlsx_roundtrip",
       (s, dir) => {

@@ -216,6 +216,63 @@ class IoSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("orc round trip: types survive; gzip maps to the zlib codec name") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = (1 to 200).map(i => (i.toLong, s"doc $i", i * 0.5,
+      if (i % 9 == 0) null else s"v$i")).toDF("id", "text", "score", "opt")
+    Writers.write(df, DestinationConfig("orc", file = dir, compression = "gzip"))
+    val fs = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".orc"))
+    assert(fs.nonEmpty && fs.forall(_.getName.contains(".zlib.")),
+      s"gzip should land as ORC's zlib codec: ${fs.map(_.getName).toSeq}")
+    val back = Readers.read(spark, SourceConfig("orc", file = dir))
+    // file sources read back nullable (same convention as parquet);
+    // names and types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "ORC preserves column names and types")
+    assert(back.count() == 200)
+    assert(back.filter(org.apache.spark.sql.functions.col("opt").isNull).count()
+      == 200 / 9)
+  }
+
+  test("orc: partitionBy layout and filter pushdown reach the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orcp").toString + "/out"
+    val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}", s"doc $i"))
+      .toDF("id", "part", "text")
+    Writers.write(df, DestinationConfig("orc", file = dir,
+      partitionBy = Seq("part")))
+    assert(new java.io.File(dir).listFiles.exists(_.getName == "part=p1"),
+      "hive-style partition dirs")
+    val back = Readers.read(spark, SourceConfig("orc", file = dir))
+      .filter($"part" === "p1" && $"id" > 100)
+    assert(back.count() == df.filter($"part" === "p1" && $"id" > 100).count())
+    val plan = back.queryExecution.executedPlan.toString
+    // partition pruning on `part` (PartitionFilters) and a pushed
+    // predicate on `id` (PushedFilters) must both reach the ORC scan
+    assert(plan.contains("PartitionFilters") && plan.contains("part"),
+      s"expected partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,100)"),
+      s"expected id pushdown in:\n$plan")
+  }
+
+  test("orc streaming: file-source catch-up run lands orc parts exactly once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-orcs").toString
+    val in = base + "/in"; val out = base + "/out"; val ck = base + "/ck"
+    (1 to 50).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+      .write.orc(in)
+    val src = Readers.read(spark, SourceConfig("orc", file = in, streaming = true))
+    assert(src.isStreaming)
+    Writers.writeStream(src, DestinationConfig("orc", file = out, checkpoint = ck))
+    assert(spark.read.orc(out).count() == 50)
+    // second invocation with the same checkpoint: nothing new -> no dupes
+    val src2 = Readers.read(spark, SourceConfig("orc", file = in, streaming = true))
+    Writers.writeStream(src2, DestinationConfig("orc", file = out, checkpoint = ck))
+    assert(spark.read.orc(out).count() == 50, "checkpoint gives exactly-once")
+  }
+
   test("env expansion: $VAR, ${VAR}, %VAR%; unset -> empty (util.go:12-34)") {
     import graft.cli.Util
     val k = sys.env.keys.headOption.getOrElse("HOME")
