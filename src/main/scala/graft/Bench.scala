@@ -74,6 +74,11 @@ object Bench {
       // the vocabulary purely to compare; the native path is benched
       // via q_llm_bpe_encode_1k)
       "q_llm_bpe_native_check",
+      // unigram coverage/normalization verdict (correctness fixture —
+      // the trained pipeline itself is benched via
+      // q_llm_unigram_fertility); the playbook face is a result-twin
+      // and its _check runs the op twice by construction
+      "q_llm_unigram_check", "q_playbook_unigram", "q_playbook_unigram_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

@@ -84,6 +84,8 @@ object AnalyticsCompiler {
       "idCol vecCol vecDims k [method=ivf|lsh nlist=16 nprobe=2 planes=8 tables=4] — approximate nearest neighbors over an embedding column (cosine; LSH is the multi-table path)"),
     "bpe_fertility"  -> (Seq("textCol", "sourceCol"),
       "textCol sourceCol [numMerges=40 nativeEncode=false] — train BPE merges on this frame (eager, vocabulary-bounded) and report per-source tokenizer fertility"),
+    "unigram_fertility" -> (Seq("textCol", "sourceCol"),
+      "textCol sourceCol [vocabSize=300 maxPieceLen=8 emIters=4] — train a unigram-LM tokenizer (Kudo 2018, SentencePiece family) on this frame (eager, vocabulary-bounded EM) and report per-source fertility"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -126,6 +128,7 @@ object AnalyticsCompiler {
     "dsir_weight"    -> Set("refWhere", "refTextCol", "buckets", "portableHashing"),
     "ann_topk"       -> Set("method", "nlist", "nprobe", "planes", "tables"),
     "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
+    "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
     "chunk_docs"     -> Set("overlap"),
@@ -488,6 +491,16 @@ object AnalyticsCompiler {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Tokenizer.bpeFertility(df, text, str(p, "sourceCol").get,
           merges, nativeEncode = bool(p, "nativeEncode"))
+      case "unigram_fertility" =>
+        // same eager vocabulary-bounded training pattern as bpe_fertility
+        val text = str(p, "textCol").get
+        val mpl = int(p, "maxPieceLen").getOrElse(8)
+        val vocab = graft.ops.Tokenizer.unigramTrainLocalFrom(df, text,
+          vocabSize = int(p, "vocabSize").getOrElse(300),
+          maxPieceLen = mpl,
+          emIters = int(p, "emIters").getOrElse(4))
+        graft.ops.Tokenizer.unigramFertility(df, text,
+          str(p, "sourceCol").get, vocab, maxPieceLen = mpl)
       case "pack_windows" =>
         graft.ops.Packing.packWindows(df, str(p, "idCol").get, str(p, "textCol").get,
           capacity = int(p, "capacity").get, shards = int(p, "shards").getOrElse(64))

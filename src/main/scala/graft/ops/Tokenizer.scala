@@ -148,6 +148,251 @@ object Tokenizer {
       .withColumn("n_chars", length(col("w")).cast("long"))
   }
 
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo 2018, the SentencePiece default family)
+  // ------------------------------------------------------------------
+
+  /**
+   * Train a unigram-LM tokenizer (Kudo 2018 "Subword Regularization",
+   * the SentencePiece default; the reference engine has no tokenizer
+   * surface — north-star scope, same family as [[bpeTrain]]).
+   *
+   * Same scale split as BPE: the CORPUS-VOLUME stage is the
+   * map-side-combined word-frequency shuffle, capped deterministically
+   * at `maxVocab` distinct words; seeding + EM then run driver-side on
+   * that bounded table (state = seedSize pieces + maxVocab words —
+   * vocabulary-scale, never corpus-scale).
+   *
+   * Algorithm (simplified but faithful EM core):
+   *  1. Seed: every substring of length 1..maxPieceLen of every word,
+   *     occurrence-counted weighted by word frequency; keep ALL single
+   *     characters (coverage guarantee) + the top `seedSize` longer
+   *     substrings by (count desc, piece asc) — deterministic.
+   *  2. `emIters` rounds of exact forward-backward EM over each word's
+   *     segmentation lattice: expected piece counts from posteriors,
+   *     M-step renormalizes. Corpus log-likelihood is non-decreasing
+   *     (spec-pinned).
+   *  3. One final prune to `vocabSize`: all single chars survive, the
+   *     rest ranked by trained logprob (desc, piece asc); renormalize.
+   *     (SentencePiece prunes by likelihood-loss every round; the
+   *     single final frequency-rank prune keeps the trainer exact-EM
+   *     and fully deterministic — the standard simplification.)
+   *
+   * Output: one row per piece (rank, piece, n_chars, logprob_micro) —
+   * logprob quantized to integer micros so downstream fixtures hash
+   * stably.
+   */
+  def unigramTrain(df: DataFrame, textCol: String,
+                   vocabSize: Int = 300, maxPieceLen: Int = 8,
+                   seedSize: Int = 3000, emIters: Int = 4,
+                   maxVocab: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val vocab = unigramTrainLocalFrom(df, textCol, vocabSize, maxPieceLen,
+      seedSize, emIters, maxVocab)
+    import spark.implicits._
+    vocab.toSeq.sortBy { case (p, lp) => (-lp, p) }.zipWithIndex
+      .map { case ((p, lp), i) =>
+        (i + 1, p, p.length.toLong, math.round(lp * 1e6)) }
+      .toDF("rank", "piece", "n_chars", "logprob_micro")
+  }
+
+  /** Distributed word count → trained unigram vocab as the in-memory
+    * map [[unigramFertility]] / [[unigramEncode]] consume (piece →
+    * normalized logprob). Same deterministic `maxVocab`-bounded
+    * collect as [[unigramTrain]] — the only corpus-volume stage. */
+  def unigramTrainLocalFrom(df: DataFrame, textCol: String,
+      vocabSize: Int = 300, maxPieceLen: Int = 8, seedSize: Int = 3000,
+      emIters: Int = 4, maxVocab: Int = 100000): Map[String, Double] = {
+    val wf = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    unigramTrainLocal(wf, vocabSize, maxPieceLen, seedSize, emIters)
+  }
+
+  /** The driver-side EM core, exposed for spec-level property pinning
+    * (likelihood monotonicity, planted-piece recovery, determinism). */
+  private[ops] def unigramTrainLocal(wf: Array[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, seedSize: Int,
+      emIters: Int): Map[String, Double] =
+    unigramTrainLocalTraced(wf, vocabSize, maxPieceLen, seedSize, emIters)._1
+
+  /** Same, returning the per-round marginal corpus log-likelihood
+    * trace (the E-step LL of the model entering each round — the
+    * quantity EM guarantees non-decreasing). */
+  private[ops] def unigramTrainLocalTraced(wf: Array[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, seedSize: Int,
+      emIters: Int): (Map[String, Double], Seq[Double]) = {
+    val NegInf = Double.NegativeInfinity
+    def logAdd(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+
+    // 1. seed counts (occurrence-weighted)
+    val counts = scala.collection.mutable.HashMap.empty[String, Double]
+    for ((w, f) <- wf; i <- 0 until w.length;
+         l <- 1 to math.min(maxPieceLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      counts(p) = counts.getOrElse(p, 0.0) + f.toDouble
+    }
+    val chars = counts.keysIterator.filter(_.length == 1).toVector.sorted
+    val multi = counts.iterator.filter(_._1.length >= 2).toVector
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize).map(_._1)
+    var pieces: Vector[String] = chars ++ multi
+    val totalSeed = pieces.iterator.map(counts).sum
+    var logp: Map[String, Double] =
+      pieces.iterator.map(p => p -> math.log(counts(p) / totalSeed)).toMap
+
+    // 2. EM
+    def emRound(cur: Map[String, Double]): (Map[String, Double], Double) = {
+      val exp = scala.collection.mutable.HashMap.empty[String, Double]
+      var ll = 0.0
+      for ((w, f) <- wf) {
+        val n = w.length
+        val alpha = Array.fill(n + 1)(NegInf); alpha(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          val lm = math.min(maxPieceLen, i)
+          while (l <= lm) {
+            val lp = cur.getOrElse(w.substring(i - l, i), NegInf)
+            if (lp != NegInf && alpha(i - l) != NegInf)
+              alpha(i) = logAdd(alpha(i), alpha(i - l) + lp)
+            l += 1
+          }
+          i += 1
+        }
+        val beta = Array.fill(n + 1)(NegInf); beta(n) = 0.0
+        var j = n - 1
+        while (j >= 0) {
+          var l = 1
+          val lm = math.min(maxPieceLen, n - j)
+          while (l <= lm) {
+            val lp = cur.getOrElse(w.substring(j, j + l), NegInf)
+            if (lp != NegInf && beta(j + l) != NegInf)
+              beta(j) = logAdd(beta(j), beta(j + l) + lp)
+            l += 1
+          }
+          j -= 1
+        }
+        val z = alpha(n)
+        if (z != NegInf) {
+          ll += f * z
+          var a = 0
+          while (a < n) {
+            var l = 1
+            val lm = math.min(maxPieceLen, n - a)
+            while (l <= lm) {
+              val p = w.substring(a, a + l)
+              val lp = cur.getOrElse(p, NegInf)
+              if (lp != NegInf && alpha(a) != NegInf && beta(a + l) != NegInf) {
+                val post = math.exp(alpha(a) + lp + beta(a + l) - z)
+                if (post > 0) exp(p) = exp.getOrElse(p, 0.0) + f * post
+              }
+              l += 1
+            }
+            a += 1
+          }
+        }
+      }
+      val tot = exp.values.sum
+      // single characters are floored at a vanishing expected count so
+      // the coverage guarantee survives EM (a char fully explained by
+      // longer pieces would otherwise drop to -inf and break encoding
+      // of unseen words)
+      val next = pieces.iterator.map { p =>
+        val c = exp.getOrElse(p, 0.0)
+        val c2 = if (p.length == 1) math.max(c, 1e-12) else c
+        p -> (if (c2 > 0) math.log(c2 / tot) else NegInf)
+      }.filter(_._2 != NegInf).toMap
+      (next, ll)
+    }
+    val llTrace = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to emIters) {
+      val (next, ll) = emRound(logp)
+      logp = next
+      pieces = pieces.filter(logp.contains)
+      llTrace += ll
+    }
+
+    // 3. prune to vocabSize: chars always survive
+    val keptChars = pieces.filter(_.length == 1)
+    val keptMulti = pieces.filter(_.length >= 2)
+      .sortBy(p => (-logp(p), p))
+      .take(math.max(0, vocabSize - keptChars.size))
+    val kept = (keptChars ++ keptMulti).toVector
+    val z = kept.iterator.map(logp).reduceOption(logAdd).getOrElse(0.0)
+    (kept.iterator.map(p => p -> (logp(p) - z)).toMap, llTrace.toSeq)
+  }
+
+  /**
+   * Viterbi segmentation of ONE word under a unigram vocab: the
+   * max-logprob path through the piece lattice (ties resolve to the
+   * shortest final piece — fixed iteration order, fully
+   * deterministic). Characters absent from the vocab pass through as
+   * single-char pieces (SentencePiece's UNK-char fallback), so the
+   * concatenation of the output ALWAYS reconstructs the word.
+   */
+  def unigramEncode(word: String, vocab: Map[String, Double],
+                    maxPieceLen: Int = 8): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val NegInf = Double.NegativeInfinity
+    // unknown single chars get a score below every real piece but
+    // above -inf, so a path always exists
+    val unkPenalty = -1e6
+    def score(p: String): Double =
+      vocab.getOrElse(p, if (p.length == 1) unkPenalty else NegInf)
+    val best = Array.fill(n + 1)(NegInf); best(0) = 0.0
+    val back = Array.fill(n + 1)(0)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lm = math.min(maxPieceLen, i)
+      while (l <= lm) {
+        val s = score(word.substring(i - l, i))
+        if (s != NegInf && best(i - l) != NegInf && best(i - l) + s > best(i)) {
+          best(i) = best(i - l) + s; back(i) = l
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { out += word.substring(pos - back(pos), pos); pos -= back(pos) }
+    out.reverseIterator.toArray
+  }
+
+  /**
+   * Per-source unigram fertility report — the [[bpeFertility]] twin
+   * for the unigram family, same columns, same scale shape (one
+   * corpus-volume (source, word) shuffle; Viterbi runs only on the
+   * distinct-word relation; the vocab rides in by closure).
+   */
+  def unigramFertility(df: DataFrame, textCol: String, sourceCol: String,
+                       vocab: Map[String, Double],
+                       maxPieceLen: Int = 8): DataFrame = {
+    val v = vocab
+    val nTok = udf((w: String) => unigramEncode(w, v, maxPieceLen).length)
+    val sw = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val enc = sw.select(col("w")).distinct()
+      .withColumn("n_tok", nTok(col("w")).cast("long"))
+      .withColumn("n_chr", length(col("w")).cast("long"))
+    sw.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_micro", expr("n_chars * 1000000 div n_tokens"))
+  }
+
   /**
    * Per-source tokenizer fertility report: words, BPE tokens, chars,
    * fertility (tokens per word) and compression (chars per token) in

@@ -515,6 +515,52 @@ object LlmQueries {
           FROM documents WHERE text IS NOT NULL)) AS n_words,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // Unigram-LM tokenizer (Kudo 2018 — the SentencePiece-default
+    // family, next to BPE). Training is exact forward-backward EM over
+    // the vocabulary-bounded word table (iterative, not
+    // SQL-expressible) → the fertility report is rows-only like the
+    // iterative-BPE trio; the _check row below pins the trained
+    // model's contracts through the DuckDB gate.
+    Q("q_llm_unigram_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.Tokenizer.unigramTrainLocalFrom(docs, "text",
+          vocabSize = 300, emIters = 3)
+        graft.ops.Tokenizer.unigramFertility(docs, "text", "source", vocab)
+      },
+      None),
+
+    // Gate-visible unigram contracts: on the REAL corpus vocabulary,
+    // (1) Viterbi segmentation under the trained model reconstructs
+    // every distinct word exactly (full coverage, the property that
+    // makes a tokenizer lossless), (2) the trained piece distribution
+    // normalizes (sum of probs = 1), (3) the prune bound held. DuckDB
+    // restates the distinct-word count; the contract counters pin to
+    // constants.
+    Q("q_llm_unigram_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.Tokenizer.unigramTrainLocalFrom(docs, "text",
+          vocabSize = 300, emIters = 3)
+        val normOk = math.abs(vocab.values.map(math.exp).sum - 1.0) < 1e-9
+        val sizeOk = vocab.size <= 300
+        val enc = udf((w: String) =>
+          graft.ops.Tokenizer.unigramEncode(w, vocab).mkString)
+        docs.filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(enc(col("w")) =!= col("w"), 1L).otherwise(0L))
+              .as("n_unreconstructed"))
+          .withColumn("norm_ok", lit(normOk))
+          .withColumn("size_ok", lit(sizeOk))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT w) FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)) AS n_words,
+        CAST(0 AS BIGINT) AS n_unreconstructed,
+        CAST(TRUE AS BOOLEAN) AS norm_ok,
+        CAST(TRUE AS BOOLEAN) AS size_ok""")),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

@@ -83,6 +83,21 @@ object PlaybookQueries {
     |    numMerges: 40
     |""".stripMargin
 
+  private def unigramYaml(dir: String): String = s"""
+    |source:
+    |  type: parquet
+    |  file: $dir/documents.parquet
+    |destination:
+    |  type: parquet
+    |  file: /tmp/graft_playbook_unused
+    |analytics:
+    |  - op: unigram_fertility
+    |    textCol: text
+    |    sourceCol: source
+    |    vocabSize: 300
+    |    emIters: 3
+    |""".stripMargin
+
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
   private val synthUrlSql: String =
@@ -494,6 +509,36 @@ object PlaybookQueries {
         val pb = run(s, bpeYaml(dir)).select(col("source") +:
           metrics.map(m => col(m).as(s"p_$m")): _*)
         val api = twinFn("q_llm_bpe_fertility")(s, dir).select(col("source") +:
+          metrics.map(m => col(m).as(s"a_$m")): _*)
+        val diff = metrics
+          .map(m => col(s"p_$m").isNull || col(s"a_$m").isNull ||
+            col(s"p_$m") =!= col(s"a_$m"))
+          .reduce(_ || _)
+        pb.join(api, Seq("source"), "full_outer")
+          .agg(
+            countDistinct(when(col("p_n_words").isNotNull, col("source"))).as("n_sources"),
+            sum(when(diff, 1L).otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT source) FROM documents
+          WHERE text IS NOT NULL) AS n_sources,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Unigram-LM fertility from config (r12 family twin of
+    // q_llm_unigram_fertility — EM training is iterative, so rows-only;
+    // the _check below pins config-path ≡ API-path exactly).
+    Q("q_playbook_unigram", (s, dir) => run(s, unigramYaml(dir)), None),
+
+    // Engine-internal equivalence oracle for the config path: the
+    // playbook-compiled unigram_fertility stage (EM train + Viterbi +
+    // report) must match its direct-API twin row for row — all five
+    // per-source counters are integer-exact, zero-tolerance compare.
+    Q("q_playbook_unigram_check",
+      (s, dir) => {
+        val metrics = Seq("n_words", "n_tokens", "n_chars",
+          "fertility_micro", "chars_per_token_micro")
+        val pb = run(s, unigramYaml(dir)).select(col("source") +:
+          metrics.map(m => col(m).as(s"p_$m")): _*)
+        val api = twinFn("q_llm_unigram_fertility")(s, dir).select(col("source") +:
           metrics.map(m => col(m).as(s"a_$m")): _*)
         val diff = metrics
           .map(m => col(s"p_$m").isNull || col(s"a_$m").isNull ||

@@ -89,7 +89,13 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // encoder is deliberately a UDF, applied only to the DISTINCT-WORD
     // relation (vocabulary-bounded, same documented boundary as
     // q_llm_bpe_fertility)
-    "q_llm_bpe_native_check")
+    "q_llm_bpe_native_check",
+    // unigram-LM family (r12): Viterbi segmentation is inherently
+    // iterative per word and runs ONLY on the distinct-word relation —
+    // the same vocabulary-bounded boundary as the BPE rows above
+    // (playbook face + equivalence check carry the same UDF)
+    "q_llm_unigram_fertility", "q_llm_unigram_check",
+    "q_playbook_unigram", "q_playbook_unigram_check")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
