@@ -818,6 +818,101 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document NLL under an interpolated KNESER-NEY bigram LM fitted
+   * on the corpus itself — the canonical n-gram smoothing (Kneser &
+   * Ney 1995; Chen & Goodman 1999 empirical study), one rung above the
+   * Jelinek-Mercer mix of [[bigramLogProb]]: instead of backing off to
+   * raw unigram frequency, the lower-order distribution is the
+   * CONTINUATION probability (how many distinct contexts a word
+   * follows), which stops high-frequency-but-context-bound words
+   * ("francisco") from absorbing backoff mass:
+   *
+   *   P(cur|prev) = max(c(prev,cur) − D, 0)/c(prev·)
+   *               + (D · N1+(prev·)/c(prev·)) · P_cont(cur)
+   *   P_cont(cur) = (N1+(·cur) + 1)/(B + V)        [add-one so doc-
+   *                 initial-only words stay finite; B = distinct
+   *                 bigram types, V = vocabulary]
+   *
+   * with the standard discount D = 0.75. The first token of each doc
+   * scores on P_cont alone, so EVERY non-null doc appears (including
+   * single-token docs). Self-trained, so every transition has
+   * c(prev,cur) ≥ 1 and c(prev·) ≥ 1 — no zero-context branch.
+   *
+   * Determinism contract (the unigram-NLL precedent): all counts are
+   * exact integers; the probability is the STATED IEEE double tree
+   * (restated verbatim in the oracle), per-unit NLL quantizes to
+   * integer micros BEFORE the per-doc sum, the mean is INTEGRAL
+   * division — no FP rides any exchange.
+   *
+   * Scale shape: transitions are ROW-LOCAL (zip_with over the token
+   * array — no positional shuffle) and pre-aggregated per (doc, prev,
+   * cur) so the one corpus-volume shuffle is fully map-side combined
+   * (each doc is one input row, so every triple reduces locally). The
+   * bigram-TYPE table — vocabulary²-bounded, tiny next to the corpus —
+   * is persisted via [[CachedRelations]] (exchange reuse cannot span
+   * an InMemoryRelation, and without the persist each of its three
+   * consumers would replay the corpus explode+shuffle); context /
+   * continuation / (B, V) statistics and the per-TYPE probability all
+   * derive from that one cached relation at type volume, and scoring
+   * is a single join of the per-doc counts against the type-level NLL
+   * (AQE broadcasts it when it fits). Caller releases the cache via
+   * [[CachedRelations.releaseAll]] after the action, like every other
+   * internally-persisting operator.
+   */
+  def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val toked = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    val tf = toked.select(col("id"), explode(zip_with(
+      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+      slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
+      .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
+      .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
+    val big = CachedRelations.track(
+      tf.groupBy(col("prev"), col("cur")).agg(sum(col("_tf")).as("_cab")).persist())
+    // per-context totals AND distinct-continuation counts in one pass
+    // over the bigram-type table (row count per prev IS N1+(prev·))
+    val ctx = big.groupBy(col("prev"))
+      .agg(sum(col("_cab")).as("_ca"), count(lit(1)).as("_n1prev"))
+    val cont = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
+    val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
+      toked.select(explode(col("_toks")).as("term"))
+        .agg(count_distinct(col("term")).as("_v")))
+    val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
+      (col("_b") + col("_v")).cast("double")
+    val firstTok = toked
+      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
+      .join(cont, Seq("cur"), "left")
+      .crossJoin(broadcast(bv))
+      .select(col("id"), lit(1L).as("_units"),
+        floor(-log(pCont) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+    // NLL per bigram TYPE (type-volume work, all from the cached big),
+    // joined back to the per-doc counts: occurrences of one type share
+    // one probability, so weighting by _tf is exactly the per-
+    // transition sum.
+    val typeNll = big
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("cur"))
+      .crossJoin(broadcast(bv))
+      .select(col("prev"), col("cur"),
+        floor(-log(
+          greatest(col("_cab").cast("double") - lit(0.75), lit(0.0)) /
+            col("_ca").cast("double") +
+          ((lit(0.75) * col("_n1prev").cast("double")) /
+            col("_ca").cast("double")) * pCont
+        ) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+    val transNll = tf.join(typeNll, Seq("prev", "cur"))
+      .select(col("id"), col("_tf").as("_units"), col("_nll"))
+    firstTok.unionByName(transNll)
+      .groupBy(col("id"))
+      .agg(sum(col("_units")).as("n_tokens"),
+        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Lexical-diversity stats per document: token count, distinct-type
    * count, hapax count (types occurring exactly once in the doc), and
    * the type-token / hapax ratios in integer micros (INTEGRAL division

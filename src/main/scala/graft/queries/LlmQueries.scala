@@ -2130,9 +2130,16 @@ object LlmQueries {
       },
       Some(LlmOracles.textKnnMd5)),
 
-    // Printable-ASCII character entropy in micro-nats: the cheap
-    // junk/padding/random-key detector; surprisal micro-quantized
-    // row-wise, entropy an exact integral division.
+    // Interpolated Kneser-Ney bigram NLL (the canonical n-gram
+    // smoothing): continuation-probability backoff, D=0.75, add-one
+    // continuation floor; self-trained on the corpus. The oracle
+    // restates the exact IEEE probability tree over the same integer
+    // count tables.
+    Q("q_llm_kn_ppl",
+      (s, dir) => TextAnalysis.kneserNeyLogProb(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.knPpl)),
+
     // Reference-trained bigram LM perplexity (the CCNet production
     // shape q_llm_bigram_nll's self-fit model can't express): model
     // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
@@ -2202,6 +2209,9 @@ object LlmQueries {
         "doc_id", "url"),
       Some(LlmOracles.urlDedup)),
 
+    // Printable-ASCII character entropy in micro-nats: the cheap
+    // junk/padding/random-key detector; surprisal micro-quantized
+    // row-wise, entropy an exact integral division.
     Q("q_llm_char_entropy",
       (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.charEntropy)),
@@ -3749,6 +3759,43 @@ object LlmOracles {
         ELSE 0 END AS BIGINT) AS mean_sent_tokens_micro,
       regexp_matches(rtrim(text), '[.!?]$') AS ends_terminal
     FROM tk"""
+
+  /** Oracle of q_llm_kn_ppl: the same integer count tables (bigram
+    * types, per-context totals + distinct continuations, continuation
+    * counts, (B, V) totals) and the VERBATIM IEEE probability tree of
+    * TextAnalysis.kneserNeyLogProb — max(c−D,0)/ca + (D·n1prev/ca) ·
+    * (n1cur+1)/(B+V), D = 0.75 — micro-quantized per scored unit. */
+  val knPpl: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tr AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS cur FROM
+      (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM d) x),
+    big AS (SELECT prev, cur, COUNT(*) AS cab FROM tr GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(SUM(cab) AS BIGINT) AS ca, COUNT(*) AS n1prev
+      FROM big GROUP BY 1),
+    cont AS (SELECT cur, COUNT(*) AS n1cur FROM big GROUP BY 1),
+    bv AS (SELECT (SELECT COUNT(*) FROM big) AS b,
+      (SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM d)) AS v),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(n1cur, 0) + 1) / CAST(b + v AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS cur FROM d) ft
+      LEFT JOIN cont ON cont.cur = ft.cur CROSS JOIN bv),
+    ts AS (SELECT doc_id,
+        CAST(floor(-ln(
+          greatest(cab - 0.75, 0.0) / CAST(ca AS DOUBLE)
+          + ((0.75 * n1prev) / CAST(ca AS DOUBLE))
+            * ((n1cur + 1) / CAST(b + v AS DOUBLE))
+        ) * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM tr
+      JOIN big ON big.prev = tr.prev AND big.cur = tr.cur
+      JOIN ctx ON ctx.prev = tr.prev
+      JOIN cont ON cont.cur = tr.cur CROSS JOIN bv),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
 
   /** Oracle of [[graft.ops.TextAnalysis.bigramLogProbRef]] over the
     * even-doc_id training split: identical count tables and the
