@@ -913,6 +913,139 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document NLL under a STUPID-BACKOFF trigram LM (Brants et al.
+   * 2007, "Large Language Models in Machine Translation") — the
+   * smoothing built FOR distributed corpus scale: no discounting, no
+   * normalization, just raw relative frequencies with a fixed backoff
+   * penalty α = 0.4, which is exactly what makes it computable as
+   * plain count joins at trillions of tokens (the paper's MapReduce
+   * argument is this engine's Spark argument):
+   *
+   *   S(w | u, v) = c(uvw)/c(uv)                 if c(uvw) > 0
+   *               = 0.4 · S(w | v)               otherwise
+   *   S(w | v)    = c(vw)/c(v)                   if c(vw) > 0
+   *               = 0.4 · S(w)                   otherwise
+   *   S(w)        = (c(w) + 1)/(N + V)           [add-one floor — the
+   *                 [[bigramLogProbRef]] convention, so unseen words
+   *                 score finitely; Brants assumes a closed vocab]
+   *
+   * Like [[bigramLogProbRef]] it is reference-trained (`train`
+   * defaults to the scored frame): position 1 of each doc scores on
+   * S(w), position 2 on S(w|v), positions ≥ 3 on the trigram chain —
+   * EVERY non-null doc appears, and scoring a corpus disjoint from
+   * training exercises every backoff rung. S is a score, not a
+   * probability (it does not sum to 1 over w) — fine for the ranking /
+   * filtering uses perplexity partitions put it to, and stated here so
+   * nobody integrates it as one.
+   *
+   * Determinism contract: exact integer counts; the score is the
+   * STATED IEEE double tree with the α multiplications NESTED exactly
+   * as written (0.4·(0.4·p) is NOT 0.16·p in floating point — the
+   * oracle restates the same nesting); per-unit NLL quantizes to
+   * integer micros before the per-doc sum; the mean is INTEGRAL
+   * division.
+   *
+   * Scale shape: n-gram extraction is ROW-LOCAL (zip_with over token-
+   * array slices); scored trigrams pre-aggregate per (doc, u, v, w) so
+   * the corpus-volume shuffle is fully map-side combined. The training
+   * BIGRAM type table has two consumers (context counts c(uv) and
+   * bigram counts c(vw)) and the UNIGRAM table three (c(v), c(w), the
+   * floor) — both are vocabulary-bounded and persisted via
+   * [[CachedRelations]] so the training corpus is read once per order,
+   * not once per consumer; the trigram type table has one consumer and
+   * stays unpersisted. All model joins are LEFT joins on their own
+   * keys (AQE broadcasts them when they fit); the one-row (N, V)
+   * aggregate broadcasts explicitly. Caller releases via
+   * [[CachedRelations.releaseAll]] after the action.
+   */
+  def stupidBackoffLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String,
+                           train: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    val trainDf = Option(train).getOrElse(df)
+    def toked(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("v"), b.as("w")))).as("_p"))
+        .select(col("id"), col("_p.v").as("v"), col("_p.w").as("w"))
+    def triples(d: org.apache.spark.sql.DataFrame) =
+      d.filter(size(col("_toks")) >= 3)
+        .select(col("id"), explode(zip_with(
+          zip_with(
+            slice(col("_toks"), lit(1), size(col("_toks")) - 2),
+            slice(col("_toks"), lit(2), size(col("_toks")) - 2),
+            (a, b) => struct(a.as("u"), b.as("v"))),
+          slice(col("_toks"), lit(3), size(col("_toks")) - 2),
+          (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
+            c.as("w")))).as("_t"))
+        .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"),
+          col("_t.w").as("w"))
+    val trainToks = toked(trainDf)
+    val uni = CachedRelations.track(
+      trainToks.select(explode(col("_toks")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("_cu")).persist())
+    val nv = uni.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
+    val bi = CachedRelations.track(
+      pairs(trainToks).groupBy(col("v"), col("w"))
+        .agg(count(lit(1)).as("_cvw")).persist())
+    val tri = triples(trainToks).groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("_cuvw"))
+    val scoreToks = toked(df)
+    // S(w): add-one unigram floor over the training counts
+    val sUni = (coalesce(col("_cu_w"), lit(0L)) + lit(1)).cast("double") /
+      (col("_n") + col("_v")).cast("double")
+    // S(w|v): bigram relative frequency, else α·S(w)
+    val sBi = when(coalesce(col("_cvw"), lit(0L)) > 0,
+      col("_cvw").cast("double") / col("_cu_v").cast("double"))
+      .otherwise(lit(0.4) * sUni)
+    val uniW = uni.select(col("term").as("w"), col("_cu").as("_cu_w"))
+    val uniV = uni.select(col("term").as("v"), col("_cu").as("_cu_v"))
+    val firstTok = scoreToks
+      .select(col("id"), element_at(col("_toks"), 1).as("w"))
+      .join(uniW, Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("id"), lit(1L).as("_units"),
+        floor(-log(sUni) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+    val secondTok = scoreToks.filter(size(col("_toks")) >= 2)
+      .select(col("id"), element_at(col("_toks"), 1).as("v"),
+        element_at(col("_toks"), 2).as("w"))
+      .join(bi, Seq("v", "w"), "left")
+      .join(uniV, Seq("v"), "left")
+      .join(uniW, Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("id"), lit(1L).as("_units"),
+        floor(-log(sBi) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+    // positions >= 3: pre-aggregated per (doc, u, v, w), scored by the
+    // full backoff chain — trigram, else α·bigram, else α·(α·floor)
+    val tf3 = triples(scoreToks)
+      .groupBy(col("id"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("_tf"))
+    val triNll = tf3
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(bi.select(col("v").as("u"), col("w").as("v"),
+        col("_cvw").as("_cuv_bi")), Seq("u", "v"), "left")
+      .join(bi, Seq("v", "w"), "left")
+      .join(uniV, Seq("v"), "left")
+      .join(uniW, Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("id"), col("_tf").as("_units"),
+        floor(-log(
+          when(coalesce(col("_cuvw"), lit(0L)) > 0,
+            col("_cuvw").cast("double") / col("_cuv_bi").cast("double"))
+            .otherwise(lit(0.4) * sBi)
+        ) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+    firstTok.unionByName(secondTok).unionByName(triNll)
+      .groupBy(col("id"))
+      .agg(sum(col("_units")).as("n_tokens"),
+        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Lexical-diversity stats per document: token count, distinct-type
    * count, hapax count (types occurring exactly once in the doc), and
    * the type-token / hapax ratios in integer micros (INTEGRAL division

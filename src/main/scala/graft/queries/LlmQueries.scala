@@ -2140,6 +2140,25 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.knPpl)),
 
+    // Stupid Backoff trigram NLL (Brants 2007) — the smoothing built
+    // FOR distributed scale. Trained on the original corpus, scoring a
+    // deterministically mutated stream (every 5th token gets a 'zzqq'
+    // prefix): runs of 4 clean tokens keep the top trigram branch
+    // firing while each mutation boundary forces unseen-trigram→bigram,
+    // unseen-bigram→floor, and full-OOV-floor rungs — ALL backoff
+    // branches pinned at volume, not just in the closed-form spec.
+    Q("q_llm_sb_ppl",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mutated = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), array_join(
+            transform(TextAnalysis.tokens(col("text")),
+              (tok, i) => when(i % 5 === 4, concat(lit("zzqq"), tok)).otherwise(tok)),
+            " ").as("text"))
+        TextAnalysis.stupidBackoffLogProb(mutated, "doc_id", "text", train = docs)
+      },
+      Some(LlmOracles.sbPpl)),
+
     // Reference-trained bigram LM perplexity (the CCNet production
     // shape q_llm_bigram_nll's self-fit model can't express): model
     // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
@@ -3792,6 +3811,62 @@ object LlmOracles {
       JOIN ctx ON ctx.prev = tr.prev
       JOIN cont ON cont.cur = tr.cur CROSS JOIN bv),
     al AS (SELECT * FROM fs UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
+
+  /** Oracle of q_llm_sb_ppl: Stupid-Backoff trigram scoring with the
+    * identical count tables (trained on the UNMUTATED corpus, scored
+    * on the every-5th-token-mutated stream) and the VERBATIM IEEE
+    * score tree — c(uvw)/c(uv), else 0.4·(c(vw)/c(v)), else
+    * 0.4·(0.4·(c(w)+1)/(N+V)) with the α multiplications NESTED as in
+    * the engine — micro-quantized per scored unit. */
+  val sbPpl: String = """
+    WITH d0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id,
+        list_transform(range(len(toks)),
+          i -> CASE WHEN i % 5 = 4 THEN 'zzqq' || toks[i+1] ELSE toks[i+1] END) AS toks
+      FROM d0),
+    uni AS (SELECT tok AS term, COUNT(*) AS cu FROM
+      (SELECT unnest(toks) AS tok FROM d0) GROUP BY 1),
+    nv AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntot, COUNT(*) AS vsz FROM uni),
+    bi AS (SELECT toks[i-1] AS bv, toks[i] AS bw, COUNT(*) AS cvw FROM
+      (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM d0) x GROUP BY 1, 2),
+    tri AS (SELECT toks[i-2] AS tu, toks[i-1] AS tv, toks[i] AS tw, COUNT(*) AS cuvw FROM
+      (SELECT toks, unnest(generate_series(3, len(toks))) AS i FROM d0) x GROUP BY 1, 2, 3),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(cu, 0) + 1) / CAST(ntot + vsz AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS w FROM d) ft
+      LEFT JOIN uni ON uni.term = ft.w CROSS JOIN nv),
+    ss AS (SELECT doc_id,
+        CAST(floor(-ln(
+          CASE WHEN coalesce(cvw, 0) > 0 THEN cvw / CAST(cv AS DOUBLE)
+          ELSE 0.4 * ((coalesce(cw, 0) + 1) / CAST(ntot + vsz AS DOUBLE)) END)
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS v, toks[2] AS w FROM d WHERE len(toks) >= 2) st
+      LEFT JOIN bi ON bi.bv = st.v AND bi.bw = st.w
+      LEFT JOIN (SELECT term, cu AS cv FROM uni) uv ON uv.term = st.v
+      LEFT JOIN (SELECT term, cu AS cw FROM uni) uw ON uw.term = st.w
+      CROSS JOIN nv),
+    ts AS (SELECT doc_id,
+        CAST(floor(-ln(
+          CASE WHEN coalesce(cuvw, 0) > 0 THEN cuvw / CAST(cuvbi AS DOUBLE)
+          ELSE 0.4 * (CASE WHEN coalesce(cvw, 0) > 0 THEN cvw / CAST(cv AS DOUBLE)
+                      ELSE 0.4 * ((coalesce(cw, 0) + 1) / CAST(ntot + vsz AS DOUBLE)) END) END)
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[i-2] AS u, toks[i-1] AS v, toks[i] AS w FROM
+        (SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i FROM d) y) sc
+      LEFT JOIN tri ON tri.tu = sc.u AND tri.tv = sc.v AND tri.tw = sc.w
+      LEFT JOIN (SELECT bv AS ju, bw AS jv, cvw AS cuvbi FROM bi) bc
+        ON bc.ju = sc.u AND bc.jv = sc.v
+      LEFT JOIN bi ON bi.bv = sc.v AND bi.bw = sc.w
+      LEFT JOIN (SELECT term, cu AS cv FROM uni) uv ON uv.term = sc.v
+      LEFT JOIN (SELECT term, cu AS cw FROM uni) uw ON uw.term = sc.w
+      CROSS JOIN nv),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ss UNION ALL SELECT * FROM ts)
     SELECT doc_id, COUNT(*) AS n_tokens,
       CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
