@@ -79,6 +79,12 @@ object Bench {
       // q_llm_unigram_fertility); the playbook face is a result-twin
       // and its _check runs the op twice by construction
       "q_llm_unigram_check", "q_playbook_unigram", "q_playbook_unigram_check",
+      // wordpiece family: same layout as unigram — the trained pipeline
+      // is benched via q_llm_wordpiece_fertility; the coverage verdict,
+      // the playbook result-twin, and its run-twice _check are
+      // correctness fixtures
+      "q_llm_wordpiece_check", "q_playbook_wordpiece",
+      "q_playbook_wordpiece_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

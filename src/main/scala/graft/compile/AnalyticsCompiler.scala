@@ -86,6 +86,8 @@ object AnalyticsCompiler {
       "textCol sourceCol [numMerges=40 nativeEncode=false] — train BPE merges on this frame (eager, vocabulary-bounded) and report per-source tokenizer fertility"),
     "unigram_fertility" -> (Seq("textCol", "sourceCol"),
       "textCol sourceCol [vocabSize=300 maxPieceLen=8 emIters=4] — train a unigram-LM tokenizer (Kudo 2018, SentencePiece family) on this frame (eager, vocabulary-bounded EM) and report per-source fertility"),
+    "wordpiece_fertility" -> (Seq("textCol", "sourceCol"),
+      "textCol sourceCol [numMerges=40] — train a WordPiece tokenizer (Schuster & Nakajima 2012, the BERT family; likelihood-ratio merges) on this frame (eager, vocabulary-bounded) and report per-source fertility incl. unk_words"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -129,6 +131,7 @@ object AnalyticsCompiler {
     "ann_topk"       -> Set("method", "nlist", "nprobe", "planes", "tables"),
     "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
+    "wordpiece_fertility" -> Set("numMerges"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
     "chunk_docs"     -> Set("overlap"),
@@ -491,6 +494,13 @@ object AnalyticsCompiler {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Tokenizer.bpeFertility(df, text, str(p, "sourceCol").get,
           merges, nativeEncode = bool(p, "nativeEncode"))
+      case "wordpiece_fertility" =>
+        // same eager vocabulary-bounded training pattern as bpe_fertility
+        val text = str(p, "textCol").get
+        val vocab = graft.ops.Tokenizer.wordpieceVocabFrom(df, text,
+          numMerges = int(p, "numMerges").getOrElse(40))
+        graft.ops.Tokenizer.wordpieceFertility(df, text,
+          str(p, "sourceCol").get, vocab)
       case "unigram_fertility" =>
         // same eager vocabulary-bounded training pattern as bpe_fertility
         val text = str(p, "textCol").get

@@ -54,12 +54,7 @@ object Tokenizer {
   def bpeTrain(df: DataFrame, textCol: String,
                numMerges: Int = 50, maxVocab: Int = 100000): DataFrame = {
     val spark = df.sparkSession
-    val wf = df.filter(col(textCol).isNotNull)
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wf = wordFreqsCapped(df, textCol, maxVocab)
     var words: Array[(Array[String], Long)] =
       wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -427,6 +422,235 @@ object Tokenizer {
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_tok")).as("n_tokens"),
         sum(col("cnt") * col("n_chr")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_micro", expr("n_chars * 1000000 div n_tokens"))
+  }
+
+  // ------------------------------------------------------------------
+  // WordPiece tokenizer (Schuster & Nakajima 2012 — the BERT family)
+  // ------------------------------------------------------------------
+
+  /** Split one word into WordPiece seed symbols: the first character
+    * bare, every later character with the `##` continuation prefix —
+    * the marking that lets greedy inference distinguish word-initial
+    * from word-internal pieces. */
+  private[ops] def wordpieceSymbols(word: String): Array[String] = {
+    val cs = word.split("").filter(_.nonEmpty)
+    cs.zipWithIndex.map { case (c, i) => if (i == 0) c else "##" + c }
+  }
+
+  /**
+   * WordPiece trainer iteration zero, fully relational and exactly
+   * oracle-able: for every adjacent seed-symbol pair, its corpus-
+   * weighted adjacency count `n` together with the standalone corpus
+   * frequencies of both symbols — the three integers the WordPiece
+   * score n / (left_freq * right_freq) is a pure function of
+   * (Schuster & Nakajima 2012 §III: merge the pair with the greatest
+   * unigram-LM likelihood gain, which reduces to that ratio). Emitting
+   * the raw integers instead of the quotient keeps the relation
+   * hash-exact in any engine — no floating division anywhere.
+   *
+   * Scale shape: identical to [[bpePairCounts]] — one map-side-
+   * combined word-frequency shuffle is the only corpus-volume stage;
+   * symbol/pair expansion is a row-local HOF over the distinct-word
+   * relation and the two frequency joins are vocabulary-sized (AQE
+   * broadcasts them).
+   */
+  def wordpiecePairScores(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — guard the
+    // empty-token row out before building index sequences
+    val symFreq = words.filter(length(col("w")) >= 1)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(w)),
+          |  i -> CASE WHEN i = 1 THEN substring(w, 1, 1)
+          |            ELSE concat('##', substring(w, i, 1)) END)""".stripMargin)).as("s"))
+      .groupBy(col("s")).agg(sum(col("freq")).as("f"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(
+          |    CASE WHEN i = 1 THEN substring(w, 1, 1)
+          |         ELSE concat('##', substring(w, i, 1)) END AS l,
+          |    concat('##', substring(w, i + 1, 1)) AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("n"))
+    pairs
+      .join(symFreq.select(col("s").as("left_sym"), col("f").as("left_freq")), "left_sym")
+      .join(symFreq.select(col("s").as("right_sym"), col("f").as("right_freq")), "right_sym")
+      .select(col("left_sym"), col("right_sym"), col("n"),
+        col("left_freq"), col("right_freq"))
+  }
+
+  /**
+   * Learn `numMerges` WordPiece merges: start from `##`-marked
+   * character symbols, each round fuse the adjacent pair maximizing
+   * score(a, b) = count(ab) / (count(a) * count(b)) — the likelihood
+   * gain of the fusion under a unigram LM (Schuster & Nakajima 2012;
+   * this scoring is what distinguishes WordPiece from BPE's raw
+   * count). The comparison is done on exact integers (cross-
+   * multiplied in BigInt, so no overflow and no FP ties); score ties
+   * break by (left, right) ascending — fully deterministic. Merging
+   * (a, ##b) yields a##b with the continuation prefix of `a` kept and
+   * `##b`'s stripped, so every learned symbol is itself a well-formed
+   * WordPiece vocabulary entry.
+   *
+   * Output: one row per merge (rank, left, right, merged, pair_count,
+   * left_freq, right_freq). Same scale split as [[bpeTrain]]: the
+   * corpus-volume stage is the word-frequency shuffle, capped
+   * deterministically at `maxVocab`; the merge loop is driver-side on
+   * that bounded table.
+   */
+  def wordpieceTrain(df: DataFrame, textCol: String,
+                     numMerges: Int = 50, maxVocab: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val wf = wordFreqsCapped(df, textCol, maxVocab)
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (wordpieceSymbols(w), f) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val sc = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((syms, f) <- words) {
+        for (s <- syms) sc.updateWith(s)(v => Some(v.getOrElse(0L) + f))
+        for (i <- 0 until syms.length - 1)
+          pc.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + f))
+      }
+      if (pc.isEmpty) done = true
+      else {
+        // maximize n/(fa*fb): candidate beats incumbent iff
+        // n1*fa2*fb2 > n2*fa1*fb1 (all positive) — exact in BigInt
+        var bestPair: (String, String) = null
+        var bestN = 0L; var bestD = BigInt(0)
+        for (((a, b), n) <- pc) {
+          val d = BigInt(sc(a)) * BigInt(sc(b))
+          val better =
+            if (bestPair == null) true
+            else {
+              val cmp = (BigInt(n) * bestD).compare(BigInt(bestN) * d)
+              cmp > 0 || (cmp == 0 &&
+                Ordering[(String, String)].lt((a, b), bestPair))
+            }
+          if (better) { bestPair = (a, b); bestN = n; bestD = d }
+        }
+        val (l, r) = bestPair
+        val merged = l + r.stripPrefix("##")
+        merges += ((rank, l, r, merged, bestN, sc(l), sc(r)))
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("rank", "left", "right", "merged", "pair_count", "left_freq", "right_freq")
+  }
+
+  /** The deterministic (freq desc, word asc) top-`maxVocab` word-
+    * frequency cut both char-level trainers start from. */
+  private def wordFreqsCapped(df: DataFrame, textCol: String,
+                              maxVocab: Int): Array[(String, Long)] =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /**
+   * Train a WordPiece model and return the full matching vocabulary
+   * [[wordpieceEncode]] consumes: every learned merged symbol PLUS
+   * both forms (`c`, `##c`) of every character in the corpus — the
+   * character seed is collected from the FULL distinct-word relation
+   * (alphabet-bounded distributed distinct, NOT the `maxVocab` cut),
+   * so greedy matching can always fall back to single characters and
+   * no training-corpus word ever degrades to `[UNK]`.
+   */
+  def wordpieceVocabFrom(df: DataFrame, textCol: String,
+                         numMerges: Int = 50,
+                         maxVocab: Int = 100000): Set[String] = {
+    val mergedSyms = wordpieceTrain(df, textCol, numMerges, maxVocab)
+      .select(col("merged")).collect().map(_.getString(0))
+    val chars = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0))
+    (chars.toSet ++ chars.map("##" + _) ++ mergedSyms)
+  }
+
+  /**
+   * WordPiece greedy longest-match-first inference (the BERT
+   * tokenizer's algorithm, distinct from training order): from each
+   * position take the LONGEST vocabulary entry that matches (with the
+   * `##` prefix when not word-initial); if no entry matches at some
+   * position the whole word becomes `unk` — the all-or-nothing UNK
+   * rule of the published algorithm.
+   */
+  def wordpieceEncode(word: String, vocab: Set[String],
+                      unk: String = "[UNK]"): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < n) {
+      var end = n
+      var hit: String = null
+      while (hit == null && end > start) {
+        val sub0 = word.substring(start, end)
+        val sub = if (start > 0) "##" + sub0 else sub0
+        if (vocab.contains(sub)) hit = sub else end -= 1
+      }
+      if (hit == null) return Array(unk)
+      out += hit
+      start = end
+    }
+    out.toArray
+  }
+
+  /**
+   * Per-source WordPiece fertility report — the [[bpeFertility]] /
+   * [[unigramFertility]] twin for the WordPiece family: same columns,
+   * same scale shape (one corpus-volume (source, word) shuffle; greedy
+   * encoding runs only on the distinct-word relation; the vocab set
+   * rides in by closure), plus `unk_words` — the corpus-weighted count
+   * of words that degraded to `[UNK]` (zero on the training corpus by
+   * the character-seed guarantee, nonzero the moment the model meets
+   * out-of-alphabet text — the health number a curation run watches).
+   */
+  def wordpieceFertility(df: DataFrame, textCol: String, sourceCol: String,
+                         vocab: Set[String]): DataFrame = {
+    val v = vocab
+    val enc = udf((w: String) => wordpieceEncode(w, v).toSeq)
+    val sw = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val encoded = sw.select(col("w")).distinct()
+      .withColumn("toks", enc(col("w")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("is_unk",
+        when(col("toks") === array(lit("[UNK]")), 1L).otherwise(0L))
+      .withColumn("n_chr", length(col("w")).cast("long"))
+      .drop("toks")
+    sw.join(encoded, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"),
+        sum(col("cnt") * col("is_unk")).as("unk_words"))
       .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
       .withColumn("chars_per_token_micro", expr("n_chars * 1000000 div n_tokens"))
   }

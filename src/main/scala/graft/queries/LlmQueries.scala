@@ -561,6 +561,84 @@ object LlmQueries {
         CAST(TRUE AS BOOLEAN) AS norm_ok,
         CAST(TRUE AS BOOLEAN) AS size_ok""")),
 
+    // WordPiece trainer iteration zero (Schuster & Nakajima 2012, the
+    // BERT family): for every adjacent ##-marked seed-symbol pair, the
+    // corpus-weighted adjacency count plus both symbols' standalone
+    // frequencies — the three integers the likelihood score
+    // n/(fa*fb) is a pure function of. Raw integers, exactly
+    // oracle-able (the iterative trainer repeats exactly this
+    // arithmetic; q_llm_wordpiece_merges covers the loop rows-only).
+    Q("q_llm_wordpiece_pairs",
+      (s, dir) => graft.ops.Tokenizer.wordpiecePairScores(t(s, dir, "documents"), "text"),
+      Some("""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+        sym AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                  ELSE '##' || substr(w, i, 1) END AS s, freq
+            FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS i
+                  FROM wf WHERE length(w) >= 1)),
+        sf AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS f FROM sym GROUP BY 1),
+        pr AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                  ELSE '##' || substr(w, i, 1) END AS left_sym,
+                '##' || substr(w, i + 1, 1) AS right_sym, freq
+            FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+                  FROM wf WHERE length(w) >= 2)),
+        pc AS (SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2)
+        SELECT pc.left_sym, pc.right_sym, pc.n,
+          lf.f AS left_freq, rf.f AS right_freq
+        FROM pc JOIN sf lf ON lf.s = pc.left_sym
+                JOIN sf rf ON rf.s = pc.right_sym""")),
+
+    // Learned WordPiece merge table (40 merges): the score-driven
+    // merge loop is iterative like BPE's — rows-only; the score
+    // arithmetic each iteration repeats is pinned by
+    // q_llm_wordpiece_pairs and the merge/tie-break semantics by
+    // WordPieceSpec's closed-form fixture (two rounds of which TIE on
+    // the exact ratio, exercising the BigInt compare).
+    Q("q_llm_wordpiece_merges",
+      (s, dir) => graft.ops.Tokenizer.wordpieceTrain(t(s, dir, "documents"), "text",
+        numMerges = 40),
+      None),
+
+    // Per-source WordPiece fertility under the 40-merge vocabulary —
+    // greedy longest-match-first inference over the distinct-word
+    // relation (rows-only like the other iterative-tokenizer reports;
+    // the extra unk_words counter is the out-of-alphabet health
+    // number, zero here by the full-alphabet char seed).
+    Q("q_llm_wordpiece_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.Tokenizer.wordpieceVocabFrom(docs, "text", numMerges = 40)
+        graft.ops.Tokenizer.wordpieceFertility(docs, "text", "source", vocab)
+      },
+      None),
+
+    // Gate-visible WordPiece contracts on the REAL corpus vocabulary:
+    // greedy inference under the trained vocab (1) never degrades a
+    // training-corpus word to [UNK] (the char-seed guarantee), and
+    // (2) reconstructs every distinct word exactly when the ##
+    // prefixes are stripped — the losslessness property. DuckDB
+    // restates the distinct-word count; the contract counters pin to
+    // constants.
+    Q("q_llm_wordpiece_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.Tokenizer.wordpieceVocabFrom(docs, "text", numMerges = 40)
+        val enc = udf((w: String) =>
+          graft.ops.Tokenizer.wordpieceEncode(w, vocab)
+            .map(_.stripPrefix("##")).mkString)
+        docs.filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(enc(col("w")) =!= col("w"), 1L).otherwise(0L))
+              .as("n_unreconstructed"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT w) FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)) AS n_words,
+        CAST(0 AS BIGINT) AS n_unreconstructed""")),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

@@ -98,6 +98,20 @@ object PlaybookQueries {
     |    emIters: 3
     |""".stripMargin
 
+  private def wordpieceYaml(dir: String): String = s"""
+    |source:
+    |  type: parquet
+    |  file: $dir/documents.parquet
+    |destination:
+    |  type: parquet
+    |  file: /tmp/graft_playbook_unused
+    |analytics:
+    |  - op: wordpiece_fertility
+    |    textCol: text
+    |    sourceCol: source
+    |    numMerges: 40
+    |""".stripMargin
+
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
   private val synthUrlSql: String =
@@ -539,6 +553,37 @@ object PlaybookQueries {
         val pb = run(s, unigramYaml(dir)).select(col("source") +:
           metrics.map(m => col(m).as(s"p_$m")): _*)
         val api = twinFn("q_llm_unigram_fertility")(s, dir).select(col("source") +:
+          metrics.map(m => col(m).as(s"a_$m")): _*)
+        val diff = metrics
+          .map(m => col(s"p_$m").isNull || col(s"a_$m").isNull ||
+            col(s"p_$m") =!= col(s"a_$m"))
+          .reduce(_ || _)
+        pb.join(api, Seq("source"), "full_outer")
+          .agg(
+            countDistinct(when(col("p_n_words").isNotNull, col("source"))).as("n_sources"),
+            sum(when(diff, 1L).otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT source) FROM documents
+          WHERE text IS NOT NULL) AS n_sources,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // WordPiece fertility from config (family twin of
+    // q_llm_wordpiece_fertility — score-driven merge training is
+    // iterative, so rows-only; the _check below pins config-path ≡
+    // API-path exactly).
+    Q("q_playbook_wordpiece", (s, dir) => run(s, wordpieceYaml(dir)), None),
+
+    // Engine-internal equivalence oracle for the config path: the
+    // playbook-compiled wordpiece_fertility stage (train + greedy
+    // encode + report) must match its direct-API twin row for row —
+    // all six per-source counters are integer-exact, zero-tolerance.
+    Q("q_playbook_wordpiece_check",
+      (s, dir) => {
+        val metrics = Seq("n_words", "n_tokens", "n_chars", "unk_words",
+          "fertility_micro", "chars_per_token_micro")
+        val pb = run(s, wordpieceYaml(dir)).select(col("source") +:
+          metrics.map(m => col(m).as(s"p_$m")): _*)
+        val api = twinFn("q_llm_wordpiece_fertility")(s, dir).select(col("source") +:
           metrics.map(m => col(m).as(s"a_$m")): _*)
         val diff = metrics
           .map(m => col(s"p_$m").isNull || col(s"a_$m").isNull ||

@@ -95,7 +95,13 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // the same vocabulary-bounded boundary as the BPE rows above
     // (playbook face + equivalence check carry the same UDF)
     "q_llm_unigram_fertility", "q_llm_unigram_check",
-    "q_playbook_unigram", "q_playbook_unigram_check")
+    "q_playbook_unigram", "q_playbook_unigram_check",
+    // WordPiece family (r12): greedy longest-match inference is
+    // inherently iterative per word and runs ONLY on the distinct-word
+    // relation — the same vocabulary-bounded boundary as BPE/unigram
+    // (playbook face + equivalence check carry the same UDF)
+    "q_llm_wordpiece_fertility", "q_llm_wordpiece_check",
+    "q_playbook_wordpiece", "q_playbook_wordpiece_check")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
