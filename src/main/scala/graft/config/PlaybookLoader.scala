@@ -163,7 +163,7 @@ object PlaybookLoader {
 /** Accumulated-error playbook validation (validation.go:52-688 shape). */
 object Validator {
 
-  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet", "orc", "binary")
+  private val sourceTypes = Set("csv", "json", "jsonl", "xlsx", "xml", "yaml", "postgres", "parquet", "orc", "avro", "binary")
   private val strategies = Set("first", "last", "min", "max")
   private val modes = Set("halt", "skip")
 
@@ -198,6 +198,8 @@ object Validator {
           (d.zorderBits < 1 || d.zorderBy.size * d.zorderBits > 62))
         errs += s"destination: ${d.zorderBy.size} zorderBy dims x ${d.zorderBits} bits exceeds the 62-bit interleave budget (${62 / math.max(d.zorderBy.size, 1)} bits fits)"
     }
+    if (d.`type` == "avro" && d.partitionBy.nonEmpty)
+      errs += "destination: partitionBy is unsupported for avro (avro-mapred writes one container file per task; use parquet/orc for Hive-style layouts)"
     if (d.sortBy.nonEmpty && d.bucketBy.isEmpty)
       errs += "destination: sortBy requires bucketBy (it orders rows within bucket files)"
     if (d.bloomIndexBy.nonEmpty) {

@@ -87,6 +87,10 @@ object Readers {
     // Same scale posture as parquet: footer stats, predicate pushdown,
     // column pruning, per-stripe task assignment.
     case "orc"     => spark.read.orc(src.file)
+    // Avro: the row-oriented interchange format (io.Avro — built on
+    // avro-mapred; container files split at sync markers, so reads
+    // parallelize inside single large files too)
+    case "avro"    => Avro.read(spark, src)
     // raw media/document ingestion: one row per file with its bytes -
     // the front door for image/audio corpora feeding the multimodal
     // decode stages. Columns: path, modificationTime, length, content.

@@ -92,6 +92,10 @@ object Writers {
         w = w.option("compression",
           if (dest.compression == "gzip") "zlib" else dest.compression)
       w.orc(dest.file)
+    // Avro sink: one container file per partition via avro-mapred
+    // (io.Avro). Batch-only and unpartitioned (no Hive-style layout
+    // without the connector) — both enforced at playbook load time.
+    case "avro" => Avro.write(df, dest)
     case "postgres" =>
       val url = if (dest.conn.nonEmpty) dest.conn else sys.env.getOrElse("DB_CREDENTIALS", "")
       if (dest.loaderCommand.nonEmpty)

@@ -84,6 +84,18 @@ object IoQueries {
       },
       Some("SELECT doc_id, lang, n_chars FROM documents")),
 
+    // Avro sink -> Avro source (avro-mapred; no spark-avro connector
+    // offline): typed roundtrip through the row-oriented interchange
+    // format, deflate-compressed to exercise the codec option.
+    Q("q_io_avro_roundtrip",
+      (s, dir) => {
+        val p = tmpDir() + "/docs.avro"
+        Writers.write(docs3(s, dir), DestinationConfig("avro", file = p,
+          compression = "gzip"))
+        Readers.read(s, SourceConfig("avro", file = p))
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents")),
+
     // XLSX sink -> hand-rolled OOXML source: all strings.
     Q("q_io_xlsx_roundtrip",
       (s, dir) => {

@@ -40,7 +40,8 @@ class ExamplePlaybooksSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".yaml")).map(_.getName).toSet
     val covered = Set("corpus_clean_datasheet.yaml", "crawl_url_dedup.yaml",
       "decontaminate_dsir.yaml", "bucketed_orders.yaml", "zorder_events.yaml",
-      "streaming_ingest.yaml", "classic_etl.yaml", "incremental_ingest.yaml")
+      "streaming_ingest.yaml", "classic_etl.yaml", "incremental_ingest.yaml",
+      "tokenizer_report.yaml")
     assert(shipped == covered,
       s"examples/ and this spec disagree: ${(shipped diff covered) ++ (covered diff shipped)}")
   }
@@ -175,5 +176,21 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     // one row per user, event_type uppercased
     assert(res.select("user_id").distinct().count() == res.count())
     assert(res.filter($"event_type" =!= org.apache.spark.sql.functions.upper($"event_type")).count() == 0)
+  }
+
+  test("tokenizer_report: WordPiece fertility per source, delivered as Avro") {
+    val out = runExample("tokenizer_report.yaml")
+    val rep = graft.io.Readers.read(spark,
+      graft.config.SourceConfig("avro", file = s"$out/fertility.avro"))
+    val n = rep.count()
+    val sources = spark.read.parquet(s"$data/documents.parquet")
+      .filter($"text".isNotNull).select("source").distinct().count()
+    assert(n == sources)
+    assert(Set("source", "n_words", "n_tokens", "unk_words", "fertility_micro")
+      .subsetOf(rep.columns.toSet))
+    // char-seed guarantee: the training corpus never degrades to [UNK]
+    assert(rep.agg(org.apache.spark.sql.functions.sum("unk_words")).head.getLong(0) == 0L)
+    // fertility is tokens-per-word in micros: always >= 1.0 by construction
+    assert(rep.filter($"fertility_micro" < 1000000L).count() == 0)
   }
 }

@@ -1,0 +1,158 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.config.{DestinationConfig, PlaybookLoader, SourceConfig}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Avro source/sink round-trips (io.Avro, built on avro-mapred):
+  * typed fidelity across the full supported mapping incl. nulls,
+  * arrays, nested structs, date/timestamp logical types and binary;
+  * codec option; loud rejection of unsupported types; load-time
+  * config constraints (no partitionBy, no streaming). */
+class AvroSpec extends SparkTestBase {
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft-avro")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def roundtrip(df: org.apache.spark.sql.DataFrame,
+                        compression: String = "") = {
+    val p = tmpDir() + "/data.avro"
+    Writers.write(df, DestinationConfig("avro", file = p, compression = compression))
+    Readers.read(spark, SourceConfig("avro", file = p))
+  }
+
+  test("avro: typed roundtrip across the full primitive mapping, incl. nulls") {
+    val schema = StructType(Seq(
+      StructField("s", StringType),
+      StructField("i", IntegerType),
+      StructField("l", LongType),
+      StructField("f", FloatType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("bin", BinaryType),
+      StructField("dt", DateType),
+      StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2026-08-15 12:34:56.123456")
+    val rows = Seq(
+      Row("x", 1, 2L, 1.5f, 2.5, true, Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2026-08-15"), ts),
+      Row(null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val back = roundtrip(df)
+    assert(back.schema == schema)
+    val got = back.collect().sortBy(r => if (r.isNullAt(0)) "" else r.getString(0))
+    assert(got(0).toSeq.forall(_ == null))
+    val r = got(1)
+    assert(r.getString(0) == "x" && r.getInt(1) == 1 && r.getLong(2) == 2L)
+    assert(r.getFloat(3) == 1.5f && r.getDouble(4) == 2.5 && r.getBoolean(5))
+    assert(r.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getDate(7) == java.sql.Date.valueOf("2026-08-15"))
+    // micros precision survives (timestamp-micros logical type)
+    assert(r.getTimestamp(8) == ts)
+  }
+
+  test("avro: arrays and nested structs recurse") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("scores", ArrayType(DoubleType, containsNull = true)),
+      StructField("meta", StructType(Seq(
+        StructField("k", StringType),
+        StructField("n", LongType))))))
+    val rows = Seq(
+      Row(1L, Seq("a", "b"), Seq(1.0, null, 3.0), Row("kk", 7L)),
+      Row(2L, Seq.empty[String], null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val back = roundtrip(df).orderBy("id").collect()
+    assert(back(0).getSeq[String](1) == Seq("a", "b"))
+    assert(back(0).getSeq[Any](2) == Seq(1.0, null, 3.0))
+    assert(back(0).getStruct(3) == Row("kk", 7L))
+    assert(back(1).getSeq[String](1).isEmpty)
+    assert(back(1).isNullAt(2) && back(1).isNullAt(3))
+  }
+
+  test("avro: deflate codec via the uniform gzip config name") {
+    import graft.SparkTestSession.spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i" * 10)).toDF("id", "payload")
+    val back = roundtrip(df, compression = "gzip")
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 500500L)
+  }
+
+  test("avro: multi-partition write lands one container file per task, read reassembles") {
+    import graft.SparkTestSession.spark.implicits._
+    val p = tmpDir() + "/multi.avro"
+    val df = spark.range(0, 10000).select($"id").repartition(8)
+    Writers.write(df, DestinationConfig("avro", file = p))
+    val parts = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".avro")).toSeq
+    assert(parts.size == 8)
+    val back = Readers.read(spark, SourceConfig("avro", file = p))
+    assert(back.count() == 10000)
+  }
+
+  test("avro: decimal logical type roundtrips at declared precision/scale") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(18, 4))))
+    val rows = Seq(
+      Row(1L, new java.math.BigDecimal("12345678901234.5678")),
+      Row(2L, new java.math.BigDecimal("-0.0001")),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val back = roundtrip(df)
+    assert(back.schema("amount").dataType == DecimalType(18, 4))
+    val got = back.orderBy("id").collect()
+    assert(got(0).getDecimal(1) == new java.math.BigDecimal("12345678901234.5678"))
+    assert(got(1).getDecimal(1) == new java.math.BigDecimal("-0.0001"))
+    assert(got(2).isNullAt(1))
+  }
+
+  test("avro: unsupported Spark type fails loudly at schema-build time") {
+    import graft.SparkTestSession.spark.implicits._
+    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException] {
+      Writers.write(df, DestinationConfig("avro", file = tmpDir() + "/bad.avro"))
+    }
+    assert(e.getMessage.contains("unsupported Spark type"))
+  }
+
+  test("avro: overwrite semantics match the other sinks") {
+    import graft.SparkTestSession.spark.implicits._
+    val p = tmpDir() + "/ow.avro"
+    Writers.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      DestinationConfig("avro", file = p))
+    Writers.write(Seq((9L, "z")).toDF("id", "v"),
+      DestinationConfig("avro", file = p))
+    val back = Readers.read(spark, SourceConfig("avro", file = p)).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("playbook loader: avro accepted batch-only, partitionBy and streaming rejected") {
+    // accepted as plain batch source + destination
+    PlaybookLoader.fromString(
+      """source: {type: avro, file: /tmp/in.avro}
+        |destination: {type: avro, file: /tmp/out.avro}
+        |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      PlaybookLoader.fromString(
+        """source: {type: parquet, file: /tmp/in}
+          |destination: {type: avro, file: /tmp/out.avro, partitionBy: [lang]}
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("partitionBy is unsupported for avro"))
+    val e2 = intercept[IllegalArgumentException] {
+      PlaybookLoader.fromString(
+        """source: {type: avro, file: /tmp/in.avro, streaming: true}
+          |destination: {type: parquet, file: /tmp/out, checkpoint: /tmp/cp}
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("not in parquet,orc,jsonl"))
+  }
+}
