@@ -210,9 +210,12 @@ object Avro {
       }
       case TimestampType => v match {
         case t: java.sql.Timestamp =>
-          t.getTime / 1000 * 1000000 + t.getNanos / 1000
+          // floorDiv, not /: getTime truncates toward zero, which
+          // double-counts the sub-second part of pre-1970 instants
+          // (getNanos is always in [0, 1e9))
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
         case t: java.time.Instant =>
-          t.getEpochSecond * 1000000 + t.getNano / 1000
+          t.getEpochSecond * 1000000L + t.getNano / 1000
       }
       case ArrayType(el, _) =>
         val elS = unwrapUnion(s.getElementType)
