@@ -480,8 +480,10 @@ object Layout {
 
   /**
    * Fingerprint of the table's CURRENT data-file listing: sha-256 over
-   * the sorted (relative path, length) pairs of every non-hidden file
-   * under `tablePath`. This is the coherence stamp a side index carries
+   * the sorted (relative path, length, mtime) triples of every
+   * non-hidden file under `tablePath` — mtime included so a same-size
+   * in-place overwrite (same names, same lengths, new bytes) still
+   * changes the stamp. This is the coherence stamp a side index carries
    * — any rename/merge/rewrite of data files ([[compactFiles]], an
    * overwrite) changes the listing and therefore the fingerprint, so a
    * stamped index can be verified against the live table in one
@@ -502,7 +504,7 @@ object Layout {
       // anything inside a hidden directory — they are not table data
       val hidden = rel.split("/").exists(seg =>
         seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) entries += s"$rel:${s.getLen}"
+      if (!hidden) entries += s"$rel:${s.getLen}:${s.getModificationTime}"
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
