@@ -134,6 +134,47 @@ class AvroSpec extends SparkTestBase {
     assert(back.map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("avro: mixed-schema directory resolves through the pinned reader schema") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = new java.io.File(tmpDir() + "/evolved.avro"); dir.mkdirs()
+    def writeFile(name: String, schema: Schema, recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(dir, name))
+      try recs.foreach(w.append) finally w.close()
+    }
+    def nullable(t: Schema) =
+      Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), t))
+    // reader schema comes from the FIRST file by name: (id, v, extra)
+    val v2 = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("v").`type`(nullable(Schema.create(Schema.Type.STRING))).withDefault(null)
+      .name("extra").`type`(nullable(Schema.create(Schema.Type.LONG))).withDefault(null)
+      .endRecord()
+    // an older file lacks `extra`; Avro resolution fills the default
+    val v1 = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("v").`type`(nullable(Schema.create(Schema.Type.STRING))).withDefault(null)
+      .endRecord()
+    def rec(s: Schema, id: Long, v: String, extra: java.lang.Long) = {
+      val r = new GenericData.Record(s)
+      r.put("id", id); r.put("v", v)
+      if (s.getField("extra") != null) r.put("extra", extra)
+      r
+    }
+    writeFile("a_new.avro", v2, Seq(rec(v2, 1L, "one", 10L)))
+    writeFile("b_old.avro", v1, Seq(rec(v1, 2L, "two", null)))
+    val back = Readers.read(spark, SourceConfig("avro", file = dir.toString))
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "one"
+      && back(0).getLong(2) == 10L)
+    // the old file's missing `extra` resolves to the reader default
+    assert(back(1).getLong(0) == 2L && back(1).getString(1) == "two"
+      && back(1).isNullAt(2))
+  }
+
   test("playbook loader: avro accepted batch-only, partitionBy and streaming rejected") {
     // accepted as plain batch source + destination
     PlaybookLoader.fromString(
