@@ -55,7 +55,7 @@ object RecallCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("--artifact")) { artifact(args(1), args.drop(2)); return }
+    if (args.headOption.contains("--artifact")) { artifact(args(1), args.drop(2).toIndexedSeq); return }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = session()
     val e = graft.queries.Queries.t(spark, dir, "embeddings")

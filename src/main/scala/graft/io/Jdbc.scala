@@ -61,7 +61,7 @@ object Jdbc {
       (re.replaceAllIn(command, "?"), order)
     }
     val (sql, positions) = jdbcSql
-    val ordered = df.select(fields.map(org.apache.spark.sql.functions.col): _*)
+    val ordered = df.select(fields.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     ordered.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)

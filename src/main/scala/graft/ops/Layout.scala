@@ -274,7 +274,10 @@ object Layout {
               val cols = blocks.get(bi).getColumns
               (0 until cols.size()).map { ci =>
                 val c = cols.get(ci)
-                val st = c.getStatistics
+                // explicit wildcard type: the inferred existential from
+                // getStatistics trips a -Xlint warning otherwise
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  c.getStatistics
                 val (mn, mx) =
                   if (st == null || !st.hasNonNullValue) ("", "")
                   else (st.minAsString(), st.maxAsString())

@@ -111,7 +111,7 @@ object Sampling {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val thresholds = df
       .agg(expr(s"percentile_approx($valueCol, array(${probs.mkString(",")}), $accuracy)"))
-      .head.getSeq[Number](0).map(_.doubleValue())
+      .head().getSeq[Number](0).map(_.doubleValue())
     val b = thresholds.map(th => when(col(valueCol) > th, 1).otherwise(0))
       .reduce(_ + _) + lit(1)
     df.withColumn(bucketCol, b)

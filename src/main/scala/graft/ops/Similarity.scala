@@ -538,7 +538,7 @@ object Similarity {
         transform(col("_v"), x => floor(x / col("_scale") + lit(0.5)).cast("int")))
     val outs = (0 until outDims).map { j =>
       call_function("vec_dot_i8", col("_codes"),
-        array(signs(j).map(s => lit(s)): _*)).as(s"rp_$j")
+        array(signs(j).map(s => lit(s)).toIndexedSeq: _*)).as(s"rp_$j")
     }
     coded.select(col(idCol) +: outs: _*)
   }

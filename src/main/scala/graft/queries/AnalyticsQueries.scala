@@ -463,7 +463,7 @@ object AnalyticsQueries {
             graft.ops.Sketches.histogramRollup(parts, Nil), Nil,
             Seq(0.5, 0.95), 0.0, 1000.0, 100)
           .withColumn("event_type", lit("ALL"))
-        per.unionByName(global.select(per.columns.map(col): _*))
+        per.unionByName(global.select(per.columns.map(col).toIndexedSeq: _*))
       },
       Some("""WITH p AS (SELECT event_type,
           greatest(0, least(99, CAST(floor(

@@ -124,7 +124,7 @@ object StreamOps {
               // watermark (setTimeoutTimestamp rejects that) — clamp a
               // hair past it so the key emits on the next advance
               state.setTimeoutTimestamp(
-                math.max(seenTs + quietMs, state.getCurrentWatermarkMs + 1))
+                math.max(seenTs + quietMs, state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
           }
