@@ -457,9 +457,16 @@ object Tokenizer {
    * broadcasts them).
    */
   def wordpiecePairScores(df: DataFrame, textCol: String): DataFrame = {
-    val words = df.filter(col(textCol).isNotNull)
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // persist the vocabulary-sized word-frequency table: the pair
+    // relation and BOTH symbol-frequency join sides derive from it, so
+    // without the cache the plan scans the corpus three times (the
+    // broadcast sides differ only in alias, which defeats exchange
+    // reuse). One corpus scan, then vocab-scale work only.
+    val words = CachedRelations.track(
+      df.filter(col(textCol).isNotNull)
+        .select(explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .persist())
     // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — guard the
     // empty-token row out before building index sequences
     val symFreq = words.filter(length(col("w")) >= 1)
