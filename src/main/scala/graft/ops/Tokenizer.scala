@@ -373,9 +373,15 @@ object Tokenizer {
                        maxPieceLen: Int = 8): DataFrame = {
     val v = vocab
     val nTok = udf((w: String) => unigramEncode(w, v, maxPieceLen).length)
-    val sw = df.filter(col(textCol).isNotNull)
-      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    // cache the vocabulary-scale (source, word) counts: the distinct-
+    // word encode side and the join-back both derive from it, so the
+    // uncached plan scans the corpus twice (released via
+    // CachedRelations after the caller's action)
+    val sw = CachedRelations.track(
+      df.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .persist())
     val enc = sw.select(col("w")).distinct()
       .withColumn("n_tok", nTok(col("w")).cast("long"))
       .withColumn("n_chr", length(col("w")).cast("long"))
@@ -408,9 +414,15 @@ object Tokenizer {
                    nativeEncode: Boolean = false): DataFrame = {
     val m = merges.toIndexedSeq
     val nTok = udf((w: String) => applyMerges(w, m).length)
-    val sw = df.filter(col(textCol).isNotNull)
-      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    // cache the vocabulary-scale (source, word) counts: the distinct-
+    // word encode side and the join-back both derive from it, so the
+    // uncached plan scans the corpus twice (released via
+    // CachedRelations after the caller's action)
+    val sw = CachedRelations.track(
+      df.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .persist())
     val tokLen =
       if (nativeEncode) size(bpeEncodeCol(col("w"), m))
       else nTok(col("w"))
@@ -642,9 +654,15 @@ object Tokenizer {
                          vocab: Set[String]): DataFrame = {
     val v = vocab
     val enc = udf((w: String) => wordpieceEncode(w, v).toSeq)
-    val sw = df.filter(col(textCol).isNotNull)
-      .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    // cache the vocabulary-scale (source, word) counts: the distinct-
+    // word encode side and the join-back both derive from it, so the
+    // uncached plan scans the corpus twice (released via
+    // CachedRelations after the caller's action)
+    val sw = CachedRelations.track(
+      df.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .persist())
     val encoded = sw.select(col("w")).distinct()
       .withColumn("toks", enc(col("w")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
