@@ -184,6 +184,37 @@ object ScaleProbe {
         dims = 64, k = 3, nlist = 16, nprobe = 8)
     }
 
+    // n-gram LM perplexities (r12 second sitting): the three-rung
+    // Stupid Backoff fit is the most expensive new benched row — its
+    // corpus-volume stages are the unigram/bigram/trigram count
+    // shuffles, all map-side combined, so the curve should track the
+    // corpus ratio (linear), never above it
+    probe("sb_ppl") {
+      graft.ops.TextAnalysis.stupidBackoffLogProb(t("documents"), "doc_id", "text")
+    } {
+      graft.ops.TextAnalysis.stupidBackoffLogProb(big("documents"), "doc_id", "text")
+    }
+    probe("kn_ppl") {
+      graft.ops.TextAnalysis.kneserNeyLogProb(t("documents"), "doc_id", "text")
+    } {
+      graft.ops.TextAnalysis.kneserNeyLogProb(big("documents"), "doc_id", "text")
+    }
+
+    // WordPiece fertility: corpus-volume stage is the one (source,
+    // word) count shuffle; training and greedy encoding ride on the
+    // vocabulary relation, which the synthesis grows only by the
+    // planted copy-tokens — the ratio should sit WELL below the
+    // corpus ratio
+    probe("wordpiece_fertility") {
+      val docs = t("documents")
+      val vocab = graft.ops.Tokenizer.wordpieceVocabFrom(docs, "text", numMerges = 40)
+      graft.ops.Tokenizer.wordpieceFertility(docs, "text", "source", vocab)
+    } {
+      val docs = big("documents")
+      val vocab = graft.ops.Tokenizer.wordpieceVocabFrom(docs, "text", numMerges = 40)
+      graft.ops.Tokenizer.wordpieceFertility(docs, "text", "source", vocab)
+    }
+
     probe("bloom_index_lifecycle") {
       val dir = s"$work/bloom1x"
       t("events").select(col("event_id"), col("user_id"), col("value"))
