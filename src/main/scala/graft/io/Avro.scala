@@ -157,10 +157,16 @@ object Avro {
         org.apache.hadoop.mapreduce.lib.output.FileOutputFormat.COMPRESS, true)
       job.getConfiguration.set("avro.output.codec", c)
     }
-    // overwrite semantics, matching every other sink
+    // Overwrite via stage-then-swap, NOT delete-then-write: a naive
+    // upfront delete runs BEFORE the lazy RDD ever reads, so writing a
+    // frame onto one of its own input paths would silently destroy the
+    // input and persist an empty result. Writing to a staging dir
+    // first means any self-read scans the intact destination; only
+    // after the job commits does the swap happen.
     val hPath = new org.apache.hadoop.fs.Path(dest.file)
     val fs = hPath.getFileSystem(sc.hadoopConfiguration)
-    if (fs.exists(hPath)) fs.delete(hPath, true)
+    val staging = new org.apache.hadoop.fs.Path(
+      dest.file + ".spark-staging-" + java.util.UUID.randomUUID().toString.take(8))
     val rdd = df.rdd.mapPartitions { rows =>
       // Schema is not Serializable: parse the JSON once per partition
       lazy val schema = new Schema.Parser().parse(avroJson)
@@ -169,9 +175,16 @@ object Avro {
           NullWritable.get())
       }
     }
-    rdd.saveAsNewAPIHadoopFile(dest.file,
-      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
-      classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+    try {
+      rdd.saveAsNewAPIHadoopFile(staging.toString,
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      if (!fs.rename(staging, hPath)) throw new java.io.IOException(
+        s"avro sink: rename $staging -> $hPath failed")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {

@@ -134,6 +134,23 @@ class AvroSpec extends SparkTestBase {
     assert(back.map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("avro: writing a frame onto its own input path is safe (stage-then-swap)") {
+    import graft.SparkTestSession.spark.implicits._
+    val p = tmpDir() + "/self.avro"
+    Writers.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      DestinationConfig("avro", file = p))
+    val in = Readers.read(spark, SourceConfig("avro", file = p))
+    // a naive delete-then-write would destroy the input before the
+    // lazy RDD reads and persist an EMPTY result; the staged swap
+    // reads the intact input and lands exactly the filtered row
+    Writers.write(in.filter($"id" === 1L), DestinationConfig("avro", file = p))
+    val back = Readers.read(spark, SourceConfig("avro", file = p)).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    // no staging leftovers
+    val parent = new java.io.File(p).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("spark-staging")))
+  }
+
   test("avro: mixed-schema directory resolves through the pinned reader schema") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
