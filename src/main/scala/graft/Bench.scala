@@ -85,6 +85,10 @@ object Bench {
       // correctness fixtures
       "q_llm_wordpiece_check", "q_playbook_wordpiece",
       "q_playbook_wordpiece_check",
+      // ppl_partition equivalence oracle (runs the op twice by
+      // construction; q_playbook_ppl itself IS benched — the annotate
+      // join back onto the frame is a genuinely new plan)
+      "q_playbook_ppl_check",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

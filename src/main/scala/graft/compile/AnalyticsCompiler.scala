@@ -88,6 +88,8 @@ object AnalyticsCompiler {
       "textCol sourceCol [vocabSize=300 maxPieceLen=8 emIters=4] — train a unigram-LM tokenizer (Kudo 2018, SentencePiece family) on this frame (eager, vocabulary-bounded EM) and report per-source fertility"),
     "wordpiece_fertility" -> (Seq("textCol", "sourceCol"),
       "textCol sourceCol [numMerges=40] — train a WordPiece tokenizer (Schuster & Nakajima 2012, the BERT family; likelihood-ratio merges) on this frame (eager, vocabulary-bounded) and report per-source fertility incl. unk_words"),
+    "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
+      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[]] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the interpolated-bigram NLL, annotated onto the frame as avg_nll_micro + ppl_band (docs under two tokens band NULL); keepBands filters to the listed bands"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -132,6 +134,7 @@ object AnalyticsCompiler {
     "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "wordpiece_fertility" -> Set("numMerges"),
+    "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
     "chunk_docs"     -> Set("overlap"),
@@ -494,6 +497,20 @@ object AnalyticsCompiler {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Tokenizer.bpeFertility(df, text, str(p, "sourceCol").get,
           merges, nativeEncode = bool(p, "nativeEncode"))
+      case "ppl_partition" =>
+        val id = str(p, "idCol").get
+        val pp = TextAnalysis.perplexityPartition(df, id,
+          str(p, "textCol").get, str(p, "sourceCol").get,
+          lambdaBp = int(p, "lambdaBp").getOrElse(8000),
+          buckets = int(p, "buckets").getOrElse(3))
+        // annotate, don't project: the pipeline keeps its columns; docs
+        // with fewer than two tokens have no bigram NLL and band NULL
+        val joined = df.join(
+          pp.select(col(id), col("avg_nll_micro"), col("ppl_band")),
+          Seq(id), "left")
+        val bands = strs(p, "keepBands")
+        if (bands.nonEmpty) joined.filter(col("ppl_band").isin(bands: _*))
+        else joined
       case "wordpiece_fertility" =>
         // same eager vocabulary-bounded training pattern as bpe_fertility
         val text = str(p, "textCol").get

@@ -112,6 +112,20 @@ object PlaybookQueries {
     |    numMerges: 40
     |""".stripMargin
 
+  private def pplYaml(dir: String): String = s"""
+    |source:
+    |  type: parquet
+    |  file: $dir/documents.parquet
+    |destination:
+    |  type: parquet
+    |  file: /tmp/graft_playbook_unused
+    |analytics:
+    |  - op: ppl_partition
+    |    idCol: doc_id
+    |    textCol: text
+    |    sourceCol: source
+    |""".stripMargin
+
   /** The messy-URL synthesis restated as a Spark SQL `derive` expr —
     * byte-identical to [[LlmQueries.synthUrl]] and the oracle CTE. */
   private val synthUrlSql: String =
@@ -596,6 +610,35 @@ object PlaybookQueries {
       },
       Some("""SELECT (SELECT COUNT(DISTINCT source) FROM documents
           WHERE text IS NOT NULL) AS n_sources,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // CCNet perplexity bands from config (annotate form of the oracled
+    // q_llm_ppl_partition; rows-only result, the _check below pins
+    // config-path ≡ API-path exactly).
+    Q("q_playbook_ppl", (s, dir) => run(s, pplYaml(dir)), None),
+
+    // Engine-internal equivalence oracle for the config path: the
+    // playbook-compiled ppl_partition annotation must carry exactly
+    // the twin's (avg_nll_micro, ppl_band) per doc — docs under two
+    // tokens are NULL-banded in the annotate form and absent from the
+    // twin, so the compare runs over the twin's domain; both counters
+    // integer/string-exact, zero tolerance.
+    Q("q_playbook_ppl_check",
+      (s, dir) => {
+        val pb = run(s, pplYaml(dir))
+          .select(col("doc_id"), col("avg_nll_micro").as("p_nll"),
+            col("ppl_band").as("p_band"))
+        val api = twinFn("q_llm_ppl_partition")(s, dir)
+          .select(col("doc_id"), col("avg_nll_micro").as("a_nll"),
+            col("ppl_band").as("a_band"))
+        val diff = col("p_nll").isNull || col("p_nll") =!= col("a_nll") ||
+          col("p_band").isNull || col("p_band") =!= col("a_band")
+        api.join(pb, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(diff, 1L).otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL
+          AND len(string_split_regex(lower(trim(text)), '\s+')) >= 2) AS n_docs,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
     // Gap-based sessionization + the exact per-session aggregate from

