@@ -89,6 +89,9 @@ object Bench {
       // construction; q_playbook_ppl itself IS benched — the annotate
       // join back onto the frame is a genuinely new plan)
       "q_playbook_ppl_check",
+      // result-twin of the benched q_llm_c4_rules plan (the YAML adds
+      // a parse and a column join, not a new corpus-volume plan)
+      "q_playbook_c4",
       // md5 result-twin of the oracle-only md5 chain (x64 chain is benched)
       "q_playbook_incr_neardup",
       // result-twins of benched plans (q_sessionize / q_gap_report /

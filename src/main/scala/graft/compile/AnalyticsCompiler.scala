@@ -88,6 +88,8 @@ object AnalyticsCompiler {
       "textCol sourceCol [vocabSize=300 maxPieceLen=8 emIters=4] — train a unigram-LM tokenizer (Kudo 2018, SentencePiece family) on this frame (eager, vocabulary-bounded EM) and report per-source fertility"),
     "wordpiece_fertility" -> (Seq("textCol", "sourceCol"),
       "textCol sourceCol [numMerges=40] — train a WordPiece tokenizer (Schuster & Nakajima 2012, the BERT family; likelihood-ratio merges) on this frame (eager, vocabulary-bounded) and report per-source fertility incl. unk_words"),
+    "c4_rules" -> (Seq("idCol", "textCol"),
+      "idCol textCol [minWordsPerLine=3 minSentences=5] — the C4 cleaner (Raffel 2020 §2.2): keep lines ending in terminal punctuation with enough words and no 'javascript'; drop pages with lorem ipsum, curly braces, or too few retained sentences; textCol is REPLACED by the cleaned text"),
     "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
       "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[]] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the interpolated-bigram NLL, annotated onto the frame as avg_nll_micro + ppl_band (docs under two tokens band NULL); keepBands filters to the listed bands"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
@@ -135,6 +137,7 @@ object AnalyticsCompiler {
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "wordpiece_fertility" -> Set("numMerges"),
     "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands"),
+    "c4_rules" -> Set("minWordsPerLine", "minSentences"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
     "chunk_docs"     -> Set("overlap"),
@@ -497,6 +500,16 @@ object AnalyticsCompiler {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Tokenizer.bpeFertility(df, text, str(p, "sourceCol").get,
           merges, nativeEncode = bool(p, "nativeEncode"))
+      case "c4_rules" =>
+        val id = str(p, "idCol").get
+        val text = str(p, "textCol").get
+        val cleaned = TextAnalysis.c4LineRules(df, id, text,
+          minWordsPerLine = int(p, "minWordsPerLine").getOrElse(3),
+          minSentences = int(p, "minSentences").getOrElse(5))
+        // inner join: pages the rules dropped leave the pipeline;
+        // survivors carry the cleaned text under the original column
+        df.drop(text)
+          .join(cleaned.select(col(id), col("clean_text").as(text)), Seq(id))
       case "ppl_partition" =>
         val id = str(p, "idCol").get
         val pp = TextAnalysis.perplexityPartition(df, id,

@@ -1220,6 +1220,46 @@ object TextAnalysis {
   }
 
   /**
+   * The C4 line-and-page heuristics (Raffel 2020 §2.2) as ONE
+   * operator — the canonical named cleaner of the web-crawl curation
+   * literature, composed here exactly as published: keep only lines
+   * that end in a terminal punctuation mark (`.`, `!`, `?`, `"`),
+   * carry at least `minWordsPerLine` words, and do not mention
+   * "javascript" (case-insensitive); drop entire PAGES containing
+   * "lorem ipsum" (case-insensitive) or a curly brace, and pages
+   * whose RETAINED text has fewer than `minSentences` sentences
+   * (sentence = non-blank `[.!?]+`-delimited segment, the
+   * [[sentenceStats]] definition). Pages whose every line was dropped
+   * vanish, as in C4.
+   *
+   * Output: (id, clean_text, kept_lines, total_lines, n_sentences)
+   * for surviving pages. Entirely ROW-LOCAL (nested HOFs over the
+   * line array) — zero shuffles, runs in the scan stage at any SF.
+   */
+  def c4LineRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWordsPerLine: Int = 3,
+                  minSentences: Int = 5): org.apache.spark.sql.DataFrame = {
+    val pageDirty = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{")
+    val allLines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val keptLines = filter(allLines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val sents = filter(
+      transform(split(col("clean_text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    df.filter(col(textCol).isNotNull && !pageDirty)
+      .select(col(idCol),
+        array_join(keptLines, "\n").as("clean_text"),
+        size(keptLines).cast("long").as("kept_lines"),
+        size(allLines).cast("long").as("total_lines"))
+      .withColumn("n_sentences", size(sents).cast("long"))
+      .filter(col("kept_lines") > 0 && col("n_sentences") >= minSentences)
+  }
+
+  /**
    * Per-document sentence statistics — the sentence-level half of the
    * Gopher/C4 heuristics (documents with very few sentences, or one
    * run-on "sentence", are boilerplate/navigation candidates; C4 keeps

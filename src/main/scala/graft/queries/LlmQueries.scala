@@ -28,6 +28,28 @@ object LlmQueries {
       }).toDF("doc_id", "content")
   }
 
+  /** C4-shaped salt page, six deterministic lines per doc built from
+    * doc_id alone so any engine constructs the byte-identical text:
+    * one good intro sentence, a no-terminal-punct line, a too-short
+    * line, a javascript line, a %3-keyed missing second sentence
+    * (falls to minSentences=3), a %5-keyed lorem-ipsum line (page
+    * rule), and a %7-keyed curly-brace line (page rule). Spark SQL
+    * face (the playbook twin reuses it verbatim in a `derive`). */
+  private[queries] val synthC4Sql: String =
+    "concat(" +
+      "'Intro sentence number one for doc ', CAST(doc_id AS STRING), '.', chr(10), " +
+      "'no terminal punct line', chr(10), " +
+      "'Too short.', chr(10), " +
+      "'Enable javascript to continue.', chr(10), " +
+      "CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Second proper sentence here!' END, chr(10), " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'this has lorem ipsum inside.' ELSE 'Benign closing line text here.' END, chr(10), " +
+      "CASE WHEN doc_id % 7 = 0 THEN 'stray { brace' ELSE '' END)"
+
+  /** DuckDB restatement of [[synthC4Sql]] (VARCHAR cast; everything
+    * else is the shared SQL subset). */
+  private[queries] val synthC4DuckSql: String =
+    synthC4Sql.replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)")
+
   /** Deterministic messy-URL synthesis shared by the URL queries and
     * their oracles: 5 doc_id-keyed shapes (uppercase+www+default
     * port+tracking+fragment+trailing slash / https+default port /
@@ -2124,6 +2146,49 @@ object LlmQueries {
     Q("q_llm_sentences",
       (s, dir) => TextAnalysis.sentenceStats(t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.sentenceStats)),
+
+    // The C4 cleaner (Raffel 2020 §2.2) as one operator: line rules
+    // (terminal punctuation, >=3 words, no "javascript") + page rules
+    // (lorem ipsum, curly brace, >= minSentences retained sentences).
+    // The synthetic corpus has no punctuation at all (every rule would
+    // fire vacuously), so docs are deterministically SALTED with
+    // C4-shaped lines built identically in both engines
+    // (q_llm_dup_lines precedent): every line rule and every page rule
+    // demonstrably fires — %3 docs fall to minSentences, %5 to lorem
+    // ipsum, %7 to the curly brace, and three line classes drop.
+    Q("q_llm_c4_rules",
+      (s, dir) => {
+        val salted = t(s, dir, "documents")
+          .select(col("doc_id"), expr(synthC4Sql).as("text"))
+        TextAnalysis.c4LineRules(salted, "doc_id", "text",
+          minWordsPerLine = 3, minSentences = 3)
+      },
+      Some(raw"""WITH base AS (SELECT doc_id, $synthC4DuckSql AS text
+          FROM documents),
+        d AS (SELECT doc_id, text FROM base
+          WHERE text IS NOT NULL
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')),
+        l AS (SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+              x -> trim(x)), x -> x <> '') AS alllines
+          FROM d),
+        k AS (SELECT doc_id, alllines,
+            list_filter(alllines, x -> regexp_matches(x, '[.!?"]$$')
+              AND len(string_split_regex(x, '\s+')) >= 3
+              AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM l),
+        c AS (SELECT doc_id,
+            array_to_string(kept, chr(10)) AS clean_text,
+            CAST(len(kept) AS BIGINT) AS kept_lines,
+            CAST(len(alllines) AS BIGINT) AS total_lines
+          FROM k),
+        s AS (SELECT *, CAST(len(list_filter(list_transform(
+              regexp_split_to_array(clean_text, '[.!?]+'), x -> trim(x)),
+              x -> x <> '')) AS BIGINT) AS n_sentences
+          FROM c)
+        SELECT doc_id, clean_text, kept_lines, total_lines, n_sentences
+        FROM s WHERE kept_lines > 0 AND n_sentences >= 3""")),
 
     // Gopher duplicate-line stats: docs are deterministically salted
     // with a repeated boiler line (both engines build the same text),

@@ -612,6 +612,55 @@ object PlaybookQueries {
           WHERE text IS NOT NULL) AS n_sources,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // The C4 cleaner from config (replace-textCol form of the oracled
+    // q_llm_c4_rules; same salted page via a `derive` so the rules
+    // demonstrably fire) — fully oracled: the oracle joins the cleaned
+    // text back under the original column, exactly what the stage does.
+    Q("q_playbook_c4",
+      (s, dir) => run(s, s"""
+        |source:
+        |  type: parquet
+        |  file: $dir/documents.parquet
+        |destination:
+        |  type: parquet
+        |  file: /tmp/graft_playbook_unused
+        |analytics:
+        |  - op: select
+        |    cols: [doc_id, lang, source]
+        |  - op: derive
+        |    target: text
+        |    expr: "${LlmQueries.synthC4Sql}"
+        |  - op: c4_rules
+        |    idCol: doc_id
+        |    textCol: text
+        |    minSentences: 3
+        |""".stripMargin),
+      Some(raw"""WITH base AS (SELECT doc_id, lang, source,
+            ${LlmQueries.synthC4DuckSql} AS text FROM documents),
+        d AS (SELECT doc_id, text, lang, source FROM base
+          WHERE text IS NOT NULL
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')),
+        l AS (SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+              x -> trim(x)), x -> x <> '') AS alllines
+          FROM d),
+        k AS (SELECT doc_id,
+            list_filter(alllines, x -> regexp_matches(x, '[.!?"]$$')
+              AND len(string_split_regex(x, '\s+')) >= 3
+              AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM l),
+        c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+            len(kept) AS kept_lines FROM k),
+        s AS (SELECT doc_id, clean_text, kept_lines,
+            len(list_filter(list_transform(
+              regexp_split_to_array(clean_text, '[.!?]+'), x -> trim(x)),
+              x -> x <> '')) AS n_sentences
+          FROM c)
+        SELECT d.doc_id, s.clean_text AS text, d.lang, d.source
+        FROM d JOIN s USING (doc_id)
+        WHERE s.kept_lines > 0 AND s.n_sentences >= 3""")),
+
     // CCNet perplexity bands from config (annotate form of the oracled
     // q_llm_ppl_partition; rows-only result, the _check below pins
     // config-path ≡ API-path exactly).
