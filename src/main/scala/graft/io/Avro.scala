@@ -33,9 +33,11 @@ import scala.jdk.CollectionConverters._
  * Type mapping (both directions, nullable ⇔ union[null, T]):
  * string/int/long/float/double/boolean/bytes 1:1; DateType ⇔
  * int+date; TimestampType ⇔ long+timestamp-micros (millis accepted on
- * read); ArrayType and nested StructType recurse. Anything else
- * (maps, enums, fixed, decimals) fails LOUDLY at schema-build time —
- * a silent narrowing would corrupt a corpus copy.
+ * read); DecimalType ⇔ bytes+decimal (big-endian two's-complement
+ * unscaled bytes at the declared precision/scale); ArrayType and
+ * nested StructType recurse. Anything else (maps, enums, fixed)
+ * fails LOUDLY at schema-build time — a silent narrowing would
+ * corrupt a corpus copy.
  */
 object Avro {
 
@@ -175,16 +177,42 @@ object Avro {
           NullWritable.get())
       }
     }
+    // Before the job commits, staging holds garbage — clean it on any
+    // failure. AFTER the commit it holds the ONLY copy of the new data,
+    // so no code path below may delete it until the swap lands: a
+    // delete-then-rename that fails mid-swap with a staging cleanup in
+    // a finally would destroy BOTH copies (r12 review finding).
     try {
       rdd.saveAsNewAPIHadoopFile(staging.toString,
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
         classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
-      if (fs.exists(hPath)) fs.delete(hPath, true)
-      if (!fs.rename(staging, hPath)) throw new java.io.IOException(
-        s"avro sink: rename $staging -> $hPath failed")
-    } finally {
-      if (fs.exists(staging)) fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(staging)) fs.delete(staging, true)
+        throw e
     }
+    // Swap via a backup rename, not a delete: if the final rename fails
+    // the old destination is RESTORED and the committed output survives
+    // in staging — both copies outlive any single failed filesystem op,
+    // and the error names where the data is.
+    val backup = new org.apache.hadoop.fs.Path(
+      dest.file + ".spark-old-" + java.util.UUID.randomUUID().toString.take(8))
+    val hadOld = fs.exists(hPath)
+    if (hadOld && !fs.rename(hPath, backup)) throw new java.io.IOException(
+      s"avro sink: could not move existing $hPath aside for the swap; " +
+        s"the committed output is preserved at $staging")
+    if (!fs.rename(staging, hPath)) {
+      val restored = hadOld && fs.rename(backup, hPath)
+      throw new java.io.IOException(
+        s"avro sink: rename $staging -> $hPath failed; the committed output " +
+          s"is preserved at $staging" +
+          (if (hadOld && restored) s" and the previous destination was restored"
+           else if (hadOld) s" and the previous destination is preserved at $backup"
+           else ""))
+    }
+    if (hadOld && !fs.delete(backup, true)) throw new java.io.IOException(
+      s"avro sink: swap succeeded but the previous copy at $backup could not " +
+        "be removed — delete it manually")
   }
 
   private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {

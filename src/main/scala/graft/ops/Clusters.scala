@@ -33,7 +33,17 @@ object Clusters {
     val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().localCheckpoint()
-    if (sym.count() <= driverEdgeLimit) return driverUnionFind(sym)
+    // Engine choice WITHOUT a full edge-volume job: take(limit+1) scans
+    // the checkpointed partitions INCREMENTALLY (1, then scaleUpFactor×
+    // more per round) and stops the moment it has limit+1 rows — on a
+    // big graph that is a handful of partitions, never the whole edge
+    // set (the r12 count() here was a second full-volume pass). When
+    // the graph IS small, the taken rows are complete and feed the
+    // union-find directly — the old separate collect() job is gone too.
+    val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    val head = sym.take(lim + 1)
+    if (head.length <= lim)
+      return driverUnionFind(sym.sparkSession, head)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -166,8 +176,8 @@ object Clusters {
     else labeled.groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
-  private def driverUnionFind(sym: DataFrame): DataFrame = {
-    val spark = sym.sparkSession
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -177,7 +187,7 @@ object Clusters {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    sym.collect().foreach { row =>
+    rows.foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))

@@ -191,9 +191,28 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     assert(Set("doc_id", "text", "source", "avg_nll_micro", "ppl_band")
       .subsetOf(kept.columns.toSet))
     // within every source, the worst (tail) band is gone — kept docs
-    // per source are at most 2/3 of that source's banded docs
+    // per source are at most ceil(2/3) of that source's banded docs.
+    // The denominator comes from running the same pre-filter stages +
+    // perplexityPartition through the API (the playbook's exact
+    // semantics), so the bound is verified, not just asserted-by-name.
+    val filtered = spark.read.parquet(s"$data/documents.parquet")
+      .filter($"text".isNotNull)
+      .withColumn("lang_pred", graft.ops.TextAnalysis.langId($"text"))
+      .filter($"lang_pred".isin("en", "de", "fr", "es"))
+    val bandedBySrc = graft.ops.TextAnalysis
+      .perplexityPartition(filtered, "doc_id", "text", "source")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bySrc = kept.groupBy("source").count().collect()
     assert(bySrc.nonEmpty && bySrc.forall(_.getLong(1) > 0))
+    bySrc.foreach { r =>
+      val src = r.getString(0); val keptN = r.getLong(1)
+      val banded = bandedBySrc.getOrElse(src,
+        fail(s"kept source '$src' absent from the banded universe"))
+      val bound = math.ceil(banded * 2.0 / 3.0).toLong
+      assert(keptN <= bound,
+        s"source '$src': kept $keptN docs > ceil(2/3 * $banded banded) = $bound")
+    }
   }
 
   test("tokenizer_report: WordPiece fertility per source, delivered as Avro") {

@@ -151,6 +151,37 @@ class AvroSpec extends SparkTestBase {
     assert(!parent.exists(_.contains("spark-staging")))
   }
 
+  test("avro: a failed final swap preserves BOTH copies and names the staging dir") {
+    import graft.SparkTestSession.spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.failswap.impl", classOf[FailSwapRenameFs].getName)
+    val local = tmpDir() + "/swapfail.avro"
+    // seed the destination through the plain local path (succeeds)
+    Writers.write(Seq((1L, "old")).toDF("id", "v"),
+      DestinationConfig("avro", file = local))
+    // overwrite through the rename-failing scheme: the write job commits
+    // into staging, the destination is moved aside, then the final
+    // rename fails — the sink must restore the destination, keep the
+    // staging dir, and say where the committed data lives
+    val e = intercept[java.io.IOException] {
+      Writers.write(Seq((9L, "new")).toDF("id", "v"),
+        DestinationConfig("avro", file = "failswap:" + local))
+    }
+    assert(e.getMessage.contains("preserved at"), e.getMessage)
+    assert(e.getMessage.contains("restored"), e.getMessage)
+    // the destination survived with its ORIGINAL content
+    val back = Readers.read(spark, SourceConfig("avro", file = local)).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "old")))
+    // the staging dir named in the error holds the committed NEW data
+    val staging = "preserved at (\\S+)".r.findFirstMatchIn(e.getMessage)
+      .map(_.group(1)).getOrElse(fail(s"no staging path in: ${e.getMessage}"))
+    val stagingLocal = staging.stripPrefix("failswap:")
+    assert(new java.io.File(stagingLocal).isDirectory, stagingLocal)
+    val staged = Readers.read(spark,
+      SourceConfig("avro", file = stagingLocal)).collect()
+    assert(staged.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "new")))
+  }
+
   test("avro: mixed-schema directory resolves through the pinned reader schema") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
@@ -213,4 +244,20 @@ class AvroSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("not in parquet,orc,jsonl"))
   }
+}
+
+/** Local filesystem whose ONLY failure is the avro sink's final
+  * stage→destination swap (src inside a staging dir AND dst the final
+  * `swapfail.avro`), so the committer's own renames and the
+  * backup/restore renames pass through — isolates the one filesystem
+  * op the loss-window spec needs to break. Registered per-test via
+  * `fs.failswap.impl`; instantiated reflectively by Hadoop. */
+class FailSwapRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failswap"
+  override def getUri: java.net.URI = java.net.URI.create("failswap:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (src.toString.contains(".spark-staging-") &&
+        dst.toString.endsWith("swapfail.avro")) false
+    else super.rename(src, dst)
 }

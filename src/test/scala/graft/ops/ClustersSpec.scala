@@ -34,6 +34,60 @@ class ClustersSpec extends SparkTestBase {
     assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 5L, 9L -> 5L))
   }
 
+  test("engine choice runs no full edge-volume job: the take probe stops after one partition") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // AQE both splits the materialization into several jobs (unstable
+    // job indexes) and can coalesce the 16 partitions away — pin the
+    // classic planner so "one partition of sixteen" is observable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // star graph (hub 0): diameter 2, so the forced distributed path
+    // converges in a couple of rounds; 4000 edges >> driverEdgeLimit=8
+    val edges = spark.range(1, 4001).select(lit(0L).as("a"), $"id".as("b"))
+    val tag = "graft-cc-engine-choice-probe"
+    val jobTasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null && tag == js.properties.getProperty("spark.jobGroup.id"))
+          jobTasks.add(js.stageInfos.map(_.numTasks).sum)
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(tag, "cc engine choice probe")
+      val comp = Clusters.connectedComponents(edges, "a", "b", driverEdgeLimit = 8L)
+      assert(comp.filter($"component" === 0L).count() == 4001L)
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // listener delivery is async: wait for the queue to settle before
+      // removing the listener and asserting
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val n = jobTasks.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      sc.removeSparkListener(listener)
+    }
+    val tasks = jobTasks.toArray(Array.empty[Integer]).map(_.intValue).toVector
+    // job 0 materializes the symmetric edge set (localCheckpoint — the
+    // one full-volume pass ANY engine needs exactly once); job 1 is the
+    // engine-choice probe. With 16 shuffle partitions of ~500 rows each
+    // and limit 9, take() must satisfy itself from its FIRST partition:
+    // one task, never the 16-task full sweep the old count() ran.
+    assert(tasks.length >= 2, s"expected checkpoint + probe jobs, saw $tasks")
+    assert(tasks(0) >= 16,
+      s"job 0 should be the full checkpoint materialization; jobs: $tasks")
+    assert(tasks(1) == 1,
+      s"engine-choice probe ran ${tasks(1)} tasks — a full edge-volume job " +
+        s"(16 partitions) would mean the count() pre-pass is back; jobs: $tasks")
+  }
+
   test("connected components: non-convergence throws by default, partial labels on opt-out") {
     import spark.implicits._
     // a 6-node chain needs ~4 propagation rounds; maxIter=2 can't finish
