@@ -66,6 +66,12 @@ object Bench {
       // API twin) purely to compare them — correctness fixtures; both
       // underlying plans are already benched via their twins
       "q_playbook_ann_check", "q_playbook_bpe_check",
+      // r13 persisted-ANN-index equivalence oracles: each builds the
+      // index AND runs the in-session fit purely to compare them; the
+      // production persisted path is benched via q_llm_ann_persist and
+      // the in-session plans via q_llm_ann_{ivf,pq,binary}
+      "q_llm_ann_persist_check", "q_llm_ann_pq_persist_check",
+      "q_llm_ann_bin_persist_check",
       // r12 property-verdict checks: re-run already-benched engine-local
       // ops (pca / deflate / classifier) purely to pin their
       // definitional properties in the DuckDB gate

@@ -42,7 +42,18 @@ object RecallCheck {
       "ivf_pq" -> rec(pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
         nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))),
       "binary" -> rec(pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k,
-        rerank = 96, rerankFrac = 0.2))))
+        rerank = 96, rerankFrac = 0.2))),
+      "ivf_loaded" -> {
+        // the persisted-index path (q_llm_ann_persist): fit once to a
+        // stamped artifact, probe through the verified load — gated at
+        // the same floor as the fit it must row-match
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_recall_idx_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeIvfIndex(spark, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, nlist = 16)
+        rec(pairs(graft.ops.AnnIndex.ivfLookupIndexed(spark, e, tbl, idx,
+          k, nprobe = 8, excludeSelf = true)))
+      })
     (recalls, truth.size)
   }
 
@@ -65,7 +76,7 @@ object RecallCheck {
     val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
     val (h, n) = headline(spark, dir, k)
-    println(f"RECALL lsh=${h("lsh")}%.3f ivf=${h("ivf")}%.3f ivf_int8=${h("ivf_int8")}%.3f ivf_pq=${h("ivf_pq")}%.3f binary=${h("binary")}%.3f n=$n")
+    println(f"RECALL lsh=${h("lsh")}%.3f ivf=${h("ivf")}%.3f ivf_int8=${h("ivf_int8")}%.3f ivf_pq=${h("ivf_pq")}%.3f binary=${h("binary")}%.3f ivf_loaded=${h("ivf_loaded")}%.3f n=$n")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
                             (6, true, 6), (8, true, 6), (6, true, 7), (4, true, 5))) {
@@ -108,7 +119,7 @@ object RecallCheck {
     }
     val allPass = perSf.forall(_._3)
     val json =
-      s"""{"k":$k,"floor":$floor,"paths":["binary","ivf","ivf_int8","ivf_pq","lsh"],""" +
+      s"""{"k":$k,"floor":$floor,"paths":["binary","ivf","ivf_int8","ivf_loaded","ivf_pq","lsh"],""" +
         s""""sfs":{${perSf.map(_._2).mkString(",")}},"all_pass":$allPass}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -91,7 +91,7 @@ object AnalyticsCompiler {
     "c4_rules" -> (Seq("idCol", "textCol"),
       "idCol textCol [minWordsPerLine=3 minSentences=5] — the C4 cleaner (Raffel 2020 §2.2): keep lines ending in terminal punctuation with enough words and no 'javascript'; drop pages with lorem ipsum, curly braces, or too few retained sentences; textCol is REPLACED by the cleaned text"),
     "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
-      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[]] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the interpolated-bigram NLL, annotated onto the frame as avg_nll_micro + ppl_band (docs under two tokens band NULL); keepBands filters to the listed bands"),
+      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[]] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the interpolated-bigram NLL, annotated onto the frame as avg_nll_micro + ppl_band (docs under two tokens band NULL); keepBands filters to the listed bands and DROPS NULL-banded short docs unless the literal entry \"null\" is listed"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -522,7 +522,15 @@ object AnalyticsCompiler {
           pp.select(col(id), col("avg_nll_micro"), col("ppl_band")),
           Seq(id), "left")
         val bands = strs(p, "keepBands")
-        if (bands.nonEmpty) joined.filter(col("ppl_band").isin(bands: _*))
+        // NULL is not a band, so ANY keepBands filter drops the
+        // unscoreable under-two-token docs (isin never matches NULL) —
+        // even keepBands=[head,middle,tail]. That drop is deliberate
+        // and documented in the op help; the literal entry "null"
+        // keeps them explicitly.
+        val named = bands.filterNot(_ == "null")
+        if (bands.nonEmpty) joined.filter(
+          if (bands.contains("null")) col("ppl_band").isNull || col("ppl_band").isin(named: _*)
+          else col("ppl_band").isin(named: _*))
         else joined
       case "wordpiece_fertility" =>
         // same eager vocabulary-bounded training pattern as bpe_fertility

@@ -1,0 +1,385 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted ANN indexes — the "fit once, probe for weeks" production
+ * lifecycle the in-session [[Similarity]] paths lack. Every
+ * `Similarity.ivf*`/`binaryTopK` call re-fits its quantizer from the
+ * corpus; at 100 TB the fit (a corpus scan + a k-means job) costs
+ * hours while a probe batch costs seconds, so the index must be a
+ * durable artifact: built once, stamped against the exact data files
+ * it indexed, verified coherent before every probe, rebuilt loudly
+ * when the table changes. This is [[Layout]]'s bloom side-index
+ * lifecycle (fingerprint stamp → verified read → loud STALE → rebuild
+ * heals) applied to the ANN family.
+ *
+ * Index layout under `indexPath`:
+ *  - `_graft_ann_meta.json` — kind + fit params + the table's
+ *    file-listing fingerprint ([[Layout.tableFingerprint]]). Written
+ *    LAST (and deleted FIRST on rebuild), so a half-written index
+ *    never carries a valid stamp.
+ *  - `centroids/` (ivf, pq) — (ci, cv): the coarse-quantizer cells,
+ *    nlist rows. Probes collect these (bounded) and inline them as
+ *    plan literals, exactly like the in-session fit.
+ *  - `codebooks/` (pq) — (j, c, cv): the m×ksub product-quantization
+ *    codebooks.
+ *  - `codes/` — the per-row index payload, PARTITIONED BY CELL for
+ *    ivf/pq so a probe's `nprobe`-cell join prunes whole directories
+ *    at scan time (Spark's dynamic partition pruning on the cell
+ *    join; at 100 TB a 16-of-256-cell probe reads 1/16 of the index).
+ *    ivf stores (id, v, nrm, cell) — the faiss IVFFlat layout, full
+ *    vectors grouped by cell, so probing touches NOTHING but the
+ *    index. pq stores (id, codes, rn, cell) — m small ints per row;
+ *    the exact re-rank fetches float vectors from the stamped table
+ *    for the survivor set only. binary stores (id, bits) — sign-
+ *    packed words, 32× smaller than the vectors; unpartitioned
+ *    because a Hamming coarse pass scans all codes by design.
+ *
+ * Determinism/equivalence contract: the write-time fit is the SAME
+ * seeded fit the in-session operators run ([[Similarity.ivfFit]],
+ * [[Similarity.lloyd]], [[Similarity.signPack]]), centroids/codebooks
+ * round-trip through parquet doubles bit-exactly, and assignments/
+ * codes are persisted rather than recomputed — so a loaded-index
+ * probe returns EXACTLY the rows of its in-session twin
+ * (equivalence-oracled by q_llm_ann_persist_check /
+ * q_llm_ann_pq_persist_check / q_llm_ann_bin_persist_check, and
+ * recall-gated as the `ivf_loaded` RecallCheck path).
+ */
+object AnnIndex {
+
+  /** The self-describing coherence stamp beside an ANN index: enough
+    * to VERIFY against the live table and to know the fit geometry
+    * without external parameters. */
+  case class AnnIndexMeta(kind: String, idCol: String, vecCol: String,
+                          dims: Int, nlist: Int, m: Int, ksub: Int,
+                          tableFp: String)
+
+  private val metaName = "_graft_ann_meta.json"
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String,
+                        meta: AnnIndexMeta): Unit = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val json =
+      s"""{"kind":"${meta.kind}","id_col":"${meta.idCol}","vec_col":"${meta.vecCol}",""" +
+        s""""dims":${meta.dims},"nlist":${meta.nlist},"m":${meta.m},"ksub":${meta.ksub},""" +
+        s""""table_fp":"${meta.tableFp}"}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read an index's coherence stamp; None if absent (not produced by
+    * a writer here, or a write that died before the stamp). Fixed
+    * schema — the same deliberate micro-matcher as the bloom sidecar
+    * (no JSON library for an 8-field file). */
+  def readMeta(spark: SparkSession, indexPath: String): Option[AnnIndexMeta] = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val mp = new org.apache.hadoop.fs.Path(p, metaName)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(k: String) =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
+    def num(k: String) =
+      ("\"" + k + "\":([0-9-]+)").r.findFirstMatchIn(text).map(_.group(1).toInt)
+    for {
+      kind <- str("kind"); id <- str("id_col"); vc <- str("vec_col")
+      d <- num("dims"); nl <- num("nlist"); mm <- num("m"); ks <- num("ksub")
+      fp <- str("table_fp")
+    } yield AnnIndexMeta(kind, id, vc, d, nl, mm, ks, fp)
+  }
+
+  /**
+   * Verify the index at `indexPath` is coherent with the live table
+   * BEFORE any probe is planned through it. Throws
+   * IllegalStateException with a precise reason when the index (a)
+   * has no stamp, (b) is a different kind / indexes different
+   * columns or dims than the probe asks for, or (c) is STALE — the
+   * table's data files changed since the build, so persisted cell
+   * assignments and codes describe rows that moved, vanished, or
+   * never got indexed. One metadata-scale listing; no data read.
+   */
+  def verify(spark: SparkSession, tablePath: String, indexPath: String,
+             kind: String): AnnIndexMeta = {
+    val meta = readMeta(spark, indexPath).getOrElse(throw new IllegalStateException(
+      s"ANN index at $indexPath has no $metaName coherence stamp — rebuild it " +
+        s"with AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)"))
+    if (meta.kind != kind) throw new IllegalStateException(
+      s"ANN index at $indexPath is kind '${meta.kind}', not '$kind' — wrong index " +
+        "for this probe")
+    val live = Layout.tableFingerprint(spark, tablePath)
+    if (live != meta.tableFp) throw new IllegalStateException(
+      s"ANN index at $indexPath is STALE: the data files of $tablePath changed " +
+        s"since the index was built (listing fingerprint ${meta.tableFp.take(12)}… " +
+        s"at build vs ${live.take(12)}… now). Cell assignments and codes no longer " +
+        s"describe the live rows — rebuild with AnnIndex.write${kind.capitalize}Index.")
+    meta
+  }
+
+  /** Invalidate any existing stamp, so a rebuild that dies midway
+    * leaves an index that FAILS verification instead of one whose old
+    * stamp still matches an unchanged table over half-new codes. */
+  private def dropStamp(spark: SparkSession, indexPath: String): Unit = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val mp = new org.apache.hadoop.fs.Path(p, metaName)
+    if (fs.exists(mp) && !fs.delete(mp, false)) throw new java.io.IOException(
+      s"could not remove the existing ANN index stamp $mp before rebuild")
+  }
+
+  private def prepped(table: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    table.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+  }
+
+  private def writeCentroids(spark: SparkSession, indexPath: String,
+                             cents: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ci", "cv").repartition(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  private def loadCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("ci").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /**
+   * Build and stamp an IVF-FLAT index for the table at `tablePath`:
+   * the seeded [[Similarity.ivfFit]] coarse quantizer, full vectors +
+   * norms persisted partitioned by cell. `table` is the caller's
+   * already-adapted view of exactly the files at `tablePath` (the
+   * schema-adapter layer may normalize types; fitting on the adapted
+   * frame keeps the loaded probe bit-equal to its in-session twin).
+   */
+  def writeIvfIndex(spark: SparkSession, table: DataFrame, tablePath: String,
+                    indexPath: String, idCol: String, vecCol: String,
+                    dims: Int, nlist: Int = 16,
+                    maxFitVectors: Long = 100000L): Unit = {
+    dropStamp(spark, indexPath)
+    val v = prepped(table, idCol, vecCol)
+    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+    assigned.select(col("id"), col("v"), Similarity.norm(col("v")).as("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
+    writeCentroids(spark, indexPath, cents)
+    writeMeta(spark, indexPath, AnnIndexMeta("ivf", idCol, vecCol, dims, nlist,
+      m = 0, ksub = 0, tableFp = Layout.tableFingerprint(spark, tablePath)))
+  }
+
+  /**
+   * Probe a stamped IVF-FLAT index: verify coherence, inline the
+   * persisted centroids as literals, rank each query's `nprobe`
+   * nearest cells ([[Similarity.probeCells]] — the identical
+   * Euclidean probe metric), join candidates within cells, exact
+   * cosine re-rank. NOTHING is fit and the corpus table is never
+   * read — the cell join touches only the index, and because `codes/`
+   * is partitioned by cell, partition pruning keeps the scan at
+   * nprobe/nlist of the index volume.
+   *
+   * With `excludeSelf = false` this is row-exact [[Similarity.ivfLookup]]
+   * against the full table; with `excludeSelf = true` and
+   * queries == table it is row-exact [[Similarity.ivfTopK]].
+   */
+  def ivfLookupIndexed(spark: SparkSession, queries: DataFrame,
+                       tablePath: String, indexPath: String,
+                       k: Int, nprobe: Int = 2,
+                       excludeSelf: Boolean = false): DataFrame = {
+    val meta = verify(spark, tablePath, indexPath, "ivf")
+    val cents = loadCentroids(spark, indexPath)
+    val index = spark.read.parquet(s"$indexPath/codes")
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("cell"))
+    val q = Similarity.probeCells(
+      queries.filter(col(meta.vecCol).isNotNull)
+        .select(col(meta.idCol).as("qid"),
+          col(meta.vecCol).cast("array<double>").as("qv"))
+        .withColumn("qn", Similarity.norm(col("qv"))),
+      cents, nprobe)
+    val joined = q.join(index, "cell")
+    val scored = (if (excludeSelf) joined.filter(col("qid") =!= col("nid")) else joined)
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Build and stamp an IVF-PQ index: the seeded coarse quantizer plus
+   * m×ksub subspace codebooks ([[Similarity.lloyd]] on the same
+   * bounded deterministic sample policy), PQ codes + reconstructed
+   * norms persisted partitioned by cell — m small ints per row
+   * instead of the vectors, the memory-bound layout PQ exists for.
+   */
+  def writePqIndex(spark: SparkSession, table: DataFrame, tablePath: String,
+                   indexPath: String, idCol: String, vecCol: String,
+                   dims: Int, nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+                   maxFitVectors: Long = 100000L): Unit = {
+    require(dims % m == 0, s"dims ($dims) must divide evenly into m ($m) subspaces")
+    dropStamp(spark, indexPath)
+    val sd = dims / m
+    val v = prepped(table, idCol, vecCol)
+    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+    // the identical bounded sample + in-memory Lloyd fits of ivfPqTopK
+    val sampleCap = math.min(maxFitVectors, 20000L)
+    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+    val sampleDf = if (estRows <= sampleCap) v
+      else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+    val sample: Array[Array[Double]] =
+      sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "writePqIndex needs at least one non-null vector")
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
+      Similarity.lloyd(pts, ksub, iters = 5, seed = 42L + j)
+    }
+    val booksFlat: Array[Double] = books.flatMap(_.flatten)
+    val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+    graft.functions.Registry.ensure(spark)
+    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+    val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
+    assigned
+      .withColumn("codes",
+        call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
+      .withColumn("rn",
+        sqrt(call_function("pq_cn2", col("codes"), cn2Lit, lit(ksub))))
+      .filter(col("rn") > 0)
+      .select(col("id"), col("codes"), col("rn"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
+    writeCentroids(spark, indexPath, cents)
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("j", "c", "cv").repartition(1)
+      .write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    writeMeta(spark, indexPath, AnnIndexMeta("pq", idCol, vecCol, dims, nlist,
+      m, ksub, tableFp = Layout.tableFingerprint(spark, tablePath)))
+  }
+
+  /**
+   * Self-join top-k through a stamped IVF-PQ index: verify coherence,
+   * inline persisted centroids + codebooks as literals, ADC-score the
+   * cell-pruned candidates from their persisted codes, exact-cosine
+   * re-rank the `rerankFactor·k` survivors against float vectors
+   * fetched from `table` (the caller's adapted view of the STAMPED
+   * files — survivors only; the vectors never ride the candidate
+   * exchange). Row-exact twin of [[Similarity.ivfPqTopK]] at the
+   * index's fit geometry.
+   */
+  def pqTopKIndexed(spark: SparkSession, table: DataFrame,
+                    tablePath: String, indexPath: String,
+                    k: Int, nprobe: Int = 8,
+                    rerankFactor: Int = 24): DataFrame = {
+    val meta = verify(spark, tablePath, indexPath, "pq")
+    val cents = loadCentroids(spark, indexPath)
+    val bookRows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy("j", "c").collect()
+    val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
+    val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
+    graft.functions.Registry.ensure(spark)
+    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+    val corpus = spark.read.parquet(s"$indexPath/codes")
+      .select(col("id").as("nid"), col("cell"), col("codes").as("ncodes"), col("rn"))
+    val v = table.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"), col(meta.vecCol).cast("array<double>").as("v"))
+    val q = Similarity.probeCells(
+      v.select(col("id").as("qid"), col("v").as("qv"))
+        .withColumn("qn", Similarity.norm(col("qv"))),
+      cents, nprobe)
+    val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit,
+      lit(meta.m), lit(meta.ksub))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val survivors = q.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), (adot / (col("qn") * col("rn"))).as("acos"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerankFactor * k)
+      .select(col("qid"), col("nid"))
+    val vecs = v.withColumn("nrm", Similarity.norm(col("v")))
+    val scored = survivors
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Build and stamp a binary sign-quantization index: one
+   * [[Similarity.signPack]] pass, (id, bits) persisted — 32× smaller
+   * than the float vectors, the store a Hamming coarse pass scans.
+   * No quantizer state at all, so the "fit" is a single map; the
+   * artifact's value is not skipping a fit but skipping the CORPUS
+   * READ on every probe batch (8·ceil(dims/64) bytes/row instead of
+   * 8·dims).
+   */
+  def writeBinaryIndex(spark: SparkSession, table: DataFrame, tablePath: String,
+                       indexPath: String, idCol: String, vecCol: String,
+                       dims: Int): Unit = {
+    dropStamp(spark, indexPath)
+    table.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), Similarity.signPack(col("v"), dims).as("bits"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    writeMeta(spark, indexPath, AnnIndexMeta("binary", idCol, vecCol, dims,
+      nlist = 0, m = 0, ksub = 0,
+      tableFp = Layout.tableFingerprint(spark, tablePath)))
+  }
+
+  /**
+   * Probe a stamped binary index: verify coherence, sign-pack the
+   * query batch on the fly, Hamming coarse pass against the persisted
+   * bits, exact-cosine re-rank of the corpus-fraction-scaled
+   * candidate set with float vectors fetched from `table` (the
+   * stamped files) for queries and survivors only. Row-exact twin of
+   * [[Similarity.binaryTopK]] at the same (k, rerank, rerankFrac).
+   */
+  def binaryLookupIndexed(spark: SparkSession, queries: DataFrame,
+                          table: DataFrame, tablePath: String, indexPath: String,
+                          k: Int, rerank: Int = 96,
+                          rerankFrac: Double = 0.0): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k")
+    val meta = verify(spark, tablePath, indexPath, "binary")
+    val q0 = queries.select(col(meta.idCol).as("qid"),
+      col(meta.vecCol).cast("array<double>").as("qv"))
+    val c0 = table.select(col(meta.idCol).as("nid"),
+      col(meta.vecCol).cast("array<double>").as("nv"))
+    val qb = q0.select(col("qid"), Similarity.signPack(col("qv"), meta.dims).as("qbits"))
+    val cb = spark.read.parquet(s"$indexPath/codes")
+      .select(col("id").as("nid"), col("bits").as("nbits"))
+    val coarse = broadcast(qb).crossJoin(cb)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.hammingDist(col("qbits"), col("nbits")).as("ham"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val effRerank =
+      if (rerankFrac <= 0.0) lit(rerank)
+      else greatest(lit(rerank),
+        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+          .cast("int"))
+    val cand = coarse.withColumn("rr", row_number().over(wc))
+      .withColumn("_eff_rerank", effRerank)
+      .filter(col("rr") <= col("_eff_rerank"))
+      .select(col("qid"), col("nid"), col("ham"))
+    val scored = cand
+      .join(q0.withColumn("qn", Similarity.norm(col("qv"))), "qid")
+      .join(c0.withColumn("nn", Similarity.norm(col("nv"))), "nid")
+      .select(col("qid"), col("nid"), col("ham"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"), col("ham"))
+  }
+}

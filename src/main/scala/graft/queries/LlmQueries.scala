@@ -803,6 +803,115 @@ object LlmQueries {
       },
       None),
 
+    // Persisted-ANN-index lifecycle as one graded plan (the "fit once,
+    // probe for weeks" production shape): build + stamp an IVF-FLAT
+    // index of the embeddings table (seeded coarse quantizer, vectors
+    // partitioned by cell), then answer a query batch through the
+    // VERIFIED index — centroids load as literals, the cell join
+    // partition-prunes the codes, nothing refits and the corpus table
+    // is never re-read. Rows-only (k-means cells are engine-local);
+    // q_llm_ann_persist_check pins loaded ≡ in-session exactly, the
+    // `ivf_loaded` RecallCheck path gates its recall, and
+    // AnnIndexSpec pins the stale/rebuild lifecycle.
+    Q("q_llm_ann_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_ivf_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeIvfIndex(s, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, nlist = 16)
+        graft.ops.AnnIndex.ivfLookupIndexed(s, e.filter(col("vec_id") % 50 === 0),
+          tbl, idx, k = 3, nprobe = 8)
+      },
+      None),
+
+    // Engine-internal equivalence oracle for the persisted IVF index:
+    // a loaded-index probe must produce EXACTLY the rows of the
+    // in-session fit (persisted centroids round-trip through parquet
+    // doubles bit-exactly; assignments are stored, not recomputed) —
+    // one full-outer join on (qid, rank), zero tolerance on neighbor
+    // ids, 1e-9 on the score.
+    Q("q_llm_ann_persist_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_ivf_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeIvfIndex(s, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, nlist = 16)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        val loaded = graft.ops.AnnIndex.ivfLookupIndexed(s, queries, tbl, idx,
+            k = 3, nprobe = 8)
+          .select(col("qid"), col("rank"), col("nid").as("l_nid"), col("cos").as("l_cos"))
+        val fit = Similarity.ivfLookup(queries, e, "vec_id", "embedding",
+            dims = 64, k = 3, nlist = 16, nprobe = 8)
+          .select(col("qid"), col("rank"), col("nid").as("f_nid"), col("cos").as("f_cos"))
+        loaded.join(fit, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("l_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("l_nid").isNull || col("f_nid").isNull ||
+                col("l_nid") =!= col("f_nid") ||
+                abs(col("l_cos") - col("f_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Same contract for the persisted IVF-PQ index: loaded centroids +
+    // codebooks + codes must reproduce ivfPqTopK row-exactly at the
+    // production operating point.
+    Q("q_llm_ann_pq_persist_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_pq_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writePqIndex(s, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, nlist = 16, m = 16, ksub = 32)
+        val loaded = graft.ops.AnnIndex.pqTopKIndexed(s, e, tbl, idx,
+            k = 3, nprobe = 8, rerankFactor = 24)
+          .select(col("qid"), col("rank"), col("nid").as("l_nid"), col("cos").as("l_cos"))
+        val fit = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+            dims = 64, k = 3, nlist = 16, nprobe = 8, m = 16, ksub = 32,
+            rerankFactor = 24)
+          .select(col("qid"), col("rank"), col("nid").as("f_nid"), col("cos").as("f_cos"))
+        loaded.join(fit, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("l_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("l_nid").isNull || col("f_nid").isNull ||
+                col("l_nid") =!= col("f_nid") ||
+                abs(col("l_cos") - col("f_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Same contract for the persisted binary index: stored sign bits
+    // must reproduce binaryTopK (incl. the corpus-fraction-scaled
+    // rerank) row-exactly.
+    Q("q_llm_ann_bin_persist_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_bin_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeBinaryIndex(s, e, tbl, idx, "vec_id", "embedding",
+          dims = 64)
+        val queries = e.filter(col("vec_id") < 20)
+        val loaded = graft.ops.AnnIndex.binaryLookupIndexed(s, queries, e, tbl, idx,
+            k = 3, rerank = 96, rerankFrac = 0.2)
+          .select(col("qid"), col("rank"), col("nid").as("l_nid"), col("cos").as("l_cos"))
+        val fit = Similarity.binaryTopK(queries, e, "vec_id", "embedding",
+            dims = 64, k = 3, rerank = 96, rerankFrac = 0.2)
+          .select(col("qid"), col("rank"), col("nid").as("f_nid"), col("cos").as("f_cos"))
+        loaded.join(fit, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("l_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("l_nid").isNull || col("f_nid").isNull ||
+                col("l_nid") =!= col("f_nid") ||
+                abs(col("l_cos") - col("f_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // End-to-end corpus cleaning: quality gate -> exact dedup ->
     // near-dup cluster resolution (rows-only: xxhash64 pairs).
     Q("q_llm_corpus_clean",

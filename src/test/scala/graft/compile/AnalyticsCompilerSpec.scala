@@ -194,6 +194,32 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(Seq("quality", "lang_pred", "n_tokens").forall(out.columns.contains))
   }
 
+  test("ppl_partition keepBands: named bands drop NULL-banded short docs; 'null' keeps them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon eta", "a"),
+      (3L, "beta gamma delta epsilon zeta theta", "a"),
+      (4L, "x", "a")) // one token -> no bigram NLL -> ppl_band NULL
+      .toDF("doc_id", "text", "src")
+    def run(bands: Seq[String]) = AnalyticsCompiler(spark, docs, Seq(
+      stage("ppl_partition", "idCol" -> "doc_id", "textCol" -> "text",
+        "sourceCol" -> "src", "buckets" -> 3,
+        "keepBands" -> bands)))
+      .select("doc_id").as[Long].collect().toSet
+    // listing every named band still loses the unscoreable doc — the
+    // documented semantics (NULL is not a band)
+    assert(run(Seq("head", "middle", "tail")) == Set(1L, 2L, 3L))
+    // the literal "null" entry keeps short docs explicitly
+    assert(run(Seq("head", "middle", "tail", "null")) == Set(1L, 2L, 3L, 4L))
+    assert(run(Seq("null")) == Set(4L))
+    // annotate form (no keepBands) never drops anything
+    val annotated = AnalyticsCompiler(spark, docs, Seq(
+      stage("ppl_partition", "idCol" -> "doc_id", "textCol" -> "text",
+        "sourceCol" -> "src", "buckets" -> 3)))
+    assert(annotated.count() == 4)
+    assert(annotated.filter(col("ppl_band").isNull).count() == 1)
+  }
+
   test("split/sample/sessionize stages wrap the sampling and session operators") {
     val df = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "v")
     val split = AnalyticsCompiler(spark, df, Seq(stage("split", "keyCol" -> "id")))
