@@ -91,6 +91,10 @@ object Bench {
       // correctness fixtures
       "q_llm_wordpiece_check", "q_playbook_wordpiece",
       "q_playbook_wordpiece_check",
+      // byte-level BPE family: same layout again — the trained pipeline
+      // is benched via q_llm_bbpe_fertility; the round-trip coverage
+      // verdict is a correctness fixture
+      "q_llm_bbpe_check",
       // ppl_partition equivalence oracle (runs the op twice by
       // construction; q_playbook_ppl itself IS benched — the annotate
       // join back onto the frame is a genuinely new plan)

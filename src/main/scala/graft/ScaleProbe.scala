@@ -32,7 +32,7 @@ import graft.ops.{Clusters, Dedup, Layout, Similarity}
  */
 object ScaleProbe {
 
-  private def copies(df: DataFrame, factor: Int): Seq[(Int, DataFrame)] =
+  private[graft] def copies(df: DataFrame, factor: Int): Seq[(Int, DataFrame)] =
     (0 until factor).map(c => c -> df)
 
   def synthDocuments(base: DataFrame, factor: Int): DataFrame =
@@ -199,6 +199,14 @@ object ScaleProbe {
     } {
       graft.ops.TextAnalysis.kneserNeyLogProb(big("documents"), "doc_id", "text")
     }
+    // modified-KN trigram (r13): same map-side-combined n-gram count
+    // shuffles as sb_ppl plus type-volume discount tables — the curve
+    // should sit between sb_ppl's and kn_ppl's
+    probe("mkn_ppl") {
+      graft.ops.TextAnalysis.modifiedKneserNeyLogProb(t("documents"), "doc_id", "text")
+    } {
+      graft.ops.TextAnalysis.modifiedKneserNeyLogProb(big("documents"), "doc_id", "text")
+    }
 
     // WordPiece fertility: corpus-volume stage is the one (source,
     // word) count shuffle; training and greedy encoding ride on the
@@ -242,6 +250,113 @@ object ScaleProbe {
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"SCALE_PROBE $outJson")
+    spark.stop()
+  }
+}
+
+/**
+ * Second-decade probe for star-CC — the steepest r12 production curve
+ * (3.31× at 10×). That 10× number conflates two things the main
+ * probe's synthesis cannot separate: corpus growth AND near-dup
+ * FAMILY growth — [[ScaleProbe.synthDocuments]] at factor f plants
+ * families of size f, so the LSH pair volume (and thus cc_star's edge
+ * input) grows ~f²/2 per base doc by CONSTRUCTION of the test data,
+ * not by any property of the engine. A real corpus 100× larger does
+ * not have 100×-larger duplicate families; it has 100× MORE families
+ * of bounded size.
+ *
+ * This probe controls pair volume the way a real corpus does:
+ * [[synthPairedFamilies]] grows the corpus with SIZE-2 near-dup
+ * families (each copy-pair shares group-salted tokens, disjoint from
+ * the base doc and every other group), so edge volume stays LINEAR in
+ * the factor, and measures cc_star at 1× / 10× / 100× of an sf0.01
+ * base — two full decades, ~5k → ~500k docs. The operating-point
+ * recipe this validates (recorded in BASELINE.md): keep dup-family
+ * pair volume bounded by the near-dup definition itself (banded LSH
+ * with `maxBucketSize`), and star-CC's cost tracks EDGES — linear in
+ * corpus size for bounded families at any scale.
+ *
+ * Usage: ScaleProbeCc [baseSfDir] [outJson]  (factors fixed 10, 100)
+ */
+object ScaleProbeCc {
+  import ScaleProbe.copies
+
+  /** Corpus growth with CONSTANT-SIZE near-dup families: copies 2k-1
+    * and 2k form group k — every token is prefixed with the group
+    * salt (disjoint shingles vs the base doc and all other groups)
+    * and each copy appends one distinct tail token (near-dup WITHIN
+    * the group, not identical). Pair volume is one pair per group:
+    * LINEAR in the factor. */
+  def synthPairedFamilies(base: DataFrame, factor: Int): DataFrame =
+    copies(base, factor).map { case (c, df) =>
+      if (c == 0) df
+      else {
+        val g = (c + 1) / 2
+        df.withColumn("doc_id", col("doc_id") + lit(c.toLong * 100000000L))
+          .withColumn("text", concat(
+            regexp_replace(col("text"), "(^|\\s)", s"$$1zq${g}g"),
+            lit(s" zqcopy${c}tail")))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outJson = args.lift(1).getOrElse("SCALE_PROBE_CC.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val work = "/tmp/graft_scale_probe_cc"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val base = graft.queries.Queries.t(spark, baseDir, "documents")
+    base.write.parquet(s"$work/d1")
+    synthPairedFamilies(base, 10).write.parquet(s"$work/d10")
+    synthPairedFamilies(base, 100).write.parquet(s"$work/d100")
+
+    def ccStar(path: String): DataFrame =
+      Clusters.connectedComponentsStar(
+        Dedup.minhashNearDupPairs(spark.read.parquet(path), "doc_id", "text",
+          shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+        "id_a", "id_b")
+    def time(fn: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn.write.format("noop").mode("overwrite").save()
+      finally graft.ops.CachedRelations.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best(fn: => DataFrame): Double = (0 until 2).map(_ => time(fn)).min
+
+    val counts = Seq("d1", "d10", "d100")
+      .map(d => d -> spark.read.parquet(s"$work/$d").count()).toMap
+    // pair volume per decade — the controlled variable, reported so
+    // the curve is interpretable (edges must grow ~linearly)
+    val edges = Seq("d1", "d10", "d100").map { d =>
+      d -> Dedup.minhashNearDupPairs(spark.read.parquet(s"$work/$d"),
+        "doc_id", "text", shingleSize = 5, numHashes = 16, bands = 4,
+        threshold = 0.5).count()
+    }.toMap
+    graft.ops.CachedRelations.releaseAll()
+    val t1 = best(ccStar(s"$work/d1"))
+    val t10 = best(ccStar(s"$work/d10"))
+    val t100 = best(ccStar(s"$work/d100"))
+    println(f"[probe-cc] 1x=$t1%.2fs 10x=$t10%.2fs 100x=$t100%.2fs " +
+      f"decade1=${t10 / t1}%.2f decade2=${t100 / t10}%.2f")
+    val json = f"""{"base_sf":"$baseDir","op":"cc_star_paired_families",""" +
+      f""""docs":{"1x":${counts("d1")},"10x":${counts("d10")},"100x":${counts("d100")}},""" +
+      f""""edges":{"1x":${edges("d1")},"10x":${edges("d10")},"100x":${edges("d100")}},""" +
+      f""""sec":{"1x":$t1%.3f,"10x":$t10%.3f,"100x":$t100%.3f},""" +
+      f""""decade_ratios":{"d1":${t10 / t1}%.2f,"d2":${t100 / t10}%.2f}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE_PROBE_CC $outJson")
     spark.stop()
   }
 }

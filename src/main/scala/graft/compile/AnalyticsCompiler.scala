@@ -91,7 +91,7 @@ object AnalyticsCompiler {
     "c4_rules" -> (Seq("idCol", "textCol"),
       "idCol textCol [minWordsPerLine=3 minSentences=5] — the C4 cleaner (Raffel 2020 §2.2): keep lines ending in terminal punctuation with enough words and no 'javascript'; drop pages with lorem ipsum, curly braces, or too few retained sentences; textCol is REPLACED by the cleaned text"),
     "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
-      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[]] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the interpolated-bigram NLL, annotated onto the frame as avg_nll_micro + ppl_band (docs under two tokens band NULL); keepBands filters to the listed bands and DROPS NULL-banded short docs unless the literal entry \"null\" is listed"),
+      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[] model=bigram] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the self-trained LM NLL, annotated onto the frame as avg_nll_micro + ppl_band; model picks the smoother: bigram (JM; docs under two tokens band NULL) | kn2 (Kneser-Ney bigram) | mkn3 (modified-KN trigram, the CCNet/SRILM production smoother) | sb3 (Stupid Backoff trigram) — the latter three score every non-null doc; keepBands filters to the listed bands and DROPS NULL-banded docs unless the literal entry \"null\" is listed"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -136,7 +136,7 @@ object AnalyticsCompiler {
     "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "wordpiece_fertility" -> Set("numMerges"),
-    "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands"),
+    "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands", "model"),
     "c4_rules" -> Set("minWordsPerLine", "minSentences"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
@@ -515,7 +515,8 @@ object AnalyticsCompiler {
         val pp = TextAnalysis.perplexityPartition(df, id,
           str(p, "textCol").get, str(p, "sourceCol").get,
           lambdaBp = int(p, "lambdaBp").getOrElse(8000),
-          buckets = int(p, "buckets").getOrElse(3))
+          buckets = int(p, "buckets").getOrElse(3),
+          model = str(p, "model").getOrElse("bigram"))
         // annotate, don't project: the pipeline keeps its columns; docs
         // with fewer than two tokens have no bigram NLL and band NULL
         val joined = df.join(

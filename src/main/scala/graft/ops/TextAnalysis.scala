@@ -913,6 +913,185 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document NLL under an interpolated MODIFIED-KNESER-NEY trigram
+   * LM fitted on the corpus itself — the production smoother
+   * (Chen & Goodman 1999 §3; the SRILM/CCNet default) one rung above
+   * [[kneserNeyLogProb]]: three count-dependent discounts D1/D2/D3+
+   * per order, estimated from that order's count-of-counts, with the
+   * lower orders built from CONTINUATION counts:
+   *
+   *   Y   = n1/(n1 + 2·n2)                 [per order, n_k = # types
+   *   D1  = 1 − 2·Y·n2/n1                   with count exactly k]
+   *   D2  = 2 − 3·Y·n3/n2
+   *   D3+ = 3 − 4·Y·n4/n3                   (each clamped at ≥ 0; a
+   *         degenerate count-of-counts table falls back to 0.5/1.0/1.5)
+   *
+   *   P(w|u,v) = max(c(uvw) − D(c), 0)/c(uv·) + γ(u,v)·P(w|v)
+   *   γ(u,v)   = (D1·N1(uv·) + D2·N2(uv·) + D3+·N3+(uv·))/c(uv·)
+   *   P(w|v)   = max(c'(vw) − D'(c'), 0)/c'(v·) + γ'(v)·P_cont(w)
+   *              [c'(vw) = N1+(·vw), the continuation count; if v never
+   *               appears mid-trigram (c'(v·) = 0) the model backs off
+   *               to P_cont(w) entirely — the SRILM convention]
+   *   P_cont(w) = (N1+(·w) + 1)/(B + V)     [the [[kneserNeyLogProb]]
+   *               add-one continuation floor; B = bigram types]
+   *
+   * Position 1 of each doc scores on P_cont, position 2 on P(w|v),
+   * positions ≥ 3 on the trigram — EVERY non-null doc appears,
+   * including single-token docs. Unlike Stupid Backoff this IS a
+   * probability: Σ_w P(w|u,v) over the vocabulary is exactly 1
+   * (clamping preserves it because D(c) ≤ c at every bucket —
+   * property-pinned in ModifiedKneserNeySpec).
+   *
+   * Determinism contract (the [[kneserNeyLogProb]] precedent): exact
+   * integer count tables; the probability is the STATED IEEE double
+   * tree restated VERBATIM in the oracle; per-unit NLL quantizes to
+   * integer micros BEFORE the per-doc sum; the mean is INTEGRAL
+   * division — no FP rides any exchange.
+   *
+   * Scale shape: n-gram extraction is ROW-LOCAL (zip_with over token-
+   * array slices) and pre-aggregated per (doc, u, v, w) so the one
+   * corpus-volume shuffle is fully map-side combined. The trigram and
+   * bigram TYPE tables (vocabulary-bounded) are persisted via
+   * [[CachedRelations]] — the trigram table feeds four consumers
+   * (context stats, continuation counts, count-of-counts, the scoring
+   * join) and would otherwise replay the corpus explode per consumer;
+   * the continuation-count table (also type-volume, three consumers)
+   * is persisted for the same reason. Every model statistic past those
+   * tables is type-volume; the discounts and (B, V) collapse to ONE
+   * broadcast row; scoring is a join of per-doc counts against the
+   * type-level NLL (AQE broadcasts it when it fits). Caller releases
+   * via [[CachedRelations.releaseAll]] after the action.
+   */
+  def modifiedKneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                               textCol: String): org.apache.spark.sql.DataFrame = {
+    val toked = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    val tf3 = toked.filter(size(col("_toks")) >= 3)
+      .select(col("id"), explode(zip_with(
+        zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 2),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 2),
+          (a, b) => struct(a.as("u"), b.as("v"))),
+        slice(col("_toks"), lit(3), size(col("_toks")) - 2),
+        (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
+          c.as("w")))).as("_t"))
+      .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
+      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
+    val tri = CachedRelations.track(
+      tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("_tf")).as("_cuvw")).persist())
+    val big = CachedRelations.track(
+      toked.select(explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_p"))
+        .select(col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_cab")).persist())
+    // top-level per-context stats: total + discount buckets N1/N2/N3+
+    val ctx3 = tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("_cuvw")).as("_ca3"),
+        sum(when(col("_cuvw") === 1, 1L).otherwise(0L)).as("_a1"),
+        sum(when(col("_cuvw") === 2, 1L).otherwise(0L)).as("_a2"),
+        sum(when(col("_cuvw") >= 3, 1L).otherwise(0L)).as("_a3"))
+    // continuation counts: c'(vw) = # distinct u preceding (v, w) —
+    // one row of tri per u, so the row count per (v, w) IS the count
+    val cont2 = CachedRelations.track(
+      tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw")).persist())
+    val den2 = cont2.groupBy(col("v"))
+      .agg(sum(col("_n2vw")).as("_den2"),
+        sum(when(col("_n2vw") === 1, 1L).otherwise(0L)).as("_m1"),
+        sum(when(col("_n2vw") === 2, 1L).otherwise(0L)).as("_m2"),
+        sum(when(col("_n2vw") >= 3, 1L).otherwise(0L)).as("_m3"))
+    val cont1 = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
+    // ONE broadcast row: count-of-counts → discounts per order + (B, V)
+    def discounts(cnt: org.apache.spark.sql.Column, p: String) = Seq(
+      sum(when(cnt === 1, 1L).otherwise(0L)).as(s"_${p}1"),
+      sum(when(cnt === 2, 1L).otherwise(0L)).as(s"_${p}2"),
+      sum(when(cnt === 3, 1L).otherwise(0L)).as(s"_${p}3"),
+      sum(when(cnt === 4, 1L).otherwise(0L)).as(s"_${p}4"))
+    val noc3 = tri.agg(discounts(col("_cuvw"), "t").head,
+      discounts(col("_cuvw"), "t").tail: _*)
+    val noc2 = cont2.agg(discounts(col("_n2vw"), "p").head,
+      discounts(col("_n2vw"), "p").tail: _*)
+    val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
+      toked.select(explode(col("_toks")).as("term"))
+        .agg(count_distinct(col("term")).as("_v")))
+    def withDiscounts(df0: org.apache.spark.sql.DataFrame, p: String,
+                      y: String, d: String) = {
+      def n(i: Int) = col(s"_$p$i")
+      df0.withColumn(y,
+        when(n(1) + lit(2) * n(2) > 0,
+          n(1).cast("double") / (n(1) + lit(2) * n(2)).cast("double"))
+          .otherwise(lit(0.0)))
+        .withColumn(s"${d}1",
+          when(n(1) > 0, greatest(lit(1.0) -
+            lit(2.0) * col(y) * n(2).cast("double") / n(1).cast("double"), lit(0.0)))
+            .otherwise(lit(0.5)))
+        .withColumn(s"${d}2",
+          when(n(2) > 0, greatest(lit(2.0) -
+            lit(3.0) * col(y) * n(3).cast("double") / n(2).cast("double"), lit(0.0)))
+            .otherwise(lit(1.0)))
+        .withColumn(s"${d}3",
+          when(n(3) > 0, greatest(lit(3.0) -
+            lit(4.0) * col(y) * n(4).cast("double") / n(3).cast("double"), lit(0.0)))
+            .otherwise(lit(1.5)))
+    }
+    val disc = withDiscounts(withDiscounts(
+      noc3.crossJoin(noc2).crossJoin(bv), "t", "_y3", "_d3"), "p", "_y2", "_e")
+
+    // the STATED IEEE probability tree (restated verbatim in the oracle)
+    val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
+      (col("_b") + col("_v")).cast("double")
+    val n2 = coalesce(col("_n2vw"), lit(0L))
+    val e2 = when(n2 === 1, col("_e1")).when(n2 === 2, col("_e2"))
+      .when(n2 >= 3, col("_e3")).otherwise(lit(0.0))
+    val gamma2 = (col("_e1") * col("_m1") + col("_e2") * col("_m2") +
+      col("_e3") * col("_m3")) / col("_den2").cast("double")
+    val pMid = when(col("_den2").isNull, pCont)
+      .otherwise(greatest(n2.cast("double") - e2, lit(0.0)) /
+        col("_den2").cast("double") + gamma2 * pCont)
+    val d3 = when(col("_cuvw") === 1, col("_d31")).when(col("_cuvw") === 2, col("_d32"))
+      .when(col("_cuvw") >= 3, col("_d33")).otherwise(lit(0.0))
+    val gamma3 = (col("_d31") * col("_a1") + col("_d32") * col("_a2") +
+      col("_d33") * col("_a3")) / col("_ca3").cast("double")
+    val pTri = greatest(col("_cuvw").cast("double") - d3, lit(0.0)) /
+      col("_ca3").cast("double") + gamma3 * pMid
+
+    def nllMicro(p: org.apache.spark.sql.Column) =
+      floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("_nll")
+
+    val firstTok = toked
+      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
+      .join(cont1, Seq("cur"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col("id"), lit(1L).as("_units"), nllMicro(pCont))
+    val secondTok = toked.filter(size(col("_toks")) >= 2)
+      .select(col("id"), element_at(col("_toks"), 1).as("v"),
+        element_at(col("_toks"), 2).as("w"))
+      .join(cont2, Seq("v", "w"), "left")
+      .join(den2, Seq("v"), "left")
+      .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col("id"), lit(1L).as("_units"), nllMicro(pMid))
+    // NLL per trigram TYPE (type-volume; every join side is a model
+    // table), weighted back onto the per-doc counts
+    val typeNll = tri
+      .join(ctx3, Seq("u", "v"))
+      .join(cont2, Seq("v", "w"))
+      .join(den2, Seq("v"))
+      .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col("u"), col("v"), col("w"), nllMicro(pTri))
+    val transNll = tf3.join(typeNll, Seq("u", "v", "w"))
+      .select(col("id"), col("_tf").as("_units"), col("_nll"))
+    firstTok.unionByName(secondTok).unionByName(transNll)
+      .groupBy(col("id"))
+      .agg(sum(col("_units")).as("n_tokens"),
+        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+      .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Per-document NLL under a STUPID-BACKOFF trigram LM (Brants et al.
    * 2007, "Large Language Models in Machine Translation") — the
    * smoothing built FOR distributed corpus scale: no discounting, no
@@ -1202,10 +1381,23 @@ object TextAnalysis {
    */
   def perplexityPartition(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, sourceCol: String,
-                          lambdaBp: Int = 8000, buckets: Int = 3): org.apache.spark.sql.DataFrame = {
+                          lambdaBp: Int = 8000, buckets: Int = 3,
+                          model: String = "bigram"): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, "need at least head and tail bands")
-    val nll = bigramLogProb(df, idCol, textCol, lambdaBp)
-      .select(col(idCol), col("avg_nll_micro"))
+    // which self-trained LM supplies the NLL: the JM bigram (the
+    // original shape; docs under two tokens get no score → band NULL),
+    // KN bigram, modified-KN trigram (the CCNet/SRILM production
+    // smoother), or Stupid Backoff trigram — the latter three score
+    // EVERY non-null doc (first-token unigram rung), so only null-text
+    // docs band NULL under them
+    val nll = (model match {
+      case "bigram" => bigramLogProb(df, idCol, textCol, lambdaBp)
+      case "kn2"    => kneserNeyLogProb(df, idCol, textCol)
+      case "mkn3"   => modifiedKneserNeyLogProb(df, idCol, textCol)
+      case "sb3"    => stupidBackoffLogProb(df, idCol, textCol)
+      case other => throw new IllegalArgumentException(
+        s"ppl_partition model '$other' — expected bigram | kn2 | mkn3 | sb3")
+    }).select(col(idCol), col("avg_nll_micro"))
     val src = df.select(col(idCol), col(sourceCol).as("source"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("avg_nll_micro"), col(idCol))

@@ -68,16 +68,7 @@ object Tokenizer {
       else {
         val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((rank, l, r, l + r, c))
-        words = words.map { case (syms, f) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, f)
-        }
+        words = words.map { case (syms, f) => (fuse(syms, l, r, l + r), f) }
         rank += 1
       }
     }
@@ -93,16 +84,7 @@ object Tokenizer {
    */
   def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
     var syms: Array[String] = word.split("").filter(_.nonEmpty)
-    for ((l, r) <- merges if syms.length > 1) {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-          out += l + r; i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      syms = out.toArray
-    }
+    for ((l, r) <- merges if syms.length > 1) syms = fuse(syms, l, r, l + r)
     syms
   }
 
@@ -560,16 +542,7 @@ object Tokenizer {
         val (l, r) = bestPair
         val merged = l + r.stripPrefix("##")
         merges += ((rank, l, r, merged, bestN, sc(l), sc(r)))
-        words = words.map { case (syms, f) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              out += merged; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, f)
-        }
+        words = words.map { case (syms, f) => (fuse(syms, l, r, merged), f) }
         rank += 1
       }
     }
@@ -638,6 +611,188 @@ object Tokenizer {
       start = end
     }
     out.toArray
+  }
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (Radford et al. 2019, "Language Models are
+  // Unsupervised Multitask Learners" §2.2 — the GPT-2 family)
+  // ------------------------------------------------------------------
+
+  private val hexChars = "0123456789ABCDEF".toCharArray
+
+  /** Split one word into byte-level BPE seed symbols: its UTF-8 bytes,
+    * each as a 2-char uppercase hex symbol ("hi" → ["68","69"]). Hex
+    * is the engine-portable byte spelling (Spark `hex(encode(…))` and
+    * DuckDB `hex(encode(…))` agree character-for-character), which is
+    * what makes the iteration-zero pair relation exactly oracle-able;
+    * [[bbpePrintable]] renders the GPT-2 display form. The alphabet is
+    * the 256 bytes — EVERY string is coverable, so byte-level BPE
+    * never emits UNK (the property that distinguishes it from
+    * WordPiece's all-or-nothing `[UNK]` and unigram's char fallback). */
+  private[ops] def bbpeSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i) = new String(Array(hexChars(b >> 4), hexChars(b & 0xF)))
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[bbpeEncode]]: concatenate the hex tokens, decode the
+    * bytes as UTF-8. Merges only ever CONCATENATE adjacent byte
+    * symbols, so decode(encode(w)) == w for every w and every merge
+    * table — the lossless-by-construction contract (property-pinned in
+    * ByteBpeSpec on arbitrary Unicode including mojibake fixtures). */
+  def bbpeDecode(tokens: Seq[String]): String = {
+    val hex = tokens.mkString
+    val bytes = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The GPT-2 byte→printable-unicode table (the public
+    * `bytes_to_unicode` construction): visibly printable bytes
+    * ('!'..'~', '¡'..'¬', '®'..'ÿ') map to themselves; the other 68
+    * (controls, space, DEL, 0xAD…) map to 256+k in first-free order —
+    * a bijection, so tokenizer vocabularies serialize as readable
+    * text. Display-layer only; training and encoding stay on hex. */
+  val byteToUnicode: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }.toArray
+  }
+
+  /** Render one hex token ("68656C" …) in the GPT-2 printable form. */
+  def bbpePrintable(token: String): String = {
+    val sb = new StringBuilder(token.length / 2)
+    var i = 0
+    while (i + 1 < token.length) {
+      sb += byteToUnicode(Integer.parseInt(token.substring(i, i + 2), 16))
+      i += 2
+    }
+    sb.toString
+  }
+
+  /**
+   * Byte-level BPE trainer iteration zero, fully relational and
+   * exactly oracle-able: corpus-weighted adjacent BYTE-pair counts
+   * over the distinct-word relation, each pair spelled as 4 uppercase
+   * hex chars (a 4-char slice of `hex(encode(word))` at odd offsets IS
+   * the adjacent byte pair — DuckDB restates it verbatim). Same scale
+   * shape as [[bpePairCounts]]: one map-side-combined word-frequency
+   * shuffle is the only corpus-volume stage; the hex expansion is a
+   * row-local HOF on the vocabulary relation.
+   */
+  def bbpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — words
+    // under two bytes are guarded out before the index sequence
+    words.select(col("freq"), expr("hex(encode(w, 'UTF-8'))").as("h"))
+      .filter(length(col("h")) >= 4)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(h) div 2 - 1), i -> substring(h, 2*i - 1, 4))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+  }
+
+  /**
+   * Learn `numMerges` byte-level BPE merges: start from the UTF-8 byte
+   * symbols of each word (hex-spelled), each round fuse the most
+   * frequent adjacent pair (ties by (left, right) hex ascending —
+   * fully deterministic, and hex order IS byte order), exactly
+   * [[bpeTrain]]'s loop one alphabet down. Multi-byte UTF-8 sequences
+   * fuse back together from raw bytes purely by frequency — the GPT-2
+   * property that the trainer needs no notion of characters at all.
+   * Output: (rank, left, right, merged, pair_count); same two-phase
+   * scale split as [[bpeTrain]] (corpus-volume word-frequency shuffle,
+   * driver merge loop on the `maxVocab`-bounded table).
+   */
+  def bbpeTrain(df: DataFrame, textCol: String,
+                numMerges: Int = 50, maxVocab: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val wf = wordFreqsCapped(df, textCol, maxVocab)
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (bbpeSymbols(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        pc.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + f))
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        words = words.map { case (syms, f) => (fuse(syms, l, r, l + r), f) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** One left-to-right non-overlapping fusion pass — the shared inner
+    * step of every BPE-family trainer and encoder in this object. */
+  private def fuse(syms: Array[String], l: String, r: String,
+                   merged: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Apply learned byte-level merges to ONE word — [[applyMerges]]
+    * starting from UTF-8 byte symbols instead of characters. Never
+    * emits UNK: unmatched bytes pass through as single-byte symbols
+    * and [[bbpeDecode]] reconstructs the word exactly. */
+  def bbpeEncode(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = bbpeSymbols(word)
+    for ((l, r) <- merges if syms.length > 1) syms = fuse(syms, l, r, l + r)
+    syms
+  }
+
+  /**
+   * Per-source byte-level-BPE fertility report — the [[bpeFertility]]
+   * twin for the GPT-2 family (same columns, same one-shuffle scale
+   * shape) plus `n_bytes`: byte-level fertility is tokens per word
+   * over the UTF-8 BYTE stream, so bytes-per-token is the compression
+   * number this tokenizer family is actually judged on.
+   */
+  def bbpeFertility(df: DataFrame, textCol: String, sourceCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toIndexedSeq
+    val nTok = udf((w: String) => bbpeEncode(w, m).length)
+    val sw = CachedRelations.track(
+      df.filter(col(textCol).isNotNull)
+        .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .persist())
+    val enc = sw.select(col("w")).distinct()
+      .withColumn("n_tok", nTok(col("w")).cast("long"))
+      .withColumn("n_byt", expr("length(encode(w, 'UTF-8'))").cast("long"))
+    sw.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * col("n_byt")).as("n_bytes"))
+      .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("bytes_per_token_micro", expr("n_bytes * 1000000 div n_tokens"))
   }
 
   /**

@@ -661,6 +661,71 @@ object LlmQueries {
           FROM documents WHERE text IS NOT NULL)) AS n_words,
         CAST(0 AS BIGINT) AS n_unreconstructed""")),
 
+    // Byte-level BPE (GPT-2 family) trainer iteration zero: corpus-
+    // weighted adjacent UTF-8 BYTE pair counts, each pair spelled as
+    // 4 uppercase hex chars — a 4-char odd-offset slice of
+    // hex(encode(word)) IS the byte pair, so DuckDB restates the
+    // relation exactly (both engines' hex() agree char-for-char).
+    Q("q_llm_bbpe_pairs",
+      (s, dir) => graft.ops.Tokenizer.bbpePairCounts(t(s, dir, "documents"), "text"),
+      Some("""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+        hx AS (SELECT hex(encode(w)) AS h, freq FROM wf),
+        p AS (SELECT substr(h, 2*i - 1, 4) AS pair, freq FROM (
+            SELECT h, freq, unnest(generate_series(1, length(h) // 2 - 1)) AS i
+            FROM hx WHERE length(h) >= 4))
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY 1""")),
+
+    // Learned byte-level merge table (40 merges): the iterative loop
+    // is not SQL-expressible — rows-only; the per-round pair counting
+    // is pinned by q_llm_bbpe_pairs (green twin) and the merge/
+    // tie-break semantics by ByteBpeSpec's closed-form fixture.
+    Q("q_llm_bbpe_merges",
+      (s, dir) => graft.ops.Tokenizer.bbpeTrain(t(s, dir, "documents"), "text",
+        numMerges = 40),
+      None),
+
+    // Per-source byte-level fertility under 200 learned merges —
+    // rows-only like the other iterative-tokenizer reports (encode is
+    // the trainer's own fuse loop, spec-pinned; the bytes_per_token
+    // column is the GPT-2 family's compression number).
+    Q("q_llm_bbpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bbpeTrain(docs, "text", numMerges = 200)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Tokenizer.bbpeFertility(docs, "text", "source", merges)
+      },
+      None),
+
+    // Gate-visible byte-level-BPE contract on the REAL corpus
+    // vocabulary: under 200 trained merges, decode(encode(w))
+    // reconstructs EVERY distinct word exactly — the never-UNK
+    // losslessness that defines the family (merges only concatenate
+    // byte symbols, so the byte stream survives any merge table).
+    // DuckDB restates the distinct-word count; the counter pins to 0.
+    Q("q_llm_bbpe_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bbpeTrain(docs, "text", numMerges = 200)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+        val roundtrip = udf((w: String) =>
+          graft.ops.Tokenizer.bbpeDecode(
+            graft.ops.Tokenizer.bbpeEncode(w, merges).toSeq))
+        docs.filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(roundtrip(col("w")) =!= col("w"), 1L).otherwise(0L))
+              .as("n_unreconstructed"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT w) FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)) AS n_words,
+        CAST(0 AS BIGINT) AS n_unreconstructed""")),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -2411,6 +2476,16 @@ object LlmQueries {
       },
       Some(LlmOracles.sbPpl)),
 
+    // Modified Kneser-Ney trigram NLL (Chen & Goodman 1999 — the
+    // SRILM/CCNet production smoother): count-of-counts discounts
+    // D1/D2/D3+ per order, continuation-count lower orders, add-one
+    // continuation floor; self-trained. The oracle restates the exact
+    // IEEE probability tree over the same integer count tables.
+    Q("q_llm_mkn_ppl",
+      (s, dir) => TextAnalysis.modifiedKneserNeyLogProb(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(LlmOracles.mknPpl)),
+
     // Reference-trained bigram LM perplexity (the CCNet production
     // shape q_llm_bigram_nll's self-fit model can't express): model
     // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
@@ -4063,6 +4138,110 @@ object LlmOracles {
       JOIN ctx ON ctx.prev = tr.prev
       JOIN cont ON cont.cur = tr.cur CROSS JOIN bv),
     al AS (SELECT * FROM fs UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
+
+  /** Oracle of q_llm_mkn_ppl: modified Kneser-Ney trigram scoring with
+    * the same integer count tables (trigram types + per-context
+    * discount buckets, continuation counts + per-middle buckets,
+    * bigram-type continuation floor, count-of-counts → D1/D2/D3+ per
+    * order) and the VERBATIM IEEE probability tree of
+    * TextAnalysis.modifiedKneserNeyLogProb, micro-quantized per scored
+    * unit. Column/CTE names avoid the bare `v`/`w` of the engine to
+    * dodge DuckDB ambiguity with the vocab-size scalar. */
+  val mknPpl: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tr3 AS (SELECT doc_id, toks[i-2] AS gu, toks[i-1] AS gv, toks[i] AS gw FROM
+      (SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i FROM d) x),
+    tri AS (SELECT gu, gv, gw, COUNT(*) AS cuvw FROM tr3 GROUP BY 1, 2, 3),
+    big AS (SELECT toks[i-1] AS prev, toks[i] AS cur, COUNT(*) AS cab FROM
+      (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM d) y GROUP BY 1, 2),
+    ctx3 AS (SELECT gu, gv, CAST(SUM(cuvw) AS BIGINT) AS ca3,
+        CAST(SUM(CASE WHEN cuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        CAST(SUM(CASE WHEN cuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        CAST(SUM(CASE WHEN cuvw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+      FROM tri GROUP BY 1, 2),
+    cont2 AS (SELECT gv, gw, COUNT(*) AS n2vw FROM tri GROUP BY 1, 2),
+    dn2 AS (SELECT gv, CAST(SUM(n2vw) AS BIGINT) AS den2,
+        CAST(SUM(CASE WHEN n2vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN n2vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN n2vw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3
+      FROM cont2 GROUP BY 1),
+    cont1 AS (SELECT cur, COUNT(*) AS n1cur FROM big GROUP BY 1),
+    noc3 AS (SELECT
+        CAST(SUM(CASE WHEN cuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN cuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN cuvw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN cuvw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4
+      FROM tri),
+    noc2 AS (SELECT
+        CAST(SUM(CASE WHEN n2vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        CAST(SUM(CASE WHEN n2vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        CAST(SUM(CASE WHEN n2vw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        CAST(SUM(CASE WHEN n2vw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+      FROM cont2),
+    bv AS (SELECT (SELECT COUNT(*) FROM big) AS b,
+      (SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM d)) AS vsz),
+    disc0 AS (SELECT *,
+        CASE WHEN t1 + 2*t2 > 0 THEN CAST(t1 AS DOUBLE)/CAST(t1 + 2*t2 AS DOUBLE) ELSE 0.0 END AS y3,
+        CASE WHEN p1 + 2*p2 > 0 THEN CAST(p1 AS DOUBLE)/CAST(p1 + 2*p2 AS DOUBLE) ELSE 0.0 END AS y2
+      FROM noc3, noc2, bv),
+    disc AS (SELECT *,
+        CASE WHEN t1 > 0 THEN greatest(1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE), 0.0) ELSE 0.5 END AS d31,
+        CASE WHEN t2 > 0 THEN greatest(2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE), 0.0) ELSE 1.0 END AS d32,
+        CASE WHEN t3 > 0 THEN greatest(3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE), 0.0) ELSE 1.5 END AS d33,
+        CASE WHEN p1 > 0 THEN greatest(1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE), 0.0) ELSE 0.5 END AS e1,
+        CASE WHEN p2 > 0 THEN greatest(2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE), 0.0) ELSE 1.0 END AS e2,
+        CASE WHEN p3 > 0 THEN greatest(3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE), 0.0) ELSE 1.5 END AS e3
+      FROM disc0),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS cur FROM d) ft
+      LEFT JOIN cont1 ON cont1.cur = ft.cur CROSS JOIN disc),
+    ss AS (SELECT doc_id,
+        CAST(floor(-ln(
+          CASE WHEN den2 IS NULL THEN (coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)
+          ELSE greatest(CAST(coalesce(n2vw, 0) AS DOUBLE) -
+                 (CASE WHEN coalesce(n2vw, 0) = 1 THEN e1
+                       WHEN coalesce(n2vw, 0) = 2 THEN e2
+                       WHEN coalesce(n2vw, 0) >= 3 THEN e3 ELSE 0.0 END), 0.0)
+               / CAST(den2 AS DOUBLE)
+             + ((e1*m1 + e2*m2 + e3*m3) / CAST(den2 AS DOUBLE))
+               * ((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)) END)
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS sv, toks[2] AS sw FROM d WHERE len(toks) >= 2) st
+      LEFT JOIN cont2 ON cont2.gv = st.sv AND cont2.gw = st.sw
+      LEFT JOIN dn2 ON dn2.gv = st.sv
+      LEFT JOIN cont1 ON cont1.cur = st.sw
+      CROSS JOIN disc),
+    ts AS (SELECT sc.doc_id,
+        CAST(floor(-ln(
+          greatest(CAST(cuvw AS DOUBLE) -
+              (CASE WHEN cuvw = 1 THEN d31 WHEN cuvw = 2 THEN d32
+                    WHEN cuvw >= 3 THEN d33 ELSE 0.0 END), 0.0)
+            / CAST(ca3 AS DOUBLE)
+          + ((d31*a1 + d32*a2 + d33*a3) / CAST(ca3 AS DOUBLE))
+            * (CASE WHEN den2 IS NULL THEN (coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)
+               ELSE greatest(CAST(coalesce(n2vw, 0) AS DOUBLE) -
+                      (CASE WHEN coalesce(n2vw, 0) = 1 THEN e1
+                            WHEN coalesce(n2vw, 0) = 2 THEN e2
+                            WHEN coalesce(n2vw, 0) >= 3 THEN e3 ELSE 0.0 END), 0.0)
+                    / CAST(den2 AS DOUBLE)
+                  + ((e1*m1 + e2*m2 + e3*m3) / CAST(den2 AS DOUBLE))
+                    * ((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)) END))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM tr3 sc
+      JOIN tri ON tri.gu = sc.gu AND tri.gv = sc.gv AND tri.gw = sc.gw
+      JOIN ctx3 ON ctx3.gu = sc.gu AND ctx3.gv = sc.gv
+      JOIN cont2 ON cont2.gv = sc.gv AND cont2.gw = sc.gw
+      JOIN dn2 ON dn2.gv = sc.gv
+      LEFT JOIN cont1 ON cont1.cur = sc.gw
+      CROSS JOIN disc),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ss UNION ALL SELECT * FROM ts)
     SELECT doc_id, COUNT(*) AS n_tokens,
       CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
