@@ -282,11 +282,18 @@ object ScaleProbeCc {
   import ScaleProbe.copies
 
   /** Corpus growth with CONSTANT-SIZE near-dup families: copies 2k-1
-    * and 2k form group k — every token is prefixed with the group
-    * salt (disjoint shingles vs the base doc and all other groups)
-    * and each copy appends one distinct tail token (near-dup WITHIN
-    * the group, not identical). Pair volume is one pair per group:
-    * LINEAR in the factor. */
+    * and 2k form group k — every token is REWRITTEN to a hash of
+    * (group, token), so within a group the corpus's token-level
+    * similarity structure is preserved (same token → same hash) while
+    * against the base doc and every other group the texts share
+    * nothing. Each copy appends one distinct tail token (near-dup
+    * WITHIN its group pair, not identical). A constant group PREFIX
+    * would not work here: the MinHash shingles are character 5-grams,
+    * and a salt repeated at every token head hands every doc in the
+    * group the same dominant shingle set — the first sitting of this
+    * probe measured exactly that as a ~500k-edges-per-group clique.
+    * Hashing per (group, token) keeps pair volume LINEAR in the
+    * factor, like a real corpus whose dup families have bounded size. */
   def synthPairedFamilies(base: DataFrame, factor: Int): DataFrame =
     copies(base, factor).map { case (c, df) =>
       if (c == 0) df
@@ -294,7 +301,8 @@ object ScaleProbeCc {
         val g = (c + 1) / 2
         df.withColumn("doc_id", col("doc_id") + lit(c.toLong * 100000000L))
           .withColumn("text", concat(
-            regexp_replace(col("text"), "(^|\\s)", s"$$1zq${g}g"),
+            expr(s"array_join(transform(split(text, '\\\\s+'), " +
+              s"t -> substring(md5(concat('zq${g}g', t)), 1, 8)), ' ')"),
             lit(s" zqcopy${c}tail")))
       }
     }.reduce(_ unionByName _)

@@ -88,6 +88,8 @@ object AnalyticsCompiler {
       "textCol sourceCol [vocabSize=300 maxPieceLen=8 emIters=4] — train a unigram-LM tokenizer (Kudo 2018, SentencePiece family) on this frame (eager, vocabulary-bounded EM) and report per-source fertility"),
     "wordpiece_fertility" -> (Seq("textCol", "sourceCol"),
       "textCol sourceCol [numMerges=40] — train a WordPiece tokenizer (Schuster & Nakajima 2012, the BERT family; likelihood-ratio merges) on this frame (eager, vocabulary-bounded) and report per-source fertility incl. unk_words"),
+    "bbpe_fertility" -> (Seq("textCol", "sourceCol"),
+      "textCol sourceCol [numMerges=200] — train a byte-level BPE tokenizer (Radford 2019, the GPT-2 family; UTF-8 byte alphabet, never emits UNK) on this frame (eager, vocabulary-bounded) and report per-source fertility incl. bytes_per_token"),
     "c4_rules" -> (Seq("idCol", "textCol"),
       "idCol textCol [minWordsPerLine=3 minSentences=5] — the C4 cleaner (Raffel 2020 §2.2): keep lines ending in terminal punctuation with enough words and no 'javascript'; drop pages with lorem ipsum, curly braces, or too few retained sentences; textCol is REPLACED by the cleaned text"),
     "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
@@ -136,6 +138,7 @@ object AnalyticsCompiler {
     "bpe_fertility"  -> Set("numMerges", "nativeEncode"),
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "wordpiece_fertility" -> Set("numMerges"),
+    "bbpe_fertility" -> Set("numMerges"),
     "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands", "model"),
     "c4_rules" -> Set("minWordsPerLine", "minSentences"),
     "pack_windows"   -> Set("shards"),
@@ -533,6 +536,15 @@ object AnalyticsCompiler {
           if (bands.contains("null")) col("ppl_band").isNull || col("ppl_band").isin(named: _*)
           else col("ppl_band").isin(named: _*))
         else joined
+      case "bbpe_fertility" =>
+        // same eager vocabulary-bounded training pattern as bpe_fertility
+        val text = str(p, "textCol").get
+        val merges = graft.ops.Tokenizer.bbpeTrain(df, text,
+            numMerges = int(p, "numMerges").getOrElse(200))
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Tokenizer.bbpeFertility(df, text,
+          str(p, "sourceCol").get, merges)
       case "wordpiece_fertility" =>
         // same eager vocabulary-bounded training pattern as bpe_fertility
         val text = str(p, "textCol").get

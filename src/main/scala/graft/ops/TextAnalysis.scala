@@ -923,8 +923,18 @@ object TextAnalysis {
    *   Y   = n1/(n1 + 2·n2)                 [per order, n_k = # types
    *   D1  = 1 − 2·Y·n2/n1                   with count exactly k]
    *   D2  = 2 − 3·Y·n3/n2
-   *   D3+ = 3 − 4·Y·n4/n3                   (each clamped at ≥ 0; a
-   *         degenerate count-of-counts table falls back to 0.5/1.0/1.5)
+   *   D3+ = 3 − 4·Y·n4/n3
+   *
+   * A bucket whose estimate is unusable — n_k = 0 or a NONPOSITIVE
+   * formula value — falls back to the fixed 0.5/1.0/1.5 (KenLM's
+   * documented `--discount_fallback` constants). Nonpositive matters,
+   * not just missing: a D that clamps to 0 zeroes that bucket's
+   * backoff mass, and a context whose every continuation sits in
+   * zero-discount buckets would assign an unseen continuation EXACT
+   * zero probability (ln 0 — the reference-trained path hit this on
+   * the corpus's concentrated mid-level count-of-counts). With every
+   * D strictly positive and ≤ its bucket count, probabilities stay
+   * finite AND normalized.
    *
    *   P(w|u,v) = max(c(uvw) − D(c), 0)/c(uv·) + γ(u,v)·P(w|v)
    *   γ(u,v)   = (D1·N1(uv·) + D2·N2(uv·) + D3+·N3+(uv·))/c(uv·)
@@ -942,6 +952,17 @@ object TextAnalysis {
    * (clamping preserves it because D(c) ≤ c at every bucket —
    * property-pinned in ModifiedKneserNeySpec).
    *
+   * `train` defaults to the scored frame (self-trained); passing a
+   * separate corpus gives the CCNet production shape — the LM fitted
+   * on the CLEAN reference (Wikipedia in Wenzek 2020), the crawl
+   * scored against it — and lights the unseen rungs: an unseen
+   * trigram under a seen context discounts to the backoff mass
+   * (c = 0 → the γ(u,v)·P(w|v) term alone), an UNSEEN context backs
+   * off to P(w|v) entirely (the SRILM convention), an unseen bigram
+   * continuation to γ'(v)·P_cont(w), and an unseen word to the
+   * add-one floor — every probability stays finite and the tree
+   * below restates each case.
+   *
    * Determinism contract (the [[kneserNeyLogProb]] precedent): exact
    * integer count tables; the probability is the STATED IEEE double
    * tree restated VERBATIM in the oracle; per-unit NLL quantizes to
@@ -958,29 +979,41 @@ object TextAnalysis {
    * the continuation-count table (also type-volume, three consumers)
    * is persisted for the same reason. Every model statistic past those
    * tables is type-volume; the discounts and (B, V) collapse to ONE
-   * broadcast row; scoring is a join of per-doc counts against the
-   * type-level NLL (AQE broadcasts it when it fits). Caller releases
-   * via [[CachedRelations.releaseAll]] after the action.
+   * broadcast row; scoring LEFT-joins the per-doc distinct-triple
+   * counts against the type-volume model tables (AQE broadcasts them
+   * when they fit). Caller releases via
+   * [[CachedRelations.releaseAll]] after the action.
    */
   def modifiedKneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
-                               textCol: String): org.apache.spark.sql.DataFrame = {
-    val toked = df.filter(col(textCol).isNotNull)
+                               textCol: String,
+                               train: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    def tokedOf(d: org.apache.spark.sql.DataFrame) = d.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-    val tf3 = toked.filter(size(col("_toks")) >= 3)
-      .select(col("id"), explode(zip_with(
-        zip_with(
-          slice(col("_toks"), lit(1), size(col("_toks")) - 2),
-          slice(col("_toks"), lit(2), size(col("_toks")) - 2),
-          (a, b) => struct(a.as("u"), b.as("v"))),
-        slice(col("_toks"), lit(3), size(col("_toks")) - 2),
-        (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
-          c.as("w")))).as("_t"))
-      .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
+    def triplesOf(d: org.apache.spark.sql.DataFrame) =
+      d.filter(size(col("_toks")) >= 3)
+        .select(col("id"), explode(zip_with(
+          zip_with(
+            slice(col("_toks"), lit(1), size(col("_toks")) - 2),
+            slice(col("_toks"), lit(2), size(col("_toks")) - 2),
+            (a, b) => struct(a.as("u"), b.as("v"))),
+          slice(col("_toks"), lit(3), size(col("_toks")) - 2),
+          (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
+            c.as("w")))).as("_t"))
+        .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
+    val toked = tokedOf(df)
+    val trainToks = if (train == null) toked else tokedOf(train)
+    val tf3 = triplesOf(toked)
       .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
-    val tri = CachedRelations.track(
-      tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("_tf")).as("_cuvw")).persist())
+    // self-trained: the trigram TYPE table folds out of the per-doc
+    // counts (one tokenization); reference-trained: its own extraction
+    val tri = CachedRelations.track((
+      if (train == null)
+        tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("_tf")).as("_cuvw"))
+      else triplesOf(trainToks)
+        .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
+      ).persist())
     val big = CachedRelations.track(
-      toked.select(explode(zip_with(
+      trainToks.select(explode(zip_with(
         slice(col("_toks"), lit(1), size(col("_toks")) - 1),
         slice(col("_toks"), lit(2), size(col("_toks")) - 1),
         (a, b) => struct(a.as("prev"), b.as("cur")))).as("_p"))
@@ -1013,27 +1046,23 @@ object TextAnalysis {
     val noc2 = cont2.agg(discounts(col("_n2vw"), "p").head,
       discounts(col("_n2vw"), "p").tail: _*)
     val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
-      toked.select(explode(col("_toks")).as("term"))
+      trainToks.select(explode(col("_toks")).as("term"))
         .agg(count_distinct(col("term")).as("_v")))
     def withDiscounts(df0: org.apache.spark.sql.DataFrame, p: String,
                       y: String, d: String) = {
       def n(i: Int) = col(s"_$p$i")
+      def dk(k: Int, fallback: Double) = {
+        val f = lit(k.toDouble) - lit(k + 1.0) * col(y) *
+          n(k + 1).cast("double") / n(k).cast("double")
+        when(n(k) > 0 && f > 0, f).otherwise(lit(fallback))
+      }
       df0.withColumn(y,
         when(n(1) + lit(2) * n(2) > 0,
           n(1).cast("double") / (n(1) + lit(2) * n(2)).cast("double"))
           .otherwise(lit(0.0)))
-        .withColumn(s"${d}1",
-          when(n(1) > 0, greatest(lit(1.0) -
-            lit(2.0) * col(y) * n(2).cast("double") / n(1).cast("double"), lit(0.0)))
-            .otherwise(lit(0.5)))
-        .withColumn(s"${d}2",
-          when(n(2) > 0, greatest(lit(2.0) -
-            lit(3.0) * col(y) * n(3).cast("double") / n(2).cast("double"), lit(0.0)))
-            .otherwise(lit(1.0)))
-        .withColumn(s"${d}3",
-          when(n(3) > 0, greatest(lit(3.0) -
-            lit(4.0) * col(y) * n(4).cast("double") / n(3).cast("double"), lit(0.0)))
-            .otherwise(lit(1.5)))
+        .withColumn(s"${d}1", dk(1, 0.5))
+        .withColumn(s"${d}2", dk(2, 1.0))
+        .withColumn(s"${d}3", dk(3, 1.5))
     }
     val disc = withDiscounts(withDiscounts(
       noc3.crossJoin(noc2).crossJoin(bv), "t", "_y3", "_d3"), "p", "_y2", "_e")
@@ -1049,12 +1078,17 @@ object TextAnalysis {
     val pMid = when(col("_den2").isNull, pCont)
       .otherwise(greatest(n2.cast("double") - e2, lit(0.0)) /
         col("_den2").cast("double") + gamma2 * pCont)
-    val d3 = when(col("_cuvw") === 1, col("_d31")).when(col("_cuvw") === 2, col("_d32"))
-      .when(col("_cuvw") >= 3, col("_d33")).otherwise(lit(0.0))
+    // coalesced so the reference-trained unseen-TRIGRAM row (join
+    // miss, seen context) discounts a zero count to the backoff mass;
+    // an unseen CONTEXT (_ca3 null) backs off to P(w|v) entirely
+    val c3 = coalesce(col("_cuvw"), lit(0L))
+    val d3 = when(c3 === 1, col("_d31")).when(c3 === 2, col("_d32"))
+      .when(c3 >= 3, col("_d33")).otherwise(lit(0.0))
     val gamma3 = (col("_d31") * col("_a1") + col("_d32") * col("_a2") +
       col("_d33") * col("_a3")) / col("_ca3").cast("double")
-    val pTri = greatest(col("_cuvw").cast("double") - d3, lit(0.0)) /
-      col("_ca3").cast("double") + gamma3 * pMid
+    val pTri = when(col("_ca3").isNull, pMid)
+      .otherwise(greatest(c3.cast("double") - d3, lit(0.0)) /
+        col("_ca3").cast("double") + gamma3 * pMid)
 
     def nllMicro(p: org.apache.spark.sql.Column) =
       floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("_nll")
@@ -1072,17 +1106,18 @@ object TextAnalysis {
       .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
       .crossJoin(broadcast(disc))
       .select(col("id"), lit(1L).as("_units"), nllMicro(pMid))
-    // NLL per trigram TYPE (type-volume; every join side is a model
-    // table), weighted back onto the per-doc counts
-    val typeNll = tri
-      .join(ctx3, Seq("u", "v"))
-      .join(cont2, Seq("v", "w"))
-      .join(den2, Seq("v"))
+    // positions ≥ 3: the per-doc distinct-triple counts LEFT-join the
+    // model tables (all type-volume build sides — AQE broadcasts them
+    // when they fit) so unseen trigram / context / continuation rows
+    // fall through the stated backoff rungs instead of vanishing
+    val transNll = tf3
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(ctx3, Seq("u", "v"), "left")
+      .join(cont2, Seq("v", "w"), "left")
+      .join(den2, Seq("v"), "left")
       .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
       .crossJoin(broadcast(disc))
-      .select(col("u"), col("v"), col("w"), nllMicro(pTri))
-    val transNll = tf3.join(typeNll, Seq("u", "v", "w"))
-      .select(col("id"), col("_tf").as("_units"), col("_nll"))
+      .select(col("id"), col("_tf").as("_units"), nllMicro(pTri))
     firstTok.unionByName(secondTok).unionByName(transNll)
       .groupBy(col("id"))
       .agg(sum(col("_units")).as("n_tokens"),

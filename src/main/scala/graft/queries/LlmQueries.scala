@@ -2486,6 +2486,19 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(LlmOracles.mknPpl)),
 
+    // Reference-trained modified-KN trigram — the actual CCNet shape
+    // (LM fitted on the clean half, the whole corpus scored): model
+    // from even doc_ids only, every doc scored, so the odd half
+    // drives the unseen-trigram / unseen-context / unseen-word
+    // backoff rungs at volume.
+    Q("q_llm_mkn_ppl_ref",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.modifiedKneserNeyLogProb(docs, "doc_id", "text",
+          train = docs.filter(col("doc_id") % 2 === 0))
+      },
+      Some(LlmOracles.mknPplRef)),
+
     // Reference-trained bigram LM perplexity (the CCNet production
     // shape q_llm_bigram_nll's self-fit model can't express): model
     // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
@@ -4190,12 +4203,12 @@ object LlmOracles {
         CASE WHEN p1 + 2*p2 > 0 THEN CAST(p1 AS DOUBLE)/CAST(p1 + 2*p2 AS DOUBLE) ELSE 0.0 END AS y2
       FROM noc3, noc2, bv),
     disc AS (SELECT *,
-        CASE WHEN t1 > 0 THEN greatest(1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE), 0.0) ELSE 0.5 END AS d31,
-        CASE WHEN t2 > 0 THEN greatest(2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE), 0.0) ELSE 1.0 END AS d32,
-        CASE WHEN t3 > 0 THEN greatest(3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE), 0.0) ELSE 1.5 END AS d33,
-        CASE WHEN p1 > 0 THEN greatest(1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE), 0.0) ELSE 0.5 END AS e1,
-        CASE WHEN p2 > 0 THEN greatest(2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE), 0.0) ELSE 1.0 END AS e2,
-        CASE WHEN p3 > 0 THEN greatest(3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE), 0.0) ELSE 1.5 END AS e3
+        CASE WHEN t1 > 0 AND 1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE) > 0 THEN 1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE) ELSE 0.5 END AS d31,
+        CASE WHEN t2 > 0 AND 2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE) > 0 THEN 2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE) ELSE 1.0 END AS d32,
+        CASE WHEN t3 > 0 AND 3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE) > 0 THEN 3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE) ELSE 1.5 END AS d33,
+        CASE WHEN p1 > 0 AND 1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE) > 0 THEN 1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE) ELSE 0.5 END AS e1,
+        CASE WHEN p2 > 0 AND 2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE) > 0 THEN 2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE) ELSE 1.0 END AS e2,
+        CASE WHEN p3 > 0 AND 3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE) > 0 THEN 3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE) ELSE 1.5 END AS e3
       FROM disc0),
     fs AS (SELECT doc_id,
         CAST(floor(-ln((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE))
@@ -4239,6 +4252,123 @@ object LlmOracles {
       JOIN ctx3 ON ctx3.gu = sc.gu AND ctx3.gv = sc.gv
       JOIN cont2 ON cont2.gv = sc.gv AND cont2.gw = sc.gw
       JOIN dn2 ON dn2.gv = sc.gv
+      LEFT JOIN cont1 ON cont1.cur = sc.gw
+      CROSS JOIN disc),
+    al AS (SELECT * FROM fs UNION ALL SELECT * FROM ss UNION ALL SELECT * FROM ts)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(nll) AS BIGINT) AS sum_nll_micro,
+      CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM al GROUP BY doc_id"""
+
+  /** Oracle of q_llm_mkn_ppl_ref: modified-KN trigram REFERENCE
+    * scoring — model tables from the even-doc_id half only, every doc
+    * scored, so the odd half exercises the unseen rungs (trigram-miss
+    * → backoff mass; context-miss → P(w|v) entirely; continuation and
+    * word misses → the lower floors). Same verbatim IEEE tree with
+    * the unseen CASEs stated. */
+  val mknPplRef: String = """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    td AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    sc3 AS (SELECT doc_id, toks[i-2] AS gu, toks[i-1] AS gv, toks[i] AS gw FROM
+      (SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i FROM d) x),
+    tr3 AS (SELECT toks[i-2] AS gu, toks[i-1] AS gv, toks[i] AS gw FROM
+      (SELECT toks, unnest(generate_series(3, len(toks))) AS i FROM td) x),
+    tri AS (SELECT gu, gv, gw, COUNT(*) AS cuvw FROM tr3 GROUP BY 1, 2, 3),
+    big AS (SELECT toks[i-1] AS prev, toks[i] AS cur, COUNT(*) AS cab FROM
+      (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM td) y GROUP BY 1, 2),
+    ctx3 AS (SELECT gu, gv, CAST(SUM(cuvw) AS BIGINT) AS ca3,
+        CAST(SUM(CASE WHEN cuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        CAST(SUM(CASE WHEN cuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        CAST(SUM(CASE WHEN cuvw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+      FROM tri GROUP BY 1, 2),
+    cont2 AS (SELECT gv, gw, COUNT(*) AS n2vw FROM tri GROUP BY 1, 2),
+    dn2 AS (SELECT gv, CAST(SUM(n2vw) AS BIGINT) AS den2,
+        CAST(SUM(CASE WHEN n2vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN n2vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN n2vw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3
+      FROM cont2 GROUP BY 1),
+    cont1 AS (SELECT cur, COUNT(*) AS n1cur FROM big GROUP BY 1),
+    noc3 AS (SELECT
+        CAST(SUM(CASE WHEN cuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN cuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN cuvw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN cuvw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4
+      FROM tri),
+    noc2 AS (SELECT
+        CAST(SUM(CASE WHEN n2vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        CAST(SUM(CASE WHEN n2vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        CAST(SUM(CASE WHEN n2vw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        CAST(SUM(CASE WHEN n2vw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+      FROM cont2),
+    bv AS (SELECT (SELECT COUNT(*) FROM big) AS b,
+      (SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM td)) AS vsz),
+    disc0 AS (SELECT *,
+        CASE WHEN t1 + 2*t2 > 0 THEN CAST(t1 AS DOUBLE)/CAST(t1 + 2*t2 AS DOUBLE) ELSE 0.0 END AS y3,
+        CASE WHEN p1 + 2*p2 > 0 THEN CAST(p1 AS DOUBLE)/CAST(p1 + 2*p2 AS DOUBLE) ELSE 0.0 END AS y2
+      FROM noc3, noc2, bv),
+    disc AS (SELECT *,
+        CASE WHEN t1 > 0 AND 1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE) > 0 THEN 1.0 - 2.0*y3*CAST(t2 AS DOUBLE)/CAST(t1 AS DOUBLE) ELSE 0.5 END AS d31,
+        CASE WHEN t2 > 0 AND 2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE) > 0 THEN 2.0 - 3.0*y3*CAST(t3 AS DOUBLE)/CAST(t2 AS DOUBLE) ELSE 1.0 END AS d32,
+        CASE WHEN t3 > 0 AND 3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE) > 0 THEN 3.0 - 4.0*y3*CAST(t4 AS DOUBLE)/CAST(t3 AS DOUBLE) ELSE 1.5 END AS d33,
+        CASE WHEN p1 > 0 AND 1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE) > 0 THEN 1.0 - 2.0*y2*CAST(p2 AS DOUBLE)/CAST(p1 AS DOUBLE) ELSE 0.5 END AS e1,
+        CASE WHEN p2 > 0 AND 2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE) > 0 THEN 2.0 - 3.0*y2*CAST(p3 AS DOUBLE)/CAST(p2 AS DOUBLE) ELSE 1.0 END AS e2,
+        CASE WHEN p3 > 0 AND 3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE) > 0 THEN 3.0 - 4.0*y2*CAST(p4 AS DOUBLE)/CAST(p3 AS DOUBLE) ELSE 1.5 END AS e3
+      FROM disc0),
+    fs AS (SELECT doc_id,
+        CAST(floor(-ln((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS cur FROM d) ft
+      LEFT JOIN cont1 ON cont1.cur = ft.cur CROSS JOIN disc),
+    ss AS (SELECT doc_id,
+        CAST(floor(-ln(
+          CASE WHEN den2 IS NULL THEN (coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)
+          ELSE greatest(CAST(coalesce(n2vw, 0) AS DOUBLE) -
+                 (CASE WHEN coalesce(n2vw, 0) = 1 THEN e1
+                       WHEN coalesce(n2vw, 0) = 2 THEN e2
+                       WHEN coalesce(n2vw, 0) >= 3 THEN e3 ELSE 0.0 END), 0.0)
+               / CAST(den2 AS DOUBLE)
+             + ((e1*m1 + e2*m2 + e3*m3) / CAST(den2 AS DOUBLE))
+               * ((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)) END)
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM (SELECT doc_id, toks[1] AS sv, toks[2] AS sw FROM d WHERE len(toks) >= 2) st
+      LEFT JOIN cont2 ON cont2.gv = st.sv AND cont2.gw = st.sw
+      LEFT JOIN dn2 ON dn2.gv = st.sv
+      LEFT JOIN cont1 ON cont1.cur = st.sw
+      CROSS JOIN disc),
+    ts AS (SELECT sc.doc_id,
+        CAST(floor(-ln(
+          CASE WHEN ca3 IS NULL THEN
+            (CASE WHEN den2 IS NULL THEN (coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)
+             ELSE greatest(CAST(coalesce(n2vw, 0) AS DOUBLE) -
+                    (CASE WHEN coalesce(n2vw, 0) = 1 THEN e1
+                          WHEN coalesce(n2vw, 0) = 2 THEN e2
+                          WHEN coalesce(n2vw, 0) >= 3 THEN e3 ELSE 0.0 END), 0.0)
+                  / CAST(den2 AS DOUBLE)
+                + ((e1*m1 + e2*m2 + e3*m3) / CAST(den2 AS DOUBLE))
+                  * ((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)) END)
+          ELSE
+            greatest(CAST(coalesce(cuvw, 0) AS DOUBLE) -
+                (CASE WHEN coalesce(cuvw, 0) = 1 THEN d31
+                      WHEN coalesce(cuvw, 0) = 2 THEN d32
+                      WHEN coalesce(cuvw, 0) >= 3 THEN d33 ELSE 0.0 END), 0.0)
+              / CAST(ca3 AS DOUBLE)
+            + ((d31*a1 + d32*a2 + d33*a3) / CAST(ca3 AS DOUBLE))
+              * (CASE WHEN den2 IS NULL THEN (coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)
+                 ELSE greatest(CAST(coalesce(n2vw, 0) AS DOUBLE) -
+                        (CASE WHEN coalesce(n2vw, 0) = 1 THEN e1
+                              WHEN coalesce(n2vw, 0) = 2 THEN e2
+                              WHEN coalesce(n2vw, 0) >= 3 THEN e3 ELSE 0.0 END), 0.0)
+                      / CAST(den2 AS DOUBLE)
+                    + ((e1*m1 + e2*m2 + e3*m3) / CAST(den2 AS DOUBLE))
+                      * ((coalesce(n1cur, 0) + 1) / CAST(b + vsz AS DOUBLE)) END)
+          END)
+          * 1e6 + 0.5) AS BIGINT) AS nll
+      FROM sc3 sc
+      LEFT JOIN tri ON tri.gu = sc.gu AND tri.gv = sc.gv AND tri.gw = sc.gw
+      LEFT JOIN ctx3 ON ctx3.gu = sc.gu AND ctx3.gv = sc.gv
+      LEFT JOIN cont2 ON cont2.gv = sc.gv AND cont2.gw = sc.gw
+      LEFT JOIN dn2 ON dn2.gv = sc.gv
       LEFT JOIN cont1 ON cont1.cur = sc.gw
       CROSS JOIN disc),
     al AS (SELECT * FROM fs UNION ALL SELECT * FROM ss UNION ALL SELECT * FROM ts)

@@ -200,7 +200,7 @@ class ExamplePlaybooksSpec extends SparkTestBase {
       .withColumn("lang_pred", graft.ops.TextAnalysis.langId($"text"))
       .filter($"lang_pred".isin("en", "de", "fr", "es"))
     val bandedBySrc = graft.ops.TextAnalysis
-      .perplexityPartition(filtered, "doc_id", "text", "source")
+      .perplexityPartition(filtered, "doc_id", "text", "source", model = "mkn3")
       .groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bySrc = kept.groupBy("source").count().collect()

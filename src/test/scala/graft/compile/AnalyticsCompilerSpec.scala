@@ -220,6 +220,46 @@ class AnalyticsCompilerSpec extends SparkTestBase {
     assert(annotated.filter(col("ppl_band").isNull).count() == 1)
   }
 
+  test("ppl_partition model=mkn3: every doc banded (trigram LM scores short docs too)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon eta", "a"),
+      (3L, "beta gamma delta epsilon zeta theta", "a"),
+      (4L, "x", "a")) // one token: unscoreable under bigram, scored under mkn3
+      .toDF("doc_id", "text", "src")
+    val out = AnalyticsCompiler(spark, docs, Seq(
+      stage("ppl_partition", "idCol" -> "doc_id", "textCol" -> "text",
+        "sourceCol" -> "src", "buckets" -> 3, "model" -> "mkn3")))
+    assert(out.count() == 4 && out.filter(col("ppl_band").isNull).count() == 0)
+    // config path ≡ API path, value for value
+    val api = graft.ops.TextAnalysis.perplexityPartition(docs.toDF(),
+      "doc_id", "text", "src", buckets = 3, model = "mkn3")
+      .select(col("doc_id"), col("avg_nll_micro"), col("ppl_band"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val cfg = out.select(col("doc_id"), col("avg_nll_micro"), col("ppl_band"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(cfg == api)
+    graft.ops.CachedRelations.releaseAll()
+    intercept[Exception] {
+      AnalyticsCompiler(spark, docs, Seq(
+        stage("ppl_partition", "idCol" -> "doc_id", "textCol" -> "text",
+          "sourceCol" -> "src", "model" -> "bogus"))).count()
+    }
+  }
+
+  test("bbpe_fertility stage: byte-level report from config equals the API twin") {
+    val df = Seq(("s1", "ab ab ab"), ("s2", "bé bé b b")).toDF("source", "text")
+    val out = AnalyticsCompiler(spark, df, Seq(
+      stage("bbpe_fertility", "textCol" -> "text", "sourceCol" -> "source",
+        "numMerges" -> 10)))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bytes")))
+    graft.ops.CachedRelations.releaseAll()
+    // trained on the frame itself: every word fuses to one token
+    assert(out.toSeq == Seq(("s1", 3L, 3L, 6L), ("s2", 4L, 4L, 8L)))
+  }
+
   test("split/sample/sessionize stages wrap the sampling and session operators") {
     val df = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "v")
     val split = AnalyticsCompiler(spark, df, Seq(stage("split", "keyCol" -> "id")))

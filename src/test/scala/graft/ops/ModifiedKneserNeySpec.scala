@@ -37,12 +37,13 @@ class ModifiedKneserNeySpec extends SparkTestBase {
         math.max(c.toDouble - e, 0.0) / dn.toDouble +
           ((e1 * m1 + e2 * m2 + e3 * m3) / dn.toDouble) * pCont(w)
     }
-    def pTri(u: String, vv: String, w: String): Double = {
-      val (ca3, a1, a2, a3) = ctx3((u, vv))
-      val c = tri((u, vv, w))
-      val d = if (c == 1) d31 else if (c == 2) d32 else if (c >= 3) d33 else 0.0
-      math.max(c.toDouble - d, 0.0) / ca3.toDouble +
-        ((d31 * a1 + d32 * a2 + d33 * a3) / ca3.toDouble) * pMid(vv, w)
+    def pTri(u: String, vv: String, w: String): Double = ctx3.get((u, vv)) match {
+      case None => pMid(vv, w) // unseen context: full backoff (SRILM)
+      case Some((ca3, a1, a2, a3)) =>
+        val c = tri.getOrElse((u, vv, w), 0L)
+        val d = if (c == 1) d31 else if (c == 2) d32 else if (c >= 3) d33 else 0.0
+        math.max(c.toDouble - d, 0.0) / ca3.toDouble +
+          ((d31 * a1 + d32 * a2 + d33 * a3) / ca3.toDouble) * pMid(vv, w)
     }
   }
 
@@ -69,9 +70,13 @@ class ModifiedKneserNeySpec extends SparkTestBase {
     def dset(cs: Iterable[Long]): (Double, Double, Double) = {
       val (n1, n2, n3, n4) = (nk(cs, 1), nk(cs, 2), nk(cs, 3), nk(cs, 4))
       val y = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.0
-      (if (n1 > 0) math.max(1.0 - 2.0 * y * n2.toDouble / n1.toDouble, 0.0) else 0.5,
-        if (n2 > 0) math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.0) else 1.0,
-        if (n3 > 0) math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.0) else 1.5)
+      // unusable estimate (empty bucket OR nonpositive value) falls
+      // back to KenLM's --discount_fallback constants
+      def dk(k: Int, nk0: Long, nk1: Long, fb: Double) = {
+        val f = k.toDouble - (k + 1.0) * y * nk1.toDouble / nk0.toDouble
+        if (nk0 > 0 && f > 0) f else fb
+      }
+      (dk(1, n1, n2, 0.5), dk(2, n2, n3, 1.0), dk(3, n3, n4, 1.5))
     }
     val (d31, d32, d33) = dset(tri.values)
     val (e1, e2, e3) = dset(cont2.values)
@@ -82,8 +87,9 @@ class ModifiedKneserNeySpec extends SparkTestBase {
   private def nllMicro(p: Double): Long =
     math.floor(-math.log(p) * 1e6 + 0.5).toLong
 
-  private def refScore(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
-    val m = fit(docs)
+  private def refScore(docs: Seq[(Long, String)],
+                       train: Seq[(Long, String)] = null): Map[Long, (Long, Long, Long)] = {
+    val m = fit(Option(train).getOrElse(docs))
     docs.map { case (id, t) =>
       val ts = t.trim.toLowerCase.split("\\s+").toSeq
       val units = mutable.ArrayBuffer.empty[Long]
@@ -95,9 +101,11 @@ class ModifiedKneserNeySpec extends SparkTestBase {
     }.toMap
   }
 
-  private def opScore(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+  private def opScore(docs: Seq[(Long, String)],
+                      train: Seq[(Long, String)] = null): Map[Long, (Long, Long, Long)] = {
     val out = TextAnalysis.modifiedKneserNeyLogProb(
-      docs.toDF("doc_id", "text"), "doc_id", "text")
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      train = Option(train).map(_.toDF("doc_id", "text")).orNull)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     CachedRelations.releaseAll()
@@ -128,6 +136,21 @@ class ModifiedKneserNeySpec extends SparkTestBase {
 
   test("op == independent reference with real D2 discounts") {
     assert(opScore(corpus2) == refScore(corpus2))
+  }
+
+  test("reference-trained: op == reference across every unseen rung") {
+    // model on corpus2; score a corpus with (a) fully-seen trigrams,
+    // (b) an unseen trigram under a SEEN context (m n q: ctx3(m,n)
+    // exists, triple doesn't), (c) an unseen context over seen words
+    // (p m o), (d) entirely OOV words, (e) a 1-token and a 2-token doc
+    val scored = Seq(
+      (11L, "m n o m"),
+      (12L, "m n q"),
+      (13L, "p m o"),
+      (14L, "zz yy xx ww"),
+      (15L, "o"),
+      (16L, "q o"))
+    assert(opScore(scored, corpus2) == refScore(scored, corpus2))
   }
 
   test("discount arithmetic: fallbacks and clamps on corpus1") {
