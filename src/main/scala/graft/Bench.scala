@@ -72,6 +72,11 @@ object Bench {
       // the in-session plans via q_llm_ann_{ivf,pq,binary}
       "q_llm_ann_persist_check", "q_llm_ann_pq_persist_check",
       "q_llm_ann_bin_persist_check",
+      // r13 persisted-LM equivalence oracle: runs the mkn3 scorer
+      // TWICE (loaded artifact + in-session fit) purely to compare;
+      // the persisted path is benched via q_llm_mkn_ppl_idx and the
+      // in-session plan via q_llm_mkn_ppl
+      "q_llm_mkn_index_check",
       // r12 property-verdict checks: re-run already-benched engine-local
       // ops (pca / deflate / classifier) purely to pin their
       // definitional properties in the DuckDB gate

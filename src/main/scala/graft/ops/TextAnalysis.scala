@@ -987,55 +987,63 @@ object TextAnalysis {
   def modifiedKneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                                textCol: String,
                                train: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
-    def tokedOf(d: org.apache.spark.sql.DataFrame) = d.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-    def triplesOf(d: org.apache.spark.sql.DataFrame) =
-      d.filter(size(col("_toks")) >= 3)
-        .select(col("id"), explode(zip_with(
-          zip_with(
-            slice(col("_toks"), lit(1), size(col("_toks")) - 2),
-            slice(col("_toks"), lit(2), size(col("_toks")) - 2),
-            (a, b) => struct(a.as("u"), b.as("v"))),
-          slice(col("_toks"), lit(3), size(col("_toks")) - 2),
-          (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
-            c.as("w")))).as("_t"))
-        .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
-    val toked = tokedOf(df)
-    val trainToks = if (train == null) toked else tokedOf(train)
-    val tf3 = triplesOf(toked)
+    val toked = mknTokedOf(df, idCol, textCol)
+    val trainToks = if (train == null) toked else mknTokedOf(train, idCol, textCol)
+    val tf3 = mknTriples(toked)
       .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
     // self-trained: the trigram TYPE table folds out of the per-doc
     // counts (one tokenization); reference-trained: its own extraction
     val tri = CachedRelations.track((
       if (train == null)
         tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("_tf")).as("_cuvw"))
-      else triplesOf(trainToks)
+      else mknTriples(trainToks)
         .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
       ).persist())
-    val big = CachedRelations.track(
-      trainToks.select(explode(zip_with(
-        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_p"))
-        .select(col("_p.prev").as("prev"), col("_p.cur").as("cur"))
-        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_cab")).persist())
-    // top-level per-context stats: total + discount buckets N1/N2/N3+
-    val ctx3 = tri.groupBy(col("u"), col("v"))
-      .agg(sum(col("_cuvw")).as("_ca3"),
-        sum(when(col("_cuvw") === 1, 1L).otherwise(0L)).as("_a1"),
-        sum(when(col("_cuvw") === 2, 1L).otherwise(0L)).as("_a2"),
-        sum(when(col("_cuvw") >= 3, 1L).otherwise(0L)).as("_a3"))
-    // continuation counts: c'(vw) = # distinct u preceding (v, w) —
-    // one row of tri per u, so the row count per (v, w) IS the count
+    val big = CachedRelations.track(mknBigrams(trainToks).persist())
     val cont2 = CachedRelations.track(
       tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw")).persist())
-    val den2 = cont2.groupBy(col("v"))
-      .agg(sum(col("_n2vw")).as("_den2"),
-        sum(when(col("_n2vw") === 1, 1L).otherwise(0L)).as("_m1"),
-        sum(when(col("_n2vw") === 2, 1L).otherwise(0L)).as("_m2"),
-        sum(when(col("_n2vw") >= 3, 1L).otherwise(0L)).as("_m3"))
-    val cont1 = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
-    // ONE broadcast row: count-of-counts → discounts per order + (B, V)
+    val disc = mknDiscRow(tri, cont2, big, trainToks)
+    mknScoreRows(idCol, toked, tf3, tri, big, cont2, disc)
+  }
+
+  /** Scoring-side tokenization shared by the in-session MKN and the
+    * persisted-model path ([[LmIndex]]). */
+  private[ops] def mknTokedOf(d: org.apache.spark.sql.DataFrame, idCol: String,
+                              textCol: String): org.apache.spark.sql.DataFrame =
+    d.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+
+  /** Row-local trigram extraction (zip_with over token-array slices —
+    * no positional shuffle). */
+  private[ops] def mknTriples(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.filter(size(col("_toks")) >= 3)
+      .select(col("id"), explode(zip_with(
+        zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 2),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 2),
+          (a, b) => struct(a.as("u"), b.as("v"))),
+        slice(col("_toks"), lit(3), size(col("_toks")) - 2),
+        (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
+          c.as("w")))).as("_t"))
+      .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
+
+  /** Bigram TYPE counts of a tokenized frame (map-side combined). */
+  private[ops] def mknBigrams(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    toks.select(explode(zip_with(
+      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+      slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))).as("_p"))
+      .select(col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_cab"))
+
+  /** The ONE broadcast model row: count-of-counts per order →
+    * D1/D2/D3+ discounts (unusable estimates — empty bucket or
+    * nonpositive value — fall back to KenLM's --discount_fallback
+    * 0.5/1.0/1.5) plus the (B, V) continuation-floor totals. */
+  private[ops] def mknDiscRow(tri: org.apache.spark.sql.DataFrame,
+                              cont2: org.apache.spark.sql.DataFrame,
+                              big: org.apache.spark.sql.DataFrame,
+                              trainToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def discounts(cnt: org.apache.spark.sql.Column, p: String) = Seq(
       sum(when(cnt === 1, 1L).otherwise(0L)).as(s"_${p}1"),
       sum(when(cnt === 2, 1L).otherwise(0L)).as(s"_${p}2"),
@@ -1064,8 +1072,36 @@ object TextAnalysis {
         .withColumn(s"${d}2", dk(2, 1.0))
         .withColumn(s"${d}3", dk(3, 1.5))
     }
-    val disc = withDiscounts(withDiscounts(
+    withDiscounts(withDiscounts(
       noc3.crossJoin(noc2).crossJoin(bv), "t", "_y3", "_d3"), "p", "_y2", "_e")
+  }
+
+  /** The MKN scoring plan over a tokenized frame, given the model
+    * tables (freshly fitted or loaded from a stamped [[LmIndex]]
+    * artifact — bit-identical either way: counts are longs, the disc
+    * row's doubles round-trip parquet exactly). Derives the per-
+    * context stats from `tri`/`big`/`cont2` at type volume and scores
+    * positions 1 / 2 / ≥3 through the stated IEEE probability tree
+    * (restated verbatim in the oracles). */
+  private[ops] def mknScoreRows(idCol: String,
+                                toked: org.apache.spark.sql.DataFrame,
+                                tf3: org.apache.spark.sql.DataFrame,
+                                tri: org.apache.spark.sql.DataFrame,
+                                big: org.apache.spark.sql.DataFrame,
+                                cont2: org.apache.spark.sql.DataFrame,
+                                disc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // top-level per-context stats: total + discount buckets N1/N2/N3+
+    val ctx3 = tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("_cuvw")).as("_ca3"),
+        sum(when(col("_cuvw") === 1, 1L).otherwise(0L)).as("_a1"),
+        sum(when(col("_cuvw") === 2, 1L).otherwise(0L)).as("_a2"),
+        sum(when(col("_cuvw") >= 3, 1L).otherwise(0L)).as("_a3"))
+    val den2 = cont2.groupBy(col("v"))
+      .agg(sum(col("_n2vw")).as("_den2"),
+        sum(when(col("_n2vw") === 1, 1L).otherwise(0L)).as("_m1"),
+        sum(when(col("_n2vw") === 2, 1L).otherwise(0L)).as("_m2"),
+        sum(when(col("_n2vw") >= 3, 1L).otherwise(0L)).as("_m3"))
+    val cont1 = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
 
     // the STATED IEEE probability tree (restated verbatim in the oracle)
     val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /

@@ -2499,6 +2499,49 @@ object LlmQueries {
       },
       Some(LlmOracles.mknPplRef)),
 
+    // Persisted-LM production face (the KenLM lifecycle): fit the
+    // mkn3 model ONCE as a stamped artifact, score through the loaded
+    // tables with zero corpus-volume work on the reference. Rows-only
+    // like q_llm_ann_persist; q_llm_mkn_index_check pins loaded ≡
+    // in-session exactly and LmIndexSpec pins the stale/heal
+    // lifecycle.
+    Q("q_llm_mkn_ppl_idx",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tbl = s"$dir/documents.parquet"
+        val idx = s"/tmp/graft_lm_idx_mkn_${math.abs(dir.hashCode)}"
+        graft.ops.LmIndex.writeMknIndex(s, tbl, idx, "doc_id", "text")
+        graft.ops.LmIndex.scoreMknIndexed(s, docs, "doc_id", "text", tbl, idx)
+      },
+      None),
+
+    // Engine-internal equivalence oracle for the persisted LM: a
+    // loaded-model score must produce EXACTLY the rows of the
+    // in-session fit (type counts are longs; the disc row's doubles
+    // round-trip parquet bit-exactly) — full-outer join on doc_id,
+    // zero tolerance on all three integer columns.
+    Q("q_llm_mkn_index_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tbl = s"$dir/documents.parquet"
+        val idx = s"/tmp/graft_lm_idx_mkn_${math.abs(dir.hashCode)}"
+        graft.ops.LmIndex.writeMknIndex(s, tbl, idx, "doc_id", "text")
+        val loaded = graft.ops.LmIndex.scoreMknIndexed(s, docs, "doc_id", "text", tbl, idx)
+          .select(col("doc_id"), col("n_tokens").as("l_nt"),
+            col("sum_nll_micro").as("l_s"), col("avg_nll_micro").as("l_a"))
+        val fit = TextAnalysis.modifiedKneserNeyLogProb(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens").as("f_nt"),
+            col("sum_nll_micro").as("f_s"), col("avg_nll_micro").as("f_a"))
+        loaded.join(fit, Seq("doc_id"), "full_outer")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("l_nt").isNull || col("f_nt").isNull ||
+                col("l_nt") =!= col("f_nt") || col("l_s") =!= col("f_s") ||
+                col("l_a") =!= col("f_a"), 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // Reference-trained bigram LM perplexity (the CCNet production
     // shape q_llm_bigram_nll's self-fit model can't express): model
     // trained on the EVEN-doc_id half only, EVERY doc scored — unseen
