@@ -93,7 +93,7 @@ object AnalyticsCompiler {
     "c4_rules" -> (Seq("idCol", "textCol"),
       "idCol textCol [minWordsPerLine=3 minSentences=5] — the C4 cleaner (Raffel 2020 §2.2): keep lines ending in terminal punctuation with enough words and no 'javascript'; drop pages with lorem ipsum, curly braces, or too few retained sentences; textCol is REPLACED by the cleaned text"),
     "ppl_partition" -> (Seq("idCol", "textCol", "sourceCol"),
-      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[] model=bigram] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the self-trained LM NLL, annotated onto the frame as avg_nll_micro + ppl_band; model picks the smoother: bigram (JM; docs under two tokens band NULL) | kn2 (Kneser-Ney bigram) | mkn3 (modified-KN trigram, the CCNet/SRILM production smoother) | sb3 (Stupid Backoff trigram) — the latter three score every non-null doc; keepBands filters to the listed bands and DROPS NULL-banded docs unless the literal entry \"null\" is listed"),
+      "idCol textCol sourceCol [lambdaBp=8000 buckets=3 keepBands=[] model=bigram modelDir trainPath] — CCNet head/middle/tail perplexity bands (Wenzek 2020): per-source ntile over the self-trained LM NLL, annotated onto the frame as avg_nll_micro + ppl_band; model picks the smoother: bigram (JM; docs under two tokens band NULL) | kn2 (Kneser-Ney bigram) | mkn3 (modified-KN trigram, the CCNet/SRILM production smoother) | sb3 (Stupid Backoff trigram) — the latter three score every non-null doc; modelDir+trainPath band under a PERSISTED stamped mkn3 artifact (LmIndex — the fit-once reference-LM lifecycle) instead of a per-run refit; keepBands filters to the listed bands and DROPS NULL-banded docs unless the literal entry \"null\" is listed"),
     "pack_windows"   -> (Seq("idCol", "textCol", "capacity"),
       "idCol textCol capacity [shards=64] — concat-and-chunk sequence packing into fixed-capacity context windows"),
     "length_batches" -> (Seq("idCol", "textCol", "batchSize"),
@@ -139,7 +139,8 @@ object AnalyticsCompiler {
     "unigram_fertility" -> Set("vocabSize", "maxPieceLen", "emIters"),
     "wordpiece_fertility" -> Set("numMerges"),
     "bbpe_fertility" -> Set("numMerges"),
-    "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands", "model"),
+    "ppl_partition" -> Set("lambdaBp", "buckets", "keepBands", "model",
+      "modelDir", "trainPath"),
     "c4_rules" -> Set("minWordsPerLine", "minSentences"),
     "pack_windows"   -> Set("shards"),
     "length_batches" -> Set("shards"),
@@ -519,7 +520,10 @@ object AnalyticsCompiler {
           str(p, "textCol").get, str(p, "sourceCol").get,
           lambdaBp = int(p, "lambdaBp").getOrElse(8000),
           buckets = int(p, "buckets").getOrElse(3),
-          model = str(p, "model").getOrElse("bigram"))
+          model = str(p, "model").getOrElse(
+            if (str(p, "modelDir").isDefined) "mkn3" else "bigram"),
+          modelDir = str(p, "modelDir").orNull,
+          trainPath = str(p, "trainPath").orNull)
         // annotate, don't project: the pipeline keeps its columns; docs
         // with fewer than two tokens have no bigram NLL and band NULL
         val joined = df.join(

@@ -1453,15 +1453,25 @@ object TextAnalysis {
   def perplexityPartition(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, sourceCol: String,
                           lambdaBp: Int = 8000, buckets: Int = 3,
-                          model: String = "bigram"): org.apache.spark.sql.DataFrame = {
+                          model: String = "bigram",
+                          modelDir: String = null,
+                          trainPath: String = null): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, "need at least head and tail bands")
     // which self-trained LM supplies the NLL: the JM bigram (the
     // original shape; docs under two tokens get no score → band NULL),
     // KN bigram, modified-KN trigram (the CCNet/SRILM production
     // smoother), or Stupid Backoff trigram — the latter three score
     // EVERY non-null doc (first-token unigram rung), so only null-text
-    // docs band NULL under them
-    val nll = (model match {
+    // docs band NULL under them. With modelDir/trainPath set, the NLL
+    // comes from a PERSISTED [[LmIndex]] mkn3 artifact instead of a
+    // per-run refit — the actual CCNet lifecycle (reference LM fitted
+    // once on the clean corpus, every crawl snapshot banded under it).
+    val nll = (if (modelDir != null) {
+      require(model == "mkn3",
+        s"ppl_partition modelDir is an mkn3 artifact — got model '$model'")
+      require(trainPath != null, "ppl_partition modelDir needs trainPath to verify")
+      LmIndex.scoreMknIndexed(df.sparkSession, df, idCol, textCol, trainPath, modelDir)
+    } else model match {
       case "bigram" => bigramLogProb(df, idCol, textCol, lambdaBp)
       case "kn2"    => kneserNeyLogProb(df, idCol, textCol)
       case "mkn3"   => modifiedKneserNeyLogProb(df, idCol, textCol)

@@ -79,6 +79,39 @@ class LmIndexSpec extends SparkTestBase {
     assert(healed == twin, "healed artifact != refitted in-session twin")
   }
 
+  test("perplexityPartition modelDir: bands under the persisted reference LM") {
+    val (tbl, trainDf) = mkCorpus(train)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_ppl").toString
+    LmIndex.writeMknIndex(spark, tbl, idx, "doc_id", "text")
+    val df = scored.toDF("doc_id", "text").withColumn("source", lit("s"))
+    val fromIdx = TextAnalysis.perplexityPartition(df, "doc_id", "text", "source",
+      model = "mkn3", modelDir = idx, trainPath = tbl)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("avg_nll_micro"),
+        r.getAs[String]("ppl_band"))).toSet
+    CachedRelations.releaseAll()
+    // twin: the same banding over the in-session reference fit
+    val nll = TextAnalysis.modifiedKneserNeyLogProb(df, "doc_id", "text",
+      train = trainDf).select(col("doc_id"), col("avg_nll_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit("s")).orderBy(col("avg_nll_micro"), col("doc_id"))
+    val twin = nll.withColumn("bucket", ntile(3).over(w))
+      .withColumn("ppl_band", when(col("bucket") === 1, lit("head"))
+        .when(col("bucket") === 3, lit("tail")).otherwise(lit("middle")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("avg_nll_micro"),
+        r.getAs[String]("ppl_band"))).toSet
+    CachedRelations.releaseAll()
+    assert(fromIdx == twin, "modelDir banding != in-session reference-fit banding")
+    // guards: modelDir with a non-mkn3 model, or without trainPath
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityPartition(df, "doc_id", "text", "source",
+        model = "bigram", modelDir = idx, trainPath = tbl)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityPartition(df, "doc_id", "text", "source",
+        model = "mkn3", modelDir = idx)
+    }
+  }
+
   test("a write that dies before the stamp leaves an artifact that fails verification") {
     val (tbl, _) = mkCorpus(train)
     val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_dead").toString
