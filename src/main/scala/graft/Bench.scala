@@ -77,6 +77,10 @@ object Bench {
       // the persisted path is benched via q_llm_mkn_ppl_idx and the
       // in-session plan via q_llm_mkn_ppl
       "q_llm_mkn_index_check",
+      // r13 persisted-tokenizer equivalence oracle: trains AND loads
+      // purely to compare; the persisted path is benched via
+      // q_llm_bpe_fertility_idx and the refit via q_llm_bpe_encode_1k
+      "q_llm_tok_index_check",
       // r12 property-verdict checks: re-run already-benched engine-local
       // ops (pca / deflate / classifier) purely to pin their
       // definitional properties in the DuckDB gate

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted tokenizer artifacts — the fit-once lifecycle for the four
+ * trained tokenizer families (BPE, byte-level BPE, WordPiece,
+ * unigram-LM). A production tokenizer is trained ONCE on the corpus
+ * snapshot and then encodes every downstream run for months; the
+ * in-session faces refit per run, which re-pays the corpus-volume
+ * word-frequency shuffle (and the unigram EM) every time.
+ *
+ * Same stamped-coherence contract as the bloom side-index /
+ * [[AnnIndex]] / [[LmIndex]]: the model table (merge ranks for the
+ * BPE pair, the vocabulary for WordPiece, (piece, logprob) for
+ * unigram) is persisted beside a stamp carrying the train table's
+ * file-listing fingerprint plus the fit parameters; the stamp is
+ * written LAST and dropped FIRST, loads verify BEFORE planning, a
+ * changed corpus fails loudly with a rebuild hint, and a rebuild
+ * heals. Loaded models are exact: merges/vocab are strings and longs,
+ * unigram logprobs are doubles that round-trip parquet bit-exactly —
+ * so every loaded-artifact encode equals its in-session twin
+ * token for token (equivalence-oracled by q_llm_tok_index_check,
+ * lifecycle spec-pinned in TokenizerIndexSpec).
+ */
+object TokenizerIndex {
+
+  case class TokIndexMeta(family: String, textCol: String, param: Int,
+                          tableFp: String)
+
+  private val metaName = "_graft_tok_meta.json"
+  private val families = Set("bpe", "bbpe", "wordpiece", "unigram")
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String,
+                        meta: TokIndexMeta): Unit = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val json = s"""{"family":"${meta.family}","text_col":"${meta.textCol}",""" +
+      s""""param":${meta.param},"table_fp":"${meta.tableFp}"}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, indexPath: String): Option[TokIndexMeta] = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val mp = new org.apache.hadoop.fs.Path(p, metaName)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(k: String) =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
+    def num(k: String) =
+      ("\"" + k + "\":([0-9-]+)").r.findFirstMatchIn(text).map(_.group(1).toInt)
+    for {
+      fam <- str("family"); tc <- str("text_col"); pr <- num("param")
+      fp <- str("table_fp")
+    } yield TokIndexMeta(fam, tc, pr, fp)
+  }
+
+  def verify(spark: SparkSession, trainPath: String, indexPath: String,
+             family: String, textCol: String): TokIndexMeta = {
+    val meta = readMeta(spark, indexPath).getOrElse(throw new IllegalStateException(
+      s"tokenizer artifact at $indexPath has no $metaName coherence stamp — " +
+        s"rebuild it with TokenizerIndex.write($trainPath, $indexPath, ...)"))
+    if (meta.family != family || meta.textCol != textCol) throw new IllegalStateException(
+      s"tokenizer artifact at $indexPath is (family '${meta.family}', textCol " +
+        s"'${meta.textCol}'), not (family '$family', textCol '$textCol') — " +
+        "wrong model for this encoder")
+    val live = Layout.tableFingerprint(spark, trainPath)
+    if (live != meta.tableFp) throw new IllegalStateException(
+      s"tokenizer artifact at $indexPath is STALE: the data files of $trainPath " +
+        s"changed since the fit (listing fingerprint ${meta.tableFp.take(12)}… at " +
+        s"fit vs ${live.take(12)}… now). The persisted merges/vocabulary describe " +
+        "a corpus that no longer exists — rebuild with TokenizerIndex.write.")
+    meta
+  }
+
+  private def dropStamp(spark: SparkSession, indexPath: String): Unit = {
+    val (fs, p) = fsFor(spark, indexPath)
+    val mp = new org.apache.hadoop.fs.Path(p, metaName)
+    if (fs.exists(mp) && !fs.delete(mp, false)) throw new java.io.IOException(
+      s"could not remove the existing tokenizer artifact stamp $mp before rebuild")
+  }
+
+  /**
+   * Train one tokenizer family on the table at `trainPath` and persist
+   * the model as a stamped artifact. `param` is the family's size
+   * knob: numMerges for bpe/bbpe/wordpiece, vocabSize for unigram.
+   * The fit is the SAME two-phase trainer the in-session faces run.
+   */
+  def write(spark: SparkSession, trainPath: String, indexPath: String,
+            family: String, textCol: String, param: Int): Unit = {
+    require(families(family),
+      s"tokenizer family '$family' — expected one of ${families.toSeq.sorted.mkString(" | ")}")
+    dropStamp(spark, indexPath)
+    val train = spark.read.parquet(trainPath)
+    import spark.implicits._
+    family match {
+      case "bpe" =>
+        Tokenizer.bpeTrain(train, textCol, numMerges = param)
+          .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+      case "bbpe" =>
+        Tokenizer.bbpeTrain(train, textCol, numMerges = param)
+          .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+      case "wordpiece" =>
+        Tokenizer.wordpieceVocabFrom(train, textCol, numMerges = param)
+          .toSeq.sorted.toDF("symbol")
+          .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+      case "unigram" =>
+        Tokenizer.unigramTrainLocalFrom(train, textCol, vocabSize = param)
+          .toSeq.sortBy(_._1).toDF("piece", "logprob")
+          .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+    }
+    writeMeta(spark, indexPath, TokIndexMeta(family, textCol, param,
+      Layout.tableFingerprint(spark, trainPath)))
+  }
+
+  /** Verified load of a bpe/bbpe merge table, rank-ordered. */
+  def loadMerges(spark: SparkSession, trainPath: String, indexPath: String,
+                 family: String, textCol: String): Seq[(String, String)] = {
+    require(family == "bpe" || family == "bbpe",
+      s"loadMerges is for the merge-table families, not '$family'")
+    verify(spark, trainPath, indexPath, family, textCol)
+    spark.read.parquet(s"$indexPath/model").orderBy("rank")
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Verified load of a WordPiece vocabulary set. */
+  def loadVocabSet(spark: SparkSession, trainPath: String, indexPath: String,
+                   textCol: String): Set[String] = {
+    verify(spark, trainPath, indexPath, "wordpiece", textCol)
+    spark.read.parquet(s"$indexPath/model")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Verified load of a unigram (piece → logprob) model. */
+  def loadVocabMap(spark: SparkSession, trainPath: String, indexPath: String,
+                   textCol: String): Map[String, Double] = {
+    verify(spark, trainPath, indexPath, "unigram", textCol)
+    spark.read.parquet(s"$indexPath/model")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /**
+   * The per-source fertility report under a PERSISTED model — the
+   * production face: zero training work, one corpus-volume (source,
+   * word) shuffle over the scored frame only. Dispatches to the
+   * family's in-session fertility with the loaded model, so the
+   * report is value-identical to the refit twin by construction.
+   */
+  def fertilityIndexed(spark: SparkSession, df: DataFrame, family: String,
+                       textCol: String, sourceCol: String,
+                       trainPath: String, indexPath: String): DataFrame =
+    family match {
+      case "bpe" => Tokenizer.bpeFertility(df, textCol, sourceCol,
+        loadMerges(spark, trainPath, indexPath, "bpe", textCol),
+        nativeEncode = true)
+      case "bbpe" => Tokenizer.bbpeFertility(df, textCol, sourceCol,
+        loadMerges(spark, trainPath, indexPath, "bbpe", textCol))
+      case "wordpiece" => Tokenizer.wordpieceFertility(df, textCol, sourceCol,
+        loadVocabSet(spark, trainPath, indexPath, textCol))
+      case "unigram" => Tokenizer.unigramFertility(df, textCol, sourceCol,
+        loadVocabMap(spark, trainPath, indexPath, textCol))
+      case other => throw new IllegalArgumentException(
+        s"tokenizer family '$other' — expected one of ${families.toSeq.sorted.mkString(" | ")}")
+    }
+}

@@ -726,6 +726,55 @@ object LlmQueries {
           FROM documents WHERE text IS NOT NULL)) AS n_words,
         CAST(0 AS BIGINT) AS n_unreconstructed""")),
 
+    // Persisted-tokenizer production face (the fit-once lifecycle for
+    // the tokenizer families, like q_llm_ann_persist / q_llm_mkn_ppl_idx):
+    // 1000 BPE merges fitted ONCE as a stamped artifact, the fertility
+    // report run through the loaded model + native encoder with zero
+    // training work. Rows-only; q_llm_tok_index_check pins loaded ≡
+    // in-session and TokenizerIndexSpec pins the stale/heal lifecycle.
+    Q("q_llm_bpe_fertility_idx",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tbl = s"$dir/documents.parquet"
+        val idx = s"/tmp/graft_tok_idx_bpe_${math.abs(dir.hashCode)}"
+        graft.ops.TokenizerIndex.write(s, tbl, idx, "bpe", "text", param = 1000)
+        graft.ops.TokenizerIndex.fertilityIndexed(s, docs, "bpe", "text", "source",
+          tbl, idx)
+      },
+      None),
+
+    // Engine-internal equivalence oracle for the persisted tokenizer:
+    // the loaded-artifact fertility must produce EXACTLY the rows of
+    // the in-session refit (merges are strings and longs — parquet
+    // round-trips them identically) — full-outer join on source, zero
+    // tolerance on every column.
+    Q("q_llm_tok_index_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tbl = s"$dir/documents.parquet"
+        val idx = s"/tmp/graft_tok_idx_bpe_${math.abs(dir.hashCode)}"
+        graft.ops.TokenizerIndex.write(s, tbl, idx, "bpe", "text", param = 1000)
+        val loaded = graft.ops.TokenizerIndex.fertilityIndexed(s, docs, "bpe",
+            "text", "source", tbl, idx)
+          .select(col("source"), col("n_tokens").as("l_t"),
+            col("fertility_micro").as("l_f"))
+        val merges = graft.ops.Tokenizer.bpeTrain(docs, "text", numMerges = 1000)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val fit = graft.ops.Tokenizer.bpeFertility(docs, "text", "source", merges,
+            nativeEncode = true)
+          .select(col("source"), col("n_tokens").as("f_t"),
+            col("fertility_micro").as("f_f"))
+        loaded.join(fit, Seq("source"), "full_outer")
+          .agg(count(lit(1)).as("n_sources"),
+            sum(when(col("l_t").isNull || col("f_t").isNull ||
+                col("l_t") =!= col("f_t") || col("l_f") =!= col("f_f"), 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT source) FROM documents
+          WHERE text IS NOT NULL) AS n_sources,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // BPE-ish pre-tokenization count (word runs + punctuation).
     Q("q_llm_bpe_tokens",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

@@ -101,7 +101,16 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // relation — the same vocabulary-bounded boundary as BPE/unigram
     // (playbook face + equivalence check carry the same UDF)
     "q_llm_wordpiece_fertility", "q_llm_wordpiece_check",
-    "q_playbook_wordpiece", "q_playbook_wordpiece_check")
+    "q_playbook_wordpiece", "q_playbook_wordpiece_check",
+    // byte-level BPE family (r13): the fuse-loop encoder/round-trip is
+    // inherently iterative per word and runs ONLY on the distinct-word
+    // relation — the same vocabulary-bounded boundary as BPE/unigram/
+    // WordPiece above
+    "q_llm_bbpe_fertility", "q_llm_bbpe_check",
+    // r13 persisted-ANN equivalence checks: each plan carries the
+    // IN-SESSION twin (already-allowlisted MLlib array_to_vector fit
+    // adapter) alongside the loaded-index path purely to compare them
+    "q_llm_ann_persist_check", "q_llm_ann_pq_persist_check")
 
   test("every registered query: no partition-less Window, no unhinted cartesian, no un-allowlisted UDF") {
     graft.functions.Registry.ensure(spark)
