@@ -349,6 +349,38 @@ object StreamOps {
   }
 
   /**
+   * Streaming perplexity scoring under a PERSISTED reference LM — the
+   * online face of [[graft.ops.LmIndex.scoreMknIndexed]] and the last
+   * leg of the CCNet lifecycle: the mkn3 model is fitted ONCE on the
+   * clean corpus ([[graft.ops.LmIndex.writeMknIndex]]) and every
+   * arriving crawl document is scored against it as it lands. The
+   * model loads at query definition through the verified stamp (loud
+   * on STALE), prunes to `maxTypes` rows per order (the KenLM pruning
+   * shape — see [[graft.ops.LmIndex.loadMknLocal]]), and rides to
+   * executors by closure — scoring is then ROW-LOCAL (the identical
+   * IEEE tree as batch, spec-pinned equal when unpruned): no
+   * streaming state, no watermark, no join, so it composes with any
+   * downstream stateful stage. Appends n_tokens / sum_nll_micro /
+   * avg_nll_micro to the stream; null-text rows pass through with
+   * NULL scores (annotate, don't drop — the ppl_partition convention).
+   */
+  def pplScoreStream(stream: DataFrame, textCol: String,
+                     trainPath: String, indexPath: String,
+                     maxTypes: Int = 200000): DataFrame = {
+    val model = graft.ops.LmIndex.loadMknLocal(stream.sparkSession,
+      trainPath, indexPath, textCol, maxTypes)
+    val score = udf((text: String) =>
+      Option(text).map { t =>
+        model.scoreDoc(t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      })
+    stream.withColumn("_ppl", score(col(textCol)))
+      .withColumn("n_tokens", col("_ppl._1"))
+      .withColumn("sum_nll_micro", col("_ppl._2"))
+      .withColumn("avg_nll_micro", col("_ppl._3"))
+      .drop("_ppl")
+  }
+
+  /**
    * Streaming incremental dedup against a STATIC reference corpus —
    * the streaming face of [[graft.ops.Dedup.incrementalDedup]]: rows
    * the reference's bloom sketch rules out pass through without

@@ -112,6 +112,42 @@ class LmIndexSpec extends SparkTestBase {
     }
   }
 
+  test("pplScoreStream: unpruned streaming scores == batch loaded-model scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val (tbl, _) = mkCorpus(train)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_stream").toString
+    LmIndex.writeMknIndex(spark, tbl, idx, "doc_id", "text")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.pplScoreStream(
+      mem.toDF().toDF("doc_id", "text"), "text", tbl, idx)
+    val q = out.writeStream.format("memory").queryName("ppl_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData(scored: _*)
+      mem.addData(17L -> null, 18L -> "   ")
+      q.processAllAvailable()
+      val got = spark.table("ppl_scores").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) null
+          else ((r.getLong(2), r.getLong(3), r.getLong(4))))).toMap
+      // null text annotates NULL (pass through, don't drop)
+      assert(got(17L) == null)
+      val batch = rows(LmIndex.scoreMknIndexed(spark,
+        (scored :+ (18L -> "   ")).toDF("doc_id", "text"),
+        "doc_id", "text", tbl, idx))
+      assert((scored.map(_._1) :+ 18L).forall(id => got(id) == batch(id)),
+        s"stream != batch: $got vs $batch")
+    } finally q.stop()
+    CachedRelations.releaseAll()
+    // pruned to almost nothing: every doc still scores finitely (the
+    // discount fallback keeps all probabilities positive)
+    val pruned = LmIndex.loadMknLocal(spark, tbl, idx, "text", maxTypes = 1)
+    for ((_, t) <- scored) {
+      val (n, s, a) = pruned.scoreDoc(
+        t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      assert(n > 0 && s >= 0 && a >= 0)
+    }
+  }
+
   test("a write that dies before the stamp leaves an artifact that fails verification") {
     val (tbl, _) = mkCorpus(train)
     val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_dead").toString
