@@ -381,6 +381,41 @@ object StreamOps {
   }
 
   /**
+   * Streaming CCNet banding: score each arriving doc under the
+   * persisted reference LM ([[pplScoreStream]]) and band it against
+   * STATIC per-source NLL cutoffs — the streamable form of
+   * [[graft.ops.TextAnalysis.perplexityPartition]]'s ntile, and what
+   * CCNet actually does online (Wenzek 2020 computes the head/middle
+   * percentile thresholds on a sample once, then cuts every shard by
+   * those fixed numbers; a global ntile needs the whole corpus and
+   * cannot stream). `cutoffs` is one row per source
+   * (source, head_max_micro, middle_max_micro), typically derived
+   * from a batch `perplexityPartition` run:
+   *   avg_nll ≤ head_max → head; ≤ middle_max → middle; else tail;
+   * an unknown source or an unscoreable doc bands NULL (annotate,
+   * don't drop). Stream-static broadcast join + the row-local scorer:
+   * still stateless, composes with any downstream stage.
+   */
+  def pplBandStream(stream: DataFrame, textCol: String, sourceCol: String,
+                    cutoffs: DataFrame, trainPath: String, indexPath: String,
+                    maxTypes: Int = 200000): DataFrame = {
+    val scored = pplScoreStream(stream, textCol, trainPath, indexPath, maxTypes)
+    scored.join(broadcast(cutoffs.select(col("source"),
+        col("head_max_micro"), col("middle_max_micro"))),
+        scored(sourceCol) === cutoffs("source"), "left_outer")
+      .drop(cutoffs("source"))
+      .withColumn("ppl_band",
+        when(col("avg_nll_micro").isNull, lit(null: String))
+          .when(col("head_max_micro").isNotNull &&
+            col("avg_nll_micro") <= col("head_max_micro"), lit("head"))
+          .when(col("middle_max_micro").isNotNull &&
+            col("avg_nll_micro") <= col("middle_max_micro"), lit("middle"))
+          .when(col("middle_max_micro").isNotNull, lit("tail"))
+          .otherwise(lit(null: String)))
+      .drop("head_max_micro", "middle_max_micro")
+  }
+
+  /**
    * Streaming incremental dedup against a STATIC reference corpus —
    * the streaming face of [[graft.ops.Dedup.incrementalDedup]]: rows
    * the reference's bloom sketch rules out pass through without

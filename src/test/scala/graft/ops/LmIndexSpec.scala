@@ -148,6 +148,42 @@ class LmIndexSpec extends SparkTestBase {
     }
   }
 
+  test("pplBandStream: static per-source cutoffs band the stream like the batch rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val (tbl, _) = mkCorpus(train)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_band").toString
+    LmIndex.writeMknIndex(spark, tbl, idx, "doc_id", "text")
+    // batch scores of the same docs → value-based cutoffs for source s
+    val batch = rows(LmIndex.scoreMknIndexed(spark,
+      scored.toDF("doc_id", "text"), "doc_id", "text", tbl, idx))
+    val nlls = scored.map { case (id, _) => batch(id)._3 }.sorted
+    val (headMax, midMax) = (nlls(1), nlls(3)) // 2/2/2 split of six docs
+    val cutoffs = Seq(("s", headMax, midMax))
+      .toDF("source", "head_max_micro", "middle_max_micro")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamOps.pplBandStream(
+      mem.toDF().toDF("doc_id", "text", "source"), "text", "source",
+      cutoffs, tbl, idx)
+    val q = out.writeStream.format("memory").queryName("ppl_bands")
+      .outputMode("append").start()
+    try {
+      mem.addData(scored.map { case (id, t) => (id, t, "s") }: _*)
+      mem.addData((90L, "m n o", "unknown_src"), (91L, null, "s"))
+      q.processAllAvailable()
+      val got = spark.table("ppl_bands").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_band")).toMap
+      for ((id, _) <- scored) {
+        val nll = batch(id)._3
+        val expect = if (nll <= headMax) "head"
+          else if (nll <= midMax) "middle" else "tail"
+        assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+      }
+      assert(got(90L) == null, "unknown source must band NULL")
+      assert(got(91L) == null, "null text must band NULL")
+    } finally q.stop()
+    CachedRelations.releaseAll()
+  }
+
   test("a write that dies before the stamp leaves an artifact that fails verification") {
     val (tbl, _) = mkCorpus(train)
     val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_dead").toString
