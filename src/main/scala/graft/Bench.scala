@@ -89,6 +89,10 @@ object Bench {
       // the vocabulary purely to compare; the native path is benched
       // via q_llm_bpe_encode_1k)
       "q_llm_bpe_native_check",
+      // same equivalence shape one alphabet down (r13): both byte-
+      // level encoders over the vocabulary purely to compare; the
+      // native path is benched via the persisted-tokenizer face
+      "q_llm_bbpe_native_check",
       // unigram coverage/normalization verdict (correctness fixture —
       // the trained pipeline itself is benched via
       // q_llm_unigram_fertility); the playbook face is a result-twin

@@ -36,10 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * one static-shaped call per row, no lambda boxing, no closure
  * re-deserialization per batch.
  */
-class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+class BpeTable(merges: Seq[(String, String)],
+               byteLevel: Boolean = false) extends Serializable {
   // key = left + " " + right — a space can never appear inside a
-  // learned symbol (symbols come from whitespace-tokenized words), so
-  // the joined key is unambiguous
+  // learned symbol (symbols come from whitespace-tokenized words, and
+  // byte-level symbols are hex), so the joined key is unambiguous
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
@@ -48,10 +49,30 @@ class BpeTable(merges: Seq[(String, String)]) extends Serializable {
     m
   }
 
+  private val hexChars = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level seed symbols straight off the UTF8String's bytes —
+    * the [[graft.ops.Tokenizer.bbpeSymbols]] alphabet without a
+    * String round trip. */
+  private def byteSyms(w: UTF8String): Array[String] = {
+    val bytes = w.getBytes
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i) = new String(Array(hexChars(b >> 4), hexChars(b & 0xF)))
+      i += 1
+    }
+    out
+  }
+
   def encode(w: UTF8String): ArrayData = {
-    // split("") keeps surrogate pairs whole — byte-for-byte the
-    // symbol alphabet applyMerges starts from
-    val syms0 = w.toString.split("").filter(_.nonEmpty)
+    // char level: split("") keeps surrogate pairs whole — byte-for-
+    // byte the symbol alphabet applyMerges starts from; byte level:
+    // the word's UTF-8 bytes as hex pairs (bbpeSymbols' alphabet)
+    val syms0 =
+      if (byteLevel) byteSyms(w)
+      else w.toString.split("").filter(_.nonEmpty)
     if (syms0.length <= 1)
       return new GenericArrayData(syms0.map(UTF8String.fromString(_): Any))
     var syms = syms0
@@ -86,19 +107,21 @@ class BpeTable(merges: Seq[(String, String)]) extends Serializable {
   }
 }
 
-/** `bpe_encode(word)` with a bound merge table — array<string> tokens. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+/** `bpe_encode(word)` with a bound merge table — array<string> tokens
+  * (hex byte tokens when `byteLevel`, the GPT-2 family's alphabet). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  @transient private lazy val table = new BpeTable(merges)
+  @transient private lazy val table = new BpeTable(merges, byteLevel)
   override protected def nullSafeEval(input: Any): Any =
     table.encode(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeTable", new BpeTable(merges),
+    val ref = ctx.addReferenceObj("bpeTable", new BpeTable(merges, byteLevel),
       classOf[BpeTable].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
-  override def prettyName: String = "bpe_encode"
+  override def prettyName: String = if (byteLevel) "bbpe_encode" else "bpe_encode"
 }

@@ -767,6 +767,19 @@ object Tokenizer {
     syms
   }
 
+  /** Column face of the native min-rank encoder at BYTE level — the
+    * [[bpeEncodeCol]] twin for the GPT-2 family (same
+    * [[graft.expr.BpeEncode]] expression seeded from the word's UTF-8
+    * bytes as hex pairs): O(firing-merges · len) per word vs
+    * [[bbpeEncode]]'s O(tableSize · len) rescan, equivalence
+    * spec-pinned in ByteBpeSpec. */
+  def bbpeEncodeCol(word: org.apache.spark.sql.Column,
+                    merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.BpeEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(word), merges,
+        byteLevel = true))
+
   /**
    * Per-source byte-level-BPE fertility report — the [[bpeFertility]]
    * twin for the GPT-2 family (same columns, same one-shuffle scale
@@ -775,7 +788,8 @@ object Tokenizer {
    * number this tokenizer family is actually judged on.
    */
   def bbpeFertility(df: DataFrame, textCol: String, sourceCol: String,
-                    merges: Seq[(String, String)]): DataFrame = {
+                    merges: Seq[(String, String)],
+                    nativeEncode: Boolean = false): DataFrame = {
     val m = merges.toIndexedSeq
     val nTok = udf((w: String) => bbpeEncode(w, m).length)
     val sw = CachedRelations.track(
@@ -783,8 +797,11 @@ object Tokenizer {
         .select(col(sourceCol).as("source"), explode(Dedup.tokens(col(textCol))).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
         .persist())
+    val tokLen =
+      if (nativeEncode) size(bbpeEncodeCol(col("w"), m))
+      else nTok(col("w"))
     val enc = sw.select(col("w")).distinct()
-      .withColumn("n_tok", nTok(col("w")).cast("long"))
+      .withColumn("n_tok", tokLen.cast("long"))
       .withColumn("n_byt", expr("length(encode(w, 'UTF-8'))").cast("long"))
     sw.join(enc, "w")
       .groupBy(col("source"))

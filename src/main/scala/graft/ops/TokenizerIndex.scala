@@ -165,7 +165,8 @@ object TokenizerIndex {
         loadMerges(spark, trainPath, indexPath, "bpe", textCol),
         nativeEncode = true)
       case "bbpe" => Tokenizer.bbpeFertility(df, textCol, sourceCol,
-        loadMerges(spark, trainPath, indexPath, "bbpe", textCol))
+        loadMerges(spark, trainPath, indexPath, "bbpe", textCol),
+        nativeEncode = true)
       case "wordpiece" => Tokenizer.wordpieceFertility(df, textCol, sourceCol,
         loadVocabSet(spark, trainPath, indexPath, textCol))
       case "unigram" => Tokenizer.unigramFertility(df, textCol, sourceCol,

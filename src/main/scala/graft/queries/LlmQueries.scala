@@ -726,6 +726,32 @@ object LlmQueries {
           FROM documents WHERE text IS NOT NULL)) AS n_words,
         CAST(0 AS BIGINT) AS n_unreconstructed""")),
 
+    // Gate-visible equivalence for the BYTE-LEVEL native encoder —
+    // the q_llm_bpe_native_check twin for the GPT-2 family: a
+    // 200-merge table learned on the REAL corpus, applied to the REAL
+    // distinct vocabulary through BOTH encoders (iterative per-rank
+    // rescan vs native min-rank), token sequence for token sequence.
+    Q("q_llm_bbpe_native_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ops.Tokenizer.bbpeTrain(docs, "text", numMerges = 200)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+        val iterative = udf((w: String) =>
+          graft.ops.Tokenizer.bbpeEncode(w, merges).toSeq)
+        docs.filter(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+          .select(col("w"), iterative(col("w")).as("t_iter"),
+            graft.ops.Tokenizer.bbpeEncodeCol(col("w"), merges).as("t_native"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("t_iter") =!= col("t_native"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT w) FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)) AS n_words,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // Persisted-tokenizer production face (the fit-once lifecycle for
     // the tokenizer families, like q_llm_ann_persist / q_llm_mkn_ppl_idx):
     // 1000 BPE merges fitted ONCE as a stamped artifact, the fertility

@@ -106,7 +106,7 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     // inherently iterative per word and runs ONLY on the distinct-word
     // relation — the same vocabulary-bounded boundary as BPE/unigram/
     // WordPiece above
-    "q_llm_bbpe_fertility", "q_llm_bbpe_check",
+    "q_llm_bbpe_fertility", "q_llm_bbpe_check", "q_llm_bbpe_native_check",
     // r13 persisted-ANN equivalence checks: each plan carries the
     // IN-SESSION twin (already-allowlisted MLlib array_to_vector fit
     // adapter) alongside the loaded-index path purely to compare them
