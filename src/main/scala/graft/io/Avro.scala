@@ -210,9 +210,14 @@ object Avro {
            else if (hadOld) s" and the previous destination is preserved at $backup"
            else ""))
     }
-    if (hadOld && !fs.delete(backup, true)) throw new java.io.IOException(
-      s"avro sink: swap succeeded but the previous copy at $backup could not " +
-        "be removed — delete it manually")
+    // the write is COMMITTED once the swap lands — a failed cleanup of
+    // the stale backup must not convert success into failure (a caller
+    // retrying on exception would re-run the whole export over data
+    // that already landed); warn loudly and leave the path in the log
+    if (hadOld && !fs.delete(backup, true))
+      System.err.println(
+        s"[graft.io.Avro] WARN swap succeeded but the previous copy at " +
+          s"$backup could not be removed — delete it manually")
   }
 
   private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {

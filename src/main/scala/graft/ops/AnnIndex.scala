@@ -285,7 +285,6 @@ object AnnIndex {
     val bookRows = spark.read.parquet(s"$indexPath/codebooks")
       .orderBy("j", "c").collect()
     val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
-    val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
     graft.functions.Registry.ensure(spark)
     val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
     val corpus = spark.read.parquet(s"$indexPath/codes")
@@ -350,9 +349,12 @@ object AnnIndex {
                           k: Int, rerank: Int = 96,
                           rerankFrac: Double = 0.0): DataFrame = {
     require(rerank >= k, "rerank candidate set must be at least k")
+    require(rerankFrac >= 0.0 && rerankFrac <= 1.0, "rerankFrac must be in [0, 1]")
     val meta = verify(spark, tablePath, indexPath, "binary")
-    val q0 = queries.select(col(meta.idCol).as("qid"),
-      col(meta.vecCol).cast("array<double>").as("qv"))
+    // null-vector queries are dropped like the in-session twin's
+    val q0 = queries.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("qid"),
+        col(meta.vecCol).cast("array<double>").as("qv"))
     val c0 = table.select(col(meta.idCol).as("nid"),
       col(meta.vecCol).cast("array<double>").as("nv"))
     val qb = q0.select(col("qid"), Similarity.signPack(col("qv"), meta.dims).as("qbits"))

@@ -114,18 +114,24 @@ object LmIndex {
     dropStamp(spark, indexPath)
     val train = spark.read.parquet(trainPath)
     val toks = TextAnalysis.mknTokedOf(train, idCol, textCol)
-    val tri = CachedRelations.track(
-      TextAnalysis.mknTriples(toks)
-        .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
-        .persist())
-    val big = CachedRelations.track(TextAnalysis.mknBigrams(toks).persist())
+    // the writer runs its OWN actions eagerly, so it persists and
+    // unpersists locally — CachedRelations is for LAZY results whose
+    // caller must release after the action, and a releaseAll() here
+    // would also unpersist relations a caller's pending plans track
+    val tri = TextAnalysis.mknTriples(toks)
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
+      .persist()
+    val big = TextAnalysis.mknBigrams(toks).persist()
     val cont2 = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw"))
     try {
       tri.write.mode("overwrite").parquet(s"$indexPath/tri")
       big.write.mode("overwrite").parquet(s"$indexPath/big")
       TextAnalysis.mknDiscRow(tri, cont2, big, toks)
         .repartition(1).write.mode("overwrite").parquet(s"$indexPath/disc")
-    } finally CachedRelations.releaseAll()
+    } finally {
+      tri.unpersist(blocking = false)
+      big.unpersist(blocking = false)
+    }
     writeMeta(spark, indexPath,
       LmIndexMeta("mkn3", textCol, Layout.tableFingerprint(spark, trainPath)))
   }
@@ -189,6 +195,25 @@ object LmIndex {
     }
   }
 
+  /** Driver-side replica of the batch tokenization
+    * `split(lower(trim(text)), "\\s+")` — the SAME edge semantics as
+    * the Spark functions, which plain Java `trim`/`split` do NOT
+    * give: Spark `trim` strips ONLY ASCII spaces (a trailing \n or
+    * \t survives into the split), and Spark `split` keeps trailing
+    * empty strings (Java's 0-limit split drops them). A doc like
+    * "hello world\n" must tokenize to ["hello","world",""] on BOTH
+    * paths or the stream scores diverge from the batch scores its
+    * banding cutoffs were derived from (spec-pinned). */
+  private[graft] def sparkTokens(text: String): Array[String] = {
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    text.substring(from, to)
+      .toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+", -1)
+  }
+
   /** Verified load of a persisted mkn3 model into a bounded
     * [[MknLocalModel]] (see there for the pruning contract). */
   def loadMknLocal(spark: SparkSession, trainPath: String, indexPath: String,
@@ -235,7 +260,10 @@ object LmIndex {
       .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
     val tri = CachedRelations.track(
       spark.read.parquet(s"$indexPath/tri").persist())
-    val big = spark.read.parquet(s"$indexPath/big")
+    // cont1 (derived from big) feeds all three scoring legs — persist
+    // like the in-session twin or the big parquet re-aggregates per leg
+    val big = CachedRelations.track(
+      spark.read.parquet(s"$indexPath/big").persist())
     val cont2 = CachedRelations.track(
       tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw")).persist())
     val disc = spark.read.parquet(s"$indexPath/disc")

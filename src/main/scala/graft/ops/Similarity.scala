@@ -671,8 +671,15 @@ object Similarity {
                  rerankFrac: Double = 0.0): DataFrame = {
     require(rerank >= k, "rerank candidate set must be at least k")
     require(rerankFrac >= 0.0 && rerankFrac <= 1.0, "rerankFrac must be in [0, 1]")
-    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    val c0 = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    // null vectors are not candidates: signPack would fold them to
+    // all-zero sign words that compete in the Hamming coarse pass and
+    // crowd out real survivors (and the persisted-index twin drops
+    // them at build time — the row-exact equivalence needs both sides
+    // to agree)
+    val q0 = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
     val qb = q0.select(col("qid"), signPack(col("qv"), dims).as("qbits"))
     val cb = c0.select(col("nid"), signPack(col("nv"), dims).as("nbits"))
     val coarse = broadcast(qb).crossJoin(cb)

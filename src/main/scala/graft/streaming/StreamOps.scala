@@ -370,9 +370,7 @@ object StreamOps {
     val model = graft.ops.LmIndex.loadMknLocal(stream.sparkSession,
       trainPath, indexPath, textCol, maxTypes)
     val score = udf((text: String) =>
-      Option(text).map { t =>
-        model.scoreDoc(t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
-      })
+      Option(text).map(t => model.scoreDoc(graft.ops.LmIndex.sparkTokens(t))))
     stream.withColumn("_ppl", score(col(textCol)))
       .withColumn("n_tokens", col("_ppl._1"))
       .withColumn("sum_nll_micro", col("_ppl._2"))

@@ -75,6 +75,30 @@ class AnnIndexSpec extends SparkTestBase {
     assert(loaded == twin, "loaded binary probe != in-session binaryTopK")
   }
 
+  test("binary: null vectors are not candidates on either path (twin stays exact)") {
+    val (tbl, _) = mkTable(60)
+    // append a null-embedding row to the TABLE FILES so both the index
+    // build and the in-session pass see it
+    import spark.implicits._
+    Seq((999L, null: Seq[Double])).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(tbl)
+    val table = spark.read.parquet(tbl)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annidx_binnull").toString
+    AnnIndex.writeBinaryIndex(spark, table, tbl, idx, "vec_id", "embedding", dims)
+    val queries = table.filter(col("vec_id") < 8 || col("vec_id") === 999L)
+    val loaded = pairs(AnnIndex.binaryLookupIndexed(spark, queries, table, tbl, idx,
+      k = 3, rerank = 5))
+    val twin = pairs(Similarity.binaryTopK(queries, table, "vec_id", "embedding",
+      dims, k = 3, rerank = 5))
+    assert(loaded == twin, "null-vector corpus broke the loaded/in-session twin")
+    // the null row is neither a query nor a neighbor anywhere
+    assert(!loaded.exists(p => p._1 == 999L || p._2 == 999L))
+    intercept[IllegalArgumentException] {
+      AnnIndex.binaryLookupIndexed(spark, queries, table, tbl, idx,
+        k = 3, rerank = 5, rerankFrac = 1.5)
+    }
+  }
+
   test("lifecycle: new data file -> loud STALE; rebuild heals and sees the new row") {
     val (tbl, table) = mkTable(60)
     val idx = java.nio.file.Files.createTempDirectory("graft_annidx_stale").toString
