@@ -41,7 +41,7 @@ class ExamplePlaybooksSpec extends SparkTestBase {
     val covered = Set("corpus_clean_datasheet.yaml", "crawl_url_dedup.yaml",
       "decontaminate_dsir.yaml", "bucketed_orders.yaml", "zorder_events.yaml",
       "streaming_ingest.yaml", "classic_etl.yaml", "incremental_ingest.yaml",
-      "tokenizer_report.yaml", "ccnet_curate.yaml")
+      "tokenizer_report.yaml", "ccnet_curate.yaml", "ccnet_reference_lm.yaml")
     assert(shipped == covered,
       s"examples/ and this spec disagree: ${(shipped diff covered) ++ (covered diff shipped)}")
   }
@@ -213,6 +213,46 @@ class ExamplePlaybooksSpec extends SparkTestBase {
       assert(keptN <= bound,
         s"source '$src': kept $keptN docs > ceil(2/3 * $banded banded) = $bound")
     }
+  }
+
+  test("ccnet_reference_lm: bands under a pre-fitted stamped LM, loud when stale") {
+    // fit the reference LM ONCE on the even-doc_id half, persisted +
+    // stamped — the playbook then scores with zero training work
+    val refDir = Files.createTempDirectory("graft_ex_lmref").toString
+    val trainTbl = s"$refDir/reference"
+    spark.read.parquet(s"$data/documents.parquet")
+      .filter($"doc_id" % 2 === 0).write.parquet(trainTbl)
+    val lmIdx = s"$refDir/lm_index"
+    graft.ops.LmIndex.writeMknIndex(spark, trainTbl, lmIdx, "doc_id", "text")
+    val env = Map("GRAFT_LM_INDEX" -> lmIdx, "GRAFT_LM_TRAIN" -> trainTbl)
+    val out = runExample("ccnet_reference_lm.yaml", env)
+    val kept = spark.read.parquet(s"$out/curated")
+    assert(kept.count() > 0)
+    assert(kept.select("ppl_band").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("head", "middle")))
+    // value-identity against the API path under the same artifact
+    val filtered = spark.read.parquet(s"$data/documents.parquet")
+      .filter($"text".isNotNull)
+      .withColumn("lang_pred", graft.ops.TextAnalysis.langId($"text"))
+      .filter($"lang_pred".isin("en", "de", "fr", "es"))
+    val api = graft.ops.TextAnalysis.perplexityPartition(filtered,
+      "doc_id", "text", "source", model = "mkn3",
+      modelDir = lmIdx, trainPath = trainTbl)
+      .filter($"ppl_band".isin("head", "middle"))
+      .select($"doc_id", $"avg_nll_micro", $"ppl_band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    graft.ops.CachedRelations.releaseAll()
+    val pb = kept.select($"doc_id", $"avg_nll_micro", $"ppl_band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(pb == api, "playbook banding != API banding under the same artifact")
+    // the reference corpus changes -> the SAME playbook fails loudly
+    spark.read.parquet(s"$data/documents.parquet")
+      .filter($"doc_id" === 1).write.mode("append").parquet(trainTbl)
+    val e = intercept[Exception] {
+      runExample("ccnet_reference_lm.yaml", env)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("STALE"),
+      s"expected a loud STALE failure, got: ${e.getMessage}")
   }
 
   test("tokenizer_report: WordPiece fertility per source, delivered as Avro") {
