@@ -65,8 +65,9 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
 
   /** The q_llm_incr_neardup_chain_x64 lifecycle over an arbitrary
-    * documents relation (3 batches by doc_id mod 3). */
-  private def nearDupChain(docs: DataFrame): DataFrame = {
+    * documents relation (3 batches by doc_id mod 3). Shared with
+    * [[ScaleProbeCc]]'s pair-volume-controlled second-decade probe. */
+  private[graft] def nearDupChain(docs: DataFrame): DataFrame = {
     def sigOf(m: Int) = graft.ops.CachedRelations.track(
       Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === m),
         "doc_id", "text", shingleSize = 5, numHashes = 16)
@@ -135,6 +136,18 @@ object ScaleProbe {
     def probe(op: String)(base: => DataFrame)(scaled: => DataFrame): Unit = {
       val t1 = best(2)(base)
       val tN = best(2)(scaled)
+      results(op) = (t1, tN)
+      println(f"[probe] $op%-22s base=$t1%8.2fs ${factor}x=$tN%8.2fs ratio=${tN / t1}%6.2f")
+    }
+    /** Unit-thunk variant for side-effecting legs (index builds). */
+    def probeU(op: String)(base: => Unit)(scaled: => Unit): Unit = {
+      def timeU(fn: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try fn finally graft.ops.CachedRelations.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = (0 until 2).map(_ => timeU(base)).min
+      val tN = (0 until 2).map(_ => timeU(scaled)).min
       results(op) = (t1, tN)
       println(f"[probe] $op%-22s base=$t1%8.2fs ${factor}x=$tN%8.2fs ratio=${tN / t1}%6.2f")
     }
@@ -223,21 +236,32 @@ object ScaleProbe {
       graft.ops.Tokenizer.wordpieceFertility(docs, "text", "source", vocab)
     }
 
-    probe("bloom_index_lifecycle") {
-      val dir = s"$work/bloom1x"
-      t("events").select(col("event_id"), col("user_id"), col("value"))
-        .repartition(8, col("user_id")).write.mode("overwrite").parquet(s"$dir/tbl")
-      Layout.writeBloomIndex(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+    // bloom side-index lifecycle, DECOMPOSED (r13 verdict ask 2): the
+    // old single lifecycle row conflated the one-time index BUILD (a
+    // corpus scan + per-file sketches — corpus-linear by design, paid
+    // once per table version) with the steady-state PROBE (stamp
+    // verify + metadata-scale pruning + a pruned scan — the amortized
+    // path every lookup pays), and graded 2.38x at 10x, which is the
+    // build's scan slope, not the probe's cost. The tables are staged
+    // OUTSIDE the timed region (like the corpus parquet itself).
+    val bloomDir1 = s"$work/bloom1x"
+    val bloomDirN = s"$work/bloom${factor}x"
+    t("events").select(col("event_id"), col("user_id"), col("value"))
+      .repartition(8, col("user_id")).write.mode("overwrite").parquet(s"$bloomDir1/tbl")
+    big("events").select(col("event_id"), col("user_id"), col("value"))
+      .repartition(8 * factor, col("user_id")).write.mode("overwrite").parquet(s"$bloomDirN/tbl")
+    probeU("bloom_index_build") {
+      Layout.writeBloomIndex(spark, s"$bloomDir1/tbl", s"$bloomDir1/idx", "user_id",
         itemsPerFile = 100000L, fpp = 0.01)
-      Layout.bloomPrunedRead(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+    } {
+      Layout.writeBloomIndex(spark, s"$bloomDirN/tbl", s"$bloomDirN/idx", "user_id",
+        itemsPerFile = 100000L, fpp = 0.01)
+    }
+    probe("bloom_index_probe") {
+      Layout.bloomPrunedRead(spark, s"$bloomDir1/tbl", s"$bloomDir1/idx", "user_id",
         Seq(7L, 19L, 42L))
     } {
-      val dir = s"$work/bloom${factor}x"
-      big("events").select(col("event_id"), col("user_id"), col("value"))
-        .repartition(8 * factor, col("user_id")).write.mode("overwrite").parquet(s"$dir/tbl")
-      Layout.writeBloomIndex(spark, s"$dir/tbl", s"$dir/idx", "user_id",
-        itemsPerFile = 100000L, fpp = 0.01)
-      Layout.bloomPrunedRead(spark, s"$dir/tbl", s"$dir/idx", "user_id",
+      Layout.bloomPrunedRead(spark, s"$bloomDirN/tbl", s"$bloomDirN/idx", "user_id",
         Seq(7L, 19L, 42L))
     }
 
@@ -352,16 +376,28 @@ object ScaleProbeCc {
         threshold = 0.5).count()
     }.toMap
     graft.ops.CachedRelations.releaseAll()
-    val t1 = best(ccStar(s"$work/d1"))
-    val t10 = best(ccStar(s"$work/d10"))
-    val t100 = best(ccStar(s"$work/d100"))
-    println(f"[probe-cc] 1x=$t1%.2fs 10x=$t10%.2fs 100x=$t100%.2fs " +
-      f"decade1=${t10 / t1}%.2f decade2=${t100 / t10}%.2f")
-    val json = f"""{"base_sf":"$baseDir","op":"cc_star_paired_families",""" +
+    // two decade curves under the same controlled pair volume: star-CC
+    // (the r13 probe) and the 3-version incremental near-dup chain
+    // (r14 verdict ask 6 — its main-probe 1.87x at 10x conflates state
+    // growth with the synthesis's f-sized dup families exactly like
+    // cc_star's 1.92x did; bounded families attribute the curve)
+    val ops = Seq[(String, String => DataFrame)](
+      "cc_star_paired_families" -> ccStar,
+      "incr_neardup_chain_paired_families" ->
+        (path => ScaleProbe.nearDupChain(spark.read.parquet(path))))
+    val opsJson = ops.map { case (name, fn) =>
+      val t1 = best(fn(s"$work/d1"))
+      val t10 = best(fn(s"$work/d10"))
+      val t100 = best(fn(s"$work/d100"))
+      println(f"[probe-cc] $name%-36s 1x=$t1%.2fs 10x=$t10%.2fs 100x=$t100%.2fs " +
+        f"decade1=${t10 / t1}%.2f decade2=${t100 / t10}%.2f")
+      f""""$name":{"sec":{"1x":$t1%.3f,"10x":$t10%.3f,"100x":$t100%.3f},""" +
+        f""""decade_ratios":{"d1":${t10 / t1}%.2f,"d2":${t100 / t10}%.2f}}"""
+    }.mkString(",")
+    val json = f"""{"base_sf":"$baseDir",""" +
       f""""docs":{"1x":${counts("d1")},"10x":${counts("d10")},"100x":${counts("d100")}},""" +
       f""""edges":{"1x":${edges("d1")},"10x":${edges("d10")},"100x":${edges("d100")}},""" +
-      f""""sec":{"1x":$t1%.3f,"10x":$t10%.3f,"100x":$t100%.3f},""" +
-      f""""decade_ratios":{"d1":${t10 / t1}%.2f,"d2":${t100 / t10}%.2f}}"""
+      f""""ops":{$opsJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"SCALE_PROBE_CC $outJson")

@@ -52,10 +52,17 @@ object AnnIndex {
 
   /** The self-describing coherence stamp beside an ANN index: enough
     * to VERIFY against the live table and to know the fit geometry
-    * without external parameters. */
+    * without external parameters. `parts` records every APPENDED delta
+    * table as (path, fingerprint-at-append) — the index covers
+    * base ∪ parts, and [[verify]] checks all of them; `version`
+    * increments per append/compact (the near-dup state-chain
+    * discipline: a lifecycle event is visible in the stamp, never a
+    * silent restart). */
   case class AnnIndexMeta(kind: String, idCol: String, vecCol: String,
                           dims: Int, nlist: Int, m: Int, ksub: Int,
-                          tableFp: String)
+                          tableFp: String,
+                          version: Int = 0,
+                          parts: Seq[(String, String)] = Nil)
 
   private val metaName = "_graft_ann_meta.json"
 
@@ -67,37 +74,50 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, indexPath: String,
                         meta: AnnIndexMeta): Unit = {
     val (fs, p) = fsFor(spark, indexPath)
+    val partsJson = meta.parts.map { case (pth, f) =>
+      s"""{"path":"${StampJson.esc(pth)}","fp":"${StampJson.esc(f)}"}"""
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"kind":"${meta.kind}","id_col":"${meta.idCol}","vec_col":"${meta.vecCol}",""" +
+      s"""{"kind":"${StampJson.esc(meta.kind)}","id_col":"${StampJson.esc(meta.idCol)}",""" +
+        s""""vec_col":"${StampJson.esc(meta.vecCol)}",""" +
         s""""dims":${meta.dims},"nlist":${meta.nlist},"m":${meta.m},"ksub":${meta.ksub},""" +
-        s""""table_fp":"${meta.tableFp}"}"""
+        s""""table_fp":"${StampJson.esc(meta.tableFp)}",""" +
+        s""""version":${meta.version},"parts":$partsJson}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Read an index's coherence stamp; None if absent (not produced by
-    * a writer here, or a write that died before the stamp). Fixed
-    * schema — the same deliberate micro-matcher as the bloom sidecar
-    * (no JSON library for an 8-field file). */
-  def readMeta(spark: SparkSession, indexPath: String): Option[AnnIndexMeta] = {
+  /** Raw stamp text; None if the stamp FILE is absent (distinct from
+    * present-but-unparseable, which [[verify]] reports separately). */
+  private def stampText(spark: SparkSession, indexPath: String): Option[String] = {
     val (fs, p) = fsFor(spark, indexPath)
     val mp = new org.apache.hadoop.fs.Path(p, metaName)
     if (!fs.exists(mp)) return None
     val in = fs.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def str(k: String) =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
-    def num(k: String) =
-      ("\"" + k + "\":([0-9-]+)").r.findFirstMatchIn(text).map(_.group(1).toInt)
-    for {
-      kind <- str("kind"); id <- str("id_col"); vc <- str("vec_col")
-      d <- num("dims"); nl <- num("nlist"); mm <- num("m"); ks <- num("ksub")
-      fp <- str("table_fp")
-    } yield AnnIndexMeta(kind, id, vc, d, nl, mm, ks, fp)
+    Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
   }
+
+  private def parseMeta(text: String): Option[AnnIndexMeta] = for {
+    kind <- StampJson.strField(text, "kind")
+    id <- StampJson.strField(text, "id_col")
+    vc <- StampJson.strField(text, "vec_col")
+    d <- StampJson.numField(text, "dims").map(_.toInt)
+    nl <- StampJson.numField(text, "nlist").map(_.toInt)
+    mm <- StampJson.numField(text, "m").map(_.toInt)
+    ks <- StampJson.numField(text, "ksub").map(_.toInt)
+    fp <- StampJson.strField(text, "table_fp")
+  } yield AnnIndexMeta(kind, id, vc, d, nl, mm, ks, fp,
+    version = StampJson.numField(text, "version").map(_.toInt).getOrElse(0),
+    parts = StampJson.pathFpList(text, "parts"))
+
+  /** Read an index's coherence stamp; None if absent (not produced by
+    * a writer here, or a write that died before the stamp) or
+    * unparseable. Fixed schema — the same deliberate micro-matcher as
+    * the bloom sidecar (no JSON library for an 8-field file). */
+  def readMeta(spark: SparkSession, indexPath: String): Option[AnnIndexMeta] =
+    stampText(spark, indexPath).flatMap(parseMeta)
 
   /**
    * Verify the index at `indexPath` is coherent with the live table
@@ -111,9 +131,13 @@ object AnnIndex {
    */
   def verify(spark: SparkSession, tablePath: String, indexPath: String,
              kind: String): AnnIndexMeta = {
-    val meta = readMeta(spark, indexPath).getOrElse(throw new IllegalStateException(
+    val text = stampText(spark, indexPath).getOrElse(throw new IllegalStateException(
       s"ANN index at $indexPath has no $metaName coherence stamp — rebuild it " +
         s"with AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)"))
+    val meta = parseMeta(text).getOrElse(throw new IllegalStateException(
+      s"ANN index at $indexPath has a $metaName stamp that does not parse " +
+        s"(truncated write or a foreign writer) — rebuild it with " +
+        s"AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)"))
     if (meta.kind != kind) throw new IllegalStateException(
       s"ANN index at $indexPath is kind '${meta.kind}', not '$kind' — wrong index " +
         "for this probe")
@@ -123,6 +147,16 @@ object AnnIndex {
         s"since the index was built (listing fingerprint ${meta.tableFp.take(12)}… " +
         s"at build vs ${live.take(12)}… now). Cell assignments and codes no longer " +
         s"describe the live rows — rebuild with AnnIndex.write${kind.capitalize}Index.")
+    // every appended delta must ALSO still be the files it was when it
+    // was appended — the index covers base ∪ parts
+    meta.parts.foreach { case (partPath, partFp) =>
+      val pLive = Layout.tableFingerprint(spark, partPath)
+      if (pLive != partFp) throw new IllegalStateException(
+        s"ANN index at $indexPath is STALE: appended delta table $partPath " +
+          s"changed since it was appended (listing fingerprint ${partFp.take(12)}… " +
+          s"at append vs ${pLive.take(12)}… now) — rebuild with " +
+          s"AnnIndex.write${kind.capitalize}Index, or re-append from a fresh delta.")
+    }
     meta
   }
 
@@ -134,6 +168,24 @@ object AnnIndex {
     val mp = new org.apache.hadoop.fs.Path(p, metaName)
     if (fs.exists(mp) && !fs.delete(mp, false)) throw new java.io.IOException(
       s"could not remove the existing ANN index stamp $mp before rebuild")
+  }
+
+  /** Fingerprint-window guard shared by the three writers: the listing
+    * is captured BEFORE the fit reads a byte and re-checked before the
+    * stamp lands, so a table that changes mid-build can never end up
+    * certified coherent against files the fit never saw. Returns the
+    * start fingerprint to stamp. */
+  private def fpWindow[A](spark: SparkSession, tablePath: String)
+                         (build: => A): String = {
+    val fpAtStart = Layout.tableFingerprint(spark, tablePath)
+    build
+    val fpAtEnd = Layout.tableFingerprint(spark, tablePath)
+    if (fpAtEnd != fpAtStart) throw new IllegalStateException(
+      s"table $tablePath changed WHILE the ANN index build was running " +
+        s"(listing fingerprint ${fpAtStart.take(12)}… at start vs " +
+        s"${fpAtEnd.take(12)}… now) — no stamp was written; re-run the " +
+        "build on a quiet table.")
+    fpAtStart
   }
 
   private def prepped(table: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -169,13 +221,15 @@ object AnnIndex {
                     dims: Int, nlist: Int = 16,
                     maxFitVectors: Long = 100000L): Unit = {
     dropStamp(spark, indexPath)
-    val v = prepped(table, idCol, vecCol)
-    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
-    assigned.select(col("id"), col("v"), Similarity.norm(col("v")).as("nrm"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
-    writeCentroids(spark, indexPath, cents)
+    val fp = fpWindow(spark, tablePath) {
+      val v = prepped(table, idCol, vecCol)
+      val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+      assigned.select(col("id"), col("v"), Similarity.norm(col("v")).as("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
+      writeCentroids(spark, indexPath, cents)
+    }
     writeMeta(spark, indexPath, AnnIndexMeta("ivf", idCol, vecCol, dims, nlist,
-      m = 0, ksub = 0, tableFp = Layout.tableFingerprint(spark, tablePath)))
+      m = 0, ksub = 0, tableFp = fp))
   }
 
   /**
@@ -215,6 +269,156 @@ object AnnIndex {
   }
 
   /**
+   * APPEND a delta table to a stamped IVF-FLAT index — the lifecycle a
+   * 100 TB corpus actually has (it appends; it does not hold still for
+   * a rebuild): new vectors are assigned to the EXISTING cells with
+   * the identical Euclidean probe metric the quantizer used, their
+   * codes land as new files under the same cell partitions, and the
+   * stamp gains a (deltaPath, fingerprint) part — [[verify]] then
+   * checks base AND every part, so a probe through an appended index
+   * is as coherence-guarded as through a fresh build. Mirrors the
+   * near-dup state chain: versioned deltas, stamp discipline
+   * (dropped FIRST, written LAST — a death mid-append leaves a
+   * stampless index that fails verification loudly and heals by
+   * rebuild), and NO silent v0 restart — appending to an unstamped
+   * path refuses with a build hint instead of quietly creating a
+   * fresh index.
+   *
+   * Re-fit only on DRIFT: the coarse quantizer stays frozen (that is
+   * what makes append cheap), which is sound while the delta looks
+   * like the data the cells were fitted on. The guard is measured,
+   * not assumed: the delta's mean squared distance to its nearest
+   * centroid is compared against the same statistic over a bounded
+   * deterministic sample of the EXISTING codes, and a delta more than
+   * `driftFactor`× worse refuses loudly with a rebuild hint — frozen
+   * cells over drifted data is the fixed-nlist config error measured
+   * at 19.8× in SCALE_PROBE (BASELINE.md recipe).
+   *
+   * Equivalence contract: at nprobe = nlist a probe scans every cell,
+   * so cell assignment cannot affect results — an appended index
+   * returns EXACTLY the rows of a full rebuild (q_llm_ann_append_check
+   * pins this against the DuckDB-oracled row count).
+   */
+  def appendIvfIndex(spark: SparkSession, delta: DataFrame, deltaPath: String,
+                     indexPath: String, tablePath: String,
+                     driftFactor: Double = 4.0,
+                     maxDriftSample: Long = 20000L): Unit = {
+    val meta = stampText(spark, indexPath) match {
+      case None => throw new IllegalStateException(
+        s"ANN index at $indexPath has no $metaName coherence stamp — an append " +
+          "needs an existing verified index (no silent v0 restart); build one " +
+          s"first with AnnIndex.writeIvfIndex($tablePath, $indexPath, ...)")
+      case Some(_) => verify(spark, tablePath, indexPath, "ivf")
+    }
+    require(deltaPath != tablePath && !meta.parts.exists(_._1 == deltaPath),
+      s"delta table $deltaPath is already part of the index at $indexPath — " +
+        "each append must bring a NEW table (re-appending would duplicate codes)")
+    val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
+    val cents = loadCentroids(spark, indexPath)
+    val centDf = broadcast(spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq, c.map(x => x * x).sum) }.toSeq)
+      .toDF("cell", "cv", "cn2"))
+    val v = delta.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"),
+        col(meta.vecCol).cast("array<double>").as("v"))
+    // nearest existing cell by the identical probe metric
+    // (|v-c|² orders as cn2 - 2 v·c; ties break on the cell id), plus
+    // the true squared distance for the drift statistic
+    val w = Window.partitionBy(col("id"))
+      .orderBy((col("cn2") - lit(2.0) * Similarity.dot(col("v"), col("cv"))).asc,
+        col("cell").asc)
+    val assigned = v.join(centDf)
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") === 1)
+      .select(col("id"), col("v"), col("cell"),
+        (Similarity.dot(col("v"), col("v")) + col("cn2") -
+          lit(2.0) * Similarity.dot(col("v"), col("cv"))).as("_sqdist"))
+      .persist()
+    try {
+      val deltaStats = assigned.agg(count(lit(1)).as("n"),
+        avg(col("_sqdist")).as("d")).collect().head
+      val nDelta = deltaStats.getLong(0)
+      require(nDelta > 0,
+        s"delta table $deltaPath has no non-null vectors — nothing to append")
+      val deltaDist = deltaStats.getDouble(1)
+      // same statistic over a bounded deterministic sample of the
+      // existing codes (distance to their OWN stored cell)
+      val codes = spark.read.parquet(s"$indexPath/codes")
+      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estRows = (estBytes / BigInt(math.max(8L * meta.dims, 64L))).toLong.max(1L)
+      val sample = if (estRows <= maxDriftSample) codes
+        else codes.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
+      val baseDist = sample.join(centDf, "cell")
+        .agg(avg(Similarity.dot(col("v"), col("v")) + col("cn2") -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")))).collect().head.getDouble(0)
+      if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
+        throw new IllegalStateException(
+          f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
+            f"the frozen cells vs $baseDist%.4g for the indexed corpus " +
+            f"(> ${driftFactor}%.1f×) — the coarse quantizer no longer describes " +
+            "the data; rebuild with AnnIndex.writeIvfIndex (scaled nlist) " +
+            "instead of appending.")
+      // stamp drops FIRST: a death between here and the new stamp
+      // leaves an index that fails verification, never one whose old
+      // stamp certifies half-appended codes
+      dropStamp(spark, indexPath)
+      assigned.select(col("id"), col("v"),
+          Similarity.norm(col("v")).as("nrm"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+    } finally assigned.unpersist(blocking = false)
+    val deltaFpAtEnd = Layout.tableFingerprint(spark, deltaPath)
+    if (deltaFpAtEnd != deltaFpAtStart) throw new IllegalStateException(
+      s"delta table $deltaPath changed WHILE the append was running — no stamp " +
+        "was written; the index fails verification until rebuilt or re-appended " +
+        "from a quiet delta.")
+    writeMeta(spark, indexPath, meta.copy(version = meta.version + 1,
+      parts = meta.parts :+ (deltaPath, deltaFpAtStart)))
+  }
+
+  /**
+   * Compact a stamped IVF-FLAT index's codes: appends accumulate one
+   * file set per delta under each cell partition, and at 100 TB the
+   * probe-side scan cost is file-count-shaped — so, like the near-dup
+   * state chain's compaction, the lifecycle periodically rewrites the
+   * codes into one file per cell (a hash exchange on the cell id) with
+   * rows, stamp parts, and probe results unchanged. Swap discipline is
+   * the Avro sink's: stage → move the live dir aside → rename staging
+   * in → restore the old dir if the rename fails (the data is never in
+   * only a half-written state); the stamp drops before the swap and
+   * re-lands after, so any death window leaves a loudly-unverifiable
+   * index whose data is still intact in a named directory.
+   */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      tablePath: String): Unit = {
+    val meta = verify(spark, tablePath, indexPath, "ivf")
+    val (fs, _) = fsFor(spark, indexPath)
+    val codesDir = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/codes_compacting")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$indexPath/codes_precompact")
+    fs.delete(staging, true); fs.delete(oldDir, true)
+    spark.read.parquet(codesDir.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    dropStamp(spark, indexPath)
+    if (!fs.rename(codesDir, oldDir)) throw new java.io.IOException(
+      s"compaction could not move $codesDir aside — index unstamped, data intact; " +
+        "rebuild the stamp by re-running compactIvfIndex")
+    if (!fs.rename(staging, codesDir)) {
+      fs.rename(oldDir, codesDir) // restore; stamp re-lands below only on success
+      throw new java.io.IOException(
+        s"compaction could not swap $staging into place — original codes restored " +
+          s"but the index is UNSTAMPED; staging preserved at $staging, re-run " +
+          "compactIvfIndex (or rebuild) to re-certify")
+    }
+    if (!fs.delete(oldDir, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compaction landed but the pre-compaction codes at $oldDir could not be " +
+          "deleted — remove them manually; the live index is correct and stamped")
+    writeMeta(spark, indexPath, meta.copy(version = meta.version + 1))
+  }
+
+  /**
    * Build and stamp an IVF-PQ index: the seeded coarse quantizer plus
    * m×ksub subspace codebooks ([[Similarity.lloyd]] on the same
    * bounded deterministic sample policy), PQ codes + reconstructed
@@ -227,43 +431,45 @@ object AnnIndex {
                    maxFitVectors: Long = 100000L): Unit = {
     require(dims % m == 0, s"dims ($dims) must divide evenly into m ($m) subspaces")
     dropStamp(spark, indexPath)
-    val sd = dims / m
-    val v = prepped(table, idCol, vecCol)
-    val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
-    // the identical bounded sample + in-memory Lloyd fits of ivfPqTopK
-    val sampleCap = math.min(maxFitVectors, 20000L)
-    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
-    val sampleDf = if (estRows <= sampleCap) v
-      else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
-    val sample: Array[Array[Double]] =
-      sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "writePqIndex needs at least one non-null vector")
-    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
-      val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
-      Similarity.lloyd(pts, ksub, iters = 5, seed = 42L + j)
+    val fp = fpWindow(spark, tablePath) {
+      val sd = dims / m
+      val v = prepped(table, idCol, vecCol)
+      val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
+      // the identical bounded sample + in-memory Lloyd fits of ivfPqTopK
+      val sampleCap = math.min(maxFitVectors, 20000L)
+      val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+      val sampleDf = if (estRows <= sampleCap) v
+        else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+      val sample: Array[Array[Double]] =
+        sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "writePqIndex needs at least one non-null vector")
+      val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+        val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
+        Similarity.lloyd(pts, ksub, iters = 5, seed = 42L + j)
+      }
+      val booksFlat: Array[Double] = books.flatMap(_.flatten)
+      val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+      graft.functions.Registry.ensure(spark)
+      val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+      val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
+      assigned
+        .withColumn("codes",
+          call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
+        .withColumn("rn",
+          sqrt(call_function("pq_cn2", col("codes"), cn2Lit, lit(ksub))))
+        .filter(col("rn") > 0)
+        .select(col("id"), col("codes"), col("rn"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
+      writeCentroids(spark, indexPath, cents)
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+      }.toSeq.toDF("j", "c", "cv").repartition(1)
+        .write.mode("overwrite").parquet(s"$indexPath/codebooks")
     }
-    val booksFlat: Array[Double] = books.flatMap(_.flatten)
-    val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
-    graft.functions.Registry.ensure(spark)
-    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
-    val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
-    assigned
-      .withColumn("codes",
-        call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
-      .withColumn("rn",
-        sqrt(call_function("pq_cn2", col("codes"), cn2Lit, lit(ksub))))
-      .filter(col("rn") > 0)
-      .select(col("id"), col("codes"), col("rn"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
-    writeCentroids(spark, indexPath, cents)
-    import spark.implicits._
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
-    }.toSeq.toDF("j", "c", "cv").repartition(1)
-      .write.mode("overwrite").parquet(s"$indexPath/codebooks")
     writeMeta(spark, indexPath, AnnIndexMeta("pq", idCol, vecCol, dims, nlist,
-      m, ksub, tableFp = Layout.tableFingerprint(spark, tablePath)))
+      m, ksub, tableFp = fp))
   }
 
   /**
@@ -327,13 +533,14 @@ object AnnIndex {
                        indexPath: String, idCol: String, vecCol: String,
                        dims: Int): Unit = {
     dropStamp(spark, indexPath)
-    table.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), Similarity.signPack(col("v"), dims).as("bits"))
-      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    val fp = fpWindow(spark, tablePath) {
+      table.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .select(col("id"), Similarity.signPack(col("v"), dims).as("bits"))
+        .write.mode("overwrite").parquet(s"$indexPath/codes")
+    }
     writeMeta(spark, indexPath, AnnIndexMeta("binary", idCol, vecCol, dims,
-      nlist = 0, m = 0, ksub = 0,
-      tableFp = Layout.tableFingerprint(spark, tablePath)))
+      nlist = 0, m = 0, ksub = 0, tableFp = fp))
   }
 
   /**

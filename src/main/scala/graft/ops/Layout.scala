@@ -527,8 +527,8 @@ object Layout {
                                   indexPath: org.apache.hadoop.fs.Path,
                                   meta: BloomIndexMeta): Unit = {
     val json =
-      s"""{"column":"${meta.column}","items_per_file":${meta.itemsPerFile},""" +
-        s""""fpp":${meta.fpp},"table_fp":"${meta.tableFp}"}"""
+      s"""{"column":"${StampJson.esc(meta.column)}","items_per_file":${meta.itemsPerFile},""" +
+        s""""fpp":${meta.fpp},"table_fp":"${StampJson.esc(meta.tableFp)}"}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(indexPath, bloomMetaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -546,13 +546,11 @@ object Layout {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    def strField(k: String) =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
-    def numField(k: String) =
-      ("\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(text).map(_.group(1))
     for {
-      c <- strField("column"); n <- numField("items_per_file")
-      f <- numField("fpp"); fp <- strField("table_fp")
+      c <- StampJson.strField(text, "column")
+      n <- StampJson.numField(text, "items_per_file")
+      f <- StampJson.numField(text, "fpp")
+      fp <- StampJson.strField(text, "table_fp")
     } yield BloomIndexMeta(c, n.toDouble.toLong, f.toDouble, fp)
   }
 
@@ -563,13 +561,22 @@ object Layout {
   def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       indexPath: String, column: String,
                       itemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    // fingerprint BEFORE the build reads a byte, re-checked before the
+    // stamp lands (the LmIndex/AnnIndex fit-window discipline): a table
+    // that changes mid-build must not end up certified coherent
+    val fpAtStart = tableFingerprint(spark, tablePath)
     bloomIndex(spark, tablePath, column, itemsPerFile, fpp)
       .write.mode("overwrite").parquet(indexPath)
+    val fpAtEnd = tableFingerprint(spark, tablePath)
+    if (fpAtEnd != fpAtStart) throw new IllegalStateException(
+      s"table $tablePath changed WHILE the bloom index build was running " +
+        s"(listing fingerprint ${fpAtStart.take(12)}… at start vs " +
+        s"${fpAtEnd.take(12)}… now) — no stamp was written; re-run " +
+        "Layout.writeBloomIndex on a quiet table.")
     val hIdx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeBloomIndexMeta(fs, hIdx,
-      BloomIndexMeta(column, itemsPerFile, fpp,
-        tableFingerprint(spark, tablePath)))
+      BloomIndexMeta(column, itemsPerFile, fpp, fpAtStart))
   }
 
   /**

@@ -50,40 +50,52 @@ object LmIndex {
   private def writeMeta(spark: SparkSession, indexPath: String,
                         meta: LmIndexMeta): Unit = {
     val (fs, p) = fsFor(spark, indexPath)
-    val json = s"""{"kind":"${meta.kind}","text_col":"${meta.textCol}",""" +
-      s""""table_fp":"${meta.tableFp}"}"""
+    val json = s"""{"kind":"${StampJson.esc(meta.kind)}",""" +
+      s""""text_col":"${StampJson.esc(meta.textCol)}",""" +
+      s""""table_fp":"${StampJson.esc(meta.tableFp)}"}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Read an artifact's stamp; None if absent (not produced by a
-    * writer here, or a write that died before the stamp). */
-  def readMeta(spark: SparkSession, indexPath: String): Option[LmIndexMeta] = {
+  /** Raw stamp text; None if the stamp FILE is absent (distinct from
+    * present-but-unparseable, which [[verify]] reports separately). */
+  private def stampText(spark: SparkSession, indexPath: String): Option[String] = {
     val (fs, p) = fsFor(spark, indexPath)
     val mp = new org.apache.hadoop.fs.Path(p, metaName)
     if (!fs.exists(mp)) return None
     val in = fs.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def str(k: String) =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
-    for {
-      kind <- str("kind"); tc <- str("text_col"); fp <- str("table_fp")
-    } yield LmIndexMeta(kind, tc, fp)
+    Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
   }
 
+  private def parseMeta(text: String): Option[LmIndexMeta] = for {
+    kind <- StampJson.strField(text, "kind")
+    tc <- StampJson.strField(text, "text_col")
+    fp <- StampJson.strField(text, "table_fp")
+  } yield LmIndexMeta(kind, tc, fp)
+
+  /** Read an artifact's stamp; None if absent (not produced by a
+    * writer here, or a write that died before the stamp) OR
+    * unparseable — [[verify]] distinguishes the two loudly. */
+  def readMeta(spark: SparkSession, indexPath: String): Option[LmIndexMeta] =
+    stampText(spark, indexPath).flatMap(parseMeta)
+
   /** Verify the artifact is coherent with the live train table BEFORE
-    * any scoring plan reads it: loud failure on a missing stamp, a
-    * different kind/textCol, or a STALE fingerprint (the reference
-    * corpus changed since the fit — the model describes counts that
-    * no longer exist). One metadata-scale listing; no data read. */
+    * any scoring plan reads it: loud failure on a missing stamp, an
+    * unparseable stamp, a different kind/textCol, or a STALE
+    * fingerprint (the reference corpus changed since the fit — the
+    * model describes counts that no longer exist). One metadata-scale
+    * listing; no data read. */
   def verify(spark: SparkSession, trainPath: String, indexPath: String,
              kind: String, textCol: String): LmIndexMeta = {
-    val meta = readMeta(spark, indexPath).getOrElse(throw new IllegalStateException(
+    val text = stampText(spark, indexPath).getOrElse(throw new IllegalStateException(
       s"LM artifact at $indexPath has no $metaName coherence stamp — rebuild it " +
         s"with LmIndex.writeMknIndex($trainPath, $indexPath, ...)"))
+    val meta = parseMeta(text).getOrElse(throw new IllegalStateException(
+      s"LM artifact at $indexPath has a $metaName stamp that does not parse " +
+        s"(truncated write or a foreign writer) — rebuild it with " +
+        s"LmIndex.writeMknIndex($trainPath, $indexPath, ...)"))
     if (meta.kind != kind || meta.textCol != textCol) throw new IllegalStateException(
       s"LM artifact at $indexPath is (kind '${meta.kind}', textCol '${meta.textCol}'), " +
         s"not (kind '$kind', textCol '$textCol') — wrong model for this scorer")
@@ -112,28 +124,32 @@ object LmIndex {
   def writeMknIndex(spark: SparkSession, trainPath: String, indexPath: String,
                     idCol: String, textCol: String): Unit = {
     dropStamp(spark, indexPath)
+    // fingerprint BEFORE the fit reads a byte: stamping a listing taken
+    // AFTER the fit actions would certify the artifact against files
+    // the fit never saw if the table changed mid-build (r13 advisory) —
+    // the re-check before the stamp closes the other half of that race
+    val fpAtStart = Layout.tableFingerprint(spark, trainPath)
     val train = spark.read.parquet(trainPath)
     val toks = TextAnalysis.mknTokedOf(train, idCol, textCol)
     // the writer runs its OWN actions eagerly, so it persists and
     // unpersists locally — CachedRelations is for LAZY results whose
     // caller must release after the action, and a releaseAll() here
-    // would also unpersist relations a caller's pending plans track
-    val tri = TextAnalysis.mknTriples(toks)
-      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
-      .persist()
-    val big = TextAnalysis.mknBigrams(toks).persist()
-    val cont2 = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw"))
+    // would also unpersist relations a caller's pending plans track.
+    // The fit is the SAME fused single-exchange plan the in-session
+    // operator runs (TextAnalysis.mknFit) — identical count values.
+    val m = TextAnalysis.mknFit(toks)
     try {
-      tri.write.mode("overwrite").parquet(s"$indexPath/tri")
-      big.write.mode("overwrite").parquet(s"$indexPath/big")
-      TextAnalysis.mknDiscRow(tri, cont2, big, toks)
-        .repartition(1).write.mode("overwrite").parquet(s"$indexPath/disc")
-    } finally {
-      tri.unpersist(blocking = false)
-      big.unpersist(blocking = false)
-    }
-    writeMeta(spark, indexPath,
-      LmIndexMeta("mkn3", textCol, Layout.tableFingerprint(spark, trainPath)))
+      m.tri.write.mode("overwrite").parquet(s"$indexPath/tri")
+      m.big.write.mode("overwrite").parquet(s"$indexPath/big")
+      m.disc.repartition(1).write.mode("overwrite").parquet(s"$indexPath/disc")
+    } finally m.persisted.foreach(_.unpersist(blocking = false))
+    val fpAtEnd = Layout.tableFingerprint(spark, trainPath)
+    if (fpAtEnd != fpAtStart) throw new IllegalStateException(
+      s"train table $trainPath changed WHILE the LM fit was running (listing " +
+        s"fingerprint ${fpAtStart.take(12)}… at start vs ${fpAtEnd.take(12)}… " +
+        "now) — the persisted counts describe a corpus that no longer exists, " +
+        "so no stamp was written; re-run LmIndex.writeMknIndex on a quiet table.")
+    writeMeta(spark, indexPath, LmIndexMeta("mkn3", textCol, fpAtStart))
   }
 
   /**
@@ -141,8 +157,10 @@ object LmIndex {
    * scorer: the type tables pruned to the top `maxTypes` rows per
    * order (deterministic (count desc, keys asc) cut — the KenLM
    * pruning shape: discounts stay as estimated on the FULL counts,
-   * the context stats re-derive from the pruned tables so the local
-   * model is self-consistent), held as plain maps that ride to
+   * the context stats AND the bigram-type total B re-derive from the
+   * pruned tables so the local model is self-consistent; only the
+   * vocabulary V keeps its full-corpus value, because pruning drops
+   * n-grams, never words), held as plain maps that ride to
    * executors by broadcast-through-closure. With `maxTypes` at or
    * above the artifact's type count the local model scores EXACTLY
    * like [[scoreMknIndexed]] (spec-pinned); pruned, it trades the
@@ -204,14 +222,45 @@ object LmIndex {
     * "hello world\n" must tokenize to ["hello","world",""] on BOTH
     * paths or the stream scores diverge from the batch scores its
     * banding cutoffs were derived from (spec-pinned). */
-  private[graft] def sparkTokens(text: String): Array[String] = {
+  private[graft] def sparkTokens(text: String): Array[String] =
+    sparkLower(sparkTrim(text)).split("\\s+", -1)
+
+  private def sparkTrim(text: String): String = {
     var from = 0
     var to = text.length
     while (from < to && text.charAt(from) == ' ') from += 1
     while (to > from && text.charAt(to - 1) == ' ') to -= 1
     text.substring(from, to)
-      .toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+", -1)
+  }
+
+  /** Replica of Spark `lower()` (UTF8String.toLowerCase, the default
+    * UTF8_BINARY collation): an all-ASCII string lowercases
+    * byte-by-byte; ANY non-ASCII character routes the WHOLE string
+    * through java String.toLowerCase() under the JVM DEFAULT locale —
+    * not Locale.ROOT, which an earlier version of this replica used
+    * and which diverges from the batch twin on 'I' under a
+    * Turkish-default JVM (r13 advisory). The branch structure matters
+    * as much as the locale: under tr_TR a pure-ASCII "I" must stay
+    * ASCII-lowercased to "i" (Spark's fast path) even though the
+    * default-locale slow path would give "ı". */
+  private[graft] def sparkLower(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < s.length && ascii) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (!ascii) s.toLowerCase()
+    else {
+      val arr = s.toCharArray
+      var j = 0
+      while (j < arr.length) {
+        val c = arr(j)
+        if (c >= 'A' && c <= 'Z') arr(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(arr)
+    }
   }
 
   /** Verified load of a persisted mkn3 model into a bounded
@@ -238,8 +287,17 @@ object LmIndex {
         g.values.count(_ == 2).toLong, g.values.count(_ >= 3).toLong))
     }
     val cont1 = big.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    // B re-derives from the PRUNED bigram map (it equals the disc row's
+    // full-corpus _b whenever maxTypes covers the artifact — the
+    // unpruned==indexed contract): cont1 above counts continuations in
+    // the pruned table, so the continuation floor (N1+(.w)+1)/(B+V)
+    // must draw B from the same pruned counts or the floor loses mass
+    // inconsistently (r13 advisory). V stays the full-corpus vocabulary
+    // from the disc row — the unigram type set is not persisted and the
+    // vocabulary is the model's alphabet, not a prunable count table
+    // (the KenLM convention: pruning drops n-grams, never words).
     MknLocalModel(tri, ctx3, cont2, den2, cont1,
-      d.getAs[Long]("_b"), d.getAs[Long]("_v"),
+      big.size.toLong, d.getAs[Long]("_v"),
       dd("_d31"), dd("_d32"), dd("_d33"), dd("_e1"), dd("_e2"), dd("_e3"))
   }
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+/**
+ * Shared micro-serializer for the coherence stamps the persisted
+ * artifacts carry ([[Layout]] bloom sidecar, [[AnnIndex]], [[LmIndex]],
+ * [[TokenizerIndex]]) — a handful of fixed string/number fields, which
+ * is why the stamp family deliberately carries no JSON library. The one
+ * thing raw interpolation got wrong (r13 advisory) was ESCAPING: a
+ * column name containing a quote or backslash produced malformed JSON
+ * that the readers then reported as "no coherence stamp" on a freshly
+ * written artifact. Writers escape through [[esc]], readers match the
+ * escaped grammar and unescape — round-trip exact for any string.
+ */
+private[graft] object StampJson {
+
+  /** JSON string-body escape: backslash, quote, and control chars. */
+  def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"');  i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Extract + unescape a `"k":"…"` string field; None if absent. */
+  def strField(text: String, k: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(k) + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(text).map(m => unesc(m.group(1)))
+
+  /** Extract a bare numeric field as its literal text; None if absent. */
+  def numField(text: String, k: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9][0-9.eE+-]*)").r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** Extract a `"k":[{"path":"…","fp":"…"},…]` list — the appended-
+    * delta parts an [[AnnIndex]] stamp carries. Empty when the field
+    * is absent (a stamp written before the append lifecycle existed). */
+  def pathFpList(text: String, k: String): Seq[(String, String)] = {
+    val arr = ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[(.*?)\\]").r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse(return Nil)
+    """\{"path":"((?:[^"\\]|\\.)*)","fp":"((?:[^"\\]|\\.)*)"\}""".r
+      .findAllMatchIn(arr).map(m => (unesc(m.group(1)), unesc(m.group(2)))).toSeq
+  }
+}

@@ -846,16 +846,23 @@ object TextAnalysis {
    *
    * Scale shape: transitions are ROW-LOCAL (zip_with over the token
    * array — no positional shuffle) and pre-aggregated per (doc, prev,
-   * cur) so the one corpus-volume shuffle is fully map-side combined
-   * (each doc is one input row, so every triple reduces locally). The
-   * bigram-TYPE table — vocabulary²-bounded, tiny next to the corpus —
-   * is persisted via [[CachedRelations]] (exchange reuse cannot span
-   * an InMemoryRelation, and without the persist each of its three
-   * consumers would replay the corpus explode+shuffle); context /
-   * continuation / (B, V) statistics and the per-TYPE probability all
-   * derive from that one cached relation at type volume, and scoring
-   * is a single join of the per-doc counts against the type-level NLL
-   * (AQE broadcasts it when it fits). Caller releases the cache via
+   * cur), so the ONE corpus-volume shuffle is fully map-side combined
+   * (each doc is one input row, so every pair reduces locally). That
+   * per-doc count relation feeds BOTH the model fold and the scoring
+   * join, so it persists via [[CachedRelations]] (r13 scale-probe
+   * finding: recomputing it paid the tokenize+explode+exchange twice,
+   * which was the whole 2.5×-per-10× slope of this operator — a
+   * MEMORY_AND_DISK persist is the same byte volume a shuffle write
+   * already pays). The bigram-TYPE table folds from the cached per-doc
+   * counts at type volume and is persisted for its three consumers;
+   * context / continuation statistics derive from it. The vocabulary
+   * count V needs NO second corpus pass: every token of a multi-token
+   * doc appears in some bigram as prev or cur, and a single-token
+   * doc's only token is its first token — so the distinct-term set is
+   * exactly prev ∪ cur ∪ first_tokens, all relations the plan already
+   * has (type-volume + one row per doc). Scoring is a single join of
+   * the per-doc counts against the type-level NLL (AQE broadcasts it
+   * when it fits). Caller releases the caches via
    * [[CachedRelations.releaseAll]] after the action, like every other
    * internally-persisting operator.
    */
@@ -863,26 +870,36 @@ object TextAnalysis {
                        textCol: String): org.apache.spark.sql.DataFrame = {
     val toked = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-    val tf = toked.select(col("id"), explode(zip_with(
-      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-      slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-      (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
-      .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
-      .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
+    val tf = CachedRelations.track(
+      toked.select(col("id"), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
+        .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
+        .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val big = CachedRelations.track(
       tf.groupBy(col("prev"), col("cur")).agg(sum(col("_tf")).as("_cab")).persist())
+    // one row per doc; feeds the position-1 scoring leg AND the
+    // vocabulary union — persisted so the raw text tokenizes once here
+    val firstTok0 = CachedRelations.track(
+      toked.select(col("id"), element_at(col("_toks"), 1).as("cur")).persist())
     // per-context totals AND distinct-continuation counts in one pass
     // over the bigram-type table (row count per prev IS N1+(prev·))
     val ctx = big.groupBy(col("prev"))
       .agg(sum(col("_cab")).as("_ca"), count(lit(1)).as("_n1prev"))
     val cont = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
+    // V = |prev ∪ cur ∪ first_tokens| — identical to count_distinct
+    // over every token (see the scale-shape note above) without
+    // re-exploding the corpus
     val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
-      toked.select(explode(col("_toks")).as("term"))
+      big.select(col("prev").as("term"))
+        .unionByName(big.select(col("cur").as("term")))
+        .unionByName(firstTok0.select(col("cur").as("term")))
         .agg(count_distinct(col("term")).as("_v")))
     val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
       (col("_b") + col("_v")).cast("double")
-    val firstTok = toked
-      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
+    val firstTok = firstTok0
       .join(cont, Seq("cur"), "left")
       .crossJoin(broadcast(bv))
       .select(col("id"), lit(1L).as("_units"),
@@ -970,18 +987,24 @@ object TextAnalysis {
    * division — no FP rides any exchange.
    *
    * Scale shape: n-gram extraction is ROW-LOCAL (zip_with over token-
-   * array slices) and pre-aggregated per (doc, u, v, w) so the one
-   * corpus-volume shuffle is fully map-side combined. The trigram and
-   * bigram TYPE tables (vocabulary-bounded) are persisted via
-   * [[CachedRelations]] — the trigram table feeds four consumers
-   * (context stats, continuation counts, count-of-counts, the scoring
-   * join) and would otherwise replay the corpus explode per consumer;
-   * the continuation-count table (also type-volume, three consumers)
-   * is persisted for the same reason. Every model statistic past those
-   * tables is type-volume; the discounts and (B, V) collapse to ONE
-   * broadcast row; scoring LEFT-joins the per-doc distinct-triple
-   * counts against the type-volume model tables (AQE broadcasts them
-   * when they fit). Caller releases via
+   * array slices) and pre-aggregated per (doc, u, v, w) so every
+   * corpus-volume shuffle is fully map-side combined. The MODEL FIT
+   * pays exactly ONE corpus-volume exchange (r14, was three): the
+   * trigram, bigram, and unigram type counts all fold out of a single
+   * tagged-gram relation ([[mknGrams]] — each doc emits its trigrams,
+   * bigrams, and tokens as (kind, a, b, c) rows in one row-local
+   * explode, and one groupBy counts all three orders; partial
+   * aggregation bounds the shuffled bytes at type volume exactly as
+   * the three separate exchanges did, but the corpus tokenizes and
+   * explodes ONCE). The fused gram table (type-volume across the
+   * orders) is persisted via [[CachedRelations]] and every model
+   * statistic — type tables, context stats, continuation counts,
+   * count-of-counts, the (B, V) totals — derives from it at type
+   * volume; the discounts and (B, V) collapse to ONE broadcast row.
+   * Scoring LEFT-joins the per-doc distinct-triple counts against the
+   * type-volume model tables (AQE broadcasts them when they fit); the
+   * per-doc counts now have a single consumer, so nothing corpus-
+   * volume is computed twice. Caller releases via
    * [[CachedRelations.releaseAll]] after the action.
    */
   def modifiedKneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -989,21 +1012,76 @@ object TextAnalysis {
                                train: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
     val toked = mknTokedOf(df, idCol, textCol)
     val trainToks = if (train == null) toked else mknTokedOf(train, idCol, textCol)
+    val m = mknFit(trainToks)
+    m.persisted.foreach(CachedRelations.track)
     val tf3 = mknTriples(toked)
       .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
-    // self-trained: the trigram TYPE table folds out of the per-doc
-    // counts (one tokenization); reference-trained: its own extraction
-    val tri = CachedRelations.track((
-      if (train == null)
-        tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("_tf")).as("_cuvw"))
-      else mknTriples(trainToks)
-        .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("_cuvw"))
-      ).persist())
-    val big = CachedRelations.track(mknBigrams(trainToks).persist())
-    val cont2 = CachedRelations.track(
-      tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw")).persist())
-    val disc = mknDiscRow(tri, cont2, big, trainToks)
-    mknScoreRows(idCol, toked, tf3, tri, big, cont2, disc)
+    mknScoreRows(idCol, toked, tf3, m.tri, m.big, m.cont2, m.disc)
+  }
+
+  /** The fitted mkn3 model tables plus the stage relations the fit
+    * persisted (the caller owns their release: the in-session operator
+    * registers them with [[CachedRelations]], [[LmIndex.writeMknIndex]]
+    * unpersists locally after its own actions). */
+  private[ops] final case class MknModel(tri: org.apache.spark.sql.DataFrame,
+                                         big: org.apache.spark.sql.DataFrame,
+                                         cont2: org.apache.spark.sql.DataFrame,
+                                         disc: org.apache.spark.sql.DataFrame,
+                                         persisted: Seq[org.apache.spark.sql.DataFrame])
+
+  /** ONE corpus-volume exchange for ALL THREE n-gram orders: each doc
+    * emits its trigrams (kind 't'), bigrams (kind 'b'), and tokens
+    * (kind 'u') as tagged rows in a single row-local explode — the
+    * slice lengths clamp at 0 so 1- and 2-token docs contribute only
+    * the orders they have — and one map-side-combined groupBy counts
+    * everything. Output: (kind, a, b, c, _n), type-volume. */
+  private[ops] def mknGrams(trainToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = size(col("_toks"))
+    val len3 = greatest(n - 2, lit(0))
+    val len2 = greatest(n - 1, lit(0))
+    val nullStr = lit(null).cast("string")
+    val triArr = zip_with(
+      zip_with(
+        slice(col("_toks"), lit(1), len3),
+        slice(col("_toks"), lit(2), len3),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      slice(col("_toks"), lit(3), len3),
+      (ab, c) => struct(lit("t").as("kind"), ab.getField("a").as("a"),
+        ab.getField("b").as("b"), c.as("c")))
+    val bigArr = zip_with(
+      slice(col("_toks"), lit(1), len2),
+      slice(col("_toks"), lit(2), len2),
+      (a, b) => struct(lit("b").as("kind"), a.as("a"), b.as("b"),
+        nullStr.as("c")))
+    val uniArr = transform(col("_toks"),
+      t => struct(lit("u").as("kind"), t.as("a"), nullStr.as("b"),
+        nullStr.as("c")))
+    trainToks.select(explode(concat(triArr, bigArr, uniArr)).as("_g"))
+      .select(col("_g.kind").as("kind"), col("_g.a").as("a"),
+        col("_g.b").as("b"), col("_g.c").as("c"))
+      .groupBy(col("kind"), col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Fit the mkn3 model tables from a tokenized train frame through
+    * the fused gram exchange. Values are IDENTICAL to the three
+    * per-order aggregations they replace (exact integer counts either
+    * way); only the plan shape changed. */
+  private[ops] def mknFit(trainToks: org.apache.spark.sql.DataFrame): MknModel = {
+    val grams = mknGrams(trainToks).persist()
+    val tri = grams.filter(col("kind") === "t")
+      .select(col("a").as("u"), col("b").as("v"), col("c").as("w"),
+        col("_n").as("_cuvw"))
+    val big = grams.filter(col("kind") === "b")
+      .select(col("a").as("prev"), col("b").as("cur"), col("_n").as("_cab"))
+    val cont2 = tri.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("_n2vw")).persist()
+    // B = bigram types, V = unigram types — row counts of the cached
+    // gram table's slices, no corpus pass
+    val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
+      grams.filter(col("kind") === "u").agg(count(lit(1)).as("_v")))
+    val disc = mknDiscRow(tri, cont2, bv)
+    MknModel(tri, big, cont2, disc, Seq(grams, cont2))
   }
 
   /** Scoring-side tokenization shared by the in-session MKN and the
@@ -1027,23 +1105,14 @@ object TextAnalysis {
           c.as("w")))).as("_t"))
       .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
 
-  /** Bigram TYPE counts of a tokenized frame (map-side combined). */
-  private[ops] def mknBigrams(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    toks.select(explode(zip_with(
-      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-      slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-      (a, b) => struct(a.as("prev"), b.as("cur")))).as("_p"))
-      .select(col("_p.prev").as("prev"), col("_p.cur").as("cur"))
-      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_cab"))
-
   /** The ONE broadcast model row: count-of-counts per order →
     * D1/D2/D3+ discounts (unusable estimates — empty bucket or
     * nonpositive value — fall back to KenLM's --discount_fallback
-    * 0.5/1.0/1.5) plus the (B, V) continuation-floor totals. */
+    * 0.5/1.0/1.5) joined with the caller's one-row (B, V)
+    * continuation-floor totals. */
   private[ops] def mknDiscRow(tri: org.apache.spark.sql.DataFrame,
                               cont2: org.apache.spark.sql.DataFrame,
-                              big: org.apache.spark.sql.DataFrame,
-                              trainToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                              bv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def discounts(cnt: org.apache.spark.sql.Column, p: String) = Seq(
       sum(when(cnt === 1, 1L).otherwise(0L)).as(s"_${p}1"),
       sum(when(cnt === 2, 1L).otherwise(0L)).as(s"_${p}2"),
@@ -1053,9 +1122,6 @@ object TextAnalysis {
       discounts(col("_cuvw"), "t").tail: _*)
     val noc2 = cont2.agg(discounts(col("_n2vw"), "p").head,
       discounts(col("_n2vw"), "p").tail: _*)
-    val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
-      trainToks.select(explode(col("_toks")).as("term"))
-        .agg(count_distinct(col("term")).as("_v")))
     def withDiscounts(df0: org.apache.spark.sql.DataFrame, p: String,
                       y: String, d: String) = {
       def n(i: Int) = col(s"_$p$i")

@@ -40,36 +40,44 @@ object TokenizerIndex {
   private def writeMeta(spark: SparkSession, indexPath: String,
                         meta: TokIndexMeta): Unit = {
     val (fs, p) = fsFor(spark, indexPath)
-    val json = s"""{"family":"${meta.family}","text_col":"${meta.textCol}",""" +
-      s""""param":${meta.param},"table_fp":"${meta.tableFp}"}"""
+    val json = s"""{"family":"${StampJson.esc(meta.family)}",""" +
+      s""""text_col":"${StampJson.esc(meta.textCol)}",""" +
+      s""""param":${meta.param},"table_fp":"${StampJson.esc(meta.tableFp)}"}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  def readMeta(spark: SparkSession, indexPath: String): Option[TokIndexMeta] = {
+  /** Raw stamp text; None if the stamp FILE is absent (distinct from
+    * present-but-unparseable, which [[verify]] reports separately). */
+  private def stampText(spark: SparkSession, indexPath: String): Option[String] = {
     val (fs, p) = fsFor(spark, indexPath)
     val mp = new org.apache.hadoop.fs.Path(p, metaName)
     if (!fs.exists(mp)) return None
     val in = fs.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def str(k: String) =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(text).map(_.group(1))
-    def num(k: String) =
-      ("\"" + k + "\":([0-9-]+)").r.findFirstMatchIn(text).map(_.group(1).toInt)
-    for {
-      fam <- str("family"); tc <- str("text_col"); pr <- num("param")
-      fp <- str("table_fp")
-    } yield TokIndexMeta(fam, tc, pr, fp)
+    Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
   }
+
+  private def parseMeta(text: String): Option[TokIndexMeta] = for {
+    fam <- StampJson.strField(text, "family")
+    tc <- StampJson.strField(text, "text_col")
+    pr <- StampJson.numField(text, "param").map(_.toInt)
+    fp <- StampJson.strField(text, "table_fp")
+  } yield TokIndexMeta(fam, tc, pr, fp)
+
+  def readMeta(spark: SparkSession, indexPath: String): Option[TokIndexMeta] =
+    stampText(spark, indexPath).flatMap(parseMeta)
 
   def verify(spark: SparkSession, trainPath: String, indexPath: String,
              family: String, textCol: String): TokIndexMeta = {
-    val meta = readMeta(spark, indexPath).getOrElse(throw new IllegalStateException(
+    val text = stampText(spark, indexPath).getOrElse(throw new IllegalStateException(
       s"tokenizer artifact at $indexPath has no $metaName coherence stamp — " +
         s"rebuild it with TokenizerIndex.write($trainPath, $indexPath, ...)"))
+    val meta = parseMeta(text).getOrElse(throw new IllegalStateException(
+      s"tokenizer artifact at $indexPath has a $metaName stamp that does not " +
+        s"parse (truncated write or a foreign writer) — rebuild it with " +
+        s"TokenizerIndex.write($trainPath, $indexPath, ...)"))
     if (meta.family != family || meta.textCol != textCol) throw new IllegalStateException(
       s"tokenizer artifact at $indexPath is (family '${meta.family}', textCol " +
         s"'${meta.textCol}'), not (family '$family', textCol '$textCol') — " +
@@ -101,6 +109,10 @@ object TokenizerIndex {
     require(families(family),
       s"tokenizer family '$family' — expected one of ${families.toSeq.sorted.mkString(" | ")}")
     dropStamp(spark, indexPath)
+    // fingerprint BEFORE the fit reads a byte, re-checked before the
+    // stamp lands (r13 advisory): a table that changes mid-fit must not
+    // end up certified coherent against data the trainer never saw
+    val fpAtStart = Layout.tableFingerprint(spark, trainPath)
     val train = spark.read.parquet(trainPath)
     import spark.implicits._
     family match {
@@ -119,8 +131,13 @@ object TokenizerIndex {
           .toSeq.sortBy(_._1).toDF("piece", "logprob")
           .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
     }
-    writeMeta(spark, indexPath, TokIndexMeta(family, textCol, param,
-      Layout.tableFingerprint(spark, trainPath)))
+    val fpAtEnd = Layout.tableFingerprint(spark, trainPath)
+    if (fpAtEnd != fpAtStart) throw new IllegalStateException(
+      s"train table $trainPath changed WHILE the tokenizer fit was running " +
+        s"(listing fingerprint ${fpAtStart.take(12)}… at start vs " +
+        s"${fpAtEnd.take(12)}… now) — no stamp was written; re-run " +
+        "TokenizerIndex.write on a quiet table.")
+    writeMeta(spark, indexPath, TokIndexMeta(family, textCol, param, fpAtStart))
   }
 
   /** Verified load of a bpe/bbpe merge table, rank-ordered. */

@@ -758,12 +758,19 @@ object LlmQueries {
     // report run through the loaded model + native encoder with zero
     // training work. Rows-only; q_llm_tok_index_check pins loaded ≡
     // in-session and TokenizerIndexSpec pins the stale/heal lifecycle.
+    // ENSURE-not-rebuild (the q_llm_mkn_ppl_idx convention, r13 verdict
+    // ask 8): verify the stamp, fit only when absent/stale/wrong — the
+    // benched min-over-passes is the steady-state report leg.
     Q("q_llm_bpe_fertility_idx",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tbl = s"$dir/documents.parquet"
         val idx = s"/tmp/graft_tok_idx_bpe_${math.abs(dir.hashCode)}"
-        graft.ops.TokenizerIndex.write(s, tbl, idx, "bpe", "text", param = 1000)
+        try {
+          val m = graft.ops.TokenizerIndex.verify(s, tbl, idx, "bpe", "text")
+          if (m.param != 1000) throw new IllegalStateException("param changed")
+        } catch { case _: IllegalStateException =>
+          graft.ops.TokenizerIndex.write(s, tbl, idx, "bpe", "text", param = 1000) }
         graft.ops.TokenizerIndex.fertilityIndexed(s, docs, "bpe", "text", "source",
           tbl, idx)
       },
@@ -2579,13 +2586,21 @@ object LlmQueries {
     // tables with zero corpus-volume work on the reference. Rows-only
     // like q_llm_ann_persist; q_llm_mkn_index_check pins loaded ≡
     // in-session exactly and LmIndexSpec pins the stale/heal
-    // lifecycle.
+    // lifecycle. ENSURE-not-rebuild (r13 verdict ask 8): this is the
+    // production call pattern — verify the stamp and fit only when the
+    // artifact is absent, stale, or wrong; a coherent artifact scores
+    // directly. The bench's min-over-passes therefore records the
+    // steady-state SCORE leg (the convention BASELINE.md documents);
+    // the one-time fit shows up in the first-pass detail and its plan
+    // is benched anyway via the in-session q_llm_mkn_ppl.
     Q("q_llm_mkn_ppl_idx",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tbl = s"$dir/documents.parquet"
         val idx = s"/tmp/graft_lm_idx_mkn_${math.abs(dir.hashCode)}"
-        graft.ops.LmIndex.writeMknIndex(s, tbl, idx, "doc_id", "text")
+        try graft.ops.LmIndex.verify(s, tbl, idx, "mkn3", "text")
+        catch { case _: IllegalStateException =>
+          graft.ops.LmIndex.writeMknIndex(s, tbl, idx, "doc_id", "text") }
         graft.ops.LmIndex.scoreMknIndexed(s, docs, "doc_id", "text", tbl, idx)
       },
       None),

@@ -128,7 +128,14 @@ class LmIndexSpec extends SparkTestBase {
       // the split) and Spark split keeps trailing empty tokens — a
       // Java trim/limit-0 split scores these docs differently
       val edges = Seq(18L -> "   ", 19L -> "m n o\n", 20L -> "\tm n o",
-        21L -> "m  n o")
+        21L -> "m  n o",
+        // 22/23 pin LOCALE parity too (r13 advisory): Spark lower()
+        // ASCII-fast-paths all-ASCII strings but routes any string
+        // with a non-ASCII char through default-locale toLowerCase —
+        // the driver replica must take the same branch on the same
+        // input (İ lowercases to i + combining dot; final Σ is
+        // context-sensitive), or the stream diverges from the batch
+        22L -> "İSTANBUL Iı MİX", 23L -> "ΟΔΟΣ ΑΣ m")
       mem.addData(scored: _*)
       mem.addData(17L -> null)
       mem.addData(edges: _*)
@@ -146,13 +153,70 @@ class LmIndexSpec extends SparkTestBase {
     } finally q.stop()
     CachedRelations.releaseAll()
     // pruned to almost nothing: every doc still scores finitely (the
-    // discount fallback keeps all probabilities positive)
+    // discount fallback keeps all probabilities positive), and the
+    // continuation-floor B re-derives from the PRUNED bigram table
+    // (r13 advisory) — one surviving bigram type means b == 1
     val pruned = LmIndex.loadMknLocal(spark, tbl, idx, "text", maxTypes = 1)
+    assert(pruned.b == 1L, s"pruned B must come from the pruned table, got ${pruned.b}")
     for ((_, t) <- scored) {
-      val (n, s, a) = pruned.scoreDoc(
-        t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      val (n, s, a) = pruned.scoreDoc(LmIndex.sparkTokens(t))
       assert(n > 0 && s >= 0 && a >= 0)
     }
+  }
+
+  test("sparkTokens replicates split(lower(trim(text)), \\s+) incl. non-ASCII locale path") {
+    val fixtures = Seq(
+      "Hello WORLD", "  A  B ", "m n o\n", "\tX Y", "", "   ",
+      "İSTANBUL STREET", "Iı İi", "ΟΔΟΣ ΑΣ", "ẞ STRASSE ß",
+      "CAFÉ NOIR", "ǄUR Ǆ", "MIXED ascii ONLY I")
+    val viaSpark = fixtures.toDF("t")
+      .select(split(lower(trim(col("t"))), "\\s+").as("toks"))
+      .collect().map(_.getSeq[String](0).toArray.toSeq)
+    val viaDriver = fixtures.map(LmIndex.sparkTokens(_).toSeq)
+    fixtures.indices.foreach { i =>
+      assert(viaDriver(i) == viaSpark(i),
+        s"'${fixtures(i)}': driver ${viaDriver(i)} != spark ${viaSpark(i)}")
+    }
+  }
+
+  test("stamp escapes quotes/backslashes and verify distinguishes unparseable from missing") {
+    // a textCol with JSON-hostile characters round-trips the stamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmidx_esc_tbl").toString
+    val weird = "te\"xt\\col"
+    train.toDF("doc_id", weird).repartition(1).write.mode("overwrite").parquet(dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_esc").toString
+    LmIndex.writeMknIndex(spark, dir, idx, "doc_id", weird)
+    val meta = LmIndex.readMeta(spark, idx)
+    assert(meta.exists(_.textCol == weird),
+      s"stamp must round-trip a quoted/backslashed textCol, got $meta")
+    // scoring through the verified stamp works end-to-end
+    val out = rows(LmIndex.scoreMknIndexed(spark,
+      scored.toDF("doc_id", weird), "doc_id", weird, dir, idx))
+    assert(out.keySet == scored.map(_._1).toSet)
+    // corrupt the stamp → loud "does not parse", NOT "no stamp"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(idx, "_graft_lm_meta.json")
+    val o = fs.create(mp, true)
+    try o.write("{\"kind\":\"mkn3".getBytes("UTF-8")) finally o.close()
+    val e = intercept[IllegalStateException] {
+      LmIndex.verify(spark, dir, idx, "mkn3", weird)
+    }
+    assert(e.getMessage.contains("does not parse"), e.getMessage)
+  }
+
+  test("the stamp carries the fingerprint captured BEFORE the fit read data") {
+    // the observable half of the fit-window guard (r13 advisory): a
+    // mid-fit mutation cannot be raced deterministically from a spec,
+    // but the contract it protects can — the stamped fingerprint is the
+    // START listing, so any file that changes during the fit makes the
+    // end re-check (and every later verify) fail
+    val (tbl, _) = mkCorpus(train)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx_race").toString
+    val fpBefore = Layout.tableFingerprint(spark, tbl)
+    LmIndex.writeMknIndex(spark, tbl, idx, "doc_id", "text")
+    assert(LmIndex.readMeta(spark, idx).exists(_.tableFp == fpBefore),
+      "stamp must carry the fingerprint captured BEFORE the fit read data")
   }
 
   test("pplBandStream: static per-source cutoffs band the stream like the batch rule") {

@@ -80,4 +80,28 @@ class TokenizerIndexSpec extends SparkTestBase {
       TokenizerIndex.write(spark, tbl, idx, "sentencepiece", "text", param = 20)
     }
   }
+
+  test("stamp escaping, unparseable-vs-missing, and fp-before-fit (r13 advisory)") {
+    import spark.implicits._
+    // a textCol with JSON-hostile characters round-trips the stamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokidx_esc_tbl").toString
+    val weird = "te\"xt\\col"
+    corpus.toDF("source", weird).repartition(1).write.mode("overwrite").parquet(dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tokidx_esc").toString
+    val fpBefore = Layout.tableFingerprint(spark, dir)
+    TokenizerIndex.write(spark, dir, idx, "bpe", weird, param = 10)
+    val meta = TokenizerIndex.readMeta(spark, idx)
+    assert(meta.exists(m => m.textCol == weird && m.tableFp == fpBefore),
+      s"stamp must round-trip the textCol and carry the BEFORE-fit fingerprint, got $meta")
+    assert(TokenizerIndex.loadMerges(spark, dir, idx, "bpe", weird).nonEmpty)
+    // corrupt the stamp -> loud "does not parse", NOT "no stamp"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_tok_meta.json"), true)
+    try o.write("{\"family\":\"bpe".getBytes("UTF-8")) finally o.close()
+    val e = intercept[IllegalStateException] {
+      TokenizerIndex.verify(spark, dir, idx, "bpe", weird)
+    }
+    assert(e.getMessage.contains("does not parse"), e.getMessage)
+  }
 }
