@@ -72,6 +72,11 @@ object Bench {
       // the in-session plans via q_llm_ann_{ivf,pq,binary}
       "q_llm_ann_persist_check", "q_llm_ann_pq_persist_check",
       "q_llm_ann_bin_persist_check",
+      // r14 append-lifecycle equivalence oracle: builds TWO indexes
+      // (base+append and full rebuild) purely to compare them at
+      // nprobe = nlist — a correctness fixture by construction; the
+      // production probe path is benched via q_llm_ann_persist
+      "q_llm_ann_append_check",
       // r13 persisted-LM equivalence oracle: runs the mkn3 scorer
       // TWICE (loaded artifact + in-session fit) purely to compare;
       // the persisted path is benched via q_llm_mkn_ppl_idx and the

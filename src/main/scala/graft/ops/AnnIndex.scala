@@ -315,25 +315,30 @@ object AnnIndex {
         "each append must bring a NEW table (re-appending would duplicate codes)")
     val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
     val cents = loadCentroids(spark, indexPath)
-    val centDf = broadcast(spark.createDataFrame(
+    val centDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) =>
         (i, c.toSeq, c.map(x => x * x).sum) }.toSeq)
-      .toDF("cell", "cv", "cn2"))
+      .toDF("cell", "cv", "cn2")
     val v = delta.filter(col(meta.vecCol).isNotNull)
       .select(col(meta.idCol).as("id"),
         col(meta.vecCol).cast("array<double>").as("v"))
-    // nearest existing cell by the identical probe metric
-    // (|v-c|² orders as cn2 - 2 v·c; ties break on the cell id), plus
-    // the true squared distance for the drift statistic
+    // nearest existing cell by the identical probe metric (the
+    // probeCells explode-the-literals shape: |v-c|² orders as
+    // cn2 - 2 v·c, ties break on the cell id), plus the true squared
+    // distance for the drift statistic
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
+    }.toIndexedSeq: _*)
     val w = Window.partitionBy(col("id"))
-      .orderBy((col("cn2") - lit(2.0) * Similarity.dot(col("v"), col("cv"))).asc,
-        col("cell").asc)
-    val assigned = v.join(centDf)
+      .orderBy(col("cdist").asc, col("cent.ci").asc)
+    val assigned = v.withColumn("cent", explode(centLits))
+      .withColumn("cdist",
+        col("cent.cn2") - lit(2.0) * Similarity.dot(col("v"), col("cent.cv")))
       .withColumn("_crank", row_number().over(w))
       .filter(col("_crank") === 1)
-      .select(col("id"), col("v"), col("cell"),
-        (Similarity.dot(col("v"), col("v")) + col("cn2") -
-          lit(2.0) * Similarity.dot(col("v"), col("cv"))).as("_sqdist"))
+      .select(col("id"), col("v"), col("cent.ci").as("cell"),
+        (Similarity.dot(col("v"), col("v")) + col("cdist")).as("_sqdist"))
       .persist()
     try {
       val deltaStats = assigned.agg(count(lit(1)).as("n"),

@@ -1003,6 +1003,49 @@ object LlmQueries {
       Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // Append-lifecycle equivalence oracle (r13 verdict ask 4): an index
+    // built on two thirds of the corpus and APPENDED with the rest
+    // (new vectors assigned to the FROZEN cells, stamp gaining a delta
+    // part) must answer probes EXACTLY like a full rebuild when every
+    // cell is probed — at nprobe = nlist the cell assignment cannot
+    // affect the result set, so any divergence is a lifecycle bug
+    // (lost rows, duplicated codes, wrong norms). Full-outer join on
+    // (qid, rank), zero tolerance on neighbor ids, 1e-9 on the score.
+    Q("q_llm_ann_append_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val h = math.abs(dir.hashCode)
+        val baseTbl = s"/tmp/graft_ann_append_base_$h"
+        val deltaTbl = s"/tmp/graft_ann_append_delta_$h"
+        val fullTbl = s"$dir/embeddings.parquet"
+        e.filter(col("vec_id") % 3 =!= 0).write.mode("overwrite").parquet(baseTbl)
+        e.filter(col("vec_id") % 3 === 0).write.mode("overwrite").parquet(deltaTbl)
+        val idxA = s"/tmp/graft_ann_idx_appended_$h"
+        val idxR = s"/tmp/graft_ann_idx_rebuilt_$h"
+        graft.ops.AnnIndex.writeIvfIndex(s, s.read.parquet(baseTbl), baseTbl, idxA,
+          "vec_id", "embedding", dims = 64, nlist = 16)
+        graft.ops.AnnIndex.appendIvfIndex(s, s.read.parquet(deltaTbl), deltaTbl,
+          idxA, baseTbl)
+        graft.ops.AnnIndex.writeIvfIndex(s, e, fullTbl, idxR,
+          "vec_id", "embedding", dims = 64, nlist = 16)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        val appended = graft.ops.AnnIndex.ivfLookupIndexed(s, queries, baseTbl, idxA,
+            k = 3, nprobe = 16)
+          .select(col("qid"), col("rank"), col("nid").as("a_nid"), col("cos").as("a_cos"))
+        val rebuilt = graft.ops.AnnIndex.ivfLookupIndexed(s, queries, fullTbl, idxR,
+            k = 3, nprobe = 16)
+          .select(col("qid"), col("rank"), col("nid").as("r_nid"), col("cos").as("r_cos"))
+        appended.join(rebuilt, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("a_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("a_nid").isNull || col("r_nid").isNull ||
+                col("a_nid") =!= col("r_nid") ||
+                abs(col("a_cos") - col("r_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // Same contract for the persisted IVF-PQ index: loaded centroids +
     // codebooks + codes must reproduce ivfPqTopK row-exactly at the
     // production operating point.
