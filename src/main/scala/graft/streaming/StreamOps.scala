@@ -379,6 +379,104 @@ object StreamOps {
   }
 
   /**
+   * Streaming tokenizer encode/fertility under a PERSISTED
+   * [[graft.ops.TokenizerIndex]] artifact — the online face of
+   * [[graft.ops.TokenizerIndex.fertilityIndexed]] and the tokenizer
+   * half of the [[pplScoreStream]] contract: the model (merge ranks /
+   * vocabulary / unigram logprobs) loads ONCE at query definition
+   * through the verified stamp (loud on STALE) and rides to executors
+   * by closure; every arriving doc is then scored ROW-LOCALLY with the
+   * SAME word-level encoders the batch report runs — no streaming
+   * state, no watermark, no join, composes with any downstream stage.
+   *
+   * Appends per-doc columns n_words / n_tokens / n_chars (n_bytes for
+   * byte-level BPE — its units are bytes by construction) /
+   * fertility_micro / chars_per_token_micro (bytes_per_token_micro for
+   * bbpe), plus unk_words for WordPiece; null-text rows pass through
+   * with NULL scores (annotate, don't drop). Tokenization is the
+   * [[graft.ops.LmIndex.sparkTokens]] replica of the batch
+   * split(lower(trim(text))) — the Spark-exact edge semantics the
+   * stream==batch twin contract needs — and the char unit is the
+   * CODEPOINT count (Spark `length`), not Java's UTF-16 length.
+   * Contract (spec-pinned per family): aggregating the stream's
+   * per-doc counts by source and re-deriving the integer micros
+   * reproduces the batch per-source report EXACTLY.
+   *
+   * A bounded per-task memo caches word→(tokens, unk) — the streaming
+   * stand-in for the batch plan's distinct-word encode relation.
+   */
+  def tokenizeFertilityStream(stream: DataFrame, textCol: String, family: String,
+                              trainPath: String, indexPath: String,
+                              maxPieceLen: Int = 8): DataFrame = {
+    import graft.ops.{LmIndex, Tokenizer, TokenizerIndex}
+    val spark = stream.sparkSession
+    // (word → (n_tokens, is_unk)) under the loaded artifact
+    val encodeWord: String => (Long, Long) = family match {
+      case "bpe" =>
+        val m = TokenizerIndex.loadMerges(spark, trainPath, indexPath, "bpe", textCol)
+          .toIndexedSeq
+        w => (Tokenizer.applyMerges(w, m).length.toLong, 0L)
+      case "bbpe" =>
+        val m = TokenizerIndex.loadMerges(spark, trainPath, indexPath, "bbpe", textCol)
+          .toIndexedSeq
+        w => (Tokenizer.bbpeEncode(w, m).length.toLong, 0L)
+      case "wordpiece" =>
+        val v = TokenizerIndex.loadVocabSet(spark, trainPath, indexPath, textCol)
+        w => {
+          val toks = Tokenizer.wordpieceEncode(w, v)
+          (toks.length.toLong,
+            if (toks.length == 1 && toks(0) == "[UNK]") 1L else 0L)
+        }
+      case "unigram" =>
+        val v = TokenizerIndex.loadVocabMap(spark, trainPath, indexPath, textCol)
+        w => (Tokenizer.unigramEncode(w, v, maxPieceLen).length.toLong, 0L)
+      case other => throw new IllegalArgumentException(
+        s"tokenizer family '$other' — expected bpe | bbpe | wordpiece | unigram")
+    }
+    val byteUnits = family == "bbpe"
+    // per-task word memo: each task deserializes its own closure copy,
+    // so no cross-thread sharing; cleared when it outgrows its bound
+    val memo = new java.util.HashMap[String, (Long, Long)]()
+    val score = udf((text: String) => Option(text).map { t =>
+      val words = LmIndex.sparkTokens(t)
+      var nw = 0L; var nt = 0L; var nu = 0L; var unk = 0L
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var e = memo.get(w)
+        if (e == null) {
+          e = encodeWord(w)
+          if (memo.size > 65536) memo.clear()
+          memo.put(w, e)
+        }
+        nw += 1; nt += e._1; unk += e._2
+        nu += (if (byteUnits) w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+               else w.codePointCount(0, w.length).toLong)
+        i += 1
+      }
+      (nw, nt, nu, unk)
+    })
+    val unitCol = if (byteUnits) "n_bytes" else "n_chars"
+    val ratioCol = if (byteUnits) "bytes_per_token_micro" else "chars_per_token_micro"
+    val base = stream.withColumn("_tf", score(col(textCol)))
+      .withColumn("n_words", col("_tf._1"))
+      .withColumn("n_tokens", col("_tf._2"))
+      .withColumn(unitCol, col("_tf._3"))
+    val withUnk =
+      if (family == "wordpiece") base.withColumn("unk_words", col("_tf._4"))
+      else base
+    // nullif: a zero-token doc (e.g. empty string → the one empty
+    // word) has no meaningful ratio — NULL, not a division error
+    // (per-doc rows can be degenerate where the batch report's
+    // per-source sums cannot)
+    withUnk
+      .withColumn("fertility_micro",
+        expr("n_tokens * 1000000 div nullif(n_words, 0)"))
+      .withColumn(ratioCol, expr(s"$unitCol * 1000000 div nullif(n_tokens, 0)"))
+      .drop("_tf")
+  }
+
+  /**
    * Streaming CCNet banding: score each arriving doc under the
    * persisted reference LM ([[pplScoreStream]]) and band it against
    * STATIC per-source NLL cutoffs — the streamable form of
