@@ -47,6 +47,14 @@ case class SourceConfig(
     conn: String = "",            // jdbc url; -db flag / DB_CREDENTIALS
     delimiter: Option[String] = None,     // csv
     commentChar: Option[String] = None,   // csv
+    // csv: the playbook DECLARES the file has no quoted newlines, so
+    // the read may use the line-splittable fast path (a single 100 GB
+    // file scans in parallel). Default false = the exact RFC4180
+    // whole-file parser (quoted newlines supported, per-record skip
+    // warnings). Declaring it on a file WITH quoted newlines is a
+    // config error: the affected rows parse as malformed and are
+    // skipped (counted), not silently mangled.
+    splittable: Boolean = false,
     sheetName: Option[String] = None,     // xlsx
     sheetIndex: Option[Int] = None,       // xlsx
     xmlRecordTag: Option[String] = None,  // xml

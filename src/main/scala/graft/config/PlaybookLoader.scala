@@ -59,14 +59,15 @@ object PlaybookLoader {
 
   private def sourceOf(m: Map[String, Any])(implicit d: DecodeErrors) = {
     val w = "source"
-    known(m, Set("type", "file", "query", "delimiter", "commentChar", "sheetName",
-      "sheetIndex", "xmlRecordTag", "conn", "streaming", "schema"), w)
+    known(m, Set("type", "file", "query", "delimiter", "commentChar", "splittable",
+      "sheetName", "sheetIndex", "xmlRecordTag", "conn", "streaming", "schema"), w)
     SourceConfig(
       `type` = str(m, "type", w).getOrElse("").toLowerCase,
       file = str(m, "file", w).getOrElse(""),
       query = str(m, "query", w).getOrElse(""),
       delimiter = str(m, "delimiter", w),
       commentChar = str(m, "commentChar", w),
+      splittable = bool(m, "splittable", w, dflt = false),
       sheetName = str(m, "sheetName", w),
       sheetIndex = int(m, "sheetIndex", w),
       xmlRecordTag = str(m, "xmlRecordTag", w),

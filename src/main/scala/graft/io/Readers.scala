@@ -122,9 +122,15 @@ object Readers {
    * non-splittable — no line boundary identifies a record boundary —
    * and the reference itself is a single-file reader. Directory reads
    * parallelize across files (each file carries its own header row);
-   * the columnar path (parquet) is the 100 TB ingest format.
+   * the columnar path (parquet) is the 100 TB ingest format. When the
+   * playbook DECLARES no quoted newlines (`splittable: true`),
+   * [[readCsvSplittable]] scans line ranges in parallel instead.
    */
-  private def readCsv(spark: SparkSession, src: SourceConfig): DataFrame = {
+  private def readCsv(spark: SparkSession, src: SourceConfig): DataFrame =
+    if (src.splittable) readCsvSplittable(spark, src)
+    else readCsvExact(spark, src)
+
+  private def readCsvExact(spark: SparkSession, src: SourceConfig): DataFrame = {
     val delim = src.delimiter.getOrElse(",").charAt(0)
     val comment = src.commentChar.filter(_.nonEmpty).map(_.charAt(0))
     val header = sniffHeader(src.file, delim, comment)
@@ -156,6 +162,70 @@ object Readers {
           }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /**
+   * The SPLITTABLE CSV fast path, engaged only when the playbook
+   * declares the file has no quoted newlines: Spark's native CSV
+   * source assigns LINE RANGES to tasks, so one 100 GB file scans in
+   * parallel instead of parsing on a single task ([[readCsvExact]]'s
+   * `wholeTextFiles` cost — required there because a quoted newline
+   * means no line boundary is a record boundary). Every reference
+   * semantic is preserved and spec-pinned equal to the exact path on
+   * quoted-newline-free data:
+   *  - header keys sniffed + trimmed, duplicate → last column wins,
+   *    empty → dropped; each FILE's first line drops as its header
+   *  - all values strings; unquoted AND quoted empty fields are ""
+   *    (never null — Spark's nullValue default is coalesced away)
+   *  - `""` escapes a quote inside a quoted field (escape = quote)
+   *  - blank lines and comment-char lines skip
+   *  - wrong-field-count rows skip and tick the SAME `lastCsvSkipped`
+   *    accumulator (PERMISSIVE corrupt-record column → filtered with
+   *    a count); the per-record index warning of the exact path
+   *    degrades to a per-row content log — the price of not seeing
+   *    file offsets. A quoted newline in a file falsely declared
+   *    splittable lands here too: loud skip, never silent mangling.
+   */
+  private def readCsvSplittable(spark: SparkSession, src: SourceConfig): DataFrame = {
+    val delim = src.delimiter.getOrElse(",").charAt(0)
+    val comment = src.commentChar.filter(_.nonEmpty).map(_.charAt(0))
+    val header = sniffHeader(src.file, delim, comment)
+    val n = header.size
+    val keep: Seq[(String, Int)] = header.map(_.trim).zipWithIndex
+      .filter(_._1.nonEmpty)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      .toSeq.sortBy(_._2)
+    val corrupt = "_graft_corrupt"
+    val full = StructType(
+      (0 until n).map(i => StructField(s"_c$i", StringType, nullable = true)) :+
+        StructField(corrupt, StringType, nullable = true))
+    val skipped = spark.sparkContext.longAccumulator("csv_skipped_rows")
+    lastCsvSkipped = Some(skipped)
+    var reader = spark.read
+      .option("header", "true")            // drops each file's first line
+      .option("sep", delim.toString)
+      .option("escape", "\"")              // RFC4180 "" quote escaping
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .schema(full)
+    comment.foreach(c => reader = reader.option("comment", c.toString))
+    val raw = reader.csv(src.file)
+    val idx = n // corrupt column position in `full`
+    val clean = raw.filter { r: Row =>
+      val bad = !r.isNullAt(idx)
+      if (bad) {
+        skipped.add(1)
+        log.warn(s"csv: skipping malformed record (splittable path): " +
+          s"${Option(r.getString(idx)).getOrElse("").take(200)}")
+      }
+      !bad
+    }
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    clean.select(keep.map { case (name, i) =>
+      coalesce(col(s"_c$i"), lit("")).as(name)
+    }: _*)
   }
 
   /**

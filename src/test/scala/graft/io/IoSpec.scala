@@ -54,6 +54,62 @@ class IoSpec extends SparkTestBase {
     assert(Readers.lastCsvSkipped.exists(_.value == 1L)) // bad_row logged+counted
   }
 
+  test("csv splittable fast path: semantics identical to the exact parser") {
+    // everything the exact path pins EXCEPT quoted newlines (the
+    // declared precondition): dup/empty headers, comment lines,
+    // wrong-field-count skips + the SAME accumulator, "" quote
+    // escapes, unquoted/quoted empty fields as "", not null
+    val p = tmp(".csv")
+    Files.writeString(java.nio.file.Paths.get(p),
+      "a,,a,b\n# comment\n1,x,2,\"say \"\"hi\"\", ok\"\nshort\n,y,,\n4,z,5,6,7\n")
+    def readWith(split: Boolean) = {
+      val df = Readers.read(spark, SourceConfig("csv", file = p,
+        commentChar = Some("#"), splittable = split))
+      val rows = df.collect().map(r =>
+        df.columns.map(c => r.getAs[String](c)).toSeq).toSeq
+      (df.columns.toSeq, rows.sortBy(_.mkString("|")),
+        Readers.lastCsvSkipped.map(_.value))
+    }
+    val (exCols, exRows, exSkip) = readWith(split = false)
+    val (fsCols, fsRows, fsSkip) = readWith(split = true)
+    assert(fsCols == exCols, s"$fsCols != $exCols")
+    assert(fsRows == exRows, s"$fsRows != $exRows")
+    assert(exSkip.contains(2L) && fsSkip.contains(2L),
+      s"both paths must count 2 skipped rows, got exact=$exSkip fast=$fsSkip")
+    assert(fsRows.flatten.forall(_ != null), "fast path must never yield null values")
+  }
+
+  test("csv splittable: one large file scans in MULTIPLE partitions, values equal exact") {
+    val p = tmp(".csv")
+    val sb = new StringBuilder("id,v\n")
+    (1 to 60000).foreach(i => sb.append(i).append(",v").append(i % 97).append('\n'))
+    Files.writeString(java.nio.file.Paths.get(p), sb.toString)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val fast = Readers.read(spark, SourceConfig("csv", file = p, splittable = true))
+      assert(fast.rdd.getNumPartitions > 1,
+        s"fast path must split one file across tasks, got ${fast.rdd.getNumPartitions}")
+      val exact = Readers.read(spark, SourceConfig("csv", file = p))
+      val fRows = fast.collect().map(r => (r.getAs[String]("id"), r.getAs[String]("v")))
+        .sortBy(_._1).toSeq
+      val eRows = exact.collect().map(r => (r.getAs[String]("id"), r.getAs[String]("v")))
+        .sortBy(_._1).toSeq
+      assert(fRows.size == 60000 && fRows == eRows)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("csv splittable: directory read drops EVERY file's header; tab delimiter") {
+    val dir = Files.createTempDirectory("graft-csvdir-split")
+    Files.writeString(dir.resolve("a.csv"), "id\tname\n1\tx\nbad\trow\textra\n")
+    Files.writeString(dir.resolve("b.csv"), "id\tname\n2\ty\n")
+    val df = Readers.read(spark, SourceConfig("csv", file = dir.toString,
+      delimiter = Some("\t"), splittable = true))
+    val rows = df.collect().map(r => r.getAs[String]("id")).sorted.toSeq
+    assert(rows == Seq("1", "2"), s"got $rows")
+    assert(Readers.lastCsvSkipped.exists(_.value == 1L))
+  }
+
   test("csv writer: sorted headers, Go %v floats, nil -> empty") {
     import spark.implicits._
     val p = tmp(".csv")
