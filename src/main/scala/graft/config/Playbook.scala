@@ -51,9 +51,11 @@ case class SourceConfig(
     // the read may use the line-splittable fast path (a single 100 GB
     // file scans in parallel). Default false = the exact RFC4180
     // whole-file parser (quoted newlines supported, per-record skip
-    // warnings). Declaring it on a file WITH quoted newlines is a
-    // config error: the affected rows parse as malformed and are
-    // skipped (counted), not silently mangled.
+    // warnings). The declaration is a REAL contract: on a file that
+    // does contain quoted newlines, the affected records mis-parse —
+    // usually as counted skips, but a fragment that happens to carry
+    // the declared field count is accepted as a wrong row. Use the
+    // default path when unsure.
     splittable: Boolean = false,
     sheetName: Option[String] = None,     // xlsx
     sheetIndex: Option[Int] = None,       // xlsx

@@ -183,8 +183,15 @@ object Readers {
    *    accumulator (PERMISSIVE corrupt-record column → filtered with
    *    a count); the per-record index warning of the exact path
    *    degrades to a per-row content log — the price of not seeing
-   *    file offsets. A quoted newline in a file falsely declared
-   *    splittable lands here too: loud skip, never silent mangling.
+   *    file offsets.
+   *
+   * The declaration is a REAL contract: a quoted newline in a file
+   * falsely declared splittable mis-parses its record — the fragments
+   * usually land here as counted skips, but a fragment that happens
+   * to carry exactly the declared field count is accepted as a wrong
+   * row (no line-scoped parser can see record context it was told
+   * does not exist). Callers unsure about their data keep the default
+   * exact path.
    */
   private def readCsvSplittable(spark: SparkSession, src: SourceConfig): DataFrame = {
     val delim = src.delimiter.getOrElse(",").charAt(0)

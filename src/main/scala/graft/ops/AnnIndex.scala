@@ -322,23 +322,17 @@ object AnnIndex {
     val v = delta.filter(col(meta.vecCol).isNotNull)
       .select(col(meta.idCol).as("id"),
         col(meta.vecCol).cast("array<double>").as("v"))
-    // nearest existing cell by the identical probe metric (the
-    // probeCells explode-the-literals shape: |v-c|² orders as
-    // cn2 - 2 v·c, ties break on the cell id), plus the true squared
-    // distance for the drift statistic
-    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
-        lit(c.map(x => x * x).sum).as("cn2"))
-    }.toIndexedSeq: _*)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cdist").asc, col("cent.ci").asc)
-    val assigned = v.withColumn("cent", explode(centLits))
-      .withColumn("cdist",
-        col("cent.cn2") - lit(2.0) * Similarity.dot(col("v"), col("cent.cv")))
-      .withColumn("_crank", row_number().over(w))
-      .filter(col("_crank") === 1)
-      .select(col("id"), col("v"), col("cent.ci").as("cell"),
-        (Similarity.dot(col("v"), col("v")) + col("cdist")).as("_sqdist"))
+    // nearest existing cell through the ONE shared metric
+    // ([[Similarity.cellRank]] — the same ranking every probe uses):
+    // entirely row-local, so duplicate delta ids each keep their own
+    // row (writeIvfIndex indexes every row, and the appended==rebuilt
+    // equivalence needs append to do the same — a per-id window here
+    // silently collapsed them, r14 review finding). The true squared
+    // distance |v|² + cdist feeds the drift statistic.
+    val best = element_at(Similarity.cellRank(col("v"), cents), 1)
+    val assigned = v
+      .select(col("id"), col("v"), best.getField("ci").as("cell"),
+        (Similarity.dot(col("v"), col("v")) + best.getField("cdist")).as("_sqdist"))
       .persist()
     try {
       val deltaStats = assigned.agg(count(lit(1)).as("n"),
@@ -354,9 +348,22 @@ object AnnIndex {
       val estRows = (estBytes / BigInt(math.max(8L * meta.dims, 64L))).toLong.max(1L)
       val sample = if (estRows <= maxDriftSample) codes
         else codes.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
-      val baseDist = sample.join(centDf, "cell")
-        .agg(avg(Similarity.dot(col("v"), col("v")) + col("cn2") -
-          lit(2.0) * Similarity.dot(col("v"), col("cv")))).collect().head.getDouble(0)
+      // distance of the stored codes to their OWN cell (the definition
+      // of quantization distortion — |v-c|² expanded, same algebra as
+      // cellRank's metric). The hash-mod sample can come up EMPTY when
+      // plan statistics overestimate the row count (tiny index, parquet
+      // overhead ≫ 8·dims/row): avg over zero rows is a null aggregate,
+      // so fall back to the full codes rather than NPE (r14 review)
+      def distOver(df: DataFrame): Option[Double] = {
+        val r = df.join(centDf, "cell")
+          .agg(avg(Similarity.dot(col("v"), col("v")) + col("cn2") -
+            lit(2.0) * Similarity.dot(col("v"), col("cv")))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      val baseDist = distOver(sample).orElse(distOver(codes))
+        .getOrElse(throw new IllegalStateException(
+          s"ANN index at $indexPath has no code rows — rebuild with " +
+            "AnnIndex.writeIvfIndex before appending"))
       if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
         throw new IllegalStateException(
           f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
@@ -406,15 +413,28 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     dropStamp(spark, indexPath)
-    if (!fs.rename(codesDir, oldDir)) throw new java.io.IOException(
-      s"compaction could not move $codesDir aside — index unstamped, data intact; " +
-        "rebuild the stamp by re-running compactIvfIndex")
-    if (!fs.rename(staging, codesDir)) {
-      fs.rename(oldDir, codesDir) // restore; stamp re-lands below only on success
+    if (!fs.rename(codesDir, oldDir)) {
+      // nothing moved — re-certify the untouched index so the caller
+      // can simply retry (compactIvfIndex verifies at entry, so an
+      // unstamped index could NOT be healed by re-running it)
+      writeMeta(spark, indexPath, meta)
       throw new java.io.IOException(
-        s"compaction could not swap $staging into place — original codes restored " +
-          s"but the index is UNSTAMPED; staging preserved at $staging, re-run " +
-          "compactIvfIndex (or rebuild) to re-certify")
+        s"compaction could not move $codesDir aside — nothing changed; the " +
+          "index was re-stamped and stays live; re-run compactIvfIndex")
+    }
+    if (!fs.rename(staging, codesDir)) {
+      if (fs.rename(oldDir, codesDir)) {
+        writeMeta(spark, indexPath, meta) // restored — re-certify for retry
+        throw new java.io.IOException(
+          s"compaction could not swap $staging into place — original codes " +
+            s"restored and re-stamped; staging preserved at $staging; re-run " +
+            "compactIvfIndex")
+      }
+      throw new java.io.IOException(
+        s"compaction could not swap $staging into place AND could not restore " +
+          s"$oldDir — index UNSTAMPED; the data is intact at $oldDir (originals) " +
+          s"and $staging (compacted); restore one of them to $codesDir manually, " +
+          "or rebuild with AnnIndex.writeIvfIndex")
     }
     if (!fs.delete(oldDir, true))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

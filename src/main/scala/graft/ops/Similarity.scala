@@ -103,14 +103,41 @@ object Similarity {
       model.clusterCenters.map(_.toArray))
   }
 
+  /** ROW-LOCAL cell ranking for [[AnnIndex.appendIvfIndex]]'s delta
+    * assignment: cells of `cents` sorted by distance to the vector
+    * column — the SAME metric k-means used to assign cells (Euclidean:
+    * |q-c|² = |q|² - 2 q·c + |c|², and |q|² is constant per vector so
+    * cn2 - 2 q·c orders identically; ties break on the cell id).
+    * Returns array<struct<cdist, ci>> ascending. Row-local matters on
+    * the APPEND path: duplicate delta ids must each keep their own
+    * assignment (a per-id window collapses them), and a one-time
+    * lifecycle op can afford the interpreted higher-order-function
+    * evaluation this costs. [[probeCells]] deliberately does NOT rank
+    * through this expression — on query-volume probe paths the
+    * interpreted per-cell lambda measured 1.4-2.3× slower than the
+    * codegen'd explode+window (r14 A/B at sf0.1: q_llm_margin_ivf
+    * 2.25 → 5.15 s) — so the two formulations MUST rank identically;
+    * AnnIndexAppendSpec pins cellRank[0] == probeCells(nprobe = 1)
+    * on shared fixtures. */
+  private[graft] def cellRank(vec: Column, cents: Array[Array[Double]]): Column = {
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
+    }.toIndexedSeq: _*)
+    array_sort(transform(centLits, c =>
+      struct((c.getField("cn2") - lit(2.0) * dot(vec, c.getField("cv"))).as("cdist"),
+        c.getField("ci").as("ci"))))
+  }
+
   /** Explode a query relation against the centroid literals and keep
-    * each query's `nprobe` nearest cells — ranked by the SAME metric
-    * k-means used to assign cells (Euclidean: |q-c|^2 = |q|^2 - 2 q.c
-    * + |c|^2, and |q|^2 is constant per query so |c|^2 - 2 q.c orders
-    * identically). A max-dot probe against Euclidean-assigned cells
-    * mismatches for unnormalized vectors and probes the wrong cells.
-    * Input must carry (qid, qv); output keeps every input column and
-    * adds `cell`. */
+    * each query's `nprobe` nearest cells — the [[cellRank]] metric in
+    * its codegen'd explode+window form (see there for why the
+    * formulations differ and the spec that pins them equal). A max-dot
+    * probe against Euclidean-assigned cells mismatches for
+    * unnormalized vectors and probes the wrong cells. Input must carry
+    * (qid, qv); output keeps every input column and adds `cell`.
+    * Duplicate qids share one ranked set (query ids are keys on every
+    * probe path; the dedup-sensitive APPEND path uses [[cellRank]]). */
   private[graft] def probeCells(q: DataFrame, cents: Array[Array[Double]],
                          nprobe: Int): DataFrame = {
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>

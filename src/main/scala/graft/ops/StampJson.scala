@@ -64,13 +64,17 @@ private[graft] object StampJson {
     ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9][0-9.eE+-]*)").r
       .findFirstMatchIn(text).map(_.group(1))
 
-  /** Extract a `"k":[{"path":"…","fp":"…"},…]` list — the appended-
-    * delta parts an [[AnnIndex]] stamp carries. Empty when the field
-    * is absent (a stamp written before the append lifecycle existed). */
-  def pathFpList(text: String, k: String): Seq[(String, String)] = {
-    val arr = ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[(.*?)\\]").r
-      .findFirstMatchIn(text).map(_.group(1)).getOrElse(return Nil)
+  /** Extract every `{"path":"…","fp":"…"}` pair — the appended-delta
+    * parts an [[AnnIndex]] stamp carries. Matched over the WHOLE stamp
+    * with the escape-aware string grammar rather than inside a
+    * `[...]`-scoped capture: a non-greedy bracket scope truncated at
+    * the first ']' INSIDE a path and silently parsed the part list
+    * away (r14 review finding — a vanished part list disables the
+    * stale-delta check and the duplicate-append guard). Sound because
+    * the stamp grammar has exactly one pair-list field; a second one
+    * would need a real scoped parser. Empty when absent (a stamp
+    * written before the append lifecycle existed). */
+  def pathFpList(text: String, k: String): Seq[(String, String)] =
     """\{"path":"((?:[^"\\]|\\.)*)","fp":"((?:[^"\\]|\\.)*)"\}""".r
-      .findAllMatchIn(arr).map(m => (unesc(m.group(1)), unesc(m.group(2)))).toSeq
-  }
+      .findAllMatchIn(text).map(m => (unesc(m.group(1)), unesc(m.group(2)))).toSeq
 }

@@ -153,6 +153,72 @@ class AnnIndexAppendSpec extends SparkTestBase {
       "compaction changed probe results")
   }
 
+  test("duplicate delta ids each land in the codes (append == rebuild needs every row)") {
+    // a per-id window in the assignment used to collapse these
+    // silently (r14 review finding); the row-local cellRank keeps them
+    val base = mkTable(baseRows)
+    val dupDelta = deltaRows ++ Seq(vec(105L, 1), vec(105L, 1)) // 105 three times
+    val delta = mkTable(dupDelta)
+    val full = mkTable(baseRows ++ dupDelta)
+    val idxA = java.nio.file.Files.createTempDirectory("graft_annapp_dup_a").toString
+    val idxR = java.nio.file.Files.createTempDirectory("graft_annapp_dup_r").toString
+    AnnIndex.writeIvfIndex(spark, spark.read.parquet(base), base, idxA,
+      "vec_id", "embedding", dims, nlist)
+    AnnIndex.appendIvfIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    val nCodes = spark.read.parquet(s"$idxA/codes").count()
+    assert(nCodes == baseRows.size + dupDelta.size,
+      s"every delta row must be indexed incl. duplicates: $nCodes codes for " +
+        s"${baseRows.size}+${dupDelta.size} rows")
+    AnnIndex.writeIvfIndex(spark, spark.read.parquet(full), full, idxR,
+      "vec_id", "embedding", dims, nlist)
+    val queries = spark.read.parquet(base)
+    assert(topk(queries, base, idxA) == topk(queries, full, idxR),
+      "appended index with duplicate ids diverged from a full rebuild")
+  }
+
+  test("a delta path containing ']' survives the stamp part list (parse robustness)") {
+    val base = mkTable(baseRows)
+    val delta = java.nio.file.Files.createTempDirectory("graft_annapp_br]k").toString
+    deltaRows.toDF("vec_id", "embedding").repartition(1)
+      .write.mode("overwrite").parquet(delta)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annapp_brk_idx").toString
+    AnnIndex.writeIvfIndex(spark, spark.read.parquet(base), base, idx,
+      "vec_id", "embedding", dims, nlist)
+    AnnIndex.appendIvfIndex(spark, spark.read.parquet(delta), delta, idx, base)
+    val meta = AnnIndex.readMeta(spark, idx).get
+    assert(meta.parts.map(_._1) == Seq(delta),
+      s"a bracketed path must round-trip the part list, got ${meta.parts}")
+    // the part's staleness check must still fire (a truncated parse
+    // would silently return Nil and skip it — r14 review finding)
+    Seq(vec(999L, 0)).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(delta)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.verify(spark, base, idx, "ivf")
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("cellRank (append assignment) ranks cells EXACTLY like probeCells (probe path)") {
+    // the metric lives in two formulations for measured reasons
+    // (row-local HOF for the dedup-sensitive one-time append; codegen
+    // explode+window for query-volume probes) — this is the pin that
+    // keeps them from desynchronizing
+    import org.apache.spark.sql.functions.{col, element_at}
+    val cents = Array(
+      Array(0.0, 0.0, 0.5, 1.0), Array(10.0, 10.0, 10.5, 1.0),
+      Array(-3.0, 7.0, 0.0, 2.0))
+    val vecs = (1L to 40L).map(i => (i, Seq(
+      (i % 11).toDouble - 5.0, (i % 7).toDouble, (i % 13).toDouble - 6.0, 1.0)))
+    val q = vecs.toDF("qid", "qv")
+    val viaRank = q.select(col("qid"),
+        element_at(Similarity.cellRank(col("qv"), cents), 1).getField("ci").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaProbe = Similarity.probeCells(q, cents, nprobe = 1)
+      .select(col("qid"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaRank == viaProbe, s"cellRank != probeCells: $viaRank vs $viaProbe")
+  }
+
   test("a death window mid-append leaves a loudly unverifiable index") {
     val base = mkTable(baseRows)
     val delta = mkTable(deltaRows)
