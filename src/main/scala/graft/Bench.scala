@@ -72,11 +72,13 @@ object Bench {
       // the in-session plans via q_llm_ann_{ivf,pq,binary}
       "q_llm_ann_persist_check", "q_llm_ann_pq_persist_check",
       "q_llm_ann_bin_persist_check",
-      // r14 append-lifecycle equivalence oracle: builds TWO indexes
-      // (base+append and full rebuild) purely to compare them at
-      // nprobe = nlist — a correctness fixture by construction; the
-      // production probe path is benched via q_llm_ann_persist
-      "q_llm_ann_append_check",
+      // r14 append-lifecycle equivalence oracles: each builds TWO
+      // indexes (base+append and full rebuild) purely to compare them
+      // at exhaustive probe settings — correctness fixtures by
+      // construction; the production probe paths are benched via
+      // q_llm_ann_persist / q_llm_ann_pq / q_llm_ann_binary twins
+      "q_llm_ann_append_check", "q_llm_ann_bin_append_check",
+      "q_llm_ann_pq_append_check",
       // r13 persisted-LM equivalence oracle: runs the mkn3 scorer
       // TWICE (loaded artifact + in-session fit) purely to compare;
       // the persisted path is benched via q_llm_mkn_ppl_idx and the

@@ -303,16 +303,7 @@ object AnnIndex {
                      indexPath: String, tablePath: String,
                      driftFactor: Double = 4.0,
                      maxDriftSample: Long = 20000L): Unit = {
-    val meta = stampText(spark, indexPath) match {
-      case None => throw new IllegalStateException(
-        s"ANN index at $indexPath has no $metaName coherence stamp — an append " +
-          "needs an existing verified index (no silent v0 restart); build one " +
-          s"first with AnnIndex.writeIvfIndex($tablePath, $indexPath, ...)")
-      case Some(_) => verify(spark, tablePath, indexPath, "ivf")
-    }
-    require(deltaPath != tablePath && !meta.parts.exists(_._1 == deltaPath),
-      s"delta table $deltaPath is already part of the index at $indexPath — " +
-        "each append must bring a NEW table (re-appending would duplicate codes)")
+    val meta = appendGuard(spark, indexPath, tablePath, deltaPath, "ivf")
     val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
     val cents = loadCentroids(spark, indexPath)
     val centDf = spark.createDataFrame(
@@ -379,6 +370,37 @@ object AnnIndex {
           Similarity.norm(col("v")).as("nrm"), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
     } finally assigned.unpersist(blocking = false)
+    sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
+  }
+
+  /** Shared append-entry guard: an append needs an EXISTING verified
+    * index of the right kind (no silent v0 restart — appending to an
+    * unstamped path refuses with a build hint instead of quietly
+    * creating a fresh index), and each delta may be appended once. */
+  private def appendGuard(spark: SparkSession, indexPath: String,
+                          tablePath: String, deltaPath: String,
+                          kind: String): AnnIndexMeta = {
+    val meta = stampText(spark, indexPath) match {
+      case None => throw new IllegalStateException(
+        s"ANN index at $indexPath has no $metaName coherence stamp — an append " +
+          "needs an existing verified index (no silent v0 restart); build one " +
+          s"first with AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)")
+      case Some(_) => verify(spark, tablePath, indexPath, kind)
+    }
+    require(deltaPath != tablePath && !meta.parts.exists(_._1 == deltaPath),
+      s"delta table $deltaPath is already part of the index at $indexPath — " +
+        "each append must bring a NEW table (re-appending would duplicate codes)")
+    meta
+  }
+
+  /** Shared append-exit seal: re-check the delta listing is unchanged
+    * since the append started (the fit-window discipline), then stamp
+    * the new part. The stamp was dropped before any code landed, so
+    * every death window inside an append leaves a loudly-unverifiable
+    * index that a rebuild heals. */
+  private def sealAppend(spark: SparkSession, indexPath: String,
+                         deltaPath: String, deltaFpAtStart: String,
+                         meta: AnnIndexMeta): Unit = {
     val deltaFpAtEnd = Layout.tableFingerprint(spark, deltaPath)
     if (deltaFpAtEnd != deltaFpAtStart) throw new IllegalStateException(
       s"delta table $deltaPath changed WHILE the append was running — no stamp " +
@@ -546,6 +568,94 @@ object AnnIndex {
   }
 
   /**
+   * APPEND a delta table to a stamped IVF-PQ index — the
+   * [[appendIvfIndex]] lifecycle one compression level down: delta
+   * vectors join the FROZEN coarse cells ([[Similarity.cellRank]],
+   * duplicate-id-safe) and are encoded with the FROZEN persisted
+   * codebooks (`pq_encode` against the loaded literals — the exact
+   * writer kernels), so appended codes are byte-compatible with the
+   * built ones; the stamp gains a verified (deltaPath, fingerprint)
+   * part. Same guard rails: no silent v0 restart, one append per
+   * delta, stamp dropped FIRST, delta fingerprint window.
+   *
+   * Drift guard: PQ codes do not store float vectors, so the baseline
+   * distortion samples the STAMPED BASE TABLE itself (verified
+   * coherent at entry, bounded deterministic hash sample) — the same
+   * statistic, a different but equally-sound source. Frozen codebooks
+   * over drifted data degrade recall exactly like frozen cells do, so
+   * the refusal threshold is shared.
+   *
+   * Equivalence contract: at nprobe = nlist with a rerank set covering
+   * every candidate, the ADC coarse pass cannot drop anything and the
+   * exact re-rank decides alone — an appended index answers EXACTLY
+   * like a full rebuild (q_llm_ann_pq_append_check pins it).
+   */
+  def appendPqIndex(spark: SparkSession, delta: DataFrame, deltaPath: String,
+                    indexPath: String, tablePath: String,
+                    driftFactor: Double = 4.0,
+                    maxDriftSample: Long = 20000L): Unit = {
+    val meta = appendGuard(spark, indexPath, tablePath, deltaPath, "pq")
+    val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
+    val cents = loadCentroids(spark, indexPath)
+    val bookRows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy("j", "c").collect()
+    val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
+    val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
+    graft.functions.Registry.ensure(spark)
+    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+    val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
+    val v = delta.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"),
+        col(meta.vecCol).cast("array<double>").as("v"))
+    val best = element_at(Similarity.cellRank(col("v"), cents), 1)
+    val assigned = v
+      .select(col("id"), col("v"), best.getField("ci").as("cell"),
+        (Similarity.dot(col("v"), col("v")) + best.getField("cdist")).as("_sqdist"))
+      .persist()
+    try {
+      val deltaStats = assigned.agg(count(lit(1)).as("n"),
+        avg(col("_sqdist")).as("d")).collect().head
+      require(deltaStats.getLong(0) > 0,
+        s"delta table $deltaPath has no non-null vectors — nothing to append")
+      val deltaDist = deltaStats.getDouble(1)
+      val base = spark.read.parquet(tablePath)
+        .filter(col(meta.vecCol).isNotNull)
+        .select(col(meta.idCol).as("id"),
+          col(meta.vecCol).cast("array<double>").as("v"))
+      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estRows = (estBytes / BigInt(math.max(8L * meta.dims, 64L))).toLong.max(1L)
+      val sample = if (estRows <= maxDriftSample) base
+        else base.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
+      def distOver(df: DataFrame): Option[Double] = {
+        val b = element_at(Similarity.cellRank(col("v"), cents), 1)
+        val r = df.agg(avg(Similarity.dot(col("v"), col("v")) +
+          b.getField("cdist"))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      val baseDist = distOver(sample).orElse(distOver(base))
+        .getOrElse(throw new IllegalStateException(
+          s"table $tablePath has no vector rows — rebuild with " +
+            "AnnIndex.writePqIndex before appending"))
+      if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
+        throw new IllegalStateException(
+          f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
+            f"the frozen cells vs $baseDist%.4g for the fitted corpus " +
+            f"(> ${driftFactor}%.1f×) — the quantizers no longer describe the " +
+            "data; rebuild with AnnIndex.writePqIndex instead of appending.")
+      dropStamp(spark, indexPath)
+      assigned
+        .withColumn("codes",
+          call_function("pq_encode", col("v"), booksLit, lit(meta.m), lit(meta.ksub)))
+        .withColumn("rn",
+          sqrt(call_function("pq_cn2", col("codes"), cn2Lit, lit(meta.ksub))))
+        .filter(col("rn") > 0)
+        .select(col("id"), col("codes"), col("rn"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+    } finally assigned.unpersist(blocking = false)
+    sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
+  }
+
+  /**
    * Build and stamp a binary sign-quantization index: one
    * [[Similarity.signPack]] pass, (id, bits) persisted — 32× smaller
    * than the float vectors, the store a Hamming coarse pass scans.
@@ -566,6 +676,35 @@ object AnnIndex {
     }
     writeMeta(spark, indexPath, AnnIndexMeta("binary", idCol, vecCol, dims,
       nlist = 0, m = 0, ksub = 0, tableFp = fp))
+  }
+
+  /**
+   * APPEND a delta table to a stamped binary index — the simplest
+   * member of the append family: sign quantization has NO fitted
+   * state at all (the "quantizer" is the sign function), so there is
+   * no drift to guard and an appended index is EXACTLY a rebuild by
+   * construction at every operating point (q_llm_ann_bin_append_check
+   * pins it with zero tolerance). Same lifecycle rails as
+   * [[appendIvfIndex]]: no silent v0 restart, one append per delta,
+   * stamp dropped FIRST, delta fingerprint window, parts verified on
+   * every later probe.
+   */
+  def appendBinaryIndex(spark: SparkSession, delta: DataFrame, deltaPath: String,
+                        indexPath: String, tablePath: String): Unit = {
+    val meta = appendGuard(spark, indexPath, tablePath, deltaPath, "binary")
+    val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
+    val bits = delta.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"),
+        col(meta.vecCol).cast("array<double>").as("v"))
+      .select(col("id"), Similarity.signPack(col("v"), meta.dims).as("bits"))
+      .persist()
+    try {
+      require(bits.count() > 0,
+        s"delta table $deltaPath has no non-null vectors — nothing to append")
+      dropStamp(spark, indexPath)
+      bits.write.mode("append").parquet(s"$indexPath/codes")
+    } finally bits.unpersist(blocking = false)
+    sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
   }
 
   /**

@@ -1046,6 +1046,85 @@ object LlmQueries {
       Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // Append equivalence for the BINARY index: sign quantization has
+    // no fitted state, so an appended index must equal a full rebuild
+    // EXACTLY at every operating point (incl. the corpus-scaled
+    // rerankFrac — both sides see the same corpus size).
+    Q("q_llm_ann_bin_append_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val h = math.abs(dir.hashCode)
+        val baseTbl = s"/tmp/graft_annb_append_base_$h"
+        val deltaTbl = s"/tmp/graft_annb_append_delta_$h"
+        val fullTbl = s"$dir/embeddings.parquet"
+        e.filter(col("vec_id") % 3 =!= 0).write.mode("overwrite").parquet(baseTbl)
+        e.filter(col("vec_id") % 3 === 0).write.mode("overwrite").parquet(deltaTbl)
+        val idxA = s"/tmp/graft_ann_idx_bin_appended_$h"
+        val idxR = s"/tmp/graft_ann_idx_bin_rebuilt_$h"
+        graft.ops.AnnIndex.writeBinaryIndex(s, s.read.parquet(baseTbl), baseTbl,
+          idxA, "vec_id", "embedding", dims = 64)
+        graft.ops.AnnIndex.appendBinaryIndex(s, s.read.parquet(deltaTbl), deltaTbl,
+          idxA, baseTbl)
+        graft.ops.AnnIndex.writeBinaryIndex(s, e, fullTbl, idxR,
+          "vec_id", "embedding", dims = 64)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        val appended = graft.ops.AnnIndex.binaryLookupIndexed(s, queries, e,
+            baseTbl, idxA, k = 3, rerank = 96, rerankFrac = 0.2)
+          .select(col("qid"), col("rank"), col("nid").as("a_nid"), col("cos").as("a_cos"))
+        val rebuilt = graft.ops.AnnIndex.binaryLookupIndexed(s, queries, e,
+            fullTbl, idxR, k = 3, rerank = 96, rerankFrac = 0.2)
+          .select(col("qid"), col("rank"), col("nid").as("r_nid"), col("cos").as("r_cos"))
+        appended.join(rebuilt, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("a_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("a_nid").isNull || col("r_nid").isNull ||
+                col("a_nid") =!= col("r_nid") ||
+                abs(col("a_cos") - col("r_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Append equivalence for the IVF-PQ index, on a bounded sub-corpus:
+    // with every cell probed AND a rerank set covering every candidate,
+    // the (frozen vs refit) quantizers cannot drop or reorder anything —
+    // the exact re-rank decides alone, so appended ≡ rebuild row-exactly.
+    Q("q_llm_ann_pq_append_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val h = math.abs(dir.hashCode)
+        val sub = e.filter(col("vec_id") % 5 === 0)
+        val baseTbl = s"/tmp/graft_annpq_append_base_$h"
+        val deltaTbl = s"/tmp/graft_annpq_append_delta_$h"
+        val fullTbl = s"/tmp/graft_annpq_append_full_$h"
+        sub.filter(col("vec_id") % 3 =!= 0).write.mode("overwrite").parquet(baseTbl)
+        sub.filter(col("vec_id") % 3 === 0).write.mode("overwrite").parquet(deltaTbl)
+        sub.write.mode("overwrite").parquet(fullTbl)
+        val idxA = s"/tmp/graft_ann_idx_pq_appended_$h"
+        val idxR = s"/tmp/graft_ann_idx_pq_rebuilt_$h"
+        graft.ops.AnnIndex.writePqIndex(s, s.read.parquet(baseTbl), baseTbl, idxA,
+          "vec_id", "embedding", dims = 64, nlist = 16, m = 16, ksub = 32)
+        graft.ops.AnnIndex.appendPqIndex(s, s.read.parquet(deltaTbl), deltaTbl,
+          idxA, baseTbl)
+        graft.ops.AnnIndex.writePqIndex(s, s.read.parquet(fullTbl), fullTbl, idxR,
+          "vec_id", "embedding", dims = 64, nlist = 16, m = 16, ksub = 32)
+        val appended = graft.ops.AnnIndex.pqTopKIndexed(s, s.read.parquet(fullTbl),
+            baseTbl, idxA, k = 3, nprobe = 16, rerankFactor = 2000)
+          .select(col("qid"), col("rank"), col("nid").as("a_nid"), col("cos").as("a_cos"))
+        val rebuilt = graft.ops.AnnIndex.pqTopKIndexed(s, s.read.parquet(fullTbl),
+            fullTbl, idxR, k = 3, nprobe = 16, rerankFactor = 2000)
+          .select(col("qid"), col("rank"), col("nid").as("r_nid"), col("cos").as("r_cos"))
+        appended.join(rebuilt, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("a_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("a_nid").isNull || col("r_nid").isNull ||
+                col("a_nid") =!= col("r_nid") ||
+                abs(col("a_cos") - col("r_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // Same contract for the persisted IVF-PQ index: loaded centroids +
     // codebooks + codes must reproduce ivfPqTopK row-exactly at the
     // production operating point.

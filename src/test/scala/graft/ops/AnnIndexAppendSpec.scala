@@ -219,6 +219,70 @@ class AnnIndexAppendSpec extends SparkTestBase {
     assert(viaRank == viaProbe, s"cellRank != probeCells: $viaRank vs $viaProbe")
   }
 
+  test("binary append: appended index == rebuild exactly (no fitted state at all)") {
+    import org.apache.spark.sql.functions.col
+    val base = mkTable(baseRows)
+    val delta = mkTable(deltaRows)
+    val full = mkTable(baseRows ++ deltaRows)
+    val idxA = java.nio.file.Files.createTempDirectory("graft_annapp_bin_a").toString
+    val idxR = java.nio.file.Files.createTempDirectory("graft_annapp_bin_r").toString
+    // no silent v0 restart applies here too (shared guard)
+    intercept[IllegalStateException] {
+      AnnIndex.appendBinaryIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    }
+    AnnIndex.writeBinaryIndex(spark, spark.read.parquet(base), base, idxA,
+      "vec_id", "embedding", dims)
+    AnnIndex.appendBinaryIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    AnnIndex.writeBinaryIndex(spark, spark.read.parquet(full), full, idxR,
+      "vec_id", "embedding", dims)
+    val meta = AnnIndex.readMeta(spark, idxA).get
+    assert(meta.version == 1 && meta.parts.map(_._1) == Seq(delta))
+    val corpus = spark.read.parquet(full)
+    val queries = corpus.filter(col("vec_id") <= 6L)
+    def probe(tbl: String, idx: String) =
+      AnnIndex.binaryLookupIndexed(spark, queries, corpus, tbl, idx,
+          k = 3, rerank = 8, rerankFrac = 0.3)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe(base, idxA) == probe(full, idxR),
+      "appended binary index diverged from a full rebuild")
+  }
+
+  test("pq append: frozen codebooks, appended == rebuild at exhaustive probe settings") {
+    import org.apache.spark.sql.functions.col
+    val m = 2; val ksub = 4
+    val base = mkTable(baseRows)
+    val delta = mkTable(deltaRows)
+    val full = mkTable(baseRows ++ deltaRows)
+    val idxA = java.nio.file.Files.createTempDirectory("graft_annapp_pq_a").toString
+    val idxR = java.nio.file.Files.createTempDirectory("graft_annapp_pq_r").toString
+    AnnIndex.writePqIndex(spark, spark.read.parquet(base), base, idxA,
+      "vec_id", "embedding", dims, nlist, m, ksub)
+    AnnIndex.appendPqIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    AnnIndex.writePqIndex(spark, spark.read.parquet(full), full, idxR,
+      "vec_id", "embedding", dims, nlist, m, ksub)
+    val meta = AnnIndex.readMeta(spark, idxA).get
+    assert(meta.version == 1 && meta.parts.map(_._1) == Seq(delta))
+    val corpus = spark.read.parquet(full)
+    // nprobe = nlist and a rerank set covering every candidate: the
+    // (frozen vs refit) quantizers cannot drop anything; the exact
+    // re-rank decides alone
+    def probe(tbl: String, idx: String) =
+      AnnIndex.pqTopKIndexed(spark, corpus, tbl, idx,
+          k = 3, nprobe = nlist, rerankFactor = 1000)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rank"))).toSet
+    assert(probe(base, idxA) == probe(full, idxR),
+      "appended pq index diverged from a full rebuild at exhaustive settings")
+    // drift guard fires on a far delta (baseline sampled from the
+    // stamped TABLE — pq codes carry no float vectors)
+    val far = mkTable((401L to 410L).map(i => (i, Seq(9e3 + i, -9e3, 42.0, 1.0))))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.appendPqIndex(spark, spark.read.parquet(far), far, idxA, base)
+    }
+    assert(e.getMessage.contains("DRIFT"), e.getMessage)
+  }
+
   test("a death window mid-append leaves a loudly unverifiable index") {
     val base = mkTable(baseRows)
     val delta = mkTable(deltaRows)
