@@ -328,40 +328,20 @@ object AnnIndex {
     try {
       val deltaStats = assigned.agg(count(lit(1)).as("n"),
         avg(col("_sqdist")).as("d")).collect().head
-      val nDelta = deltaStats.getLong(0)
-      require(nDelta > 0,
+      require(deltaStats.getLong(0) > 0,
         s"delta table $deltaPath has no non-null vectors — nothing to append")
-      val deltaDist = deltaStats.getDouble(1)
-      // same statistic over a bounded deterministic sample of the
-      // existing codes (distance to their OWN stored cell)
+      // baseline: distance of the stored codes to their OWN cell (the
+      // definition of quantization distortion — |v-c|² expanded, same
+      // algebra as cellRank's metric)
       val codes = spark.read.parquet(s"$indexPath/codes")
-      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
-      val estRows = (estBytes / BigInt(math.max(8L * meta.dims, 64L))).toLong.max(1L)
-      val sample = if (estRows <= maxDriftSample) codes
-        else codes.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
-      // distance of the stored codes to their OWN cell (the definition
-      // of quantization distortion — |v-c|² expanded, same algebra as
-      // cellRank's metric). The hash-mod sample can come up EMPTY when
-      // plan statistics overestimate the row count (tiny index, parquet
-      // overhead ≫ 8·dims/row): avg over zero rows is a null aggregate,
-      // so fall back to the full codes rather than NPE (r14 review)
-      def distOver(df: DataFrame): Option[Double] = {
-        val r = df.join(centDf, "cell")
-          .agg(avg(Similarity.dot(col("v"), col("v")) + col("cn2") -
-            lit(2.0) * Similarity.dot(col("v"), col("cv")))).collect().head
-        if (r.isNullAt(0)) None else Some(r.getDouble(0))
-      }
-      val baseDist = distOver(sample).orElse(distOver(codes))
-        .getOrElse(throw new IllegalStateException(
-          s"ANN index at $indexPath has no code rows — rebuild with " +
-            "AnnIndex.writeIvfIndex before appending"))
-      if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
-        throw new IllegalStateException(
-          f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
-            f"the frozen cells vs $baseDist%.4g for the indexed corpus " +
-            f"(> ${driftFactor}%.1f×) — the coarse quantizer no longer describes " +
-            "the data; rebuild with AnnIndex.writeIvfIndex (scaled nlist) " +
-            "instead of appending.")
+      driftCheck(deltaPath, deltaStats.getDouble(1), driftFactor,
+        baseline = codes.join(centDf, "cell"),
+        distCol = Similarity.dot(col("v"), col("v")) + col("cn2") -
+          lit(2.0) * Similarity.dot(col("v"), col("cv")),
+        dims = meta.dims, maxDriftSample = maxDriftSample,
+        noRowsMsg = s"ANN index at $indexPath has no code rows — rebuild with " +
+          "AnnIndex.writeIvfIndex before appending",
+        rebuildHint = "rebuild with AnnIndex.writeIvfIndex (scaled nlist)")
       // stamp drops FIRST: a death between here and the new stamp
       // leaves an index that fails verification, never one whose old
       // stamp certifies half-appended codes
@@ -373,10 +353,44 @@ object AnnIndex {
     sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
   }
 
+  /** Shared drift refusal for the append family: the delta's mean
+    * squared quantization distortion against the same statistic over a
+    * bounded deterministic sample of `baseline` (rows must carry `id`;
+    * `distCol` evaluates the distortion on them). The hash-mod sample
+    * can come up EMPTY when plan statistics overestimate the row count
+    * (tiny relation, fixed overhead ≫ 8·dims/row) — avg over zero rows
+    * is a null aggregate, so it falls back to the full baseline rather
+    * than NPE (r14 review). */
+  private def driftCheck(deltaPath: String, deltaDist: Double,
+                         driftFactor: Double, baseline: DataFrame,
+                         distCol: Column, dims: Int, maxDriftSample: Long,
+                         noRowsMsg: String, rebuildHint: String): Unit = {
+    val estBytes = baseline.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+    val sample = if (estRows <= maxDriftSample) baseline
+      else baseline.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
+    def distOver(df: DataFrame): Option[Double] = {
+      val r = df.agg(avg(distCol)).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val baseDist = distOver(sample).orElse(distOver(baseline))
+      .getOrElse(throw new IllegalStateException(noRowsMsg))
+    if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
+      throw new IllegalStateException(
+        f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
+          f"the frozen cells vs $baseDist%.4g for the fitted corpus " +
+          f"(> ${driftFactor}%.1f×) — the quantizer no longer describes the " +
+          s"data; $rebuildHint instead of appending.")
+  }
+
   /** Shared append-entry guard: an append needs an EXISTING verified
     * index of the right kind (no silent v0 restart — appending to an
     * unstamped path refuses with a build hint instead of quietly
-    * creating a fresh index), and each delta may be appended once. */
+    * creating a fresh index), and each delta may be appended once.
+    * Paths compare FS-QUALIFIED (trailing slashes, `file:` prefixes,
+    * relative forms all normalize), so an alias of the base table or
+    * of an already-appended delta cannot slip duplicate codes past
+    * the guard into an index that still verifies. */
   private def appendGuard(spark: SparkSession, indexPath: String,
                           tablePath: String, deltaPath: String,
                           kind: String): AnnIndexMeta = {
@@ -387,7 +401,13 @@ object AnnIndex {
           s"first with AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)")
       case Some(_) => verify(spark, tablePath, indexPath, kind)
     }
-    require(deltaPath != tablePath && !meta.parts.exists(_._1 == deltaPath),
+    def canon(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val deltaC = canon(deltaPath)
+    require(deltaC != canon(tablePath) && !meta.parts.exists(x => canon(x._1) == deltaC),
       s"delta table $deltaPath is already part of the index at $indexPath — " +
         "each append must bring a NEW table (re-appending would duplicate codes)")
     meta
@@ -593,17 +613,11 @@ object AnnIndex {
   def appendPqIndex(spark: SparkSession, delta: DataFrame, deltaPath: String,
                     indexPath: String, tablePath: String,
                     driftFactor: Double = 4.0,
-                    maxDriftSample: Long = 20000L): Unit = {
+                    maxDriftSample: Long = 20000L,
+                    baseTable: DataFrame = null): Unit = {
     val meta = appendGuard(spark, indexPath, tablePath, deltaPath, "pq")
     val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
     val cents = loadCentroids(spark, indexPath)
-    val bookRows = spark.read.parquet(s"$indexPath/codebooks")
-      .orderBy("j", "c").collect()
-    val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
-    val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
-    graft.functions.Registry.ensure(spark)
-    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
-    val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
     val v = delta.filter(col(meta.vecCol).isNotNull)
       .select(col(meta.idCol).as("id"),
         col(meta.vecCol).cast("array<double>").as("v"))
@@ -617,31 +631,31 @@ object AnnIndex {
         avg(col("_sqdist")).as("d")).collect().head
       require(deltaStats.getLong(0) > 0,
         s"delta table $deltaPath has no non-null vectors — nothing to append")
-      val deltaDist = deltaStats.getDouble(1)
-      val base = spark.read.parquet(tablePath)
+      // baseline from the stamped base TABLE (pq codes carry no float
+      // vectors); `baseTable` lets the caller pass the same adapted
+      // view the writer fitted on — the raw read is the fallback
+      val base = Option(baseTable).getOrElse(spark.read.parquet(tablePath))
         .filter(col(meta.vecCol).isNotNull)
         .select(col(meta.idCol).as("id"),
           col(meta.vecCol).cast("array<double>").as("v"))
-      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
-      val estRows = (estBytes / BigInt(math.max(8L * meta.dims, 64L))).toLong.max(1L)
-      val sample = if (estRows <= maxDriftSample) base
-        else base.filter(pmod(xxhash64(col("id")), lit(estRows / maxDriftSample + 1)) === 0)
-      def distOver(df: DataFrame): Option[Double] = {
-        val b = element_at(Similarity.cellRank(col("v"), cents), 1)
-        val r = df.agg(avg(Similarity.dot(col("v"), col("v")) +
-          b.getField("cdist"))).collect().head
-        if (r.isNullAt(0)) None else Some(r.getDouble(0))
-      }
-      val baseDist = distOver(sample).orElse(distOver(base))
-        .getOrElse(throw new IllegalStateException(
-          s"table $tablePath has no vector rows — rebuild with " +
-            "AnnIndex.writePqIndex before appending"))
-      if (deltaDist > driftFactor * math.max(baseDist, 1e-12))
-        throw new IllegalStateException(
-          f"DRIFT: delta table $deltaPath sits $deltaDist%.4g mean-squared from " +
-            f"the frozen cells vs $baseDist%.4g for the fitted corpus " +
-            f"(> ${driftFactor}%.1f×) — the quantizers no longer describe the " +
-            "data; rebuild with AnnIndex.writePqIndex instead of appending.")
+      val baseBest = element_at(Similarity.cellRank(col("v"), cents), 1)
+      driftCheck(deltaPath, deltaStats.getDouble(1), driftFactor,
+        baseline = base,
+        distCol = Similarity.dot(col("v"), col("v")) + baseBest.getField("cdist"),
+        dims = meta.dims, maxDriftSample = maxDriftSample,
+        noRowsMsg = s"table $tablePath has no vector rows — rebuild with " +
+          "AnnIndex.writePqIndex before appending",
+        rebuildHint = "rebuild with AnnIndex.writePqIndex")
+      // codebooks load only AFTER the guards: a refused append stays
+      // metadata-cheap (the m·ksub·subdim literal trees are the
+      // encode step's cost, not the refusal path's)
+      val bookRows = spark.read.parquet(s"$indexPath/codebooks")
+        .orderBy("j", "c").collect()
+      val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
+      val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
+      graft.functions.Registry.ensure(spark)
+      val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+      val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
       dropStamp(spark, indexPath)
       assigned
         .withColumn("codes",

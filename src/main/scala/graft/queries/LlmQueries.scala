@@ -1108,11 +1108,17 @@ object LlmQueries {
           idxA, baseTbl)
         graft.ops.AnnIndex.writePqIndex(s, s.read.parquet(fullTbl), fullTbl, idxR,
           "vec_id", "embedding", dims = 64, nlist = 16, m = 16, ksub = 32)
+        // the exhaustive-rerank premise must hold at ANY corpus scale:
+        // derive the cap from the sub-corpus count so rerankFactor·k
+        // always covers every candidate (a fixed cap would truncate on
+        // a bigger SF and the frozen-vs-refit ADC orderings would keep
+        // different survivor sets — a spurious gate failure)
+        val exhaustive = (s.read.parquet(fullTbl).count() / 3 + 1).toInt
         val appended = graft.ops.AnnIndex.pqTopKIndexed(s, s.read.parquet(fullTbl),
-            baseTbl, idxA, k = 3, nprobe = 16, rerankFactor = 2000)
+            baseTbl, idxA, k = 3, nprobe = 16, rerankFactor = exhaustive)
           .select(col("qid"), col("rank"), col("nid").as("a_nid"), col("cos").as("a_cos"))
         val rebuilt = graft.ops.AnnIndex.pqTopKIndexed(s, s.read.parquet(fullTbl),
-            fullTbl, idxR, k = 3, nprobe = 16, rerankFactor = 2000)
+            fullTbl, idxR, k = 3, nprobe = 16, rerankFactor = exhaustive)
           .select(col("qid"), col("rank"), col("nid").as("r_nid"), col("cos").as("r_cos"))
         appended.join(rebuilt, Seq("qid", "rank"), "full_outer")
           .agg(

@@ -242,7 +242,7 @@ class AnnIndexAppendSpec extends SparkTestBase {
     def probe(tbl: String, idx: String) =
       AnnIndex.binaryLookupIndexed(spark, queries, corpus, tbl, idx,
           k = 3, rerank = 8, rerankFrac = 0.3)
-        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .select(col("qid"), col("nid"), col("rank"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probe(base, idxA) == probe(full, idxR),
       "appended binary index diverged from a full rebuild")
