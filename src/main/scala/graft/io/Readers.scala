@@ -107,7 +107,11 @@ object Readers {
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Skip counter of the most recent CSV read (csv.go:117-129 logs each
-    * skip; the accumulator makes the total observable after the action). */
+    * skip; the accumulator makes the total observable after the action).
+    * APPROXIMATE by construction on both CSV paths: the ticks happen in
+    * transformations, so re-evaluating the returned frame (a second
+    * action, a retry, speculation) counts the same skips again — read
+    * it once, right after the first action, as a diagnostic. */
   @transient @volatile var lastCsvSkipped: Option[org.apache.spark.util.LongAccumulator] = None
 
   /**
@@ -220,12 +224,23 @@ object Readers {
     comment.foreach(c => reader = reader.option("comment", c.toString))
     val raw = reader.csv(src.file)
     val idx = n // corrupt column position in `full`
+    // The skip count ticks inside a TRANSFORMATION, so (exactly like
+    // the exact path's accumulator) `lastCsvSkipped` is per-evaluation
+    // and approximate under multiple actions, task retries, or
+    // speculation — Spark guarantees exactly-once accumulator updates
+    // only in actions. It is a diagnostic surface, not a ledger; the
+    // warn log is rate-limited per task so one large corrupt file
+    // cannot flood executor logs (first 20 records verbatim, then one
+    // line per 10 000 — r14 advisory).
+    val warned = new java.util.concurrent.atomic.AtomicLong(0L)
     val clean = raw.filter { r: Row =>
       val bad = !r.isNullAt(idx)
       if (bad) {
         skipped.add(1)
-        log.warn(s"csv: skipping malformed record (splittable path): " +
-          s"${Option(r.getString(idx)).getOrElse("").take(200)}")
+        val w = warned.incrementAndGet()
+        if (w <= 20 || w % 10000 == 0)
+          log.warn(s"csv: skipping malformed record #$w (splittable path): " +
+            s"${Option(r.getString(idx)).getOrElse("").take(200)}")
       }
       !bad
     }

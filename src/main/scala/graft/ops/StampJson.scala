@@ -64,6 +64,19 @@ private[graft] object StampJson {
     ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9][0-9.eE+-]*)").r
       .findFirstMatchIn(text).map(_.group(1))
 
+  /** [[numField]] parsed as an Int; None when absent OR when the
+    * matched text is not an integer literal ([[numField]]'s number
+    * class also matches '1.5' / '1e3', and a corrupt or foreign stamp
+    * must surface as the readers' "stamp does not parse" refusal, not
+    * an uncaught NumberFormatException — r14 advisory). */
+  def intField(text: String, k: String): Option[Int] =
+    numField(text, k).flatMap(s => scala.util.Try(s.toInt).toOption)
+
+  /** [[numField]] parsed as a Double; None when absent or malformed
+    * (same contract as [[intField]]). */
+  def dblField(text: String, k: String): Option[Double] =
+    numField(text, k).flatMap(s => scala.util.Try(s.toDouble).toOption)
+
   /** Extract every `{"path":"…","fp":"…"}` pair — the appended-delta
     * parts an [[AnnIndex]] stamp carries. Matched over the WHOLE stamp
     * with the escape-aware string grammar rather than inside a

@@ -62,7 +62,7 @@ object TokenizerIndex {
   private def parseMeta(text: String): Option[TokIndexMeta] = for {
     fam <- StampJson.strField(text, "family")
     tc <- StampJson.strField(text, "text_col")
-    pr <- StampJson.numField(text, "param").map(_.toInt)
+    pr <- StampJson.intField(text, "param")
     fp <- StampJson.strField(text, "table_fp")
   } yield TokIndexMeta(fam, tc, pr, fp)
 

@@ -142,6 +142,31 @@ class AnnIndexSpec extends SparkTestBase {
     assert(exKind.getMessage.contains("kind 'binary'"))
   }
 
+  test("malformed numeric stamp field -> 'does not parse', not NumberFormatException") {
+    val (tbl, table) = mkTable(40)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annidx_badnum").toString
+    AnnIndex.writeIvfIndex(spark, table, tbl, idx, "vec_id", "embedding",
+      dims, nlist = 2)
+    // a foreign/corrupt stamp can carry a non-integer where the schema
+    // says integer ('1.5', '1e3') — numField's class matches it, so the
+    // int parse must yield None and route to the rebuild message
+    // instead of throwing NumberFormatException (r14 advisory)
+    val metaPath = new org.apache.hadoop.fs.Path(idx, "_graft_ann_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = fs.create(metaPath, true)
+    try out.write(text.replace("\"nlist\":2", "\"nlist\":1.5")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.ivfLookupIndexed(spark, table, tbl, idx, k = 3)
+    }
+    assert(ex.getMessage.contains("does not parse"), ex.getMessage)
+  }
+
   test("rebuild drops the old stamp first: a dead half-rebuild cannot pass verify") {
     val (tbl, table) = mkTable(40)
     val idx = java.nio.file.Files.createTempDirectory("graft_annidx_half").toString
