@@ -844,25 +844,30 @@ object TextAnalysis {
    * integer micros BEFORE the per-doc sum, the mean is INTEGRAL
    * division — no FP rides any exchange.
    *
-   * Scale shape: transitions are ROW-LOCAL (zip_with over the token
-   * array — no positional shuffle) and pre-aggregated per (doc, prev,
-   * cur), so the ONE corpus-volume shuffle is fully map-side combined
-   * (each doc is one input row, so every pair reduces locally). That
-   * per-doc count relation feeds BOTH the model fold and the scoring
-   * join, so it persists via [[CachedRelations]] (r13 scale-probe
-   * finding: recomputing it paid the tokenize+explode+exchange twice,
-   * which was the whole 2.5×-per-10× slope of this operator — a
-   * MEMORY_AND_DISK persist is the same byte volume a shuffle write
-   * already pays). The bigram-TYPE table folds from the cached per-doc
-   * counts at type volume and is persisted for its three consumers;
-   * context / continuation statistics derive from it. The vocabulary
-   * count V needs NO second corpus pass: every token of a multi-token
-   * doc appears in some bigram as prev or cur, and a single-token
-   * doc's only token is its first token — so the distinct-term set is
-   * exactly prev ∪ cur ∪ first_tokens, all relations the plan already
-   * has (type-volume + one row per doc). Scoring is a single join of
-   * the per-doc counts against the type-level NLL (AQE broadcasts it
-   * when it fits). Caller releases the caches via
+   * Scale shape (r15 — the [[modifiedKneserNeyLogProb]] structure one
+   * order down): the MODEL FIT pays exactly ONE corpus-volume
+   * exchange — the bigram and unigram TYPE counts both fold out of a
+   * single tagged-gram relation ([[mknGrams]] without the trigram
+   * slice: each doc emits its bigrams and tokens as (kind, a, b) rows
+   * in one row-local explode, and one map-side-combined groupBy counts
+   * both orders). The fused gram table (type-volume) is persisted via
+   * [[CachedRelations]] and every model statistic — the bigram type
+   * table, context / continuation stats, the (B, V) totals — derives
+   * from it at type volume. V needs NO dedicated corpus pass or
+   * set-union: the 'u' slice's row count IS |distinct tokens|, which
+   * equals the previous formulation's |prev ∪ cur ∪ first_tokens|
+   * exactly (every token of a multi-token doc appears in some bigram
+   * as prev or cur, and a single-token doc's only token is its first
+   * token — and conversely each of those is a token). Scoring mirrors
+   * mkn3: the per-doc transition counts pre-aggregate per (doc, prev,
+   * cur) — row-local zip_with extraction, fully map-side-combined
+   * exchange, a SINGLE consumer so nothing corpus-volume computes
+   * twice or rides a cache (the r14 MEMORY_AND_DISK persist of the
+   * per-doc counts was this operator's remaining warm-curve overhang:
+   * caching corpus-volume rows costs a second corpus-volume
+   * write+read; re-deriving type stats from a type-volume cache does
+   * not) — and LEFT-joins the type-level NLL (AQE broadcasts it when
+   * it fits). Caller releases the caches via
    * [[CachedRelations.releaseAll]] after the action, like every other
    * internally-persisting operator.
    */
@@ -870,36 +875,31 @@ object TextAnalysis {
                        textCol: String): org.apache.spark.sql.DataFrame = {
     val toked = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-    val tf = CachedRelations.track(
-      toked.select(col("id"), explode(zip_with(
-        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
-        .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
-        .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val big = CachedRelations.track(
-      tf.groupBy(col("prev"), col("cur")).agg(sum(col("_tf")).as("_cab")).persist())
-    // one row per doc; feeds the position-1 scoring leg AND the
-    // vocabulary union — persisted so the raw text tokenizes once here
-    val firstTok0 = CachedRelations.track(
-      toked.select(col("id"), element_at(col("_toks"), 1).as("cur")).persist())
+    // ONE corpus-volume exchange for both orders (the mknGrams shape)
+    val grams = CachedRelations.track(taggedGrams(toked, withTrigrams = false).persist())
+    val big = grams.filter(col("kind") === "b")
+      .select(col("a").as("prev"), col("b").as("cur"), col("_n").as("_cab"))
     // per-context totals AND distinct-continuation counts in one pass
     // over the bigram-type table (row count per prev IS N1+(prev·))
     val ctx = big.groupBy(col("prev"))
       .agg(sum(col("_cab")).as("_ca"), count(lit(1)).as("_n1prev"))
     val cont = big.groupBy(col("cur")).agg(count(lit(1)).as("_n1cur"))
-    // V = |prev ∪ cur ∪ first_tokens| — identical to count_distinct
-    // over every token (see the scale-shape note above) without
-    // re-exploding the corpus
+    // B = bigram types, V = unigram types — row counts of the cached
+    // gram table's slices (V identical to the set-union formulation;
+    // see the scale-shape note above)
     val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
-      big.select(col("prev").as("term"))
-        .unionByName(big.select(col("cur").as("term")))
-        .unionByName(firstTok0.select(col("cur").as("term")))
-        .agg(count_distinct(col("term")).as("_v")))
+      grams.filter(col("kind") === "u").agg(count(lit(1)).as("_v")))
+    // per-doc transition counts: scoring side, single consumer
+    val tf = toked.select(col("id"), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
+      .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
+      .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
     val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
       (col("_b") + col("_v")).cast("double")
-    val firstTok = firstTok0
+    val firstTok = toked
+      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
       .join(cont, Seq("cur"), "left")
       .crossJoin(broadcast(bv))
       .select(col("id"), lit(1L).as("_units"),
@@ -1027,6 +1027,7 @@ object TextAnalysis {
                                          big: org.apache.spark.sql.DataFrame,
                                          cont2: org.apache.spark.sql.DataFrame,
                                          disc: org.apache.spark.sql.DataFrame,
+                                         uni: org.apache.spark.sql.DataFrame,
                                          persisted: Seq[org.apache.spark.sql.DataFrame])
 
   /** ONE corpus-volume exchange for ALL THREE n-gram orders: each doc
@@ -1035,7 +1036,16 @@ object TextAnalysis {
     * slice lengths clamp at 0 so 1- and 2-token docs contribute only
     * the orders they have — and one map-side-combined groupBy counts
     * everything. Output: (kind, a, b, c, _n), type-volume. */
-  private[ops] def mknGrams(trainToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[ops] def mknGrams(trainToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    taggedGrams(trainToks, withTrigrams = true)
+
+  /** The fused tagged-gram relation behind [[mknGrams]], shared with
+    * the bigram-order [[kneserNeyLogProb]] fit (`withTrigrams = false`
+    * drops the 't' slice — kn2 needs only the bigram/unigram counts,
+    * and an unconsumed trigram slice would triple the exchanged rows
+    * for nothing). */
+  private[ops] def taggedGrams(trainToks: org.apache.spark.sql.DataFrame,
+                               withTrigrams: Boolean): org.apache.spark.sql.DataFrame = {
     val n = size(col("_toks"))
     val len3 = greatest(n - 2, lit(0))
     val len2 = greatest(n - 1, lit(0))
@@ -1056,7 +1066,9 @@ object TextAnalysis {
     val uniArr = transform(col("_toks"),
       t => struct(lit("u").as("kind"), t.as("a"), nullStr.as("b"),
         nullStr.as("c")))
-    trainToks.select(explode(concat(triArr, bigArr, uniArr)).as("_g"))
+    val all = if (withTrigrams) concat(triArr, bigArr, uniArr)
+              else concat(bigArr, uniArr)
+    trainToks.select(explode(all).as("_g"))
       .select(col("_g.kind").as("kind"), col("_g.a").as("a"),
         col("_g.b").as("b"), col("_g.c").as("c"))
       .groupBy(col("kind"), col("a"), col("b"), col("c"))
@@ -1076,12 +1088,18 @@ object TextAnalysis {
       .select(col("a").as("prev"), col("b").as("cur"), col("_n").as("_cab"))
     val cont2 = tri.groupBy(col("v"), col("w"))
       .agg(count(lit(1)).as("_n2vw")).persist()
+    // unigram TYPE counts — scoring never joins them (V rides the disc
+    // row), but [[LmIndex.writeMknIndex]] persists them so the append
+    // face can count-merge the vocabulary (|vocab(base) ∪ vocab(delta)|
+    // is not derivable from the scalar V)
+    val uni = grams.filter(col("kind") === "u")
+      .select(col("a").as("w"), col("_n").as("_cw"))
     // B = bigram types, V = unigram types — row counts of the cached
     // gram table's slices, no corpus pass
     val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
-      grams.filter(col("kind") === "u").agg(count(lit(1)).as("_v")))
+      uni.agg(count(lit(1)).as("_v")))
     val disc = mknDiscRow(tri, cont2, bv)
-    MknModel(tri, big, cont2, disc, Seq(grams, cont2))
+    MknModel(tri, big, cont2, disc, uni, Seq(grams, cont2))
   }
 
   /** Scoring-side tokenization shared by the in-session MKN and the
