@@ -37,8 +37,15 @@ import org.apache.spark.sql.functions._
  */
 object LmIndex {
 
-  /** Coherence stamp beside an LM artifact. */
-  case class LmIndexMeta(kind: String, textCol: String, tableFp: String)
+  /** Coherence stamp beside an LM artifact. `parts` records every
+    * APPENDED delta corpus as (path, fingerprint-at-append) — the
+    * model counts cover base ∪ parts and [[verify]] checks all of
+    * them; `version` increments per append (the [[AnnIndex]]
+    * lifecycle discipline: a lifecycle event is visible in the stamp,
+    * never a silent restart). */
+  case class LmIndexMeta(kind: String, textCol: String, tableFp: String,
+                         version: Int = 0,
+                         parts: Seq[(String, String)] = Nil)
 
   private val metaName = "_graft_lm_meta.json"
 
@@ -50,9 +57,13 @@ object LmIndex {
   private def writeMeta(spark: SparkSession, indexPath: String,
                         meta: LmIndexMeta): Unit = {
     val (fs, p) = fsFor(spark, indexPath)
+    val partsJson = meta.parts.map { case (pth, f) =>
+      s"""{"path":"${StampJson.esc(pth)}","fp":"${StampJson.esc(f)}"}"""
+    }.mkString("[", ",", "]")
     val json = s"""{"kind":"${StampJson.esc(meta.kind)}",""" +
       s""""text_col":"${StampJson.esc(meta.textCol)}",""" +
-      s""""table_fp":"${StampJson.esc(meta.tableFp)}"}"""
+      s""""table_fp":"${StampJson.esc(meta.tableFp)}",""" +
+      s""""version":${meta.version},"parts":$partsJson}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -73,7 +84,9 @@ object LmIndex {
     kind <- StampJson.strField(text, "kind")
     tc <- StampJson.strField(text, "text_col")
     fp <- StampJson.strField(text, "table_fp")
-  } yield LmIndexMeta(kind, tc, fp)
+  } yield LmIndexMeta(kind, tc, fp,
+    version = StampJson.intField(text, "version").getOrElse(0),
+    parts = StampJson.pathFpList(text, "parts"))
 
   /** Read an artifact's stamp; None if absent (not produced by a
     * writer here, or a write that died before the stamp) OR
@@ -105,6 +118,16 @@ object LmIndex {
         s"since the model was fitted (listing fingerprint ${meta.tableFp.take(12)}… " +
         s"at fit vs ${live.take(12)}… now). The persisted n-gram counts describe a " +
         "corpus that no longer exists — rebuild with LmIndex.writeMknIndex.")
+    // every appended delta corpus must ALSO still be the files it was
+    // when appended — the model's counts cover base ∪ parts
+    meta.parts.foreach { case (partPath, partFp) =>
+      val pLive = Layout.tableFingerprint(spark, partPath)
+      if (pLive != partFp) throw new IllegalStateException(
+        s"LM artifact at $indexPath is STALE: appended delta corpus $partPath " +
+          s"changed since it was appended (listing fingerprint ${partFp.take(12)}… " +
+          s"at append vs ${pLive.take(12)}… now) — rebuild with " +
+          "LmIndex.writeMknIndex, or re-append from a fresh delta.")
+    }
     meta
   }
 
@@ -141,6 +164,9 @@ object LmIndex {
     try {
       m.tri.write.mode("overwrite").parquet(s"$indexPath/tri")
       m.big.write.mode("overwrite").parquet(s"$indexPath/big")
+      // scoring never reads uni (V rides the disc row); it exists so
+      // [[appendMknIndex]] can count-merge the vocabulary exactly
+      m.uni.write.mode("overwrite").parquet(s"$indexPath/uni")
       m.disc.repartition(1).write.mode("overwrite").parquet(s"$indexPath/disc")
     } finally m.persisted.foreach(_.unpersist(blocking = false))
     val fpAtEnd = Layout.tableFingerprint(spark, trainPath)
@@ -150,6 +176,115 @@ object LmIndex {
         "now) — the persisted counts describe a corpus that no longer exists, " +
         "so no stamp was written; re-run LmIndex.writeMknIndex on a quiet table.")
     writeMeta(spark, indexPath, LmIndexMeta("mkn3", textCol, fpAtStart))
+  }
+
+  /**
+   * APPEND a delta corpus to a persisted mkn3 model — the incremental
+   * posture the ANN indexes and the near-dup state chain already have,
+   * natural here because n-gram COUNT tables are additive: the union
+   * corpus's trigram/bigram/unigram type counts are exactly the
+   * per-corpus counts summed (gram extraction is row-local per doc),
+   * so a count-merge plus a discount/count-of-counts re-derivation
+   * from the MERGED tables (type volume — no corpus pass over the
+   * base) equals a full refit on base ∪ delta EXACTLY, integer for
+   * integer (q_llm_mkn_append_check pins the scored output row-exact
+   * against the refit). What the append saves at 100 TB is re-reading
+   * the whole base corpus — the delta pays its own one fused gram
+   * exchange ([[TextAnalysis.mknGrams]]) and everything else is
+   * vocabulary-bounded.
+   *
+   * Lifecycle rails (the [[AnnIndex]] append discipline): no silent
+   * v0 restart (appending to an unstamped path refuses with a build
+   * hint), one append per delta (FS-qualified path compare), stamp
+   * dropped FIRST and re-written LAST around the table swap, delta
+   * fingerprint window, every part re-verified by [[verify]] before
+   * any later scoring plan. The merged tables stage beside the live
+   * ones and swap via move-aside renames — any death window leaves a
+   * loudly-unverifiable artifact whose data is intact in named
+   * directories and heals by rebuild. An r14-era artifact without the
+   * `uni/` table refuses with a rebuild hint (the vocabulary cannot
+   * be count-merged from the scalar V).
+   */
+  def appendMknIndex(spark: SparkSession, deltaPath: String, indexPath: String,
+                     trainPath: String, idCol: String, textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, _) = fsFor(spark, indexPath)
+    if (stampText(spark, indexPath).isEmpty) throw new IllegalStateException(
+      s"LM artifact at $indexPath has no $metaName coherence stamp — an append " +
+        "needs an existing verified model (no silent v0 restart); build one " +
+        s"first with LmIndex.writeMknIndex($trainPath, $indexPath, ...)")
+    val meta = verify(spark, trainPath, indexPath, "mkn3", textCol)
+    def canon(p: String): String = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val deltaC = canon(deltaPath)
+    require(deltaC != canon(trainPath) && !meta.parts.exists(x => canon(x._1) == deltaC),
+      s"delta corpus $deltaPath is already part of the model at $indexPath — " +
+        "each append must bring a NEW table (re-appending would double-count " +
+        "its n-grams)")
+    if (!fs.exists(new Path(s"$indexPath/uni"))) throw new IllegalStateException(
+      s"LM artifact at $indexPath predates the append face (no uni/ table — " +
+        "the vocabulary cannot be count-merged from the scalar V); rebuild " +
+        "once with LmIndex.writeMknIndex to gain appendability.")
+    val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
+    val dm = TextAnalysis.mknFit(TextAnalysis.mknTokedOf(
+      spark.read.parquet(deltaPath), idCol, textCol))
+    try {
+      // count-merge each order at type volume (full outer: a type seen
+      // in either corpus survives with the summed count)
+      def merged(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                 cnt: String): DataFrame =
+        base.join(delta.select(keys.map(col) :+ col(cnt).as("_dn"): _*),
+            keys, "full_outer")
+          .select(keys.map(col) :+
+            (coalesce(col(cnt), lit(0L)) + coalesce(col("_dn"), lit(0L))).as(cnt): _*)
+      merged(spark.read.parquet(s"$indexPath/tri"), dm.tri,
+        Seq("u", "v", "w"), "_cuvw")
+        .write.mode("overwrite").parquet(s"$indexPath/tri_appending")
+      merged(spark.read.parquet(s"$indexPath/big"), dm.big,
+        Seq("prev", "cur"), "_cab")
+        .write.mode("overwrite").parquet(s"$indexPath/big_appending")
+      merged(spark.read.parquet(s"$indexPath/uni"), dm.uni,
+        Seq("w"), "_cw")
+        .write.mode("overwrite").parquet(s"$indexPath/uni_appending")
+      // discounts + (B, V) re-derive from the MERGED counts — the same
+      // expression tree the fit runs, over identical integers to a
+      // refit's, so the disc doubles are bit-identical to a refit's
+      val mTri = spark.read.parquet(s"$indexPath/tri_appending")
+      val mCont2 = mTri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw"))
+      val mBv = spark.read.parquet(s"$indexPath/big_appending")
+        .agg(count(lit(1)).as("_b"))
+        .crossJoin(spark.read.parquet(s"$indexPath/uni_appending")
+          .agg(count(lit(1)).as("_v")))
+      TextAnalysis.mknDiscRow(mTri, mCont2, mBv)
+        .repartition(1).write.mode("overwrite").parquet(s"$indexPath/disc_appending")
+    } finally dm.persisted.foreach(_.unpersist(blocking = false))
+    val deltaFpAtEnd = Layout.tableFingerprint(spark, deltaPath)
+    if (deltaFpAtEnd != deltaFpAtStart) throw new IllegalStateException(
+      s"delta corpus $deltaPath changed WHILE the append was running — nothing " +
+        "was swapped; the live model is untouched and still verified; re-run " +
+        "LmIndex.appendMknIndex from a quiet delta.")
+    // stamp drops FIRST: every death window below leaves an artifact
+    // that fails verification (data intact in named dirs), never one
+    // whose old stamp certifies half-swapped tables
+    dropStamp(spark, indexPath)
+    Seq("tri", "big", "uni", "disc").foreach { name =>
+      val live = new Path(s"$indexPath/$name")
+      val prev = new Path(s"$indexPath/${name}_preappend")
+      val staged = new Path(s"$indexPath/${name}_appending")
+      fs.delete(prev, true)
+      if (!fs.rename(live, prev) || !fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"append could not swap $staged into place — artifact UNSTAMPED; " +
+            s"per-table data is intact under $indexPath as <t>/ (not yet " +
+            "swapped), <t>_preappend/ (pre-append originals), and " +
+            "<t>_appending/ (merged); rebuild with LmIndex.writeMknIndex.")
+      fs.delete(prev, true)
+    }
+    writeMeta(spark, indexPath, meta.copy(version = meta.version + 1,
+      parts = meta.parts :+ (deltaPath, deltaFpAtStart)))
   }
 
   /**
