@@ -53,6 +53,15 @@ object RecallCheck {
           dims = 64, nlist = 16)
         rec(pairs(graft.ops.AnnIndex.ivfLookupIndexed(spark, e, tbl, idx,
           k, nprobe = 8, excludeSelf = true)))
+      },
+      "lsh_loaded" -> {
+        // the persisted-LSH path (q_llm_ann_lsh_persist_check pins it
+        // row-exact vs lshTopK; this row gates its recall like the rest)
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_recall_idx_lsh_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeLshIndex(spark, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, planes = 5, tables = 6)
+        rec(pairs(graft.ops.AnnIndex.lshTopKIndexed(spark, e, tbl, idx, k)))
       })
     (recalls, truth.size)
   }
@@ -76,7 +85,7 @@ object RecallCheck {
     val truth = pairs(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k))
     def rec(s: Set[(Long, Long)]) = (truth & s).size.toDouble / truth.size
     val (h, n) = headline(spark, dir, k)
-    println(f"RECALL lsh=${h("lsh")}%.3f ivf=${h("ivf")}%.3f ivf_int8=${h("ivf_int8")}%.3f ivf_pq=${h("ivf_pq")}%.3f binary=${h("binary")}%.3f ivf_loaded=${h("ivf_loaded")}%.3f n=$n")
+    println(f"RECALL lsh=${h("lsh")}%.3f ivf=${h("ivf")}%.3f ivf_int8=${h("ivf_int8")}%.3f ivf_pq=${h("ivf_pq")}%.3f binary=${h("binary")}%.3f ivf_loaded=${h("ivf_loaded")}%.3f lsh_loaded=${h("lsh_loaded")}%.3f n=$n")
     // config sweep for the recall/candidate-volume tradeoff table
     for ((t, mp, pl) <- Seq((1, true, 6), (2, true, 6), (4, false, 6), (4, true, 6),
                             (6, true, 6), (8, true, 6), (6, true, 7), (4, true, 5))) {
@@ -119,7 +128,7 @@ object RecallCheck {
     }
     val allPass = perSf.forall(_._3)
     val json =
-      s"""{"k":$k,"floor":$floor,"paths":["binary","ivf","ivf_int8","ivf_loaded","ivf_pq","lsh"],""" +
+      s"""{"k":$k,"floor":$floor,"paths":["binary","ivf","ivf_int8","ivf_loaded","ivf_pq","lsh","lsh_loaded"],""" +
         s""""sfs":{${perSf.map(_._2).mkString(",")}},"all_pass":$allPass}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

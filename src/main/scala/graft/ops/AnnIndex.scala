@@ -62,7 +62,8 @@ object AnnIndex {
                           dims: Int, nlist: Int, m: Int, ksub: Int,
                           tableFp: String,
                           version: Int = 0,
-                          parts: Seq[(String, String)] = Nil)
+                          parts: Seq[(String, String)] = Nil,
+                          planes: Int = 0, tables: Int = 0)
 
   private val metaName = "_graft_ann_meta.json"
 
@@ -81,6 +82,7 @@ object AnnIndex {
       s"""{"kind":"${StampJson.esc(meta.kind)}","id_col":"${StampJson.esc(meta.idCol)}",""" +
         s""""vec_col":"${StampJson.esc(meta.vecCol)}",""" +
         s""""dims":${meta.dims},"nlist":${meta.nlist},"m":${meta.m},"ksub":${meta.ksub},""" +
+        s""""planes":${meta.planes},"tables":${meta.tables},""" +
         s""""table_fp":"${StampJson.esc(meta.tableFp)}",""" +
         s""""version":${meta.version},"parts":$partsJson}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
@@ -103,14 +105,16 @@ object AnnIndex {
     kind <- StampJson.strField(text, "kind")
     id <- StampJson.strField(text, "id_col")
     vc <- StampJson.strField(text, "vec_col")
-    d <- StampJson.numField(text, "dims").map(_.toInt)
-    nl <- StampJson.numField(text, "nlist").map(_.toInt)
-    mm <- StampJson.numField(text, "m").map(_.toInt)
-    ks <- StampJson.numField(text, "ksub").map(_.toInt)
+    d <- StampJson.intField(text, "dims")
+    nl <- StampJson.intField(text, "nlist")
+    mm <- StampJson.intField(text, "m")
+    ks <- StampJson.intField(text, "ksub")
     fp <- StampJson.strField(text, "table_fp")
   } yield AnnIndexMeta(kind, id, vc, d, nl, mm, ks, fp,
-    version = StampJson.numField(text, "version").map(_.toInt).getOrElse(0),
-    parts = StampJson.pathFpList(text, "parts"))
+    version = StampJson.intField(text, "version").getOrElse(0),
+    parts = StampJson.pathFpList(text, "parts"),
+    planes = StampJson.intField(text, "planes").getOrElse(0),
+    tables = StampJson.intField(text, "tables").getOrElse(0))
 
   /** Read an index's coherence stamp; None if absent (not produced by
     * a writer here, or a write that died before the stamp) or
@@ -203,7 +207,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
-  private def loadCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+  private[graft] def loadCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] =
     spark.read.parquet(s"$indexPath/centroids")
       .orderBy("ci").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -446,23 +450,93 @@ object AnnIndex {
   def compactIvfIndex(spark: SparkSession, indexPath: String,
                       tablePath: String): Unit = {
     val meta = verify(spark, tablePath, indexPath, "ivf")
+    compactCodesSwap(spark, indexPath, meta, "compactIvfIndex",
+      "AnnIndex.writeIvfIndex") { staging =>
+      spark.read.parquet(s"$indexPath/codes")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
+  }
+
+  /**
+   * Compact a stamped IVF-PQ index's codes — [[compactIvfIndex]] for
+   * the pq kind: appended delta files under each cell partition
+   * rewrite to one file per cell; rows, centroids, codebooks, stamp
+   * parts, and probe results are unchanged. Same swap discipline.
+   */
+  def compactPqIndex(spark: SparkSession, indexPath: String,
+                     tablePath: String): Unit = {
+    val meta = verify(spark, tablePath, indexPath, "pq")
+    compactCodesSwap(spark, indexPath, meta, "compactPqIndex",
+      "AnnIndex.writePqIndex") { staging =>
+      spark.read.parquet(s"$indexPath/codes")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
+  }
+
+  /**
+   * Compact a stamped binary index's codes: the store is unpartitioned
+   * (a Hamming coarse pass scans all codes by design), so compaction
+   * coalesces the per-append file accumulation to a file count sized
+   * by the codes' actual bytes (~128 MB per file, minimum one) — no
+   * shuffle, just a read-coalesce-write. Same swap discipline and
+   * stamp rails as [[compactIvfIndex]].
+   */
+  def compactBinaryIndex(spark: SparkSession, indexPath: String,
+                         tablePath: String): Unit = {
+    val meta = verify(spark, tablePath, indexPath, "binary")
+    compactCodesSwap(spark, indexPath, meta, "compactBinaryIndex",
+      "AnnIndex.writeBinaryIndex") { staging =>
+      val codes = spark.read.parquet(s"$indexPath/codes")
+      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = (estBytes / BigInt(128L << 20)).toLong.toInt.max(1)
+      codes.coalesce(nFiles).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /**
+   * Compact a stamped LSH index's codes — same unpartitioned
+   * coalesce shape as [[compactBinaryIndex]] (the bucket join reads
+   * every code row; only the file count is lifecycle-shaped).
+   */
+  def compactLshIndex(spark: SparkSession, indexPath: String,
+                      tablePath: String): Unit = {
+    val meta = verify(spark, tablePath, indexPath, "lsh")
+    compactCodesSwap(spark, indexPath, meta, "compactLshIndex",
+      "AnnIndex.writeLshIndex") { staging =>
+      val codes = spark.read.parquet(s"$indexPath/codes")
+      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = (estBytes / BigInt(128L << 20)).toLong.toInt.max(1)
+      codes.coalesce(nFiles).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The shared compaction swap: stage the rewritten codes, drop the
+    * stamp, move the live dir aside, rename staging in, restore (and
+    * re-stamp, so a plain retry heals) if the rename fails — the data
+    * is never in only a half-written state, and every death window
+    * leaves a loudly-unverifiable index whose data is intact in a
+    * named directory. Stamps version+1 on success. */
+  private def compactCodesSwap(spark: SparkSession, indexPath: String,
+                               meta: AnnIndexMeta, retryName: String,
+                               rebuildWith: String)
+                              (writeStaging: String => Unit): Unit = {
     val (fs, _) = fsFor(spark, indexPath)
     val codesDir = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/codes_compacting")
     val oldDir = new org.apache.hadoop.fs.Path(s"$indexPath/codes_precompact")
     fs.delete(staging, true); fs.delete(oldDir, true)
-    spark.read.parquet(codesDir.toString)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    writeStaging(staging.toString)
     dropStamp(spark, indexPath)
     if (!fs.rename(codesDir, oldDir)) {
       // nothing moved — re-certify the untouched index so the caller
-      // can simply retry (compactIvfIndex verifies at entry, so an
+      // can simply retry (compaction verifies at entry, so an
       // unstamped index could NOT be healed by re-running it)
       writeMeta(spark, indexPath, meta)
       throw new java.io.IOException(
         s"compaction could not move $codesDir aside — nothing changed; the " +
-          "index was re-stamped and stays live; re-run compactIvfIndex")
+          s"index was re-stamped and stays live; re-run $retryName")
     }
     if (!fs.rename(staging, codesDir)) {
       if (fs.rename(oldDir, codesDir)) {
@@ -470,13 +544,13 @@ object AnnIndex {
         throw new java.io.IOException(
           s"compaction could not swap $staging into place — original codes " +
             s"restored and re-stamped; staging preserved at $staging; re-run " +
-            "compactIvfIndex")
+            retryName)
       }
       throw new java.io.IOException(
         s"compaction could not swap $staging into place AND could not restore " +
           s"$oldDir — index UNSTAMPED; the data is intact at $oldDir (originals) " +
           s"and $staging (compacted); restore one of them to $codesDir manually, " +
-          "or rebuild with AnnIndex.writeIvfIndex")
+          s"or rebuild with $rebuildWith")
     }
     if (!fs.delete(oldDir, true))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -603,7 +677,11 @@ object AnnIndex {
    * coherent at entry, bounded deterministic hash sample) — the same
    * statistic, a different but equally-sound source. Frozen codebooks
    * over drifted data degrade recall exactly like frozen cells do, so
-   * the refusal threshold is shared.
+   * the refusal threshold is shared. Without `baseTable` the baseline
+   * reads `tablePath` RAW, which is only sound when the files carry
+   * `idCol`/`vecCol` under their stored names and types — an index
+   * fitted on a schema-ADAPTED view must pass that view (checked, not
+   * assumed: a raw read missing either column refuses loudly).
    *
    * Equivalence contract: at nprobe = nlist with a rerank set covering
    * every candidate, the ADC coarse pass cannot drop anything and the
@@ -633,8 +711,25 @@ object AnnIndex {
         s"delta table $deltaPath has no non-null vectors — nothing to append")
       // baseline from the stamped base TABLE (pq codes carry no float
       // vectors); `baseTable` lets the caller pass the same adapted
-      // view the writer fitted on — the raw read is the fallback
-      val base = Option(baseTable).getOrElse(spark.read.parquet(tablePath))
+      // view the writer fitted on — the raw read is the fallback and
+      // ASSUMES the files carry meta.idCol/meta.vecCol under their
+      // stored names and types (writePqIndex may have fitted on a
+      // schema-ADAPTED view; an adapted table must pass `baseTable`
+      // or the check below refuses loudly instead of throwing an
+      // unresolved-column error mid-plan — r14 advisory)
+      val baseRaw = Option(baseTable).getOrElse {
+        val raw = spark.read.parquet(tablePath)
+        val missing = Seq(meta.idCol, meta.vecCol)
+          .filterNot(raw.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"appendPqIndex's drift baseline read $tablePath directly but the " +
+            s"files lack column(s) ${missing.mkString("'", "', '", "'")} the " +
+            "index was fitted on — the index was built over a schema-adapted " +
+            "view; pass that view as baseTable so the baseline measures the " +
+            "same data the codebooks describe.")
+        raw
+      }
+      val base = baseRaw
         .filter(col(meta.vecCol).isNotNull)
         .select(col(meta.idCol).as("id"),
           col(meta.vecCol).cast("array<double>").as("v"))
@@ -718,6 +813,122 @@ object AnnIndex {
       dropStamp(spark, indexPath)
       bits.write.mode("append").parquet(s"$indexPath/codes")
     } finally bits.unpersist(blocking = false)
+    sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
+  }
+
+  /**
+   * Build and stamp a multi-table LSH index: the per-row
+   * (id, b_0 … b_{tables-1}) bucket relation [[Similarity.lshTopK]]
+   * computes in-session, persisted. LSH is the one ANN kind with NO
+   * fitted state at all — the hyperplanes are deterministic hashes of
+   * (table, plane, dim) literals, identical on every build — so a
+   * loaded index is VALUE-identical to an in-session build
+   * (q_llm_ann_lsh_persist_check pins the probe row-exact) and an
+   * appended index is exactly a rebuild ([[appendLshIndex]]). What the
+   * artifact saves is the corpus-volume hyperplane pass (tables ×
+   * planes × dims multiply-adds per row) every self-join otherwise
+   * re-pays — at 100 TB the bucket relation is ~8·(tables+1) bytes/row
+   * while computing it re-reads the full vector column.
+   */
+  def writeLshIndex(spark: SparkSession, table: DataFrame, tablePath: String,
+                    indexPath: String, idCol: String, vecCol: String,
+                    dims: Int, planes: Int = 8, tables: Int = 4): Unit = {
+    dropStamp(spark, indexPath)
+    graft.functions.Registry.ensure(spark)
+    val fp = fpWindow(spark, tablePath) {
+      table.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("bs", call_function("lsh_buckets",
+          col("v"), lit(dims), lit(planes), lit(tables)))
+        .select(col("id") +:
+          (0 until tables).map(t => col("bs").getItem(t).as(s"b_$t")): _*)
+        .write.mode("overwrite").parquet(s"$indexPath/codes")
+    }
+    writeMeta(spark, indexPath, AnnIndexMeta("lsh", idCol, vecCol, dims,
+      nlist = 0, m = 0, ksub = 0, tableFp = fp, planes = planes, tables = tables))
+  }
+
+  /**
+   * Self-join top-k through a stamped LSH index — the loaded twin of
+   * [[Similarity.lshTopK]] at the index's (planes, tables): BOTH sides
+   * of the bucket join read the persisted codes (a self-join's query
+   * buckets ARE the corpus buckets, so not one hyperplane sum is
+   * computed), multi-probe keys are cheap bit-flips of the stored
+   * buckets, candidates distinct across tables/probes, exact-cosine
+   * re-rank with float vectors fetched from `table` for the candidate
+   * pairs only. `table` is the caller's adapted view of the STAMPED
+   * files — after appends that means base ∪ every appended part,
+   * exactly the rows the codes cover (the pq/binary probe convention).
+   * Row-exact vs the in-session build by construction — the persisted
+   * buckets are the same deterministic values lshTopK computes.
+   */
+  def lshTopKIndexed(spark: SparkSession, table: DataFrame,
+                     tablePath: String, indexPath: String,
+                     k: Int, multiProbe: Boolean = true): DataFrame = {
+    val meta = verify(spark, tablePath, indexPath, "lsh")
+    val vb = spark.read.parquet(s"$indexPath/codes")
+    val corpus = vb
+      .withColumn("tb", explode(array((0 until meta.tables).map(t =>
+        struct(lit(t).as("t"), col(s"b_$t").as("b"))): _*)))
+      .select(col("id").as("nid"), col("tb"))
+    val probeCols: Seq[Column] = (0 until meta.tables).flatMap { t =>
+      val base = col(s"b_$t")
+      val bs = if (multiProbe)
+        base +: (0 until meta.planes).map(j => base.bitwiseXOR(lit(1L << j)))
+      else Seq(base)
+      bs.map(b => struct(lit(t).as("t"), b.as("b")))
+    }
+    val q = vb
+      .withColumn("tb", explode(array(probeCols: _*)))
+      .select(col("id").as("qid"), col("tb"))
+    val cand = q.join(corpus, "tb")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val v0 = table.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"),
+        col(meta.vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val pairs = cand
+      .join(v0.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(v0.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * APPEND a delta table to a stamped LSH index: the delta's buckets
+   * compute through the same deterministic hyperplane hashes at the
+   * stamped (planes, tables) and land as new code files; the stamp
+   * gains a verified (deltaPath, fingerprint) part. Because LSH has no
+   * fitted state there is NO drift to guard and an appended index
+   * equals a full rebuild EXACTLY at every operating point
+   * (q_llm_ann_lsh_append_check pins it with zero tolerance). Same
+   * lifecycle rails: no silent v0 restart, one append per delta, stamp
+   * dropped FIRST, delta fingerprint window.
+   */
+  def appendLshIndex(spark: SparkSession, delta: DataFrame, deltaPath: String,
+                     indexPath: String, tablePath: String): Unit = {
+    val meta = appendGuard(spark, indexPath, tablePath, deltaPath, "lsh")
+    val deltaFpAtStart = Layout.tableFingerprint(spark, deltaPath)
+    graft.functions.Registry.ensure(spark)
+    val bs = delta.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("id"),
+        col(meta.vecCol).cast("array<double>").as("v"))
+      .withColumn("bs", call_function("lsh_buckets",
+        col("v"), lit(meta.dims), lit(meta.planes), lit(meta.tables)))
+      .select(col("id") +:
+        (0 until meta.tables).map(t => col("bs").getItem(t).as(s"b_$t")): _*)
+      .persist()
+    try {
+      require(bs.count() > 0,
+        s"delta table $deltaPath has no non-null vectors — nothing to append")
+      dropStamp(spark, indexPath)
+      bs.write.mode("append").parquet(s"$indexPath/codes")
+    } finally bs.unpersist(blocking = false)
     sealAppend(spark, indexPath, deltaPath, deltaFpAtStart, meta)
   }
 

@@ -1159,6 +1159,73 @@ object LlmQueries {
       Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // Same contract for the persisted LSH index — the one ANN kind
+    // with NO fitted state (hyperplanes are deterministic hashes), so
+    // the loaded self-join must equal the in-session lshTopK at the
+    // production operating point row-exactly, with not one hyperplane
+    // sum computed on the probe side (both bucket legs read the codes).
+    Q("q_llm_ann_lsh_persist_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_lsh_${math.abs(dir.hashCode)}"
+        graft.ops.AnnIndex.writeLshIndex(s, e, tbl, idx, "vec_id", "embedding",
+          dims = 64, planes = 5, tables = 6)
+        val loaded = graft.ops.AnnIndex.lshTopKIndexed(s, e, tbl, idx, k = 3)
+          .select(col("qid"), col("rank"), col("nid").as("l_nid"), col("cos").as("l_cos"))
+        val fit = Similarity.lshTopK(e, "vec_id", "embedding",
+            dims = 64, k = 3, planes = 5, tables = 6)
+          .select(col("qid"), col("rank"), col("nid").as("f_nid"), col("cos").as("f_cos"))
+        loaded.join(fit, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("l_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("l_nid").isNull || col("f_nid").isNull ||
+                col("l_nid") =!= col("f_nid") ||
+                abs(col("l_cos") - col("f_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      // every vector has at least one same-bucket neighbor at this
+      // operating point on this corpus (recall-gated), so the query
+      // count is the full table like the pq persist check
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Append equivalence for the LSH index: buckets are a pure
+    // function of the vector (no fitted state at all), so an appended
+    // index must equal a full rebuild EXACTLY at every operating
+    // point — the strongest equivalence in the append family.
+    Q("q_llm_ann_lsh_append_check",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val h = math.abs(dir.hashCode)
+        val baseTbl = s"/tmp/graft_annlsh_append_base_$h"
+        val deltaTbl = s"/tmp/graft_annlsh_append_delta_$h"
+        val fullTbl = s"$dir/embeddings.parquet"
+        e.filter(col("vec_id") % 3 =!= 0).write.mode("overwrite").parquet(baseTbl)
+        e.filter(col("vec_id") % 3 === 0).write.mode("overwrite").parquet(deltaTbl)
+        val idxA = s"/tmp/graft_ann_idx_lsh_appended_$h"
+        val idxR = s"/tmp/graft_ann_idx_lsh_rebuilt_$h"
+        graft.ops.AnnIndex.writeLshIndex(s, s.read.parquet(baseTbl), baseTbl, idxA,
+          "vec_id", "embedding", dims = 64, planes = 5, tables = 6)
+        graft.ops.AnnIndex.appendLshIndex(s, s.read.parquet(deltaTbl), deltaTbl,
+          idxA, baseTbl)
+        graft.ops.AnnIndex.writeLshIndex(s, e, fullTbl, idxR,
+          "vec_id", "embedding", dims = 64, planes = 5, tables = 6)
+        val appended = graft.ops.AnnIndex.lshTopKIndexed(s, e, baseTbl, idxA, k = 3)
+          .select(col("qid"), col("rank"), col("nid").as("a_nid"), col("cos").as("a_cos"))
+        val rebuilt = graft.ops.AnnIndex.lshTopKIndexed(s, e, fullTbl, idxR, k = 3)
+          .select(col("qid"), col("rank"), col("nid").as("r_nid"), col("cos").as("r_cos"))
+        appended.join(rebuilt, Seq("qid", "rank"), "full_outer")
+          .agg(
+            countDistinct(when(col("a_nid").isNotNull, col("qid"))).as("n_queries"),
+            sum(when(col("a_nid").isNull || col("r_nid").isNull ||
+                col("a_nid") =!= col("r_nid") ||
+                abs(col("a_cos") - col("r_cos")) > 1e-9, 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
     // Same contract for the persisted binary index: stored sign bits
     // must reproduce binaryTopK (incl. the corpus-fraction-scaled
     // rerank) row-exactly.
@@ -2755,6 +2822,47 @@ object LlmQueries {
             sum(when(col("l_nt").isNull || col("f_nt").isNull ||
                 col("l_nt") =!= col("f_nt") || col("l_s") =!= col("f_s") ||
                 col("l_a") =!= col("f_a"), 1L)
+              .otherwise(0L)).as("n_mismatch"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+        CAST(0 AS BIGINT) AS n_mismatch""")),
+
+    // Append-lifecycle equivalence oracle for the persisted LM (r14
+    // verdict ask 4): a model fitted on two thirds of the corpus and
+    // APPENDED with the rest (count-merge + discount re-derivation
+    // from the merged tables — n-gram counts are additive) must score
+    // EXACTLY like a full refit on the union corpus: counts are
+    // integers, the disc doubles derive from identical integers
+    // through the identical expression tree, so equality is exact —
+    // zero tolerance on all three integer columns.
+    Q("q_llm_mkn_append_check",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val h = math.abs(dir.hashCode)
+        val baseTbl = s"/tmp/graft_lm_append_base_$h"
+        val deltaTbl = s"/tmp/graft_lm_append_delta_$h"
+        val fullTbl = s"/tmp/graft_lm_append_full_$h"
+        docs.filter(col("doc_id") % 3 =!= 0).write.mode("overwrite").parquet(baseTbl)
+        docs.filter(col("doc_id") % 3 === 0).write.mode("overwrite").parquet(deltaTbl)
+        docs.write.mode("overwrite").parquet(fullTbl)
+        val idxA = s"/tmp/graft_lm_idx_mkn_appended_$h"
+        val idxR = s"/tmp/graft_lm_idx_mkn_refit_$h"
+        graft.ops.LmIndex.writeMknIndex(s, baseTbl, idxA, "doc_id", "text")
+        graft.ops.LmIndex.appendMknIndex(s, deltaTbl, idxA, baseTbl, "doc_id", "text")
+        graft.ops.LmIndex.writeMknIndex(s, fullTbl, idxR, "doc_id", "text")
+        val appended = graft.ops.LmIndex.scoreMknIndexed(s, docs, "doc_id", "text",
+            baseTbl, idxA)
+          .select(col("doc_id"), col("n_tokens").as("a_nt"),
+            col("sum_nll_micro").as("a_s"), col("avg_nll_micro").as("a_a"))
+        val refit = graft.ops.LmIndex.scoreMknIndexed(s, docs, "doc_id", "text",
+            fullTbl, idxR)
+          .select(col("doc_id"), col("n_tokens").as("r_nt"),
+            col("sum_nll_micro").as("r_s"), col("avg_nll_micro").as("r_a"))
+        appended.join(refit, Seq("doc_id"), "full_outer")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("a_nt").isNull || col("r_nt").isNull ||
+                col("a_nt") =!= col("r_nt") || col("a_s") =!= col("r_s") ||
+                col("a_a") =!= col("r_a"), 1L)
               .otherwise(0L)).as("n_mismatch"))
       },
       Some("""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,

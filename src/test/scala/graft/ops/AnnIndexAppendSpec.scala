@@ -283,6 +283,129 @@ class AnnIndexAppendSpec extends SparkTestBase {
     assert(e.getMessage.contains("DRIFT"), e.getMessage)
   }
 
+  test("pq compaction: probe rows identical, fewer code files, parts preserved") {
+    import org.apache.spark.sql.functions.col
+    val m = 2; val ksub = 4
+    val base = mkTable(baseRows)
+    val d1 = mkTable(deltaRows)
+    val d2 = mkTable((301L to 310L).map(i => vec(i, (i % 2).toInt)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_annapp_pqcp").toString
+    AnnIndex.writePqIndex(spark, spark.read.parquet(base), base, idx,
+      "vec_id", "embedding", dims, nlist, m, ksub)
+    AnnIndex.appendPqIndex(spark, spark.read.parquet(d1), d1, idx, base)
+    AnnIndex.appendPqIndex(spark, spark.read.parquet(d2), d2, idx, base)
+    val corpus = spark.read.parquet(mkTable(baseRows ++ deltaRows))
+    def probe() = AnnIndex.pqTopKIndexed(spark, corpus, base, idx,
+        k = 3, nprobe = nlist, rerankFactor = 1000)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"))).toSet
+    val before = probe()
+    def nFiles: Int = {
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = nFiles
+    AnnIndex.compactPqIndex(spark, idx, base)
+    val meta = AnnIndex.readMeta(spark, idx).get
+    assert(meta.version == 3 && meta.parts.map(_._1) == Seq(d1, d2),
+      s"pq compaction must preserve the part list, got $meta")
+    assert(nFiles < filesBefore && nFiles <= nlist,
+      s"pq compaction must land one file per cell ($filesBefore -> $nFiles)")
+    assert(probe() == before, "pq compaction changed probe results")
+  }
+
+  test("binary compaction: probe rows identical, bounded file count") {
+    import org.apache.spark.sql.functions.col
+    val base = mkTable(baseRows)
+    val d1 = mkTable(deltaRows)
+    val d2 = mkTable((301L to 310L).map(i => vec(i, (i % 2).toInt)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_annapp_bincp").toString
+    AnnIndex.writeBinaryIndex(spark, spark.read.parquet(base), base, idx,
+      "vec_id", "embedding", dims)
+    AnnIndex.appendBinaryIndex(spark, spark.read.parquet(d1), d1, idx, base)
+    AnnIndex.appendBinaryIndex(spark, spark.read.parquet(d2), d2, idx, base)
+    val corpus = spark.read.parquet(mkTable(baseRows ++ deltaRows))
+    val queries = corpus.filter(col("vec_id") <= 6L)
+    def probe() = AnnIndex.binaryLookupIndexed(spark, queries, corpus, base, idx,
+        k = 3, rerank = 8, rerankFrac = 0.3)
+      .select(col("qid"), col("nid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probe()
+    def nFiles: Int = {
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = nFiles
+    AnnIndex.compactBinaryIndex(spark, idx, base)
+    val meta = AnnIndex.readMeta(spark, idx).get
+    assert(meta.version == 3 && meta.parts.map(_._1) == Seq(d1, d2))
+    assert(nFiles < filesBefore && nFiles == 1,
+      s"tiny binary codes must compact to one file ($filesBefore -> $nFiles)")
+    assert(probe() == before, "binary compaction changed probe results")
+  }
+
+  test("lsh: persisted probe == in-session lshTopK; append == rebuild; compaction stable") {
+    import org.apache.spark.sql.functions.col
+    val base = mkTable(baseRows)
+    val delta = mkTable(deltaRows)
+    val full = mkTable(baseRows ++ deltaRows)
+    val idxA = java.nio.file.Files.createTempDirectory("graft_annapp_lsh_a").toString
+    val idxR = java.nio.file.Files.createTempDirectory("graft_annapp_lsh_r").toString
+    // shared guard: no silent v0 restart
+    intercept[IllegalStateException] {
+      AnnIndex.appendLshIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    }
+    AnnIndex.writeLshIndex(spark, spark.read.parquet(base), base, idxA,
+      "vec_id", "embedding", dims, planes = 4, tables = 3)
+    // vecTbl covers the INDEX CONTENTS (base ∪ appended parts) — the
+    // rerank fetches vectors from the caller's view of the stamped
+    // files, which after an append includes every part (the same
+    // convention the pq/binary append checks use)
+    def loadedPairs(vecTbl: String, tblPath: String, idx: String) = {
+      val corpus = spark.read.parquet(vecTbl)
+      AnnIndex.lshTopKIndexed(spark, corpus, tblPath, idx, k = 3)
+        .select(col("qid"), col("nid"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    // loaded == in-session row-exactly (no fitted state: the persisted
+    // buckets ARE the deterministic hyperplane values lshTopK computes)
+    val inSession = Similarity.lshTopK(spark.read.parquet(base),
+        "vec_id", "embedding", dims, k = 3, planes = 4, tables = 3)
+      .select(col("qid"), col("nid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    CachedRelations.releaseAll()
+    assert(loadedPairs(base, base, idxA) == inSession,
+      "loaded lsh probe diverged from the in-session build")
+    // appended == rebuild EXACTLY at every operating point
+    AnnIndex.appendLshIndex(spark, spark.read.parquet(delta), delta, idxA, base)
+    AnnIndex.writeLshIndex(spark, spark.read.parquet(full), full, idxR,
+      "vec_id", "embedding", dims, planes = 4, tables = 3)
+    val meta = AnnIndex.readMeta(spark, idxA).get
+    assert(meta.version == 1 && meta.parts.map(_._1) == Seq(delta) &&
+      meta.planes == 4 && meta.tables == 3, s"stamp must carry lsh geometry: $meta")
+    assert(loadedPairs(full, base, idxA) == loadedPairs(full, full, idxR),
+      "appended lsh index diverged from a full rebuild")
+    // compaction: row-identity + bounded file count
+    val before = loadedPairs(full, base, idxA)
+    AnnIndex.compactLshIndex(spark, idxA, base)
+    val fs = new org.apache.hadoop.fs.Path(idxA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idxA/codes"), true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    assert(n == 1, s"tiny lsh codes must compact to one file, got $n")
+    assert(AnnIndex.readMeta(spark, idxA).get.version == 2)
+    assert(loadedPairs(full, base, idxA) == before, "lsh compaction changed probe results")
+  }
+
   test("a death window mid-append leaves a loudly unverifiable index") {
     val base = mkTable(baseRows)
     val delta = mkTable(deltaRows)

@@ -20,7 +20,7 @@ class RecallFloorSpec extends SparkTestBase {
     val (recalls, nTruth) = graft.RecallCheck.headline(spark, dir, k = 3)
     assert(nTruth > 1000, s"suspiciously small truth set: $nTruth")
     assert(recalls.keySet ==
-      Set("lsh", "ivf", "ivf_int8", "ivf_pq", "binary", "ivf_loaded"))
+      Set("lsh", "ivf", "ivf_int8", "ivf_pq", "binary", "ivf_loaded", "lsh_loaded"))
     recalls.toSeq.sortBy(_._1).foreach { case (path, r) =>
       assert(r >= graft.RecallCheck.floor,
         f"$path recall@3 $r%.3f below floor ${graft.RecallCheck.floor}")
