@@ -371,7 +371,10 @@ object StreamOps {
       trainPath, indexPath, textCol, maxTypes)
     val score = udf((text: String) =>
       Option(text).map(t => model.scoreDoc(graft.ops.LmIndex.sparkTokens(t))))
-    stream.withColumn("_ppl", score(col(textCol)))
+    // evaluation barrier: see tokenizeFertilityStream — without it the
+    // pure UDF can inline into all three field extractions and score
+    // each doc three times after projection collapse
+    stream.withColumn("_ppl", score.asNondeterministic()(col(textCol)))
       .withColumn("n_tokens", col("_ppl._1"))
       .withColumn("sum_nll_micro", col("_ppl._2"))
       .withColumn("avg_nll_micro", col("_ppl._3"))
@@ -435,8 +438,14 @@ object StreamOps {
     }
     val byteUnits = family == "bbpe"
     // per-task word memo: each task deserializes its own closure copy,
-    // so no cross-thread sharing; cleared when it outgrows its bound
-    val memo = new java.util.HashMap[String, (Long, Long)]()
+    // so no cross-thread sharing. Access-ordered LinkedHashMap = true
+    // LRU — evict one cold entry at the bound instead of clearing the
+    // whole hot set (a wholesale clear() re-encoded the entire working
+    // vocabulary every 65 536 words — r14 advisory).
+    val memo = new java.util.LinkedHashMap[String, (Long, Long)](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long)]): Boolean = size() > 65536
+    }
     val score = udf((text: String) => Option(text).map { t =>
       val words = LmIndex.sparkTokens(t)
       var nw = 0L; var nt = 0L; var nu = 0L; var unk = 0L
@@ -446,8 +455,7 @@ object StreamOps {
         var e = memo.get(w)
         if (e == null) {
           e = encodeWord(w)
-          if (memo.size > 65536) memo.clear()
-          memo.put(w, e)
+          memo.put(w, e) // removeEldestEntry evicts LRU at the bound
         }
         nw += 1; nt += e._1; unk += e._2
         nu += (if (byteUnits) w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
@@ -458,7 +466,12 @@ object StreamOps {
     })
     val unitCol = if (byteUnits) "n_bytes" else "n_chars"
     val ratioCol = if (byteUnits) "bytes_per_token_micro" else "chars_per_token_micro"
-    val base = stream.withColumn("_tf", score(col(textCol)))
+    // asNondeterministic is an EVALUATION BARRIER, not a semantics
+    // change (the function is pure): CollapseProject will not inline a
+    // non-deterministic expression into the four field extractions
+    // below, so each row encodes ONCE instead of up to once per
+    // extracted field (r14 advisory).
+    val base = stream.withColumn("_tf", score.asNondeterministic()(col(textCol)))
       .withColumn("n_words", col("_tf._1"))
       .withColumn("n_tokens", col("_tf._2"))
       .withColumn(unitCol, col("_tf._3"))
@@ -792,6 +805,64 @@ object StreamOps {
     }.toIndexedSeq: _*)
     val probed = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("cell", explode(slice(array_sort(transform(centLits, c =>
+        struct((c.getField("cn2") - lit(2.0) * Similarity.dot(col("qv"), c.getField("cv"))).as("d"),
+          c.getField("ci").as("ci")))), 1, nprobe).getField("ci")))
+    probed.join(index, "cell")
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Boolean]) =>
+          rows.toArray.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((_, nid, cos), i) => (qid, nid, cos, i + 1) }.iterator
+      }
+      .toDF("qid", "nid", "cos", "rank")
+  }
+
+  /**
+   * Stream-static ANN lookup through a PERSISTED, verified
+   * [[graft.ops.AnnIndex]] IVF artifact — [[ivfLookupStream]] with the
+   * fit taken out of the hot path: the stamp verifies ONCE at query
+   * definition (loud on STALE — the streaming face must not probe
+   * cells that describe a corpus that moved), the persisted centroids
+   * load as plan literals, and the persisted codes (id, v, nrm, cell)
+   * are the static join side — nothing refits, and the corpus table
+   * is never read (the codes carry the vectors and norms). Each
+   * micro-batch of query vectors ranks its `nprobe` nearest cells
+   * ROW-LOCALLY (the same array_sort form as [[ivfLookupStream]] —
+   * the batch path's window rank is not allowed on a stream), joins
+   * the cell-keyed codes, and resolves exact-cosine top-k per query
+   * in flatMapGroupsWithState. Stream==batch contract (spec-pinned):
+   * aggregated over the same query set, the emitted rows equal
+   * [[graft.ops.AnnIndex.ivfLookupIndexed]] at the same (k, nprobe).
+   *
+   * The loaded code relation is persisted and registered with
+   * [[graft.ops.CachedRelations]] — callers release after stopping
+   * the stream.
+   */
+  def annLookupStream(queries: DataFrame, tablePath: String, indexPath: String,
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.ops.{AnnIndex, CachedRelations, Similarity}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val meta = AnnIndex.verify(spark, tablePath, indexPath, "ivf")
+    val cents = AnnIndex.loadCentroids(spark, indexPath)
+    val index = CachedRelations.track(
+      spark.read.parquet(s"$indexPath/codes")
+        .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+          col("cell"))
+        .persist())
+    val centLits = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+        lit(c.map(x => x * x).sum).as("cn2"))
+    }.toIndexedSeq: _*)
+    val probed = queries.filter(col(meta.vecCol).isNotNull)
+      .select(col(meta.idCol).as("qid"),
+        col(meta.vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
       .withColumn("cell", explode(slice(array_sort(transform(centLits, c =>
         struct((c.getField("cn2") - lit(2.0) * Similarity.dot(col("qv"), c.getField("cv"))).as("d"),

@@ -465,6 +465,55 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ANN lookup through a persisted index == batch ivfLookupIndexed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.AnnIndex
+    // two well-separated clusters with per-id jitter; nprobe=1 of
+    // nlist=2 exercises PARTIAL probing, so the stream's row-local
+    // cell ranking must agree with the batch window ranking (pinned
+    // rank-identical by the cellRank==probeCells spec) for the rows
+    // to match
+    val tbl = java.nio.file.Files.createTempDirectory("graft_annstream_tbl").toString
+    (1L to 40L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(c + 0.01 * (i % 7), c - 0.02 * (i % 5), c + 0.5, 1.0))
+    }.toDF("vec_id", "embedding").repartition(2)
+      .write.mode("overwrite").parquet(tbl)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annstream_idx").toString
+    AnnIndex.writeIvfIndex(spark, spark.read.parquet(tbl), tbl, idx,
+      "vec_id", "embedding", dims = 4, nlist = 2)
+    val queryRows = Seq(
+      (1001L, Array(10.0, 9.9, 10.4, 1.0)),   // cluster-1 probe
+      (1002L, Array(0.1, -0.1, 0.6, 1.0)),    // cluster-0 probe
+      (1003L, Array(5.0, 5.0, 5.0, 1.0)))     // between the cells
+    val mem = MemoryStream[(Long, Array[Double])]
+    val out = StreamOps.annLookupStream(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, idx, k = 3, nprobe = 1)
+    val q = out.writeStream.format("memory").queryName("ann_lookup_idx")
+      .outputMode("append").start()
+    try {
+      mem.addData(queryRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ann_lookup_idx").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("nid"), r.getAs[Double]("cos")))).toMap
+      val batch = AnnIndex.ivfLookupIndexed(spark,
+          queryRows.toDF("vec_id", "embedding"), tbl, idx, k = 3, nprobe = 1)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("nid"), r.getAs[Double]("cos")))).toMap
+      assert(streamed == batch,
+        s"stream != batch through the same persisted index: $streamed vs $batch")
+      assert(streamed.keys.map(_._1).toSet == Set(1001L, 1002L, 1003L))
+    } finally {
+      q.stop()
+      assert(graft.ops.CachedRelations.releaseAll() >= 1) // loaded codes released
+    }
+  }
+
   test("streaming kNN classify: majority label from the static index per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
