@@ -495,6 +495,17 @@ object Layout {
    */
   def tableFingerprint(spark: org.apache.spark.sql.SparkSession,
                        tablePath: String): String = {
+    val entries = dataFileEntries(spark, tablePath)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The (relative path, length, mtime) listing [[tableFingerprint]]
+    * hashes — one metadata-scale recursive list of the table's
+    * non-hidden data files. */
+  private def dataFileEntries(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.getFileStatus(hPath).getPath // qualified, for relativize
@@ -509,9 +520,7 @@ object Layout {
         seg.startsWith("_") || seg.startsWith("."))
       if (!hidden) entries += s"$rel:${s.getLen}:${s.getModificationTime}"
     }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().map("%02x".format(_)).mkString
+    entries.toSeq
   }
 
   /** The self-describing coherence stamp written beside a bloom index
@@ -548,10 +557,10 @@ object Layout {
       finally in.close()
     for {
       c <- StampJson.strField(text, "column")
-      n <- StampJson.numField(text, "items_per_file")
-      f <- StampJson.numField(text, "fpp")
+      n <- StampJson.dblField(text, "items_per_file")
+      f <- StampJson.dblField(text, "fpp")
       fp <- StampJson.strField(text, "table_fp")
-    } yield BloomIndexMeta(c, n.toDouble.toLong, f.toDouble, fp)
+    } yield BloomIndexMeta(c, n.toLong, f, fp)
   }
 
   /** Build [[bloomIndex]] and persist it as the table's side index,
@@ -565,7 +574,16 @@ object Layout {
     // stamp lands (the LmIndex/AnnIndex fit-window discipline): a table
     // that changes mid-build must not end up certified coherent
     val fpAtStart = tableFingerprint(spark, tablePath)
+    // the sidecar has ONE row (~a bloom bitmap, 100 KB class) per data
+    // file — without a bound the groupBy sprays those rows across
+    // shuffle-partition-count near-empty files and every probe's index
+    // scan is file-count-shaped (r14 scale probe: the probe leg grew
+    // 2.6× at 10× on listing/open overhead alone). One index file per
+    // ~64 data files keeps the probe scan flat: ~6 MB index files, and
+    // a 1M-file 100 TB table still gets a healthy ~16k-way index scan.
+    val nIdxFiles = (dataFileEntries(spark, tablePath).size / 64 + 1).min(10000)
     bloomIndex(spark, tablePath, column, itemsPerFile, fpp)
+      .coalesce(nIdxFiles)
       .write.mode("overwrite").parquet(indexPath)
     val fpAtEnd = tableFingerprint(spark, tablePath)
     if (fpAtEnd != fpAtStart) throw new IllegalStateException(
