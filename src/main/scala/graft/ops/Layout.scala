@@ -466,12 +466,23 @@ object Layout {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
+    // `itemsPerFile` is a CAPACITY BOUND, not the sketch size: sizing
+    // the bitmap beyond a file's actual row count cannot lower the
+    // false-positive rate, it only inflates every index row (the r15
+    // scale probe measured a 96×-oversized bitmap as the whole
+    // file-count shape of the probe leg). When the table is small
+    // enough to ask cheaply (≤1024 footers, one metadata read each),
+    // clamp the sizing to the real max rows-per-file; beyond that the
+    // caller's declared capacity stands — a million-file table's owner
+    // knows its file size.
+    val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, path)
+      .getOrElse(itemsPerFile)))
     val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(itemsPerFile, fpp)
+      .optimalNumOfBits(effItems, fpp)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(column))),
-        Literal(itemsPerFile), Literal(numBits)).toAggregateExpression())
+        Literal(effItems), Literal(numBits)).toAggregateExpression())
     spark.read.parquet(path)
       .select(col(column), col("_metadata.file_path").as("file"))
       .groupBy(col("file"))
@@ -499,6 +510,33 @@ object Layout {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Max row count over the table's parquet files, read from the file
+    * FOOTERS (metadata only, no data pages) — None when the table has
+    * more than 1024 files (the driver-side footer walk stops being
+    * metadata-cheap) or no parquet files at all. Sizes [[bloomIndex]]
+    * sketches to reality. */
+  private def maxRowsPerFile(spark: org.apache.spark.sql.SparkSession,
+                             tablePath: String): Option[Long] = {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hPath.getFileSystem(conf)
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(fs.getFileStatus(hPath).getPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        statuses += s
+      if (statuses.size > 1024) return None
+    }
+    if (statuses.isEmpty) return None
+    Some(statuses.map { s =>
+      val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+      try rf.getRecordCount finally rf.close()
+    }.max)
   }
 
   /** The (relative path, length, mtime) listing [[tableFingerprint]]
@@ -639,9 +677,14 @@ object Layout {
     graft.functions.Registry.ensure(spark)
     val idx = spark.read.parquet(indexPath)
     val colType = idx.schema("min_val").dataType
+    // min/max prunes BEFORE the bloom test: a value outside a file's
+    // [min, max] cannot be in it, so the sketch never deserializes for
+    // rows the cheap range check drops (correctness unchanged — the
+    // bloom would also answer "maybe" only inside its file's rows)
     val pred = values.map { v =>
         val probe = lit(v).cast(colType)
-        call_function("bloom_bytes_might_contain", col("bloom"), xxhash64(probe))
+        probe.between(col("min_val"), col("max_val")) &&
+          call_function("bloom_bytes_might_contain", col("bloom"), xxhash64(probe))
       }
       .reduce(_ || _)
     idx.filter(pred)
