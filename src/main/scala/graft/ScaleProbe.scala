@@ -133,7 +133,12 @@ object ScaleProbe {
       (0 until passes).map(_ => time(fn)).min
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // local-iteration filter, like Verify's SPARK_GRAFT_ONLY (the
+    // driver never sets it; the committed artifact is one full run)
+    val onlyProbes = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def probe(op: String)(base: => DataFrame)(scaled: => DataFrame): Unit = {
+      if (!onlyProbes.forall(_(op))) return
       val t1 = best(2)(base)
       val tN = best(2)(scaled)
       results(op) = (t1, tN)
@@ -141,6 +146,7 @@ object ScaleProbe {
     }
     /** Unit-thunk variant for side-effecting legs (index builds). */
     def probeU(op: String)(base: => Unit)(scaled: => Unit): Unit = {
+      if (!onlyProbes.forall(_(op))) return
       def timeU(fn: => Unit): Double = {
         val t0 = System.nanoTime()
         try fn finally graft.ops.CachedRelations.releaseAll()

@@ -477,8 +477,17 @@ object Layout {
     // knows its file size.
     val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, path)
       .getOrElse(itemsPerFile)))
+    // `fpp` is PER FILE, but what a probe pays for is false-positive
+    // FILES — E[FP files] = fpp × nFiles grows linearly with the table
+    // (at 1M files, 1% would falsely read ~10k files per probe), while
+    // tightening fpp costs only log-linear bits. Cap the expectation
+    // at 0.1 falsely-read files per probe value; the caller's fpp
+    // stands when it is already tighter. The listing is the same
+    // metadata walk the fingerprint stamp pays.
+    val nFiles = dataFileEntries(spark, path).size.max(1)
+    val effFpp = math.min(fpp, 0.1 / nFiles)
     val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(effItems, fpp)
+      .optimalNumOfBits(effItems, effFpp)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(column))),
@@ -519,46 +528,58 @@ object Layout {
     * sketches to reality. */
   private def maxRowsPerFile(spark: org.apache.spark.sql.SparkSession,
                              tablePath: String): Option[Long] = {
-    val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = hPath.getFileSystem(conf)
-    val statuses = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    val it = fs.listFiles(fs.getFileStatus(hPath).getPath, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val name = s.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        statuses += s
-      if (statuses.size > 1024) return None
-    }
-    if (statuses.isEmpty) return None
-    Some(statuses.map { s =>
+    val statuses = walkDataFiles(spark, tablePath).map(_._2)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (statuses.isEmpty || statuses.size > 1024) return None
+    // the per-footer open is I/O-latency-bound (~10 ms each measured),
+    // so read them concurrently on the driver — a java parallel stream
+    // over ≤1024 files, no Spark job needed
+    Some(java.util.Arrays.stream(statuses.toArray).parallel().mapToLong { s =>
       val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
       try rf.getRecordCount finally rf.close()
-    }.max)
+    }.max.orElse(0L)).filter(_ > 0L)
   }
 
   /** The (relative path, length, mtime) listing [[tableFingerprint]]
     * hashes — one metadata-scale recursive list of the table's
     * non-hidden data files. */
   private def dataFileEntries(spark: org.apache.spark.sql.SparkSession,
-                              tablePath: String): Seq[String] = {
+                              tablePath: String): Seq[String] =
+    walkDataFiles(spark, tablePath).map { case (rel, s) =>
+      s"$rel:${s.getLen}:${s.getModificationTime}"
+    }
+
+  /** Recursive non-hidden data-file walk as (relative path, status).
+    * Deliberately `listStatusIterator` recursion, NOT
+    * `fs.listFiles(recursive = true)`: the located-status iterator
+    * materializes block locations per file, which on the checksummed
+    * local FS measured ~3.5 ms/file — 70× the plain listing — and put
+    * the fingerprint walk at the top of every stamp-verified probe's
+    * profile (r15 bloom decomposition). Hidden files AND hidden
+    * directories (`_`/`.` prefix: _SUCCESS, .crc, staging dirs) are
+    * skipped, directories before descent. */
+  private def walkDataFiles(spark: org.apache.spark.sql.SparkSession,
+                            tablePath: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.getFileStatus(hPath).getPath // qualified, for relativize
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(base, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val rel = base.toUri.relativize(s.getPath.toUri).getPath
-      // skip hidden files (_SUCCESS, .crc, compaction manifests) and
-      // anything inside a hidden directory — they are not table data
-      val hidden = rel.split("/").exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) entries += s"$rel:${s.getLen}:${s.getModificationTime}"
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.hadoop.fs.FileStatus)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val it = fs.listStatusIterator(p)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (s.isDirectory) walk(s.getPath)
+          else out += ((base.toUri.relativize(s.getPath.toUri).getPath, s))
+        }
+      }
     }
-    entries.toSeq
+    if (fs.getFileStatus(hPath).isDirectory) walk(base)
+    else out += ((base.toUri.relativize(base.toUri).getPath, fs.getFileStatus(hPath)))
+    out.toSeq
   }
 
   /** The self-describing coherence stamp written beside a bloom index
