@@ -79,6 +79,13 @@ object Bench {
       // q_llm_ann_persist / q_llm_ann_pq / q_llm_ann_binary twins
       "q_llm_ann_append_check", "q_llm_ann_bin_append_check",
       "q_llm_ann_pq_append_check",
+      // r15 lifecycle equivalence oracles, same shape: lsh persist /
+      // append build two indexes (or an index AND the in-session fit)
+      // purely to compare, and the LM append check fits THREE models;
+      // the production probe paths are benched via q_llm_ann_lsh and
+      // q_llm_mkn_ppl_idx
+      "q_llm_ann_lsh_persist_check", "q_llm_ann_lsh_append_check",
+      "q_llm_mkn_append_check",
       // r13 persisted-LM equivalence oracle: runs the mkn3 scorer
       // TWICE (loaded artifact + in-session fit) purely to compare;
       // the persisted path is benched via q_llm_mkn_ppl_idx and the
