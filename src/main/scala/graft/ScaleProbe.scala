@@ -137,6 +137,16 @@ object ScaleProbe {
     // driver never sets it; the committed artifact is one full run)
     val onlyProbes = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a filtered run must not silently clobber a full-run artifact —
+    // its JSON would be missing every other op's row yet look complete
+    val effOutJson =
+      if (onlyProbes.isDefined) {
+        val p = if (outJson.endsWith(".json"))
+          outJson.stripSuffix(".json") + "_partial.json"
+        else outJson + "_partial"
+        println(s"[probe] SPARK_GRAFT_PROBE_ONLY set — writing $p, not $outJson")
+        p
+      } else outJson
     def probe(op: String)(base: => DataFrame)(scaled: => DataFrame): Unit = {
       if (!onlyProbes.forall(_(op))) return
       val t1 = best(2)(base)
@@ -277,9 +287,9 @@ object ScaleProbe {
     val json = s"""{"base_sf":"$baseDir","factor":$factor,""" +
       s""""rows":{"documents":${nDocs._1},"embeddings":${nVecs._1},"events":${nEvts._1}},""" +
       s""""ops":{$fields}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+    java.nio.file.Files.write(java.nio.file.Paths.get(effOutJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"SCALE_PROBE $outJson")
+    println(s"SCALE_PROBE $effOutJson")
     spark.stop()
   }
 }

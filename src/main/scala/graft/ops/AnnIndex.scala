@@ -405,11 +405,7 @@ object AnnIndex {
           s"first with AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...)")
       case Some(_) => verify(spark, tablePath, indexPath, kind)
     }
-    def canon(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toString
-    }
+    def canon(p: String): String = Layout.qualifiedPath(spark, p)
     val deltaC = canon(deltaPath)
     require(deltaC != canon(tablePath) && !meta.parts.exists(x => canon(x._1) == deltaC),
       s"delta table $deltaPath is already part of the index at $indexPath — " +
@@ -451,11 +447,7 @@ object AnnIndex {
                       tablePath: String): Unit = {
     val meta = verify(spark, tablePath, indexPath, "ivf")
     compactCodesSwap(spark, indexPath, meta, "compactIvfIndex",
-      "AnnIndex.writeIvfIndex") { staging =>
-      spark.read.parquet(s"$indexPath/codes")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(staging)
-    }
+      "AnnIndex.writeIvfIndex")(cellStaging(spark, indexPath))
   }
 
   /**
@@ -468,11 +460,7 @@ object AnnIndex {
                      tablePath: String): Unit = {
     val meta = verify(spark, tablePath, indexPath, "pq")
     compactCodesSwap(spark, indexPath, meta, "compactPqIndex",
-      "AnnIndex.writePqIndex") { staging =>
-      spark.read.parquet(s"$indexPath/codes")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(staging)
-    }
+      "AnnIndex.writePqIndex")(cellStaging(spark, indexPath))
   }
 
   /**
@@ -487,12 +475,7 @@ object AnnIndex {
                          tablePath: String): Unit = {
     val meta = verify(spark, tablePath, indexPath, "binary")
     compactCodesSwap(spark, indexPath, meta, "compactBinaryIndex",
-      "AnnIndex.writeBinaryIndex") { staging =>
-      val codes = spark.read.parquet(s"$indexPath/codes")
-      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
-      val nFiles = (estBytes / BigInt(128L << 20)).toLong.toInt.max(1)
-      codes.coalesce(nFiles).write.mode("overwrite").parquet(staging)
-    }
+      "AnnIndex.writeBinaryIndex")(coalescedStaging(spark, indexPath))
   }
 
   /**
@@ -504,12 +487,26 @@ object AnnIndex {
                       tablePath: String): Unit = {
     val meta = verify(spark, tablePath, indexPath, "lsh")
     compactCodesSwap(spark, indexPath, meta, "compactLshIndex",
-      "AnnIndex.writeLshIndex") { staging =>
-      val codes = spark.read.parquet(s"$indexPath/codes")
-      val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
-      val nFiles = (estBytes / BigInt(128L << 20)).toLong.toInt.max(1)
-      codes.coalesce(nFiles).write.mode("overwrite").parquet(staging)
-    }
+      "AnnIndex.writeLshIndex")(coalescedStaging(spark, indexPath))
+  }
+
+  /** Staging rewrite for the CELL-partitioned kinds (ivf, pq): one
+    * hash exchange on the cell id → one file per cell partition. */
+  private def cellStaging(spark: SparkSession, indexPath: String)
+                         (staging: String): Unit =
+    spark.read.parquet(s"$indexPath/codes")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+
+  /** Staging rewrite for the UNPARTITIONED kinds (binary, lsh): a
+    * bytes-sized coalesce (~128 MB per file, minimum one) — no
+    * shuffle, just a read-coalesce-write. */
+  private def coalescedStaging(spark: SparkSession, indexPath: String)
+                              (staging: String): Unit = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (estBytes / BigInt(128L << 20)).toLong.toInt.max(1)
+    codes.coalesce(nFiles).write.mode("overwrite").parquet(staging)
   }
 
   /** The shared compaction swap: stage the rewritten codes, drop the
@@ -719,8 +716,13 @@ object AnnIndex {
       // unresolved-column error mid-plan — r14 advisory)
       val baseRaw = Option(baseTable).getOrElse {
         val raw = spark.read.parquet(tablePath)
+        // resolver semantics, not String ==: Spark's analyzer resolves
+        // column names case-insensitively by default, so an index
+        // fitted as "Embedding" over files storing "embedding" works —
+        // the guard must not refuse what the plan would resolve
+        val resolver = spark.sessionState.analyzer.resolver
         val missing = Seq(meta.idCol, meta.vecCol)
-          .filterNot(raw.columns.contains)
+          .filterNot(n => raw.columns.exists(c => resolver(c, n)))
         if (missing.nonEmpty) throw new IllegalStateException(
           s"appendPqIndex's drift baseline read $tablePath directly but the " +
             s"files lack column(s) ${missing.mkString("'", "', '", "'")} the " +

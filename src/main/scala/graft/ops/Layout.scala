@@ -462,7 +462,16 @@ object Layout {
    */
   def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  column: String, itemsPerFile: Long = 1000000L,
-                 fpp: Double = 0.01): DataFrame = {
+                 fpp: Double = 0.01): DataFrame =
+    bloomIndexFrom(spark, path, column, itemsPerFile, fpp,
+      walkDataFiles(spark, path))
+
+  /** [[bloomIndex]] with the table's file walk supplied by the caller
+    * ([[writeBloomIndex]] already walked for the fingerprint — at 1M
+    * files a redundant recursive listing is real driver time). */
+  private def bloomIndexFrom(spark: org.apache.spark.sql.SparkSession, path: String,
+                             column: String, itemsPerFile: Long, fpp: Double,
+                             walk: Seq[(String, org.apache.hadoop.fs.FileStatus)]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
@@ -475,16 +484,15 @@ object Layout {
     // clamp the sizing to the real max rows-per-file; beyond that the
     // caller's declared capacity stands — a million-file table's owner
     // knows its file size.
-    val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, path)
+    val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, walk)
       .getOrElse(itemsPerFile)))
     // `fpp` is PER FILE, but what a probe pays for is false-positive
     // FILES — E[FP files] = fpp × nFiles grows linearly with the table
     // (at 1M files, 1% would falsely read ~10k files per probe), while
     // tightening fpp costs only log-linear bits. Cap the expectation
     // at 0.1 falsely-read files per probe value; the caller's fpp
-    // stands when it is already tighter. The listing is the same
-    // metadata walk the fingerprint stamp pays.
-    val nFiles = dataFileEntries(spark, path).size.max(1)
+    // stands when it is already tighter.
+    val nFiles = walk.size.max(1)
     val effFpp = math.min(fpp, 0.1 / nFiles)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(effItems, effFpp)
@@ -514,8 +522,16 @@ object Layout {
    * makes anyway; no data is read).
    */
   def tableFingerprint(spark: org.apache.spark.sql.SparkSession,
-                       tablePath: String): String = {
-    val entries = dataFileEntries(spark, tablePath)
+                       tablePath: String): String =
+    fingerprintOf(walkDataFiles(spark, tablePath))
+
+  /** The sha-256 over a walk's sorted (rel path, length, mtime)
+    * entries — split from [[tableFingerprint]] so a caller that
+    * already walked ([[writeBloomIndex]]) does not list again. */
+  private def fingerprintOf(walk: Seq[(String, org.apache.hadoop.fs.FileStatus)]): String = {
+    val entries = walk.map { case (rel, s) =>
+      s"$rel:${s.getLen}:${s.getModificationTime}"
+    }
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.digest().map("%02x".format(_)).mkString
@@ -527,29 +543,38 @@ object Layout {
     * metadata-cheap) or no parquet files at all. Sizes [[bloomIndex]]
     * sketches to reality. */
   private def maxRowsPerFile(spark: org.apache.spark.sql.SparkSession,
-                             tablePath: String): Option[Long] = {
+                             walk: Seq[(String, org.apache.hadoop.fs.FileStatus)]): Option[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val statuses = walkDataFiles(spark, tablePath).map(_._2)
+    val statuses = walk.map(_._2)
       .filter(_.getPath.getName.endsWith(".parquet"))
     if (statuses.isEmpty || statuses.size > 1024) return None
     // the per-footer open is I/O-latency-bound (~10 ms each measured),
     // so read them concurrently on the driver — a java parallel stream
-    // over ≤1024 files, no Spark job needed
-    Some(java.util.Arrays.stream(statuses.toArray).parallel().mapToLong { s =>
-      val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
-      try rf.getRecordCount finally rf.close()
-    }.max.orElse(0L)).filter(_ > 0L)
+    // over ≤1024 files, no Spark job needed. Best-effort BY DESIGN: a
+    // zero-byte or truncated part file that Spark's own reader would
+    // skip at planning must not crash the build here, so any footer
+    // failure falls back to the caller's declared capacity (r15
+    // review finding).
+    scala.util.Try {
+      java.util.Arrays.stream(statuses.toArray).parallel().mapToLong { s =>
+        val rf = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+        try rf.getRecordCount finally rf.close()
+      }.max.orElse(0L)
+    }.toOption.filter(_ > 0L)
   }
 
-  /** The (relative path, length, mtime) listing [[tableFingerprint]]
-    * hashes — one metadata-scale recursive list of the table's
-    * non-hidden data files. */
-  private def dataFileEntries(spark: org.apache.spark.sql.SparkSession,
-                              tablePath: String): Seq[String] =
-    walkDataFiles(spark, tablePath).map { case (rel, s) =>
-      s"$rel:${s.getLen}:${s.getModificationTime}"
-    }
+  /** FS-qualified form of a path (trailing slashes, `file:` prefixes,
+    * relative forms all normalize) — the append guards' identity for
+    * "is this delta already part of the artifact" across [[AnnIndex]]
+    * and [[LmIndex]] (one implementation so a normalization fix
+    * reaches both rails). */
+  private[graft] def qualifiedPath(spark: org.apache.spark.sql.SparkSession,
+                                   p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
 
   /** Recursive non-hidden data-file walk as (relative path, status).
     * Deliberately `listStatusIterator` recursion, NOT
@@ -564,7 +589,8 @@ object Layout {
                             tablePath: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = fs.getFileStatus(hPath).getPath // qualified, for relativize
+    val rootStatus = fs.getFileStatus(hPath)
+    val base = rootStatus.getPath // qualified, for relativize
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.hadoop.fs.FileStatus)]
     def walk(p: org.apache.hadoop.fs.Path): Unit = {
       val it = fs.listStatusIterator(p)
@@ -577,8 +603,8 @@ object Layout {
         }
       }
     }
-    if (fs.getFileStatus(hPath).isDirectory) walk(base)
-    else out += ((base.toUri.relativize(base.toUri).getPath, fs.getFileStatus(hPath)))
+    if (rootStatus.isDirectory) walk(base)
+    else out += ((base.toUri.relativize(base.toUri).getPath, rootStatus))
     out.toSeq
   }
 
@@ -629,19 +655,21 @@ object Layout {
   def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       indexPath: String, column: String,
                       itemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
-    // fingerprint BEFORE the build reads a byte, re-checked before the
-    // stamp lands (the LmIndex/AnnIndex fit-window discipline): a table
-    // that changes mid-build must not end up certified coherent
-    val fpAtStart = tableFingerprint(spark, tablePath)
-    // the sidecar has ONE row (~a bloom bitmap, 100 KB class) per data
-    // file — without a bound the groupBy sprays those rows across
-    // shuffle-partition-count near-empty files and every probe's index
-    // scan is file-count-shaped (r14 scale probe: the probe leg grew
-    // 2.6× at 10× on listing/open overhead alone). One index file per
-    // ~64 data files keeps the probe scan flat: ~6 MB index files, and
-    // a 1M-file 100 TB table still gets a healthy ~16k-way index scan.
-    val nIdxFiles = (dataFileEntries(spark, tablePath).size / 64 + 1).min(10000)
-    bloomIndex(spark, tablePath, column, itemsPerFile, fpp)
+    // ONE walk serves the start fingerprint, the output-file sizing,
+    // and the sketch sizing (a redundant recursive listing is real
+    // driver time at 1M files — r15 review); the end fingerprint
+    // re-walks by design, that is the fit window.
+    val walkAtStart = walkDataFiles(spark, tablePath)
+    val fpAtStart = fingerprintOf(walkAtStart)
+    // the sidecar has ONE row per data file — without a bound the
+    // groupBy sprays those rows across shuffle-partition-count
+    // near-empty files and every probe's index scan is
+    // file-count-shaped (r14 scale probe: the probe leg grew 2.6× at
+    // 10× on listing/open overhead alone). One index file per ~64 data
+    // files keeps the probe scan flat, and a 1M-file 100 TB table
+    // still gets a healthy ~16k-way index scan.
+    val nIdxFiles = (walkAtStart.size / 64 + 1).min(10000)
+    bloomIndexFrom(spark, tablePath, column, itemsPerFile, fpp, walkAtStart)
       .coalesce(nIdxFiles)
       .write.mode("overwrite").parquet(indexPath)
     val fpAtEnd = tableFingerprint(spark, tablePath)

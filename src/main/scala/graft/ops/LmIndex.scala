@@ -214,11 +214,7 @@ object LmIndex {
         "needs an existing verified model (no silent v0 restart); build one " +
         s"first with LmIndex.writeMknIndex($trainPath, $indexPath, ...)")
     val meta = verify(spark, trainPath, indexPath, "mkn3", textCol)
-    def canon(p: String): String = {
-      val hp = new Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toString
-    }
+    def canon(p: String): String = Layout.qualifiedPath(spark, p)
     val deltaC = canon(deltaPath)
     require(deltaC != canon(trainPath) && !meta.parts.exists(x => canon(x._1) == deltaC),
       s"delta corpus $deltaPath is already part of the model at $indexPath — " +
@@ -232,6 +228,12 @@ object LmIndex {
     val dm = TextAnalysis.mknFit(TextAnalysis.mknTokedOf(
       spark.read.parquet(deltaPath), idCol, textCol))
     try {
+      // the ANN appends' empty-delta rail: an append that contributes
+      // zero n-grams would still bump the version and couple the stamp
+      // to the (empty) delta listing — when its real files land later,
+      // verify() would declare the whole artifact STALE for nothing
+      require(dm.uni.limit(1).count() > 0,
+        s"delta corpus $deltaPath has no non-null documents — nothing to append")
       // count-merge each order at type volume (full outer: a type seen
       // in either corpus survives with the summed count)
       def merged(base: DataFrame, delta: DataFrame, keys: Seq[String],

@@ -84,6 +84,15 @@ class LmIndexAppendSpec extends SparkTestBase {
       LmIndex.appendMknIndex(spark, delta, idx, base, "doc_id", "text")
     }
     assert(e1.getMessage.contains("already part"), e1.getMessage)
+    // an empty delta refuses BEFORE the version bumps — otherwise the
+    // stamp couples to an empty listing and the delta's real files
+    // arriving later would spuriously STALE the whole artifact
+    val emptyDelta = mkCorpus(Seq.empty)
+    val eEmpty = intercept[IllegalArgumentException] {
+      LmIndex.appendMknIndex(spark, emptyDelta, idx, base, "doc_id", "text")
+    }
+    assert(eEmpty.getMessage.contains("nothing to append"), eEmpty.getMessage)
+    assert(LmIndex.readMeta(spark, idx).get.version == 1, "empty delta must not bump")
     // a delta that changes after the append fails STALE before scoring
     Seq((999L, "mutation")).toDF("doc_id", "text")
       .write.mode("append").parquet(delta)
