@@ -1159,6 +1159,29 @@ object LlmQueries {
       Some("""SELECT (SELECT COUNT(*) FROM embeddings) AS n_queries,
         CAST(0 AS BIGINT) AS n_mismatch""")),
 
+    // Persisted-LSH production face (the lifecycle row of the CHEAPEST
+    // index kind): ENSURE-not-rebuild like q_llm_mkn_ppl_idx — verify
+    // the stamp AND the fit geometry, build only when absent, stale,
+    // or at a different operating point; a coherent artifact probes
+    // directly, with BOTH bucket legs read from the codes (zero
+    // hyperplane sums at probe time). Rows-only:
+    // q_llm_ann_lsh_persist_check pins loaded ≡ in-session lshTopK
+    // row-exactly and the `lsh_loaded` RecallCheck path gates recall.
+    Q("q_llm_ann_lsh_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = s"$dir/embeddings.parquet"
+        val idx = s"/tmp/graft_ann_idx_lshp_${math.abs(dir.hashCode)}"
+        val ok = try {
+          val m = graft.ops.AnnIndex.verify(s, tbl, idx, "lsh")
+          m.planes == 5 && m.tables == 6
+        } catch { case _: IllegalStateException => false }
+        if (!ok) graft.ops.AnnIndex.writeLshIndex(s, e, tbl, idx,
+          "vec_id", "embedding", dims = 64, planes = 5, tables = 6)
+        graft.ops.AnnIndex.lshTopKIndexed(s, e, tbl, idx, k = 3)
+      },
+      None),
+
     // Same contract for the persisted LSH index — the one ANN kind
     // with NO fitted state (hyperplanes are deterministic hashes), so
     // the loaded self-join must equal the in-session lshTopK at the
