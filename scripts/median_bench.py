@@ -19,7 +19,10 @@ import sys
 def main() -> int:
     out_path, run_paths = sys.argv[1], sys.argv[2:]
     runs = [json.load(open(p)) for p in run_paths]
-    assert len(runs) >= 2, "need at least two runs to median"
+    # the protocol is >=3 exclusive runs: with 2, median degenerates to
+    # the mean of both and the single-run-ambient-draw protection is
+    # silently gone while the protocol tag still reads "-medianN"
+    assert len(runs) >= 3, "close protocol requires >=3 exclusive runs"
     for p, r in zip(run_paths, runs):
         if r.get("n_failed", 0):
             print(f"run {p} has {r['n_failed']} failed queries", file=sys.stderr)

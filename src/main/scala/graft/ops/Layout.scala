@@ -462,38 +462,50 @@ object Layout {
    */
   def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  column: String, itemsPerFile: Long = 1000000L,
-                 fpp: Double = 0.01): DataFrame =
-    bloomIndexFrom(spark, path, column, itemsPerFile, fpp,
-      walkDataFiles(spark, path))
+                 fpp: Double = 0.01): DataFrame = {
+    val walk = walkDataFiles(spark, path)
+    val (effItems, effFpp) = effSketchParams(spark, walk, itemsPerFile, fpp)
+    bloomIndexFrom(spark, path, column, effItems, effFpp)
+  }
 
-  /** [[bloomIndex]] with the table's file walk supplied by the caller
-    * ([[writeBloomIndex]] already walked for the fingerprint — at 1M
-    * files a redundant recursive listing is real driver time). */
+  /** The EFFECTIVE sketch sizing [[bloomIndexFrom]] builds with —
+    * split out so [[writeBloomIndex]] can stamp the values describing
+    * the sketch that was actually built (the declared params alone
+    * misdescribe a clamped build — r15 advisory).
+    *
+    * `itemsPerFile` is a CAPACITY BOUND, not the sketch size: sizing
+    * the bitmap beyond a file's actual row count cannot lower the
+    * false-positive rate, it only inflates every index row (the r15
+    * scale probe measured a 96×-oversized bitmap as the whole
+    * file-count shape of the probe leg). When the table is small
+    * enough to ask cheaply (≤1024 footers, one metadata read each),
+    * clamp the sizing to the real max rows-per-file; beyond that the
+    * caller's declared capacity stands — a million-file table's owner
+    * knows its file size.
+    *
+    * `fpp` is PER FILE, but what a probe pays for is false-positive
+    * FILES — E[FP files] = fpp × nFiles grows linearly with the table
+    * (at 1M files, 1% would falsely read ~10k files per probe), while
+    * tightening fpp costs only log-linear bits. Cap the expectation
+    * at 0.1 falsely-read files per probe value; the caller's fpp
+    * stands when it is already tighter. */
+  private def effSketchParams(spark: org.apache.spark.sql.SparkSession,
+                              walk: Seq[(String, org.apache.hadoop.fs.FileStatus)],
+                              itemsPerFile: Long, fpp: Double): (Long, Double) = {
+    val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, walk)
+      .getOrElse(itemsPerFile)))
+    val nFiles = walk.size.max(1)
+    (effItems, math.min(fpp, 0.1 / nFiles))
+  }
+
+  /** [[bloomIndex]]'s build plan at an already-clamped sizing — the
+    * caller ran [[effSketchParams]] once (the footer walk is metadata
+    * I/O worth not repeating) and passes the EFFECTIVE values. */
   private def bloomIndexFrom(spark: org.apache.spark.sql.SparkSession, path: String,
-                             column: String, itemsPerFile: Long, fpp: Double,
-                             walk: Seq[(String, org.apache.hadoop.fs.FileStatus)]): DataFrame = {
+                             column: String, effItems: Long, effFpp: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    // `itemsPerFile` is a CAPACITY BOUND, not the sketch size: sizing
-    // the bitmap beyond a file's actual row count cannot lower the
-    // false-positive rate, it only inflates every index row (the r15
-    // scale probe measured a 96×-oversized bitmap as the whole
-    // file-count shape of the probe leg). When the table is small
-    // enough to ask cheaply (≤1024 footers, one metadata read each),
-    // clamp the sizing to the real max rows-per-file; beyond that the
-    // caller's declared capacity stands — a million-file table's owner
-    // knows its file size.
-    val effItems = math.max(1L, math.min(itemsPerFile, maxRowsPerFile(spark, walk)
-      .getOrElse(itemsPerFile)))
-    // `fpp` is PER FILE, but what a probe pays for is false-positive
-    // FILES — E[FP files] = fpp × nFiles grows linearly with the table
-    // (at 1M files, 1% would falsely read ~10k files per probe), while
-    // tightening fpp costs only log-linear bits. Cap the expectation
-    // at 0.1 falsely-read files per probe value; the caller's fpp
-    // stands when it is already tighter.
-    val nFiles = walk.size.max(1)
-    val effFpp = math.min(fpp, 0.1 / nFiles)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(effItems, effFpp)
     val bloomAgg = ColumnBridge.column(
@@ -611,9 +623,16 @@ object Layout {
   /** The self-describing coherence stamp written beside a bloom index
     * (`_graft_index_meta.json`, hidden from the parquet reader): enough
     * to VERIFY the index against the live table ([[bloomPrunedRead]])
-    * and to REBUILD it without external knowledge ([[compactFiles]]). */
+    * and to REBUILD it without external knowledge ([[compactFiles]]).
+    * `itemsPerFile`/`fpp` are the caller's DECLARED params (what a
+    * rebuild re-runs with — the clamp re-derives); `effItemsPerFile`/
+    * `effFpp` describe the sketch that was ACTUALLY built after the
+    * [[effSketchParams]] clamps, so the stamp is honest for auditing
+    * (-1 on stamps written before the eff fields existed). */
   case class BloomIndexMeta(column: String, itemsPerFile: Long,
-                            fpp: Double, tableFp: String)
+                            fpp: Double, tableFp: String,
+                            effItemsPerFile: Long = -1L,
+                            effFpp: Double = -1.0)
 
   private val bloomMetaName = "_graft_index_meta.json"
 
@@ -622,7 +641,8 @@ object Layout {
                                   meta: BloomIndexMeta): Unit = {
     val json =
       s"""{"column":"${StampJson.esc(meta.column)}","items_per_file":${meta.itemsPerFile},""" +
-        s""""fpp":${meta.fpp},"table_fp":"${StampJson.esc(meta.tableFp)}"}"""
+        s""""fpp":${meta.fpp},"eff_items_per_file":${meta.effItemsPerFile},""" +
+        s""""eff_fpp":${meta.effFpp},"table_fp":"${StampJson.esc(meta.tableFp)}"}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(indexPath, bloomMetaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -645,7 +665,11 @@ object Layout {
       n <- StampJson.dblField(text, "items_per_file")
       f <- StampJson.dblField(text, "fpp")
       fp <- StampJson.strField(text, "table_fp")
-    } yield BloomIndexMeta(c, n.toLong, f, fp)
+    } yield BloomIndexMeta(c, n.toLong, f, fp,
+      // optional: stamps written before r16 carry no eff fields
+      effItemsPerFile = StampJson.dblField(text, "eff_items_per_file")
+        .map(_.toLong).getOrElse(-1L),
+      effFpp = StampJson.dblField(text, "eff_fpp").getOrElse(-1.0))
   }
 
   /** Build [[bloomIndex]] and persist it as the table's side index,
@@ -657,10 +681,13 @@ object Layout {
                       itemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
     // ONE walk serves the start fingerprint, the output-file sizing,
     // and the sketch sizing (a redundant recursive listing is real
-    // driver time at 1M files — r15 review); the end fingerprint
+    // driver time at 1M files — r15 review); likewise ONE
+    // effSketchParams serves the build and the stamp (its footer walk
+    // is metadata I/O worth not repeating). The end fingerprint
     // re-walks by design, that is the fit window.
     val walkAtStart = walkDataFiles(spark, tablePath)
     val fpAtStart = fingerprintOf(walkAtStart)
+    val (effItems, effFpp) = effSketchParams(spark, walkAtStart, itemsPerFile, fpp)
     // the sidecar has ONE row per data file — without a bound the
     // groupBy sprays those rows across shuffle-partition-count
     // near-empty files and every probe's index scan is
@@ -669,7 +696,7 @@ object Layout {
     // files keeps the probe scan flat, and a 1M-file 100 TB table
     // still gets a healthy ~16k-way index scan.
     val nIdxFiles = (walkAtStart.size / 64 + 1).min(10000)
-    bloomIndexFrom(spark, tablePath, column, itemsPerFile, fpp, walkAtStart)
+    bloomIndexFrom(spark, tablePath, column, effItems, effFpp)
       .coalesce(nIdxFiles)
       .write.mode("overwrite").parquet(indexPath)
     val fpAtEnd = tableFingerprint(spark, tablePath)
@@ -680,8 +707,10 @@ object Layout {
         "Layout.writeBloomIndex on a quiet table.")
     val hIdx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stamp BOTH the declared params (what a rebuild re-runs with) and
+    // the effective clamped sizing the sketch was actually built at
     writeBloomIndexMeta(fs, hIdx,
-      BloomIndexMeta(column, itemsPerFile, fpp, fpAtStart))
+      BloomIndexMeta(column, itemsPerFile, fpp, fpAtStart, effItems, effFpp))
   }
 
   /**

@@ -272,19 +272,48 @@ object LmIndex {
     // that fails verification (data intact in named dirs), never one
     // whose old stamp certifies half-swapped tables
     dropStamp(spark, indexPath)
-    Seq("tri", "big", "uni", "disc").foreach { name =>
-      val live = new Path(s"$indexPath/$name")
-      val prev = new Path(s"$indexPath/${name}_preappend")
-      val staged = new Path(s"$indexPath/${name}_appending")
-      fs.delete(prev, true)
-      if (!fs.rename(live, prev) || !fs.rename(staged, live))
+    // TWO-PASS swap (the compactCodesSwap discipline): pass 1 renames
+    // every table in while KEEPING each _preappend backup, so a rename
+    // failure at table N can restore tables 0..N-1 from their intact
+    // backups and re-stamp the ORIGINAL meta — a transient FS failure
+    // heals by plain retry instead of forcing a full rebuild (r15
+    // advisory: the old per-table delete-then-swap loop had already
+    // destroyed earlier backups by the time a later rename failed).
+    // Backups are deleted only in pass 2, after ALL four renames landed.
+    val tables = Seq("tri", "big", "uni", "disc")
+    def live(n: String) = new Path(s"$indexPath/$n")
+    def prev(n: String) = new Path(s"$indexPath/${n}_preappend")
+    def staged(n: String) = new Path(s"$indexPath/${n}_appending")
+    tables.foreach(n => fs.delete(prev(n), true))
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[String]
+    tables.foreach { n =>
+      if (!fs.rename(live(n), prev(n)) || !fs.rename(staged(n), live(n))) {
+        // restore everything swapped so far (and this table's own
+        // half-state) from the still-present backups, then re-stamp
+        // the pre-append meta so the caller can simply retry
+        val restoredThis = !fs.exists(live(n)) && fs.rename(prev(n), live(n))
+        val restoredRest = swapped.reverse.forall { m =>
+          fs.delete(live(m), true); fs.rename(prev(m), live(m))
+        }
+        if ((restoredThis || fs.exists(live(n))) && restoredRest) {
+          writeMeta(spark, indexPath, meta) // restored — re-certify for retry
+          throw new java.io.IOException(
+            s"append could not swap ${staged(n)} into place — all tables " +
+              s"restored to their pre-append state and the artifact was " +
+              s"re-stamped; re-run LmIndex.appendMknIndex (the merge " +
+              s"recomputes; leftover <t>_appending/ staging is overwritten).")
+        }
         throw new java.io.IOException(
-          s"append could not swap $staged into place — artifact UNSTAMPED; " +
-            s"per-table data is intact under $indexPath as <t>/ (not yet " +
-            "swapped), <t>_preappend/ (pre-append originals), and " +
-            "<t>_appending/ (merged); rebuild with LmIndex.writeMknIndex.")
-      fs.delete(prev, true)
+          s"append could not swap ${staged(n)} into place AND could not " +
+            s"restore the pre-append originals — artifact UNSTAMPED; " +
+            s"already-swapped tables [${swapped.mkString(", ")}] hold merged " +
+            s"data with originals in <t>_preappend/, remaining tables are " +
+            s"pre-append with merges staged in <t>_appending/; restore one " +
+            s"consistent set manually, or rebuild with LmIndex.writeMknIndex.")
+      }
+      swapped += n
     }
+    tables.foreach(n => fs.delete(prev(n), true))
     writeMeta(spark, indexPath, meta.copy(version = meta.version + 1,
       parts = meta.parts :+ (deltaPath, deltaFpAtStart)))
   }

@@ -866,8 +866,13 @@ object TextAnalysis {
    * per-doc counts was this operator's remaining warm-curve overhang:
    * caching corpus-volume rows costs a second corpus-volume
    * write+read; re-deriving type stats from a type-volume cache does
-   * not) — and LEFT-joins the type-level NLL (AQE broadcasts it when
-   * it fits). Caller releases the caches via
+   * not) — and INNER-joins the type-level NLL (AQE broadcasts it when
+   * it fits). The inner join is exact HERE because the model is
+   * self-fit — every scored transition exists in the type table by
+   * construction; a cross-corpus caller scoring against a foreign fit
+   * would need a left join plus an explicit unseen-transition policy
+   * ([[modifiedKneserNeyLogProb]]'s scorer states one; this operator's
+   * contract is self-scoring). Caller releases the caches via
    * [[CachedRelations.releaseAll]] after the action, like every other
    * internally-persisting operator.
    */

@@ -253,6 +253,18 @@ class LayoutSpec extends SparkTestBase {
     val none = Layout.bloomPrunedRead(spark, s"$tmp/tbl", s"$tmp/idx", "k", Seq(99999L))
     assert(none.count() == 0 && none.columns.sameElements(Array("k", "v")))
     assert(Layout.bloomPrunedFiles(spark, s"$tmp/idx", Seq(99999L)).size <= 1) // fp slack
+    // the stamp records BOTH the declared params and the EFFECTIVE
+    // clamped sizing the sketch was actually built at (r15 advisory:
+    // a stamp carrying only declared values misdescribes a clamped
+    // build). 20000 rows over 8 files -> effItems is the real
+    // rows-per-file max, well under the declared 10000.
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = Layout.readBloomIndexMeta(fs, new org.apache.hadoop.fs.Path(s"$tmp/idx")).get
+    assert(meta.itemsPerFile == 10000L && meta.fpp == 0.01)
+    assert(meta.effItemsPerFile > 0 && meta.effItemsPerFile < 10000L,
+      s"eff items not clamped to footer reality: ${meta.effItemsPerFile}")
+    assert(meta.effFpp > 0 && meta.effFpp <= meta.fpp, s"eff fpp: ${meta.effFpp}")
   }
 
   test("bloom index coherence: compaction under a live index rebuilds it, reads stay exact") {

@@ -53,6 +53,15 @@ class LmIndexAppendSpec extends SparkTestBase {
     val meta = LmIndex.readMeta(spark, idxA).get
     assert(meta.version == 1 && meta.parts.map(_._1) == Seq(delta),
       s"stamp must record the appended part, got $meta")
+    // two-pass swap (r15 advisory): backups are deleted only after ALL
+    // four tables renamed in, and a clean append leaves neither
+    // _preappend backups nor _appending staging behind
+    val fsA = new org.apache.hadoop.fs.Path(idxA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fsA.listStatus(new org.apache.hadoop.fs.Path(idxA))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith("_preappend") || n.endsWith("_appending"))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(", ")}")
     val df = scored.toDF("doc_id", "text")
     val appended = rows(LmIndex.scoreMknIndexed(spark, df, "doc_id", "text", base, idxA))
     val refit = rows(LmIndex.scoreMknIndexed(spark, df, "doc_id", "text", full, idxR))
