@@ -40,7 +40,8 @@ object RecallCheck {
       "ivf_int8" -> rec(pairs(Similarity.ivfTopKInt8(e, "vec_id", "embedding", 64, k,
         nlist = 16, nprobe = 8))),
       "ivf_pq" -> rec(pairs(Similarity.ivfPqTopK(e, "vec_id", "embedding", 64, k,
-        nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24))),
+        nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24,
+        rerankFrac = 0.2))),
       "binary" -> rec(pairs(Similarity.binaryTopK(e, e, "vec_id", "embedding", 64, k,
         rerank = 96, rerankFrac = 0.2))),
       "ivf_loaded" -> {

@@ -614,16 +614,23 @@ object AnnIndex {
    * Self-join top-k through a stamped IVF-PQ index: verify coherence,
    * inline persisted centroids + codebooks as literals, ADC-score the
    * cell-pruned candidates from their persisted codes, exact-cosine
-   * re-rank the `rerankFactor·k` survivors against float vectors
-   * fetched from `table` (the caller's adapted view of the STAMPED
-   * files — survivors only; the vectors never ride the candidate
-   * exchange). Row-exact twin of [[Similarity.ivfPqTopK]] at the
-   * index's fit geometry.
+   * re-rank the survivors against float vectors fetched from `table`
+   * (the caller's adapted view of the STAMPED files — survivors only;
+   * the vectors never ride the candidate exchange). Row-exact twin of
+   * [[Similarity.ivfPqTopK]] at the index's fit geometry.
+   *
+   * `rerankFrac` is the corpus-scaled rerank operating point (see the
+   * in-session twin's scaladoc): the effective rerank set per query is
+   * max(rerankFactor·k, ceil(frac · cell-pruned candidate count)), so
+   * recall does not dilute as the indexed corpus grows at a fixed
+   * absolute rerank.
    */
   def pqTopKIndexed(spark: SparkSession, table: DataFrame,
                     tablePath: String, indexPath: String,
                     k: Int, nprobe: Int = 8,
-                    rerankFactor: Int = 24): DataFrame = {
+                    rerankFactor: Int = 24,
+                    rerankFrac: Double = 0.0): DataFrame = {
+    require(rerankFrac >= 0.0 && rerankFrac <= 1.0, "rerankFrac must be in [0, 1]")
     val meta = verify(spark, tablePath, indexPath, "pq")
     val cents = loadCentroids(spark, indexPath)
     val bookRows = spark.read.parquet(s"$indexPath/codebooks")
@@ -642,11 +649,17 @@ object AnnIndex {
     val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit,
       lit(meta.m), lit(meta.ksub))
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val effRerank =
+      if (rerankFrac <= 0.0) lit(rerankFactor * k)
+      else greatest(lit(rerankFactor * k),
+        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+          .cast("int"))
     val survivors = q.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), (adot / (col("qn") * col("rn"))).as("acos"))
       .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerankFactor * k)
+      .withColumn("_eff_rerank", effRerank) // window exprs can't sit in a filter
+      .filter(col("arank") <= col("_eff_rerank"))
       .select(col("qid"), col("nid"))
     val vecs = v.withColumn("nrm", Similarity.norm(col("v")))
     val scored = survivors

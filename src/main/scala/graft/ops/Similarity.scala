@@ -298,6 +298,17 @@ object Similarity {
    * against the candidate's codebook entries), the `rerankFactor * k`
    * best approximate candidates re-rank with exact cosine.
    *
+   * ADC discrimination, like binary Hamming, does NOT sharpen as the
+   * corpus grows, so a fixed absolute rerank dilutes with scale
+   * (RECALL pq at rerank=24·k: 0.859/0.843/0.817 across the three
+   * SFs, monotonically approaching the 0.8 floor — r15 verdict).
+   * `rerankFrac` is the [[binaryTopK]] fix applied here: the
+   * effective rerank set is max(rerankFactor·k, ceil(frac · C_q))
+   * where C_q is the query's CELL-PRUNED candidate count (a count
+   * window over the qid partition the ADC ranking already shuffles
+   * on — no extra pass), so the reranked fraction of what the coarse
+   * pass saw stays constant at any corpus size.
+   *
    * Scale shape: the candidate exchange moves m small ints + 1 double
    * per corpus row (m=8: ~12 bytes vs 512 for a float64[64] vector —
    * the memory-bandwidth win PQ exists for); codebooks are literals
@@ -309,9 +320,11 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                 k: Int, nlist: Int = 8, nprobe: Int = 4,
                 m: Int = 16, ksub: Int = 16, rerankFactor: Int = 16,
+                rerankFrac: Double = 0.0,
                 maxFitVectors: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     require(dims % m == 0, s"dims ($dims) must divide evenly into m ($m) subspaces")
+    require(rerankFrac >= 0.0 && rerankFrac <= 1.0, "rerankFrac must be in [0, 1]")
     val sd = dims / m
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -358,11 +371,17 @@ object Similarity {
     // ADC: full-precision query against the code-reconstructed candidate
     val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit, lit(m), lit(ksub))
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val effRerank =
+      if (rerankFrac <= 0.0) lit(rerankFactor * k)
+      else greatest(lit(rerankFactor * k),
+        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+          .cast("int"))
     val survivors = q.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), (adot / (col("qn") * col("rn"))).as("acos"))
       .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerankFactor * k)
+      .withColumn("_eff_rerank", effRerank) // window exprs can't sit in a filter
+      .filter(col("arank") <= col("_eff_rerank"))
       .select(col("qid"), col("nid"))
     val vecs = v.select(col("id"), col("v")).withColumn("nrm", norm(col("v")))
     val scored = survivors

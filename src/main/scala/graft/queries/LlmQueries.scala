@@ -928,14 +928,18 @@ object LlmQueries {
     // candidate instead of a float-vector fetch), asymmetric-distance
     // coarse pass, exact re-rank — rows-only; RecallCheck reports the
     // recall alongside the float/int8 paths.
-    // m=16/ksub=32/rerank=24 is the r8 operating point on the 2026-08-13
-    // testdata: recall@3 0.859/0.843/0.817 at sf0.001/0.01/0.1 (the old
-    // ksub=16/rerank=16 fell to 0.736 at sf0.1 on the regenerated
-    // vectors; 5-bit codes + a deeper exact re-rank recover it).
-    // 16 5-bit codes = 10 B/vector on the candidate exchange.
+    // m=16/ksub=32 is the r8 operating point (the old ksub=16 fell to
+    // 0.736 at sf0.1 on the regenerated vectors; 5-bit codes recover
+    // it — 16 5-bit codes = 10 B/vector on the candidate exchange).
+    // rerankFrac=0.2 (r16): a fixed rerank=24·k diluted monotonically
+    // with corpus size (recall@3 0.859/0.843/0.817 across SFs, heading
+    // for the 0.8 floor); the corpus-scaled operating point reranks a
+    // constant FRACTION of each query's cell-pruned candidates — the
+    // binaryTopK fix applied to PQ.
     Q("q_llm_ann_pq",
       (s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 16, nprobe = 8, m = 16, ksub = 32, rerankFactor = 24),
+        dims = 64, k = 3, nlist = 16, nprobe = 8, m = 16, ksub = 32,
+        rerankFactor = 24, rerankFrac = 0.2),
       None),
 
     // Cross-corpus IVF lookup: every 50th vector queries the rest
@@ -1142,11 +1146,11 @@ object LlmQueries {
         graft.ops.AnnIndex.writePqIndex(s, e, tbl, idx, "vec_id", "embedding",
           dims = 64, nlist = 16, m = 16, ksub = 32)
         val loaded = graft.ops.AnnIndex.pqTopKIndexed(s, e, tbl, idx,
-            k = 3, nprobe = 8, rerankFactor = 24)
+            k = 3, nprobe = 8, rerankFactor = 24, rerankFrac = 0.2)
           .select(col("qid"), col("rank"), col("nid").as("l_nid"), col("cos").as("l_cos"))
         val fit = Similarity.ivfPqTopK(e, "vec_id", "embedding",
             dims = 64, k = 3, nlist = 16, nprobe = 8, m = 16, ksub = 32,
-            rerankFactor = 24)
+            rerankFactor = 24, rerankFrac = 0.2)
           .select(col("qid"), col("rank"), col("nid").as("f_nid"), col("cos").as("f_cos"))
         loaded.join(fit, Seq("qid", "rank"), "full_outer")
           .agg(
