@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
  */
 object TokenizerIndex {
 
+  /** `fitFertMicro` is the corpus-level fertility (tokens per word,
+    * integer micros) measured at FIT time on a bounded deterministic
+    * sample of the train table — the drift baseline [[fertilityDrift]]
+    * compares a scored corpus against: an artifact that still VERIFIES
+    * (the train files are unchanged) can be statistically stale on a
+    * drifted downstream corpus, and fertility creep is the cheap
+    * corpus-level symptom. -1 on stamps written before the field
+    * existed (drift telemetry then reports "not stamped"). */
   case class TokIndexMeta(family: String, textCol: String, param: Int,
-                          tableFp: String)
+                          tableFp: String, fitFertMicro: Long = -1L)
 
   private val metaName = "_graft_tok_meta.json"
   private val families = Set("bpe", "bbpe", "wordpiece", "unigram")
@@ -42,7 +50,8 @@ object TokenizerIndex {
     val (fs, p) = fsFor(spark, indexPath)
     val json = s"""{"family":"${StampJson.esc(meta.family)}",""" +
       s""""text_col":"${StampJson.esc(meta.textCol)}",""" +
-      s""""param":${meta.param},"table_fp":"${StampJson.esc(meta.tableFp)}"}"""
+      s""""param":${meta.param},"fit_fert_micro":${meta.fitFertMicro},""" +
+      s""""table_fp":"${StampJson.esc(meta.tableFp)}"}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -64,7 +73,10 @@ object TokenizerIndex {
     tc <- StampJson.strField(text, "text_col")
     pr <- StampJson.intField(text, "param")
     fp <- StampJson.strField(text, "table_fp")
-  } yield TokIndexMeta(fam, tc, pr, fp)
+  } yield TokIndexMeta(fam, tc, pr, fp,
+    // optional: stamps written before r16 carry no fit-time fertility
+    fitFertMicro = StampJson.numField(text, "fit_fert_micro")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L))
 
   def readMeta(spark: SparkSession, indexPath: String): Option[TokIndexMeta] =
     stampText(spark, indexPath).flatMap(parseMeta)
@@ -103,6 +115,9 @@ object TokenizerIndex {
    * the model as a stamped artifact. `param` is the family's size
    * knob: numMerges for bpe/bbpe/wordpiece, vocabSize for unigram.
    * The fit is the SAME two-phase trainer the in-session faces run.
+   * The stamp also records the model's fit-time corpus fertility on a
+   * bounded deterministic sample ([[fertilitySample]]) — the baseline
+   * [[fertilityDrift]] compares a drifted downstream corpus against.
    */
   def write(spark: SparkSession, trainPath: String, indexPath: String,
             family: String, textCol: String, param: Int): Unit = {
@@ -115,29 +130,103 @@ object TokenizerIndex {
     val fpAtStart = Layout.tableFingerprint(spark, trainPath)
     val train = spark.read.parquet(trainPath)
     import spark.implicits._
-    family match {
+    // each branch persists the model AND returns the per-family
+    // fertility report over the IN-MEMORY model (merge tables are
+    // numMerges-bounded; vocab/logprob maps are already driver-local),
+    // so the fit-time baseline costs one bounded-sample pass, not a
+    // verified reload of the artifact just written
+    val fertOf: DataFrame => DataFrame = family match {
       case "bpe" =>
         Tokenizer.bpeTrain(train, textCol, numMerges = param)
           .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+        // read the numMerges-bounded table BACK from the written model
+        // (collecting the training frame would re-run the corpus fit)
+        val merges = writtenMerges(spark, indexPath)
+        df => Tokenizer.bpeFertility(df, textCol, "_fert_src", merges,
+          nativeEncode = true)
       case "bbpe" =>
         Tokenizer.bbpeTrain(train, textCol, numMerges = param)
           .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+        val merges = writtenMerges(spark, indexPath)
+        df => Tokenizer.bbpeFertility(df, textCol, "_fert_src", merges,
+          nativeEncode = true)
       case "wordpiece" =>
-        Tokenizer.wordpieceVocabFrom(train, textCol, numMerges = param)
-          .toSeq.sorted.toDF("symbol")
+        val vocab = Tokenizer.wordpieceVocabFrom(train, textCol, numMerges = param)
+        vocab.toSeq.sorted.toDF("symbol")
           .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+        df => Tokenizer.wordpieceFertility(df, textCol, "_fert_src", vocab)
       case "unigram" =>
-        Tokenizer.unigramTrainLocalFrom(train, textCol, vocabSize = param)
-          .toSeq.sortBy(_._1).toDF("piece", "logprob")
+        val vocab = Tokenizer.unigramTrainLocalFrom(train, textCol, vocabSize = param)
+        vocab.toSeq.sortBy(_._1).toDF("piece", "logprob")
           .repartition(1).write.mode("overwrite").parquet(s"$indexPath/model")
+        df => Tokenizer.unigramFertility(df, textCol, "_fert_src", vocab)
     }
+    val fitFert = corpusFertMicro(fertOf(
+      fertilitySample(train, textCol).withColumn("_fert_src", lit("all"))))
     val fpAtEnd = Layout.tableFingerprint(spark, trainPath)
     if (fpAtEnd != fpAtStart) throw new IllegalStateException(
       s"train table $trainPath changed WHILE the tokenizer fit was running " +
         s"(listing fingerprint ${fpAtStart.take(12)}… at start vs " +
         s"${fpAtEnd.take(12)}… now) — no stamp was written; re-run " +
         "TokenizerIndex.write on a quiet table.")
-    writeMeta(spark, indexPath, TokIndexMeta(family, textCol, param, fpAtStart))
+    writeMeta(spark, indexPath, TokIndexMeta(family, textCol, param, fpAtStart,
+      fitFertMicro = fitFert))
+  }
+
+  /** Rank-ordered merge table read back from a just-written model
+    * (numMerges-bounded — the same driver-scale collect [[loadMerges]]
+    * does, without the stamp verify a mid-write read cannot pass). */
+  private def writtenMerges(spark: SparkSession, indexPath: String): Seq[(String, String)] =
+    spark.read.parquet(s"$indexPath/model").orderBy("rank")
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Bounded deterministic probe sample for the fertility telemetry:
+    * hash-mod on the text itself (no id column assumed), capped at
+    * ~`cap` docs via the plan-stats row estimate — the same metadata-
+    * cheap sampling policy the ANN fit sets use. The SAME policy runs
+    * at fit time and at drift-probe time, so the two fertility numbers
+    * are comparable instruments. */
+  private[ops] def fertilitySample(df: DataFrame, textCol: String,
+                                   cap: Long = 2000L): DataFrame = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / BigInt(256L)).toLong.max(1L)
+    if (estRows <= cap) df
+    else df.filter(pmod(xxhash64(col(textCol)), lit(estRows / cap + 1)) === 0)
+  }
+
+  /** Corpus-level fertility in integer micros from a per-source
+    * fertility report: sum(n_tokens)·1e6 div sum(n_words) — the same
+    * integral-mean contract as the report rows. -1 when the probe set
+    * has no words (empty sample — the caller reports, not divides). */
+  private def corpusFertMicro(report: DataFrame): Long = {
+    val r = report.agg(sum(col("n_tokens")).as("_t"), sum(col("n_words")).as("_w"))
+      .collect().head
+    if (r.isNullAt(1) || r.getLong(1) == 0L) -1L
+    else r.getLong(0) * 1000000L / r.getLong(1)
+  }
+
+  /**
+   * Fertility-drift telemetry for a persisted tokenizer (the tok-verify
+   * CLI's drift row): a tokenizer whose artifact still VERIFIES (train
+   * files unchanged) can be statistically stale on a DRIFTED downstream
+   * corpus — new domains shred into near-characters and fertility
+   * creeps up. Returns (fit-time fertility micro from the stamp,
+   * probe-corpus fertility micro measured now on the same bounded
+   * deterministic sample policy). The fit value is -1 when the stamp
+   * predates the telemetry (rebuild once to gain the baseline); the
+   * probe value is -1 when the probe corpus has no words. The CALLER
+   * decides the warn band — this is telemetry, not a refusal (a
+   * drifted corpus is a fact about the data, not artifact corruption).
+   */
+  def fertilityDrift(spark: SparkSession, probe: DataFrame, family: String,
+                     textCol: String, trainPath: String,
+                     indexPath: String): (Long, Long) = {
+    val meta = verify(spark, trainPath, indexPath, family, textCol)
+    val probeFert = corpusFertMicro(fertilityIndexed(spark,
+      fertilitySample(probe, textCol).withColumn("_fert_src", lit("all")),
+      family, textCol, "_fert_src", trainPath, indexPath))
+    (meta.fitFertMicro, probeFert)
   }
 
   /** Verified load of a bpe/bbpe merge table, rank-ordered. */
