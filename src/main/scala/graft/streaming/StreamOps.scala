@@ -547,6 +547,41 @@ object StreamOps {
   }
 
   /**
+   * Streaming EXACT-dedup ingest face — the cheapest and most common
+   * first pass of a streaming corpus ingest, stated as one named
+   * operator: a row is emitted iff (a) its key tuple is absent from
+   * the persisted SEEN-STATE (`refDf` — typically the key relation of
+   * every previously-accepted corpus version, read from a state
+   * table) and (b) it is the first arrival with that key within the
+   * watermark. Emitted rows are exactly the batch contract of
+   * [[graft.ops.Dedup.incrementalDedup]] (ref screen) followed by
+   * [[graft.ops.Dedup.byIngestOrder]] keepFirst on the delta
+   * (first-arrival-wins — the two screens commute on the kept SET,
+   * spec-pinned against the oracled q_llm_dedup_exact computation).
+   *
+   * State-roll convention (the near-dup chain's, one level simpler
+   * because exact keys carry no signature): the kept rows' keys ARE
+   * the state delta — state(N+1) = state(N) ∪ keys(kept) — so the
+   * caller appends the emitted keys to the seen-state table at each
+   * roll and successive ingest windows chain without re-reading old
+   * corpus text. Nothing but the key columns ever enters the state.
+   *
+   * Scale shape: the intra-stream screen is watermark-bounded keyed
+   * state (`dropDuplicatesWithinWatermark` — one shuffle on the
+   * keys); the seen-state screen is the bloom-prefiltered stream-
+   * static anti-join of [[incrementalDedupStream]], so rows the
+   * sketch rules out never touch the join and the static side ships
+   * keys only.
+   */
+  def exactDedupStream(stream: DataFrame, refDf: DataFrame, keys: Seq[String],
+                       tsCol: String, watermark: String = "10 minutes",
+                       expectedRefDistinct: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame =
+    incrementalDedupStream(
+      stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys),
+      refDf, keys, expectedRefDistinct, fpp)
+
+  /**
    * Streaming canonical-URL dedup — the online face of
    * [[graft.ops.Urls.urlDedupVerdicts]]: first occurrence of each
    * CANONICAL url within the watermark wins, later arrivals drop.

@@ -300,6 +300,56 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactDedupStream == batch incrementalDedup + byIngestOrder on the same delta (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seen-state: the texts of every previously-accepted doc (the
+    // q_llm_dedup_exact fixture shape — doc_id%3 != 0 is the ref side)
+    val docs = Seq(
+      (1L, "alpha bravo"), (2L, "charlie delta"), (3L, "echo foxtrot"),
+      (4L, "golf hotel"), (5L, "india juliet"), (6L, "alpha bravo"))
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    // the delta: 102/105 collide with ref texts, 108 repeats 103's text
+    // ACROSS micro-batches (first arrival must win), 109 is fresh
+    val delta = Seq(
+      (102L, "charlie delta"),  // in ref -> dropped
+      (103L, "kilo lima"),      // fresh -> kept
+      (105L, "india juliet"),   // in ref -> dropped
+      (108L, "kilo lima"),      // intra-delta dup of 103 (later batch) -> dropped
+      (109L, "mike november"))  // fresh -> kept
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamOps.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), ref, Seq("text"), "ts",
+      expectedRefDistinct = 10L, fpp = 0.2) // high fpp: FPs must still resolve
+    val q = out.writeStream.format("memory").queryName("exact_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches in ingest order: the cross-batch dup (108)
+      // exercises the watermark state, not just in-batch collapse
+      mem.addData(delta.take(3).map { case (id, t) => (id, t, ts(1)) }: _*)
+      q.processAllAvailable()
+      mem.addData(delta.drop(3).map { case (id, t) => (id, t, ts(2)) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("exact_dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // the batch twin on the SAME delta: ref screen (the oracled
+      // q_llm_incremental_dedup contract) then first-in-ingest-order
+      // (the oracled q_llm_dedup_exact contract) — the two screens
+      // commute on the kept set
+      val batch = graft.ops.Dedup.byIngestOrder(
+          graft.ops.Dedup.incrementalDedup(
+            delta.toDF("doc_id", "text"), ref, Seq("text"),
+            expectedRefDistinct = 10L),
+          Seq("text"), keepFirst = true)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(batch == Set(103L, 109L), s"batch twin fixture drifted: $batch")
+      assert(streamed == batch,
+        s"stream face diverged from the batch twin: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: stream rows present in the static reference are dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
