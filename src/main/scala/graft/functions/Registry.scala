@@ -113,4 +113,13 @@ object Registry {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expr.BloomMightContain(
         org.apache.spark.sql.graft.ColumnBridge.expression(hash), bloom))
+
+  /** Evaluation barrier around an EXPENSIVE interpreted Column: value-
+    * transparent, but the optimizer may not duplicate it into
+    * consumers or pushed filters — see [[graft.expr.EvalBarrier]].
+    * The wrapped column must itself be deterministic. */
+  def barrier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.EvalBarrier(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 }

@@ -583,6 +583,21 @@ object TextAnalysis {
     if (portableHash) {
       // md5-portable oracle twin: positional hashes as a higher-order
       // transform, window minima as array_min over length-w slices.
+      // Interpreted-HOF shape discipline (r16): HOF lambdas are
+      // INTERPRETED, and Catalyst duplicates deterministic trees
+      // freely — projection collapse inlined `_hs` into every
+      // consumer, and the generate-inferred `size(_set) > 0` filter
+      // pushed the WHOLE tree to the scan, where the per-window
+      // lambda's reference to `_hs` re-ran the O(L·md5) hash
+      // construction PER WINDOW POSITION: O(L²) per doc per consumer,
+      // 196 s for the 500-doc containment fixture. Both projected
+      // arrays are wrapped in [[graft.expr.EvalBarrier]] so they
+      // compute ONCE and consumers read attributes; repartition()
+      // spreads the per-doc interpreted work across the session's
+      // shuffle width (a small parquet file is otherwise ONE scan
+      // partition). The x64 production branch is untouched (native
+      // primitive loop, benched row keeps its plan).
+      graft.functions.Registry.ensure(df.sparkSession)
       val s = lower(col(textCol))
       val hashes = transform(
         transform(
@@ -590,12 +605,13 @@ object TextAnalysis {
           i => s.substr(i, lit(k))),
         sh => conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long"))
       df.filter(col(textCol).isNotNull)
-        .select(col(idCol), hashes.as("_hs"))
+        .repartition()
+        .select(col(idCol), graft.functions.Registry.barrier(hashes).as("_hs"))
         .filter(size(col("_hs")) >= w) // only full windows
         .select(col(idCol),
-          array_sort(array_distinct(
+          graft.functions.Registry.barrier(array_sort(array_distinct(
             transform(sequence(lit(w), size(col("_hs"))),
-              i => array_min(slice(col("_hs"), i - (w - 1), lit(w)))))).as("_set"))
+              i => array_min(slice(col("_hs"), i - (w - 1), lit(w))))))).as("_set"))
     } else {
       // production path: native [[graft.expr.WinnowFpX64]] — empty
       // array when the doc has no full window, dropped here (parity
