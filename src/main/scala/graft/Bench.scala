@@ -24,9 +24,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The engine serves ~300 distinct query plans per session; Spark's
+    // generated-class cache (spark.sql.codegen.cache.maxEntries) holds
+    // 100 by default, so a multi-query session recompiles (janino) and
+    // re-JITs nearly every codegen unit on every re-execution. Sizing
+    // the cache to the working set is a workload constant, not a scale
+    // knob (entries are compiled classes, ~10-50 KB each — the 8192
+    // default is a few hundred MB ceiling the 8 GB driver holds
+    // comfortably); measured on the r16 baseline it cuts the 40-query
+    // probe subset 53.5 -> 40.0 s and the full 291-query surface by a
+    // similar fraction (OPTIMIZATION_r16.md). Env-overridable.
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
