@@ -63,7 +63,17 @@ object AnnIndex {
                           tableFp: String,
                           version: Int = 0,
                           parts: Seq[(String, String)] = Nil,
-                          planes: Int = 0, tables: Int = 0)
+                          planes: Int = 0, tables: Int = 0,
+                          fit: Int = 1)
+
+  /** Coarse-quantizer fit revision stamped into ivf/pq indexes. r16
+    * moved [[Similarity.ivfFit]] from the MLlib KMeans to the bounded-
+    * sample in-memory Lloyd fit: same algorithm family, DIFFERENT
+    * centroids — an index built by the old fit would no longer be
+    * row-equal to its in-session twin, so [[verify]] refuses it
+    * (exactly like a stale table fingerprint) and the ensure-faces
+    * rebuild once. binary/lsh fits are untouched (fit = 1). */
+  private[ops] val quantizerFitVersion = 2
 
   private val metaName = "_graft_ann_meta.json"
 
@@ -84,6 +94,7 @@ object AnnIndex {
         s""""dims":${meta.dims},"nlist":${meta.nlist},"m":${meta.m},"ksub":${meta.ksub},""" +
         s""""planes":${meta.planes},"tables":${meta.tables},""" +
         s""""table_fp":"${StampJson.esc(meta.tableFp)}",""" +
+        s""""fit":${meta.fit},""" +
         s""""version":${meta.version},"parts":$partsJson}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, metaName), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -114,7 +125,8 @@ object AnnIndex {
     version = StampJson.intField(text, "version").getOrElse(0),
     parts = StampJson.pathFpList(text, "parts"),
     planes = StampJson.intField(text, "planes").getOrElse(0),
-    tables = StampJson.intField(text, "tables").getOrElse(0))
+    tables = StampJson.intField(text, "tables").getOrElse(0),
+    fit = StampJson.intField(text, "fit").getOrElse(1))
 
   /** Read an index's coherence stamp; None if absent (not produced by
     * a writer here, or a write that died before the stamp) or
@@ -145,6 +157,16 @@ object AnnIndex {
     if (meta.kind != kind) throw new IllegalStateException(
       s"ANN index at $indexPath is kind '${meta.kind}', not '$kind' — wrong index " +
         "for this probe")
+    // quantizer fit revision: a loaded ivf/pq probe must be row-equal
+    // to its in-session twin, which holds only when the index was
+    // built by the CURRENT coarse-quantizer fit (binary/lsh fits have
+    // never changed — their expected revision stays 1)
+    val expectFit = if (kind == "ivf" || kind == "pq") quantizerFitVersion else 1
+    if (meta.fit != expectFit) throw new IllegalStateException(
+      s"ANN index at $indexPath was built by coarse-quantizer fit " +
+        s"v${meta.fit}; this engine probes fit v$expectFit — cell assignments " +
+        s"no longer match the in-session quantizer. Rebuild with " +
+        s"AnnIndex.write${kind.capitalize}Index($tablePath, $indexPath, ...).")
     val live = Layout.tableFingerprint(spark, tablePath)
     if (live != meta.tableFp) throw new IllegalStateException(
       s"ANN index at $indexPath is STALE: the data files of $tablePath changed " +
@@ -193,10 +215,8 @@ object AnnIndex {
   }
 
   private def prepped(table: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     table.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
   }
 
   private def writeCentroids(spark: SparkSession, indexPath: String,
@@ -233,7 +253,7 @@ object AnnIndex {
       writeCentroids(spark, indexPath, cents)
     }
     writeMeta(spark, indexPath, AnnIndexMeta("ivf", idCol, vecCol, dims, nlist,
-      m = 0, ksub = 0, tableFp = fp))
+      m = 0, ksub = 0, tableFp = fp, fit = quantizerFitVersion))
   }
 
   /**
@@ -607,7 +627,7 @@ object AnnIndex {
         .write.mode("overwrite").parquet(s"$indexPath/codebooks")
     }
     writeMeta(spark, indexPath, AnnIndexMeta("pq", idCol, vecCol, dims, nlist,
-      m, ksub, tableFp = fp))
+      m, ksub, tableFp = fp, fit = quantizerFitVersion))
   }
 
   /**

@@ -480,17 +480,17 @@ object LmIndex {
                       indexPath: String): DataFrame = {
     verify(spark, trainPath, indexPath, "mkn3", textCol)
     val toked = TextAnalysis.mknTokedOf(df, idCol, textCol)
-    val tf3 = TextAnalysis.mknTriples(toked)
-      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
+    val units = TextAnalysis.mknScoreUnits(toked)
     val tri = CachedRelations.track(
       spark.read.parquet(s"$indexPath/tri").persist())
-    // cont1 (derived from big) feeds all three scoring legs — persist
-    // like the in-session twin or the big parquet re-aggregates per leg
+    // cont1 (derived from big) feeds the scoring fallthrough — persist
+    // like the in-session twin or the big parquet re-aggregates per
+    // consumer
     val big = CachedRelations.track(
       spark.read.parquet(s"$indexPath/big").persist())
     val cont2 = CachedRelations.track(
       tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("_n2vw")).persist())
     val disc = spark.read.parquet(s"$indexPath/disc")
-    TextAnalysis.mknScoreRows(idCol, toked, tf3, tri, big, cont2, disc)
+    TextAnalysis.mknScoreRows(idCol, units, tri, big, cont2, disc)
   }
 }

@@ -74,33 +74,49 @@ object Similarity {
     * Returns (corpus rows (id, v, cell), centroids). */
   private[graft] def ivfFit(v: DataFrame, dims: Int, nlist: Int,
                      maxFitVectors: Long): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
     // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
     // on the full corpus is the one driver-side scale hazard at 100 TB.
-    // Deterministic hash-mod downsample to ~maxFitVectors. The row count
-    // that sizes the modulus comes from PLAN STATISTICS (sum of input
-    // file bytes / the vector's own width) — metadata-only, replacing an
-    // eager count() that cost a full corpus scan just to size a sample.
-    // The quantizer is insensitive to the exact sample size; the modulus
-    // only needs the right order of magnitude. Corpora at or under the
-    // cap estimate modulus 1 and fit on everything.
+    // Deterministic hash-mod downsample. The row count that sizes the
+    // modulus comes from PLAN STATISTICS (sum of input file bytes / the
+    // vector's own width) — metadata-only, replacing an eager count()
+    // that cost a full corpus scan just to size a sample. The quantizer
+    // is insensitive to the exact sample size; the modulus only needs
+    // the right order of magnitude. Corpora at or under the cap
+    // estimate modulus 1 and fit on everything.
+    //
+    // r16: the fit itself is the bounded-sample in-memory [[lloyd]]
+    // (the PQ-codebook engine) instead of an MLlib KMeans — the MLlib
+    // fit paid ~10 cluster-wide jobs (seeded init + 8 Lloyd rounds +
+    // the collect of centers) plus an interpreted predict-UDF pass over
+    // the corpus, all scheduling overhead for a 16..1024-cell coarse
+    // quantizer whose arithmetic is sub-second on one core. The sample
+    // collect is the SAME bounded driver state the PQ codebook fit
+    // already allows (capped at min(maxFitVectors, max(20k, 40·nlist))
+    // collected rows); a coarse quantizer doesn't need converged or
+    // finely-placed centroids — cells only bucket candidates for exact
+    // re-rank (the r8 finding, unchanged). Cell ASSIGNMENT is the
+    // native codegen'd [[graft.expr.PqExprs.encode]] argmin with m = 1
+    // (one subspace = the full vector): exactly the Euclidean cell
+    // argmin with first-min tie-break — the same order
+    // [[probeCells]]/[[cellRank]] rank by (ties on the lower ci), so
+    // AnnIndexAppendSpec's assignment≡probe pin holds unchanged.
+    val sampleCap = math.min(maxFitVectors, math.max(20000L, 40L * nlist))
     val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
     val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
-    val fitSet =
-      if (estRows <= maxFitVectors) v
-      else v.filter(pmod(xxhash64(col("id")), lit(estRows / maxFitVectors + 1)) === 0)
-    // A coarse quantizer doesn't need converged centroids — cells only
-    // bucket candidates for exact re-rank, so cap the iterations (the
-    // MLlib default 20 doubles fit time for sub-1% recall movement)
-    // and init from a seeded random sample: k-means|| init costs
-    // several extra collect ROUNDS (cluster-wide jobs) to place
-    // centroids well, and the 8 Lloyd iterations wash that placement
-    // out for bucketing purposes anyway.
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
-    (model.transform(v).select(col("id"), col("v"), col("cell")),
-      model.clusterCenters.map(_.toArray))
+    val sampleDf =
+      if (estRows <= sampleCap) v
+      else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+    val sample: Array[Array[Double]] =
+      sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfFit needs at least one non-null vector")
+    val cents = lloyd(sample, nlist, iters = 8, seed = 42L)
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    val centsFlat: Array[Double] = cents.flatten
+    val assigned = v.withColumn("cell",
+      element_at(call_function("pq_encode", col("v"),
+        array(centsFlat.map(lit).toIndexedSeq: _*), lit(1), lit(nlist)), 1))
+      .select(col("id"), col("v"), col("cell"))
+    (assigned, cents)
   }
 
   /** ROW-LOCAL cell ranking for [[AnnIndex.appendIvfIndex]]'s delta
@@ -163,12 +179,10 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
               k: Int, nlist: Int = 16, nprobe: Int = 2,
               maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     // null vectors would abort the k-means fit — one bad row must not
     // kill a corpus-scale job; they have no neighbors to report anyway
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
     val corpus = assigned.select(col("id").as("nid"), col("v").as("nv"),
       col("cell")).withColumn("nn", norm(col("nv")))
@@ -202,10 +216,8 @@ object Similarity {
                 vecCol: String, dims: Int, k: Int,
                 nlist: Int = 16, nprobe: Int = 2,
                 maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val cv = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(cv, dims, nlist, maxFitVectors)
     val index = assigned.select(col("id").as("nid"), col("v").as("nv"),
       col("cell")).withColumn("nn", norm(col("nv")))
@@ -241,12 +253,10 @@ object Similarity {
                   k: Int, nlist: Int = 16, nprobe: Int = 2,
                   rerankFactor: Int = 4,
                   maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     def i8dot(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
     // row-local int8 encode; approximate norm comes from the codes
     // themselves (sqrt of the exact integer self-dot, times scale), so
@@ -322,13 +332,11 @@ object Similarity {
                 m: Int = 16, ksub: Int = 16, rerankFactor: Int = 16,
                 rerankFrac: Double = 0.0,
                 maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     require(dims % m == 0, s"dims ($dims) must divide evenly into m ($m) subspaces")
     require(rerankFrac >= 0.0 && rerankFrac <= 1.0, "rerankFrac must be in [0, 1]")
     val sd = dims / m
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
     // Subspace codebooks: ONE bounded driver-side sample (deterministic
     // hash-mod, ~20k vectors — a 16-centroid codebook over 4 dims needs

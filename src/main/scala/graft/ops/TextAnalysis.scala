@@ -910,21 +910,22 @@ object TextAnalysis {
     // see the scale-shape note above)
     val bv = big.agg(count(lit(1)).as("_b")).crossJoin(
       grams.filter(col("kind") === "u").agg(count(lit(1)).as("_v")))
-    // per-doc transition counts: scoring side, single consumer
-    val tf = toked.select(col("id"), explode(zip_with(
-        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_t"))
+    // per-doc scoring units in ONE corpus pass (r16 — was a transition
+    // pass plus a separate first-token pass): each doc emits its
+    // position-1 unit as (prev=null, cur=tok1) alongside its bigram
+    // transitions; the head key occurs once per doc, so its `_tf` is
+    // exactly the old leg's `lit(1)`.
+    val nullStr = lit(null).cast("string")
+    val tf = toked.select(col("id"), explode(concat(
+        array(struct(nullStr.as("prev"), element_at(col("_toks"), 1).as("cur"))),
+        zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))).as("_t"))
       .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
       .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
     val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
       (col("_b") + col("_v")).cast("double")
-    val firstTok = toked
-      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
-      .join(cont, Seq("cur"), "left")
-      .crossJoin(broadcast(bv))
-      .select(col("id"), lit(1L).as("_units"),
-        floor(-log(pCont) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
     // NLL per bigram TYPE (type-volume work, all from the cached big),
     // joined back to the per-doc counts: occurrences of one type share
     // one probability, so weighting by _tf is exactly the per-
@@ -940,12 +941,24 @@ object TextAnalysis {
           ((lit(0.75) * col("_n1prev").cast("double")) /
             col("_ca").cast("double")) * pCont
         ) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
-    val transNll = tf.join(typeNll, Seq("prev", "cur"))
-      .select(col("id"), col("_tf").as("_units"), col("_nll"))
-    firstTok.unionByName(transNll)
+    // one leg scores every unit: a transition row takes its type NLL
+    // (the join is exact because the model is self-fit — every scored
+    // transition exists in the type table; a cross-corpus caller needs
+    // a left join plus an explicit unseen-transition policy, see the
+    // scaladoc); a head row (prev null, never in typeNll) takes the
+    // add-one continuation floor through its own cont/bv joins —
+    // exactly the expression the dedicated first-token leg used.
+    val transNll = tf.join(typeNll, Seq("prev", "cur"), "left")
+      .join(cont, Seq("cur"), "left")
+      .crossJoin(broadcast(bv))
+      .select(col("id"), col("_tf").as("_units"),
+        (col("_tf") * when(col("prev").isNull,
+            floor(-log(pCont) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(col("_nll"))).as("_wnll"))
+    transNll
       .groupBy(col("id"))
       .agg(sum(col("_units")).as("n_tokens"),
-        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+        sum(col("_wnll")).as("sum_nll_micro"))
       .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
       .withColumnRenamed("id", idCol)
   }
@@ -1035,9 +1048,7 @@ object TextAnalysis {
     val trainToks = if (train == null) toked else mknTokedOf(train, idCol, textCol)
     val m = mknFit(trainToks)
     m.persisted.foreach(CachedRelations.track)
-    val tf3 = mknTriples(toked)
-      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
-    mknScoreRows(idCol, toked, tf3, m.tri, m.big, m.cont2, m.disc)
+    mknScoreRows(idCol, mknScoreUnits(toked), m.tri, m.big, m.cont2, m.disc)
   }
 
   /** The fitted mkn3 model tables plus the stage relations the fit
@@ -1130,19 +1141,45 @@ object TextAnalysis {
     d.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
 
-  /** Row-local trigram extraction (zip_with over token-array slices —
-    * no positional shuffle). */
-  private[ops] def mknTriples(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    d.filter(size(col("_toks")) >= 3)
-      .select(col("id"), explode(zip_with(
-        zip_with(
-          slice(col("_toks"), lit(1), size(col("_toks")) - 2),
-          slice(col("_toks"), lit(2), size(col("_toks")) - 2),
-          (a, b) => struct(a.as("u"), b.as("v"))),
-        slice(col("_toks"), lit(3), size(col("_toks")) - 2),
-        (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
-          c.as("w")))).as("_t"))
+  /** The per-doc SCORING-UNIT relation, ONE corpus pass for all three
+    * positions (r16 — was a triples pass plus two separate head-token
+    * passes): each doc emits its position-1 unit as (u=null, v=null,
+    * w=tok1), its position-2 unit as (u=null, v=tok1, w=tok2) when it
+    * has one, and every position-≥3 trigram as (u, v, w), all in one
+    * row-local explode, counted per (id, u, v, w). Head units can
+    * never collide with trigram units (u is never null in a trigram)
+    * and each head key occurs once per doc, so their `_tf` is exactly
+    * the old legs' `lit(1)`. [[mknScoreRows]] scores the whole
+    * relation through the single pTri → pMid → pCont fallthrough: a
+    * head unit misses the (u, v)-keyed tables by construction, so the
+    * stated backoff tree reduces to exactly the expression the
+    * dedicated leg used (same columns, same IEEE order — the oracles
+    * pin this bit-exactly). */
+  private[ops] def mknScoreUnits(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = size(col("_toks"))
+    val len3 = greatest(n - 2, lit(0))
+    val nullStr = lit(null).cast("string")
+    val triArr = zip_with(
+      zip_with(
+        slice(col("_toks"), lit(1), len3),
+        slice(col("_toks"), lit(2), len3),
+        (a, b) => struct(a.as("u"), b.as("v"))),
+      slice(col("_toks"), lit(3), len3),
+      (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
+        c.as("w")))
+    val head1 = struct(nullStr.as("u"), nullStr.as("v"),
+      element_at(col("_toks"), 1).as("w"))
+    // the n >= 2 guard keeps element_at(_toks, 2) unevaluated on
+    // single-token docs (ANSI would fault the out-of-bounds index)
+    val units = when(n >= 2,
+      concat(array(head1, struct(nullStr.as("u"),
+        element_at(col("_toks"), 1).as("v"),
+        element_at(col("_toks"), 2).as("w"))), triArr))
+      .otherwise(array(head1))
+    d.select(col("id"), explode(units).as("_t"))
       .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
+      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
+  }
 
   /** The ONE broadcast model row: count-of-counts per order →
     * D1/D2/D3+ discounts (unusable estimates — empty bucket or
@@ -1181,15 +1218,18 @@ object TextAnalysis {
       noc3.crossJoin(noc2).crossJoin(bv), "t", "_y3", "_d3"), "p", "_y2", "_e")
   }
 
-  /** The MKN scoring plan over a tokenized frame, given the model
-    * tables (freshly fitted or loaded from a stamped [[LmIndex]]
-    * artifact — bit-identical either way: counts are longs, the disc
-    * row's doubles round-trip parquet exactly). Derives the per-
-    * context stats from `tri`/`big`/`cont2` at type volume and scores
-    * positions 1 / 2 / ≥3 through the stated IEEE probability tree
-    * (restated verbatim in the oracles). */
+  /** The MKN scoring plan over the fused [[mknScoreUnits]] relation,
+    * given the model tables (freshly fitted or loaded from a stamped
+    * [[LmIndex]] artifact — bit-identical either way: counts are
+    * longs, the disc row's doubles round-trip parquet exactly).
+    * Derives the per-context stats from `tri`/`big`/`cont2` at type
+    * volume and scores EVERY unit — positions 1 / 2 / ≥3 — through
+    * the one stated IEEE probability tree (restated verbatim in the
+    * oracles): head units miss the (u, v)-keyed tables by
+    * construction, so pTri falls through to pMid (position 2) and
+    * pMid to pCont (position 1) with exactly the dedicated legs'
+    * expressions. */
   private[ops] def mknScoreRows(idCol: String,
-                                toked: org.apache.spark.sql.DataFrame,
                                 tf3: org.apache.spark.sql.DataFrame,
                                 tri: org.apache.spark.sql.DataFrame,
                                 big: org.apache.spark.sql.DataFrame,
@@ -1232,25 +1272,15 @@ object TextAnalysis {
         col("_ca3").cast("double") + gamma3 * pMid)
 
     def nllMicro(p: org.apache.spark.sql.Column) =
-      floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("_nll")
+      floor(-log(p) * lit(1e6) + lit(0.5)).cast("long")
 
-    val firstTok = toked
-      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
-      .join(cont1, Seq("cur"), "left")
-      .crossJoin(broadcast(disc))
-      .select(col("id"), lit(1L).as("_units"), nllMicro(pCont))
-    val secondTok = toked.filter(size(col("_toks")) >= 2)
-      .select(col("id"), element_at(col("_toks"), 1).as("v"),
-        element_at(col("_toks"), 2).as("w"))
-      .join(cont2, Seq("v", "w"), "left")
-      .join(den2, Seq("v"), "left")
-      .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
-      .crossJoin(broadcast(disc))
-      .select(col("id"), lit(1L).as("_units"), nllMicro(pMid))
-    // positions ≥ 3: the per-doc distinct-triple counts LEFT-join the
-    // model tables (all type-volume build sides — AQE broadcasts them
-    // when they fit) so unseen trigram / context / continuation rows
-    // fall through the stated backoff rungs instead of vanishing
+    // EVERY unit — head rows included — LEFT-joins the model tables
+    // (all type-volume build sides — AQE broadcasts them when they
+    // fit): unseen trigram / context / continuation rows fall through
+    // the stated backoff rungs instead of vanishing, and the same
+    // fallthrough scores position 1 (pTri → pMid → pCont on the
+    // guaranteed (u, v)=(null, null) misses) and position 2 (pTri →
+    // pMid on the (u=null) miss) — one leg, one union-free plan.
     val transNll = tf3
       .join(tri, Seq("u", "v", "w"), "left")
       .join(ctx3, Seq("u", "v"), "left")
@@ -1258,11 +1288,12 @@ object TextAnalysis {
       .join(den2, Seq("v"), "left")
       .join(cont1.withColumnRenamed("cur", "w"), Seq("w"), "left")
       .crossJoin(broadcast(disc))
-      .select(col("id"), col("_tf").as("_units"), nllMicro(pTri))
-    firstTok.unionByName(secondTok).unionByName(transNll)
+      .select(col("id"), col("_tf").as("_units"),
+        (col("_tf") * nllMicro(pTri)).as("_wnll"))
+    transNll
       .groupBy(col("id"))
       .agg(sum(col("_units")).as("n_tokens"),
-        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+        sum(col("_wnll")).as("sum_nll_micro"))
       .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
       .withColumnRenamed("id", idCol)
   }
@@ -1339,15 +1370,20 @@ object TextAnalysis {
         .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"),
           col("_t.w").as("w"))
     val trainToks = toked(trainDf)
-    val uni = CachedRelations.track(
-      trainToks.select(explode(col("_toks")).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("_cu")).persist())
+    // ONE corpus-volume exchange for all three orders (the [[mknGrams]]
+    // shape — r16; was three separate tokenize+explode+count passes
+    // over the training corpus). The counts are identical integers
+    // either way: the fused relation's 'u' rows ARE the per-term token
+    // occurrence counts, 'b' the bigram counts, 't' the trigram counts.
+    val grams = CachedRelations.track(mknGrams(trainToks).persist())
+    val uni = grams.filter(col("kind") === "u")
+      .select(col("a").as("term"), col("_n").as("_cu"))
     val nv = uni.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
-    val bi = CachedRelations.track(
-      pairs(trainToks).groupBy(col("v"), col("w"))
-        .agg(count(lit(1)).as("_cvw")).persist())
-    val tri = triples(trainToks).groupBy(col("u"), col("v"), col("w"))
-      .agg(count(lit(1)).as("_cuvw"))
+    val bi = grams.filter(col("kind") === "b")
+      .select(col("a").as("v"), col("b").as("w"), col("_n").as("_cvw"))
+    val tri = grams.filter(col("kind") === "t")
+      .select(col("a").as("u"), col("b").as("v"), col("c").as("w"),
+        col("_n").as("_cuvw"))
     val scoreToks = toked(df)
     // S(w): add-one unigram floor over the training counts
     val sUni = (coalesce(col("_cu_w"), lit(0L)) + lit(1)).cast("double") /
@@ -1358,21 +1394,26 @@ object TextAnalysis {
       .otherwise(lit(0.4) * sUni)
     val uniW = uni.select(col("term").as("w"), col("_cu").as("_cu_w"))
     val uniV = uni.select(col("term").as("v"), col("_cu").as("_cu_v"))
-    val firstTok = scoreToks
-      .select(col("id"), element_at(col("_toks"), 1).as("w"))
-      .join(uniW, Seq("w"), "left")
-      .crossJoin(broadcast(nv))
-      .select(col("id"), lit(1L).as("_units"),
-        floor(-log(sUni) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
-    val secondTok = scoreToks.filter(size(col("_toks")) >= 2)
+    // positions 1 and 2 in ONE corpus pass (r16 — the mknScoreRows
+    // heads shape): one join of the head word's unigram count serves
+    // BOTH position 1's floor and position 2's c(v·) denominator; the
+    // two quantized NLLs emit pre-summed. Bit-identical to the two-leg
+    // formulation (independent integer-micro quantization, long sums).
+    val sUniH1 = (coalesce(col("_cu_v"), lit(0L)) + lit(1)).cast("double") /
+      (col("_n") + col("_v")).cast("double")
+    val heads = scoreToks
       .select(col("id"), element_at(col("_toks"), 1).as("v"),
-        element_at(col("_toks"), 2).as("w"))
+        when(size(col("_toks")) >= 2, element_at(col("_toks"), 2)).as("w"))
       .join(bi, Seq("v", "w"), "left")
       .join(uniV, Seq("v"), "left")
       .join(uniW, Seq("w"), "left")
       .crossJoin(broadcast(nv))
-      .select(col("id"), lit(1L).as("_units"),
-        floor(-log(sBi) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
+      .select(col("id"),
+        when(col("w").isNotNull, lit(2L)).otherwise(lit(1L)).as("_units"),
+        (floor(-log(sUniH1) * lit(1e6) + lit(0.5)).cast("long") +
+          when(col("w").isNotNull,
+            floor(-log(sBi) * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))).as("_wnll"))
     // positions >= 3: pre-aggregated per (doc, u, v, w), scored by the
     // full backoff chain — trigram, else α·bigram, else α·(α·floor)
     val tf3 = triples(scoreToks)
@@ -1387,15 +1428,15 @@ object TextAnalysis {
       .join(uniW, Seq("w"), "left")
       .crossJoin(broadcast(nv))
       .select(col("id"), col("_tf").as("_units"),
-        floor(-log(
+        (col("_tf") * floor(-log(
           when(coalesce(col("_cuvw"), lit(0L)) > 0,
             col("_cuvw").cast("double") / col("_cuv_bi").cast("double"))
             .otherwise(lit(0.4) * sBi)
-        ) * lit(1e6) + lit(0.5)).cast("long").as("_nll"))
-    firstTok.unionByName(secondTok).unionByName(triNll)
+        ) * lit(1e6) + lit(0.5)).cast("long")).as("_wnll"))
+    heads.unionByName(triNll)
       .groupBy(col("id"))
       .agg(sum(col("_units")).as("n_tokens"),
-        sum(col("_units") * col("_nll")).as("sum_nll_micro"))
+        sum(col("_wnll")).as("sum_nll_micro"))
       .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
       .withColumnRenamed("id", idCol)
   }

@@ -822,12 +822,10 @@ object StreamOps {
                       vecCol: String, dims: Int, k: Int,
                       nlist: Int = 16, nprobe: Int = 2,
                       maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     import graft.ops.{CachedRelations, Similarity}
     import corpus.sparkSession.implicits._
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
     val index = CachedRelations.track(
       assigned.select(col("id").as("nid"), col("v").as("nv"), col("cell"))
@@ -931,12 +929,10 @@ object StreamOps {
                      vecCol: String, labelCol: String, dims: Int, k: Int,
                      nlist: Int = 16, nprobe: Int = 2,
                      maxFitVectors: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     import graft.ops.{CachedRelations, Similarity}
     import corpus.sparkSession.implicits._
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
     val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
     // ivfFit keeps only (id, v, cell); labels rejoin once at index
     // build (12-byte rows, the persisted index pays it a single time)
