@@ -38,8 +38,6 @@ object QualityClassifier {
                  buckets: Int = 4096, maxFitDocs: Long = 100000,
                  maxIter: Int = 20, regParam: Double = 1e-4,
                  scoreOn: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.linalg.Vectors
     val spark = SparkSession.active
     require(buckets > 0 && maxIter > 0)
 
@@ -49,36 +47,88 @@ object QualityClassifier {
 
     // deterministic hash-mod downsample per class for the fit set; the
     // classifier needs a representative sample, not the corpus (docs at
-    // or under the cap -> modulus 1 -> fit on everything)
+    // or under the cap -> modulus 1 -> fit on everything). The fit set
+    // is COLLECTED (r16), so like ivfFit's sample the cap is clamped to
+    // what the driver comfortably holds.
+    val fitCap = math.min(maxFitDocs, 25000L)
     def fitCounts(g: DataFrame, label: Double): DataFrame = {
       val estBytes = g.queryExecution.optimizedPlan.stats.sizeInBytes
       val estDocs = (estBytes / BigInt(512L)).toLong.max(1L) // ~bytes per doc row
       val sampled =
-        if (estDocs <= maxFitDocs) g
-        else g.filter(pmod(xxhash64(col("id")), lit(estDocs / maxFitDocs + 1)) === 0)
+        if (estDocs <= fitCap) g
+        else g.filter(pmod(xxhash64(col("id")), lit(estDocs / fitCap + 1)) === 0)
       sampled.groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
         .groupBy(col("id"))
         .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
         .select(lit(label).as("label"), col("bc"))
     }
-    val toVec = udf { bc: Seq[org.apache.spark.sql.Row] =>
-      val sorted = bc.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
-        .sortBy(_._1)
-      Vectors.sparse(buckets, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    // r16: the L-BFGS fit runs ON THE DRIVER over the collected bounded
+    // sample (the ivfFit discipline) with the SAME breeze optimizer
+    // MLlib wraps (LBFGS(maxIter, m=10, tol=1e-6)) over the standard
+    // mean-log-loss + (regParam/2)·||w||² objective (intercept
+    // unpenalized, standardization off — the previous configuration).
+    // The distributed fit paid one cluster-wide treeAggregate job PER
+    // OBJECTIVE EVALUATION (~25-60 jobs) to sum gradients over a
+    // sample-bounded set whose arithmetic is sub-second on one core;
+    // at 100 TB the fit set is capped either way and the corpus-volume
+    // work — featurize + score — stays fully relational.
+    val fitRows = fitCounts(rawG, 0.0).unionByName(fitCounts(tgtG, 1.0)).collect()
+    require(fitRows.nonEmpty, "quality classifier needs at least one fit doc")
+    val n = fitRows.length
+    val ys = new Array[Double](n)
+    val xsIdx = new Array[Array[Int]](n)
+    val xsVal = new Array[Array[Double]](n)
+    var ri = 0
+    while (ri < n) {
+      val row = fitRows(ri)
+      ys(ri) = row.getDouble(0)
+      val bc = row.getSeq[org.apache.spark.sql.Row](1)
+      xsIdx(ri) = bc.map(_.getLong(0).toInt).toArray
+      xsVal(ri) = bc.map(_.getLong(1).toDouble).toArray
+      ri += 1
     }
-    val fit = fitCounts(rawG, 0.0).unionByName(fitCounts(tgtG, 1.0))
-      .withColumn("features", toVec(col("bc"))).drop("bc")
-    val model = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
-      .fit(fit)
+    val dim = buckets + 1 // [w(0..buckets-1); intercept]
+    def log1pExp(x: Double): Double =
+      if (x > 0) x + math.log1p(math.exp(-x)) else math.log1p(math.exp(x))
+    val cost = new breeze.optimize.DiffFunction[breeze.linalg.DenseVector[Double]] {
+      def calculate(wb: breeze.linalg.DenseVector[Double]) = {
+        val grad = breeze.linalg.DenseVector.zeros[Double](dim)
+        var loss = 0.0
+        var i = 0
+        while (i < n) {
+          val idx = xsIdx(i); val vs = xsVal(i)
+          var m = wb(dim - 1)
+          var j = 0
+          while (j < idx.length) { m += vs(j) * wb(idx(j)); j += 1 }
+          val y = ys(i)
+          loss += log1pExp(m) - y * m // -log P(y|x), stable
+          val mult = 1.0 / (1.0 + math.exp(-m)) - y
+          j = 0
+          while (j < idx.length) { grad(idx(j)) += mult * vs(j); j += 1 }
+          grad(dim - 1) += mult
+          i += 1
+        }
+        loss /= n
+        grad :*= 1.0 / n
+        var r = 0.0
+        var k = 0
+        while (k < dim - 1) {
+          r += wb(k) * wb(k); grad(k) += regParam * wb(k); k += 1
+        }
+        (loss + 0.5 * regParam * r, grad)
+      }
+    }
+    val wb = new breeze.optimize.LBFGS[breeze.linalg.DenseVector[Double]](
+      maxIter = maxIter, m = 10, tolerance = 1e-6)
+      .minimize(cost, breeze.linalg.DenseVector.zeros[Double](dim))
 
     // SCORE relationally: B-row broadcast coefficient table, one
     // map-side-combined doc aggregate — zero ml code at corpus volume.
-    val coef = model.coefficients.toArray
+    val coef = wb.toArray.take(buckets)
     val coefDf = spark.createDataFrame(
       coef.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)
       .toDF("b", "w")
-    val intercept = model.intercept
+    val intercept = wb(dim - 1)
     val scoreG = scoreOn.fold(rawG)(d =>
       Dsir.gramBuckets(d, idCol, textCol, buckets, portable = false))
     scoreG.join(broadcast(coefDf), Seq("b"))
