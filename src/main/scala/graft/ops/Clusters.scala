@@ -30,9 +30,9 @@ object Clusters {
                           maxIter: Int = 20,
                           driverEdgeLimit: Long = 2000000L,
                           requireConvergence: Boolean = true): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val symRaw = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .distinct().localCheckpoint()
+      .localCheckpoint(eager = false)
     // Engine choice WITHOUT a full edge-volume job: take(limit+1) scans
     // the checkpointed partitions INCREMENTALLY (1, then scaleUpFactor×
     // more per round) and stops the moment it has limit+1 rows — on a
@@ -40,10 +40,18 @@ object Clusters {
     // set (the r12 count() here was a second full-volume pass). When
     // the graph IS small, the taken rows are complete and feed the
     // union-find directly — the old separate collect() job is gone too.
+    // r16: the probe runs BEFORE any distinct — union-find is
+    // insensitive to duplicate edges, so the small path now pays ZERO
+    // shuffles (the r15 shape paid the full distinct exchange first);
+    // the limit counts raw pair instances, which only errs toward the
+    // distributed engine. The big path distincts once, as before — the
+    // label-propagation loop joins the edge set every round, so
+    // deduplicating it up front is the cheaper side of that trade.
     val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
-    val head = sym.take(lim + 1)
+    val head = symRaw.take(lim + 1)
     if (head.length <= lim)
-      return driverUnionFind(sym.sparkSession, head)
+      return driverUnionFind(symRaw.sparkSession, head)
+    val sym = symRaw.distinct().localCheckpoint(eager = false)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -55,7 +63,7 @@ object Clusters {
         .select(labels("id"),
           labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = updated.filter(col("label") < col("old_label")).isEmpty
       labels = updated.select(col("id"), col("label"))
       iter += 1
@@ -105,10 +113,10 @@ object Clusters {
     // nodes BEFORE the self-loop drop: an id appearing only as (x, x)
     // still labels itself
     val nodes = cast.select(col("a").as("id"))
-      .union(cast.select(col("b").as("id"))).distinct().localCheckpoint()
+      .union(cast.select(col("b").as("id"))).distinct().localCheckpoint(eager = false)
     val e0 = cast.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // one star half-round: every edge, viewed from endpoint u (large:
     // the SMALLER endpoint's view covers its larger neighbors; small:
     // the larger endpoint's view covers the rest), is rewired to
@@ -153,7 +161,7 @@ object Clusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = star(star(e, large = true), large = false).localCheckpoint(eager = false)
       val nextSig = probe(next)
       converged = nextSig == sig
       e = next

@@ -43,7 +43,7 @@ object Graphs {
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val base = 1000000000L / n
@@ -140,7 +140,7 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var lbl = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))

@@ -46,7 +46,7 @@ class ClustersSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // star graph (hub 0): diameter 2, so the forced distributed path
     // converges in a couple of rounds; 4000 edges >> driverEdgeLimit=8
-    val edges = spark.range(1, 4001).select(lit(0L).as("a"), $"id".as("b"))
+    val edges = spark.range(1, 4001, 1, 2).select(lit(0L).as("a"), $"id".as("b"))
     val tag = "graft-cc-engine-choice-probe"
     val jobTasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -75,17 +75,17 @@ class ClustersSpec extends SparkTestBase {
       sc.removeSparkListener(listener)
     }
     val tasks = jobTasks.toArray(Array.empty[Integer]).map(_.intValue).toVector
-    // job 0 materializes the symmetric edge set (localCheckpoint — the
-    // one full-volume pass ANY engine needs exactly once); job 1 is the
-    // engine-choice probe. With 16 shuffle partitions of ~500 rows each
-    // and limit 9, take() must satisfy itself from its FIRST partition:
-    // one task, never the 16-task full sweep the old count() ran.
-    assert(tasks.length >= 2, s"expected checkpoint + probe jobs, saw $tasks")
-    assert(tasks(0) >= 16,
-      s"job 0 should be the full checkpoint materialization; jobs: $tasks")
-    assert(tasks(1) == 1,
-      s"engine-choice probe ran ${tasks(1)} tasks — a full edge-volume job " +
-        s"(16 partitions) would mean the count() pre-pass is back; jobs: $tasks")
+    // With the LAZY localCheckpoint (r16) the take() probe IS the
+    // materialization: job 0 runs the distinct's map side (4 pinned
+    // range partitions) plus exactly ONE reduce partition of the
+    // sixteen — cached as it scans, so the distributed loop reuses it.
+    // A first job that sweeps all 16 reduce partitions would mean the
+    // old count() pre-pass (or an eager checkpoint's full
+    // materialization job) is back.
+    assert(tasks.length >= 2, s"expected probe + engine jobs, saw $tasks")
+    assert(tasks(0) < 16,
+      s"engine-choice probe ran ${tasks(0)} tasks — a full 16-partition " +
+        s"reduce sweep means the probe no longer stops early; jobs: $tasks")
   }
 
   test("connected components: non-convergence throws by default, partial labels on opt-out") {
