@@ -1048,9 +1048,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("_sa"), col("b.s").as("_sb"))
       .distinct() // a pair can share several variant buckets
-      .filter(levenshtein(col("_sa"), col("_sb")) <= 1)
+      // r16: ONE thresholded levenshtein per pair (was two unbounded
+      // evaluations — filter + select don't share subexpressions across
+      // operators). The threshold form computes O(len·k) instead of
+      // O(len²) and returns the exact distance when it is ≤ k (so the
+      // kept rows' `dist` is unchanged) and -1 otherwise (filtered).
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("_sa"), col("_sb")).as("dist"))
+        levenshtein(col("_sa"), col("_sb"), 1).as("dist"))
+      .filter(col("dist").between(0, 1))
   }
 
   /** LSH band keys (as strings) for a MinHash signature column:

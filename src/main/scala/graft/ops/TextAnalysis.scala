@@ -807,14 +807,22 @@ object TextAnalysis {
     val scoreToks = toked(df)
     val pUni = (coalesce(col("_cu"), lit(0L)) + lit(1)).cast("double") /
       (col("_n") + col("_v")).cast("double")
-    val firstTok = scoreToks
-      .select(col("id"), element_at(col("_toks"), 1).as("cur"))
-      .join(uni.withColumnRenamed("term", "cur"), Seq("cur"), "left")
-      .crossJoin(broadcast(nv))
-      .select(col("id"),
-        floor(-log(pUni) * lit(1e6) + lit(0.5))
-          .cast("long").as("_nll"))
-    val transNll = transitions(scoreToks)
+    // position 1 rides the SAME exploded relation as the transitions
+    // (r16 — was a separate tokenize pass): each doc emits a
+    // (prev=null, cur=tok1) unit whose null prev misses the big/ctx
+    // joins by construction, and the when() below scores it on the
+    // dedicated add-one floor expression — bit-identical to the old
+    // first-token leg (the uni join on cur and the nv broadcast serve
+    // both positions).
+    val nullStr = lit(null).cast("string")
+    val units = scoreToks.select(col("id"), explode(concat(
+        array(struct(nullStr.as("prev"), element_at(col("_toks"), 1).as("cur"))),
+        zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))).as("_t"))
+      .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
+    val allNll = units
       .join(big, Seq("prev", "cur"), "left")
       .join(ctx, Seq("prev"), "left")
       .join(uni.withColumnRenamed("term", "cur"), Seq("cur"), "left")
@@ -824,9 +832,12 @@ object TextAnalysis {
           coalesce(col("_cab"), lit(0L)).cast("double") / col("_ca").cast("double"))
           .otherwise(lit(0.0)))
       .select(col("id"),
-        floor(-log(lit(0.9) * col("_pb") + lit(0.1) * pUni) * lit(1e6) + lit(0.5))
-          .cast("long").as("_nll"))
-    firstTok.unionByName(transNll)
+        when(col("prev").isNull,
+          floor(-log(pUni) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(
+            floor(-log(lit(0.9) * col("_pb") + lit(0.1) * pUni) * lit(1e6) + lit(0.5))
+              .cast("long")).as("_nll"))
+    allNll
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_nll")).as("sum_nll_micro"))
       .withColumn("avg_nll_micro", expr("sum_nll_micro div n_tokens"))
@@ -882,15 +893,17 @@ object TextAnalysis {
    * per-doc counts was this operator's remaining warm-curve overhang:
    * caching corpus-volume rows costs a second corpus-volume
    * write+read; re-deriving type stats from a type-volume cache does
-   * not) — and INNER-joins the type-level NLL (AQE broadcasts it when
-   * it fits). The inner join is exact HERE because the model is
-   * self-fit — every scored transition exists in the type table by
-   * construction; a cross-corpus caller scoring against a foreign fit
-   * would need a left join plus an explicit unseen-transition policy
-   * ([[modifiedKneserNeyLogProb]]'s scorer states one; this operator's
-   * contract is self-scoring). Caller releases the caches via
-   * [[CachedRelations.releaseAll]] after the action, like every other
-   * internally-persisting operator.
+   * not). r16: position 1 rides the same per-doc unit relation as the
+   * transitions (a (prev=null, cur=first-token) row per doc — was a
+   * separate tokenize pass), so the type-NLL join is a LEFT join whose
+   * only misses are those head rows, scored on the dedicated add-one
+   * floor branch; every real transition still matches exactly because
+   * the model is self-fit. A cross-corpus caller scoring against a
+   * foreign fit would additionally need an explicit unseen-transition
+   * policy ([[modifiedKneserNeyLogProb]]'s scorer states one; this
+   * operator's contract is self-scoring). Caller releases the caches
+   * via [[CachedRelations.releaseAll]] after the action, like every
+   * other internally-persisting operator.
    */
   def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String): org.apache.spark.sql.DataFrame = {
