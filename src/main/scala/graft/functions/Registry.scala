@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{BloomBytesMightContain, GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{BloomBytesMightContain, KnUnitsExpr, MknUnitsExpr, TaggedGramsExpr, GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. The same
@@ -91,7 +91,18 @@ object Registry {
     (FunctionIdentifier("bloom_bytes_might_contain"),
       new ExpressionInfo(classOf[BloomBytesMightContain].getName, "bloom_bytes_might_contain"),
       (children: Seq[Expression]) =>
-        BloomBytesMightContain(children(0), children(1))))
+        BloomBytesMightContain(children(0), children(1))),
+    (FunctionIdentifier("tagged_grams"),
+      new ExpressionInfo(classOf[TaggedGramsExpr].getName, "tagged_grams"),
+      (children: Seq[Expression]) =>
+        TaggedGramsExpr(children(0), asInt(children(1)) != 0)),
+    (FunctionIdentifier("mkn_units"),
+      new ExpressionInfo(classOf[MknUnitsExpr].getName, "mkn_units"),
+      (children: Seq[Expression]) =>
+        MknUnitsExpr(children(0), asInt(children(1)) != 0)),
+    (FunctionIdentifier("kn_units"),
+      new ExpressionInfo(classOf[KnUnitsExpr].getName, "kn_units"),
+      (children: Seq[Expression]) => KnUnitsExpr(children(0))))
 
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())

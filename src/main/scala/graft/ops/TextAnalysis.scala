@@ -814,13 +814,9 @@ object TextAnalysis {
     // dedicated add-one floor expression — bit-identical to the old
     // first-token leg (the uni join on cur and the nv broadcast serve
     // both positions).
-    val nullStr = lit(null).cast("string")
-    val units = scoreToks.select(col("id"), explode(concat(
-        array(struct(nullStr.as("prev"), element_at(col("_toks"), 1).as("cur"))),
-        zip_with(
-          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-          (a, b) => struct(a.as("prev"), b.as("cur"))))).as("_t"))
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    val units = scoreToks.select(col("id"),
+        explode(call_function("kn_units", col("_toks"))).as("_t"))
       .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
     val allNll = units
       .join(big, Seq("prev", "cur"), "left")
@@ -928,13 +924,8 @@ object TextAnalysis {
     // position-1 unit as (prev=null, cur=tok1) alongside its bigram
     // transitions; the head key occurs once per doc, so its `_tf` is
     // exactly the old leg's `lit(1)`.
-    val nullStr = lit(null).cast("string")
-    val tf = toked.select(col("id"), explode(concat(
-        array(struct(nullStr.as("prev"), element_at(col("_toks"), 1).as("cur"))),
-        zip_with(
-          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
-          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
-          (a, b) => struct(a.as("prev"), b.as("cur"))))).as("_t"))
+    val tf = toked.select(col("id"),
+        explode(call_function("kn_units", col("_toks"))).as("_t"))
       .select(col("id"), col("_t.prev").as("prev"), col("_t.cur").as("cur"))
       .groupBy(col("id"), col("prev"), col("cur")).agg(count(lit(1)).as("_tf"))
     val pCont = (coalesce(col("_n1cur"), lit(0L)) + lit(1)).cast("double") /
@@ -1091,29 +1082,14 @@ object TextAnalysis {
     * for nothing). */
   private[ops] def taggedGrams(trainToks: org.apache.spark.sql.DataFrame,
                                withTrigrams: Boolean): org.apache.spark.sql.DataFrame = {
-    val n = size(col("_toks"))
-    val len3 = greatest(n - 2, lit(0))
-    val len2 = greatest(n - 1, lit(0))
-    val nullStr = lit(null).cast("string")
-    val triArr = zip_with(
-      zip_with(
-        slice(col("_toks"), lit(1), len3),
-        slice(col("_toks"), lit(2), len3),
-        (a, b) => struct(a.as("a"), b.as("b"))),
-      slice(col("_toks"), lit(3), len3),
-      (ab, c) => struct(lit("t").as("kind"), ab.getField("a").as("a"),
-        ab.getField("b").as("b"), c.as("c")))
-    val bigArr = zip_with(
-      slice(col("_toks"), lit(1), len2),
-      slice(col("_toks"), lit(2), len2),
-      (a, b) => struct(lit("b").as("kind"), a.as("a"), b.as("b"),
-        nullStr.as("c")))
-    val uniArr = transform(col("_toks"),
-      t => struct(lit("u").as("kind"), t.as("a"), nullStr.as("b"),
-        nullStr.as("c")))
-    val all = if (withTrigrams) concat(triArr, bigArr, uniArr)
-              else concat(bigArr, uniArr)
-    trainToks.select(explode(all).as("_g"))
+    // r16: the extraction is the native [[graft.expr.TaggedGramsExpr]]
+    // loop over the token array — the previous zip_with/slice struct
+    // lambdas evaluate INTERPRETED (per-element closures) and measured
+    // ~0.66 s/pass warm at sf0.1 where the tokenize itself is 0.08 s.
+    // Output rows are value-identical (LmGramExprsSpec pins it).
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    trainToks.select(explode(call_function("tagged_grams", col("_toks"),
+        lit(if (withTrigrams) 1 else 0))).as("_g"))
       .select(col("_g.kind").as("kind"), col("_g.a").as("a"),
         col("_g.b").as("b"), col("_g.c").as("c"))
       .groupBy(col("kind"), col("a"), col("b"), col("c"))
@@ -1169,27 +1145,9 @@ object TextAnalysis {
     * dedicated leg used (same columns, same IEEE order — the oracles
     * pin this bit-exactly). */
   private[ops] def mknScoreUnits(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val n = size(col("_toks"))
-    val len3 = greatest(n - 2, lit(0))
-    val nullStr = lit(null).cast("string")
-    val triArr = zip_with(
-      zip_with(
-        slice(col("_toks"), lit(1), len3),
-        slice(col("_toks"), lit(2), len3),
-        (a, b) => struct(a.as("u"), b.as("v"))),
-      slice(col("_toks"), lit(3), len3),
-      (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
-        c.as("w")))
-    val head1 = struct(nullStr.as("u"), nullStr.as("v"),
-      element_at(col("_toks"), 1).as("w"))
-    // the n >= 2 guard keeps element_at(_toks, 2) unevaluated on
-    // single-token docs (ANSI would fault the out-of-bounds index)
-    val units = when(n >= 2,
-      concat(array(head1, struct(nullStr.as("u"),
-        element_at(col("_toks"), 1).as("v"),
-        element_at(col("_toks"), 2).as("w"))), triArr))
-      .otherwise(array(head1))
-    d.select(col("id"), explode(units).as("_t"))
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    d.select(col("id"),
+        explode(call_function("mkn_units", col("_toks"), lit(1))).as("_t"))
       .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"), col("_t.w").as("w"))
       .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("_tf"))
   }
@@ -1371,15 +1329,8 @@ object TextAnalysis {
         (a, b) => struct(a.as("v"), b.as("w")))).as("_p"))
         .select(col("id"), col("_p.v").as("v"), col("_p.w").as("w"))
     def triples(d: org.apache.spark.sql.DataFrame) =
-      d.filter(size(col("_toks")) >= 3)
-        .select(col("id"), explode(zip_with(
-          zip_with(
-            slice(col("_toks"), lit(1), size(col("_toks")) - 2),
-            slice(col("_toks"), lit(2), size(col("_toks")) - 2),
-            (a, b) => struct(a.as("u"), b.as("v"))),
-          slice(col("_toks"), lit(3), size(col("_toks")) - 2),
-          (uv, c) => struct(uv.getField("u").as("u"), uv.getField("v").as("v"),
-            c.as("w")))).as("_t"))
+      d.select(col("id"),
+          explode(call_function("mkn_units", col("_toks"), lit(0))).as("_t"))
         .select(col("id"), col("_t.u").as("u"), col("_t.v").as("v"),
           col("_t.w").as("w"))
     val trainToks = toked(trainDf)
