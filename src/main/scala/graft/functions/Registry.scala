@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{BloomBytesMightContain, KnUnitsExpr, MknUnitsExpr, TaggedGramsExpr, GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
+import graft.expr.{BloomBytesMightContain, KnUnitsExpr, MknUnitsExpr, TaggedGramsExpr, SigAgreeCount, HammingX64, GoFormatFloat, GoParseFloat, LshBuckets, MinhashSigX64, NfcNormalize, OphSigX64, PqAdc, PqCn2, PqEncode, RollingFpX64, TokenWindowFpX64, VecDot, VecDotInt8, WinnowFpX64, WordGramHashes, WordGrams}
 
 /** Registers graft's native Catalyst expressions as SQL functions on a
   * session (callable via `call_function`/`expr`). Idempotent. The same
@@ -102,7 +102,13 @@ object Registry {
         MknUnitsExpr(children(0), asInt(children(1)) != 0)),
     (FunctionIdentifier("kn_units"),
       new ExpressionInfo(classOf[KnUnitsExpr].getName, "kn_units"),
-      (children: Seq[Expression]) => KnUnitsExpr(children(0))))
+      (children: Seq[Expression]) => KnUnitsExpr(children(0))),
+    (FunctionIdentifier("sig_agree_count"),
+      new ExpressionInfo(classOf[SigAgreeCount].getName, "sig_agree_count"),
+      (children: Seq[Expression]) => SigAgreeCount(children(0), children(1))),
+    (FunctionIdentifier("hamming_x64"),
+      new ExpressionInfo(classOf[HammingX64].getName, "hamming_x64"),
+      (children: Seq[Expression]) => HammingX64(children(0), children(1))))
 
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())

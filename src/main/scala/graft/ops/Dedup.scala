@@ -347,8 +347,8 @@ object Dedup {
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+        (call_function("sig_agree_count", col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
       .distinct() // same pair can collide in several bands
     pairs.filter(col("est_jaccard") >= threshold)
   }
@@ -387,6 +387,7 @@ object Dedup {
                            bands: Int = 4, threshold: Double = 0.5,
                            maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    graft.functions.Registry.ensure(df.sparkSession)
     val rowsPerBand = numHashes / bands
     val sig = minhashPortableValues(df, idCol, textCol, shingleSize, numHashes)
     val banded = sig.select(col("id"), col("sig"),
@@ -402,8 +403,8 @@ object Dedup {
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+        (call_function("sig_agree_count", col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
       .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= threshold)
   }
@@ -482,6 +483,7 @@ object Dedup {
                threshold: Double = 0.5, maxBucketSize: Int = 1000,
                portableHashing: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    graft.functions.Registry.ensure(df.sparkSession)
     val rowsPerBand = k / bands
     val sig = ophSignatures(df, idCol, textCol, shingleSize, k, portableHashing)
     val bucketOf = (b: Int) =>
@@ -499,8 +501,8 @@ object Dedup {
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("est_jaccard"))
+        (call_function("sig_agree_count", col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / k).as("est_jaccard"))
       .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= threshold)
   }
@@ -1074,9 +1076,12 @@ object Dedup {
 
   /** Signature-agreement Jaccard estimate between two equal-length
     * MinHash signature columns. */
-  private[graft] def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes
+  private[graft] def sigAgreement(a: Column, b: Column, numHashes: Int): Column = {
+    // native count (r16) — the aggregate(zip_with(...)) form ran
+    // interpreted per-element lambdas on every candidate pair
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    call_function("sig_agree_count", a, b).cast(DoubleType) / numHashes
+  }
 
   /**
    * Near-dup STATE carry-forward between corpus versions. The state

@@ -691,9 +691,12 @@ object Similarity {
   /** Hamming distance between two sign-packed vectors (arrays of
     * longs): popcount of the XOR, summed across words. Equals the
     * count of dimensions whose signs disagree. */
-  def hammingDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
-      lit(0), (acc, x) => acc + x)
+  def hammingDist(a: Column, b: Column): Column = {
+    // native popcount loop (r16) — the aggregate(zip_with(bit_count))
+    // form ran interpreted per-element lambdas on every candidate pair
+    graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
+    call_function("hamming_x64", a, b)
+  }
 
   /**
    * Binary-quantization nearest neighbors (the 1-bit "binary
