@@ -74,17 +74,19 @@ class PlanHygieneSweepSpec extends SparkTestBase {
     *    index-build path; the per-candidate scoring path is native
     *    codegen expressions (vec_dot / vec_dot_i8 / pq_adc).
     */
+  // (r16: the IVF ANN family left this list entirely — the MLlib
+  // array_to_vector fit adapter went with the MLlib fit; cell
+  // assignment is the native pq_encode argmin, so those plans carry
+  // no UDF at all.)
   private val udfAllowlist = Set("q_llm_bpe_fertility",
-    "q_llm_ann_ivf", "q_llm_ann_ivf8", "q_llm_ann_pq", "q_llm_ann_lookup",
-    "q_llm_knn_classify_ivf", "q_llm_margin_ivf",
-    // playbook result-twins of the two rows above: same delegated op,
-    // same documented UDF (MLlib fit adapter / vocabulary-bounded
-    // merge application), the YAML adds a parse, not a plan
-    "q_playbook_ann", "q_playbook_bpe",
-    // r12 equivalence oracles: each plan UNIONS the config path with
-    // its twin above to compare them, so it carries both twins'
-    // already-allowlisted UDFs (and nothing else)
-    "q_playbook_ann_check", "q_playbook_bpe_check",
+    // playbook result-twin of the row above: same delegated op, same
+    // documented UDF (vocabulary-bounded merge application), the YAML
+    // adds a parse, not a plan
+    "q_playbook_bpe",
+    // r12 equivalence oracle: the plan UNIONS the config path with its
+    // twin above to compare them, so it carries the twins'
+    // already-allowlisted UDF (and nothing else)
+    "q_playbook_bpe_check",
     // r12 native-vs-iterative BPE equivalence: the iterative reference
     // encoder is deliberately a UDF, applied only to the DISTINCT-WORD
     // relation (vocabulary-bounded, same documented boundary as
