@@ -916,10 +916,18 @@ object AnnIndex {
     val q = vb
       .withColumn("tb", explode(array(probeCols: _*)))
       .select(col("id").as("qid"), col("tb"))
-    val cand = q.join(corpus, "tb")
-      .filter(col("qid") =!= col("nid"))
+    // Symmetric-pair halving, exactly as [[Similarity.lshTopK]]: a
+    // bucket meeting (≤1 differing plane bit) is symmetric, so each
+    // unordered pair is generated once and mirrored after the distinct
+    // — half the pair volume through the distinct exchange at
+    // identical results (the loaded-vs-in-session equivalence gates
+    // pin both faces, which carry the same formulation).
+    val candHalf = q.join(corpus, "tb")
+      .filter(col("qid") < col("nid"))
       .select(col("qid"), col("nid"))
       .distinct()
+    val cand = candHalf.unionByName(
+      candHalf.select(col("nid").as("qid"), col("qid").as("nid")))
     val v0 = table.filter(col(meta.vecCol).isNotNull)
       .select(col(meta.idCol).as("id"),
         col(meta.vecCol).cast("array<double>").as("v"))
