@@ -592,15 +592,22 @@ object AnnIndex {
     val fp = fpWindow(spark, tablePath) {
       val sd = dims / m
       val v = prepped(table, idCol, vecCol)
-      val (assigned, cents) = Similarity.ivfFit(v, dims, nlist, maxFitVectors)
-      // the identical bounded sample + in-memory Lloyd fits of ivfPqTopK
+      val (assigned, cents, fitSample) =
+        Similarity.ivfFitSampled(v, dims, nlist, maxFitVectors)
+      // the identical bounded sample + in-memory Lloyd fits of ivfPqTopK;
+      // r16: reuse ivfFit's one collect when the caps coincide (every
+      // nlist ≤ 500 — identical hash-mod filter, identical sample)
       val sampleCap = math.min(maxFitVectors, 20000L)
-      val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
-      val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
-      val sampleDf = if (estRows <= sampleCap) v
-        else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+      val ivfCap = math.min(maxFitVectors, math.max(20000L, 40L * nlist))
       val sample: Array[Array[Double]] =
-        sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+        if (sampleCap == ivfCap) fitSample
+        else {
+          val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+          val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+          val sampleDf = if (estRows <= sampleCap) v
+            else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+          sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+        }
       require(sample.nonEmpty, "writePqIndex needs at least one non-null vector")
       val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
         val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
@@ -609,8 +616,8 @@ object AnnIndex {
       val booksFlat: Array[Double] = books.flatMap(_.flatten)
       val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
       graft.functions.Registry.ensure(spark)
-      val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
-      val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
+      val booksLit = lit(booksFlat)
+      val cn2Lit = lit(cn2Flat)
       assigned
         .withColumn("codes",
           call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
@@ -657,7 +664,7 @@ object AnnIndex {
       .orderBy("j", "c").collect()
     val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
     graft.functions.Registry.ensure(spark)
-    val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
+    val booksLit = lit(booksFlat)
     val corpus = spark.read.parquet(s"$indexPath/codes")
       .select(col("id").as("nid"), col("cell"), col("codes").as("ncodes"), col("rn"))
     val v = table.filter(col(meta.vecCol).isNotNull)
@@ -669,10 +676,13 @@ object AnnIndex {
     val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit,
       lit(meta.m), lit(meta.ksub))
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    // full-frame count on wa's own spec: one WindowExec (see the
+    // in-session twin in Similarity.ivfPqTopK)
     val effRerank =
       if (rerankFrac <= 0.0) lit(rerankFactor * k)
       else greatest(lit(rerankFactor * k),
-        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+        ceil(count(lit(1)).over(wa.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) * lit(rerankFrac))
           .cast("int"))
     val survivors = q.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
@@ -784,8 +794,8 @@ object AnnIndex {
       val booksFlat: Array[Double] = bookRows.flatMap(_.getSeq[Double](2))
       val cn2Flat: Array[Double] = bookRows.map(_.getSeq[Double](2).map(x => x * x).sum)
       graft.functions.Registry.ensure(spark)
-      val booksLit = array(booksFlat.map(lit).toIndexedSeq: _*)
-      val cn2Lit = array(cn2Flat.map(lit).toIndexedSeq: _*)
+      val booksLit = lit(booksFlat)
+      val cn2Lit = lit(cn2Flat)
       dropStamp(spark, indexPath)
       assigned
         .withColumn("codes",
@@ -1004,10 +1014,11 @@ object AnnIndex {
       .select(col("qid"), col("nid"),
         Similarity.hammingDist(col("qbits"), col("nbits")).as("ham"))
     val wc = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
-    val effRerank =
+    val effRerank = // full-frame count on wc's own spec: one WindowExec
       if (rerankFrac <= 0.0) lit(rerank)
       else greatest(lit(rerank),
-        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+        ceil(count(lit(1)).over(wc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) * lit(rerankFrac))
           .cast("int"))
     val cand = coarse.withColumn("rr", row_number().over(wc))
       .withColumn("_eff_rerank", effRerank)

@@ -74,6 +74,17 @@ object Similarity {
     * Returns (corpus rows (id, v, cell), centroids). */
   private[graft] def ivfFit(v: DataFrame, dims: Int, nlist: Int,
                      maxFitVectors: Long): (DataFrame, Array[Array[Double]]) = {
+    val (assigned, cents, _) = ivfFitSampled(v, dims, nlist, maxFitVectors)
+    (assigned, cents)
+  }
+
+  /** [[ivfFit]] variant that also returns the collected fit sample, so
+    * a caller that needs its own bounded driver sample over the SAME
+    * relation (the PQ codebook fit) can reuse this one collect instead
+    * of paying a second cluster job for an identical scan (r16: the
+    * two collects were ~0.3 s each of the pq rows' build time). */
+  private[graft] def ivfFitSampled(v: DataFrame, dims: Int, nlist: Int,
+                     maxFitVectors: Long): (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {
     // The quantizer only needs a REPRESENTATIVE sample — fitting k-means
     // on the full corpus is the one driver-side scale hazard at 100 TB.
     // Deterministic hash-mod downsample. The row count that sizes the
@@ -112,11 +123,15 @@ object Similarity {
     val cents = lloyd(sample, nlist, iters = 8, seed = 42L)
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
     val centsFlat: Array[Double] = cents.flatten
+    // ONE ArrayType literal node, not dims·nlist lit() children — the
+    // codebook is consumed at plan time (Registry asDoubles), so the
+    // only cost of the wide tree was Catalyst walking it per analysis/
+    // optimization rule on every query build (r16 guide §1.2 step 1).
     val assigned = v.withColumn("cell",
       element_at(call_function("pq_encode", col("v"),
-        array(centsFlat.map(lit).toIndexedSeq: _*), lit(1), lit(nlist)), 1))
+        lit(centsFlat), lit(1), lit(nlist)), 1))
       .select(col("id"), col("v"), col("cell"))
-    (assigned, cents)
+    (assigned, cents, sample)
   }
 
   /** ROW-LOCAL cell ranking for [[AnnIndex.appendIvfIndex]]'s delta
@@ -137,7 +152,7 @@ object Similarity {
     * on shared fixtures. */
   private[graft] def cellRank(vec: Column, cents: Array[Array[Double]]): Column = {
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+      struct(lit(i).as("ci"), lit(c).as("cv"),
         lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
     array_sort(transform(centLits, c =>
@@ -157,7 +172,7 @@ object Similarity {
   private[graft] def probeCells(q: DataFrame, cents: Array[Array[Double]],
                          nprobe: Int): DataFrame = {
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+      struct(lit(i).as("ci"), lit(c).as("cv"),
         lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
     q.withColumn("cent", explode(centLits))
@@ -337,20 +352,29 @@ object Similarity {
     val sd = dims / m
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val (assigned, cents) = ivfFit(v, dims, nlist, maxFitVectors)
+    val (assigned, cents, fitSample) = ivfFitSampled(v, dims, nlist, maxFitVectors)
     // Subspace codebooks: ONE bounded driver-side sample (deterministic
     // hash-mod, ~20k vectors — a 16-centroid codebook over 4 dims needs
     // far less) then m in-memory Lloyd fits. m separate MLlib fits each
     // pay full cluster-job overhead — 16 subspaces cost more in job
     // scheduling than in arithmetic; the sample collect is the SAME
     // bounded driver state the quantizer fit policy already allows.
+    // r16: when the codebook cap coincides with the coarse-quantizer
+    // cap (every nlist ≤ 500 — the hash-mod filter is then identical),
+    // reuse ivfFit's collected sample instead of paying a second
+    // cluster job for the same scan; a larger-nlist config still
+    // collects its own sample under the original cap.
     val sampleCap = math.min(maxFitVectors, 20000L)
-    val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
-    val sampleDf = if (estRows <= sampleCap) v
-      else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+    val ivfCap = math.min(maxFitVectors, math.max(20000L, 40L * nlist))
     val sample: Array[Array[Double]] =
-      sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      if (sampleCap == ivfCap) fitSample
+      else {
+        val estBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+        val estRows = (estBytes / BigInt(math.max(8L * dims, 64L))).toLong.max(1L)
+        val sampleDf = if (estRows <= sampleCap) v
+          else v.filter(pmod(xxhash64(col("id")), lit(estRows / sampleCap + 1)) === 0)
+        sampleDf.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      }
     require(sample.nonEmpty, "ivfPqTopK needs at least one non-null vector")
     val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
       val pts = sample.map(x => java.util.Arrays.copyOfRange(x, j * sd, (j + 1) * sd))
@@ -363,8 +387,10 @@ object Similarity {
     val booksFlat: Array[Double] = books.flatMap(_.flatten)
     val cn2Flat: Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
     graft.functions.Registry.ensure(org.apache.spark.sql.SparkSession.active)
-    def booksLit: Column = array(booksFlat.map(lit).toIndexedSeq: _*)
-    def cn2Lit: Column = array(cn2Flat.map(lit).toIndexedSeq: _*)
+    // single ArrayType literals (see ivfFitSampled: plan-time-consumed
+    // codebooks; m·ksub·sd lit() children only slowed analysis)
+    def booksLit: Column = lit(booksFlat)
+    def cn2Lit: Column = lit(cn2Flat)
     val coded = assigned
       .withColumn("codes",
         call_function("pq_encode", col("v"), booksLit, lit(m), lit(ksub)))
@@ -379,10 +405,15 @@ object Similarity {
     // ADC: full-precision query against the code-reconstructed candidate
     val adot = call_function("pq_adc", col("qv"), col("ncodes"), booksLit, lit(m), lit(ksub))
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    // the count rides the SAME (partition, order) spec as the ranking
+    // with an explicit full frame — order-insensitive for a whole-
+    // partition count, and it fuses both window functions into ONE
+    // WindowExec pass over the candidate volume instead of two
     val effRerank =
       if (rerankFrac <= 0.0) lit(rerankFactor * k)
       else greatest(lit(rerankFactor * k),
-        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+        ceil(count(lit(1)).over(wa.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) * lit(rerankFrac))
           .cast("int"))
     val survivors = q.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
@@ -671,7 +702,7 @@ object Similarity {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .filter(size(col("_v")) === lit(nDims))
     val scored = cents.map { case (lab, arr, n2) =>
-      val cLit = array(arr.map(lit).toIndexedSeq: _*)
+      val cLit = lit(arr)
       val sn = aggregate(
         zip_with(col("_v"), cLit, (x, y) => floor(x * y * lit(1e9) + lit(0.5)).cast("long")),
         lit(0L), (acc, x) => acc + x)
@@ -765,10 +796,11 @@ object Similarity {
     // the same qid partition the ranking already shuffles on (no extra
     // pass, no collect).
     val wc = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
-    val effRerank =
+    val effRerank = // full-frame count on wc's own spec: one WindowExec
       if (rerankFrac <= 0.0) lit(rerank)
       else greatest(lit(rerank),
-        ceil(count(lit(1)).over(Window.partitionBy(col("qid"))) * lit(rerankFrac))
+        ceil(count(lit(1)).over(wc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) * lit(rerankFrac))
           .cast("int"))
     val cand = coarse.withColumn("rr", row_number().over(wc))
       .withColumn("_eff_rerank", effRerank) // window exprs can't sit in a filter
@@ -967,7 +999,7 @@ object Similarity {
     }
     val scores = comps.zipWithIndex.map { case (w, c) =>
       val centerConst = (0 until d).map(i => w(i) * mean(i)).sum
-      (dot(col("v"), array(w.map(lit).toIndexedSeq: _*)) - lit(centerConst))
+      (dot(col("v"), lit(w)) - lit(centerConst))
         .as(s"pc${c + 1}")
     }
     v.select(col("id") +: scores.toIndexedSeq: _*)

@@ -682,7 +682,7 @@ object StreamOps {
     val probes: Array[String] = boiler
       .select(concat_ws("\u0000", col("domain"), col("h").cast("string")))
       .collect().map(_.getString(0))
-    val probeLit = array(probes.toIndexedSeq.map(lit): _*)
+    val probeLit = lit(probes)
     val lines = split(col(textCol), java.util.regex.Pattern.quote(lineDelim))
     val kept = filter(lines, l => !array_contains(probeLit,
       concat_ws("\u0000", col(domainCol), xxhash64(l).cast("string"))))
@@ -833,7 +833,7 @@ object StreamOps {
     // row-local probe ranking: (|c|^2 - 2 q.c, ci) ascending — the
     // same Euclidean order probeCells uses, as a struct array_sort
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+      struct(lit(i).as("ci"), lit(c).as("cv"),
         lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
     val probed = queries.filter(col(vecCol).isNotNull)
@@ -890,7 +890,7 @@ object StreamOps {
           col("cell"))
         .persist())
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+      struct(lit(i).as("ci"), lit(c).as("cv"),
         lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
     val probed = queries.filter(col(meta.vecCol).isNotNull)
@@ -943,7 +943,7 @@ object StreamOps {
         .select(col("id").as("nid"), col("nv"), col("lbl"), col("cell"))
         .withColumn("nn", Similarity.norm(col("nv"))).persist())
     val centLits = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("ci"), array(c.map(lit).toIndexedSeq: _*).as("cv"),
+      struct(lit(i).as("ci"), lit(c).as("cv"),
         lit(c.map(x => x * x).sum).as("cn2"))
     }.toIndexedSeq: _*)
     val probed = queries.filter(col(vecCol).isNotNull)
